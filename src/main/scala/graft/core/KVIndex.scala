@@ -1,0 +1,319 @@
+package graft.core
+
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-backed ordered KV index — the `QueryableIndex[K, V]` equivalent
+  * (reference `QueryableIndex.scala`). Opened from a manifest (the
+  * `IndexContext`, reference `index.proto:68-78`); reads see that frozen
+  * snapshot; `execute` produces a NEW snapshot via file-granular
+  * copy-on-write and never mutates this one (reference `readme.md:3-4`).
+  *
+  * Scale design: a write batch touches only the data files whose key range
+  * contains a batch key — write amplification is proportional to the touched
+  * key range, not table size, mirroring the reference's COW path copy
+  * (`Index.scala:137-160`) at file rather than block granularity. All
+  * validation joins broadcast the (small) batch against the (pruned) current
+  * state, so a 1000-executor cluster validates a batch with one scan of the
+  * touched files only.
+  */
+final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
+                    maxRowsPerFile: Long = 1L << 19) {
+
+  def spark: SparkSession = store.spark
+  val key: KeySpec = manifest.keySpec
+
+  /** reads of this frozen snapshot */
+  def df: DataFrame = store.read(manifest)
+  def table: OrderedTable = OrderedTable(df, key)
+
+  /** A1 count — O(1) from manifest stats like `ctx.num_elements`
+    * (reference `Index.scala:899`); no scan.
+    */
+  def count: Long = manifest.numElements
+
+  /** A3 "levels" analogue — structural stats from the manifest
+    * (reference `Index.scala:900,956-1001`): file count plays the role of
+    * leaf count; there is no tree height in a flat file layout.
+    */
+  def numFiles: Int = manifest.files.size
+
+  // ------------------------------------------------------------------
+  // Write path (§2.6) — execute a command batch, all-or-nothing.
+  // ------------------------------------------------------------------
+
+  /** W4 `execute` — sequential command batch; stops at the first error and
+    * commits nothing in that case (reference `Index.scala:1010-1036`,
+    * all-or-nothing discard `QueriesRandomSpec.scala:211-239`).
+    *
+    * One batch per opened snapshot: committing creates manifest version
+    * `parent+1` with CREATE_NEW semantics, so a second `execute` from the
+    * same manifest (or a concurrent writer) fails — the reference's
+    * single-writer `used` flag (`Index.scala:1012,1032-1035`) as a storage
+    * CAS instead of an in-memory bit.
+    */
+  def execute(cmds: Seq[Command], txVersion: String = UUID.randomUUID().toString): BatchResult = {
+    if (cmds.isEmpty) return BatchResult(success = true, None, Some(manifest))
+
+    // ---- file pruning: which files can a batch key live in? ----
+    val allBatchKeys = cmds.map(c => c.rows.select(key.cols.map(col): _*))
+      .reduce(_ unionByName _).distinct()
+    val (touched, untouched) = pruneFiles(allBatchKeys)
+    val curStart: DataFrame =
+      if (touched.isEmpty) emptyLike(cmds)
+      else store.readFiles(touched.map(_.path), manifest)
+
+    // ---- sequential fold with stop-at-first-error ----
+    var cur = curStart.cache()
+    var err: Option[GraftError] = None
+    val it = cmds.iterator
+    while (err.isEmpty && it.hasNext) {
+      step(cur, it.next(), txVersion) match {
+        case Left(e) => err = Some(e)
+        case Right(next) =>
+          val nextCached = next.cache()
+          nextCached.count() // force so we can safely unpersist the parent
+          cur.unpersist()
+          cur = nextCached
+      }
+    }
+
+    if (err.isDefined) { cur.unpersist(); return BatchResult(success = false, err, None) }
+
+    // ---- COW commit: rewrite touched range only ----
+    val nParts = math.max(1, math.ceil(
+      math.max(cur.count(), 1L).toDouble / maxRowsPerFile).toInt)
+    val (_, newFiles) = store.writeData(manifest.id, cur, key, nParts)
+    cur.unpersist()
+    val untouchedRows = untouched.map(_.rows).sum
+    val m2 = manifest.copy(
+      version = manifest.version + 1,
+      snapshotId = UUID.randomUUID().toString,
+      numElements = untouchedRows + newFiles.map(_.rows).sum,
+      lastChangeVersion = txVersion,
+      files = (untouched ++ newFiles).sortBy(_.min)(KeyOrd))
+    try BatchResult(success = true, None, Some(store.commit(m2, manifest.version)))
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      BatchResult(success = false, Some(GraftError.ContextAlreadyUsed(manifest.id)), None)
+    }
+  }
+
+  /** One command against the current (touched-range) state. Validation joins
+    * are forced (actions) BEFORE the transform is kept — SURVEY §7 hard-part
+    * 1: exists -> version -> apply, in the reference's order.
+    */
+  private def step(cur: DataFrame, cmd: Command, tx: String): Either[GraftError, DataFrame] = {
+    val kcols = key.cols
+    def keyStr = concat_ws("/", kcols.map(c => col(c).cast("string")): _*)
+    cmd match {
+      case Command.Insert(rows, upsert) =>
+        val batch = rows
+        // intra-batch duplicate keys -> DUPLICATED_KEYS (Index.scala:285-288)
+        val dups = batch.groupBy(kcols.map(col): _*).count().filter(col("count") > 1)
+        val dupSample = dups.limit(5).collect()
+        if (dupSample.nonEmpty)
+          return Left(GraftError.DuplicatedKeys(dupSample.map(_.mkString("/")).toSeq))
+        if (!upsert) {
+          // existing key without upsert -> LEAF_DUPLICATE_KEY (Leaf.scala:41-43)
+          val clash = batch.join(cur, kcols, "left_semi").select(keyStr).limit(5).collect()
+          if (clash.nonEmpty)
+            return Left(GraftError.KeyAlreadyExists(clash.map(_.getString(0)).toSeq))
+        }
+        val stamped = batch.select((kcols ++ manifest.valueCols).map(col): _*)
+          .withColumn("version", lit(tx))
+        Right(cur.join(batch, kcols, "left_anti").unionByName(stamped))
+
+      case Command.Update(rows) =>
+        validateExistsAndVersion(cur, rows, keyStr).map { _ =>
+          val stamped = rows.select((kcols ++ manifest.valueCols).map(col): _*)
+            .withColumn("version", lit(tx))
+          cur.join(rows, kcols, "left_anti").unionByName(stamped)
+        }
+
+      case Command.Remove(rows) =>
+        validateExistsAndVersion(cur, rows, keyStr).map { _ =>
+          cur.join(rows, kcols, "left_anti")
+        }
+    }
+  }
+
+  /** exists-check then CAS version check, in reference order
+    * (`Leaf.scala:58-60` then `:62-72`). `expectedVersion` column optional;
+    * null means unconditional.
+    */
+  private def validateExistsAndVersion(cur: DataFrame, rows: DataFrame,
+                                       keyStr: Column): Either[GraftError, Unit] = {
+    val kcols = key.cols
+    val missing = rows.join(cur, kcols, "left_anti").select(keyStr).limit(5).collect()
+    if (missing.nonEmpty)
+      return Left(GraftError.KeyNotFound(missing.map(_.getString(0)).toSeq))
+    if (rows.columns.contains("expectedVersion")) {
+      val joined = rows.select((kcols :+ "expectedVersion").map(col): _*)
+        .join(cur.select((kcols :+ "version").map(col): _*), kcols)
+        .filter(col("expectedVersion").isNotNull &&
+                col("expectedVersion") =!= col("version"))
+      val stale = joined.select(keyStr).limit(5).collect()
+      if (stale.nonEmpty)
+        return Left(GraftError.VersionChanged(stale.map(_.getString(0)).toSeq))
+    }
+    Right(())
+  }
+
+  /** Manifest-pruned file set: a file is touched iff some batch key falls in
+    * its [min,max] — the findPath descent (reference `Index.scala:85-99`)
+    * done on manifest stats. Small batches are decided driver-side exactly;
+    * big batches fall back to the batch hull.
+    */
+  private def pruneFiles(batchKeys: DataFrame): (Seq[FileEntry], Seq[FileEntry]) = {
+    if (manifest.files.isEmpty) return (Nil, Nil)
+    val n = batchKeys.limit(100001).count()
+    if (n <= 100000) {
+      val keys = batchKeys.collect().map(_.toSeq).sortBy(identity)(KeyOrd)
+      def containsAny(f: FileEntry): Boolean = {
+        // binary search for first key >= f.min; touched iff it's <= f.max
+        var lo = 0; var hi = keys.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (KeyOrd.compare(keys(mid), f.min) < 0) lo = mid + 1 else hi = mid
+        }
+        lo < keys.length && KeyOrd.compare(keys(lo), f.max) <= 0
+      }
+      manifest.files.partition(containsAny)
+    } else {
+      val hull = batchKeys.agg(
+        min(struct(key.cols.map(col): _*)), max(struct(key.cols.map(col): _*))).head()
+      val lo = hull.getStruct(0).toSeq; val hi = hull.getStruct(1).toSeq
+      manifest.files.partition(f =>
+        KeyOrd.compare(f.min, hi) <= 0 && KeyOrd.compare(f.max, lo) >= 0)
+    }
+  }
+
+  /** Empty state with the index schema — for writes into an empty index or a
+    * batch whose keys fall outside every existing file (pure out-of-range
+    * insert: zero current files are read, zero rewritten).
+    */
+  private def emptyLike(cmds: Seq[Command]): DataFrame = {
+    if (manifest.files.nonEmpty) store.read(manifest).limit(0)
+    else {
+      val c = cmds.collectFirst { case Command.Insert(r, _) => r }
+        .getOrElse(cmds.head.rows)
+      val have = c.columns.toSet
+      c.select((key.cols ++ manifest.valueCols).filter(have.contains).map(col): _*)
+        .withColumn("version", lit("")).limit(0)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // §2.5 whole-index ops
+  // ------------------------------------------------------------------
+
+  /** U3 `copy` — cheap snapshot clone sharing every data file
+    * (reference `QueryableIndex.scala:540-559`): zero data copy, new id.
+    */
+  def copyTo(newId: String): Either[GraftError, SnapshotManifest] = {
+    if (store.exists(newId)) Left(GraftError.IndexAlreadyExists(newId))
+    else {
+      val m = manifest.copy(id = newId, version = 0L,
+        snapshotId = UUID.randomUUID().toString)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store.root, newId))
+      Right(store.commit(m, -1L))
+    }
+  }
+
+  /** U1 `merge` — union two indexes with disjoint key ranges; asserts
+    * combined size fits maxNItems (reference `QueryableIndex.scala:561-584`).
+    * Because files are immutable and ranges disjoint, this is a pure
+    * manifest concat — zero bytes moved, the scale-friendly analogue of the
+    * reference's root-block merge.
+    */
+  def merge(other: KVIndex, newId: String): Either[GraftError, SnapshotManifest] = {
+    val total = count + other.count
+    if (manifest.maxNItems > 0 && total > manifest.maxNItems)
+      return Left(GraftError.MergeTooLarge(total, manifest.maxNItems))
+    if (store.exists(newId)) return Left(GraftError.IndexAlreadyExists(newId))
+    val (a, b) = (manifest, other.manifest)
+    val disjoint = a.files.isEmpty || b.files.isEmpty ||
+      KeyOrd.compare(a.files.map(_.max).max(KeyOrd), b.files.map(_.min).min(KeyOrd)) < 0 ||
+      KeyOrd.compare(b.files.map(_.max).max(KeyOrd), a.files.map(_.min).min(KeyOrd)) < 0
+    require(disjoint, "merge requires disjoint key ranges")
+    val m = SnapshotManifest(newId, 0L, UUID.randomUUID().toString,
+      a.keyCols, a.valueCols, total, a.maxNItems, a.lastChangeVersion,
+      (a.files ++ b.files).sortBy(_.min)(KeyOrd))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store.root, newId))
+    Right(store.commit(m, -1L))
+  }
+
+  /** U2 `split` — split at the median into two independent indexes
+    * (reference `QueryableIndex.scala:586-679`). The median is located via
+    * manifest cumulative row counts (the B-Tree descent on stats): only ONE
+    * file is read to find the exact split key, then files are assigned
+    * whole to a side and only the straddling file is rewritten — O(1 file)
+    * work regardless of index size.
+    */
+  def split(leftId: String, rightId: String): Either[GraftError, (SnapshotManifest, SnapshotManifest)] = {
+    if (count < 2) return Left(GraftError.MergeTooLarge(count, 2))
+    val half = count / 2
+    val files = manifest.files
+    var cum = 0L
+    val idx = files.indexWhere { f => val c = cum; cum += f.rows; half <= c + f.rows && half > c }
+    val straddle = files(math.max(idx, 0))
+    val before = files.take(math.max(idx, 0))
+    val after = files.drop(math.max(idx, 0) + 1)
+    val need = (half - before.map(_.rows).sum).toInt
+    val one = store.readFiles(Seq(straddle.path), manifest)
+    val sortedOne = one.orderBy(key.sortCols(false): _*)
+    // exact split key = last key of the left part within the straddling file
+    val leftPart = sortedOne.limit(need)
+    val rightPart = sortedOne.exceptAll(leftPart) // same file, exact complement
+    val (_, leftNew) =
+      if (need > 0) store.writeData(leftId, leftPart, key, 1)
+      else ("", Seq.empty[FileEntry])
+    val (_, rightNew) = store.writeData(rightId, rightPart, key, 1)
+    def mk(id: String, fs: Seq[FileEntry]) = SnapshotManifest(id, 0L,
+      UUID.randomUUID().toString, manifest.keyCols, manifest.valueCols,
+      fs.map(_.rows).sum, manifest.maxNItems, manifest.lastChangeVersion,
+      fs.sortBy(_.min)(KeyOrd))
+    val lm = mk(leftId, before ++ leftNew)
+    val rm = mk(rightId, rightNew ++ after)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store.root, leftId))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store.root, rightId))
+    Right((store.commit(lm, -1L), store.commit(rm, -1L)))
+  }
+}
+
+object KVIndex {
+  /** Build the first snapshot of a new index from a bulk DataFrame —
+    * SURVEY §7's `KVSnapshot.fromBatch`. Stamps every tuple with the insert
+    * version (reference `Index.scala:281-320` stamps `insertVersion`).
+    */
+  def bootstrap(store: SnapshotStore, id: String, df: DataFrame, keyCols: Seq[String],
+                maxNItems: Long = -1L,
+                txVersion: String = UUID.randomUUID().toString,
+                maxRowsPerFile: Long = 1L << 19): Either[GraftError, KVIndex] = {
+    store.createIndex(id, keyCols, df.columns.filterNot(c => keyCols.contains(c) || c == "version").toSeq, maxNItems) match {
+      case Left(e) => Left(e)
+      case Right(m0) =>
+        val valueCols = m0.valueCols
+        val key = KeySpec(keyCols)
+        val stamped =
+          if (df.columns.contains("version")) df
+          else df.withColumn("version", lit(txVersion))
+        val nParts = math.max(1, math.ceil(
+          math.max(stamped.count(), 1L).toDouble / maxRowsPerFile).toInt)
+        val (_, files) = store.writeData(id, stamped, key, nParts)
+        val m1 = m0.copy(version = 1L, snapshotId = UUID.randomUUID().toString,
+          numElements = files.map(_.rows).sum, lastChangeVersion = txVersion,
+          files = files.sortBy(_.min)(KeyOrd))
+        Right(new KVIndex(store, store.commit(m1, 0L), maxRowsPerFile))
+    }
+  }
+
+  def open(store: SnapshotStore, id: String): Either[GraftError, KVIndex] =
+    store.loadLatest(id).map(new KVIndex(store, _))
+
+  def openAt(store: SnapshotStore, id: String, t: Long): Either[GraftError, KVIndex] =
+    store.findIndexAt(id, t).map(m => new KVIndex(store, m))
+      .toRight(GraftError.IndexNotFound(s"$id@$t"))
+}

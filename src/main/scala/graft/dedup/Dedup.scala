@@ -1,0 +1,156 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{functions => gf}
+
+/** Deduplication operators for a training-data pipeline. Five strategies,
+  * all shuffle-minimal by construction:
+  *
+  *  - exact: one hash-groupBy (map-side partial agg, single shuffle on the
+  *    64-bit content hash — never on the text itself).
+  *  - MinHash+LSH: shingle → k-min signature → band keys → bucket join.
+  *    The self-join is on band keys only, so candidate generation scales
+  *    with bucket sizes, not n².
+  *  - SimHash: one codegen'd pass to a 64-bit sketch, then band-bucketing
+  *    of the sketch for candidates, Hamming verify.
+  *  - n-gram Jaccard: candidates from LSH (or any blocking), verified with
+  *    exact Jaccard over shingle sets.
+  *  - embedding cosine: near-dup on a vector column via bucketed cosine.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest `idCol` per identical `textCol`.
+    * Hash first so the shuffle key is 8 bytes, not document bodies; the
+    * groupBy gets a map-side partial min. (A full-text collision check
+    * after hashing would re-shuffle the bodies; at 64-bit hashes over
+    * even 10^11 docs the collision expectation is ~0.3 pairs — accepted
+    * and documented, same trade the reference's block LZ4 checksums make.)
+    */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.withColumn("__h", xxhash64(col(textCol)))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__h")
+
+  /** Survivors of exact dedup (the kept rows). */
+  def exactSurvivors(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keep = exact(df, idCol, textCol).select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding.
+    *
+    * @param k      signature length (bands * rowsPerBand)
+    * @param bands  number of LSH bands; collision prob for similarity s is
+    *               1-(1-s^rowsPerBand)^bands.
+    * Returns (idA, idB, est_jaccard) with idA < idB; est_jaccard is the
+    * signature agreement rate (unbiased Jaccard estimate); `threshold`
+    * filters the verified estimate.
+    */
+  def minhashLsh(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                 shingleLen: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val docs = df.select(col(idCol).as("id"),
+        gf.minhash_sig(gf.shingles(gf.ws_tokens(col(textCol)), shingleLen), k).as("sig"))
+    val banded = docs
+      .withColumn("band", explode(gf.lsh_bands(col("sig"), bands, rowsPerBand)))
+      .select(col("id"), col("sig"), col("band.band").as("band"), col("band.sig").as("bucket"))
+      // persist: the self-join would otherwise recompute (and re-codegen)
+      // the whole tokenize->shingle->sign subtree for BOTH sides
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = banded.select(col("band"), col("bucket"), col("id").as("idA"), col("sig").as("sigA"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("idB"), col("sig").as("sigB"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), x => x))
+          .cast("double") / lit(k)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup: sketch every doc (one pass), bucket by 16-bit chunks
+    * of the sketch (a 64-bit sketch split into 4 chunks guarantees any pair
+    * with Hamming distance <= 3 shares a chunk — pigeonhole), verify with
+    * exact Hamming distance.
+    */
+  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+              maxHamming: Int = 3): DataFrame = {
+    val sk = df.select(col(idCol).as("id"),
+      gf.simhash64(gf.ws_tokens(col(textCol))).as("sk"))
+    val chunks = sk.withColumn("c", explode(array((0 until 4).map(i =>
+        struct(lit(i).as("i"),
+          shiftright(col("sk"), i * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = chunks.select(col("c"), col("id").as("idA"), col("sk").as("skA"))
+    val b = chunks.select(col("c"), col("id").as("idB"), col("sk").as("skB"))
+    a.join(b, Seq("c")).filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        gf.hamming64(col("skA"), col("skB")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over LSH candidates: re-tokenize only the
+    * candidate pairs (tiny vs corpus) and compute |A∩B| / |A∪B| exactly.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   shingleLen: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val cands = minhashLsh(df, idCol, textCol, shingleLen, threshold = 0.0)
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(gf.shingles(gf.ws_tokens(col(textCol)), shingleLen)).as("sh"))
+    cands
+      .join(sets.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
+      .join(sets.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
+      .withColumn("jaccard",
+        size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup over a vector column: random-hyperplane LSH
+    * buckets (sign bits of h fixed pseudo-random projections) then exact
+    * cosine verify inside buckets — same plan shape as [[simhash]], never
+    * all-pairs.
+    */
+  def embeddingCosine(df: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding", dim: Int = 64,
+                      nPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val planes = RandomPlanes.planes(nPlanes, dim)
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      val dot = gf.dot_f(col(vecCol), array(p.map(v => lit(v)): _*))
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigExpr.as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sk.select(col("bucket"), col("id").as("idA"), col("v").as("vA"))
+    val b = sk.select(col("bucket"), col("id").as("idB"), col("v").as("vB"))
+    a.join(b, Seq("bucket")).filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        gf.cosine_sim(col("vA"), col("vB")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}
+
+/** Deterministic pseudo-random hyperplanes (splitmix64 stream) — fixed seed
+  * so bucket assignment is reproducible across runs/partitions.
+  */
+object RandomPlanes {
+  def planes(n: Int, dim: Int): Seq[Array[Float]] = {
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until n).map { _ =>
+      Array.fill(dim)((next().toDouble / Long.MaxValue).toFloat)
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{functions => gf}
+
+/** Approximate-nearest-neighbor search over an `Array[Float]` embedding
+  * column.
+  *
+  *  - [[bruteForceTopK]] is the exact baseline: one codegen'd cosine per row
+  *    + distributed top-k (`TakeOrderedAndProject`) — no shuffle of vectors,
+  *    only of the k survivors per partition.
+  *  - [[ivfTopK]] is the scale path: k-means-lite (deterministic seeded
+  *    centroid sample, one refinement pass), assign every vector to its
+  *    nearest centroid at index build; queries probe only `nProbe` cells.
+  *    At 100 TB this turns a full scan into reading ~nProbe/nCells of the
+  *    data, with partition pruning if the index is written partitioned by
+  *    cell id.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors of one query vector. */
+  def bruteForceTopK(df: DataFrame, query: Array[Float], k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), gf.cosine_sim(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact top-k for MANY query vectors at once (the batch shape a training
+    * pipeline actually runs): broadcast the queries, one pass over the
+    * corpus, per-query top-k via window rank — corpus is scanned once
+    * regardless of query count.
+    */
+  def bruteForceTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col(qIdCol), col(idCol),
+        gf.cosine_sim(col(vecCol), col(qVecCol)).as("cosine"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Build an IVF index: pick `nCells` deterministic seed centroids, one
+    * Lloyd refinement pass, then tag every row with its nearest cell.
+    * Result caches/persists as the "index"; write it partitioned by
+    * `cell` for partition-pruned probes.
+    */
+  def ivfBuild(df: DataFrame, nCells: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Seq[Array[Float]]) = {
+    // deterministic sample: smallest xxhash64(id) — reproducible, one pass
+    val seeds = df.select(col(idCol), col(vecCol))
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy("h").limit(nCells)
+      .collect().map(_.getSeq[Float](1).toArray)
+    // one refinement pass: assign to nearest seed, average members
+    val assigned0 = assign(df, seeds, idCol, vecCol)
+    val refined = assigned0.groupBy("cell")
+      .agg(collect_list(col(vecCol)).as("vs"))
+      .collect().map { r =>
+        val vs = r.getSeq[scala.collection.Seq[Float]](1)
+        val dim = vs.head.length
+        val c = new Array[Float](dim)
+        vs.foreach { v => var i = 0; while (i < dim) { c(i) += v(i); i += 1 } }
+        var i = 0
+        while (i < dim) { c(i) /= vs.size; i += 1 }
+        r.getInt(0) -> c
+      }.sortBy(_._1).map(_._2).toSeq
+    (assign(df, refined, idCol, vecCol), refined)
+  }
+
+  private def assign(df: DataFrame, centroids: Seq[Array[Float]],
+                     idCol: String, vecCol: String): DataFrame = {
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(gf.cosine_sim(col(vecCol), array(c.map(lit): _*)).as("s"),
+        lit(i).as("cell"))
+    }
+    df.withColumn("cell", array_max(array(scores: _*)).getField("cell"))
+  }
+
+  /** Probe an IVF index: rank cells by query-centroid cosine, scan only the
+    * best `nProbe` cells, exact cosine inside them.
+    */
+  def ivfTopK(indexed: DataFrame, centroids: Seq[Array[Float]],
+              query: Array[Float], k: Int, nProbe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ranked = centroids.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      val nc = math.sqrt(c.map(x => x * x).sum)
+      val nq = math.sqrt(query.map(x => x * x).sum)
+      (if (nc == 0 || nq == 0) 0.0 else dot / (nc * nq), i)
+    }.sortBy(-_._1).take(nProbe).map(_._2)
+    val q = array(query.map(v => lit(v)): _*)
+    indexed.filter(col("cell").isin(ranked: _*))
+      .select(col(idCol), gf.cosine_sim(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

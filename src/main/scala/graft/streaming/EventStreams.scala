@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` table
+  * (`event_id, ts, user_id, event_type, value, props`).
+  *
+  * The reference has no streaming runtime (SURVEY §2.9) — its closest
+  * analogue is the incremental snapshot stream (every `save()` = a new
+  * version, reference `TemporalIndex.scala:21-27`). These are the engine
+  * extensions a pipeline needs, written as idiomatic Structured Streaming:
+  * event-time windows + watermark for bounded state, and
+  * `flatMapGroupsWithState` for custom sessionization state.
+  *
+  * Every transform below works identically on a batch DataFrame (Spark's
+  * unified model), which is how the DuckDB oracle checks them.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregate with late-data watermark.
+    * State is bounded: watermark evicts windows older than `lateness`.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window per-user activity rate. */
+  def slidingUserActivity(events: DataFrame, windowLen: String = "1 hour",
+                          slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n_events"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sumValue: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Int, sum_value: Double)
+
+  /** Custom stateful sessionization: a session closes after `gapMs` of
+    * user inactivity — the `flatMapGroupsWithState` pattern
+    * (KeyValueGroupedDataset custom state, bounded by processing-time
+    * timeout). Streaming-only entry point.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, sumValue = s.sumValue + e.value))
+              case Some(s) =>
+                closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s); state.setTimeoutDuration(gapMs)
+            case None => ()
+          }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue)
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** Batch-mode sessionization with identical semantics (gap-based), used
+    * by the DuckDB oracle: session id = running count of gap-breaks per
+    * user — the standard windowed "islands" formulation.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1).otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  /** Open the events table as a file stream (schema from the batch read) —
+    * the readStream entry point used by tests.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{functions => gf}
+
+/** Text-analysis operators for a training-data pipeline over a `documents`
+  * table (`doc_id, text, lang, source, n_chars`). Everything is built from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs): a single narrow
+  * projection pass per document, embarrassingly parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** Token counting — whitespace tokens plus a BPE-ish subword estimate
+    * (word chunks + digit runs + punctuation, each ≈ one token; long words
+    * contribute ceil(len/4) subword tokens, the usual rule of thumb).
+    */
+  def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val ws = gf.ws_tokens(t)
+    df.withColumn("n_ws_tokens", size(ws))
+      .withColumn("n_bpe_tokens",
+        aggregate(
+          transform(ws, w => ceil(length(w) / lit(4.0)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+  }
+
+  /** Quality signals: length, word stats, punctuation/digit/upper ratios,
+    * stopword ratio, plus a composite [0,1] score. All ratios are computed
+    * against character / token counts of the same row — no shuffle.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val toks = gf.ws_tokens(t)
+    val nToks = size(toks).cast("double")
+    val punct = (nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))) / greatest(nChars, lit(1.0))
+    val digits = (nChars - length(regexp_replace(t, "[0-9]", ""))) / greatest(nChars, lit(1.0))
+    val uppers = (nChars - length(regexp_replace(t, "[A-Z]", ""))) / greatest(nChars, lit(1.0))
+    val stop = size(filter(toks, w => w.isin(Stopwords.en: _*))).cast("double") /
+      greatest(nToks, lit(1.0))
+    val avgWord = nChars / greatest(nToks, lit(1.0))
+    // composite: reward stopword presence and sane word length, punish
+    // punctuation/digit noise — the standard Gopher/C4-style heuristics.
+    val score =
+      when(nToks < 5, lit(0.0)).otherwise(
+        greatest(lit(0.0), least(lit(1.0),
+          lit(0.4) * least(stop * 4, lit(1.0)) +
+          lit(0.3) * when(avgWord.between(3, 12), 1.0).otherwise(0.0) +
+          lit(0.3) * (lit(1.0) - least(punct * 5 + digits * 5, lit(1.0))))))
+    df.withColumn("n_tokens", nToks.cast("long"))
+      .withColumn("punct_ratio", round(punct, 6))
+      .withColumn("digit_ratio", round(digits, 6))
+      .withColumn("upper_ratio", round(uppers, 6))
+      .withColumn("stopword_ratio", round(stop, 6))
+      .withColumn("avg_word_len", round(avgWord, 6))
+      .withColumn("quality", round(score, 6))
+  }
+
+  /** Language ID via stopword-profile overlap: score(lang) = |tokens ∩
+    * profile(lang)| / |tokens|, argmax wins, "und" when nothing matches.
+    * The n-gram-free variant of the classic Cavnar-Trenkle n-gram
+    * profiling; entirely expression-based (array_intersect against literal
+    * arrays), so it runs inside whole-stage codegen.
+    */
+  def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = array_distinct(gf.ws_tokens(col(textCol)))
+    val scored = Stopwords.profiles.map { case (lang, words) =>
+      struct(
+        (size(array_intersect(toks, array(words.map(lit): _*))).cast("double") /
+          greatest(size(toks), lit(1)).cast("double")).as("score"),
+        lit(lang).as("lang"))
+    }
+    df.withColumn("lang_scores", array(scored.toSeq: _*))
+      .withColumn("best", array_max(col("lang_scores")))
+      .withColumn("pred_lang",
+        when(col("best.score") > 0.02, col("best.lang")).otherwise(lit("und")))
+      .withColumn("pred_score", round(col("best.score"), 6))
+      .drop("lang_scores", "best")
+  }
+
+  /** Document fingerprinting: 64-bit rolling-hash min-sample of the raw
+    * text (see [[graft.functions.kernels.RollingMinHash]]) + a full-text
+    * xxhash64 for exact identity.
+    */
+  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("exact_hash", xxhash64(col(textCol)))
+      .withColumn("fingerprint", gf.doc_fingerprint(col(textCol), 16))
+      .withColumn("simhash", gf.simhash64(gf.ws_tokens(col(textCol))))
+}
+
+object Stopwords {
+  val en: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "this", "was", "for", "on", "with", "as", "at", "by")
+  val es: Seq[String] = Seq("el", "la", "los", "las", "un", "una", "y", "o",
+    "de", "en", "es", "que", "por", "con", "para", "del", "se", "no")
+  val fr: Seq[String] = Seq("le", "la", "les", "un", "une", "et", "ou", "de",
+    "en", "est", "que", "pour", "dans", "par", "avec", "du", "au", "ne")
+  val de: Seq[String] = Seq("der", "die", "das", "ein", "eine", "und", "oder",
+    "von", "zu", "ist", "dass", "mit", "auf", "im", "den", "nicht")
+  val profiles: Map[String, Seq[String]] =
+    Map("en" -> en, "es" -> es, "fr" -> fr, "de" -> de)
+}

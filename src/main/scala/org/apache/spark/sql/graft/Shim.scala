@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 moved the Column <-> catalyst Expression bridge behind
+  * `org.apache.spark.sql.classic.ExpressionUtils` (Column is now a thin
+  * Connect-compatible node). This shim lives under `org.apache.spark.sql`
+  * so `private[sql]` members stay reachable — the standard extension-point
+  * trick for libraries that ship custom Catalyst expressions.
+  */
+object Shim {
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  def col(e: Expression): Column = ExpressionUtils.column(e)
+}
