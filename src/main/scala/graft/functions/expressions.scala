@@ -32,7 +32,7 @@ object kernels {
       val n = math.min(a.numElements(), b.numElements())
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < n) {
-        val x = a.getFloat(i); val y = b.getFloat(i)
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
@@ -48,7 +48,7 @@ object kernels {
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          float $x = $a.getFloat($i); float $y = $b.getFloat($i);
+          double $x = (double) $a.getFloat($i); double $y = (double) $b.getFloat($i);
           $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         }
         ${ev.value} = ($na == 0.0 || $nb == 0.0)
@@ -67,7 +67,7 @@ object kernels {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
       val n = math.min(a.numElements(), b.numElements())
       var dot = 0.0; var i = 0
-      while (i < n) { dot += a.getFloat(i) * b.getFloat(i); i += 1 }
+      while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
       dot
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -77,7 +77,7 @@ object kernels {
         s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0;
-        for (int $i = 0; $i < $n; $i++) { $dot += $a.getFloat($i) * $b.getFloat($i); }
+        for (int $i = 0; $i < $n; $i++) { $dot += ((double) $a.getFloat($i)) * $b.getFloat($i); }
         ${ev.value} = $dot;
         """
       })

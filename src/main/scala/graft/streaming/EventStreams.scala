@@ -53,37 +53,43 @@ object EventStreams {
     * (KeyValueGroupedDataset custom state, bounded by processing-time
     * timeout). Streaming-only entry point.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1, sumValue = s.sumValue + e.value))
-              case Some(s) =>
-                closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
-            }
-          }
-          cur match {
-            case Some(s) => state.update(s); state.setTimeoutDuration(gapMs)
-            case None => ()
-          }
+          def close(s: SessionState): Session =
+            Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue)
           if (state.hasTimedOut) {
+            // timeout invocation: iterator is empty by contract — flush
             val s = state.get
             state.remove()
-            closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue)
+            Iterator.single(close(s))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed += close(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+                state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
           }
-          closed.result().iterator
       }
   }
 

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Write-path semantics (reference `MainSpec` / error injection in
+  * `QueriesRandomSpec.scala:92-126`): dup rejection, upsert, exists check,
+  * version CAS, all-or-nothing batches, snapshot isolation, file-granular
+  * COW, and the single-writer commit CAS.
+  */
+class KVIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def newStore() = new SnapshotStore(tmpDir("graft-store"), spark)
+
+  private def kv(rows: Seq[(String, String)]) = rows.toDF("k", "v")
+
+  private def dump(ix: KVIndex): Map[String, String] =
+    ix.df.select("k", "v").as[(String, String)].collect().toMap
+
+  private def boot(store: SnapshotStore, id: String, n: Int = 100): KVIndex = {
+    val rows = (1 to n).map(i => (f"k$i%04d", s"v$i"))
+    KVIndex.bootstrap(store, id, kv(rows), Seq("k"), maxRowsPerFile = 32)
+      .fold(e => fail(e.message), identity)
+  }
+
+  test("bootstrap + read back + O(1) count from manifest") {
+    val store = newStore()
+    val ix = boot(store, "t1")
+    assert(ix.count == 100)            // manifest stat, no scan
+    assert(ix.numFiles >= 3)           // maxRowsPerFile=32 → multiple files
+    assert(dump(ix) == (1 to 100).map(i => f"k$i%04d" -> s"v$i").toMap)
+    // files are range-sorted with disjoint-ish stats
+    val files = ix.manifest.files
+    assert(files.map(_.rows).sum == 100)
+    files.foreach(f => assert(KeyOrd.compare(f.min, f.max) <= 0))
+  }
+
+  test("insert: new keys, duplicate-in-batch error, existing-key error, upsert") {
+    val store = newStore()
+    val ix = boot(store, "t2")
+    // intra-batch duplicate → DUPLICATED_KEYS, nothing committed
+    val dup = ix.execute(Seq(Command.Insert(kv(Seq("x1" -> "a", "x1" -> "b")))))
+    assert(!dup.success && dup.error.exists(_.code == "DUPLICATED_KEYS"))
+    assert(store.loadLatest("t2").toOption.get.version == ix.manifest.version)
+
+    // existing key without upsert → LEAF_DUPLICATE_KEY
+    val clash = ix.execute(Seq(Command.Insert(kv(Seq("k0001" -> "zz")))))
+    assert(!clash.success && clash.error.exists(_.code == "LEAF_DUPLICATE_KEY"))
+
+    // upsert replaces + stamps version
+    val tx = "tx-upsert-1"
+    val ok = ix.execute(Seq(Command.Insert(kv(Seq("k0001" -> "NEW", "zzzz" -> "added")),
+      upsert = true)), tx)
+    assert(ok.success)
+    val ix2 = KVIndex.open(store, "t2").toOption.get
+    assert(ix2.count == 101)
+    assert(dump(ix2)("k0001") == "NEW" && dump(ix2)("zzzz") == "added")
+    val vers = ix2.df.filter($"k".isin("k0001", "zzzz")).select("version")
+      .as[String].collect()
+    assert(vers.forall(_ == tx))
+    // old snapshot still reads the old state (snapshot isolation)
+    assert(dump(ix)("k0001") == "v1")
+  }
+
+  test("update: exists check, CAS on expectedVersion, stamp new version") {
+    val store = newStore()
+    val ix = boot(store, "t3")
+    val missing = ix.execute(Seq(Command.Update(kv(Seq("nope" -> "x")))))
+    assert(!missing.success && missing.error.exists(_.code == "KEY_NOT_FOUND"))
+
+    val wrongVer = ix.execute(Seq(Command.Update(
+      kv(Seq("k0005" -> "x")).withColumn("expectedVersion", lit("stale")))))
+    assert(!wrongVer.success && wrongVer.error.exists(_.code == "VERSION_CHANGED"))
+
+    val curVer = ix.df.filter($"k" === "k0005").select("version").as[String].head()
+    val ok = ix.execute(Seq(Command.Update(
+      kv(Seq("k0005" -> "updated")).withColumn("expectedVersion", lit(curVer)))), "tx-u")
+    assert(ok.success)
+    val after = KVIndex.open(store, "t3").toOption.get
+    assert(dump(after)("k0005") == "updated")
+    assert(after.count == 100)
+  }
+
+  test("remove: exists check, CAS, and key disappearance") {
+    val store = newStore()
+    val ix = boot(store, "t4")
+    val missing = ix.execute(Seq(Command.Remove(Seq("ghost").toDF("k"))))
+    assert(!missing.success && missing.error.exists(_.code == "KEY_NOT_FOUND"))
+
+    val ok = ix.execute(Seq(Command.Remove(Seq("k0010", "k0011").toDF("k"))))
+    assert(ok.success)
+    val after = KVIndex.open(store, "t4").toOption.get
+    assert(after.count == 98 && !dump(after).contains("k0010"))
+  }
+
+  test("batch is all-or-nothing: later failing command aborts the whole batch") {
+    val store = newStore()
+    val ix = boot(store, "t5")
+    val res = ix.execute(Seq(
+      Command.Insert(kv(Seq("new1" -> "a"))),            // fine
+      Command.Remove(Seq("ghost").toDF("k"))             // fails
+    ))
+    assert(!res.success && res.error.exists(_.code == "KEY_NOT_FOUND"))
+    val latest = KVIndex.open(store, "t5").toOption.get
+    assert(latest.count == 100 && !dump(latest).contains("new1"))
+  }
+
+  test("sequential commands in one batch see each other's effects") {
+    val store = newStore()
+    val ix = boot(store, "t6")
+    val res = ix.execute(Seq(
+      Command.Insert(kv(Seq("aa" -> "1"))),
+      Command.Update(kv(Seq("aa" -> "2"))),
+      Command.Remove(Seq("k0001").toDF("k"))
+    ))
+    assert(res.success)
+    val after = KVIndex.open(store, "t6").toOption.get
+    assert(dump(after)("aa") == "2" && !dump(after).contains("k0001"))
+    assert(after.count == 100) // +1 insert, -1 remove
+  }
+
+  test("file-granular COW: untouched files are shared between snapshots") {
+    val store = newStore()
+    val ix = boot(store, "t7")
+    val before = ix.manifest.files.map(_.path).toSet
+    // touch only the very first key range
+    val res = ix.execute(Seq(Command.Insert(kv(Seq("k0001" -> "X")), upsert = true)))
+    assert(res.success)
+    val after = res.snapshot.get.files.map(_.path).toSet
+    val shared = before.intersect(after)
+    assert(shared.nonEmpty, "COW must reuse untouched files")
+    assert((after -- before).nonEmpty, "touched range must be rewritten")
+    // out-of-range insert rewrites nothing at all
+    val res2 = KVIndex.open(store, "t7").toOption.get
+      .execute(Seq(Command.Insert(kv(Seq("zzzz" -> "far")))))
+    assert(res2.success)
+    assert(after.subsetOf(res2.snapshot.get.files.map(_.path).toSet),
+      "pure out-of-range insert must reuse every existing file")
+  }
+
+  test("single-writer commit CAS: second execute from the same snapshot fails") {
+    val store = newStore()
+    val ix = boot(store, "t8")
+    assert(ix.execute(Seq(Command.Insert(kv(Seq("a1" -> "x"))))).success)
+    val stale = ix.execute(Seq(Command.Insert(kv(Seq("a2" -> "y")))))
+    assert(!stale.success && stale.error.exists(_.code == "CONTEXT_USED"))
+    // state reflects only the first write
+    val latest = KVIndex.open(store, "t8").toOption.get
+    assert(dump(latest).contains("a1") && !dump(latest).contains("a2"))
+  }
+
+  test("createIndex twice → INDEX_ALREADY_EXISTS; open missing → INDEX_NOT_FOUND") {
+    val store = newStore()
+    boot(store, "t9")
+    assert(KVIndex.bootstrap(store, "t9", kv(Seq("a" -> "b")), Seq("k"))
+      .left.exists(_.code == "INDEX_ALREADY_EXISTS"))
+    assert(KVIndex.open(store, "no-such").left.exists(_.code == "INDEX_NOT_FOUND"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{functions => gf}
+
+/** Custom Catalyst expression kernels: interpreted eval vs codegen path vs
+  * an independent Scala reimplementation.
+  */
+class KernelsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def vec(n: Int): Array[Float] = Array.fill(n)(rnd.nextFloat() - 0.5f)
+
+  private def cosineRef(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("CosineSim matches independent implementation (codegen path)") {
+    val pairs = Seq.fill(50)((vec(64), vec(64)))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(gf.cosine_sim($"a", $"b")).as[Double].collect()
+    val want = pairs.map { case (a, b) => cosineRef(a, b) }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("CosineSim zero-norm returns 0.0, null returns null") {
+    val df = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(gf.cosine_sim($"a", $"b")).as[Double].head() == 0.0)
+    val withNull = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS a, array(CAST(1.0 AS FLOAT)) AS b")
+    assert(withNull.select(gf.cosine_sim($"a", $"b")).collect().head.isNullAt(0))
+  }
+
+  test("SimHash64: identical token sets agree; hamming grows with edits") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val near = base.updated(0, "changed")
+    val far = (1 to 40).map(i => s"other$i")
+    val df = Seq(base, base, near, far).toDF("toks")
+    val hs = df.select(gf.simhash64($"toks")).as[Long].collect()
+    assert(hs(0) == hs(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(2)) < ham(hs(0), hs(3)))
+  }
+
+  test("MinHashSig estimates Jaccard within tolerance") {
+    val a = (1 to 200).map(_.toString)
+    val b = (51 to 250).map(_.toString) // |A∩B|=150, |A∪B|=250 → J=0.6
+    val df = Seq(a, b).toDF("sh")
+    val sigs = df.select(gf.minhash_sig($"sh", 256)).as[Seq[Long]].collect()
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 0.6) < 0.12, s"estimate $est too far from 0.6")
+  }
+
+  test("RollingMinHash: equality for shared content, stability") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "a completely different document body here").toDF("t")
+    val fps = df.select(gf.doc_fingerprint($"t", 16)).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    // shorter than window falls back to full-text hash
+    val short = Seq("tiny", "tiny", "tinz").toDF("t")
+      .select(gf.doc_fingerprint($"t", 16)).as[Long].collect()
+    assert(short(0) == short(1) && short(0) != short(2))
+  }
+
+  test("kernels survive interpreted (non-codegen) eval too") {
+    withCodegenOff {
+      val df = Seq((vec(16), vec(16))).toDF("a", "b")
+      val g = df.select(gf.cosine_sim($"a", $"b")).as[Double].head()
+      assert(!g.isNaN)
+      val t = Seq(Seq("a", "b", "c")).toDF("toks")
+      t.select(gf.simhash64($"toks"), gf.minhash_sig($"toks", 8)).collect()
+    }
+  }
+
+  private def withCodegenOff(f: => Unit): Unit = {
+    val key = "spark.sql.codegen.wholeStage"
+    val fallback = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    spark.conf.set(fallback, "NO_CODEGEN")
+    try f finally {
+      spark.conf.set(key, old)
+      spark.conf.set(fallback, "FALLBACK")
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: schema, per-partition batch extraction, frame
+  * sampling — the codec is a documented deterministic stub, so features
+  * must be reproducible run-to-run.
+  */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val payloads = (0 until 20).map { i =>
+    (i.toLong, Array.tabulate[Byte](1000 + i * 100)(j => ((i * 31 + j) % 127).toByte))
+  }
+
+  test("feature extraction: deterministic, right shape, bytes never null-crash") {
+    val df = payloads.toDF("id", "data")
+    val media = Multimodal.asMediaTable(spark, df, "id", "data", "image")
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
+    assert(f1.length == 20)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.feature.toSeq == b.feature.toSeq, "stub decode must be deterministic")
+    }
+    assert(f1.forall(_.feature.length == 8))
+    assert(f1.forall(f => f.n_bytes == 1000 + f.media_id * 100))
+  }
+
+  test("frame sampling: every Nth fixed-size chunk of video payloads") {
+    val df = payloads.take(3).toDF("id", "data")
+    val media = Multimodal.asMediaTable(spark, df, "id", "data", "video")
+    val frames = Multimodal.frameSample(media, everyNth = 1, frameBytes = 256)
+    val byId = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(byId(0L) == 1000 / 256) // 3 full frames... plus remainder handling
+    assert(frames.filter($"frame_bytes" > 256).count() == 0)
+  }
+
+  test("non-video rows are excluded from frame sampling") {
+    val df = payloads.take(3).toDF("id", "data")
+    val media = Multimodal.asMediaTable(spark, df, "id", "data", "audio")
+    assert(Multimodal.frameSample(media).count() == 0)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Training-data pipeline operators: planted duplicates / near-duplicates /
+  * near vectors must be found; clean data must not produce false positives
+  * at the tested thresholds.
+  */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(5)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "data", "spark", "table", "row")
+  private def doc(n: Int = 60): String =
+    (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  // 40 distinct docs + 1 exact dup + 1 near dup (one word changed)
+  private lazy val base = (0 until 40).map(i => (i.toLong, doc()))
+  private lazy val docsDf = {
+    val exactDup = (100L, base(3)._2)
+    val nearDup = (101L, base(7)._2.replaceFirst("\\w+", "changedword"))
+    (base :+ exactDup :+ nearDup).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: keeps min id per identical text, survivor set correct") {
+    val kept = Dedup.exact(docsDf).collect()
+    assert(kept.length == 41) // 42 docs, one exact pair collapsed
+    val copies = kept.find(_.getLong(1) == 2)
+    assert(copies.exists(_.getLong(0) == 3L)) // min(3, 100)
+    val survivors = Dedup.exactSurvivors(docsDf).select("doc_id").as[Long].collect()
+    assert(survivors.length == 41 && !survivors.contains(100L))
+  }
+
+  test("minhash LSH: finds the exact and near duplicate, not random pairs") {
+    val pairs = Dedup.minhashLsh(docsDf, threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 100L)), "exact dup must be found")
+    assert(pairs.contains((7L, 101L)), "near dup must be found")
+  }
+
+  test("ngram jaccard verify: exact dup scores 1.0, near dup high, others filtered") {
+    val verified = Dedup.ngramJaccard(docsDf, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val m = verified.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m.get((3L, 100L)).contains(1.0))
+    assert(m.get((7L, 101L)).exists(_ > 0.8))
+  }
+
+  test("simhash: exact dup at hamming 0; near dup within threshold") {
+    val res = Dedup.simhash(docsDf, maxHamming = 10)
+      .as[(Long, Long, Int)].collect()
+    val m = res.map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(m.get((3L, 100L)).contains(0))
+    assert(m.get((7L, 101L)).exists(_ <= 10))
+  }
+
+  test("embedding cosine near-dup finds a planted near vector") {
+    val dim = 16
+    def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    val vs = (0 until 30).map(i => (i.toLong, v()))
+    val near = (99L, vs(4)._2.map(x => x + 0.001f))
+    val df = (vs :+ near).toDF("vec_id", "embedding")
+    val found = Dedup.embeddingCosine(df, dim = dim, threshold = 0.99)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(found.contains((4L, 99L)))
+  }
+
+  test("brute-force top-k: self is rank 1; ivf probe overlaps brute force") {
+    val dim = 16
+    def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    val vs = (0 until 200).map(i => (i.toLong, v()))
+    val df = vs.toDF("vec_id", "embedding").cache()
+    val q = vs(17)._2
+    val brute = Similarity.bruteForceTopK(df, q, 10).select("vec_id").as[Long].collect()
+    assert(brute.head == 17L)
+    val (indexed, cents) = Similarity.ivfBuild(df, 8)
+    val ivf = Similarity.ivfTopK(indexed, cents, q, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect()
+    assert(ivf.contains(17L))
+    assert(brute.toSet.intersect(ivf.toSet).size >= 5, "probe recall too low")
+  }
+
+  test("batch top-k scans corpus once and ranks per query") {
+    val dim = 8
+    def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    val vs = (0 until 50).map(i => (i.toLong, v()))
+    val df = vs.toDF("vec_id", "embedding")
+    val queries = vs.take(3).map { case (i, x) => (i, x) }.toDF("q_id", "q_vec")
+    val res = Similarity.bruteForceTopKBatch(df, queries, 3)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    assert(res.count(_._3 == 1) == 3)
+    res.filter(_._3 == 1).foreach { case (q, id, _) => assert(q == id) }
+  }
+
+  test("text analysis: token stats, quality signals, langid, fingerprints") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was good"),
+      (2L, "der hund und die katze sind mit dem ball"),
+      (3L, "!!! ??? ... 123 456 789 *** %%% $$$ @@@"),
+      (4L, "")).toDF("doc_id", "text")
+    val stats = TextAnalysis.tokenStats(docs).select("doc_id", "n_ws_tokens")
+      .as[(Long, Int)].collect().toMap
+    assert(stats(1L) == 10 && stats(4L) == 0)
+
+    val q = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality", "stopword_ratio").as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(q(1L)._2 > 0.5, "clean english should score high")
+    assert(q(3L)._2 <= 0.3, "symbol noise should score low")
+    assert(q(1L)._3 > 0.3, "stopword ratio of english text")
+
+    val langs = TextAnalysis.languageId(docs).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(langs(1L) == "en" && langs(2L) == "de" && langs(4L) == "und")
+
+    val fp = TextAnalysis.fingerprints(docs)
+      .select("doc_id", "exact_hash").as[(Long, Long)].collect().toMap
+    assert(fp.values.toSet.size == 4)
+  }
+}

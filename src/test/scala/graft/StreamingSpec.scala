@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming: the windowed aggregate must emit, through a real
+  * streaming query (MemoryStream source, append mode, watermark), rows
+  * identical to the batch twin; stateful sessionization must close
+  * sessions on gap breaks.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private def ev(id: Long, min: Int, user: Long = 1L, tpe: String = "view",
+                 value: Double = 1.0): Event = Event(id, ts(min), user, tpe, value)
+
+  test("windowed counts: streaming append output equals batch computation") {
+    val events = (0 until 240).map(i =>
+      ev(i.toLong, i, user = i % 5, tpe = if (i % 3 == 0) "click" else "view", value = i * 1.0))
+    val batch = EventStreams.windowedCounts(events.toDF())
+      .orderBy("window_start", "event_type").collect().toSeq
+
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("wc_out").start()
+    // feed in two chunks so the watermark advances past the early windows
+    input.addData(events.take(200))
+    q.processAllAvailable()
+    input.addData(events.drop(200))
+    q.processAllAvailable()
+    val streamed = spark.table("wc_out").collect().toSeq
+    q.stop()
+    assert(streamed.nonEmpty, "watermark should have closed early windows")
+    val batchSet = batch.map(_.toSeq).toSet
+    streamed.foreach(r => assert(batchSet.contains(r.toSeq),
+      s"streamed row $r missing from batch result"))
+    spark.sql("DROP TABLE IF EXISTS wc_out")
+  }
+
+  test("batch sessionization: gap splits sessions, aggregates correct") {
+    val rows = Seq(
+      ev(1, 0, 1L, value = 1.0), ev(2, 10, 1L, value = 2.0), ev(3, 20, 1L, value = 3.0),
+      ev(4, 120, 1L, value = 4.0), ev(5, 125, 1L, value = 5.0),
+      ev(6, 7, 2L, value = 10.0)).toDF()
+    val sess = EventStreams.sessionizeBatch(rows, gapMs = 30 * 60 * 1000L)
+      .select("user_id", "session_no", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().sorted
+    assert(sess.toSeq == Seq((1L, 1L, 3L, 6.0), (1L, 2L, 2L, 9.0), (2L, 1L, 1L, 10.0)))
+  }
+
+  test("stateful streaming sessionization closes a session when a gap appears") {
+    val input = MemoryStream[Event](spark)
+    // NoTimeout in the test: ProcessingTimeTimeout makes the engine poll
+    // batches forever, so processAllAvailable never settles under test
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 60000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    input.addData(ev(1, 0, 7L, value = 1.0), ev(2, 0, 7L, value = 2.0))
+    q.processAllAvailable()
+    input.addData(ev(3, 10, 7L, value = 3.0)) // 10 min later → closes session 1
+    q.processAllAvailable()
+    val closed = spark.table("sess_out")
+      .select("user_id", "n_events", "sum_value").as[(Long, Int, Double)].collect()
+    q.stop()
+    assert(closed.toSeq == Seq((7L, 2, 3.0)))
+    spark.sql("DROP TABLE IF EXISTS sess_out")
+  }
+}
