@@ -56,8 +56,8 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
         gf.minhash_sig(gf.shingles(gf.ws_tokens(col(textCol)), shingleLen), k).as("sig"))
     val banded = docs
-      .withColumn("band", explode(gf.lsh_bands(col("sig"), bands, rowsPerBand)))
-      .select(col("id"), col("sig"), col("band.band").as("band"), col("band.sig").as("bucket"))
+      .select(col("id"), col("sig"),
+        posexplode(gf.lsh_bands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
       // persist: the self-join would otherwise recompute (and re-codegen)
       // the whole tokenize->shingle->sign subtree for BOTH sides
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -68,8 +68,8 @@ object Dedup {
       .select(col("idA"), col("idB"),
         (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), x => x))
           .cast("double") / lit(k)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold) // filter BEFORE the pair dedup
       .distinct()
-      .filter(col("est_jaccard") >= threshold)
   }
 
   /** SimHash near-dup: sketch every doc (one pass), bucket by 16-bit chunks
@@ -90,8 +90,8 @@ object Dedup {
     a.join(b, Seq("c")).filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         gf.hamming64(col("skA"), col("skB")).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // cheap verify BEFORE the shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard over LSH candidates: re-tokenize only the

@@ -203,6 +203,56 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** LSH band keys of a MinHash signature: band b's key is the chained
+    * XXH64 of its `rowsPerBand` signature values — pure long math, one
+    * array out. (The composed string-concat + xxhash64 formulation spent
+    * ~200 µs/row in interpreted higher-order functions.)
+    */
+  case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(in: Any): Any = {
+      val sig = in.asInstanceOf[ArrayData]
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 0L
+        var r = 0
+        while (r < rowsPerBand) {
+          val idx = b * rowsPerBand + r
+          if (idx < sig.numElements()) h = XXH64.hashLong(sig.getLong(idx), h)
+          r += 1
+        }
+        out(b) = h
+        b += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("out"); val b = ctx.freshName("b")
+        val r = ctx.freshName("r"); val h = ctx.freshName("h")
+        val idx = ctx.freshName("idx")
+        s"""
+        long[] $out = new long[$bands];
+        for (int $b = 0; $b < $bands; $b++) {
+          long $h = 0L;
+          for (int $r = 0; $r < $rowsPerBand; $r++) {
+            int $idx = $b * $rowsPerBand + $r;
+            if ($idx < $a.numElements()) {
+              $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($a.getLong($idx), $h);
+            }
+          }
+          $out[$b] = $h;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+        """
+      })
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Document fingerprint: minimum of the Karp-Rabin rolling hashes of all
     * `w`-byte windows of the UTF-8 text (winnowing-style min-sampling, one
     * pass, O(len)). Equal fingerprints are a strong signal of shared
@@ -298,12 +348,9 @@ object functions {
 
   /** LSH band keys: split a MinHash signature into `bands` bands of
     * `rowsPerBand` values and hash each band — docs sharing any band key
-    * are candidate near-duplicates.
+    * are candidate near-duplicates. One codegen'd pass
+    * (see [[kernels.BandKeys]]); pair with `posexplode` for (band, key).
     */
   def lsh_bands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"),
-        xxhash64(concat_ws(",",
-          transform(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
-            v => v.cast("string")))).as("sig")))
+    Shim.col(kernels.BandKeys(Shim.expr(sig), bands, rowsPerBand))
 }
