@@ -209,6 +209,33 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   // §2.5 whole-index ops
   // ------------------------------------------------------------------
 
+  /** Compaction — the flat-layout replacement for the reference's leaf
+    * borrow/merge structural maintenance (`Index.scala:322-444`, SURVEY
+    * §2.6 W6): repeated small COW writes leave small files; compaction
+    * rewrites only files under half the target size into right-sized
+    * range-sorted files and commits a new snapshot. Large files are
+    * carried over untouched, so cost is proportional to the small-file
+    * volume, not the index size. No-op (returns current manifest) when
+    * there is nothing to merge.
+    */
+  def compact(targetRowsPerFile: Long = maxRowsPerFile): BatchResult = {
+    val (small, big) = manifest.files.partition(_.rows < targetRowsPerFile / 2)
+    if (small.size < 2)
+      return BatchResult(success = true, None, Some(manifest))
+    val df = store.readFiles(small.map(_.path), manifest)
+    val rows = small.map(_.rows).sum
+    val nParts = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val (_, newFiles) = store.writeData(manifest.id, df, key, nParts)
+    val m2 = manifest.copy(
+      version = manifest.version + 1,
+      snapshotId = UUID.randomUUID().toString,
+      files = (big ++ newFiles).sortBy(_.min)(KeyOrd))
+    try BatchResult(success = true, None, Some(store.commit(m2, manifest.version)))
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      BatchResult(success = false, Some(GraftError.ContextAlreadyUsed(manifest.id)), None)
+    }
+  }
+
   /** U3 `copy` — cheap snapshot clone sharing every data file
     * (reference `QueryableIndex.scala:540-559`): zero data copy, new id.
     */

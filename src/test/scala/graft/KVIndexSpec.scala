@@ -150,6 +150,30 @@ class KVIndexSpec extends SparkSuite {
     assert(dump(latest).contains("a1") && !dump(latest).contains("a2"))
   }
 
+  test("compaction merges small files, keeps data and big files intact") {
+    val store = newStore()
+    var ix = boot(store, "tc") // 100 rows, files of ≤32
+    // ten tiny writes → ten new small files
+    (1 to 10).foreach { i =>
+      val r = ix.execute(Seq(Command.Insert(kv(Seq(f"zz$i%02d" -> s"v$i")))))
+      assert(r.success)
+      ix = new KVIndex(store, r.snapshot.get, maxRowsPerFile = 32)
+    }
+    val before = ix.numFiles
+    val data = dump(ix)
+    val res = ix.compact(targetRowsPerFile = 64)
+    assert(res.success)
+    val compacted = new KVIndex(store, res.snapshot.get)
+    assert(compacted.numFiles < before)
+    assert(compacted.count == ix.count)
+    assert(dump(compacted) == data)
+    // the pre-compaction snapshot still reads fine (immutability)
+    assert(dump(ix) == data)
+    // idempotent-ish: second compaction is a no-op or strictly fewer files
+    val res2 = compacted.compact(targetRowsPerFile = 64)
+    assert(res2.success)
+  }
+
   test("createIndex twice → INDEX_ALREADY_EXISTS; open missing → INDEX_NOT_FOUND") {
     val store = newStore()
     boot(store, "t9")

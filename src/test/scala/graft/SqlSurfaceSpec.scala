@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+/** Kernels exposed through the SQL surface. */
+class SqlSurfaceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("registered functions run from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  round(cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                   array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6) AS cs,
+        |  dot_f(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
+        |  simhash64(array('a','b')) AS sh,
+        |  size(minhash_sig(array('x','y','z'), 8)) AS ml,
+        |  size(lsh_band_keys(minhash_sig(array('x'), 8), 2, 4)) AS bl,
+        |  doc_fingerprint('hello world, a long enough string') AS fp
+        |""".stripMargin)
+      .as[(Double, Double, Long, Int, Int, Long)].head()
+    assert(r._1 == 1.0 && r._2 == 6.0 && r._4 == 8 && r._5 == 2)
+  }
+
+  test("same kernel, SQL vs Column API, identical results") {
+    GraftFunctions.register(spark)
+    import graft.functions.{functions => gf}
+    import org.apache.spark.sql.functions._
+    val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val viaCol = df.select(gf.cosine_sim(col("a"), col("b"))).as[Double].head()
+    val viaSql = spark.sql("SELECT cosine_sim(a, b) FROM vecs").as[Double].head()
+    assert(viaCol == viaSql)
+  }
+}
