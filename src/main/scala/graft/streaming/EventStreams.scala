@@ -112,6 +112,35 @@ object EventStreams {
         count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Streaming deduplication: drop events with a duplicate `idCol` whose
+    * event times fall within the watermark window — bounded state (ids are
+    * evicted once older than `lateness`), the streaming twin of
+    * [[graft.dedup.Dedup.exact]].
+    */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Stream-stream interval join: each click joined to the signup of the
+    * same user within the preceding hour. Both sides watermarked so join
+    * state is evicted — the canonical bounded stream-stream join shape.
+    */
+  def clickAfterSignup(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    clicks.join(signups,
+      col("user_id") === col("su") &&
+        col("click_ts") >= col("signup_ts") &&
+        col("click_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("event_id"),
+        col("signup_ts"), col("click_ts"))
+  }
+
   /** Open the events table as a file stream (schema from the batch read) —
     * the readStream entry point used by tests.
     */
