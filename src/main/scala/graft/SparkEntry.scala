@@ -235,6 +235,28 @@ object SparkEntry {
         .select(unix_millis(col("window_start")).as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")),
+    "st_dedup" -> ((s, d) => {
+      // batch twin of EventStreams.dedupStream: re-ingest the stream twice,
+      // dedup on event_id (duplicate rows are identical, so any survivor
+      // is the right one)
+      val e = t(s, d, "events")
+      e.unionByName(e).dropDuplicates("event_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    }),
+    "st_interval_join" -> ((s, d) =>
+      EventStreams.clickAfterSignup(t(s, d, "events"))
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("signup_ts")).as("signup_ms"),
+          unix_millis(col("click_ts")).as("click_ms"))
+        .orderBy("event_id", "signup_ms")),
+    "skew_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("k"), col("l_extendedprice"))
+      val ord = t(s, d, "orders").select(col("o_orderkey").as("k"), col("o_totalprice"))
+      graft.core.Skew.saltedJoin(li, ord, "k", 8)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("li_sum"),
+          round(sum(col("o_totalprice")), 2).as("ord_sum"))
+    }),
     "st_sessions" -> ((s, d) =>
       EventStreams.sessionizeBatch(t(s, d, "events"))
         .select(col("user_id"), col("session_no"),
@@ -390,6 +412,16 @@ object SparkEntry {
       "st_window_counts" -> ("SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type, " +
         "count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events " +
         "GROUP BY 1, 2 ORDER BY window_start, event_type"),
+      "st_dedup" -> ("WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events) " +
+        "SELECT count(*) AS n, round(sum(value), 4) AS sum_value " +
+        "FROM (SELECT DISTINCT event_id, value FROM u) t"),
+      "st_interval_join" -> ("SELECT c.user_id, c.event_id, epoch_ms(s.ts) AS signup_ms, epoch_ms(c.ts) AS click_ms " +
+        "FROM events c JOIN events s ON c.user_id = s.user_id " +
+        "AND c.event_type = 'click' AND s.event_type = 'signup' " +
+        "AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR " +
+        "ORDER BY c.event_id, signup_ms"),
+      "skew_salted_join" -> ("SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS li_sum, " +
+        "round(sum(o_totalprice), 2) AS ord_sum FROM lineitem JOIN orders ON l_orderkey = o_orderkey"),
       "st_sessions" -> ("WITH g AS (SELECT user_id, ts, value, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
         "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000 THEN 1 ELSE 0 END AS brk " +
