@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.core.{KeySpec, OrderedTable}
+import graft.core.{Command, KVIndex, KeySpec, OrderedTable, SnapshotStore}
 import graft.dedup.Dedup
 import graft.similarity.Similarity
 import graft.streaming.EventStreams
@@ -66,10 +66,56 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q3_join")(spark, "/root/testdata/sf0.001")
 
+  /** A real snapshot-store lifecycle built once per JVM per sfDir so the
+    * kv_* driver queries verify the STORE path (bootstrap → snapshot t=1000
+    * → CAS upsert batch → snapshot t=2000) against the DuckDB oracle, not
+    * just the stateless read surface. Kept in /tmp; rebuilt per run.
+    */
+  private val kvCache = scala.collection.concurrent.TrieMap[String, (SnapshotStore, KVIndex)]()
+  private def liStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    kvCache.getOrElseUpdate(d, {
+      val root = java.nio.file.Files.createTempDirectory("graft-kv-entry").toString
+      val store = new SnapshotStore(root, s)
+      val ord = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v1 = KVIndex.bootstrap(store, "ord", ord,
+        Seq("o_orderkey")).fold(e => sys.error(e.message), identity)
+      store.recordSnapshot("ord", v1.manifest.version, ts = 1000L)
+      // deterministic upsert batch: zero out totalprice for orderkey < 50
+      val batch = ord.filter(col("o_orderkey") < 50)
+        .withColumn("o_totalprice", lit(0.0))
+      val res = v1.execute(Seq(Command.Insert(batch, upsert = true)), "tx-kv-demo")
+      val v2 = res.orThrow
+      store.recordSnapshot("ord", v2.version, ts = 2000L)
+      (store, new KVIndex(store, v2))
+    })
+
   // =====================================================================
   // The operator inventory. Key: SURVEY §2 ids.
   // =====================================================================
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- snapshot-store lifecycle, oracle-verified end to end ----
+    "kv_point" -> ((s, d) => {
+      val (_, ix) = liStore(s, d)
+      ix.table.get(Seq(142L)).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+    "kv_range" -> ((s, d) => {
+      val (_, ix) = liStore(s, d)
+      ix.table.range(Seq(100L), Seq(200L), incFrom = true, incTo = false)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+    "kv_cow_upsert" -> ((s, d) => {
+      val (_, ix) = liStore(s, d)
+      ix.df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("price_sum"))
+    }),
+    "kv_temporal" -> ((s, d) => {
+      val (store, _) = liStore(s, d)
+      val v1 = KVIndex.openAt(store, "ord", 1500L).fold(e => sys.error(e.message), identity)
+      v1.df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("price_sum"))
+    }),
+
     // ---- §2.1 point lookups ----
     "p1_get" -> ((s, d) => proj(ordersPk(s, d).get(Seq(42L)))),
     "p2_getall" -> ((s, d) => {
@@ -350,6 +396,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val projSql = "o_orderkey, o_custkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS price"
     Map(
+      "kv_point" -> "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderkey = 142",
+      "kv_range" -> ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders " +
+        "WHERE o_orderkey >= 100 AND o_orderkey < 200 ORDER BY o_orderkey"),
+      "kv_cow_upsert" -> ("SELECT count(*) AS n, round(sum(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END), 2) AS price_sum " +
+        "FROM orders"),
+      "kv_temporal" -> "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum FROM orders",
       "p1_get" -> s"SELECT $projSql FROM orders WHERE o_orderkey = 42",
       "p2_getall" -> s"SELECT $projSql FROM orders WHERE o_orderkey IN (1,2,3,5,8,13,21,34) ORDER BY o_orderkey",
       "p4_next_key" -> s"SELECT $projSql FROM orders WHERE o_orderkey > 41 ORDER BY o_orderkey LIMIT 1",

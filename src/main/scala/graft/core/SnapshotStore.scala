@@ -313,4 +313,53 @@ final class SnapshotStore(val root: String, val spark: SparkSession) {
   /** T4: open the historical snapshot — reference `TemporalIndex.scala:40-53`. */
   def findIndexAt(id: String, t: Long): Option[SnapshotManifest] =
     findAt(id, t).map(v => loadVersion(id, v))
+
+  /** Garbage collection: keep the newest `retainVersions` snapshots, drop
+    * older manifests + history entries, then delete every data file no
+    * kept manifest references (mark-and-sweep over manifests — the price
+    * of COW structural sharing; the reference never reclaims blocks at
+    * all, `Storage.scala` has no delete).
+    *
+    * Safe by construction: files shared with kept snapshots stay (they're
+    * referenced); only unreachable files go. Returns (#manifests removed,
+    * #files deleted).
+    */
+  def vacuum(id: String, retainVersions: Int = 2): (Int, Int) = {
+    require(retainVersions >= 1)
+    val latest = loadLatest(id).fold(e => throw new IllegalStateException(e.message), identity)
+    val cutoff = latest.version - retainVersions + 1
+    val dir = idxDir(id)
+    val manifests = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.manifest\\.json")).toSeq
+    val (dropM, keepM) = manifests.partition { p =>
+      p.getFileName.toString.stripPrefix("v").stripSuffix(".manifest.json").toLong < cutoff
+    }
+    // manifests store scan-reported paths ("file:/..." URIs); the sweep
+    // walks filesystem paths — compare normalized
+    def localPath(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val referenced: Set[String] = keepM.map(p =>
+      SnapshotManifest.fromJson(Files.readString(p)))
+      .flatMap(_.files.map(f => localPath(f.path))).toSet
+    dropM.foreach(Files.delete)
+    // prune history entries pointing at dropped versions
+    if (Files.exists(historyPath(id))) {
+      val kept = historyLog(id).filter(_._2 >= cutoff)
+      val tmp = dir.resolve(s".history.${UUID.randomUUID()}")
+      Files.writeString(tmp,
+        kept.map { case (ts, v) => s"""{"ts":$ts,"version":$v}""" }.mkString("", "\n", "\n"))
+      Files.move(tmp, historyPath(id), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // sweep unreferenced data files
+    var deleted = 0
+    val dataDir = dir.resolve("data")
+    if (Files.exists(dataDir)) {
+      Files.walk(dataDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filterNot(p => referenced.contains(p.toString))
+        .foreach { p => Files.delete(p); deleted += 1 }
+    }
+    (dropM.size, deleted)
+  }
 }

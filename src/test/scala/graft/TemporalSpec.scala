@@ -54,5 +54,17 @@ class TemporalSpec extends SparkSuite {
     // before the first snapshot clamps to the earliest (reference binSearch clamp)
     val first = KVIndex.openAt(store, "tt", 1L).toOption.get
     assert(first.df.count() == history.head._2.size)
+
+    // ---- vacuum: keep last 2 versions, old snapshots become unreachable,
+    //      latest still reads the full model ----
+    val (droppedManifests, deletedFiles) = store.vacuum("tt", retainVersions = 2)
+    assert(droppedManifests > 0)
+    assert(deletedFiles > 0, "old COW files should be swept")
+    val latest = KVIndex.open(store, "tt").toOption.get
+    val got = latest.df.select("k", "v").as[(String, String)].collect().toMap
+    assert(got == history.last._2)
+    // history log pruned to kept versions → earliest probe now clamps to a kept one
+    val clamped = KVIndex.openAt(store, "tt", 1L).toOption.get
+    assert(clamped.manifest.version >= latest.manifest.version - 1)
   }
 }
