@@ -376,6 +376,17 @@ object SparkEntry {
         .select("doc_id", "exact_hash", "fingerprint", "simhash")
         .orderBy("doc_id")),
 
+    // ---- full corpus-cleaning composition (rows-only: LSH stage uses
+    //      Spark-specific hashes) ----
+    "pipe_clean_corpus" -> ((s, d) => {
+      import s.implicits._
+      val (_, stats) = graft.pipeline.CleanCorpus(
+        t(s, d, "documents"), minQuality = 0.1, nearDupThreshold = 0.8)
+      Seq((stats.input, stats.afterQuality, stats.afterExact,
+        stats.afterNearDup, stats.afterLang))
+        .toDF("input", "after_quality", "after_exact", "after_neardup", "after_lang")
+    }),
+
     // ---- multimodal plumbing (stubbed codec, real plumbing) ----
     "mm_features" -> ((s, d) => {
       val docs = t(s, d, "documents")

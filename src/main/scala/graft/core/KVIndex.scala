@@ -40,6 +40,32 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     */
   def numFiles: Int = manifest.files.size
 
+  /** P3 `find` — the "leaf block containing k" analogue
+    * (reference `QueryableIndex.scala:20-22`): the data file whose
+    * [min,max] range covers k, located by manifest binary search — the
+    * whole findPath descent (reference `Index.scala:85-99`) on stats.
+    */
+  def findFile(k: Seq[Any]): Option[FileEntry] = {
+    val files = manifest.files // sorted by min
+    var lo = 0; var hi = files.size - 1; var res: Option[FileEntry] = None
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (KeyOrd.compare(files(mid).min, k) <= 0) { res = Some(files(mid)); lo = mid + 1 }
+      else hi = mid - 1
+    }
+    res.filter(f => KeyOrd.compare(k, f.max) <= 0)
+  }
+
+  /** P6 `nextKeyBlock` / `previousKeyBlock` — the file holding k's
+    * successor / predecessor (reference `QueryableIndex.scala:31-69`), the
+    * seek primitive scans start from.
+    */
+  def nextKeyFile(k: Seq[Any]): Option[FileEntry] =
+    manifest.files.find(f => KeyOrd.compare(f.max, k) > 0)
+
+  def previousKeyFile(k: Seq[Any]): Option[FileEntry] =
+    manifest.files.reverse.find(f => KeyOrd.compare(f.min, k) < 0)
+
   // ------------------------------------------------------------------
   // Write path (§2.6) — execute a command batch, all-or-nothing.
   // ------------------------------------------------------------------

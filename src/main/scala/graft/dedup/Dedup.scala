@@ -66,8 +66,7 @@ object Dedup {
     a.join(b, Seq("band", "bucket"))
       .filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
-        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), x => x))
-          .cast("double") / lit(k)).as("est_jaccard"))
+        gf.sig_match_rate(col("sigA"), col("sigB")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold) // filter BEFORE the pair dedup
       .distinct()
   }

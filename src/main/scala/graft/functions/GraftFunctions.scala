@@ -29,6 +29,7 @@ object GraftFunctions {
     "minhash_sig" -> (es => kernels.MinHashSig(es(0), intArg(es(1), "k"))),
     "lsh_band_keys" -> (es => kernels.BandKeys(es(0),
       intArg(es(1), "bands"), intArg(es(2), "rowsPerBand"))),
+    "sig_match_rate" -> (es => kernels.SigMatchRate(es(0), es(1))),
     "doc_fingerprint" -> (es => kernels.RollingMinHash(es(0),
       if (es.length > 1) intArg(es(1), "window") else 16))
   )

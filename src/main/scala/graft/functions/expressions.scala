@@ -203,6 +203,38 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Fraction of positions where two equal-length long arrays agree — the
+    * MinHash signature agreement rate (unbiased Jaccard estimator). A
+    * zip_with+filter formulation evaluates two interpreted lambdas per
+    * element; this is one fused loop inside whole-stage codegen.
+    */
+  case class SigMatchRate(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      if (n == 0) return 0.0
+      var eq = 0; var i = 0
+      while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+      eq.toDouble / n
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val eq = ctx.freshName("eq")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $eq = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.getLong($i) == $b.getLong($i)) $eq++;
+        }
+        ${ev.value} = ($n == 0) ? 0.0 : ((double) $eq) / $n;
+        """
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   /** LSH band keys of a MinHash signature: band b's key is the chained
     * XXH64 of its `rowsPerBand` signature values — pure long math, one
     * array out. (The composed string-concat + xxhash64 formulation spent
@@ -353,4 +385,8 @@ object functions {
     */
   def lsh_bands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     Shim.col(kernels.BandKeys(Shim.expr(sig), bands, rowsPerBand))
+
+  /** agreement rate of two MinHash signatures (Jaccard estimate) */
+  def sig_match_rate(a: Column, b: Column): Column =
+    Shim.col(kernels.SigMatchRate(Shim.expr(a), Shim.expr(b)))
 }

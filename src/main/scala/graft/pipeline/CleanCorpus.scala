@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** End-to-end training-corpus cleaning: the composition a 100 TB data
+  * pipeline actually runs, as one operator —
+  *
+  *   quality signals → quality floor → exact dedup → near-dedup
+  *   (MinHash+LSH, keep the lowest id of each near-dup cluster) →
+  *   language filter → per-stage counts.
+  *
+  * Plan shape: the per-row stages are one projection pass; the dedup
+  * stages are the shuffle-minimal operators of [[graft.dedup.Dedup]].
+  * Near-dup clustering keeps min(id) per connected candidate pair —
+  * single-link at depth 1, which is the standard practical choice (full
+  * transitive closure needs iterative connected components; documented
+  * trade-off).
+  */
+object CleanCorpus {
+
+  final case class Stats(input: Long, afterQuality: Long, afterExact: Long,
+                         afterNearDup: Long, afterLang: Long)
+
+  def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            minQuality: Double = 0.2, nearDupThreshold: Double = 0.8,
+            keepLangs: Seq[String] = Seq("en")): (DataFrame, Stats) = {
+    val input = docs.count()
+
+    // 1. quality floor (one codegen'd projection pass)
+    val scored = TextAnalysis.qualityScore(docs, textCol)
+    val q = scored.filter(col("quality") >= minQuality).cache()
+    val nQ = q.count()
+
+    // 2. exact dedup (hash groupBy — bodies never shuffle)
+    val exact = Dedup.exactSurvivors(q, idCol, textCol).cache()
+    val nE = exact.count()
+
+    // 3. near-dedup: for every candidate pair above threshold drop the
+    //    higher id (keep the cluster's first-seen document)
+    val pairs = Dedup.minhashLsh(exact, idCol, textCol, threshold = nearDupThreshold)
+    val drop = pairs.select(col("idB").as(idCol)).distinct()
+    val near = exact.join(drop, Seq(idCol), "left_anti").cache()
+    val nN = near.count()
+
+    // 4. language filter (predicted language, not the metadata column)
+    val lang = TextAnalysis.languageId(near, textCol)
+      .filter(col("pred_lang").isin(keepLangs: _*))
+    val nL = lang.count()
+
+    q.unpersist(); exact.unpersist(); near.unpersist()
+    (lang, Stats(input, nQ, nE, nN, nL))
+  }
+}

@@ -150,6 +150,22 @@ class KVIndexSpec extends SparkSuite {
     assert(dump(latest).contains("a1") && !dump(latest).contains("a2"))
   }
 
+  test("findFile / nextKeyFile / previousKeyFile locate blocks via manifest stats") {
+    val store = newStore()
+    val ix = boot(store, "tf") // 100 rows, files of ≤32, sorted by min
+    val files = ix.manifest.files
+    assert(files.size >= 3)
+    // a key inside the second file's range resolves to it
+    val probe = files(1).min
+    assert(ix.findFile(probe).exists(_.path == files(1).path))
+    // a key beyond all ranges resolves to none / last
+    assert(ix.findFile(Seq("zzzz")).isEmpty)
+    assert(ix.nextKeyFile(Seq("")).exists(_.path == files.head.path))
+    assert(ix.nextKeyFile(files.last.max).isEmpty)
+    assert(ix.previousKeyFile(Seq("zzzz")).exists(_.path == files.last.path))
+    assert(ix.previousKeyFile(files.head.min).isEmpty)
+  }
+
   test("compaction merges small files, keeps data and big files intact") {
     val store = newStore()
     var ix = boot(store, "tc") // 100 rows, files of ≤32

@@ -96,6 +96,25 @@ class PipelineSpec extends SparkSuite {
     res.filter(_._3 == 1).foreach { case (q, id, _) => assert(q == id) }
   }
 
+  test("CleanCorpus composition: drops low quality, exact dups, near dups") {
+    import graft.pipeline.CleanCorpus
+    val junk = (200L, "!!! ??? 123 *** %%% $$$ ;;; ((( ))) @@@ ### &&& ~~ ^^ || ++")
+    val all = docsDf.union(Seq(junk).toDF("doc_id", "text"))
+      .withColumn("text",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("the a of to in is it and "),
+          org.apache.spark.sql.functions.col("text")))
+    val (cleaned, stats) = CleanCorpus(all, minQuality = 0.2,
+      nearDupThreshold = 0.6, keepLangs = Seq("en"))
+    assert(stats.input == 43)
+    assert(stats.afterQuality <= stats.input)
+    assert(stats.afterExact == stats.afterQuality - 1, "one exact dup dropped")
+    assert(stats.afterNearDup < stats.afterExact, "near dup dropped")
+    val ids = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(100L) && !ids.contains(101L))
+    assert(stats.afterLang == cleaned.count())
+  }
+
   test("text analysis: token stats, quality signals, langid, fingerprints") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it was good"),
