@@ -54,7 +54,7 @@ object Dedup {
                  threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
     val docs = df.select(col(idCol).as("id"),
-        gf.minhash_sig(gf.shingles(gf.ws_tokens(col(textCol)), shingleLen), k).as("sig"))
+        gf.minhash_text_sig(col(textCol), shingleLen, k).as("sig"))
     val banded = docs
       .select(col("id"), col("sig"),
         posexplode(gf.lsh_bands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))

@@ -30,6 +30,8 @@ object GraftFunctions {
     "lsh_band_keys" -> (es => kernels.BandKeys(es(0),
       intArg(es(1), "bands"), intArg(es(2), "rowsPerBand"))),
     "sig_match_rate" -> (es => kernels.SigMatchRate(es(0), es(1))),
+    "minhash_text_sig" -> (es => kernels.MinHashTextSig(es(0),
+      intArg(es(1), "ngram"), intArg(es(2), "k"))),
     "doc_fingerprint" -> (es => kernels.RollingMinHash(es(0),
       if (es.length > 1) intArg(es(1), "window") else 16))
   )

@@ -54,6 +54,25 @@ class KernelsSpec extends SparkSuite {
     assert(math.abs(est - 0.6) < 0.12, s"estimate $est too far from 0.6")
   }
 
+  test("MinHashTextSig: fused path ≈ Jaccard; identical text identical sig; case/ws-insensitive") {
+    val a = (1 to 200).map(i => s"w$i").mkString(" ")
+    val b = (51 to 250).map(i => s"w$i").mkString(" ") // 1-gram J = 0.6
+    val df = Seq(a, a, b, a.toUpperCase, "  " + a.replace(" ", "   ") + "  ", "", "one two")
+      .toDF("t")
+    val sigs = df.select(gf.minhash_text_sig($"t", 1, 256)).as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) == sigs(3), "ASCII case-insensitive")
+    assert(sigs(0) == sigs(4), "whitespace-run insensitive")
+    val est = sigs(0).zip(sigs(2)).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 0.6) < 0.12, s"estimate $est too far from 0.6")
+    assert(sigs(5).forall(_ == Long.MaxValue), "empty doc keeps empty signature")
+    // short doc (< ngram tokens) still produces a real signature
+    val short = df.limit(0).sparkSession.createDataset(Seq("one two"))(
+      org.apache.spark.sql.Encoders.STRING).toDF("t")
+      .select(gf.minhash_text_sig($"t", 3, 8)).as[Seq[Long]].head()
+    assert(short.exists(_ != Long.MaxValue))
+  }
+
   test("RollingMinHash: equality for shared content, stability") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "the quick brown fox jumps over the lazy dog",
