@@ -226,14 +226,11 @@ object SparkEntry {
     "t5_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events")
       val errors = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("err_id"), col("user_id").as("u"), col("ts").as("err_ts"))
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
       val signups = ev.filter(col("event_type") === "signup")
-        .select(col("user_id").as("su"), col("ts").as("sg_ts"))
-      errors.join(signups,
-          col("u") === col("su") && col("sg_ts") <= col("err_ts"), "left")
-        .groupBy(col("err_id"), col("u"))
-        .agg(unix_millis(max(col("sg_ts"))).as("asof_ts"))
-        .select(col("err_id"), col("u").as("user_id"), col("asof_ts"))
+        .select(col("user_id"), col("ts").as("sg_ts"))
+      graft.operators.AsOfJoin.join(errors, signups, "user_id", "err_ts", "sg_ts", Nil)
+        .select(col("err_id"), col("user_id"), unix_millis(col("asof_ts")).as("asof_ts"))
         .orderBy("err_id")
     }),
 

@@ -62,6 +62,28 @@ class SkewAndStreamOpsSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS ss_out")
   }
 
+  test("AsOfJoin: latest at-or-before per key, ties, no-match, tolerance") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L, ts(60)), (2L, 10L, ts(30)), (3L, 20L, ts(60)),
+      (4L, 30L, ts(60))).toDF("id", "k", "lts")
+    val right = Seq((10L, ts(30), "a"), (10L, ts(50), "b"), (10L, ts(70), "c"),
+      (20L, ts(61), "late")).toDF("k", "rts", "v")
+    val res = AsOfJoin.join(left, right, "k", "lts", "rts", Seq("v"))
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    assert(res(1L).contains("b"))   // 50 <= 60, latest
+    assert(res(2L).contains("a"))   // tie at 30 counts (at-or-before)
+    assert(res(3L).isEmpty)         // only later right rows
+    assert(res(4L).isEmpty)         // key never on right
+    // tolerance (seconds): the 10-minute-old right row survives a 600 s
+    // tolerance, not a 300 s one
+    val tol = AsOfJoin.join(left, right, "k", "lts", "rts", Seq("v"), tolerance = 600)
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    assert(tol(1L).contains("b") && tol(2L).contains("a"))
+    val tol2 = AsOfJoin.join(left, right, "k", "lts", "rts", Seq("v"), tolerance = 300)
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    assert(tol2(1L).isEmpty, "beyond tolerance")
+  }
+
   test("manifest JSON round-trips every key type") {
     import graft.core.{FileEntry, SnapshotManifest}
     val m = SnapshotManifest("id1", 3L, "snap", Seq("a", "b"), Seq("v"), 42L,
