@@ -278,6 +278,11 @@ object SparkEntry {
         .select(unix_millis(col("window_start")).as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")),
+    "st_stream_live" -> ((s, d) =>
+      EventStreams.windowedCountsLive(s, s"$d/events.parquet")
+        .select(unix_millis(col("window_start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
     "st_dedup" -> ((s, d) => {
       // batch twin of EventStreams.dedupStream: re-ingest the stream twice,
       // dedup on event_id (duplicate rows are identical, so any survivor
@@ -470,6 +475,9 @@ object SparkEntry {
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_custkey, o_orderkey"),
       "st_window_counts" -> ("SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type, " +
+        "count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events " +
+        "GROUP BY 1, 2 ORDER BY window_start, event_type"),
+      "st_stream_live" -> ("SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type, " +
         "count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events " +
         "GROUP BY 1, 2 ORDER BY window_start, event_type"),
       "st_dedup" -> ("WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events) " +

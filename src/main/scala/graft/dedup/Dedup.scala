@@ -111,6 +111,55 @@ object Dedup {
       .select("idA", "idB", "jaccard")
   }
 
+  /** Connected components over candidate pairs: every node gets the
+    * minimum id reachable through the pair graph (min-label propagation,
+    * one small shuffle per iteration, converges in graph-diameter
+    * iterations — near-dup clusters are shallow, so maxIter=10 is ample).
+    * Returns (id, cluster); nodes absent from any pair are not returned
+    * (they are their own singleton cluster).
+    */
+  def clusters(pairs: DataFrame, idACol: String = "idA", idBCol: String = "idB",
+               maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.withColumnRenamed("label", "newLabel")
+        .join(labels, Seq("id"))
+        .filter(col("newLabel") =!= col("label"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Transitive near-duplicate survivor set: keep each cluster's minimum
+    * id plus every unpaired document.
+    */
+  def nearDupSurvivors(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                       threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, threshold = threshold)
+    val labeled = clusters(pairs)
+    val losers = labeled.filter(col("id") =!= col("label")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup over a vector column: random-hyperplane LSH
     * buckets (sign bits of h fixed pseudo-random projections) then exact
     * cosine verify inside buckets — same plan shape as [[simhash]], never

@@ -14,11 +14,9 @@ import graft.text.TextAnalysis
   *   language filter → per-stage counts.
   *
   * Plan shape: the per-row stages are one projection pass; the dedup
-  * stages are the shuffle-minimal operators of [[graft.dedup.Dedup]].
-  * Near-dup clustering keeps min(id) per connected candidate pair —
-  * single-link at depth 1, which is the standard practical choice (full
-  * transitive closure needs iterative connected components; documented
-  * trade-off).
+  * stages are the shuffle-minimal operators of [[graft.dedup.Dedup]];
+  * near-dup clustering is the full transitive closure
+  * ([[graft.dedup.Dedup.clusters]] min-label propagation).
   */
 object CleanCorpus {
 
@@ -39,11 +37,9 @@ object CleanCorpus {
     val exact = Dedup.exactSurvivors(q, idCol, textCol).cache()
     val nE = exact.count()
 
-    // 3. near-dedup: for every candidate pair above threshold drop the
-    //    higher id (keep the cluster's first-seen document)
-    val pairs = Dedup.minhashLsh(exact, idCol, textCol, threshold = nearDupThreshold)
-    val drop = pairs.select(col("idB").as(idCol)).distinct()
-    val near = exact.join(drop, Seq(idCol), "left_anti").cache()
+    // 3. near-dedup with transitive clustering: keep min(id) per connected
+    //    near-dup cluster (min-label propagation over candidate pairs)
+    val near = Dedup.nearDupSurvivors(exact, idCol, textCol, nearDupThreshold).cache()
     val nN = near.count()
 
     // 4. language filter (predicted language, not the metadata column)

@@ -142,10 +142,40 @@ object EventStreams {
   }
 
   /** Open the events table as a file stream (schema from the batch read) —
-    * the readStream entry point used by tests.
+    * the readStream entry point. Normalizes a nanos-as-long `ts` column
+    * back to a timestamp like the batch loader.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+    // the streaming file source requires a DIRECTORY; a single-file path
+    // is opened via its parent + a glob filter
+    val p = java.nio.file.Paths.get(dir)
+    val reader = spark.readStream.schema(schema)
+    val raw =
+      if (java.nio.file.Files.isRegularFile(p))
+        reader.option("pathGlobFilter", p.getFileName.toString)
+          .parquet(p.getParent.toString)
+      else reader.parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run the windowed aggregate as a REAL streaming query (file source →
+    * complete-mode memory sink), synchronously, and return the final
+    * table. Complete mode re-emits every window, so the result equals the
+    * batch computation exactly — which is how the external oracle checks
+    * a live streaming run.
+    */
+  def windowedCountsLive(spark: SparkSession, dir: String,
+                         queryName: String = "graft_stream_live"): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $queryName")
+    val q = windowedCounts(readEventStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(queryName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(queryName)
   }
 }

@@ -58,6 +58,21 @@ class PipelineSpec extends SparkSuite {
     assert(m.get((7L, 101L)).exists(_ <= 10))
   }
 
+  test("clusters: transitive closure over chained pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("idA", "idB")
+    val labeled = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(labeled(1L) == 1L && labeled(2L) == 1L && labeled(3L) == 1L && labeled(4L) == 1L)
+    assert(labeled(10L) == 10L && labeled(11L) == 10L)
+  }
+
+  test("nearDupSurvivors keeps one doc per near-dup cluster") {
+    val survivors = Dedup.nearDupSurvivors(docsDf, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.contains(3L) && !survivors.contains(100L), "exact pair collapsed")
+    assert(survivors.contains(7L) && !survivors.contains(101L), "near pair collapsed")
+    assert(survivors.size == 40)
+  }
+
   test("embedding cosine near-dup finds a planted near vector") {
     val dim = 16
     def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() - 0.5f)
