@@ -93,20 +93,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard over LSH candidates: re-tokenize only the
-    * candidate pairs (tiny vs corpus) and compute |A∩B| / |A∪B| exactly.
+  /** Exact n-gram Jaccard over LSH candidates: hash-shingle only the
+    * candidate pairs' docs (tiny vs corpus) and compute |A∩B| / |A∪B|
+    * exactly with a sorted-merge kernel — no shingle strings, no per-pair
+    * hash-set allocation (exact modulo 64-bit hash collisions).
     */
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleLen: Int = 3, threshold: Double = 0.8): DataFrame = {
     val cands = minhashLsh(df, idCol, textCol, shingleLen, threshold = 0.0)
     val sets = df.select(col(idCol).as("id"),
-      array_distinct(gf.shingles(gf.ws_tokens(col(textCol)), shingleLen)).as("sh"))
+      gf.shingle_hashes(col(textCol), shingleLen).as("sh"))
     cands
       .join(sets.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
       .join(sets.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
-      .withColumn("jaccard",
-        size(array_intersect(col("shA"), col("shB"))).cast("double") /
-          size(array_union(col("shA"), col("shB"))).cast("double"))
+      .withColumn("jaccard", gf.jaccard_sorted(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select("idA", "idB", "jaccard")
   }
@@ -119,7 +119,32 @@ object Dedup {
     * (they are their own singleton cluster).
     */
   def clusters(pairs: DataFrame, idACol: String = "idA", idBCol: String = "idB",
-               maxIter: Int = 10): DataFrame = {
+               maxIter: Int = 10, driverLimit: Long = 1000000L): DataFrame = {
+    // near-dup candidate pairs are tiny relative to the corpus: below
+    // `driverLimit` run union-find on the driver (one job) instead of
+    // paying per-iteration job overhead; the distributed label
+    // propagation below is the >10^6-pairs path.
+    val spark = pairs.sparkSession
+    val nPairs = pairs.limit((driverLimit + 1).toInt).count()
+    if (nPairs <= driverLimit) {
+      import spark.implicits._
+      val es = pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
+    }
     val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .distinct()

@@ -32,6 +32,8 @@ object GraftFunctions {
     "sig_match_rate" -> (es => kernels.SigMatchRate(es(0), es(1))),
     "minhash_text_sig" -> (es => kernels.MinHashTextSig(es(0),
       intArg(es(1), "ngram"), intArg(es(2), "k"))),
+    "shingle_hashes" -> (es => kernels.ShingleHashes(es(0), intArg(es(1), "ngram"))),
+    "jaccard_sorted" -> (es => kernels.JaccardSorted(es(0), es(1))),
     "doc_fingerprint" -> (es => kernels.RollingMinHash(es(0),
       if (es.length > 1) intArg(es(1), "window") else 16))
   )

@@ -322,6 +322,114 @@ object kernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Distinct shingle-hash set of a text: same one-pass tokenizer and FNV
+    * shingle hashing as [[MinHashTextSig]], but returns the SORTED DISTINCT
+    * hash array — the exact-verification companion to the MinHash
+    * estimate. Exactness is modulo 64-bit hash collisions (~2^-64 per
+    * pair), the trade that buys never materializing shingle strings.
+    */
+  case class ShingleHashes(child: Expression, ngram: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val FNV_OFFSET = -3750763034362895579L
+    private val FNV_PRIME = 1099511628211L
+
+    override def nullSafeEval(in: Any): Any = {
+      val s = in.asInstanceOf[UTF8String].getBytes
+      val ring = new Array[Long](ngram)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var nTok = 0
+      var i = 0
+      def shingleHash(from: Int, len: Int): Long = {
+        var h = FNV_OFFSET
+        var j = 0
+        while (j < len) { h = (h ^ ring((from + j) % ngram)) * FNV_PRIME; j += 1 }
+        h
+      }
+      while (i < s.length) {
+        while (i < s.length && (s(i) & 0xff) <= 32) i += 1
+        if (i < s.length) {
+          var th = FNV_OFFSET
+          while (i < s.length && (s(i) & 0xff) > 32) {
+            var b = s(i) & 0xff
+            if (b >= 'A' && b <= 'Z') b |= 0x20
+            th = (th ^ b) * FNV_PRIME
+            i += 1
+          }
+          ring(nTok % ngram) = th
+          nTok += 1
+          if (nTok >= ngram) buf += shingleHash(nTok - ngram, ngram)
+        }
+      }
+      if (nTok > 0 && nTok < ngram) buf += shingleHash(0, nTok)
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr)
+      var w = 0
+      var r = 0
+      while (r < arr.length) {
+        if (w == 0 || arr(r) != arr(w - 1)) { arr(w) = arr(r); w += 1 }
+        r += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(java.util.Arrays.copyOf(arr, w))
+    }
+    // interpreted eval only: this expression runs once per document in a
+    // projection (not in a per-pair inner loop), so codegen matters less;
+    // CodegenFallback keeps the surrounding stage compiled.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val expr = ctx.addReferenceObj("shingleHashesExpr", this)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+        ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+          ((org.apache.spark.sql.catalyst.expressions.UnaryExpression) $expr).nullSafeEval($a);
+        """
+      })
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays — one merge pass,
+    * no set allocation (vs `array_intersect`/`array_union`, which build
+    * hash sets per row pair).
+    */
+  case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements(); val m = b.numElements()
+      if (n == 0 && m == 0) return 1.0
+      var i = 0; var j = 0; var inter = 0
+      while (i < n && j < m) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter.toDouble / (n + m - inter)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+        int $n = $a.numElements(); int $m = $b.numElements();
+        if ($n == 0 && $m == 0) { ${ev.value} = 1.0; } else {
+          int $i = 0; int $j = 0; int $inter = 0;
+          while ($i < $n && $j < $m) {
+            long $x = $a.getLong($i); long $y = $b.getLong($j);
+            if ($x == $y) { $inter++; $i++; $j++; }
+            else if ($x < $y) $i++;
+            else $j++;
+          }
+          ${ev.value} = ((double) $inter) / ($n + $m - $inter);
+        }
+        """
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   /** Fraction of positions where two equal-length long arrays agree — the
     * MinHash signature agreement rate (unbiased Jaccard estimator). A
     * zip_with+filter formulation evaluates two interpreted lambdas per
@@ -514,4 +622,12 @@ object functions {
     */
   def minhash_text_sig(text: Column, ngram: Int, k: Int): Column =
     Shim.col(kernels.MinHashTextSig(Shim.expr(text), ngram, k))
+
+  /** sorted distinct shingle-hash set (exact-verify companion) */
+  def shingle_hashes(text: Column, ngram: Int): Column =
+    Shim.col(kernels.ShingleHashes(Shim.expr(text), ngram))
+
+  /** exact Jaccard of two sorted distinct long arrays */
+  def jaccard_sorted(a: Column, b: Column): Column =
+    Shim.col(kernels.JaccardSorted(Shim.expr(a), Shim.expr(b)))
 }

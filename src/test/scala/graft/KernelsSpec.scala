@@ -73,6 +73,22 @@ class KernelsSpec extends SparkSuite {
     assert(short.exists(_ != Long.MaxValue))
   }
 
+  test("ShingleHashes + JaccardSorted: exact Jaccard via hashed sets") {
+    val a = (1 to 100).map(i => s"w$i").mkString(" ")
+    val b = (41 to 140).map(i => s"w$i").mkString(" ") // 1-gram J = 60/140
+    val df = Seq((a, a), (a, b), (a, ""), ("", "")).toDF("x", "y")
+    val j = df.select(gf.jaccard_sorted(
+      gf.shingle_hashes($"x", 1), gf.shingle_hashes($"y", 1))).as[Double].collect()
+    assert(j(0) == 1.0)
+    assert(math.abs(j(1) - 60.0 / 140.0) < 1e-12)
+    assert(j(2) == 0.0)
+    assert(j(3) == 1.0) // both empty = identical
+    // sets are sorted and distinct
+    val sh = Seq("b a b a c").toDF("t")
+      .select(gf.shingle_hashes($"t", 1)).as[Seq[Long]].head()
+    assert(sh.length == 3 && sh == sh.sorted && sh.distinct == sh)
+  }
+
   test("RollingMinHash: equality for shared content, stability") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "the quick brown fox jumps over the lazy dog",

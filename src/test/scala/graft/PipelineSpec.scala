@@ -58,11 +58,15 @@ class PipelineSpec extends SparkSuite {
     assert(m.get((7L, 101L)).exists(_ <= 10))
   }
 
-  test("clusters: transitive closure over chained pairs") {
+  test("clusters: transitive closure over chained pairs (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("idA", "idB")
-    val labeled = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
-    assert(labeled(1L) == 1L && labeled(2L) == 1L && labeled(3L) == 1L && labeled(4L) == 1L)
-    assert(labeled(10L) == 10L && labeled(11L) == 10L)
+    for (limit <- Seq(1000000L, 0L)) { // driver union-find AND distributed
+      val labeled = Dedup.clusters(pairs, driverLimit = limit)
+        .as[(Long, Long)].collect().toMap
+      assert(labeled(1L) == 1L && labeled(2L) == 1L && labeled(3L) == 1L && labeled(4L) == 1L,
+        s"path limit=$limit")
+      assert(labeled(10L) == 10L && labeled(11L) == 10L)
+    }
   }
 
   test("nearDupSurvivors keeps one doc per near-dup cluster") {
