@@ -131,4 +131,19 @@ class OrderedTableSpec extends SparkSuite {
     assert(got(table.maxKey()) == Seq(keys.last))
     assert(table.countAll() == model.size)
   }
+
+  test("empty table: every operator returns empty, none throws") {
+    val empty = OrderedTable(table.df.limit(0), table.key)
+    assert(empty.inOrder().count() == 0)
+    assert(empty.get(Seq("abc", "defghij")).count() == 0)
+    assert(empty.nextKey(Seq("abc", "defghij")).count() == 0)
+    assert(empty.previousKey(Seq("abc", "defghij")).count() == 0)
+    assert(empty.head(5).count() == 0 && empty.tail(5).count() == 0)
+    assert(empty.range(Seq("aaa", "a"), Seq("zzz", "z"), incFrom = true, incTo = true).count() == 0)
+    assert(empty.prefix(Seq("abc")).count() == 0)
+    assert(empty.minKey().count() == 0 && empty.maxKey().count() == 0)
+    assert(empty.countAll() == 0)
+    val r = empty.getAll(Seq(("abc", "defghij")).toDF("prefix", "term"), mustFindAll = true)
+    assert(!r.success && r.missing == 1)
+  }
 }
