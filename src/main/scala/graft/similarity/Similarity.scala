@@ -56,21 +56,40 @@ object Similarity {
       .withColumn("h", xxhash64(col(idCol)))
       .orderBy("h").limit(nCells)
       .collect().map(_.getSeq[Float](1).toArray)
-    // one refinement pass: assign to nearest seed, average members
+    // one refinement pass: assign to nearest seed, then average per
+    // (cell, component) over EXPLODED components — only nCells×dim small
+    // aggregates reach the driver, never whole vectors (collect_list of
+    // member vectors would pull a cell's entire data driver-side)
     val assigned0 = assign(df, seeds, idCol, vecCol)
-    val refined = assigned0.groupBy("cell")
-      .agg(collect_list(col(vecCol)).as("vs"))
-      .collect().map { r =>
-        val vs = r.getSeq[scala.collection.Seq[Float]](1)
-        val dim = vs.head.length
-        val c = new Array[Float](dim)
-        vs.foreach { v => var i = 0; while (i < dim) { c(i) += v(i); i += 1 } }
-        var i = 0
-        while (i < dim) { c(i) /= vs.size; i += 1 }
-        r.getInt(0) -> c
-      }.sortBy(_._1).map(_._2).toSeq
+    val comps = assigned0
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg(col("x")).as("m"))
+      .collect()
+    val byCell = comps.groupBy(_.getInt(0))
+    val refined = byCell.keys.toSeq.sorted.map { cell =>
+      val rows = byCell(cell)
+      val c = new Array[Float](rows.map(_.getInt(1)).max + 1)
+      rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+      c
+    }
     (assign(df, refined, idCol, vecCol), refined)
   }
+
+  /** Persist an IVF index partitioned by cell: probes read only the
+    * probed cells' files (partition pruning — at scale this is the whole
+    * point of IVF: nProbe/nCells of the bytes).
+    */
+  def ivfWrite(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a stored IVF index — the cell filter prunes parquet
+    * partitions before any IO.
+    */
+  def ivfTopKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                       centroids: Seq[Array[Float]], query: Array[Float],
+                       k: Int, nProbe: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopK(spark.read.parquet(path), centroids, query, k, nProbe, idCol, vecCol)
 
   private def assign(df: DataFrame, centroids: Seq[Array[Float]],
                      idCol: String, vecCol: String): DataFrame = {

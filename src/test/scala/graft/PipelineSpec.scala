@@ -103,6 +103,26 @@ class PipelineSpec extends SparkSuite {
     assert(brute.toSet.intersect(ivf.toSet).size >= 5, "probe recall too low")
   }
 
+  test("IVF store: cell-partitioned write, pruned probe matches in-memory probe") {
+    val dim = 16
+    def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    val vs = (0 until 150).map(i => (i.toLong, v()))
+    val df = vs.toDF("vec_id", "embedding")
+    val (indexed, cents) = Similarity.ivfBuild(df, 6)
+    val path = tmpDir("graft-ivf")
+    Similarity.ivfWrite(indexed, path)
+    val q = vs(42)._2
+    val mem = Similarity.ivfTopK(indexed, cents, q, 5, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val stored = Similarity.ivfTopKFromStore(spark, path, cents, q, 5, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(mem == stored)
+    // the probe plan prunes partitions: only nProbe cell dirs are read
+    val plan = Similarity.ivfTopKFromStore(spark, path, cents, q, 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), s"expected partition pruning in:\n$plan")
+  }
+
   test("batch top-k scans corpus once and ranks per query") {
     val dim = 8
     def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() - 0.5f)
