@@ -94,13 +94,14 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     // ---- sequential fold with stop-at-first-error ----
     var cur = curStart.cache()
     var err: Option[GraftError] = None
+    val stepCounts = Seq.newBuilder[Long]
     val it = cmds.iterator
     while (err.isEmpty && it.hasNext) {
       step(cur, it.next(), txVersion) match {
         case Left(e) => err = Some(e)
         case Right(next) =>
           val nextCached = next.cache()
-          nextCached.count() // force so we can safely unpersist the parent
+          stepCounts += nextCached.count() // force so the parent can unpersist
           cur.unpersist()
           cur = nextCached
       }
@@ -120,7 +121,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       numElements = untouchedRows + newFiles.map(_.rows).sum,
       lastChangeVersion = txVersion,
       files = (untouched ++ newFiles).sortBy(_.min)(KeyOrd))
-    try BatchResult(success = true, None, Some(store.commit(m2, manifest.version)))
+    try BatchResult(success = true, None, Some(store.commit(m2, manifest.version)),
+      stepCounts.result())
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       BatchResult(success = false, Some(GraftError.ContextAlreadyUsed(manifest.id)), None)
     }

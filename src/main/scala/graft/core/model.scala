@@ -102,9 +102,14 @@ object Command {
   final case class Remove(rows: DataFrame) extends Command
 }
 
-/** Typed results — reference `Result.scala:3-14`. */
+/** Typed results — reference `Result.scala:3-14`. `commandRowCounts` is
+  * the touched-range row count after each command (free: the write fold
+  * forces each step anyway), the analogue of the reference's per-command
+  * result counts.
+  */
 final case class BatchResult(success: Boolean, error: Option[GraftError],
-                             snapshot: Option[SnapshotManifest]) {
+                             snapshot: Option[SnapshotManifest],
+                             commandRowCounts: Seq[Long] = Nil) {
   def orThrow: SnapshotManifest =
     if (success) snapshot.get
     else throw new IllegalStateException(error.map(e => s"${e.code}: ${e.message}").getOrElse("failed"))

@@ -115,6 +115,10 @@ class KVIndexSpec extends SparkSuite {
       Command.Remove(Seq("k0001").toDF("k"))
     ))
     assert(res.success)
+    // per-command touched-range row counts (insert +1, update ±0, remove -1)
+    assert(res.commandRowCounts.length == 3)
+    assert(res.commandRowCounts(1) == res.commandRowCounts(0))
+    assert(res.commandRowCounts(2) == res.commandRowCounts(1) - 1)
     val after = KVIndex.open(store, "t6").toOption.get
     assert(dump(after)("aa") == "2" && !dump(after).contains("k0001"))
     assert(after.count == 100) // +1 insert, -1 remove
