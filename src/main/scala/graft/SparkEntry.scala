@@ -257,6 +257,70 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
+    "q5_multi_join" -> ((s, d) => {
+      // revenue per nation: 5-way join, dimensions broadcast
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    }),
+    "q_semi_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("c_custkey"))
+      val withBig = c.join(o, Seq("c_custkey"), "left_semi")
+      val withoutBig = c.join(o, Seq("c_custkey"), "left_anti")
+      withBig.agg(count(lit(1)).as("n_with")).crossJoin(
+        withoutBig.agg(count(lit(1)).as("n_without")))
+    }),
+    "q_having" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")),
+    "q_window2" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, d, "orders").filter(col("o_custkey") < 5)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+          rank().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("price_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q_json" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"), round(avg(col("k")), 6).as("avg_k"))
+        .orderBy("event_type")),
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+    "q_setops" -> ((s, d) => {
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val both = big.intersect(recent)
+      val onlyBig = big.distinct().exceptAll(recent.distinct())
+      both.agg(count(lit(1)).as("n_both")).crossJoin(
+        onlyBig.agg(count(lit(1)).as("n_only_big")))
+    }),
     "q_distinct" -> ((s, d) =>
       t(s, d, "lineitem").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
@@ -469,6 +533,34 @@ object SparkEntry {
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey " +
         "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+      "q5_multi_join" -> ("SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_lines FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+      "q_semi_anti" -> ("SELECT (SELECT count(*) FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 100000)) AS n_with, " +
+        "(SELECT count(*) FROM customer WHERE c_custkey NOT IN " +
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 100000)) AS n_without"),
+      "q_having" -> ("SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey"),
+      "q_window2" -> ("SELECT o_custkey, o_orderkey, " +
+        "lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_ok, " +
+        "lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_ok, " +
+        "rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank " +
+        "FROM orders WHERE o_custkey < 5 ORDER BY o_custkey, o_orderkey"),
+      "q_json" -> ("SELECT event_type, count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k, " +
+        "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+      "q_rollup" -> ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+      "q_setops" -> ("WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000), " +
+        "recent AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01') " +
+        "SELECT (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM big INTERSECT SELECT DISTINCT o_custkey FROM recent) t1) AS n_both, " +
+        "(SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM big EXCEPT SELECT DISTINCT o_custkey FROM recent) t2) AS n_only_big"),
       "q_distinct" -> "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM lineitem",
       "q_window" -> ("SELECT o_custkey, o_orderkey, row_number() OVER w AS rn, " +
         "round(sum(o_totalprice) OVER w, 2) AS running_total FROM orders WHERE o_custkey < 10 " +
