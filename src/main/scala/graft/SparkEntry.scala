@@ -426,6 +426,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(max(col("cosine")), 4).as("best"))
     }),
 
+    // ---- SQL surface: custom Catalyst kernel registered and called
+    //      from spark.sql, hash-verified against the DuckDB oracle ----
+    "q_sql_kernel" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "embeddings").createOrReplaceTempView("emb_v")
+      s.sql("""SELECT a.vec_id,
+                      round(cosine_sim(a.embedding,
+                        (SELECT embedding FROM emb_v WHERE vec_id = 0)), 4) AS cs
+               FROM emb_v a WHERE a.vec_id < 20 ORDER BY a.vec_id""")
+    }),
+
     // ---- training-data pipeline: text analysis ----
     "txt_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(t(s, d, "documents"))
@@ -597,6 +608,12 @@ object SparkEntry {
         "CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0), " +
         "w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens " +
         "FROM documents ORDER BY doc_id"),
+      "q_sql_kernel" -> ("WITH q AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id = 0), " +
+        "e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id < 20), " +
+        "s AS (SELECT e.vec_id, SUM(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot, " +
+        "SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS na, SUM(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS nb " +
+        "FROM e JOIN q USING (i) GROUP BY e.vec_id) " +
+        "SELECT vec_id, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cs FROM s ORDER BY vec_id"),
       // double-precision UNNEST cosine (DuckDB's list_cosine_similarity is
       // float-typed; this matches the engine's double kernel bit-for-bit
       // after round(.,4))
