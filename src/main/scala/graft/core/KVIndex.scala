@@ -355,8 +355,14 @@ object KVIndex {
         val stamped =
           if (df.columns.contains("version")) df
           else df.withColumn("version", lit(txVersion))
-        val nParts = math.max(1, math.ceil(
-          math.max(stamped.count(), 1L).toDouble / maxRowsPerFile).toInt)
+        // size the file count from optimizer stats (scan bytes) instead of
+        // a dedicated count() pass — targets ~32 MB of input per file,
+        // i.e. maxRowsPerFile at the default for ~64-byte rows
+        val sizeBytes = BigDecimal(
+          stamped.queryExecution.optimizedPlan.stats.sizeInBytes).toDouble
+        val targetBytes = 64.0 * maxRowsPerFile
+        val nParts = math.max(1, math.min(100000,
+          math.ceil(sizeBytes / targetBytes).toInt))
         val (_, files) = store.writeData(id, stamped, key, nParts)
         val m1 = m0.copy(version = 1L, snapshotId = UUID.randomUUID().toString,
           numElements = files.map(_.rows).sum, lastChangeVersion = txVersion,
