@@ -15,12 +15,16 @@ import graft.core._
 class RandomizedWriteSpec extends SparkSuite {
   import spark.implicits._
 
-  private val rnd = new scala.util.Random(23)
+  private var rnd = new scala.util.Random(23)
   private def randKey(): String =
     (1 to 6).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
   private def randVal(): String = rnd.alphanumeric.take(5).mkString
 
-  test("random mixed batches vs model, with error injection — 12 rounds") {
+  // reference `Repeatable.scala:6-22` reruns each spec N times; two seeds
+  // here keep runtime bounded while varying the op mix
+  for (seed <- Seq(23, 77))
+  test(s"random mixed batches vs model, with error injection — seed $seed") {
+    rnd = new scala.util.Random(seed)
     val store = new SnapshotStore(tmpDir("graft-rand"), spark)
     // model: key -> (value, version)
     var model = TreeMap.empty[String, (String, String)]
