@@ -304,6 +304,16 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_k"), round(avg(col("k")), 6).as("avg_k"))
         .orderBy("event_type")),
+    "q_percentile" -> ((s, d) =>
+      t(s, d, "orders").agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))),
+    "q_month_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(unix_millis(date_trunc("month", col("o_orderdate"))).as("month_ms"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("month_ms")),
     "q_rollup" -> ((s, d) =>
       t(s, d, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -565,6 +575,12 @@ object SparkEntry {
       "q_json" -> ("SELECT event_type, count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k, " +
         "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+      "q_percentile" -> ("SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.95), 4) AS p95, " +
+        "round(quantile_cont(o_totalprice, 0.99), 4) AS p99 FROM orders"),
+      "q_month_agg" -> ("SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms, " +
+        "count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders GROUP BY 1 ORDER BY month_ms"),
       "q_rollup" -> ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
         "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
