@@ -22,6 +22,16 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(r._1 == 1.0 && r._2 == 6.0 && r._4 == 8 && r._5 == 2)
   }
 
+  test("approx_count_distinct tracks exact within its error bound") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    import org.apache.spark.sql.functions._
+    val r = li.agg(countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .as[(Long, Long)].head()
+    val relErr = math.abs(r._2 - r._1).toDouble / r._1
+    assert(relErr < 0.05, s"approx ${r._2} vs exact ${r._1} (err $relErr)")
+  }
+
   test("same kernel, SQL vs Column API, identical results") {
     GraftFunctions.register(spark)
     import graft.functions.{functions => gf}
