@@ -194,6 +194,24 @@ class KVIndexSpec extends SparkSuite {
     assert(res2.success)
   }
 
+  test("null values round-trip; large batch (1000 rows) upserts in one commit") {
+    val store = newStore()
+    val rows = (1 to 50).map(i => (f"k$i%04d", if (i % 5 == 0) null else s"v$i"))
+    val ix = KVIndex.bootstrap(store, "tn", rows.toDF("k", "v"), Seq("k"))
+      .fold(e => fail(e.message), identity)
+    assert(dump2(ix) == rows.toMap)
+    // reference batches go up to 1000 tuples (MainSpec.scala:63)
+    val big = (1 to 1000).map(i => (f"b$i%05d", s"x$i"))
+    val res = ix.execute(Seq(Command.Insert(big.toDF("k", "v"), upsert = true)))
+    assert(res.success && res.snapshot.get.numElements == 1050)
+    val after = KVIndex.open(store, "tn").toOption.get
+    assert(dump2(after) == (rows ++ big).toMap)
+  }
+
+  private def dump2(ix: KVIndex): Map[String, String] =
+    ix.df.select("k", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+
   test("createIndex twice → INDEX_ALREADY_EXISTS; open missing → INDEX_NOT_FOUND") {
     val store = newStore()
     boot(store, "t9")
