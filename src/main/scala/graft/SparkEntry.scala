@@ -423,7 +423,9 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.bruteForceTopKBatch(emb, queries, 5)
+      // the bounded-aggregate path: k rows per query cross the shuffle,
+      // not the whole scored corpus (graft.operators.TopKAgg)
+      Similarity.bruteForceTopKBatchAgg(emb, queries, 5)
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     }),

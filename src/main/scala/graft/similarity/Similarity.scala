@@ -44,6 +44,20 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Same result as [[bruteForceTopKBatch]] but through the bounded
+    * [[graft.operators.TopKAgg]] aggregate: partial aggregation sends at
+    * most k rows per query per map task across the shuffle, where the
+    * window formulation shuffles every scored row. The scale path.
+    */
+  def bruteForceTopKBatchAgg(corpus: DataFrame, queries: DataFrame, k: Int,
+                             idCol: String = "vec_id", vecCol: String = "embedding",
+                             qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col(qIdCol), col(idCol),
+        gf.cosine_sim(col(vecCol), col(qVecCol)).as("cosine"))
+    graft.operators.TopKAgg.topKPerGroup(scored, qIdCol, idCol, "cosine", k)
+  }
+
   /** Build an IVF index: pick `nCells` deterministic seed centroids, one
     * Lloyd refinement pass, then tag every row with its nearest cell.
     * Result caches/persists as the "index"; write it partitioned by

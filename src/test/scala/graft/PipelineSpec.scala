@@ -135,6 +135,28 @@ class PipelineSpec extends SparkSuite {
     res.filter(_._3 == 1).foreach { case (q, id, _) => assert(q == id) }
   }
 
+  test("TopKAgg aggregate path equals the window path row for row") {
+    val dim = 8
+    def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    val vs = (0 until 120).map(i => (i.toLong, v()))
+    val df = vs.toDF("vec_id", "embedding").cache()
+    val queries = vs.take(5).map { case (i, x) => (i, x) }.toDF("q_id", "q_vec")
+    val win = Similarity.bruteForceTopKBatch(df, queries, 7)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().toSet
+    val agg = Similarity.bruteForceTopKBatchAgg(df, queries, 7)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(agg == win)
+    // direct aggregate on a skewed group: ties broken by id ascending
+    import graft.operators.TopKAgg
+    val tied = Seq((1L, 10L, 1.0), (1L, 11L, 1.0), (1L, 12L, 1.0), (1L, 9L, 0.5))
+      .toDF("g", "id", "score")
+    val kept = TopKAgg.topKPerGroup(tied, "g", "id", "score", 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 11L))
+  }
+
   test("CleanCorpus composition: drops low quality, exact dups, near dups") {
     import graft.pipeline.CleanCorpus
     val junk = (200L, "!!! ??? 123 *** %%% $$$ ;;; ((( ))) @@@ ### &&& ~~ ^^ || ++")
