@@ -97,12 +97,13 @@ object SparkEntry {
     // ---- snapshot-store lifecycle, oracle-verified end to end ----
     "kv_point" -> ((s, d) => {
       val (_, ix) = liStore(s, d)
-      ix.table.get(Seq(142L)).select(col("o_orderkey"), col("o_custkey"),
+      // manifest-pruned point read: opens only the file(s) covering the key
+      ix.get(Seq(142L)).select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
     "kv_range" -> ((s, d) => {
       val (_, ix) = liStore(s, d)
-      ix.table.range(Seq(100L), Seq(200L), incFrom = true, incTo = false)
+      ix.range(Seq(100L), Seq(200L), incFrom = true, incTo = false)
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }),

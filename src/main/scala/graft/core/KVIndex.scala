@@ -66,6 +66,29 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   def previousKeyFile(k: Seq[Any]): Option[FileEntry] =
     manifest.files.reverse.find(f => KeyOrd.compare(f.min, k) < 0)
 
+  /** Manifest-pruned read: an [[OrderedTable]] over ONLY the files whose
+    * [min,max] intersects [from,to] — the read-side findPath descent
+    * (reference `Index.scala:85-99`). A point get opens O(1) files no
+    * matter how large the index; Catalyst/parquet row-group stats take it
+    * from there inside each file.
+    */
+  def tableForRange(from: Seq[Any], to: Seq[Any]): OrderedTable = {
+    val files = manifest.files.filter(f =>
+      KeyOrd.compare(f.min, to) <= 0 && KeyOrd.compare(f.max, from) >= 0)
+    val df0 =
+      if (files.isEmpty) df.limit(0)
+      else store.readFiles(files.map(_.path), manifest)
+    OrderedTable(df0, key)
+  }
+
+  /** Point lookup through the pruned read path. */
+  def get(k: Seq[Any]): DataFrame = tableForRange(k, k).get(k)
+
+  /** Range scan through the pruned read path. */
+  def range(from: Seq[Any], to: Seq[Any], incFrom: Boolean, incTo: Boolean,
+            reverse: Boolean = false): DataFrame =
+    tableForRange(from, to).range(from, to, incFrom, incTo, reverse)
+
   // ------------------------------------------------------------------
   // Write path (§2.6) — execute a command batch, all-or-nothing.
   // ------------------------------------------------------------------

@@ -154,6 +154,29 @@ class KVIndexSpec extends SparkSuite {
     assert(dump(latest).contains("a1") && !dump(latest).contains("a2"))
   }
 
+  test("pruned reads: point/range open only covering files, same results") {
+    val store = newStore()
+    val ix = boot(store, "tp") // 100 rows in several files
+    assert(ix.numFiles >= 3)
+    // point
+    val full = ix.table.get(Seq("k0042")).collect().toSeq
+    val pruned = ix.get(Seq("k0042")).collect().toSeq
+    assert(pruned == full && pruned.nonEmpty)
+    val coveringFiles = ix.tableForRange(Seq("k0042"), Seq("k0042"))
+      .df.inputFiles.length
+    assert(coveringFiles < ix.numFiles, "point read must not open every file")
+    // range
+    val fullR = ix.table.range(Seq("k0010"), Seq("k0020"), incFrom = true, incTo = true)
+      .select("k").collect().map(_.getString(0)).toSeq
+    val prunedR = ix.range(Seq("k0010"), Seq("k0020"), incFrom = true, incTo = true)
+      .select("k").collect().map(_.getString(0)).toSeq
+    assert(prunedR == fullR)
+    // out-of-range probe: empty, no files opened
+    assert(ix.get(Seq("zzzz")).count() == 0)
+    assert(ix.tableForRange(Seq("zzzz"), Seq("zzzz")).df.inputFiles.isEmpty ||
+      ix.tableForRange(Seq("zzzz"), Seq("zzzz")).df.count() == 0)
+  }
+
   test("findFile / nextKeyFile / previousKeyFile locate blocks via manifest stats") {
     val store = newStore()
     val ix = boot(store, "tf") // 100 rows, files of ≤32, sorted by min
