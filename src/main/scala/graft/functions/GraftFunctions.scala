@@ -38,11 +38,16 @@ object GraftFunctions {
       if (es.length > 1) intArg(es(1), "window") else 16))
   )
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // bounded top-k aggregate (UDAF path — Aggregator-backed)
+    spark.udf.register("top_k_10", org.apache.spark.sql.functions.udaf(
+      new graft.operators.TopKAgg(10),
+      org.apache.spark.sql.Encoders.product[graft.operators.Scored]))
+  }
 }
 
 /** `SparkSessionExtensions` hook (build-brief custom-operator path (b)/(c)

@@ -22,6 +22,16 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(r._1 == 1.0 && r._2 == 6.0 && r._4 == 8 && r._5 == 2)
   }
 
+  test("top_k aggregate callable from SQL") {
+    GraftFunctions.register(spark)
+    val rows = (1 to 50).map(i => (i % 3, i.toLong, (i * 37 % 50).toDouble))
+    rows.toDF("g", "id", "score").createOrReplaceTempView("tk_v")
+    val res = spark.sql(
+      "SELECT g, size(top_k_10(id, score)) AS n FROM tk_v GROUP BY g ORDER BY g")
+      .as[(Int, Int)].collect()
+    assert(res.forall(_._2 == 10))
+  }
+
   test("approx_count_distinct tracks exact within its error bound") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     import org.apache.spark.sql.functions._
