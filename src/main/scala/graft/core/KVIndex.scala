@@ -84,6 +84,35 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   /** Point lookup through the pruned read path. */
   def get(k: Seq[Any]): DataFrame = tableForRange(k, k).get(k)
 
+  /** Sorted multi-get through the pruned read path — one manifest pass
+    * assigns the whole key batch to its covering files (the reference
+    * amortizes exactly this way: one descent serves every key landing in
+    * the same leaf, `Index.scala:303-306,844-845`), then a single
+    * semi-join over just those files.
+    */
+  def getAll(keys: Seq[Seq[Any]], mustFindAll: Boolean = false): GetResult = {
+    if (keys.isEmpty)
+      return GetResult(df.limit(0), 0L, success = true, None)
+    val sorted = keys.sorted(KeyOrd)
+    val touched = manifest.files.filter { f =>
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (KeyOrd.compare(sorted(mid), f.min) < 0) lo = mid + 1 else hi = mid
+      }
+      lo < sorted.length && KeyOrd.compare(sorted(lo), f.max) <= 0
+    }
+    val base =
+      if (touched.isEmpty) df.limit(0)
+      else store.readFiles(touched.map(_.path), manifest)
+    val schema = org.apache.spark.sql.types.StructType(
+      key.cols.map(c => base.schema(c)))
+    val keysDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        keys.map(k => org.apache.spark.sql.Row(k: _*)), 1), schema)
+    OrderedTable(base, key).getAll(keysDf, mustFindAll)
+  }
+
   /** Range scan through the pruned read path. */
   def range(from: Seq[Any], to: Seq[Any], incFrom: Boolean, incTo: Boolean,
             reverse: Boolean = false): DataFrame =

@@ -177,6 +177,21 @@ class KVIndexSpec extends SparkSuite {
       ix.tableForRange(Seq("zzzz"), Seq("zzzz")).df.count() == 0)
   }
 
+  test("pruned multiget: batched keys resolve over covering files only") {
+    val store = newStore()
+    val ix = boot(store, "tg")
+    val r = ix.getAll(Seq(Seq("k0003"), Seq("k0042"), Seq("k0097")), mustFindAll = true)
+    assert(r.success)
+    val got = r.found.select("k").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("k0003", "k0042", "k0097"))
+    val miss = ix.getAll(Seq(Seq("k0003"), Seq("nope")), mustFindAll = true)
+    assert(!miss.success && miss.missing == 1 &&
+      miss.error.exists(_.code == "KEY_NOT_FOUND"))
+    // keys in a narrow range touch fewer files than the index has
+    val narrow = ix.getAll(Seq(Seq("k0001"), Seq("k0002")))
+    assert(narrow.found.collect().length == 2)
+  }
+
   test("findFile / nextKeyFile / previousKeyFile locate blocks via manifest stats") {
     val store = newStore()
     val ix = boot(store, "tf") // 100 rows, files of ≤32, sorted by min
