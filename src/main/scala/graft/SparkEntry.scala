@@ -111,6 +111,20 @@ object SparkEntry {
       val (_, ix) = liStore(s, d)
       ix.df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("price_sum"))
     }),
+    "kv_split" -> ((s, d) => {
+      import s.implicits._
+      // REAL library split: median located via manifest cumulative row
+      // counts (one file read), files reassigned wholesale — then the
+      // resulting manifests' stats are checked against the SQL oracle
+      val (_, ix) = liStore(s, d)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val (lm, rm) = ix.split(s"spl_l_$tag", s"spl_r_$tag")
+        .fold(e => sys.error(e.message), identity)
+      Seq((lm.numElements, rm.numElements,
+        lm.files.head.min.head.asInstanceOf[Long],
+        lm.files.last.max.head.asInstanceOf[Long]))
+        .toDF("n_left", "n_right", "left_min", "left_max")
+    }),
     "kv_temporal" -> ((s, d) => {
       val (store, _) = liStore(s, d)
       val v1 = KVIndex.openAt(store, "ord", 1500L).fold(e => sys.error(e.message), identity)
@@ -502,6 +516,12 @@ object SparkEntry {
         "WHERE o_orderkey >= 100 AND o_orderkey < 200 ORDER BY o_orderkey"),
       "kv_cow_upsert" -> ("SELECT count(*) AS n, round(sum(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END), 2) AS price_sum " +
         "FROM orders"),
+      "kv_split" -> ("WITH ranked AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn, " +
+        "count(*) OVER () AS total FROM orders) " +
+        "SELECT (SELECT count(*) FROM ranked WHERE rn <= total // 2) AS n_left, " +
+        "(SELECT count(*) FROM ranked WHERE rn > total // 2) AS n_right, " +
+        "(SELECT min(o_orderkey) FROM ranked WHERE rn <= total // 2) AS left_min, " +
+        "(SELECT max(o_orderkey) FROM ranked WHERE rn <= total // 2) AS left_max"),
       "kv_temporal" -> "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum FROM orders",
       "p1_get" -> s"SELECT $projSql FROM orders WHERE o_orderkey = 42",
       "p2_getall" -> s"SELECT $projSql FROM orders WHERE o_orderkey IN (1,2,3,5,8,13,21,34) ORDER BY o_orderkey",
