@@ -232,6 +232,28 @@ class KVIndexSpec extends SparkSuite {
     assert(res2.success)
   }
 
+  test("composite-key store: bootstrap, pruned reads, CAS writes on (a, b) keys") {
+    val store = newStore()
+    val rows = for (a <- 1 to 10; b <- 1 to 10) yield (a.toLong, f"s$b%02d", a * 100 + b)
+    val ix = KVIndex.bootstrap(store, "tck", rows.toDF("a", "b", "v"),
+      Seq("a", "b"), maxRowsPerFile = 16).fold(e => fail(e.message), identity)
+    assert(ix.count == 100 && ix.key.cols == Seq("a", "b"))
+    // pruned composite point + range
+    assert(ix.get(Seq(3L, "s07")).select("v").as[Int].head() == 307)
+    val r = ix.range(Seq(2L, "s09"), Seq(3L, "s02"), incFrom = true, incTo = true)
+      .select("v").as[Int].collect().toSeq
+    assert(r == Seq(209, 210, 301, 302)) // lexicographic across the boundary
+    // composite-key upsert + remove through execute
+    val res = ix.execute(Seq(
+      Command.Insert(Seq((3L, "s07", 9999)).toDF("a", "b", "v"), upsert = true),
+      Command.Remove(Seq((1L, "s01")).toDF("a", "b"))))
+    assert(res.success)
+    val after = KVIndex.open(store, "tck").toOption.get
+    assert(after.count == 99)
+    assert(after.get(Seq(3L, "s07")).select("v").as[Int].head() == 9999)
+    assert(after.get(Seq(1L, "s01")).count() == 0)
+  }
+
   test("null values round-trip; large batch (1000 rows) upserts in one commit") {
     val store = newStore()
     val rows = (1 to 50).map(i => (f"k$i%04d", if (i % 5 == 0) null else s"v$i"))

@@ -37,6 +37,20 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.filter($"frame_bytes" > 256).count() == 0)
   }
 
+  test("media table round-trips parquet with binary payloads intact") {
+    val df = payloads.toDF("id", "data")
+    val media = Multimodal.asMediaTable(spark, df, "id", "data", "image")
+    val dir = tmpDir("graft-media")
+    media.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[Multimodal.MediaRow]
+      .collect().sortBy(_.media_id)
+    assert(back.length == payloads.length)
+    back.zip(payloads.sortBy(_._1)).foreach { case (m, (id, bytes)) =>
+      assert(m.media_id == id && java.util.Arrays.equals(m.bytes, bytes))
+      assert(m.kind == "image" && m.meta != null)
+    }
+  }
+
   test("non-video rows are excluded from frame sampling") {
     val df = payloads.take(3).toDF("id", "data")
     val media = Multimodal.asMediaTable(spark, df, "id", "data", "audio")
