@@ -169,6 +169,16 @@ object SparkEntry {
       proj(ordersKv(s, d).prefixGt(Seq(7L), Seq(7L, 700L), inclusive = false))),
     "s8_prefix_lt" -> ((s, d) =>
       proj(ordersKv(s, d).prefixLt(Seq(7L), Seq(7L, 700L), inclusive = true))),
+    // keyset pagination — the reference's iterator-resume pattern
+    // (asc(term, inclusive=false) from the last key of the previous page,
+    // QueryableIndex.scala:167-251): page 3 of 20 over (custkey, orderkey)
+    "s12_keyset_page" -> ((s, d) => {
+      val tbl = ordersKv(s, d)
+      val boundary = tbl.head(40).orderBy(col("o_custkey").desc, col("o_orderkey").desc)
+        .select("o_custkey", "o_orderkey").limit(1).head()
+      proj(tbl.asc(Seq(boundary.getLong(0), boundary.getLong(1)), inclusive = false)
+        .limit(20))
+    }),
     "s9_topk" -> ((s, d) =>
       OrderedTable(t(s, d, "orders"),
         KeySpec("o_totalprice", "o_orderkey")).topK(50, reverse = true)
@@ -543,6 +553,7 @@ object SparkEntry {
       "s7_prefix_rev" -> s"SELECT $projSql FROM orders WHERE o_custkey = 7 ORDER BY o_orderkey DESC",
       "s8_prefix_gt" -> s"SELECT $projSql FROM orders WHERE o_custkey = 7 AND o_orderkey > 700 ORDER BY o_orderkey",
       "s8_prefix_lt" -> s"SELECT $projSql FROM orders WHERE o_custkey = 7 AND o_orderkey <= 700 ORDER BY o_orderkey",
+      "s12_keyset_page" -> s"SELECT $projSql FROM orders ORDER BY o_custkey, o_orderkey LIMIT 20 OFFSET 40",
       "s9_topk" -> ("SELECT o_orderkey, round(o_totalprice, 2) AS price FROM " +
         "(SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 50) t ORDER BY o_orderkey"),
       "s10_filter_scan" -> s"SELECT $projSql FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 50000 ORDER BY o_custkey, o_orderkey",

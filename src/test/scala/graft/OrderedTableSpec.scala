@@ -132,6 +132,29 @@ class OrderedTableSpec extends SparkSuite {
     assert(table.countAll() == model.size)
   }
 
+  test("keyset pagination: resumed pages concatenate to the full scan") {
+    val pageSize = 50
+    var page = got(table.head(pageSize))
+    val all = Seq.newBuilder[String]
+    var guard = 0
+    while (page.nonEmpty && guard < 100) {
+      all ++= page
+      val last = page.last
+      page = got(table.asc(Seq(last.take(3), last.drop(3)), inclusive = false)
+        .limit(pageSize))
+      guard += 1
+    }
+    assert(all.result() == keys)
+  }
+
+  test("toLocalIterator streams the ordered scan like the reference's async iterator") {
+    val it = table.inOrder()
+      .select(concat($"prefix", $"term")).toLocalIterator()
+    val streamed = Seq.newBuilder[String]
+    while (it.hasNext) streamed += it.next().getString(0)
+    assert(streamed.result() == keys)
+  }
+
   test("empty table: every operator returns empty, none throws") {
     val empty = OrderedTable(table.df.limit(0), table.key)
     assert(empty.inOrder().count() == 0)
