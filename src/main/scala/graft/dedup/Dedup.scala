@@ -186,13 +186,20 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup over a vector column: random-hyperplane LSH
-    * buckets (sign bits of h fixed pseudo-random projections) then exact
-    * cosine verify inside buckets — same plan shape as [[simhash]], never
-    * all-pairs.
+    * buckets (sign bits of nPlanes fixed pseudo-random projections) then
+    * exact cosine verify inside buckets — same plan shape as [[simhash]],
+    * never all-pairs.
+    *
+    * Multi-probe: one join side also lands in every bucket at Hamming
+    * distance 1 in sign space (nPlanes extra rows per vector), so a pair
+    * straddling ONE hyperplane is still a candidate — the standard
+    * recall fix for sign-LSH, costing a (nPlanes+1)× row expansion of one
+    * side instead of more tables.
     */
   def embeddingCosine(df: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding", dim: Int = 64,
-                      nPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
+                      nPlanes: Int = 8, threshold: Double = 0.95,
+                      multiProbe: Boolean = true): DataFrame = {
     val planes = RandomPlanes.planes(nPlanes, dim)
     val sigExpr = planes.zipWithIndex.map { case (p, i) =>
       val dot = gf.dot_f(col(vecCol), array(p.map(v => lit(v)): _*))
@@ -201,11 +208,17 @@ object Dedup {
     val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigExpr.as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sk.select(col("bucket"), col("id").as("idA"), col("v").as("vA"))
-    val b = sk.select(col("bucket"), col("id").as("idB"), col("v").as("vB"))
+    val bBuckets =
+      if (!multiProbe) array(col("bucket"))
+      else array(col("bucket") +:
+        (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
+    val b = sk.select(explode(bBuckets).as("bucket"),
+      col("id").as("idB"), col("v").as("vB"))
     a.join(b, Seq("bucket")).filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         gf.cosine_sim(col("vA"), col("vB")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
   }
 }
 

@@ -77,15 +77,24 @@ class PipelineSpec extends SparkSuite {
     assert(survivors.size == 40)
   }
 
-  test("embedding cosine near-dup finds a planted near vector") {
+  test("embedding cosine near-dup finds planted near vectors; multi-probe ⊇ single-probe") {
     val dim = 16
     def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() - 0.5f)
     val vs = (0 until 30).map(i => (i.toLong, v()))
-    val near = (99L, vs(4)._2.map(x => x + 0.001f))
-    val df = (vs :+ near).toDF("vec_id", "embedding")
-    val found = Dedup.embeddingCosine(df, dim = dim, threshold = 0.99)
+    // plant near-dups with enough noise that some cross one hyperplane
+    val planted = (0 until 10).map { j =>
+      (200L + j, vs(j)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    val df = (vs ++ planted).toDF("vec_id", "embedding")
+    val multi = Dedup.embeddingCosine(df, dim = dim, threshold = 0.97)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
-    assert(found.contains((4L, 99L)))
+    val single = Dedup.embeddingCosine(df, dim = dim, threshold = 0.97,
+      multiProbe = false).select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi), "multi-probe must not lose candidates")
+    val expected = (0 until 10).map(j => (j.toLong, 200L + j)).toSet
+    val multiHits = expected.intersect(multi).size
+    assert(multiHits >= 8, s"multi-probe recall too low: $multiHits/10")
+    assert(multiHits >= expected.intersect(single).size)
   }
 
   test("brute-force top-k: self is rank 1; ivf probe overlaps brute force") {
