@@ -141,6 +141,37 @@ object EventStreams {
         col("signup_ts"), col("click_ts"))
   }
 
+  /** Stream into the versioned KV store: every micro-batch executes one
+    * upsert batch against the latest snapshot and records the new version
+    * in the temporal log — the engine's incremental-snapshot model
+    * applied to streaming ingest (the reference's closest streaming
+    * analogue: each `save()` is a new queryable version, SURVEY §2.9 /
+    * `TemporalIndex.scala:21-27`). Readers keep seeing consistent frozen
+    * snapshots while the stream commits; time travel works per batch.
+    *
+    * Returns the StreamingQuery; caller manages its lifecycle.
+    */
+  def streamIntoIndex(stream: DataFrame, store: graft.core.SnapshotStore,
+                      indexId: String, keyCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.core._
+        if (!batch.isEmpty) {
+          val tx = s"stream-batch-$batchId"
+          val m = if (!store.exists(indexId)) {
+            KVIndex.bootstrap(store, indexId, batch, keyCols, txVersion = tx)
+              .fold(e => sys.error(e.message), _.manifest)
+          } else {
+            val ix = KVIndex.open(store, indexId).fold(e => sys.error(e.message), identity)
+            ix.execute(Seq(Command.Insert(batch, upsert = true)), tx).orThrow
+          }
+          store.recordSnapshot(indexId, m.version)
+        }
+        ()
+      }
+      .start()
+
   /** Open the events table as a file stream (schema from the batch read) —
     * the readStream entry point. Normalizes a nanos-as-long `ts` column
     * back to a timestamp like the batch loader.

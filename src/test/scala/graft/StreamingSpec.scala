@@ -53,6 +53,31 @@ class StreamingSpec extends SparkSuite {
     assert(sess.toSeq == Seq((1L, 1L, 3L, 6.0), (1L, 2L, 2L, 9.0), (2L, 1L, 1L, 10.0)))
   }
 
+  test("streaming ingest into the versioned store: one snapshot per batch, time travel works") {
+    import graft.core._
+    val store = new SnapshotStore(tmpDir("graft-stream-store"), spark)
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.streamIntoIndex(
+      input.toDF().select($"event_id", $"event_type", $"value"),
+      store, "ev", Seq("event_id"))
+    try {
+      input.addData(ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      val v1 = KVIndex.open(store, "ev").toOption.get
+      assert(v1.count == 2)
+      input.addData(ev(3, 2), ev(1, 3, tpe = "click")) // 1 new + 1 upsert
+      q.processAllAvailable()
+      val v2 = KVIndex.open(store, "ev").toOption.get
+      assert(v2.count == 3)
+      assert(v2.df.filter($"event_id" === 1).select("event_type").as[String].head() == "click")
+      // the first batch's snapshot is still intact (snapshot isolation)
+      assert(v1.df.count() == 2)
+      assert(v1.df.filter($"event_id" === 1).select("event_type").as[String].head() == "view")
+      // temporal log recorded both versions
+      assert(store.historyLog("ev").size == 2)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes a session when a gap appears") {
     val input = MemoryStream[Event](spark)
     // NoTimeout in the test: ProcessingTimeTimeout makes the engine poll
