@@ -382,6 +382,19 @@ object SparkEntry {
         .select(unix_millis(col("window_start")).as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start", "event_type")),
+    "st_ingest_store" -> ((s, d) => {
+      // stream the events table through the versioned store (one COW
+      // snapshot per micro-batch), then aggregate the final snapshot —
+      // verifies streaming ingest end to end against the oracle
+      val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+      val store = new SnapshotStore(root, s)
+      val stream = EventStreams.readEventStream(s, s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val q = EventStreams.streamIntoIndex(stream, store, "ev", Seq("event_id"))
+      try { q.processAllAvailable() } finally { q.stop() }
+      KVIndex.open(store, "ev").fold(e => sys.error(e.message), identity)
+        .df.agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    }),
     "st_dedup" -> ((s, d) => {
       // batch twin of EventStreams.dedupStream: re-ingest the stream twice,
       // dedup on event_id (duplicate rows are identical, so any survivor
@@ -633,6 +646,7 @@ object SparkEntry {
       "st_stream_live" -> ("SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type, " +
         "count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events " +
         "GROUP BY 1, 2 ORDER BY window_start, event_type"),
+      "st_ingest_store" -> "SELECT count(*) AS n, round(sum(value), 4) AS sum_value FROM events",
       "st_dedup" -> ("WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events) " +
         "SELECT count(*) AS n, round(sum(value), 4) AS sum_value " +
         "FROM (SELECT DISTINCT event_id, value FROM u) t"),
