@@ -393,7 +393,7 @@ object SparkEntry {
       val q = EventStreams.streamIntoIndex(stream, store, "ev", Seq("event_id"))
       try { q.processAllAvailable() } finally { q.stop() }
       KVIndex.open(store, "ev").fold(e => sys.error(e.message), identity)
-        .df.agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .df.agg(count(lit(1)).as("n"), EventStreams.exactCentSum(col("value")).as("sum_value"))
     }),
     "st_dedup" -> ((s, d) => {
       // batch twin of EventStreams.dedupStream: re-ingest the stream twice,
@@ -401,7 +401,7 @@ object SparkEntry {
       // is the right one)
       val e = t(s, d, "events")
       e.unionByName(e).dropDuplicates("event_id")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"), EventStreams.exactCentSum(col("value")).as("sum_value"))
     }),
     "st_interval_join" -> ((s, d) =>
       EventStreams.clickAfterSignup(t(s, d, "events"))
@@ -533,6 +533,9 @@ object SparkEntry {
   // =====================================================================
   def oracleSql: Map[String, String] = {
     val projSql = "o_orderkey, o_custkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS price"
+    // order-independent exact sum of the 2-decimal `value` column (twin of
+    // EventStreams.exactCentSum): integer-cent sum, one final division
+    val centSum = "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
     Map(
       "kv_point" -> "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderkey = 142",
       "kv_range" -> ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders " +
@@ -641,14 +644,14 @@ object SparkEntry {
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_custkey, o_orderkey"),
       "st_window_counts" -> ("SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type, " +
-        "count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events " +
+        s"count(*) AS n_events, $centSum AS sum_value FROM events " +
         "GROUP BY 1, 2 ORDER BY window_start, event_type"),
       "st_stream_live" -> ("SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type, " +
-        "count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events " +
+        s"count(*) AS n_events, $centSum AS sum_value FROM events " +
         "GROUP BY 1, 2 ORDER BY window_start, event_type"),
-      "st_ingest_store" -> "SELECT count(*) AS n, round(sum(value), 4) AS sum_value FROM events",
+      "st_ingest_store" -> s"SELECT count(*) AS n, $centSum AS sum_value FROM events",
       "st_dedup" -> ("WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events) " +
-        "SELECT count(*) AS n, round(sum(value), 4) AS sum_value " +
+        s"SELECT count(*) AS n, $centSum AS sum_value " +
         "FROM (SELECT DISTINCT event_id, value FROM u) t"),
       "st_interval_join" -> ("SELECT c.user_id, c.event_id, epoch_ms(s.ts) AS signup_ms, epoch_ms(c.ts) AS click_ms " +
         "FROM events c JOIN events s ON c.user_id = s.user_id " +
@@ -663,7 +666,7 @@ object SparkEntry {
         "FROM events), s AS (SELECT user_id, ts, value, " +
         "sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM g) " +
         "SELECT user_id, session_no, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms, " +
-        "count(*) AS n_events, round(sum(value), 4) AS sum_value FROM s " +
+        s"count(*) AS n_events, $centSum AS sum_value FROM s " +
         "GROUP BY user_id, session_no ORDER BY user_id, session_no"),
       "dd_exact" -> "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
       "dd_exact_survivors" -> ("SELECT doc_id, lang, n_chars FROM documents " +

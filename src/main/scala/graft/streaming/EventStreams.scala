@@ -21,6 +21,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Order-independent exact sum of a 2-decimal double column: scale to
+    * integer cents (bit-identical in any IEEE engine), sum as long (exact,
+    * associative), divide once at the end. Double summation order varies
+    * with partitioning, so a plain `sum(double)` isn't reproducible across
+    * runs/engines at hash-compare precision; this is.
+    */
+  private[graft] def exactCentSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (sum(floor(c * 100 + 0.5).cast("long")).cast("double") / 100.0)
+
   /** Tumbling event-time window aggregate with late-data watermark.
     * State is bounded: watermark evicts windows older than `lateness`.
     */
@@ -29,7 +38,7 @@ object EventStreams {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), exactCentSum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -109,7 +118,7 @@ object EventStreams {
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_no"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        count(lit(1)).as("n_events"), exactCentSum(col("value")).as("sum_value"))
   }
 
   /** Streaming deduplication: drop events with a duplicate `idCol` whose
