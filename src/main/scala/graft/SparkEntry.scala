@@ -524,7 +524,29 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"),
           round(element_at(col("feature"), 1), 4).as("f0"))
         .orderBy("media_id")
-    })
+    }),
+    // frame-sampling plumbing: the chunking/sampling math is deterministic
+    // byte arithmetic, so this one IS oracle-verifiable (only the decode
+    // inside each frame is stubbed)
+    "mm_frame_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        s, docs.withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "video")
+      graft.multimodal.Multimodal.frameSample(media, everyNth = 2, frameBytes = 64)
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+          col("frame_bytes").cast("long").as("frame_bytes"))
+        .orderBy("media_id", "frame_no")
+    }),
+
+    // ---- deterministic sampling (reproducible subsets at any scale) ----
+    "samp_bernoulli" -> ((s, d) =>
+      graft.pipeline.Sampling.bernoulli(t(s, d, "documents"), "doc_id", 10)
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))),
+    "samp_stratified" -> ((s, d) =>
+      graft.pipeline.Sampling.stratified(t(s, d, "documents"), "lang", "doc_id", 3)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy("lang", "rn"))
   )
 
   // =====================================================================
@@ -716,7 +738,16 @@ object SparkEntry {
         "WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr' " +
         "WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es' " +
         "WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en' " +
-        "ELSE 'de' END AS pred_lang FROM s ORDER BY doc_id")
+        "ELSE 'de' END AS pred_lang FROM s ORDER BY doc_id"),
+      "mm_frame_sample" -> ("WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents), " +
+        "f AS (SELECT media_id, len, unnest(range(0, greatest(len // 64, 1), 2)) AS frame_no FROM m) " +
+        "SELECT media_id, frame_no, least(len - frame_no * 64, 64) AS frame_bytes FROM f " +
+        "ORDER BY media_id, frame_no"),
+      "samp_bernoulli" -> ("SELECT count(*) AS n, sum(n_chars) AS chars FROM documents " +
+        "WHERE (doc_id * 2654435761) % 100 < 10"),
+      "samp_stratified" -> ("SELECT lang, doc_id, rn FROM (SELECT lang, doc_id, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn " +
+        "FROM documents) t WHERE rn <= 3 ORDER BY lang, rn")
     )
   }
 }

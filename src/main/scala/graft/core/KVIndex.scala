@@ -370,14 +370,19 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val after = files.drop(math.max(idx, 0) + 1)
     val need = (half - before.map(_.rows).sum).toInt
     val one = store.readFiles(Seq(straddle.path), manifest)
-    val sortedOne = one.orderBy(key.sortCols(false): _*)
-    // exact split key = last key of the left part within the straddling file
-    val leftPart = sortedOne.limit(need)
-    val rightPart = sortedOne.exceptAll(leftPart) // same file, exact complement
+    // rank within the ONE straddling file (bounded by maxRowsPerFile, so a
+    // single-partition window is fine) and cut at `need` — an exact
+    // complement without exceptAll's join/shuffle
+    val w = org.apache.spark.sql.expressions.Window.orderBy(key.sortCols(false): _*)
+    val ranked = one.withColumn("__rn", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val leftPart = ranked.filter(col("__rn") <= need).drop("__rn")
+    val rightPart = ranked.filter(col("__rn") > need).drop("__rn")
     val (_, leftNew) =
       if (need > 0) store.writeData(leftId, leftPart, key, 1)
       else ("", Seq.empty[FileEntry])
     val (_, rightNew) = store.writeData(rightId, rightPart, key, 1)
+    ranked.unpersist()
     def mk(id: String, fs: Seq[FileEntry]) = SnapshotManifest(id, 0L,
       UUID.randomUUID().toString, manifest.keyCols, manifest.valueCols,
       fs.map(_.rows).sum, manifest.maxNItems, manifest.lastChangeVersion,

@@ -100,7 +100,12 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleLen: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val cands = minhashLsh(df, idCol, textCol, shingleLen, threshold = 0.0)
+    // prefilter candidates on the 64-hash MinHash estimate with generous
+    // slack (est is within ±0.2 of true Jaccard at >3 sigma): pairs far
+    // below threshold never reach the exact-verify join, which otherwise
+    // shuffles full shingle arrays for every band-sharing pair
+    val cands = minhashLsh(df, idCol, textCol, shingleLen,
+      threshold = math.max(0.0, threshold - 0.2))
     val sets = df.select(col(idCol).as("id"),
       gf.shingle_hashes(col(textCol), shingleLen).as("sh"))
     cands
@@ -125,11 +130,15 @@ object Dedup {
     // paying per-iteration job overhead; the distributed label
     // propagation below is the >10^6-pairs path.
     val spark = pairs.sparkSession
-    val nPairs = pairs.limit((driverLimit + 1).toInt).count()
+    // the pair plan is usually an LSH self-join — persist so the size probe
+    // and the subsequent consumption don't run it twice
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p.limit((driverLimit + 1).toInt).count()
     if (nPairs <= driverLimit) {
       import spark.implicits._
-      val es = pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
+      val es = p.select(col(idACol).cast("long"), col(idBCol).cast("long"))
         .as[(Long, Long)].collect()
+      p.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -145,8 +154,8 @@ object Dedup {
       }
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
     }
-    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+    val edges = p.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(p.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -171,6 +180,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 

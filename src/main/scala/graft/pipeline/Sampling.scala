@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling operators for a training-data pipeline.
+  *
+  * Both use a multiplicative (Knuth) hash of the row id instead of `rand()`:
+  * the sample is reproducible across runs, engines, partitionings and
+  * cluster sizes — the property a 100 TB pipeline needs so a re-run (or an
+  * audit in another engine) selects the identical subset. The reference
+  * pins determinism the same way wherever it matters (seeded ids,
+  * `IdGenerator.scala:3-10`); `rand()`-based sampling would make every
+  * retry of a failed task select different rows.
+  *
+  * Scale notes: [[bernoulli]] is a pure filter — no shuffle, fully pushed
+  * into the scan. [[stratified]] shuffles once on the stratum key; a
+  * hot stratum concentrates on one reducer while ranking, so for strata
+  * with billions of rows pre-filter with [[bernoulli]] to a bounded
+  * candidate pool first (two-phase sampling), keeping the window input
+  * per group small.
+  */
+object Sampling {
+
+  /** Knuth's multiplicative hash constant (2^32 / phi). */
+  val Knuth = 2654435761L
+
+  /** Deterministic pseudo-random position of an id in [0, m). */
+  def hashMod(id: Column, m: Long): Column =
+    pmod(id.cast("long") * lit(Knuth), lit(m))
+
+  /** Deterministic Bernoulli sample: keeps ~`pct`% of rows, always the
+    * same ones. A pure filter — no shuffle, codegen'd, pushable.
+    */
+  def bernoulli(df: DataFrame, idCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100)
+    df.filter(hashMod(col(idCol), 100L) < pct)
+  }
+
+  /** Stratified sample: `n` rows per `stratumCol` group, picked in
+    * deterministic pseudo-random order (hash of the id, id tiebreak).
+    * Adds the within-stratum pick rank as `rn` (1-based).
+    */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashMod(col(idCol), 1L << 32), col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+  }
+}
