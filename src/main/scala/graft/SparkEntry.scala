@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.core.{Command, KVIndex, KeySpec, OrderedTable, SnapshotStore}
 import graft.dedup.Dedup
+import graft.functions.{functions => gf}
 import graft.similarity.Similarity
 import graft.streaming.EventStreams
 import graft.text.TextAnalysis
@@ -447,6 +448,49 @@ object SparkEntry {
       Dedup.embeddingCosine(t(s, d, "embeddings"), threshold = 0.9)
         .agg(count(lit(1)).as("n_pairs"),
           round(avg(col("cosine")), 4).as("avg_cosine"))),
+    // exact all-pairs n-gram Jaccard on a bounded id range: pins the FNV
+    // shingle + sorted-merge kernel to textbook string-shingle Jaccard
+    // (ratio of integer set sizes — bit-identical across engines), with a
+    // full DuckDB oracle; the LSH-accelerated path above stays rows-only
+    "dd_jaccard_pairs" -> ((s, d) => {
+      val sub = t(s, d, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id").as("id"), gf.shingle_hashes(col("text"), 3).as("sh"))
+      val a = sub.select(col("id").as("idA"), col("sh").as("shA"))
+      val b = sub.select(col("id").as("idB"), col("sh").as("shB"))
+      a.join(b, col("idA") < col("idB"))
+        .select(col("idA"), col("idB"),
+          round(gf.jaccard_sorted(col("shA"), col("shB")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.015)
+        .orderBy("idA", "idB")
+    }),
+    // exact all-pairs cosine on a bounded id range — the oracle-verified
+    // twin of the sign-LSH near-dup path (dd_embed_cosine)
+    "dd_cosine_pairs" -> ((s, d) => {
+      val sub = t(s, d, "embeddings").filter(col("vec_id") < 150)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val a = sub.select(col("id").as("idA"), col("v").as("vA"))
+      val b = sub.select(col("id").as("idB"), col("v").as("vB"))
+      a.join(b, col("idA") < col("idB"))
+        .select(col("idA"), col("idB"),
+          round(gf.cosine_sim(col("vA"), col("vB")), 4).as("cosine"))
+        .filter(col("cosine") >= 0.35)
+        .orderBy("idA", "idB")
+    }),
+    // connected components through the DISTRIBUTED min-label-propagation
+    // path (driverLimit=0 disables the driver union-find shortcut). Edges
+    // are consecutive-id chains inside fixed-size id blocks, so components
+    // have diameter 7 at EVERY scale factor and the cluster label is
+    // SQL-expressible: min(doc_id) of the block
+    "dd_cluster_chain" -> ((s, d) => {
+      val w = Window.partitionBy(expr("doc_id div 8")).orderBy("doc_id")
+      val edges = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("idA"), col("doc_id").as("idB"))
+      Dedup.clusters(edges, driverLimit = 0L)
+        .select(col("id").cast("long").as("id"), col("label").cast("long").as("label"))
+        .orderBy("id")
+    }),
 
     // ---- training-data pipeline: similarity search ----
     "sim_topk" -> ((s, d) => {
@@ -739,6 +783,25 @@ object SparkEntry {
         "WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es' " +
         "WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en' " +
         "ELSE 'de' END AS pred_lang FROM s ORDER BY doc_id"),
+      "dd_jaccard_pairs" -> ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk " +
+        "FROM documents WHERE doc_id < 80), " +
+        "sh AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk)-1)]) AS ss " +
+        "FROM toks WHERE len(tk) >= 3), " +
+        "p AS (SELECT a.doc_id AS idA, b.doc_id AS idB, " +
+        "round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE), 4) AS jaccard " +
+        "FROM sh a, sh b WHERE a.doc_id < b.doc_id) " +
+        "SELECT idA, idB, jaccard FROM p WHERE jaccard >= 0.015 ORDER BY idA, idB"),
+      "dd_cosine_pairs" -> ("WITH e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i " +
+        "FROM embeddings WHERE vec_id < 150), " +
+        "s AS (SELECT a.vec_id AS idA, b.vec_id AS idB, " +
+        "SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot, " +
+        "SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS na, " +
+        "SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS nb " +
+        "FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2), " +
+        "p AS (SELECT idA, idB, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine FROM s) " +
+        "SELECT idA, idB, cosine FROM p WHERE cosine >= 0.35 ORDER BY idA, idB"),
+      "dd_cluster_chain" -> ("SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id // 8) AS label FROM documents " +
+        "QUALIFY count(*) OVER (PARTITION BY doc_id // 8) >= 2 ORDER BY id"),
       "mm_frame_sample" -> ("WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents), " +
         "f AS (SELECT media_id, len, unnest(range(0, greatest(len // 64, 1), 2)) AS frame_no FROM m) " +
         "SELECT media_id, frame_no, least(len - frame_no * 64, 64) AS frame_bytes FROM f " +
