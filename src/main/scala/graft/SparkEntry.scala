@@ -453,7 +453,10 @@ object SparkEntry {
     // (ratio of integer set sizes — bit-identical across engines), with a
     // full DuckDB oracle; the LSH-accelerated path above stays rows-only
     "dd_jaccard_pairs" -> ((s, d) => {
+      // mirror the oracle's len(tk) >= 3 filter: for 1-2-token docs the
+      // shingler emits one partial shingle where the oracle emits none
       val sub = t(s, d, "documents").filter(col("doc_id") < 80)
+        .filter(size(gf.ws_tokens(col("text"))) >= 3)
         .select(col("doc_id").as("id"), gf.shingle_hashes(col("text"), 3).as("sh"))
       val a = sub.select(col("id").as("idA"), col("sh").as("shA"))
       val b = sub.select(col("id").as("idB"), col("sh").as("shB"))
@@ -599,6 +602,13 @@ object SparkEntry {
   // =====================================================================
   def oracleSql: Map[String, String] = {
     val projSql = "o_orderkey, o_custkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS price"
+    // (id * 2654435761) mod 2^32 via 16-bit limbs — overflow-free twin of
+    // graft.pipeline.Sampling.hashMod (raw product overflows BIGINT for
+    // ids > ~3.46e9 on both engines)
+    def knuthHash(e: String): String = {
+      val id32 = s"(($e) % 4294967296)"
+      s"(((((($id32 // 65536) * 2654435761) % 65536) * 65536) + ((($id32 % 65536) * 2654435761) % 4294967296)) % 4294967296)"
+    }
     // order-independent exact sum of the 2-decimal `value` column (twin of
     // EventStreams.exactCentSum): integer-cent sum, one final division
     val centSum = "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
@@ -807,9 +817,9 @@ object SparkEntry {
         "SELECT media_id, frame_no, least(len - frame_no * 64, 64) AS frame_bytes FROM f " +
         "ORDER BY media_id, frame_no"),
       "samp_bernoulli" -> ("SELECT count(*) AS n, sum(n_chars) AS chars FROM documents " +
-        "WHERE (doc_id * 2654435761) % 100 < 10"),
+        s"WHERE ${knuthHash("doc_id")} % 100 < 10"),
       "samp_stratified" -> ("SELECT lang, doc_id, rn FROM (SELECT lang, doc_id, " +
-        "row_number() OVER (PARTITION BY lang ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn " +
+        s"row_number() OVER (PARTITION BY lang ORDER BY ${knuthHash("doc_id")}, doc_id) AS rn " +
         "FROM documents) t WHERE rn <= 3 ORDER BY lang, rn")
     )
   }

@@ -24,8 +24,13 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  buckets: Int): DataFrame = {
     require(buckets > 0)
+    // salt from row CONTENT, not monotonically_increasing_id(): the latter
+    // changes on task re-execution after a fetch failure, silently losing or
+    // duplicating join rows on recovery. Content-hash is retry-deterministic;
+    // the trade is that bit-identical duplicate rows share a bucket (fine —
+    // they'd match the same right rows anyway).
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -27,20 +27,28 @@ final case class KeySpec(cols: Seq[String]) {
 
   /** Lexicographic composite (k1..kn) > (v1..vn):
     * k1>v1 OR (k1=v1 AND k2>v2) OR ... Strict; `orEq` makes it >=.
+    *
+    * Null key components sort FIRST (null < every non-null value), matching
+    * both [[KeyOrd]] and Spark's `asc` sort order, so predicate scans and
+    * the manifest-pruning comparator agree on rows/bounds containing nulls.
+    * The literal side is known at build time, so the null cases compile to
+    * plain `IsNotNull`/`false` — still pushdown-friendly: for a null
+    * literal, column > null ⇔ column IS NOT NULL; column < null ⇔ false;
+    * for a non-null literal, column < v must ALSO admit null columns
+    * (null sorts below v), which `c < v` alone would reject.
     */
   def gtKey(k: Seq[Any], orEq: Boolean = false): Column =
-    cmpKey(k, (c, v) => c > v, orEq)
+    cmpKey(k, (c, v) => if (v == null) c.isNotNull else c > lit(v), orEq)
 
   def ltKey(k: Seq[Any], orEq: Boolean = false): Column =
-    cmpKey(k, (c, v) => c < v, orEq)
+    cmpKey(k, (c, v) => if (v == null) lit(false) else c.isNull || c < lit(v), orEq)
 
-  private def cmpKey(k: Seq[Any], op: (Column, Column) => Column,
+  private def cmpKey(k: Seq[Any], op: (Column, Any) => Column,
                      orEq: Boolean): Column = {
     require(k.length == cols.length, s"key arity ${k.length} != ${cols.length}")
-    val pairs = cols.zip(k).map { case (c, v) => (col(c), lit(v)) }
-    val strict = pairs.zipWithIndex.map { case ((c, v), i) =>
-      val eqPrefix = pairs.take(i).map { case (pc, pv) => pc <=> pv }
-      (eqPrefix :+ op(c, v)).reduce(_ && _)
+    val strict = cols.zip(k).zipWithIndex.map { case ((c, v), i) =>
+      val eqPrefix = cols.take(i).zip(k).map { case (pc, pv) => col(pc) <=> lit(pv) }
+      (eqPrefix :+ op(col(c), v)).reduce(_ && _)
     }.reduce(_ || _)
     if (orEq) strict || eqKey(k) else strict
   }

@@ -97,15 +97,20 @@ object Dedup {
     * candidate pairs' docs (tiny vs corpus) and compute |A∩B| / |A∪B|
     * exactly with a sorted-merge kernel — no shingle strings, no per-pair
     * hash-set allocation (exact modulo 64-bit hash collisions).
+    *
+    * @param prefilterSlack candidates whose 64-hash MinHash ESTIMATE falls
+    *   below `threshold - prefilterSlack` are dropped before the exact
+    *   verify join (which otherwise shuffles full shingle arrays for every
+    *   band-sharing pair). RECALL BOUND: the estimate's std-dev is
+    *   sqrt(j(1-j)/64) <= 0.0625, so slack 0.25 is 4 sigma — under 1 in
+    *   3x10^4 true at-threshold pairs lost; pass `Double.MaxValue` for
+    *   exact-over-candidates with no prefilter.
     */
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   shingleLen: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // prefilter candidates on the 64-hash MinHash estimate with generous
-    // slack (est is within ±0.2 of true Jaccard at >3 sigma): pairs far
-    // below threshold never reach the exact-verify join, which otherwise
-    // shuffles full shingle arrays for every band-sharing pair
+                   shingleLen: Int = 3, threshold: Double = 0.8,
+                   prefilterSlack: Double = 0.25): DataFrame = {
     val cands = minhashLsh(df, idCol, textCol, shingleLen,
-      threshold = math.max(0.0, threshold - 0.2))
+      threshold = math.max(0.0, threshold - prefilterSlack))
     val sets = df.select(col(idCol).as("id"),
       gf.shingle_hashes(col(textCol), shingleLen).as("sh"))
     cands
@@ -154,32 +159,47 @@ object Dedup {
       }
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
     }
-    val edges = p.select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .union(p.select(col(idBCol).as("src"), col(idACol).as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CRITICAL — lineage truncation. `labels` appears twice per iteration
+    // (once in the union, once in the convergence join); persist() caches
+    // data but NOT the logical plan, so without truncation the analyzed
+    // plan DOUBLES every iteration and the driver wedges re-planning an
+    // exponential tree (this wedged round 3's verify and bench). `pin`
+    // materializes a DataFrame into a cached RDD and re-enters SQL via
+    // createDataFrame, making each iteration's result a plan LEAF — and,
+    // unlike localCheckpoint, hands back the RDD so superseded iterations
+    // can be unpersisted deterministically (at 100 TB, 10 retained copies
+    // of the label table would not be free).
+    import org.apache.spark.storage.StorageLevel
+    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(r, df.schema), r)
+    }
+    val (edges, edgesRdd) = pin(
+      p.select(col(idACol).as("src"), col(idBCol).as("dst"))
+        .union(p.select(col(idBCol).as("src"), col(idACol).as("dst")))
+        .distinct())
+    var (labels, labelsRdd) = pin(
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(neighborLabels)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (next, nextRdd) = pin(
+        labels.unionByName(neighborLabels)
+          .groupBy("id").agg(min(col("label")).as("label")))
       val changed = next.withColumnRenamed("label", "newLabel")
         .join(labels, Seq("id"))
         .filter(col("newLabel") =!= col("label"))
         .limit(1).count() > 0
-      labels.unpersist()
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       converged = !changed
       i += 1
     }
-    edges.unpersist()
+    edgesRdd.unpersist(blocking = false)
     p.unpersist()
     labels
   }

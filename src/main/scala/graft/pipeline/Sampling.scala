@@ -26,9 +26,27 @@ object Sampling {
   /** Knuth's multiplicative hash constant (2^32 / phi). */
   val Knuth = 2654435761L
 
-  /** Deterministic pseudo-random position of an id in [0, m). */
-  def hashMod(id: Column, m: Long): Column =
-    pmod(id.cast("long") * lit(Knuth), lit(m))
+  /** Deterministic pseudo-random position of an id in [0, m).
+    *
+    * Computes `(id * Knuth) mod 2^32 mod m` with half-word (16-bit limb)
+    * arithmetic so no intermediate exceeds 2^48: a raw `id * Knuth` long
+    * multiply throws ArithmeticException under Spark's ANSI mode (and
+    * overflows the DuckDB oracle's BIGINT) once id exceeds ~3.46e9 —
+    * exactly the id range a 100 TB corpus reaches. The mod-2^32 product
+    * depends only on `id mod 2^32`, so this is the same hash for all ids,
+    * not just small ones.
+    */
+  def hashMod(id: Column, m: Long): Column = {
+    require(m > 0 && m <= (1L << 32))
+    val id32 = pmod(id.cast("long"), lit(1L << 32))
+    val a = shiftright(id32, 16)              // high 16 bits, < 2^16
+    val b = id32.bitwiseAND(lit(0xffffL))     // low 16 bits, < 2^16
+    // (a*2^16 + b) * K mod 2^32  =  ((a*K mod 2^16) << 16  +  b*K) mod 2^32
+    val h32 = pmod(
+      shiftleft(pmod(a * lit(Knuth), lit(1L << 16)), 16) + pmod(b * lit(Knuth), lit(1L << 32)),
+      lit(1L << 32))
+    if (m == (1L << 32)) h32 else pmod(h32, lit(m))
+  }
 
   /** Deterministic Bernoulli sample: keeps ~`pct`% of rows, always the
     * same ones. A pure filter — no shuffle, codegen'd, pushable.

@@ -69,6 +69,32 @@ class OrderingConsistencySpec extends SparkSuite {
     assert(sparkOrder.map(i => pairs(i)) == keyOrdOrder.map(i => pairs(i)))
   }
 
+  test("null key components: scan predicates agree with the KeyOrd model") {
+    import graft.core.{KeySpec, OrderedTable}
+    // composite (Long?, String?) keys with ~1/4 nulls per component; nulls
+    // sort FIRST in Spark asc order and in KeyOrd — the scan predicates
+    // (gtKey/ltKey) must select exactly the rows the comparator model says
+    def g(i: Int): java.lang.Long = if (rnd.nextInt(4) == 0) null else java.lang.Long.valueOf(rnd.nextInt(6).toLong)
+    def s(i: Int): String = if (rnd.nextInt(4) == 0) null else rnd.alphanumeric.take(2).mkString
+    val rows = Seq.tabulate(120)(i => (g(i), s(i), i))
+    val df = rows.toDF("a", "b", "i")
+    val tab = OrderedTable(df, KeySpec(Seq("a", "b")))
+    val terms: Seq[Seq[Any]] = Seq(
+      Seq(null, null), Seq(null, "a"), Seq(2L, null), Seq(3L, "m"), Seq(0L, "z"))
+    for (term <- terms; inclusive <- Seq(true, false)) {
+      def model(cmpSign: Int): Set[Int] = rows.collect {
+        case (a, b, i) if {
+          val c = KeyOrd.compare(Seq(a, b), term)
+          (c * cmpSign > 0) || (inclusive && c == 0)
+        } => i
+      }.toSet
+      val gtGot = tab.gt(term, inclusive).select($"i").as[Int].collect().toSet
+      assert(gtGot == model(1), s"gt term=$term inclusive=$inclusive")
+      val ltGot = tab.lt(term, inclusive).select($"i").as[Int].collect().toSet
+      assert(ltGot == model(-1), s"lt term=$term inclusive=$inclusive")
+    }
+  }
+
   test("store catalog lists created indexes") {
     import graft.core.{KVIndex, SnapshotStore}
     val store = new SnapshotStore(tmpDir("graft-cat"), spark)
