@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.core.{Command, KVIndex, KeySpec, OrderedTable, SnapshotStore}
+import graft.core.{Command, FsSnapshotStore, KVIndex, KeySpec, OrderedTable, SnapshotStore}
 import graft.dedup.Dedup
 import graft.functions.{functions => gf}
 import graft.similarity.Similarity
@@ -76,7 +76,7 @@ object SparkEntry {
   private def liStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
     kvCache.getOrElseUpdate(d, {
       val root = java.nio.file.Files.createTempDirectory("graft-kv-entry").toString
-      val store = new SnapshotStore(root, s)
+      val store = new FsSnapshotStore(root, s)
       val ord = t(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val v1 = KVIndex.bootstrap(store, "ord", ord,
@@ -89,6 +89,39 @@ object SparkEntry {
       val v2 = res.orThrow
       store.recordSnapshot("ord", v2.version, ts = 2000L)
       (store, new KVIndex(store, v2))
+    })
+
+  /** Binary-keyed index — the reference's CANONICAL key type is
+    * unsigned-lexicographic `Bytes` (reference `package.scala:39-42`; every
+    * `MainSpec`/`QueriesRandomSpec` workload runs byte keys). Key layout
+    * `status '/' zero-padded orderkey` makes the byte order equal the
+    * (status, orderkey) order, so a byte-range scan is SQL-expressible.
+    */
+  private val bytesCache = scala.collection.concurrent.TrieMap[String, KVIndex]()
+  private def bytesStore(s: SparkSession, d: String): KVIndex =
+    bytesCache.getOrElseUpdate(d, {
+      val root = java.nio.file.Files.createTempDirectory("graft-kv-bytes").toString
+      val store = new FsSnapshotStore(root, s)
+      val df = t(s, d, "orders").select(
+        encode(concat(col("o_orderstatus"), lit("/"),
+          lpad(col("o_orderkey").cast("string"), 12, "0")), "UTF-8").as("bk"),
+        col("o_totalprice"))
+      KVIndex.bootstrap(store, "bord", df, Seq("bk"))
+        .fold(e => sys.error(e.message), identity)
+    })
+
+  /** orders keyed (o_custkey, o_orderkey) in the store — backs the REAL
+    * library split for u2_split (median via manifest cumulative counts,
+    * one file read — not a global window).
+    */
+  private val ckCache = scala.collection.concurrent.TrieMap[String, KVIndex]()
+  private def ckStore(s: SparkSession, d: String): KVIndex =
+    ckCache.getOrElseUpdate(d, {
+      val root = java.nio.file.Files.createTempDirectory("graft-kv-ck").toString
+      val store = new FsSnapshotStore(root, s)
+      val df = t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      KVIndex.bootstrap(store, "ordck", df, Seq("o_custkey", "o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
     })
 
   // =====================================================================
@@ -125,6 +158,28 @@ object SparkEntry {
         lm.files.head.min.head.asInstanceOf[Long],
         lm.files.last.max.head.asInstanceOf[Long]))
         .toDF("n_left", "n_right", "left_min", "left_max")
+    }),
+    // binary (Array[Byte]) keys END TO END: bootstrap → manifest stats with
+    // byte-range min/max → pruned range scan, all on unsigned-lex BinaryType
+    "kv_bytes_range" -> ((s, d) => {
+      val ix = bytesStore(s, d)
+      // all keys with status 'O': ["O/", "O0") — '0' is '/'+1 in ASCII
+      ix.range(Seq("O/".getBytes("UTF-8")), Seq("O0".getBytes("UTF-8")),
+          incFrom = true, incTo = false)
+        .select(hex(col("bk")).as("key_hex"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("key_hex")
+    }),
+    // getAll(mustFindAll=true) KEY_NOT_FOUND path — reference
+    // `GetMultipleKeysSpec.scala:203-222`: one absent key fails the batch
+    // and reports the miss count, found rows still enumerable
+    "kv_getall_missing" -> ((s, d) => {
+      import s.implicits._
+      val (_, ix) = liStore(s, d)
+      val r = ix.getAll(Seq(Seq(1L), Seq(2L), Seq(999999999L)), mustFindAll = true)
+      Seq((r.error.map(_.code).getOrElse(""), r.missing,
+        if (r.success) 1L else 0L, r.found.count()))
+        .toDF("code", "missing", "ok", "n_found")
     }),
     "kv_temporal" -> ((s, d) => {
       val (store, _) = liStore(s, d)
@@ -233,12 +288,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("checksum"))
     }),
     "u2_split" -> ((s, d) => {
-      val df = t(s, d, "orders")
-      val w = Window.orderBy(col("o_custkey"), col("o_orderkey"))
-      val total = df.count()
-      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= total / 2)
-        .agg(count(lit(1)).as("n"), min(col("o_custkey")).as("min_ck"),
-          max(col("o_custkey")).as("max_ck"))
+      import s.implicits._
+      // the REAL library split on a (custkey, orderkey)-keyed index: the
+      // median is located via manifest cumulative row counts and ONE file
+      // read (KVIndex.split) — no global single-reducer window. The left
+      // half's stats come straight off its manifest: numElements, first
+      // file's min key, last file's max key (files are range-sorted).
+      val ix = ckStore(s, d)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val (lm, _) = ix.split(s"u2l_$tag", s"u2r_$tag")
+        .fold(e => sys.error(e.message), identity)
+      Seq((lm.numElements,
+        lm.files.head.min.head.asInstanceOf[Long],
+        lm.files.last.max.head.asInstanceOf[Long]))
+        .toDF("n", "min_ck", "max_ck")
     }),
 
     // ---- §2.8 temporal ----
@@ -388,7 +451,7 @@ object SparkEntry {
       // snapshot per micro-batch), then aggregate the final snapshot —
       // verifies streaming ingest end to end against the oracle
       val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
-      val store = new SnapshotStore(root, s)
+      val store = new FsSnapshotStore(root, s)
       val stream = EventStreams.readEventStream(s, s"$d/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       val q = EventStreams.streamIntoIndex(stream, store, "ev", Seq("event_id"))
@@ -662,6 +725,12 @@ object SparkEntry {
       "u2_split" -> ("WITH ranked AS (SELECT o_custkey, row_number() OVER (ORDER BY o_custkey, o_orderkey) AS rn, " +
         "count(*) OVER () AS total FROM orders) " +
         "SELECT count(*) AS n, min(o_custkey) AS min_ck, max(o_custkey) AS max_ck FROM ranked WHERE rn <= total // 2"),
+      "kv_bytes_range" -> ("SELECT hex(encode(o_orderstatus || '/' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0'))) AS key_hex, " +
+        "round(o_totalprice, 2) AS price FROM orders WHERE o_orderstatus = 'O' ORDER BY key_hex"),
+      "kv_getall_missing" -> ("SELECT 'KEY_NOT_FOUND' AS code, " +
+        "(SELECT count(*) FROM (VALUES (1), (2), (999999999)) p(k) WHERE k NOT IN (SELECT o_orderkey FROM orders)) AS missing, " +
+        "CAST(0 AS BIGINT) AS ok, " +
+        "(SELECT count(*) FROM (VALUES (1), (2), (999999999)) p(k) WHERE k IN (SELECT o_orderkey FROM orders)) AS n_found"),
       "t3_floor_lookup" -> ("SELECT user_id, epoch_ms(max(ts)) AS last_ts, count(*) AS n_before FROM events " +
         "WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id ORDER BY user_id"),
       "t5_asof_join" -> ("SELECT e.event_id AS err_id, e.user_id, epoch_ms(max(s.ts)) AS asof_ts " +

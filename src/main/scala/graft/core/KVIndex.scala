@@ -324,7 +324,6 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     else {
       val m = manifest.copy(id = newId, version = 0L,
         snapshotId = UUID.randomUUID().toString)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store.root, newId))
       Right(store.commit(m, -1L))
     }
   }
@@ -347,8 +346,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     require(disjoint, "merge requires disjoint key ranges")
     val m = SnapshotManifest(newId, 0L, UUID.randomUUID().toString,
       a.keyCols, a.valueCols, total, a.maxNItems, a.lastChangeVersion,
-      (a.files ++ b.files).sortBy(_.min)(KeyOrd))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store.root, newId))
+      (a.files ++ b.files).sortBy(_.min)(KeyOrd), a.colTypes)
     Right(store.commit(m, -1L))
   }
 
@@ -386,11 +384,9 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     def mk(id: String, fs: Seq[FileEntry]) = SnapshotManifest(id, 0L,
       UUID.randomUUID().toString, manifest.keyCols, manifest.valueCols,
       fs.map(_.rows).sum, manifest.maxNItems, manifest.lastChangeVersion,
-      fs.sortBy(_.min)(KeyOrd))
+      fs.sortBy(_.min)(KeyOrd), manifest.colTypes)
     val lm = mk(leftId, before ++ leftNew)
     val rm = mk(rightId, rightNew ++ after)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store.root, leftId))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store.root, rightId))
     Right((store.commit(lm, -1L), store.commit(rm, -1L)))
   }
 }
@@ -404,7 +400,10 @@ object KVIndex {
                 maxNItems: Long = -1L,
                 txVersion: String = UUID.randomUUID().toString,
                 maxRowsPerFile: Long = 1L << 19): Either[GraftError, KVIndex] = {
-    store.createIndex(id, keyCols, df.columns.filterNot(c => keyCols.contains(c) || c == "version").toSeq, maxNItems) match {
+    val valueColNames = df.columns.filterNot(c => keyCols.contains(c) || c == "version").toSeq
+    // record per-column DDL types so an empty snapshot still reads typed
+    val colTypes = (keyCols ++ valueColNames).map(c => df.schema(c).dataType.sql)
+    store.createIndex(id, keyCols, valueColNames, maxNItems, colTypes) match {
       case Left(e) => Left(e)
       case Right(m0) =>
         val valueCols = m0.valueCols

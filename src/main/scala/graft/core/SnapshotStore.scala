@@ -4,8 +4,11 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType, StringType}
+import org.apache.spark.storage.StorageLevel
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -23,6 +26,12 @@ final case class FileEntry(path: String, rows: Long,
   * frozen snapshot forever: files are immutable and shared across snapshots
   * (file-granular copy-on-write replaces the reference's block-granular COW
   * path copy, `Index.scala:137-160`).
+  *
+  * `colTypes` records the Spark DDL type of each `keyCols ++ valueCols`
+  * column so a ZERO-file snapshot still reads as a correctly-typed empty
+  * DataFrame (the reference returns empty results, never errors, on empty
+  * index reads); empty = unknown (legacy manifests), read falls back to
+  * string columns.
   */
 final case class SnapshotManifest(
     id: String,                 // index id
@@ -33,7 +42,8 @@ final case class SnapshotManifest(
     numElements: Long,          // O(1) count, reference Index.scala:899
     maxNItems: Long,            // capacity before split; -1 = unbounded
     lastChangeVersion: String,  // tx id of last writer, reference Context.scala:20
-    files: Seq[FileEntry]) {
+    files: Seq[FileEntry],
+    colTypes: Seq[String] = Nil) {
 
   def keySpec: KeySpec = KeySpec(keyCols)
   def isEmpty: Boolean = numElements == 0
@@ -57,6 +67,7 @@ object SnapshotManifest {
     case d: BigDecimal => JDecimal(d)
     case d: java.sql.Date => JObject("$date" -> JString(d.toString))
     case t: java.sql.Timestamp => JObject("$ts" -> JInt(BigInt(t.getTime)))
+    case b: Array[Byte] => JObject("$bin" -> JString(java.util.Base64.getEncoder.encodeToString(b)))
     case other => JString(other.toString)
   }
 
@@ -69,6 +80,7 @@ object SnapshotManifest {
     case JBool(b) => b
     case JObject(List(("$date", JString(s)))) => java.sql.Date.valueOf(s)
     case JObject(List(("$ts", JInt(ms)))) => new java.sql.Timestamp(ms.toLong)
+    case JObject(List(("$bin", JString(s)))) => java.util.Base64.getDecoder.decode(s)
     case other => JsonMethods.compact(JsonMethods.render(other))
   }
 
@@ -85,14 +97,18 @@ object SnapshotManifest {
       "numElements" -> JInt(BigInt(m.numElements)),
       "maxNItems" -> JInt(BigInt(m.maxNItems)),
       "lastChangeVersion" -> JString(m.lastChangeVersion),
-      "files" -> files)))
+      "files" -> files,
+      "colTypes" -> JArray(m.colTypes.map(JString(_)).toList))))
   }
 
   def fromJson(s: String): SnapshotManifest = {
     val j = JsonMethods.parse(s)
     def str(f: String) = (j \ f).asInstanceOf[JString].s
     def lng(f: String) = (j \ f).asInstanceOf[JInt].num.toLong
-    def strs(f: String) = (j \ f).asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s)
+    def strs(f: String) = (j \ f) match {
+      case JArray(arr) => arr.map(_.asInstanceOf[JString].s)
+      case _ => Nil // colTypes absent in legacy manifests
+    }
     val files = (j \ "files").asInstanceOf[JArray].arr.map { fj =>
       FileEntry(
         (fj \ "path").asInstanceOf[JString].s,
@@ -102,7 +118,7 @@ object SnapshotManifest {
     }
     SnapshotManifest(str("id"), lng("version"), str("snapshotId"),
       strs("keyCols"), strs("valueCols"), lng("numElements"),
-      lng("maxNItems"), str("lastChangeVersion"), files)
+      lng("maxNItems"), str("lastChangeVersion"), files, strs("colTypes"))
   }
 }
 
@@ -146,112 +162,266 @@ object KeyOrd extends Ordering[Seq[Any]] {
   }
 }
 
-/** Filesystem-backed snapshot catalog — the `Storage` equivalent
-  * (reference `Storage.scala:7-33`; `MemoryStorage.scala` /
-  * `CassandraStorage.scala` are the reference's two backends, here a single
-  * FS/HadoopFS one since parquet already handles the block layer IO4 that the
-  * reference hand-rolls with protobuf+LZ4, `GrpcByteSerializer.scala:19-63`).
+/** Snapshot catalog + data layer — the `Storage` equivalent
+  * (reference `Storage.scala:7-33`). The catalog/commit/temporal/vacuum
+  * logic is backend-independent and lives here, expressed over a handful of
+  * small control-plane (text files under `root`) and data-plane (columnar
+  * file sets) primitives; [[FsSnapshotStore]] and [[MemorySnapshotStore]]
+  * are the two backends, mirroring the reference's `CassandraStorage` /
+  * `MemoryStorage` pair.
   *
-  * Layout under `root`:
+  * Layout under `root` (relative control paths):
   * {{{
-  *   <indexId>/LATEST                    -> "v<version>" (atomic rename commit)
+  *   <indexId>/LATEST                    -> "v<version>" (atomic swap commit)
   *   <indexId>/v<version>.manifest.json
   *   <indexId>/history.jsonl             -> temporal log (ts -> version)
-  *   <indexId>/data/<snapshotId>/part-N.parquet
+  *   <indexId>/data/<snapshotId>/part-N  -> data files (parquet on FS)
   * }}}
   *
   * Commit protocol (reference single-writer `used` flag, `Index.scala:1012`,
-  * and snapshot isolation `readme.md:4`): a writer commits by writing the new
-  * manifest then atomically renaming a temp LATEST; the rename only succeeds
-  * logically if the parent version it read is still current (checked under a
-  * JVM-level lock per index; on a real cluster this would be a storage CAS,
-  * e.g. HDFS rename-no-overwrite of v<n>.manifest.json itself, which
-  * also fails if v<n> exists — we use exactly that: manifest create-new).
+  * and snapshot isolation `readme.md:4`): a writer commits by CREATE_NEW of
+  * `v<n+1>.manifest.json` — only one writer can create a given version (the
+  * storage CAS) — then atomically repointing LATEST.
   */
-final class SnapshotStore(val root: String, val spark: SparkSession) {
+trait SnapshotStore {
+  def root: String
+  def spark: SparkSession
 
-  private def idxDir(id: String): Path = Paths.get(root, id)
+  // ---- control-plane primitives (relative paths under root) ----
+  protected def readText(rel: String): Option[String]
+  /** atomic create-new; throws [[java.nio.file.FileAlreadyExistsException]]
+    * if present — the commit CAS */
+  protected def writeTextCreateNew(rel: String, s: String): Unit
+  protected def writeTextAtomic(rel: String, s: String): Unit
+  protected def appendText(rel: String, s: String): Unit
+  /** names directly under `relDir` ("" = root) */
+  protected def listNames(relDir: String): Seq[String]
+  protected def deleteControl(rel: String): Unit
 
-  def exists(id: String): Boolean = Files.exists(idxDir(id).resolve("LATEST"))
+  // ---- data-plane primitives ----
 
-  def listIndexes(): Seq[String] =
-    if (!Files.exists(Paths.get(root))) Nil
-    else Files.list(Paths.get(root)).iterator().asScala
-      .filter(p => Files.exists(p.resolve("LATEST"))).map(_.getFileName.toString).toSeq.sorted
+  /** Write `df` as the data of a brand-new snapshot, range-partitioned and
+    * sorted by key so per-file stats give seek-like reads (SURVEY §7
+    * hard-part 3). Returns the file entries with per-file min/max composite
+    * key + row count.
+    */
+  def writeData(id: String, df: DataFrame, keySpec: KeySpec,
+                targetPartitions: Int = 0): (String, Seq[FileEntry])
+
+  /** Read a subset of a snapshot's files (the touched set during COW). */
+  def readFiles(paths: Seq[String], m: SnapshotManifest): DataFrame
+
+  /** every data file path currently stored for `id`, normalized */
+  protected def listDataFiles(id: String): Seq[String]
+  protected def deleteDataFile(path: String): Unit
+  /** normalize a manifest-recorded path for set-compare with
+    * [[listDataFiles]] (FS scans report `file:` URIs; the sweep walks
+    * filesystem paths) */
+  protected def normalizePath(p: String): String = p
+
+  // ---- shared catalog logic ----
+
+  final def exists(id: String): Boolean = readText(s"$id/LATEST").isDefined
+
+  final def listIndexes(): Seq[String] =
+    listNames("").filter(exists).sorted
 
   /** Create an empty index — reference `Storage.createIndex`
     * (`Storage.scala:20-29`). Fails with IndexAlreadyExists like the
     * reference's INDEX_ALREADY_EXISTS error.
     */
-  def createIndex(id: String, keyCols: Seq[String], valueCols: Seq[String],
-                  maxNItems: Long = -1L): Either[GraftError, SnapshotManifest] = {
+  final def createIndex(id: String, keyCols: Seq[String], valueCols: Seq[String],
+                        maxNItems: Long = -1L,
+                        colTypes: Seq[String] = Nil): Either[GraftError, SnapshotManifest] = {
     if (exists(id)) Left(GraftError.IndexAlreadyExists(id))
     else {
       val m = SnapshotManifest(id, 0L, UUID.randomUUID().toString, keyCols,
-        valueCols, 0L, maxNItems, "", Nil)
-      Files.createDirectories(idxDir(id))
+        valueCols, 0L, maxNItems, "", Nil, colTypes)
       commit(m, expectedParent = -1L)
       Right(m)
     }
   }
 
-  def loadLatest(id: String): Either[GraftError, SnapshotManifest] =
-    if (!exists(id)) Left(GraftError.IndexNotFound(id))
-    else {
-      val v = Files.readString(idxDir(id).resolve("LATEST")).trim
-      Right(loadVersion(id, v.stripPrefix("v").toLong))
+  final def loadLatest(id: String): Either[GraftError, SnapshotManifest] =
+    readText(s"$id/LATEST") match {
+      case None => Left(GraftError.IndexNotFound(id))
+      case Some(v) => Right(loadVersion(id, v.trim.stripPrefix("v").toLong))
     }
 
-  def loadVersion(id: String, version: Long): SnapshotManifest =
-    SnapshotManifest.fromJson(
-      Files.readString(idxDir(id).resolve(s"v$version.manifest.json")))
+  final def loadVersion(id: String, version: Long): SnapshotManifest =
+    SnapshotManifest.fromJson(readText(s"$id/v$version.manifest.json")
+      .getOrElse(throw new java.util.NoSuchElementException(s"$id@v$version")))
 
   /** Atomic commit: create-new manifest for version parent+1 (fails if a
     * concurrent writer already committed that version — the CAS), then
-    * repoint LATEST via atomic rename.
+    * repoint LATEST atomically.
     */
-  def commit(m: SnapshotManifest, expectedParent: Long): SnapshotManifest = {
-    val dir = idxDir(m.id)
-    Files.createDirectories(dir)
-    val target = dir.resolve(s"v${m.version}.manifest.json")
-    // CREATE_NEW = the compare-and-swap: only one writer can create v(n+1)
-    Files.write(target, SnapshotManifest.toJson(m).getBytes("UTF-8"),
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    val tmp = dir.resolve(s".LATEST.${UUID.randomUUID()}")
-    Files.writeString(tmp, s"v${m.version}")
-    Files.move(tmp, dir.resolve("LATEST"), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  final def commit(m: SnapshotManifest, expectedParent: Long): SnapshotManifest = {
+    writeTextCreateNew(s"${m.id}/v${m.version}.manifest.json",
+      SnapshotManifest.toJson(m))
+    writeTextAtomic(s"${m.id}/LATEST", s"v${m.version}")
     m
   }
 
   /** Read one snapshot as a DataFrame. Files are immutable so this is a
     * consistent non-blocking read of that frozen version regardless of
-    * concurrent writes — reference `readme.md:4`.
+    * concurrent writes — reference `readme.md:4`. A zero-file snapshot
+    * reads as a typed EMPTY DataFrame (reference: empty reads return
+    * empty results, not errors).
     */
-  def read(m: SnapshotManifest): DataFrame = {
-    val cols = (m.keyCols ++ m.valueCols :+ "version").map(col)
-    if (m.files.isEmpty) {
-      // empty relation with the right schema is only knowable from a file;
-      // an empty index has none, so synthesize from keyCols as nulls
-      spark.emptyDataFrame
-    } else spark.read.parquet(m.files.map(_.path): _*).select(cols: _*)
+  final def read(m: SnapshotManifest): DataFrame =
+    if (m.files.isEmpty) emptyTyped(m)
+    else readFiles(m.files.map(_.path), m)
+
+  private def emptyTyped(m: SnapshotManifest): DataFrame = {
+    val names = m.keyCols ++ m.valueCols
+    val types =
+      if (m.colTypes.size == names.size) m.colTypes.map(DataType.fromDDL)
+      else names.map(_ => StringType) // legacy manifest without types
+    val schema = StructType(
+      names.zip(types).map { case (n, t) => StructField(n, t) } :+
+        StructField("version", StringType))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
-  /** Read a subset of a snapshot's files (the touched set during COW). */
-  def readFiles(paths: Seq[String], m: SnapshotManifest): DataFrame = {
-    val cols = (m.keyCols ++ m.valueCols :+ "version").map(col)
-    spark.read.parquet(paths: _*).select(cols: _*)
+  // ---- temporal log (reference TemporalIndex.scala) ----
+
+  private def historyRel(id: String) = s"$id/history.jsonl"
+
+  /** T2: record (ts -> version) — reference `TemporalIndex.scala:21-27`
+    * inserts `(System.nanoTime -> ctx.snapshot())` into the history index.
+    */
+  final def recordSnapshot(id: String, version: Long,
+                           ts: Long = System.nanoTime()): Long = {
+    appendText(historyRel(id), s"""{"ts":$ts,"version":$version}""" + "\n")
+    ts
   }
 
-  /** Write `df` as the data of a brand-new snapshot, range-partitioned and
-    * sorted by key so parquet row-group stats give seek-like reads
-    * (SURVEY §7 hard-part 3). Returns the file entries with per-file
-    * min/max composite key + row count.
+  final def historyLog(id: String): Seq[(Long, Long)] =
+    readText(historyRel(id)).toSeq.flatMap(_.split("\n")).filter(_.nonEmpty).map { line =>
+      val j = JsonMethods.parse(line)
+      ((j \ "ts").asInstanceOf[JInt].num.toLong,
+       (j \ "version").asInstanceOf[JInt].num.toLong)
+    }
+
+  /** T3: floor lookup — snapshot current AT time t = greatest ts <= t,
+    * clamped to the earliest entry like the reference's binSearch position
+    * clamp (`TemporalIndex.scala:31-38`).
     */
-  def writeData(id: String, df: DataFrame, keySpec: KeySpec,
-                targetPartitions: Int = 0): (String, Seq[FileEntry]) = {
+  final def findAt(id: String, t: Long): Option[Long] = {
+    val log = historyLog(id)
+    if (log.isEmpty) None
+    else log.filter(_._1 <= t).lastOption.map(_._2).orElse(Some(log.head._2))
+  }
+
+  /** T4: open the historical snapshot — reference `TemporalIndex.scala:40-53`. */
+  final def findIndexAt(id: String, t: Long): Option[SnapshotManifest] =
+    findAt(id, t).map(v => loadVersion(id, v))
+
+  // ---- garbage collection ----
+
+  private val ManifestRe = "v(\\d+)\\.manifest\\.json".r
+
+  /** Garbage collection: keep the newest `retainVersions` snapshots of `id`,
+    * drop older manifests + history entries, then delete every data file of
+    * `id` that NO kept manifest references (mark-and-sweep over manifests —
+    * the price of COW structural sharing; the reference never reclaims
+    * blocks at all, `Storage.scala` has no delete).
+    *
+    * The mark phase walks the manifests of EVERY index under `root`, not
+    * just the vacuumed one: `copyTo`/`merge`/`split` create manifests under
+    * OTHER index ids that share this index's data files (zero-copy clones),
+    * and vacuuming the original must never invalidate them — the
+    * reference's "old roots stay valid forever" invariant (`readme.md:4`).
+    *
+    * Returns (#manifests removed, #files deleted).
+    */
+  final def vacuum(id: String, retainVersions: Int = 2): (Int, Int) = {
+    require(retainVersions >= 1)
+    val latest = loadLatest(id).fold(e => throw new IllegalStateException(e.message), identity)
+    val cutoff = latest.version - retainVersions + 1
+    val dropM = listNames(id).collect {
+      case n @ ManifestRe(v) if v.toLong < cutoff => n
+    }
+    dropM.foreach(n => deleteControl(s"$id/$n"))
+    // prune history entries pointing at dropped versions
+    if (readText(historyRel(id)).isDefined) {
+      val kept = historyLog(id).filter(_._2 >= cutoff)
+      writeTextAtomic(historyRel(id),
+        kept.map { case (ts, v) => s"""{"ts":$ts,"version":$v}""" }.mkString("", "\n", "\n"))
+    }
+    // mark: files referenced by ANY surviving manifest of ANY index
+    val referenced: Set[String] = (for {
+      otherId <- listIndexes()
+      mn <- listNames(otherId).collect { case n @ ManifestRe(_) => n }
+      f <- SnapshotManifest.fromJson(readText(s"$otherId/$mn").get).files
+    } yield normalizePath(f.path)).toSet
+    // sweep this index's unreferenced data files
+    var deleted = 0
+    listDataFiles(id).filterNot(referenced.contains).foreach { p =>
+      deleteDataFile(p); deleted += 1
+    }
+    (dropM.size, deleted)
+  }
+}
+
+object SnapshotStore {
+  /** default backend */
+  def apply(root: String, spark: SparkSession): SnapshotStore =
+    new FsSnapshotStore(root, spark)
+}
+
+/** Filesystem/HadoopFS-backed store: manifests are JSON files, data files
+  * are range-sorted parquet — parquet already handles the block layer IO4
+  * that the reference hand-rolls with protobuf+LZ4
+  * (`GrpcByteSerializer.scala:19-63`). The commit CAS is
+  * CREATE_NEW of the versioned manifest (on HDFS/ABFS: rename-no-overwrite).
+  */
+final class FsSnapshotStore(val root: String, val spark: SparkSession)
+    extends SnapshotStore {
+
+  private def p(rel: String): Path =
+    if (rel.isEmpty) Paths.get(root) else Paths.get(root, rel.split("/").toSeq: _*)
+
+  override protected def readText(rel: String): Option[String] = {
+    val f = p(rel)
+    if (Files.exists(f)) Some(Files.readString(f)) else None
+  }
+
+  override protected def writeTextCreateNew(rel: String, s: String): Unit = {
+    val f = p(rel)
+    Files.createDirectories(f.getParent)
+    Files.write(f, s.getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+  }
+
+  override protected def writeTextAtomic(rel: String, s: String): Unit = {
+    val f = p(rel)
+    Files.createDirectories(f.getParent)
+    val tmp = f.resolveSibling(s".${f.getFileName}.${UUID.randomUUID()}")
+    Files.writeString(tmp, s)
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override protected def appendText(rel: String, s: String): Unit = {
+    val f = p(rel)
+    Files.createDirectories(f.getParent)
+    Files.writeString(f, s, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  override protected def listNames(relDir: String): Seq[String] = {
+    val d = p(relDir)
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator().asScala.map(_.getFileName.toString).toSeq
+  }
+
+  override protected def deleteControl(rel: String): Unit = Files.delete(p(rel))
+
+  override def writeData(id: String, df: DataFrame, keySpec: KeySpec,
+                         targetPartitions: Int = 0): (String, Seq[FileEntry]) = {
     val snapshotId = UUID.randomUUID().toString
-    val dir = idxDir(id).resolve("data").resolve(snapshotId)
+    val dir = p(id).resolve("data").resolve(snapshotId)
     val keyCols = keySpec.cols.map(col)
     val nParts =
       if (targetPartitions > 0) targetPartitions
@@ -278,88 +448,108 @@ final class SnapshotStore(val root: String, val spark: SparkSession) {
     }.sortBy(f => f.min)(KeyOrd)
   }
 
-  // ---- temporal log (reference TemporalIndex.scala) ----
-
-  private def historyPath(id: String) = idxDir(id).resolve("history.jsonl")
-
-  /** T2: record (ts -> version) — reference `TemporalIndex.scala:21-27`
-    * inserts `(System.nanoTime -> ctx.snapshot())` into the history index.
-    */
-  def recordSnapshot(id: String, version: Long,
-                     ts: Long = System.nanoTime()): Long = {
-    Files.writeString(historyPath(id), s"""{"ts":$ts,"version":$version}""" + "\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    ts
+  override def readFiles(paths: Seq[String], m: SnapshotManifest): DataFrame = {
+    val cols = (m.keyCols ++ m.valueCols :+ "version").map(col)
+    spark.read.parquet(paths: _*).select(cols: _*)
   }
 
-  def historyLog(id: String): Seq[(Long, Long)] =
-    if (!Files.exists(historyPath(id))) Nil
-    else Files.readAllLines(historyPath(id)).asScala.filter(_.nonEmpty).map { line =>
-      val j = JsonMethods.parse(line)
-      ((j \ "ts").asInstanceOf[JInt].num.toLong,
-       (j \ "version").asInstanceOf[JInt].num.toLong)
-    }.toSeq
-
-  /** T3: floor lookup — snapshot current AT time t = greatest ts <= t,
-    * clamped to the earliest entry like the reference's binSearch position
-    * clamp (`TemporalIndex.scala:31-38`).
-    */
-  def findAt(id: String, t: Long): Option[Long] = {
-    val log = historyLog(id)
-    if (log.isEmpty) None
-    else log.filter(_._1 <= t).lastOption.map(_._2).orElse(Some(log.head._2))
+  override protected def listDataFiles(id: String): Seq[String] = {
+    val dataDir = p(id).resolve("data")
+    if (!Files.exists(dataDir)) Nil
+    else Files.walk(dataDir).iterator().asScala
+      .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq
   }
 
-  /** T4: open the historical snapshot — reference `TemporalIndex.scala:40-53`. */
-  def findIndexAt(id: String, t: Long): Option[SnapshotManifest] =
-    findAt(id, t).map(v => loadVersion(id, v))
+  override protected def deleteDataFile(path: String): Unit =
+    Files.delete(Paths.get(path))
 
-  /** Garbage collection: keep the newest `retainVersions` snapshots, drop
-    * older manifests + history entries, then delete every data file no
-    * kept manifest references (mark-and-sweep over manifests — the price
-    * of COW structural sharing; the reference never reclaims blocks at
-    * all, `Storage.scala` has no delete).
-    *
-    * Safe by construction: files shared with kept snapshots stay (they're
-    * referenced); only unreachable files go. Returns (#manifests removed,
-    * #files deleted).
-    */
-  def vacuum(id: String, retainVersions: Int = 2): (Int, Int) = {
-    require(retainVersions >= 1)
-    val latest = loadLatest(id).fold(e => throw new IllegalStateException(e.message), identity)
-    val cutoff = latest.version - retainVersions + 1
-    val dir = idxDir(id)
-    val manifests = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d+\\.manifest\\.json")).toSeq
-    val (dropM, keepM) = manifests.partition { p =>
-      p.getFileName.toString.stripPrefix("v").stripSuffix(".manifest.json").toLong < cutoff
-    }
-    // manifests store scan-reported paths ("file:/..." URIs); the sweep
-    // walks filesystem paths — compare normalized
-    def localPath(p: String): String =
-      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
-    val referenced: Set[String] = keepM.map(p =>
-      SnapshotManifest.fromJson(Files.readString(p)))
-      .flatMap(_.files.map(f => localPath(f.path))).toSet
-    dropM.foreach(Files.delete)
-    // prune history entries pointing at dropped versions
-    if (Files.exists(historyPath(id))) {
-      val kept = historyLog(id).filter(_._2 >= cutoff)
-      val tmp = dir.resolve(s".history.${UUID.randomUUID()}")
-      Files.writeString(tmp,
-        kept.map { case (ts, v) => s"""{"ts":$ts,"version":$v}""" }.mkString("", "\n", "\n"))
-      Files.move(tmp, historyPath(id), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    // sweep unreferenced data files
-    var deleted = 0
-    val dataDir = dir.resolve("data")
-    if (Files.exists(dataDir)) {
-      Files.walk(dataDir).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .filterNot(p => referenced.contains(p.toString))
-        .foreach { p => Files.delete(p); deleted += 1 }
-    }
-    (dropM.size, deleted)
+  override protected def normalizePath(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+}
+
+/** In-memory store — the reference's `MemoryStorage` analogue
+  * (`MemoryStorage.scala:10-106`): control files in a TrieMap, data
+  * "files" as views over a Spark-cached RDD pinned at write time (content
+  * frozen — later transformations can't change what a committed snapshot
+  * reads, same immutability contract as parquet files). Test/dev-scale by
+  * design, exactly like the reference's: data must fit the cluster's
+  * block-manager storage, there is no durability. Proves the storage
+  * abstraction and removes disk+parquet-codec cost from test suites.
+  */
+final class MemorySnapshotStore(val spark: SparkSession,
+                                val root: String = "mem") extends SnapshotStore {
+  import scala.collection.concurrent.TrieMap
+
+  private val control = TrieMap.empty[String, String]
+  private val dataFiles = TrieMap.empty[String, DataFrame]
+  private val snapshotRdds = TrieMap.empty[String, RDD[Row]]
+
+  override protected def readText(rel: String): Option[String] = control.get(rel)
+
+  override protected def writeTextCreateNew(rel: String, s: String): Unit =
+    if (control.putIfAbsent(rel, s).isDefined)
+      throw new java.nio.file.FileAlreadyExistsException(rel)
+
+  override protected def writeTextAtomic(rel: String, s: String): Unit =
+    control(rel) = s
+
+  override protected def appendText(rel: String, s: String): Unit =
+    control.synchronized { control(rel) = control.getOrElse(rel, "") + s }
+
+  override protected def listNames(relDir: String): Seq[String] = {
+    val prefix = if (relDir.isEmpty) "" else relDir + "/"
+    (control.keys ++ dataFiles.keys.map(_.stripPrefix(s"$root/")))
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).takeWhile(_ != '/'))
+      .toSeq.distinct
+  }
+
+  override protected def deleteControl(rel: String): Unit = control.remove(rel)
+
+  override def writeData(id: String, df: DataFrame, keySpec: KeySpec,
+                         targetPartitions: Int = 0): (String, Seq[FileEntry]) = {
+    val snapshotId = UUID.randomUUID().toString
+    val dirKey = s"$root/$id/data/$snapshotId"
+    val keyCols = keySpec.cols.map(col)
+    val nParts =
+      if (targetPartitions > 0) targetPartitions
+      else math.max(1, df.sparkSession.sparkContext.defaultParallelism / 4)
+    // pin computed rows (incl. the partition stamp) into an RDD so the
+    // "files" are frozen content with a leaf plan, like closed parquet files
+    val part = df.repartitionByRange(nParts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .withColumn("__file", spark_partition_id())
+    val rdd = part.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val pinned = spark.createDataFrame(rdd, part.schema)
+    val kstruct = struct(keyCols: _*)
+    val stats = pinned.groupBy(col("__file"))
+      .agg(count(lit(1)).as("rows"), min(kstruct).as("mn"), max(kstruct).as("mx"))
+      .collect()
+    snapshotRdds(dirKey) = rdd
+    val entries = stats.map { r =>
+      val fileNo = r.getInt(0)
+      val path = s"$dirKey/part-$fileNo"
+      dataFiles(path) = pinned.filter(col("__file") === fileNo).drop("__file")
+      FileEntry(path, r.getLong(1), r.getStruct(2).toSeq, r.getStruct(3).toSeq)
+    }.toSeq.sortBy(_.min)(KeyOrd)
+    (snapshotId, entries)
+  }
+
+  override def readFiles(paths: Seq[String], m: SnapshotManifest): DataFrame = {
+    val cols = (m.keyCols ++ m.valueCols :+ "version").map(col)
+    paths.map(pt => dataFiles.getOrElse(pt,
+        throw new java.util.NoSuchElementException(s"no such data file: $pt")))
+      .reduce(_ unionByName _).select(cols: _*)
+  }
+
+  override protected def listDataFiles(id: String): Seq[String] =
+    dataFiles.keys.filter(_.startsWith(s"$root/$id/data/")).toSeq
+
+  override protected def deleteDataFile(path: String): Unit = {
+    dataFiles.remove(path)
+    val dirKey = path.substring(0, path.lastIndexOf('/'))
+    if (!dataFiles.keys.exists(_.startsWith(dirKey + "/")))
+      snapshotRdds.remove(dirKey).foreach(_.unpersist(blocking = false))
   }
 }

@@ -7,11 +7,16 @@ import graft.core._
   * `QueriesRandomSpec.scala:92-126`): dup rejection, upsert, exists check,
   * version CAS, all-or-nothing batches, snapshot isolation, file-granular
   * COW, and the single-writer commit CAS.
+  *
+  * Abstract over the storage backend — the same contract must hold on the
+  * FS store and the in-memory store, like the reference's spec suite runs
+  * against `MemoryStorage` by default and `CassandraStorage` in CI
+  * (reference `MainSpec.scala:27-44`).
   */
-class KVIndexSpec extends SparkSuite {
+abstract class KVIndexSpecBase extends SparkSuite {
   import spark.implicits._
 
-  private def newStore() = new SnapshotStore(tmpDir("graft-store"), spark)
+  def newStore(): SnapshotStore
 
   private def kv(rows: Seq[(String, String)]) = rows.toDF("k", "v")
 
@@ -279,4 +284,12 @@ class KVIndexSpec extends SparkSuite {
       .left.exists(_.code == "INDEX_ALREADY_EXISTS"))
     assert(KVIndex.open(store, "no-such").left.exists(_.code == "INDEX_NOT_FOUND"))
   }
+}
+
+class KVIndexSpec extends KVIndexSpecBase {
+  override def newStore(): SnapshotStore = new FsSnapshotStore(tmpDir("graft-store"), spark)
+}
+
+class MemoryKVIndexSpec extends KVIndexSpecBase {
+  override def newStore(): SnapshotStore = new MemorySnapshotStore(spark)
 }

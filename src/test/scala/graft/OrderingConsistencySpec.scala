@@ -96,8 +96,8 @@ class OrderingConsistencySpec extends SparkSuite {
   }
 
   test("store catalog lists created indexes") {
-    import graft.core.{KVIndex, SnapshotStore}
-    val store = new SnapshotStore(tmpDir("graft-cat"), spark)
+    import graft.core.{FsSnapshotStore, KVIndex}
+    val store = new FsSnapshotStore(tmpDir("graft-cat"), spark)
     assert(store.listIndexes().isEmpty)
     KVIndex.bootstrap(store, "idx-b", Seq(("k", "v")).toDF("k", "v"), Seq("k"))
     KVIndex.bootstrap(store, "idx-a", Seq(("k", "v")).toDF("k", "v"), Seq("k"))

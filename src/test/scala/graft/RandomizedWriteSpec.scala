@@ -25,7 +25,7 @@ class RandomizedWriteSpec extends SparkSuite {
   for (seed <- Seq(23, 77))
   test(s"random mixed batches vs model, with error injection — seed $seed") {
     rnd = new scala.util.Random(seed)
-    val store = new SnapshotStore(tmpDir("graft-rand"), spark)
+    val store = new FsSnapshotStore(tmpDir("graft-rand"), spark)
     // model: key -> (value, version)
     var model = TreeMap.empty[String, (String, String)]
     val init = (1 to 80).map(_ => randKey() -> randVal()).distinct.toMap

@@ -13,7 +13,7 @@ class SplitMergeSpec extends SparkSuite {
     ix.df.select("k", "v").as[(String, String)].collect().sorted.toSeq
 
   test("split at median: concat equals original, original untouched") {
-    val store = new SnapshotStore(tmpDir("graft-sm"), spark)
+    val store = new FsSnapshotStore(tmpDir("graft-sm"), spark)
     val rows = (1 to 500).map(i => (f"k$i%04d", s"v$i"))
     val ix = KVIndex.bootstrap(store, "base", rows.toDF("k", "v"), Seq("k"),
       maxRowsPerFile = 64).toOption.get
@@ -33,7 +33,7 @@ class SplitMergeSpec extends SparkSuite {
   }
 
   test("merge of disjoint indexes is a zero-copy manifest concat; capacity enforced") {
-    val store = new SnapshotStore(tmpDir("graft-sm2"), spark)
+    val store = new FsSnapshotStore(tmpDir("graft-sm2"), spark)
     val a = KVIndex.bootstrap(store, "a",
       (1 to 100).map(i => (f"a$i%03d", "x")).toDF("k", "v"), Seq("k")).toOption.get
     val b = KVIndex.bootstrap(store, "b",
@@ -54,7 +54,7 @@ class SplitMergeSpec extends SparkSuite {
   }
 
   test("copy: new id shares every data file (cheap clone)") {
-    val store = new SnapshotStore(tmpDir("graft-sm3"), spark)
+    val store = new FsSnapshotStore(tmpDir("graft-sm3"), spark)
     val a = KVIndex.bootstrap(store, "src",
       (1 to 64).map(i => (f"k$i%03d", s"v$i")).toDF("k", "v"), Seq("k")).toOption.get
     val m = a.copyTo("clone").toOption.get
@@ -68,7 +68,7 @@ class SplitMergeSpec extends SparkSuite {
   }
 
   test("merge with overlapping ranges is rejected") {
-    val store = new SnapshotStore(tmpDir("graft-sm4"), spark)
+    val store = new FsSnapshotStore(tmpDir("graft-sm4"), spark)
     val a = KVIndex.bootstrap(store, "o1",
       (1 to 50).map(i => (f"k$i%03d", "x")).toDF("k", "v"), Seq("k")).toOption.get
     val b = KVIndex.bootstrap(store, "o2",

@@ -55,7 +55,7 @@ class StreamingSpec extends SparkSuite {
 
   test("streaming ingest into the versioned store: one snapshot per batch, time travel works") {
     import graft.core._
-    val store = new SnapshotStore(tmpDir("graft-stream-store"), spark)
+    val store = new FsSnapshotStore(tmpDir("graft-stream-store"), spark)
     val input = MemoryStream[Event](spark)
     val q = EventStreams.streamIntoIndex(
       input.toDF().select($"event_id", $"event_type", $"value"),

@@ -11,7 +11,7 @@ class TemporalSpec extends SparkSuite {
   import spark.implicits._
 
   test("snapshot log replay: findIndexAt(t) equals the model at t") {
-    val store = new SnapshotStore(tmpDir("graft-temporal"), spark)
+    val store = new FsSnapshotStore(tmpDir("graft-temporal"), spark)
     var model = (1 to 50).map(i => (f"k$i%03d", "v0")).toMap
     var ix = KVIndex.bootstrap(store, "tt", model.toSeq.toDF("k", "v"), Seq("k"),
       maxRowsPerFile = 16).toOption.get
