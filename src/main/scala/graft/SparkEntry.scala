@@ -235,6 +235,26 @@ object SparkEntry {
       proj(tbl.asc(Seq(boundary.getLong(0), boundary.getLong(1)), inclusive = false)
         .limit(20))
     }),
+    // streaming pull surface (reference RichAsyncIndexIterator): resume
+    // after a seek key, filter pushed into the scan, consumer-driven early
+    // stop — only the partitions holding the first 25 matches are computed
+    "s13_iterator_pull" -> ((s, d) => {
+      val tbl = ordersKv(s, d)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        tbl.df.schema("o_custkey"), tbl.df.schema("o_orderkey"),
+        tbl.df.schema("o_totalprice")))
+      val pulled = tbl.pullIterator(
+          pred = col("o_orderstatus") === "F", seek = Some(Seq(10L, 0L)))
+        .take(25)
+        .map(r => org.apache.spark.sql.Row(
+          r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+          r.getAs[Double]("o_totalprice")))
+        .toSeq
+      s.createDataFrame(s.sparkContext.parallelize(pulled, 1), schema)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "s9_topk" -> ((s, d) =>
       OrderedTable(t(s, d, "orders"),
         KeySpec("o_totalprice", "o_orderkey")).topK(50, reverse = true)
@@ -709,6 +729,9 @@ object SparkEntry {
       "s8_prefix_gt" -> s"SELECT $projSql FROM orders WHERE o_custkey = 7 AND o_orderkey > 700 ORDER BY o_orderkey",
       "s8_prefix_lt" -> s"SELECT $projSql FROM orders WHERE o_custkey = 7 AND o_orderkey <= 700 ORDER BY o_orderkey",
       "s12_keyset_page" -> s"SELECT $projSql FROM orders ORDER BY o_custkey, o_orderkey LIMIT 20 OFFSET 40",
+      "s13_iterator_pull" -> ("SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price FROM orders " +
+        "WHERE o_orderstatus = 'F' AND (o_custkey > 10 OR (o_custkey = 10 AND o_orderkey > 0)) " +
+        "ORDER BY o_custkey, o_orderkey LIMIT 25"),
       "s9_topk" -> ("SELECT o_orderkey, round(o_totalprice, 2) AS price FROM " +
         "(SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 50) t ORDER BY o_orderkey"),
       "s10_filter_scan" -> s"SELECT $projSql FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 50000 ORDER BY o_custkey, o_orderkey",

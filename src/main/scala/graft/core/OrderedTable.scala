@@ -53,6 +53,28 @@ final case class OrderedTable(df: DataFrame, key: KeySpec) {
   def previousKey(k: Seq[Any]): DataFrame =
     df.filter(key.ltKey(k)).orderBy(key.sortCols(true): _*).limit(1)
 
+  /** Iterator-style streaming pull — the reference's primary consumption
+    * surface (`RichAsyncIndexIterator.scala:13-41`: seek fn + filter +
+    * limit, block-at-a-time pull with an early-stop flag). Here the scan
+    * stays a declarative sorted DataFrame and `toLocalIterator` streams it
+    * to the consumer ONE PARTITION AT A TIME: partitions after the consumer
+    * stops are never computed or fetched (the `stop`-flag early
+    * termination), and driver memory holds one partition, not the result.
+    * `seek` is the asc-iterator resume position (exclusive), like the
+    * reference's `it.seek(k)`.
+    */
+  def pullIterator(pred: Column = lit(true), seek: Option[Seq[Any]] = None,
+                   reverse: Boolean = false): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    val seeked = seek match {
+      case Some(k) if reverse => df.filter(key.ltKey(k))
+      case Some(k) => df.filter(key.gtKey(k))
+      case None => df
+    }
+    seeked.filter(pred).orderBy(key.sortCols(reverse): _*)
+      .toLocalIterator().asScala
+  }
+
   // ---- §2.2 scans / ranges / sorts / limits ----
 
   /** S1 `inOrder` / `all` — full ascending scan (reference `Index.scala:583-630`). */

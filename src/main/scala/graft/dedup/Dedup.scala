@@ -183,18 +183,19 @@ object Dedup {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val neighborLabels = edges
+      // next label = min(own, min over neighbors); carrying the previous
+      // label as a column makes the convergence check a scan of the
+      // just-pinned cache — one action per iteration, no extra join
+      val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("label"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr"))
       val (next, nextRdd) = pin(
-        labels.unionByName(neighborLabels)
-          .groupBy("id").agg(min(col("label")).as("label")))
-      val changed = next.withColumnRenamed("label", "newLabel")
-        .join(labels, Seq("id"))
-        .filter(col("newLabel") =!= col("label"))
-        .limit(1).count() > 0
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
+      val changed = next.filter(col("label") =!= col("prev")).count() > 0
       labelsRdd.unpersist(blocking = false)
-      labels = next
+      labels = next.select("id", "label")
       labelsRdd = nextRdd
       converged = !changed
       i += 1

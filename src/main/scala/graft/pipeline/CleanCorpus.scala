@@ -26,16 +26,25 @@ object CleanCorpus {
   def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
             minQuality: Double = 0.2, nearDupThreshold: Double = 0.8,
             keepLangs: Seq[String] = Seq("en")): (DataFrame, Stats) = {
-    val input = docs.count()
+    // input / after-quality counts ride as OBSERVED metrics on the plan and
+    // are collected during the first action that materializes `exact` — no
+    // dedicated count() jobs, and in particular no extra full scan of the
+    // corpus just to size the input (at 100 TB that scan is the pipeline's
+    // single most expensive job)
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsQ = org.apache.spark.sql.Observation()
 
     // 1. quality floor (one codegen'd projection pass)
-    val scored = TextAnalysis.qualityScore(docs, textCol)
-    val q = scored.filter(col("quality") >= minQuality).cache()
-    val nQ = q.count()
+    val scored = TextAnalysis.qualityScore(
+      docs.observe(obsIn, F.count(F.lit(1)).as("n")), textCol)
+    val q = scored.filter(col("quality") >= minQuality)
+      .observe(obsQ, F.count(F.lit(1)).as("n")).cache()
 
     // 2. exact dedup (hash groupBy — bodies never shuffle)
     val exact = Dedup.exactSurvivors(q, idCol, textCol).cache()
     val nE = exact.count()
+    val input = obsIn.get("n").asInstanceOf[Long]
+    val nQ = obsQ.get("n").asInstanceOf[Long]
 
     // 3. near-dedup with transitive clustering: keep min(id) per connected
     //    near-dup cluster (min-label propagation over candidate pairs)
@@ -47,6 +56,9 @@ object CleanCorpus {
       .filter(col("pred_lang").isin(keepLangs: _*))
     val nL = lang.count()
 
+    // 3 actions total (was 5): nE forces q+exact caches and harvests the
+    // observed input/quality counts; nN runs the LSH+clustering; nL the
+    // language pass over the near-dedup survivors.
     q.unpersist(); exact.unpersist(); near.unpersist()
     (lang, Stats(input, nQ, nE, nN, nL))
   }
