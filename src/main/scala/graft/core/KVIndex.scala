@@ -162,8 +162,12 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     if (err.isDefined) { cur.unpersist(); return BatchResult(success = false, err, None) }
 
     // ---- COW commit: rewrite touched range only ----
+    // the step fold already forced a count of the final state — reuse it
+    // rather than paying another job over the cache
+    val counts = stepCounts.result()
+    val finalRows = counts.lastOption.getOrElse(0L)
     val nParts = math.max(1, math.ceil(
-      math.max(cur.count(), 1L).toDouble / maxRowsPerFile).toInt)
+      math.max(finalRows, 1L).toDouble / maxRowsPerFile).toInt)
     val (_, newFiles) = store.writeData(manifest.id, cur, key, nParts)
     cur.unpersist()
     val untouchedRows = untouched.map(_.rows).sum
@@ -174,7 +178,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       lastChangeVersion = txVersion,
       files = (untouched ++ newFiles).sortBy(_.min)(KeyOrd))
     try BatchResult(success = true, None, Some(store.commit(m2, manifest.version)),
-      stepCounts.result())
+      counts)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       BatchResult(success = false, Some(GraftError.ContextAlreadyUsed(manifest.id)), None)
     }
@@ -248,9 +252,11 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     */
   private def pruneFiles(batchKeys: DataFrame): (Seq[FileEntry], Seq[FileEntry]) = {
     if (manifest.files.isEmpty) return (Nil, Nil)
-    val n = batchKeys.limit(100001).count()
-    if (n <= 100000) {
-      val keys = batchKeys.collect().map(_.toSeq).sortBy(identity)(KeyOrd)
+    // one early-stopping take decides small-vs-hull AND fetches the keys
+    // (the previous limit+count probe plus full collect was two jobs)
+    val taken = batchKeys.take(100001)
+    if (taken.length <= 100000) {
+      val keys = taken.map(_.toSeq).sortBy(identity)(KeyOrd)
       def containsAny(f: FileEntry): Boolean = {
         // binary search for first key >= f.min; touched iff it's <= f.max
         var lo = 0; var hi = keys.length

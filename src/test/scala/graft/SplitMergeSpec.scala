@@ -5,15 +5,19 @@ import graft.core._
 /** Port of `SplitAndMergeIndexSpec.scala:149-179`: split at the median →
   * left ++ right equals the original and the original snapshot is
   * unchanged; merge of disjoint ranges round-trips; copy shares all files.
+  * Runs against both storage backends, like the reference suite runs its
+  * storages.
   */
-class SplitMergeSpec extends SparkSuite {
+abstract class SplitMergeSpecBase extends SparkSuite {
   import spark.implicits._
+
+  def newStore(): SnapshotStore
 
   private def dump(ix: KVIndex): Seq[(String, String)] =
     ix.df.select("k", "v").as[(String, String)].collect().sorted.toSeq
 
   test("split at median: concat equals original, original untouched") {
-    val store = new FsSnapshotStore(tmpDir("graft-sm"), spark)
+    val store = newStore()
     val rows = (1 to 500).map(i => (f"k$i%04d", s"v$i"))
     val ix = KVIndex.bootstrap(store, "base", rows.toDF("k", "v"), Seq("k"),
       maxRowsPerFile = 64).toOption.get
@@ -33,7 +37,7 @@ class SplitMergeSpec extends SparkSuite {
   }
 
   test("merge of disjoint indexes is a zero-copy manifest concat; capacity enforced") {
-    val store = new FsSnapshotStore(tmpDir("graft-sm2"), spark)
+    val store = newStore()
     val a = KVIndex.bootstrap(store, "a",
       (1 to 100).map(i => (f"a$i%03d", "x")).toDF("k", "v"), Seq("k")).toOption.get
     val b = KVIndex.bootstrap(store, "b",
@@ -54,7 +58,7 @@ class SplitMergeSpec extends SparkSuite {
   }
 
   test("copy: new id shares every data file (cheap clone)") {
-    val store = new FsSnapshotStore(tmpDir("graft-sm3"), spark)
+    val store = newStore()
     val a = KVIndex.bootstrap(store, "src",
       (1 to 64).map(i => (f"k$i%03d", s"v$i")).toDF("k", "v"), Seq("k")).toOption.get
     val m = a.copyTo("clone").toOption.get
@@ -68,11 +72,19 @@ class SplitMergeSpec extends SparkSuite {
   }
 
   test("merge with overlapping ranges is rejected") {
-    val store = new FsSnapshotStore(tmpDir("graft-sm4"), spark)
+    val store = newStore()
     val a = KVIndex.bootstrap(store, "o1",
       (1 to 50).map(i => (f"k$i%03d", "x")).toDF("k", "v"), Seq("k")).toOption.get
     val b = KVIndex.bootstrap(store, "o2",
       (25 to 75).map(i => (f"k$i%03d", "y")).toDF("k", "v"), Seq("k")).toOption.get
     intercept[IllegalArgumentException] { a.merge(b, "bad") }
   }
+}
+
+class SplitMergeSpec extends SplitMergeSpecBase {
+  override def newStore(): SnapshotStore = new FsSnapshotStore(tmpDir("graft-sm"), spark)
+}
+
+class MemorySplitMergeSpec extends SplitMergeSpecBase {
+  override def newStore(): SnapshotStore = new MemorySnapshotStore(spark)
 }
