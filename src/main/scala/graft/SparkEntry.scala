@@ -618,6 +618,24 @@ object SparkEntry {
     }),
 
     // ---- training-data pipeline: text analysis ----
+    // train/benchmark overlap: docs sharing any word trigram with the
+    // "benchmark" slice (doc_id < 20); benchmark gram set broadcast
+    "dd_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+        .orderBy("doc_id")
+    }),
+    // exact discrete quantiles per group (ANSI percentile_disc = smallest
+    // value with cume_dist >= p) — order statistics, no interpolation, so
+    // the oracle matches bit-for-bit
+    "agg_quantiles" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_q")
+      s.sql("""SELECT l_returnflag,
+                 round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p50,
+                 round(percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p95
+               FROM li_q GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
     "txt_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(t(s, d, "documents"))
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens").orderBy("doc_id")),
@@ -836,6 +854,14 @@ object SparkEntry {
         "SELECT user_id, session_no, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms, " +
         s"count(*) AS n_events, $centSum AS sum_value FROM s " +
         "GROUP BY user_id, session_no ORDER BY user_id, session_no"),
+      "dd_contamination" -> ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram " +
+        "FROM d, unnest(range(1, greatest(len(tk) - 1, 1))) t(i) WHERE len(tk) >= 3), " +
+        "b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20) " +
+        "SELECT doc_id, count(*) AS n_shared FROM g WHERE doc_id >= 20 AND gram IN (SELECT gram FROM b) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+      "agg_quantiles" -> ("SELECT l_returnflag, round(quantile_disc(l_extendedprice, 0.5), 2) AS p50, " +
+        "round(quantile_disc(l_extendedprice, 0.95), 2) AS p95 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       "dd_exact" -> "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
       "dd_exact_survivors" -> ("SELECT doc_id, lang, n_chars FROM documents " +
         "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text) ORDER BY doc_id"),

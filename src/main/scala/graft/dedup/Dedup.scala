@@ -40,6 +40,29 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Benchmark decontamination — which training docs share at least one
+    * word n-gram with an evaluation/benchmark set (the standard
+    * train-test-overlap check an LLM data pipeline runs before training).
+    * Returns (idCol, n_shared) for contaminated training docs.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus, so its
+    * DISTINCT gram set is broadcast — the 100 TB training side is a single
+    * projection + explode + broadcast-hash semi-match, never shuffled on
+    * grams; `array_distinct` before the explode keeps the row expansion at
+    * distinct-grams-per-doc.
+    */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), gf.ws_tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), explode(array_distinct(gf.shingles(col("tk"), n))).as("gram"))
+    val benchGrams = grams(bench).select("gram").distinct()
+    grams(train)
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol).agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash + LSH banding.
     *
     * @param k      signature length (bands * rowsPerBand)
