@@ -72,11 +72,18 @@ object SparkEntry {
     * → CAS upsert batch → snapshot t=2000) against the DuckDB oracle, not
     * just the stateless read surface. Kept in /tmp; rebuilt per run.
     */
-  private val kvCache = scala.collection.concurrent.TrieMap[String, (SnapshotStore, KVIndex)]()
-  private def liStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
-    kvCache.getOrElseUpdate(d, {
-      val root = java.nio.file.Files.createTempDirectory("graft-kv-entry").toString
+  private val idxCache = scala.collection.concurrent.TrieMap[String, (SnapshotStore, KVIndex)]()
+  /** one temp FS store + built index per (kind, sfDir) per JVM */
+  private def cachedIndex(kind: String, s: SparkSession, d: String)(
+      build: SnapshotStore => KVIndex): (SnapshotStore, KVIndex) =
+    idxCache.getOrElseUpdate(s"$kind|$d", {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$kind").toString
       val store = new FsSnapshotStore(root, s)
+      (store, build(store))
+    })
+
+  private def liStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-entry", s, d) { store =>
       val ord = t(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val v1 = KVIndex.bootstrap(store, "ord", ord,
@@ -88,8 +95,8 @@ object SparkEntry {
       val res = v1.execute(Seq(Command.Insert(batch, upsert = true)), "tx-kv-demo")
       val v2 = res.orThrow
       store.recordSnapshot("ord", v2.version, ts = 2000L)
-      (store, new KVIndex(store, v2))
-    })
+      new KVIndex(store, v2)
+    }
 
   /** Binary-keyed index — the reference's CANONICAL key type is
     * unsigned-lexicographic `Bytes` (reference `package.scala:39-42`; every
@@ -97,32 +104,26 @@ object SparkEntry {
     * `status '/' zero-padded orderkey` makes the byte order equal the
     * (status, orderkey) order, so a byte-range scan is SQL-expressible.
     */
-  private val bytesCache = scala.collection.concurrent.TrieMap[String, KVIndex]()
   private def bytesStore(s: SparkSession, d: String): KVIndex =
-    bytesCache.getOrElseUpdate(d, {
-      val root = java.nio.file.Files.createTempDirectory("graft-kv-bytes").toString
-      val store = new FsSnapshotStore(root, s)
+    cachedIndex("kv-bytes", s, d) { store =>
       val df = t(s, d, "orders").select(
         encode(concat(col("o_orderstatus"), lit("/"),
           lpad(col("o_orderkey").cast("string"), 12, "0")), "UTF-8").as("bk"),
         col("o_totalprice"))
       KVIndex.bootstrap(store, "bord", df, Seq("bk"))
         .fold(e => sys.error(e.message), identity)
-    })
+    }._2
 
   /** orders keyed (o_custkey, o_orderkey) in the store — backs the REAL
     * library split for u2_split (median via manifest cumulative counts,
     * one file read — not a global window).
     */
-  private val ckCache = scala.collection.concurrent.TrieMap[String, KVIndex]()
   private def ckStore(s: SparkSession, d: String): KVIndex =
-    ckCache.getOrElseUpdate(d, {
-      val root = java.nio.file.Files.createTempDirectory("graft-kv-ck").toString
-      val store = new FsSnapshotStore(root, s)
+    cachedIndex("kv-ck", s, d) { store =>
       val df = t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
       KVIndex.bootstrap(store, "ordck", df, Seq("o_custkey", "o_orderkey"))
         .fold(e => sys.error(e.message), identity)
-    })
+    }._2
 
   // =====================================================================
   // The operator inventory. Key: SURVEY §2 ids.

@@ -36,27 +36,42 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // per-query watchdog: a single stuck query must not starve the rest of
-    // the dump (Spark jobs get cancelled via the job group; a driver-side
-    // wedge is out of reach, but the common hang is job-side)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // the dump. Each query runs on its OWN thread (no shared pool to
+    // exhaust); on timeout its Spark jobs are cancelled via the job group
+    // AND the thread is interrupted (covers driver-side and between-job
+    // hangs). The dump goes to a temp dir renamed into place on success, so
+    // a killed mid-write never leaves a partial result dir that the
+    // comparer would score as a wrong answer.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
       val group = s"verify-$name"
-      val f = Future {
-        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+      val tmp = s"$outDir/.tmp-$name"
+      @volatile var failure: Option[Throwable] = None
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        } catch { case e: Throwable => failure = Some(e) }
         finally spark.sparkContext.clearJobGroup()
-      }
-      try Await.result(f, timeoutSec.seconds)
-      catch {
-        case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(group)
-          System.err.println(s"[verify] $name TIMEOUT after ${timeoutSec}s — cancelled")
-        case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }, s"verify-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000)
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        worker.interrupt()
+        worker.join(30000)
+        System.err.println(s"[verify] $name TIMEOUT after ${timeoutSec}s — cancelled")
+      } else failure match {
+        case Some(e) => System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        case None =>
+          val from = Paths.get(tmp); val to = Paths.get(s"$outDir/$name")
+          if (Files.exists(to)) {
+            // clear a previous run's dir before the swap
+            Files.walk(to).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.delete(p))
+          }
+          Files.move(from, to)
       }
     }
     spark.stop()

@@ -27,10 +27,20 @@ object Skew {
     // salt from row CONTENT, not monotonically_increasing_id(): the latter
     // changes on task re-execution after a fetch failure, silently losing or
     // duplicating join rows on recovery. Content-hash is retry-deterministic;
-    // the trade is that bit-identical duplicate rows share a bucket (fine —
-    // they'd match the same right rows anyway).
-    val salted = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets)).cast("int"))
+    // the inherent trade is that bit-identical duplicate rows share a bucket
+    // (retry-safe salting cannot separate indistinguishable rows). Map-typed
+    // columns are not hashable in Spark — hash over the hashable ones.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = left.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val saltCol =
+      if (hashCols.isEmpty) lit(0) // nothing hashable: degrade to no salting
+      else pmod(xxhash64(hashCols.toIndexedSeq: _*), lit(buckets)).cast("int")
+    val salted = left.withColumn("__salt", saltCol)
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -105,9 +105,13 @@ object SnapshotManifest {
     val j = JsonMethods.parse(s)
     def str(f: String) = (j \ f).asInstanceOf[JString].s
     def lng(f: String) = (j \ f).asInstanceOf[JInt].num.toLong
-    def strs(f: String) = (j \ f) match {
+    // strict: a corrupt/truncated manifest must fail HERE, not parse to an
+    // index with zero key columns
+    def strs(f: String) = (j \ f).asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s)
+    // lenient: absent in legacy manifests
+    def strsOpt(f: String) = (j \ f) match {
       case JArray(arr) => arr.map(_.asInstanceOf[JString].s)
-      case _ => Nil // colTypes absent in legacy manifests
+      case _ => Nil
     }
     val files = (j \ "files").asInstanceOf[JArray].arr.map { fj =>
       FileEntry(
@@ -118,7 +122,7 @@ object SnapshotManifest {
     }
     SnapshotManifest(str("id"), lng("version"), str("snapshotId"),
       strs("keyCols"), strs("valueCols"), lng("numElements"),
-      lng("maxNItems"), str("lastChangeVersion"), files, strs("colTypes"))
+      lng("maxNItems"), str("lastChangeVersion"), files, strsOpt("colTypes"))
   }
 }
 

@@ -30,7 +30,10 @@ object CleanCorpus {
     // are collected during the first action that materializes `exact` — no
     // dedicated count() jobs, and in particular no extra full scan of the
     // corpus just to size the input (at 100 TB that scan is the pipeline's
-    // single most expensive job)
+    // single most expensive job). Caveat: observed metrics are accumulator
+    // sums, so a partition computed twice within that action (speculative
+    // task, executor loss) can overcount these two INFORMATIONAL stats;
+    // the survivor DataFrames themselves are unaffected.
     val obsIn = org.apache.spark.sql.Observation()
     val obsQ = org.apache.spark.sql.Observation()
 

@@ -64,19 +64,4 @@ class CommandCodecSpec extends SparkSuite {
     assert(dump("wire")(5L) == "upserted" && !dump("wire").contains(1L))
   }
 
-  test("pull iterator streams rows in key order with early stop and seek") {
-    val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v")
-      .repartition(8)
-    val tab = OrderedTable(df, KeySpec(Seq("k")))
-    // early stop: take(5) must not require materializing the whole scan
-    val first5 = tab.pullIterator().take(5).map(_.getLong(0)).toSeq
-    assert(first5 == Seq(1L, 2L, 3L, 4L, 5L))
-    // seek resumes AFTER the given key (exclusive), like iterator resume
-    val afterSeek = tab.pullIterator(seek = Some(Seq(495L))).map(_.getLong(0)).toSeq
-    assert(afterSeek == Seq(496L, 497L, 498L, 499L, 500L))
-    // reverse + predicate pushdown compose
-    val rev = tab.pullIterator(pred = col("k") <= 10, reverse = true)
-      .take(3).map(_.getLong(0)).toSeq
-    assert(rev == Seq(10L, 9L, 8L))
-  }
 }
