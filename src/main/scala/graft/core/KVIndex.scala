@@ -194,17 +194,25 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     cmd match {
       case Command.Insert(rows, upsert) =>
         val batch = rows
-        // intra-batch duplicate keys -> DUPLICATED_KEYS (Index.scala:285-288)
-        val dups = batch.groupBy(kcols.map(col): _*).count().filter(col("count") > 1)
-        val dupSample = dups.limit(5).collect()
-        if (dupSample.nonEmpty)
-          return Left(GraftError.DuplicatedKeys(dupSample.map(_.mkString("/")).toSeq))
-        if (!upsert) {
-          // existing key without upsert -> LEAF_DUPLICATE_KEY (Leaf.scala:41-43)
-          val clash = batch.join(cur, kcols, "left_semi").select(keyStr).limit(5).collect()
-          if (clash.nonEmpty)
-            return Left(GraftError.KeyAlreadyExists(clash.map(_.getString(0)).toSeq))
-        }
+        // both validations ride in ONE job (a union of two per-branch
+        // limits), reported in the reference's order: intra-batch
+        // duplicate keys -> DUPLICATED_KEYS (Index.scala:285-288), then
+        // existing key without upsert -> LEAF_DUPLICATE_KEY (Leaf.scala:41-43)
+        val dupProbe = batch.groupBy(kcols.map(col): _*).count()
+          .filter(col("count") > 1)
+          .select(lit("dup").as("kind"), keyStr.as("key")).limit(5)
+        val probe =
+          if (upsert) dupProbe
+          else dupProbe.unionByName(
+            batch.join(cur, kcols, "left_semi")
+              .select(lit("clash").as("kind"), keyStr.as("key")).limit(5))
+        val sample = probe.collect()
+        val dupS = sample.filter(_.getString(0) == "dup").map(_.getString(1))
+        if (dupS.nonEmpty)
+          return Left(GraftError.DuplicatedKeys(dupS.toSeq))
+        val clashS = sample.filter(_.getString(0) == "clash").map(_.getString(1))
+        if (clashS.nonEmpty)
+          return Left(GraftError.KeyAlreadyExists(clashS.toSeq))
         val stamped = batch.select((kcols ++ manifest.valueCols).map(col): _*)
           .withColumn("version", lit(tx))
         Right(cur.join(batch, kcols, "left_anti").unionByName(stamped))
@@ -230,18 +238,26 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   private def validateExistsAndVersion(cur: DataFrame, rows: DataFrame,
                                        keyStr: Column): Either[GraftError, Unit] = {
     val kcols = key.cols
-    val missing = rows.join(cur, kcols, "left_anti").select(keyStr).limit(5).collect()
+    // one job for both probes (union of per-branch limits); a missing key
+    // cannot also appear stale (the stale probe is an inner join), and
+    // missing is reported first — the reference's order (Leaf.scala:58-72)
+    val missProbe = rows.join(cur, kcols, "left_anti")
+      .select(lit("missing").as("kind"), keyStr.as("key")).limit(5)
+    val probe =
+      if (!rows.columns.contains("expectedVersion")) missProbe
+      else missProbe.unionByName(
+        rows.select((kcols :+ "expectedVersion").map(col): _*)
+          .join(cur.select((kcols :+ "version").map(col): _*), kcols)
+          .filter(col("expectedVersion").isNotNull &&
+                  col("expectedVersion") =!= col("version"))
+          .select(lit("stale").as("kind"), keyStr.as("key")).limit(5))
+    val sample = probe.collect()
+    val missing = sample.filter(_.getString(0) == "missing").map(_.getString(1))
     if (missing.nonEmpty)
-      return Left(GraftError.KeyNotFound(missing.map(_.getString(0)).toSeq))
-    if (rows.columns.contains("expectedVersion")) {
-      val joined = rows.select((kcols :+ "expectedVersion").map(col): _*)
-        .join(cur.select((kcols :+ "version").map(col): _*), kcols)
-        .filter(col("expectedVersion").isNotNull &&
-                col("expectedVersion") =!= col("version"))
-      val stale = joined.select(keyStr).limit(5).collect()
-      if (stale.nonEmpty)
-        return Left(GraftError.VersionChanged(stale.map(_.getString(0)).toSeq))
-    }
+      return Left(GraftError.KeyNotFound(missing.toSeq))
+    val stale = sample.filter(_.getString(0) == "stale").map(_.getString(1))
+    if (stale.nonEmpty)
+      return Left(GraftError.VersionChanged(stale.toSeq))
     Right(())
   }
 
