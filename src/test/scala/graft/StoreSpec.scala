@@ -93,6 +93,33 @@ class StoreSpec extends SparkSuite {
     }
   }
 
+  test("racing writers from the same snapshot: exactly one commits") {
+    for (store <- stores()) {
+      val ix = boot(store, "race", n = 64)
+      // two handles on the SAME manifest version, executing concurrently —
+      // the CREATE_NEW manifest write is the single-writer CAS; exactly one
+      // batch may land (reference single-writer `used` flag, Index.scala:1012)
+      val handles = Seq("a", "b").map(tag =>
+        (tag, new KVIndex(store, ix.manifest, maxRowsPerFile = 32)))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = handles.map { case (tag, h) =>
+        Future(tag -> h.execute(Seq(Command.Insert(
+          kv(Seq(s"race-$tag" -> tag)))), s"tx-$tag"))
+      }.map(Await.result(_, 5.minutes))
+      val winners = results.filter(_._2.success)
+      assert(winners.size == 1, s"exactly one racer must win, got ${winners.size}")
+      val loserErr = results.filter(!_._2.success).head._2.error.get.code
+      assert(loserErr == "CONTEXT_USED")
+      // committed state contains exactly the winner's row
+      val latest = KVIndex.open(store, "race").toOption.get
+      val winnerTag = winners.head._1
+      assert(latest.count == 65)
+      assert(latest.get(Seq(s"race-$winnerTag")).count() == 1)
+    }
+  }
+
   test("memory store round-trips the full temporal log and catalog") {
     val store = new MemorySnapshotStore(spark)
     val ix = boot(store, "tmem", n = 32)
