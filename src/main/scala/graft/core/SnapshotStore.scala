@@ -338,6 +338,12 @@ trait SnapshotStore {
     * and vacuuming the original must never invalidate them — the
     * reference's "old roots stay valid forever" invariant (`readme.md:4`).
     *
+    * Concurrency contract: vacuum is a maintenance operation — do not run
+    * it concurrently with `copyTo`/`merge`/`split` of the SAME index's
+    * files (a clone committed after the mark phase could reference a
+    * just-swept file). Same-index writers are safe: their files are either
+    * in kept manifests or newer.
+    *
     * Returns (#manifests removed, #files deleted).
     */
   final def vacuum(id: String, retainVersions: Int = 2): (Int, Int) = {

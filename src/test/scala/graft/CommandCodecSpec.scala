@@ -46,6 +46,39 @@ class CommandCodecSpec extends SparkSuite {
     assert(got.toSeq == Seq(Seq[Byte](0x00, 0x7f, 0x80.toByte, 0xff.toByte), Seq[Byte]()))
   }
 
+  test("fuzz: random batches round-trip across types, unicode, and nulls") {
+    val rnd = new scala.util.Random(4242)
+    def rndString(): String = {
+      // bias toward the characters that break naive JSON paths: quotes,
+      // backslashes, control chars, non-BMP unicode, whitespace
+      val pool = "ab\"\\\n\t\ré漢🎯 /{}[]:,"
+      Seq.fill(rnd.nextInt(12))(pool(rnd.nextInt(pool.length))).mkString
+    }
+    (1 to 20).foreach { trial =>
+      val rows = Seq.fill(rnd.nextInt(8) + 1)((
+        rnd.nextLong(),
+        if (rnd.nextInt(5) == 0) null else rndString(),
+        rnd.nextDouble(),
+        if (rnd.nextInt(5) == 0) null
+        else Array.fill(rnd.nextInt(6))(rnd.nextInt(256).toByte)))
+      val df = rows.toDF("k", "s", "v", "b")
+      val cmd: Command =
+        rnd.nextInt(3) match {
+          case 0 => Command.Insert(df, upsert = rnd.nextBoolean())
+          case 1 => Command.Update(df)
+          case _ => Command.Remove(df.select("k"))
+        }
+      val back = CommandCodec.fromJson(CommandCodec.toJson(Seq(cmd)), spark).head
+      assert(back.getClass == cmd.getClass, s"trial $trial kind")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toSeq.map {
+          case a: Array[Byte] => a.toSeq
+          case x => x
+        }).toSet
+      assert(canon(back.rows) == canon(cmd.rows), s"trial $trial rows")
+    }
+  }
+
   test("decoded batch executes identically to the original batch") {
     val store = new MemorySnapshotStore(spark)
     val base = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
