@@ -851,7 +851,8 @@ object SparkEntry {
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
         "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000 THEN 1 ELSE 0 END AS brk " +
         "FROM events), s AS (SELECT user_id, ts, value, " +
-        "sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM g) " +
+        // windowed integer sum() is HUGEINT in DuckDB vs Spark's BIGINT
+        "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no FROM g) " +
         "SELECT user_id, session_no, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms, " +
         s"count(*) AS n_events, $centSum AS sum_value FROM s " +
         "GROUP BY user_id, session_no ORDER BY user_id, session_no"),
@@ -935,7 +936,9 @@ object SparkEntry {
         "f AS (SELECT media_id, len, unnest(range(0, greatest(len // 64, 1), 2)) AS frame_no FROM m) " +
         "SELECT media_id, frame_no, least(len - frame_no * 64, 64) AS frame_bytes FROM f " +
         "ORDER BY media_id, frame_no"),
-      "samp_bernoulli" -> ("SELECT count(*) AS n, sum(n_chars) AS chars FROM documents " +
+      // integer sum() is HUGEINT in DuckDB vs Spark's BIGINT — the driver
+      // hash is type-sensitive, so pin the oracle to BIGINT explicitly
+      "samp_bernoulli" -> ("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents " +
         s"WHERE ${knuthHash("doc_id")} % 100 < 10"),
       "samp_stratified" -> ("SELECT lang, doc_id, rn FROM (SELECT lang, doc_id, " +
         s"row_number() OVER (PARTITION BY lang ORDER BY ${knuthHash("doc_id")}, doc_id) AS rn " +

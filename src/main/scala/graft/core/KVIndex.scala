@@ -119,6 +119,92 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     tableForRange(from, to).range(from, to, incFrom, incTo, reverse)
 
   // ------------------------------------------------------------------
+  // Ordered reads WITHOUT a sort exchange. Snapshot files are written
+  // range-partitioned and sorted within (SnapshotStore.writeData), and the
+  // manifest keeps them sorted by min key — so when the file ranges are
+  // pairwise disjoint, concatenating per-file scans in manifest order IS
+  // the global key order: the flat-layout equivalent of the reference's
+  // free in-order tree walk (reference `Index.scala:583-664`), with no
+  // global sort and no Exchange anywhere in the plan.
+  // ------------------------------------------------------------------
+
+  /** Union of one single-partition, locally-sorted scan per file, in the
+    * given scan order. The local sort is belt-and-braces (files are
+    * already written sorted; a >128 MB file that split and re-coalesced
+    * could interleave) and never shuffles.
+    *
+    * Plan note: one scan leaf per file — right-sized for pruned reads and
+    * test/bench snapshots. A full ordered scan over a million-file
+    * snapshot should use [[pullIterator]] (lazy, one file at a time)
+    * rather than a million-leaf union plan.
+    */
+  private def orderedUnion(filesInScanOrder: Seq[FileEntry],
+                           reverse: Boolean): DataFrame =
+    filesInScanOrder.map { f =>
+      store.readFiles(Seq(f.path), manifest)
+        .coalesce(1)
+        .sortWithinPartitions(key.sortCols(reverse): _*)
+    }.reduce(_ unionByName _)
+
+  /** S1 `inOrder` / S2 `reverse` over a snapshot with NO sort exchange
+    * when file ranges are disjoint (the normal layout — see
+    * [[SnapshotManifest.filesDisjointOrdered]]); falls back to a global
+    * sort for the rare overlapping-manifest case.
+    */
+  def inOrdered(reverse: Boolean = false): DataFrame =
+    if (manifest.files.isEmpty) df
+    else if (manifest.filesDisjointOrdered)
+      orderedUnion(if (reverse) manifest.files.reverse else manifest.files, reverse)
+    else if (reverse) table.reverseScan()
+    else table.inOrder()
+
+  /** S3 head/tail over a snapshot: only the manifest-prefix of files
+    * covering the first `n` rows is read — O(n) input regardless of
+    * index size, no sort exchange on the covered files.
+    */
+  def headOrdered(n: Int, reverse: Boolean = false): DataFrame = {
+    if (!manifest.filesDisjointOrdered)
+      return if (reverse) table.tail(n) else table.head(n)
+    val ordered = if (reverse) manifest.files.reverse else manifest.files
+    var cum = 0L
+    val prefix = ordered.takeWhile { f => val need = cum < n; cum += f.rows; need }
+    if (prefix.isEmpty) df.limit(0)
+    else orderedUnion(prefix, reverse).limit(n)
+  }
+
+  /** Iterator pull over the snapshot — the reference's
+    * `RichAsyncIndexIterator` surface (`RichAsyncIndexIterator.scala:13-41`)
+    * made manifest-aware: files are visited LAZILY in key order (one small
+    * job per file, run only when the consumer reaches it), so early stop
+    * never computes the files past the stop point, and `seek` skips whole
+    * files via manifest stats before any job runs.
+    */
+  def pullIterator(pred: Column = lit(true), seek: Option[Seq[Any]] = None,
+                   reverse: Boolean = false): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    if (!manifest.filesDisjointOrdered)
+      return table.pullIterator(pred, seek, reverse)
+    val ordered = if (reverse) manifest.files.reverse else manifest.files
+    val fs = seek match {
+      case Some(k) if reverse => ordered.filter(f => KeyOrd.compare(f.min, k) < 0)
+      case Some(k) => ordered.filter(f => KeyOrd.compare(f.max, k) > 0)
+      case None => ordered
+    }
+    val seekPred: Column = seek match {
+      case Some(k) if reverse => key.ltKey(k)
+      case Some(k) => key.gtKey(k)
+      case None => lit(true)
+    }
+    fs.iterator.flatMap { f =>
+      store.readFiles(Seq(f.path), manifest)
+        .filter(seekPred && pred)
+        .coalesce(1)
+        .sortWithinPartitions(key.sortCols(reverse): _*)
+        .toLocalIterator().asScala
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Write path (§2.6) — execute a command batch, all-or-nothing.
   // ------------------------------------------------------------------
 

@@ -50,6 +50,19 @@ final case class SnapshotManifest(
   /** capacity predicates — reference QueryableIndex.scala:521-538 */
   def isFull: Boolean = maxNItems > 0 && numElements >= maxNItems
   def hasEnough(n: Long): Boolean = maxNItems <= 0 || numElements + n <= maxNItems
+
+  /** True iff the files (kept sorted by min) form a strictly increasing,
+    * pairwise-DISJOINT key-range chain: each file's max is below the next
+    * file's min. This is the precondition for the sort-free ordered read
+    * path ([[graft.core.KVIndex.inOrdered]]): bootstrap/compact/in-range
+    * COW writes preserve it, but an out-of-range insert whose batch spans
+    * several inter-file gaps produces a new file overlapping kept files'
+    * ranges — those snapshots fall back to a sorted read.
+    */
+  def filesDisjointOrdered: Boolean =
+    files.sizeIs < 2 || files.iterator.zip(files.iterator.drop(1)).forall {
+      case (a, b) => KeyOrd.compare(a.max, b.min) < 0
+    }
 }
 
 object SnapshotManifest {
@@ -258,9 +271,14 @@ trait SnapshotStore {
 
   /** Atomic commit: create-new manifest for version parent+1 (fails if a
     * concurrent writer already committed that version — the CAS), then
-    * repoint LATEST atomically.
+    * repoint LATEST atomically. `expectedParent < 0` means "new lineage"
+    * (createIndex/copy/merge/split); otherwise the manifest must be exactly
+    * the parent's successor — the CREATE_NEW below enforces uniqueness, the
+    * require catches caller bugs that would silently skip versions.
     */
   final def commit(m: SnapshotManifest, expectedParent: Long): SnapshotManifest = {
+    require(expectedParent < 0 || m.version == expectedParent + 1,
+      s"commit: manifest version ${m.version} is not expectedParent ${expectedParent} + 1")
     writeTextCreateNew(s"${m.id}/v${m.version}.manifest.json",
       SnapshotManifest.toJson(m))
     writeTextAtomic(s"${m.id}/LATEST", s"v${m.version}")
@@ -292,12 +310,25 @@ trait SnapshotStore {
 
   private def historyRel(id: String) = s"$id/history.jsonl"
 
+  /** memo for [[findIndexAt]] — the reference caches opened historical
+    * indexes per (id, t) in Caffeine (`TemporalIndex.scala:40-53`); here a
+    * TrieMap keyed the same way, invalidated whenever `id`'s history gains
+    * an entry (a new record can change which version is current at t) or
+    * is vacuumed.
+    */
+  private val temporalCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), SnapshotManifest]
+
+  private def invalidateTemporal(id: String): Unit =
+    temporalCache.keys.filter(_._1 == id).foreach(temporalCache.remove)
+
   /** T2: record (ts -> version) — reference `TemporalIndex.scala:21-27`
     * inserts `(System.nanoTime -> ctx.snapshot())` into the history index.
     */
   final def recordSnapshot(id: String, version: Long,
                            ts: Long = System.nanoTime()): Long = {
     appendText(historyRel(id), s"""{"ts":$ts,"version":$version}""" + "\n")
+    invalidateTemporal(id)
     ts
   }
 
@@ -318,9 +349,17 @@ trait SnapshotStore {
     else log.filter(_._1 <= t).lastOption.map(_._2).orElse(Some(log.head._2))
   }
 
-  /** T4: open the historical snapshot — reference `TemporalIndex.scala:40-53`. */
+  /** T4: open the historical snapshot — reference `TemporalIndex.scala:40-53`.
+    * Memoized per (id, t): repeated time-travel opens of the same instant
+    * hit no control-plane reads (manifests are immutable; the cache is
+    * invalidated when the history log changes).
+    */
   final def findIndexAt(id: String, t: Long): Option[SnapshotManifest] =
-    findAt(id, t).map(v => loadVersion(id, v))
+    temporalCache.get((id, t)).orElse {
+      val r = findAt(id, t).map(v => loadVersion(id, v))
+      r.foreach(m => temporalCache.putIfAbsent((id, t), m))
+      r
+    }
 
   // ---- garbage collection ----
 
@@ -354,6 +393,7 @@ trait SnapshotStore {
       case n @ ManifestRe(v) if v.toLong < cutoff => n
     }
     dropM.foreach(n => deleteControl(s"$id/$n"))
+    invalidateTemporal(id)
     // prune history entries pointing at dropped versions
     if (readText(historyRel(id)).isDefined) {
       val kept = historyLog(id).filter(_._2 >= cutoff)
@@ -387,7 +427,7 @@ object SnapshotStore {
   * (`GrpcByteSerializer.scala:19-63`). The commit CAS is
   * CREATE_NEW of the versioned manifest (on HDFS/ABFS: rename-no-overwrite).
   */
-final class FsSnapshotStore(val root: String, val spark: SparkSession)
+class FsSnapshotStore(val root: String, val spark: SparkSession)
     extends SnapshotStore {
 
   private def p(rel: String): Path =

@@ -145,9 +145,15 @@ object Dedup {
   }
 
   /** Connected components over candidate pairs: every node gets the
-    * minimum id reachable through the pair graph (min-label propagation,
-    * one small shuffle per iteration, converges in graph-diameter
-    * iterations — near-dup clusters are shallow, so maxIter=10 is ample).
+    * minimum id reachable through the pair graph. Each distributed
+    * iteration does a neighbor-min propagation step AND a pointer-doubling
+    * (path-halving) step — `label := label(label)` — so convergence takes
+    * O(log2 diameter) iterations, not O(diameter) (the Hash-to-Min /
+    * CC-MR family of MapReduce CC algorithms): maxIter=10 covers
+    * diameters near 2^10, far beyond adversarial near-dup chains.
+    * If the loop still exits hot it THROWS rather than silently returning
+    * partially-propagated labels (wrong clusters are worse than no
+    * clusters at 100 TB).
     * Returns (id, cluster); nodes absent from any pair are not returned
     * (they are their own singleton cluster).
     */
@@ -212,10 +218,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer doubling (path halving): label := min(label, label(label)).
+      // Labels are node ids, so the current label table doubles as the
+      // pointer table; one extra equi-join per iteration halves the
+      // remaining pointer-chain depth — log2(diameter) total iterations
       val (next, nextRdd) = pin(
-        labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"), col("label").as("prev"),
-            least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
+        stepped.join(
+            labels.select(col("id").as("__lid"), col("label").as("__ll")),
+            stepped("label") === col("__lid"), "left")
+          .select(col("id"), col("prev"),
+            least(col("label"), coalesce(col("__ll"), col("label"))).as("label")))
       val changed = next.filter(col("label") =!= col("prev")).count() > 0
       labelsRdd.unpersist(blocking = false)
       labels = next.select("id", "label")
@@ -225,6 +240,12 @@ object Dedup {
     }
     edgesRdd.unpersist(blocking = false)
     p.unpersist()
+    if (!converged) {
+      labelsRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"Dedup.clusters: label propagation did not converge in $maxIter " +
+        "iterations (component diameter near 2^maxIter) — raise maxIter")
+    }
     labels
   }
 

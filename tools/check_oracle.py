@@ -45,15 +45,32 @@ for name in sorted(os.listdir(out_dir)):
         print(f"NROW  {name}: got {len(g)} want {len(w)}")
         fail += 1
         continue
-    try:
-        import pandas as pd
-        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    # The driver's hash is TYPE-SENSITIVE: it stringifies cells, so a DuckDB
+    # HUGEINT (fetchdf -> float64, renders "15249.0") mismatches a Spark
+    # BIGINT (int64, "15249") even when values are identical. Reproduce that:
+    # compare dtypes AND string-rendered cells, never check_dtype=False.
+    import pandas as pd
+
+    def cell(v):
+        try:
+            if v is None or (not isinstance(v, (list, tuple)) and pd.isna(v)):
+                return "NULL"
+        except (TypeError, ValueError):
+            pass  # array-like cells: fall through to str()
+        return str(v)
+
+    if [str(t) for t in g.dtypes] != [str(t) for t in w.dtypes]:
+        # informational only: the driver passes when the RENDERED cells agree
+        # (e.g. int32 vs int64 both render "5"), so the string compare decides
+        print(f"WARN  {name}: dtypes differ: got {[str(t) for t in g.dtypes]} want {[str(t) for t in w.dtypes]}")
+    gs = g.apply(lambda col: col.map(cell))
+    ws = w.apply(lambda col: col.map(cell))
+    if gs.equals(ws):
         ok += 1
-    except AssertionError as e:
-        print(f"DIFF  {name}: {str(e).splitlines()[-1] if str(e) else 'mismatch'}")
-        # show first differing rows
-        neq = (g != w) & ~(g.isna() & w.isna())
+    else:
+        neq = gs != ws
         bad = neq.any(axis=1)
+        print(f"DIFF  {name}: {int(bad.sum())} differing rows")
         print(g[bad].head(3))
         print(w[bad].head(3))
         fail += 1
