@@ -125,6 +125,43 @@ object SparkEntry {
         .fold(e => sys.error(e.message), identity)
     }._2
 
+  /** A deliberately fragmented index — bootstrap of the low orderkey range
+    * plus three out-of-range append batches (each commit writes exactly one
+    * new file at these data sizes: four files total) — then `compact()`,
+    * which rewrites the small files into one right-sized file. Backs the
+    * driver-verified W6 structural-maintenance row (kv_compact): checksum
+    * invariance + the 4 -> 1 file-count drop, with the pre-compact manifest
+    * version read back through the store (versions are immutable history).
+    */
+  private def compactStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-compact", s, d) { store =>
+      val ord = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      def slice(lo: Long, hi: Long) =
+        ord.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      var ix = KVIndex.bootstrap(store, "cord", slice(0L, 100L), Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      for ((lo, hi) <- Seq((100L, 300L), (300L, 1000L), (1000L, Long.MaxValue)))
+        ix = new KVIndex(store, ix.execute(Seq(Command.Insert(slice(lo, hi)))).orThrow)
+      new KVIndex(store, ix.compact().orThrow)
+    }
+
+  /** Benchmark warm-up: absorb every one-time cost so per-query bench
+    * numbers measure the QUERY, not whichever query happened to run first —
+    * (a) the kv-store lifecycles for `d` (bootstrap + upsert + split +
+    * compact are shared fixtures, not per-query work), and (b) one pass of
+    * every query at the smallest SF, which compiles the same codegen'd
+    * kernels (the fused HOF expressions alone cost ~7 s on first use) and
+    * exercises every plan shape against sf0.001-sized inputs.
+    */
+  def warmup(s: SparkSession, d: String,
+             warmSf: String = "/root/testdata/sf0.001"): Unit = {
+    try { liStore(s, d); bytesStore(s, d); ckStore(s, d); compactStore(s, d) }
+    catch { case _: Throwable => () }
+    queries.foreach { case (_, fn) =>
+      try fn(s, warmSf).count() catch { case _: Throwable => () }
+    }
+  }
+
   // =====================================================================
   // The operator inventory. Key: SURVEY §2 ids.
   // =====================================================================
@@ -186,6 +223,34 @@ object SparkEntry {
       val (store, _) = liStore(s, d)
       val v1 = KVIndex.openAt(store, "ord", 1500L).fold(e => sys.error(e.message), identity)
       v1.df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("price_sum"))
+    }),
+    // W6 structural maintenance as a driver row: fragmented 4-file index
+    // compacted to 1 file, contents invariant (checksum columns), the
+    // pre-compact file count read back from the immutable version history
+    "kv_compact" -> ((s, d) => {
+      import s.implicits._
+      val (store, ix) = compactStore(s, d)
+      val before = store.loadVersion("cord", ix.manifest.version - 1).files.size
+      val r = ix.df.agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("price_sum")).head()
+      Seq((r.getLong(0), r.getDouble(1), before.toLong, ix.numFiles.toLong))
+        .toDF("n", "price_sum", "files_before", "files_after")
+    }),
+    // S1 over the SNAPSHOT layout: manifest-ordered per-file stitch, no
+    // sort exchange anywhere in the plan (the flat-file analogue of the
+    // reference's free in-order tree walk) — vs s1_inorder, which is the
+    // declarative sorted scan over a bare table
+    "kv_inordered" -> ((s, d) => {
+      val (_, ix) = liStore(s, d)
+      ix.inOrdered().select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+    // S3 over the snapshot layout: reads only the manifest-prefix of files
+    // covering the first 100 rows — O(n) input regardless of index size
+    "kv_head_ordered" -> ((s, d) => {
+      val (_, ix) = liStore(s, d)
+      ix.headOrdered(100).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
     // ---- §2.1 point lookups ----
@@ -727,6 +792,17 @@ object SparkEntry {
         "(SELECT min(o_orderkey) FROM ranked WHERE rn <= total // 2) AS left_min, " +
         "(SELECT max(o_orderkey) FROM ranked WHERE rn <= total // 2) AS left_max"),
       "kv_temporal" -> "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum FROM orders",
+      // compaction must not change the data (count + price checksum over the
+      // full orders table); file counts are deterministic at these data
+      // sizes: bootstrap + 3 out-of-range appends = 4 files, compacted to 1
+      "kv_compact" -> ("SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum, " +
+        "CAST(4 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after FROM orders"),
+      "kv_inordered" -> ("SELECT o_orderkey, o_custkey, " +
+        "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS o_totalprice " +
+        "FROM orders ORDER BY o_orderkey"),
+      "kv_head_ordered" -> ("SELECT o_orderkey, o_custkey, " +
+        "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS o_totalprice " +
+        "FROM orders ORDER BY o_orderkey LIMIT 100"),
       "p1_get" -> s"SELECT $projSql FROM orders WHERE o_orderkey = 42",
       "p2_getall" -> s"SELECT $projSql FROM orders WHERE o_orderkey IN (1,2,3,5,8,13,21,34) ORDER BY o_orderkey",
       "p4_next_key" -> s"SELECT $projSql FROM orders WHERE o_orderkey > 41 ORDER BY o_orderkey LIMIT 1",

@@ -161,6 +161,13 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   /** S3 head/tail over a snapshot: only the manifest-prefix of files
     * covering the first `n` rows is read — O(n) input regardless of
     * index size, no sort exchange on the covered files.
+    *
+    * A non-terminal `limit(n)` routes the n rows through a single-partition
+    * exchange whose block-fetch order is not contractually the mapper
+    * order, so the WHICH-n (first n in key order — guaranteed by reading
+    * only the covering manifest prefix) and the row ORDER are restored by a
+    * final single-partition local sort over just the n kept rows — no
+    * global sort of the scanned data.
     */
   def headOrdered(n: Int, reverse: Boolean = false): DataFrame = {
     if (!manifest.filesDisjointOrdered)
@@ -170,6 +177,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val prefix = ordered.takeWhile { f => val need = cum < n; cum += f.rows; need }
     if (prefix.isEmpty) df.limit(0)
     else orderedUnion(prefix, reverse).limit(n)
+      .coalesce(1).sortWithinPartitions(key.sortCols(reverse): _*)
   }
 
   /** Iterator pull over the snapshot — the reference's

@@ -308,17 +308,41 @@ trait SnapshotStore {
 
   // ---- temporal log (reference TemporalIndex.scala) ----
 
-  private def historyRel(id: String) = s"$id/history.jsonl"
+  protected final def historyRel(id: String) = s"$id/history.jsonl"
+
+  /** Cheap fingerprint of `id`'s current history log, used to validate
+    * [[temporalCache]] entries. Must change whenever the log's content
+    * changes — including changes made by OTHER processes sharing the store
+    * (concurrent writers are a supported scenario via the commit CAS), which
+    * is why validation happens per lookup instead of relying on same-process
+    * invalidation. Default hashes the log content; backends override with
+    * something cheaper (the FS store stats the file).
+    */
+  protected def historyFingerprint(id: String): Long =
+    readText(historyRel(id)) match {
+      case None => -1L
+      case Some(s) => s.length.toLong * 1000003L + s.hashCode.toLong
+    }
 
   /** memo for [[findIndexAt]] — the reference caches opened historical
-    * indexes per (id, t) in Caffeine (`TemporalIndex.scala:40-53`); here a
-    * TrieMap keyed the same way, invalidated whenever `id`'s history gains
-    * an entry (a new record can change which version is current at t) or
-    * is vacuumed.
+    * indexes per (id, t) in a bounded Caffeine cache
+    * (`TemporalIndex.scala:40-53`); here a TrieMap keyed the same way.
+    * Each entry carries the [[historyFingerprint]] observed BEFORE the fill
+    * read, and a lookup only serves entries whose fingerprint still matches
+    * the log — so a record/vacuum from THIS or ANOTHER process is seen at
+    * the next lookup (no stale-forever window, and no fill-vs-invalidate
+    * race: validation, not eviction, is the correctness mechanism).
+    * Bounded: at [[temporalCacheMax]] entries the cache is dropped
+    * wholesale — entries are cheap to refill (one history + one manifest
+    * read) and an LRU would buy little here.
     */
   private val temporalCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), SnapshotManifest]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (Long, SnapshotManifest)]
+  private val temporalCacheMax = 4096
 
+  /** Best-effort same-process eviction (memory release); correctness never
+    * depends on it — see [[temporalCache]].
+    */
   private def invalidateTemporal(id: String): Unit =
     temporalCache.keys.filter(_._1 == id).foreach(temporalCache.remove)
 
@@ -350,16 +374,26 @@ trait SnapshotStore {
   }
 
   /** T4: open the historical snapshot — reference `TemporalIndex.scala:40-53`.
-    * Memoized per (id, t): repeated time-travel opens of the same instant
-    * hit no control-plane reads (manifests are immutable; the cache is
-    * invalidated when the history log changes).
+    * Memoized per (id, t): a repeated time-travel open of the same instant
+    * costs one [[historyFingerprint]] (a file stat on the FS store) instead
+    * of re-reading + parsing the history log and the manifest. The
+    * fingerprint is taken BEFORE the fill read, so an entry filled while a
+    * writer was racing is stored under the pre-write fingerprint and simply
+    * re-validated away at the next lookup — never served stale.
     */
-  final def findIndexAt(id: String, t: Long): Option[SnapshotManifest] =
-    temporalCache.get((id, t)).orElse {
-      val r = findAt(id, t).map(v => loadVersion(id, v))
-      r.foreach(m => temporalCache.putIfAbsent((id, t), m))
-      r
+  final def findIndexAt(id: String, t: Long): Option[SnapshotManifest] = {
+    val fp = historyFingerprint(id)
+    temporalCache.get((id, t)) match {
+      case Some((f, m)) if f == fp => Some(m)
+      case _ =>
+        val r = findAt(id, t).map(v => loadVersion(id, v))
+        r.foreach { m =>
+          if (temporalCache.size >= temporalCacheMax) temporalCache.clear()
+          temporalCache.update((id, t), (fp, m))
+        }
+        r
     }
+  }
 
   // ---- garbage collection ----
 
@@ -436,6 +470,20 @@ class FsSnapshotStore(val root: String, val spark: SparkSession)
   override protected def readText(rel: String): Option[String] = {
     val f = p(rel)
     if (Files.exists(f)) Some(Files.readString(f)) else None
+  }
+
+  /** One stat instead of a content read: every append grows the log and
+    * every vacuum rewrite replaces the file, so (size, mtime) changes on
+    * every mutation — including mutations by other processes on a shared
+    * filesystem.
+    */
+  override protected def historyFingerprint(id: String): Long = {
+    val f = p(historyRel(id))
+    try {
+      val a = Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      a.size() * 1000003L + a.lastModifiedTime().toMillis
+    } catch { case _: java.io.IOException => -1L }
   }
 
   override protected def writeTextCreateNew(rel: String, s: String): Unit = {

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** The sort-exchange-free ordered read surface of [[KVIndex]]
+  * (`inOrdered` / `headOrdered` / `pullIterator`) must agree with the
+  * declarative [[OrderedTable]] scans in rows AND order — on the normal
+  * disjoint-file layout (where the fast path must also plan NO shuffle
+  * exchange, the flat-layout analogue of the reference's free in-order tree
+  * walk, reference `Index.scala:583-664`) and on an overlapping-file
+  * manifest (where every entry point must take the sorted fallback).
+  *
+  * Also pins the temporal open cache: lookups are fingerprint-validated
+  * against the history log, so a writer in ANOTHER store instance (= another
+  * process on a shared filesystem) is observed at the next lookup — the
+  * cache can never serve a stale manifest.
+  */
+class OrderedReadsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def kv(rows: Seq[(String, String)]) = rows.toDF("k", "v")
+
+  private def boot(store: SnapshotStore, id: String, keys: Seq[Int]): KVIndex =
+    KVIndex.bootstrap(store, id, kv(keys.map(i => (f"k$i%04d", s"v$i"))),
+      Seq("k"), maxRowsPerFile = 32).fold(e => fail(e.message), identity)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+    df.select("k", "v").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  private def iterPairs(it: Iterator[org.apache.spark.sql.Row]): Seq[(String, String)] =
+    it.map(r => (r.getAs[String]("k"), r.getAs[String]("v"))).toSeq
+
+  test("disjoint layout: inOrdered/headOrdered/pullIterator agree with OrderedTable, no Exchange") {
+    val store = new FsSnapshotStore(tmpDir("graft-ord"), spark)
+    val ix = boot(store, "ord", 1 to 100)
+    assert(ix.numFiles >= 3, "need a multi-file snapshot to exercise stitching")
+    assert(ix.manifest.filesDisjointOrdered)
+    val table = ix.table
+
+    // S1/S2 parity, rows AND order
+    assert(pairs(ix.inOrdered()) == pairs(table.inOrder()))
+    assert(pairs(ix.inOrdered(reverse = true)) == pairs(table.reverseScan()))
+
+    // the whole point: no shuffle exchange anywhere in the fast-path plan
+    val plan = ix.inOrdered().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected exchange-free plan, got:\n$plan")
+
+    // S3 parity — n inside the first file, spanning several, and > table
+    for (n <- Seq(5, 50, 1000)) {
+      assert(pairs(ix.headOrdered(n)) == pairs(table.head(n)), s"head($n)")
+      assert(pairs(ix.headOrdered(n, reverse = true)) == pairs(table.tail(n)), s"tail($n)")
+    }
+
+    // pull-iterator parity: plain, predicate, seek resume, reverse seek
+    assert(iterPairs(ix.pullIterator()) == iterPairs(table.pullIterator()))
+    val pred = col("v").endsWith("7")
+    assert(iterPairs(ix.pullIterator(pred)) == iterPairs(table.pullIterator(pred)))
+    val seek = Some(Seq[Any]("k0042"))
+    assert(iterPairs(ix.pullIterator(seek = seek)) ==
+      iterPairs(table.pullIterator(seek = seek)))
+    assert(iterPairs(ix.pullIterator(seek = seek, reverse = true)) ==
+      iterPairs(table.pullIterator(seek = seek, reverse = true)))
+    // early stop computes only a prefix and agrees with the table's order
+    assert(iterPairs(ix.pullIterator().take(7)) ==
+      iterPairs(table.pullIterator()).take(7))
+  }
+
+  test("overlapping manifest: every entry point falls back and stays correct") {
+    val store = new FsSnapshotStore(tmpDir("graft-ovl"), spark)
+    // two bootstraps with interleaved key ranges, stitched into one manifest
+    // that shares their data files zero-copy (the copyTo/merge mechanism) —
+    // a deterministic overlapping-file layout
+    val a = boot(store, "ovlA", (1 to 200).filter(_ % 2 == 0))
+    val b = boot(store, "ovlB", (1 to 200).filter(_ % 2 == 1))
+    val m = a.manifest.copy(id = "ovl", version = 0L,
+      snapshotId = java.util.UUID.randomUUID().toString,
+      numElements = a.count + b.count,
+      files = (a.manifest.files ++ b.manifest.files).sortBy(_.min)(KeyOrd))
+    store.commit(m, -1L)
+    assert(!m.filesDisjointOrdered, "interleaved bootstraps must overlap")
+
+    val ix = new KVIndex(store, m)
+    val table = ix.table
+    val want = (1 to 200).map(i => (f"k$i%04d", s"v$i")).sortBy(_._1)
+    assert(pairs(ix.inOrdered()) == want)
+    assert(pairs(ix.inOrdered(reverse = true)) == want.reverse)
+    assert(pairs(ix.headOrdered(25)) == want.take(25))
+    assert(pairs(ix.headOrdered(25, reverse = true)) == want.reverse.take(25))
+    assert(iterPairs(ix.pullIterator(seek = Some(Seq[Any]("k0100")))) ==
+      iterPairs(table.pullIterator(seek = Some(Seq[Any]("k0100")))))
+  }
+
+  /** FsSnapshotStore with counted control-plane reads, to prove cache hits
+    * skip the history + manifest reads.
+    */
+  private class CountingStore(root: String)
+      extends FsSnapshotStore(root, spark) {
+    var reads = 0
+    override protected def readText(rel: String): Option[String] = {
+      reads += 1; super.readText(rel)
+    }
+  }
+
+  test("temporal cache: memoized per (id,t), never stale across store instances") {
+    val root = tmpDir("graft-shared")
+    val reader = new CountingStore(root)
+    val writer = new FsSnapshotStore(root, spark) // the "other process"
+
+    val ix = boot(reader, "tix", 1 to 50)
+    reader.recordSnapshot("tix", ix.manifest.version, ts = 1000L)
+
+    // fill, then hit: the second open does no control-plane READS (the
+    // fingerprint is a file stat) — the reference's Caffeine memo behavior
+    // (`TemporalIndex.scala:40-53`)
+    val m1 = reader.findIndexAt("tix", 1500L).get
+    val before = reader.reads
+    assert(reader.findIndexAt("tix", 1500L).get.version == m1.version)
+    assert(reader.reads == before, "cache hit must not re-read history/manifest")
+
+    // another instance over the same root commits v2 and records it at an
+    // EARLIER-or-equal lookup-relevant time: the reader must observe it on
+    // the next lookup (fingerprint changed), not serve the cached v1
+    val v2 = new KVIndex(writer, writer.loadLatest("tix").toOption.get)
+      .execute(Seq(Command.Insert(kv(Seq(("zzzz", "new"))), upsert = true)))
+      .orThrow
+    writer.recordSnapshot("tix", v2.version, ts = 1200L)
+    assert(reader.findIndexAt("tix", 1500L).get.version == v2.version,
+      "stale cached manifest served after a concurrent writer's record")
+  }
+}

