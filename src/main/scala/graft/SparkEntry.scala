@@ -760,7 +760,38 @@ object SparkEntry {
     "samp_stratified" -> ((s, d) =>
       graft.pipeline.Sampling.stratified(t(s, d, "documents"), "lang", "doc_id", 3)
         .select(col("lang"), col("doc_id"), col("rn"))
-        .orderBy("lang", "rn"))
+        .orderBy("lang", "rn")),
+    // temperature (α=0.5) resampling across languages: smallest language
+    // kept whole, larger ones downsampled toward sqrt — rates ride a
+    // broadcast, the keep decision is the engine-portable Knuth hash
+    "samp_temperature" -> ((s, d) =>
+      graft.pipeline.Sampling.sqrtTemperature(t(s, d, "documents"), "lang", "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy("lang")),
+    // deterministic global training shuffle: order by Knuth hash of the id
+    // (top-k here; the full-corpus form is a range repartition on `pos`)
+    "pipe_shuffle" -> ((s, d) =>
+      graft.pipeline.Sampling.shuffled(
+        t(s, d, "documents").select("doc_id"), "doc_id").limit(100)),
+    // sequence packing: token-budget packs per hash bucket — one shuffle on
+    // the bucket key, running-sum window within buckets, no global sort
+    "pipe_pack_sequences" -> ((s, d) => {
+      val toks = TextAnalysis.tokenStats(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_tok"))
+      graft.pipeline.Packing.packSequences(toks, "doc_id", "n_tok", 256L, 16)
+        .groupBy("bucket", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("bucket", "pack_id")
+    }),
+    // within-document repeated-3-gram fraction (C4/Gopher-style
+    // repetitive-text quality signal); docs under 3 tokens excluded on
+    // both sides (their shingle is degenerate)
+    "txt_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(
+          t(s, d, "documents").filter(size(gf.ws_tokens(col("text"))) >= 3))
+        .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio")
+        .orderBy("doc_id"))
   )
 
   // =====================================================================
@@ -1018,7 +1049,29 @@ object SparkEntry {
         s"WHERE ${knuthHash("doc_id")} % 100 < 10"),
       "samp_stratified" -> ("SELECT lang, doc_id, rn FROM (SELECT lang, doc_id, " +
         s"row_number() OVER (PARTITION BY lang ORDER BY ${knuthHash("doc_id")}, doc_id) AS rn " +
-        "FROM documents) t WHERE rn <= 3 ORDER BY lang, rn")
+        "FROM documents) t WHERE rn <= 3 ORDER BY lang, rn"),
+      // sqrt is correctly rounded under IEEE-754 (a general pow is not), so
+      // the per-language basis-point rate — and hence the kept set — is
+      // bit-identical across engines
+      "samp_temperature" -> ("WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+        "r AS (SELECT lang, CAST(floor(10000 * sqrt((SELECT min(n) FROM c) / CAST(n AS DOUBLE))) AS BIGINT) AS rate_bp FROM c) " +
+        "SELECT d.lang, count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars " +
+        s"FROM documents d JOIN r USING (lang) WHERE ${knuthHash("d.doc_id")} % 10000 < rate_bp " +
+        "GROUP BY d.lang ORDER BY d.lang"),
+      "pipe_shuffle" -> (s"SELECT doc_id, ${knuthHash("doc_id")} AS pos FROM documents " +
+        "ORDER BY pos, doc_id LIMIT 100"),
+      // window sum is HUGEINT in DuckDB — cast before the integer divide so
+      // pack_id renders as an integer like Spark's BIGINT
+      "pipe_pack_sequences" -> ("WITH tk AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents), " +
+        s"b AS (SELECT doc_id, n_tok, ${knuthHash("doc_id")} % 16 AS bucket FROM tk), " +
+        "s AS (SELECT bucket, doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM b) " +
+        "SELECT bucket, st // 256 AS pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
+        "FROM s GROUP BY bucket, st // 256 ORDER BY bucket, pack_id"),
+      "txt_repetition" -> ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS grams FROM tk WHERE len(tk) >= 3) " +
+        "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams, " +
+        "round((len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE), 4) AS dup_gram_ratio " +
+        "FROM g ORDER BY doc_id")
     )
   }
 }

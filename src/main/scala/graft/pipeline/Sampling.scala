@@ -66,4 +66,38 @@ object Sampling {
     df.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= n)
   }
+
+  /** Temperature (α = 0.5) resampling across groups — the standard
+    * multi-source training-mix rebalance: each group `g` keeps rows at rate
+    * `sqrt(minCount / count_g)`, so the smallest group is kept whole and
+    * larger groups are downsampled toward the square root of their excess.
+    * α is fixed at 0.5 because `sqrt` is correctly rounded under IEEE-754
+    * (a general `pow` is not), which keeps the boundary decision — and
+    * therefore the selected set — bit-identical across engines.
+    *
+    * Plan shape: one tiny per-group aggregate, its global min joined back
+    * via broadcast, then the same overflow-safe Knuth-hash keep decision as
+    * [[bernoulli]] in basis points. No shuffle of the data rows themselves,
+    * no driver-side collect — the rates ride the broadcast.
+    */
+  def sqrtTemperature(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__minN"))))
+      .select(col(groupCol),
+        floor(lit(10000.0) * sqrt(col("__minN") / col("__n"))).as("__rate_bp"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashMod(col(idCol), 10000L) < col("__rate_bp"))
+      .drop("__rate_bp")
+  }
+
+  /** Deterministic global training shuffle: order by the Knuth hash of the
+    * id (id tiebreak) — the 100 TB way to "shuffle the corpus" is a range
+    * repartition on this hash followed by local sorts, which Spark plans
+    * from the declared orderBy; any engine reproduces the identical
+    * permutation.
+    */
+  def shuffled(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("pos", hashMod(col(idCol), 1L << 32))
+      .orderBy(col("pos"), col(idCol))
 }

@@ -87,6 +87,22 @@ object TextAnalysis {
     df.withColumn("exact_hash", xxhash64(col(textCol)))
       .withColumn("fingerprint", gf.doc_fingerprint(col(textCol), 16))
       .withColumn("simhash", gf.simhash64(gf.ws_tokens(col(textCol))))
+
+  /** Within-document repetition — the repeated-n-gram fraction used by
+    * corpus quality filters (C4/Gopher-style "repetitive text" signal):
+    * of a document's word n-grams, what fraction are repeats of a gram
+    * seen earlier in the same document. Pure per-row projection — no
+    * shuffle, linear at any scale. Only meaningful for docs with at least
+    * n tokens (shorter docs get a degenerate single-gram shingle; filter
+    * them out caller-side, as the oracle does).
+    */
+  def repetition(df: DataFrame, textCol: String = "text", n: Int = 3): DataFrame = {
+    val grams = gf.shingles(gf.ws_tokens(col(textCol)), n)
+    df.withColumn("n_grams", size(grams).cast("long"))
+      .withColumn("n_distinct_grams", size(array_distinct(grams)).cast("long"))
+      .withColumn("dup_gram_ratio",
+        round((col("n_grams") - col("n_distinct_grams")) / col("n_grams"), 4))
+  }
 }
 
 object Stopwords {
