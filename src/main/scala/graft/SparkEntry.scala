@@ -145,6 +145,32 @@ object SparkEntry {
       new KVIndex(store, ix.compact().orThrow)
     }
 
+  /** vacuum() results per (kind|sfDir) — captured at build time because the
+    * removed-counts cannot be re-derived after the files are gone.
+    */
+  private val vacResults = scala.collection.concurrent.TrieMap[String, (Int, Int)]()
+
+  /** Same fragmented-then-compacted lifecycle as [[compactStore]], then
+    * `vacuum(retain=1)`: manifests v0..v4 dropped (5) and the four
+    * pre-compact data files swept (the compacted file is the only one the
+    * kept manifest references). Backs the driver-verified GC row
+    * (kv_vacuum): deterministic removal counts + checksum invariance of the
+    * surviving snapshot.
+    */
+  private def vacuumStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-vacuum", s, d) { store =>
+      val ord = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      def slice(lo: Long, hi: Long) =
+        ord.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      var ix = KVIndex.bootstrap(store, "vord", slice(0L, 100L), Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      for ((lo, hi) <- Seq((100L, 300L), (300L, 1000L), (1000L, Long.MaxValue)))
+        ix = new KVIndex(store, ix.execute(Seq(Command.Insert(slice(lo, hi)))).orThrow)
+      ix = new KVIndex(store, ix.compact().orThrow)
+      vacResults(s"kv-vacuum|$d") = store.vacuum("vord", retainVersions = 1)
+      KVIndex.open(store, "vord").fold(e => sys.error(e.message), identity)
+    }
+
   /** Benchmark warm-up: absorb every one-time cost so per-query bench
     * numbers measure the QUERY, not whichever query happened to run first —
     * (a) the kv-store lifecycles for `d` (bootstrap + upsert + split +
@@ -155,7 +181,8 @@ object SparkEntry {
     */
   def warmup(s: SparkSession, d: String,
              warmSf: String = "/root/testdata/sf0.001"): Unit = {
-    try { liStore(s, d); bytesStore(s, d); ckStore(s, d); compactStore(s, d) }
+    try { liStore(s, d); bytesStore(s, d); ckStore(s, d)
+          compactStore(s, d); vacuumStore(s, d) }
     catch { case _: Throwable => () }
     queries.foreach { case (_, fn) =>
       try fn(s, warmSf).count() catch { case _: Throwable => () }
@@ -251,6 +278,29 @@ object SparkEntry {
       val (_, ix) = liStore(s, d)
       ix.headOrdered(100).select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+    // GC: mark-and-sweep vacuum after compaction — deterministic removal
+    // counts (5 old manifests incl. the empty v0, 4 unreferenced files)
+    // and the surviving snapshot's data untouched
+    "kv_vacuum" -> ((s, d) => {
+      import s.implicits._
+      val (_, ix) = vacuumStore(s, d)
+      val (mRemoved, fDeleted) = vacResults(s"kv-vacuum|$d")
+      val r = ix.df.agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("price_sum")).head()
+      Seq((r.getLong(0), r.getDouble(1), mRemoved.toLong, fDeleted.toLong))
+        .toDF("n", "price_sum", "m_removed", "f_deleted")
+    }),
+    // U3 copy: zero-copy clone — same element count, same data files SHARED
+    // byte for byte (no data moved), fresh id/lineage
+    "kv_clone" -> ((s, d) => {
+      import s.implicits._
+      val (_, ix) = liStore(s, d)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val cm = ix.copyTo(s"clone_$tag").fold(e => sys.error(e.message), identity)
+      val shared = cm.files.map(_.path) == ix.manifest.files.map(_.path)
+      Seq((cm.numElements, if (shared) 1L else 0L, ix.count))
+        .toDF("n_clone", "files_shared", "n_orig")
     }),
 
     // ---- §2.1 point lookups ----
@@ -828,6 +878,10 @@ object SparkEntry {
       // sizes: bootstrap + 3 out-of-range appends = 4 files, compacted to 1
       "kv_compact" -> ("SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum, " +
         "CAST(4 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after FROM orders"),
+      "kv_vacuum" -> ("SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum, " +
+        "CAST(5 AS BIGINT) AS m_removed, CAST(4 AS BIGINT) AS f_deleted FROM orders"),
+      "kv_clone" -> ("SELECT count(*) AS n_clone, CAST(1 AS BIGINT) AS files_shared, " +
+        "count(*) AS n_orig FROM orders"),
       "kv_inordered" -> ("SELECT o_orderkey, o_custkey, " +
         "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS o_totalprice " +
         "FROM orders ORDER BY o_orderkey"),
