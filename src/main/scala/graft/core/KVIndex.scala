@@ -150,11 +150,18 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * when file ranges are disjoint (the normal layout — see
     * [[SnapshotManifest.filesDisjointOrdered]]); falls back to a global
     * sort for the rare overlapping-manifest case.
+    *
+    * The stitched order is also DECLARED to Catalyst
+    * ([[graft.plans.OrderedPlans.declareOrdered]]): a downstream
+    * `orderBy` on the key is elided by the stock `RemoveRedundantSorts`
+    * rule instead of re-shuffling already-ordered data.
     */
   def inOrdered(reverse: Boolean = false): DataFrame =
     if (manifest.files.isEmpty) df
     else if (manifest.filesDisjointOrdered)
-      orderedUnion(if (reverse) manifest.files.reverse else manifest.files, reverse)
+      graft.plans.OrderedPlans.declareOrdered(
+        orderedUnion(if (reverse) manifest.files.reverse else manifest.files, reverse),
+        key.cols, reverse)
     else if (reverse) table.reverseScan()
     else table.inOrder()
 

@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graft.Shim
+
+/** Makes the snapshot layout's order VISIBLE to Catalyst.
+  *
+  * `KVIndex.inOrdered` stitches per-file scans in manifest order, which is
+  * already the global key order with no exchange — but to Catalyst the
+  * stitched union is unordered, so a downstream `orderBy(key)` would
+  * re-sort (and re-shuffle) data that is already ordered. [[DeclareOrdered]]
+  * is a zero-cost marker node whose physical twin re-emits its child's
+  * rows unchanged while DECLARING the ordering — the flat-layout analogue
+  * of the reference tree's intrinsically ordered iteration surface
+  * (reference `Index.scala:583-664`), expressed through Spark's own
+  * `outputOrdering`/`outputPartitioning` contract so the stock
+  * `EnsureRequirements` + `RemoveRedundantSorts` rules elide the sort.
+  *
+  * Safety: [[ManifestOrderedPartitioning]] satisfies ONLY
+  * `OrderedDistribution` (what a global sort requires). It deliberately
+  * does NOT satisfy `ClusteredDistribution`, so a join between two
+  * declared-ordered frames still plans its exchanges — two snapshots'
+  * file boundaries are not co-partitioned, and claiming otherwise would
+  * zip mismatched partitions and corrupt join results.
+  */
+final case class DeclareOrdered(child: LogicalPlan, ordering: Seq[SortOrder])
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): DeclareOrdered =
+    copy(child = newChild)
+}
+
+/** Partition-ordered range layout: partition i holds keys strictly below
+  * partition i+1 (manifest-disjoint files), rows sorted within. Enough for
+  * `OrderedDistribution`; nothing else.
+  */
+final case class ManifestOrderedPartitioning(ordering: Seq[SortOrder],
+                                             numPartitions: Int) extends Partitioning {
+  override def satisfies0(required: Distribution): Boolean = required match {
+    case OrderedDistribution(req) => SortOrder.orderingSatisfies(ordering, req)
+    case _ => super.satisfies0(required)
+  }
+}
+
+final case class DeclareOrderedExec(child: SparkPlan, ordering: Seq[SortOrder])
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputOrdering: Seq[SortOrder] = ordering
+  override def outputPartitioning: Partitioning =
+    ManifestOrderedPartitioning(ordering, child.outputPartitioning.numPartitions)
+  override protected def doExecute(): RDD[InternalRow] = child.execute()
+  override def supportsColumnar: Boolean = child.supportsColumnar
+  override protected def doExecuteColumnar(): RDD[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    child.executeColumnar()
+  override protected def withNewChildInternal(newChild: SparkPlan): DeclareOrderedExec =
+    copy(child = newChild)
+}
+
+object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case DeclareOrdered(child, ordering) =>
+      DeclareOrderedExec(planLater(child), ordering) :: Nil
+    case _ => Nil
+  }
+}
+
+object OrderedPlans {
+  /** Wraps `df` (whose rows genuinely arrive in `keyCols` order across
+    * partition index — the caller's contract) in the ordering declaration.
+    * Registers the planning strategy on the session idempotently, so no
+    * builder-time `SparkSessionExtensions` wiring is required (though
+    * `injectPlannerStrategy(_ => DeclareOrderedStrategy)` works too).
+    */
+  def declareOrdered(df: DataFrame, keyCols: Seq[String], reverse: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(DeclareOrderedStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ DeclareOrderedStrategy
+    val child = df.queryExecution.analyzed
+    val dir = if (reverse) Descending else Ascending
+    val ordering = keyCols.map { c =>
+      val attr = child.output.find(_.name == c)
+        .getOrElse(sys.error(s"declareOrdered: missing key column $c"))
+      SortOrder(attr, dir)
+    }
+    Shim.ofRows(spark, DeclareOrdered(child, ordering))
+  }
+}

@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def col(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Build a DataFrame over a custom logical plan (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4's classic module).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -91,6 +91,38 @@ class OrderedReadsSpec extends SparkSuite {
       iterPairs(table.pullIterator(seek = Some(Seq[Any]("k0100")))))
   }
 
+  test("declared ordering: downstream orderBy on the key is elided, never for other columns, never for joins") {
+    val store = new FsSnapshotStore(tmpDir("graft-decl"), spark)
+    val ix = boot(store, "decl", 1 to 100)
+    assert(ix.numFiles >= 3)
+
+    // orderBy(key) over the declared-ordered read: Catalyst's own
+    // RemoveRedundantSorts elides the GLOBAL sort (and its range exchange)
+    // — the only Sort nodes left are the per-file local belt-and-braces
+    // sorts inside the stitch — and rows still come back in key order.
+    // A global SortExec prints as "Sort [...], true, 0".
+    val globalSort = """Sort \[[^\]]*\], true""".r
+    val sortedOnKey = ix.inOrdered().orderBy("k")
+    val p1 = sortedOnKey.queryExecution.executedPlan.toString
+    assert(globalSort.findFirstIn(p1).isEmpty && !p1.contains("Exchange"),
+      s"expected no global sort / exchange for orderBy(key):\n$p1")
+    assert(pairs(sortedOnKey) == (1 to 100).map(i => (f"k$i%04d", s"v$i")))
+
+    // ...but ordering on a NON-key column must still plan a real sort
+    val p2 = ix.inOrdered().orderBy("v").queryExecution.executedPlan.toString
+    assert(globalSort.findFirstIn(p2).isDefined,
+      s"orderBy(non-key) must keep its global sort:\n$p2")
+
+    // safety: two declared-ordered snapshots joined on the key are NOT
+    // co-partitioned (file boundaries differ) — the join must keep its
+    // exchanges rather than zip mismatched partitions
+    val other = boot(store, "decl2", 1 to 100)
+    val joined = ix.inOrdered().join(other.inOrdered().withColumnRenamed("v", "v2"), "k")
+    val p3 = joined.queryExecution.executedPlan.toString
+    assert(p3.contains("Exchange"), s"join must not elide its exchanges:\n$p3")
+    assert(joined.count() == 100)
+  }
+
   /** FsSnapshotStore with counted control-plane reads, to prove cache hits
     * skip the history + manifest reads.
     */
