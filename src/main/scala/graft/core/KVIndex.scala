@@ -113,10 +113,26 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     OrderedTable(base, key).getAll(keysDf, mustFindAll)
   }
 
-  /** Range scan through the pruned read path. */
+  /** Range scan through the pruned read path. On the normal disjoint
+    * layout this is the manifest-ordered per-file stitch with the range
+    * predicate applied INSIDE the stitch (so it still pushes down to the
+    * parquet scans) and the result order declared to Catalyst — file
+    * pruning + zero sort exchange, like [[inOrdered]]. Overlapping
+    * manifests fall back to the sorted scan.
+    */
   def range(from: Seq[Any], to: Seq[Any], incFrom: Boolean, incTo: Boolean,
-            reverse: Boolean = false): DataFrame =
-    tableForRange(from, to).range(from, to, incFrom, incTo, reverse)
+            reverse: Boolean = false): DataFrame = {
+    if (!manifest.filesDisjointOrdered)
+      return tableForRange(from, to).range(from, to, incFrom, incTo, reverse)
+    require(KeyOrd.compare(to, from) >= 0, "range: to < from")
+    val files = manifest.files.filter(f =>
+      KeyOrd.compare(f.min, to) <= 0 && KeyOrd.compare(f.max, from) >= 0)
+    if (files.isEmpty) return df.limit(0)
+    val pred = key.gtKey(from, orEq = incFrom) && key.ltKey(to, orEq = incTo)
+    graft.plans.OrderedPlans.declareOrdered(
+      orderedUnion(if (reverse) files.reverse else files, reverse).filter(pred),
+      key.cols, reverse)
+  }
 
   // ------------------------------------------------------------------
   // Ordered reads WITHOUT a sort exchange. Snapshot files are written

@@ -51,12 +51,17 @@ object GraftFunctions {
 }
 
 /** `SparkSessionExtensions` hook (build-brief custom-operator path (b)/(c)
-  * registration point): injects every kernel as a session function.
+  * registration point): injects every kernel as a session function and the
+  * snapshot-order planning strategy (`graft.plans.DeclareOrderedStrategy`;
+  * also self-registers on first use via `experimental.extraStrategies`,
+  * so either installation path works).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.kernels", name), builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.DeclareOrderedStrategy)
+  }
 }

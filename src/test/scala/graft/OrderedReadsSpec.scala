@@ -89,6 +89,35 @@ class OrderedReadsSpec extends SparkSuite {
     assert(pairs(ix.headOrdered(25, reverse = true)) == want.reverse.take(25))
     assert(iterPairs(ix.pullIterator(seek = Some(Seq[Any]("k0100")))) ==
       iterPairs(table.pullIterator(seek = Some(Seq[Any]("k0100")))))
+    assert(pairs(ix.range(Seq[Any]("k0050"), Seq[Any]("k0150"), incFrom = true, incTo = false)) ==
+      pairs(table.range(Seq[Any]("k0050"), Seq[Any]("k0150"), incFrom = true, incTo = false)))
+  }
+
+  test("range: stitched fast path prunes files, pushes the bound predicate, plans no exchange") {
+    val store = new FsSnapshotStore(tmpDir("graft-rng"), spark)
+    val ix = boot(store, "rng", 1 to 100)
+    assert(ix.numFiles >= 3)
+    val table = ix.table
+    val (from, to) = (Seq[Any]("k0020"), Seq[Any]("k0060"))
+
+    for ((incF, incT, rev) <- Seq((true, true, false), (false, true, false),
+                                  (true, false, true), (false, false, true))) {
+      val got = pairs(ix.range(from, to, incF, incT, rev))
+      val want = pairs(table.range(from, to, incF, incT, rev))
+      assert(got == want, s"range($incF,$incT,rev=$rev)")
+    }
+
+    val q = ix.range(from, to, incFrom = true, incTo = true)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"range must not shuffle:\n$plan")
+    // inclusive bound compiles to (k > b) OR (k <=> b); both legs push down
+    assert(plan.contains("PushedFilters: [Or(GreaterThan(k,k0020)"),
+      s"range bounds must reach the parquet scan:\n$plan")
+    // file pruning: scans only the files intersecting [from,to]
+    val expectedFiles = ix.manifest.files.count(f =>
+      KeyOrd.compare(f.min, to) <= 0 && KeyOrd.compare(f.max, from) >= 0)
+    assert(expectedFiles < ix.numFiles, "bounds should prune at least one file")
+    assert(plan.sliding("FileScan".length).count(_ == "FileScan") == expectedFiles)
   }
 
   test("declared ordering: downstream orderBy on the key is elided, never for other columns, never for joins") {
