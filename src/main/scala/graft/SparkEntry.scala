@@ -279,6 +279,16 @@ object SparkEntry {
       ix.headOrdered(100).select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
+    // S7/S5 through the SNAPSHOT store: manifest prunes to the prefix's /
+    // bound's covering files, predicate pushed into those scans, no sort
+    // exchange (composite key (o_custkey, o_orderkey))
+    "kv_prefix" -> ((s, d) =>
+      ckStore(s, d).prefix(Seq(7L)).select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))),
+    "kv_lt" -> ((s, d) =>
+      ckStore(s, d).lt(Seq(3L, 50L), inclusive = true)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))),
     // GC: mark-and-sweep vacuum after compaction — deterministic removal
     // counts (5 old manifests incl. the empty v0, 4 unreferenced files)
     // and the surviving snapshot's data untouched
@@ -878,6 +888,11 @@ object SparkEntry {
       // sizes: bootstrap + 3 out-of-range appends = 4 files, compacted to 1
       "kv_compact" -> ("SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum, " +
         "CAST(4 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after FROM orders"),
+      "kv_prefix" -> ("SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price " +
+        "FROM orders WHERE o_custkey = 7 ORDER BY o_custkey, o_orderkey"),
+      "kv_lt" -> ("SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price " +
+        "FROM orders WHERE o_custkey < 3 OR (o_custkey = 3 AND o_orderkey <= 50) " +
+        "ORDER BY o_custkey, o_orderkey"),
       "kv_vacuum" -> ("SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum, " +
         "CAST(5 AS BIGINT) AS m_removed, CAST(4 AS BIGINT) AS f_deleted FROM orders"),
       "kv_clone" -> ("SELECT count(*) AS n_clone, CAST(1 AS BIGINT) AS files_shared, " +

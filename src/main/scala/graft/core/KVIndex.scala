@@ -122,17 +122,53 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     */
   def range(from: Seq[Any], to: Seq[Any], incFrom: Boolean, incTo: Boolean,
             reverse: Boolean = false): DataFrame = {
-    if (!manifest.filesDisjointOrdered)
-      return tableForRange(from, to).range(from, to, incFrom, incTo, reverse)
     require(KeyOrd.compare(to, from) >= 0, "range: to < from")
-    val files = manifest.files.filter(f =>
-      KeyOrd.compare(f.min, to) <= 0 && KeyOrd.compare(f.max, from) >= 0)
+    stitchedScan(f =>
+        KeyOrd.compare(f.min, to) <= 0 && KeyOrd.compare(f.max, from) >= 0,
+      key.gtKey(from, orEq = incFrom) && key.ltKey(to, orEq = incTo), reverse)(
+      tableForRange(from, to).range(from, to, incFrom, incTo, reverse))
+  }
+
+  /** Generalized stitched scan: files kept by the manifest predicate, rows
+    * by a pushdown predicate, order declared — the shared engine under
+    * [[range]]/[[gt]]/[[lt]]/[[prefix]]. Falls back to the given sorted
+    * scan for overlapping manifests.
+    */
+  private def stitchedScan(filePred: FileEntry => Boolean, rowPred: Column,
+                           reverse: Boolean)(fallback: => DataFrame): DataFrame = {
+    if (!manifest.filesDisjointOrdered) return fallback
+    val files = manifest.files.filter(filePred)
     if (files.isEmpty) return df.limit(0)
-    val pred = key.gtKey(from, orEq = incFrom) && key.ltKey(to, orEq = incTo)
     graft.plans.OrderedPlans.declareOrdered(
-      orderedUnion(if (reverse) files.reverse else files, reverse).filter(pred),
+      orderedUnion(if (reverse) files.reverse else files, reverse).filter(rowPred),
       key.cols, reverse)
   }
+
+  /** S5 one-sided ranges over the snapshot: manifest prunes the files on
+    * the closed side, the bound predicate pushes into the kept scans, no
+    * sort exchange (reference `QueryableIndex.scala:253-271` on the flat
+    * layout).
+    */
+  def gt(term: Seq[Any], inclusive: Boolean, reverse: Boolean = false): DataFrame =
+    stitchedScan(f => KeyOrd.compare(f.max, term) >= (if (inclusive) 0 else 1),
+      key.gtKey(term, orEq = inclusive), reverse)(
+      table.gt(term, inclusive, reverse))
+
+  def lt(term: Seq[Any], inclusive: Boolean, reverse: Boolean = false): DataFrame =
+    stitchedScan(f => KeyOrd.compare(f.min, term) <= (if (inclusive) 0 else -1),
+      key.ltKey(term, orEq = inclusive), reverse)(
+      table.lt(term, inclusive, reverse))
+
+  /** S7 prefix scan over the snapshot: a file may hold prefix-`p` keys iff
+    * `p` falls between its min and max truncated to the prefix length
+    * (KeyOrd treats the shorter seq as prefix-less, matching the
+    * reference's prefix comparator convention, `QueryableIndex.scala:370-430`).
+    */
+  def prefix(p: Seq[Any], reverse: Boolean = false): DataFrame =
+    stitchedScan(f => KeyOrd.compare(p, f.max.take(p.length)) <= 0 &&
+        KeyOrd.compare(f.min.take(p.length), p) <= 0,
+      key.prefixEq(p), reverse)(
+      table.prefix(p, reverse))
 
   // ------------------------------------------------------------------
   // Ordered reads WITHOUT a sort exchange. Snapshot files are written

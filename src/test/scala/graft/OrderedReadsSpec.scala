@@ -120,6 +120,33 @@ class OrderedReadsSpec extends SparkSuite {
     assert(plan.sliding("FileScan".length).count(_ == "FileScan") == expectedFiles)
   }
 
+  test("gt/lt/prefix over a composite-key snapshot agree with OrderedTable, no exchange") {
+    val store = new FsSnapshotStore(tmpDir("graft-glp"), spark)
+    val rows = for (g <- 1L to 10L; i <- 1 to 20) yield (g, f"k$i%03d", s"v$g-$i")
+    val ix = KVIndex.bootstrap(store, "glp", rows.toDF("g", "k", "v"),
+      Seq("g", "k"), maxRowsPerFile = 32).fold(e => fail(e.message), identity)
+    assert(ix.numFiles >= 3 && ix.manifest.filesDisjointOrdered)
+    val table = ix.table
+
+    def trip(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String)] =
+      df.select("g", "k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+    val term = Seq[Any](5L, "k010")
+    for (rev <- Seq(false, true); inc <- Seq(false, true)) {
+      assert(trip(ix.gt(term, inc, rev)) == trip(table.gt(term, inc, rev)), s"gt($inc,$rev)")
+      assert(trip(ix.lt(term, inc, rev)) == trip(table.lt(term, inc, rev)), s"lt($inc,$rev)")
+    }
+    for (rev <- Seq(false, true))
+      assert(trip(ix.prefix(Seq[Any](7L), rev)) == trip(table.prefix(Seq[Any](7L), rev)), s"prefix($rev)")
+
+    val p = ix.prefix(Seq[Any](7L)).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"prefix must not shuffle:\n$p")
+    // prefix prunes: only the files whose [min,max] can hold g=7
+    val nScans = p.sliding("FileScan".length).count(_ == "FileScan")
+    assert(nScans < ix.numFiles, s"prefix should prune files ($nScans of ${ix.numFiles}):\n$p")
+  }
+
   test("declared ordering: downstream orderBy on the key is elided, never for other columns, never for joins") {
     val store = new FsSnapshotStore(tmpDir("graft-decl"), spark)
     val ix = boot(store, "decl", 1 to 100)
