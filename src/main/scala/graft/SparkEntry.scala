@@ -279,6 +279,18 @@ object SparkEntry {
       ix.headOrdered(100).select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
+    // P4/P5 through the SNAPSHOT store: successor/predecessor read exactly
+    // ONE file, located via manifest stats
+    "kv_next_key" -> ((s, d) => {
+      val (_, ix) = liStore(s, d)
+      ix.nextKey(Seq(41L)).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+    }),
+    "kv_prev_key" -> ((s, d) => {
+      val (_, ix) = liStore(s, d)
+      ix.previousKey(Seq(42L)).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+    }),
     // S7/S5 through the SNAPSHOT store: manifest prunes to the prefix's /
     // bound's covering files, predicate pushed into those scans, no sort
     // exchange (composite key (o_custkey, o_orderkey))
@@ -888,6 +900,12 @@ object SparkEntry {
       // sizes: bootstrap + 3 out-of-range appends = 4 files, compacted to 1
       "kv_compact" -> ("SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum, " +
         "CAST(4 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after FROM orders"),
+      "kv_next_key" -> ("SELECT o_orderkey, o_custkey, " +
+        "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS price " +
+        "FROM orders WHERE o_orderkey > 41 ORDER BY o_orderkey LIMIT 1"),
+      "kv_prev_key" -> ("SELECT o_orderkey, o_custkey, " +
+        "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS price " +
+        "FROM orders WHERE o_orderkey < 42 ORDER BY o_orderkey DESC LIMIT 1"),
       "kv_prefix" -> ("SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price " +
         "FROM orders WHERE o_custkey = 7 ORDER BY o_custkey, o_orderkey"),
       "kv_lt" -> ("SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price " +

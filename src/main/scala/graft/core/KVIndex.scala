@@ -84,6 +84,29 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   /** Point lookup through the pruned read path. */
   def get(k: Seq[Any]): DataFrame = tableForRange(k, k).get(k)
 
+  /** P4/P5 successor/predecessor through the pruned read path: on the
+    * disjoint layout the answer lives in exactly the file
+    * [[nextKeyFile]]/[[previousKeyFile]] locates (every earlier/later file
+    * has max <= k / min >= k), so ONE file is read regardless of index
+    * size — the findPath + neighbor-leaf hop of the reference
+    * (`QueryableIndex.scala:31-83`) done on manifest stats.
+    */
+  def nextKey(k: Seq[Any]): DataFrame =
+    if (!manifest.filesDisjointOrdered) table.nextKey(k)
+    else nextKeyFile(k) match {
+      case None => df.limit(0)
+      case Some(f) =>
+        OrderedTable(store.readFiles(Seq(f.path), manifest), key).nextKey(k)
+    }
+
+  def previousKey(k: Seq[Any]): DataFrame =
+    if (!manifest.filesDisjointOrdered) table.previousKey(k)
+    else previousKeyFile(k) match {
+      case None => df.limit(0)
+      case Some(f) =>
+        OrderedTable(store.readFiles(Seq(f.path), manifest), key).previousKey(k)
+    }
+
   /** Sorted multi-get through the pruned read path — one manifest pass
     * assigns the whole key batch to its covering files (the reference
     * amortizes exactly this way: one descent serves every key landing in

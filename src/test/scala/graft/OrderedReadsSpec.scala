@@ -52,6 +52,13 @@ class OrderedReadsSpec extends SparkSuite {
       assert(pairs(ix.headOrdered(n, reverse = true)) == pairs(table.tail(n)), s"tail($n)")
     }
 
+    // P4/P5: one-file successor/predecessor — parity incl. file boundaries,
+    // absent keys, and past-the-end terms
+    for (k <- Seq("k0001", "k0032", "k0033", "k0050", "k0050x", "k0099", "k0100", "k0000")) {
+      assert(pairs(ix.nextKey(Seq[Any](k))) == pairs(table.nextKey(Seq[Any](k))), s"nextKey($k)")
+      assert(pairs(ix.previousKey(Seq[Any](k))) == pairs(table.previousKey(Seq[Any](k))), s"previousKey($k)")
+    }
+
     // pull-iterator parity: plain, predicate, seek resume, reverse seek
     assert(iterPairs(ix.pullIterator()) == iterPairs(table.pullIterator()))
     val pred = col("v").endsWith("7")
