@@ -856,6 +856,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy("bucket", "pack_id")
     }),
+    // sliding-window chunking: budget-32 chunks, 8-token overlap — pure
+    // projection+explode, the other half of batch assembly
+    "pipe_chunk" -> ((s, d) =>
+      graft.pipeline.Packing.chunkDocs(t(s, d, "documents"))
+        .orderBy("doc_id", "chunk_no")),
     // within-document repeated-3-gram fraction (C4/Gopher-style
     // repetitive-text quality signal); docs under 3 tokens excluded on
     // both sides (their shingle is degenerate)
@@ -1154,6 +1159,15 @@ object SparkEntry {
         "s AS (SELECT bucket, doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM b) " +
         "SELECT bucket, st // 256 AS pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
         "FROM s GROUP BY bucket, st // 256 ORDER BY bucket, pack_id"),
+      // chunk starts advance by step=24; ceil(n/24) chunks; the head token
+      // pins chunk alignment, the least() pins the short final chunk
+      "pipe_chunk" -> ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "c AS (SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0), " +
+        "ch AS (SELECT doc_id, tk, n, unnest(range(0, CAST(ceil(n / 24.0) AS BIGINT))) AS chunk_no FROM c) " +
+        "SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no, " +
+        "CAST(least(32, n - chunk_no * 24) AS BIGINT) AS n_chunk_tokens, " +
+        "tk[CAST(chunk_no * 24 + 1 AS INT)] AS head_token " +
+        "FROM ch ORDER BY doc_id, chunk_no"),
       "txt_repetition" -> ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
         "g AS (SELECT doc_id, list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS grams FROM tk WHERE len(tk) >= 3) " +
         "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams, " +

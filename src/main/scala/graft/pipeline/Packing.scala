@@ -36,4 +36,29 @@ object Packing {
       .withColumn("pack_id",
         floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget))
   }
+
+  /** Sliding-window document chunking — the other half of batch assembly:
+    * long documents split into `budget`-token chunks whose starts advance
+    * by `budget - overlap` tokens (chunk i covers tokens
+    * `[i*step, i*step+budget)`; the final chunk may be short). A pure
+    * per-row projection + explode — no shuffle, no state, linear at any
+    * scale. Empty docs produce no chunks.
+    */
+  def chunkDocs(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", budget: Int = 32,
+                overlap: Int = 8): DataFrame = {
+    require(budget > 0 && overlap >= 0 && overlap < budget)
+    val step = budget - overlap
+    val tk = graft.functions.functions.ws_tokens(col(textCol))
+    df.select(col(idCol), tk.as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__tk"), col("__n"),
+        explode(sequence(lit(0),
+          ceil(col("__n") / lit(step.toDouble)).cast("int") - 1)).as("__c"))
+      .select(col(idCol), col("__c").cast("long").as("chunk_no"),
+        least(lit(budget.toLong), col("__n") - col("__c") * step)
+          .cast("long").as("n_chunk_tokens"),
+        element_at(col("__tk"), col("__c") * step + 1).as("head_token"))
+  }
 }

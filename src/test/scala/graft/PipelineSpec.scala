@@ -258,6 +258,19 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("chunking: sliding windows with overlap, short final chunk, empty docs dropped") {
+    import graft.pipeline.Packing
+    val fifty = (1 to 50).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, fifty), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val got = Packing.chunkDocs(docs, budget = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_no")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1: starts 0/24/48 -> lengths 32, 26, 2; heads t1, t25, t49
+    assert(got == Seq(
+      (1L, 0L, 32L, "t1"), (1L, 1L, 26L, "t25"), (1L, 2L, 2L, "t49"),
+      (2L, 0L, 3L, "a")))
+  }
+
   test("deterministic shuffle: a permutation, stable across reruns, engine-portable hash") {
     import graft.pipeline.Sampling
     val df = (1L to 500L).map(Tuple1(_)).toDF("id")
