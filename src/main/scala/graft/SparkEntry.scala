@@ -868,7 +868,56 @@ object SparkEntry {
       TextAnalysis.repetition(
           t(s, d, "documents").filter(size(gf.ws_tokens(col("text"))) >= 3))
         .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_ratio")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // corpus vocabulary top-k: vocabulary (not token stream) crosses the
+    // shuffle, top-k is TakeOrderedAndProject — never a global sort
+    "txt_top_tokens" -> ((s, d) =>
+      TextAnalysis.topTokens(t(s, d, "documents"), 20)),
+    // corpus bigram top-k — same plan over 2-gram shingles
+    "txt_bigrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(t(s, d, "documents"), 2, 20)),
+    // deterministic train/val/test assignment: pure projection, the same
+    // row lands in the same split on every run/engine/cluster size
+    "pipe_split" -> ((s, d) =>
+      graft.pipeline.Sampling.assignSplits(
+          t(s, d, "documents"), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("split")),
+    // fair multi-source interleave: global training order (rn, source) is
+    // round-robin across sources; first 60 positions shown
+    "pipe_interleave" -> ((s, d) =>
+      graft.pipeline.Sampling.interleaved(
+          t(s, d, "documents").select("doc_id", "source"), "source", "doc_id")
+        .select("rn", "source", "doc_id").limit(60)),
+    // int8 embedding quantization: per-vector max-abs codes, engine-exact
+    // floor(x+0.5) rounding; checksummed per vector
+    "sim_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(t(s, d, "embeddings"))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          size(filter(col("q"), x => x =!= 0L)).cast("long").as("nnz"))
+        .orderBy("vec_id")),
+    // CUBE over (lang, source): all four grouping sets in one pass
+    // (partial-aggregated expand — one shuffle, no re-scan per set)
+    "q_cube" -> ((s, d) =>
+      t(s, d, "documents").cube("lang", "source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("source"), lit("(all)")).as("source"),
+          col("n"), col("chars"))
+        .orderBy("lang", "source")),
+    // pivot lang → one count column per language (pinned value list: the
+    // single-pass, no-second-scan form of pivot)
+    "q_pivot" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      t(s, d, "documents").groupBy("source").pivot("lang", langs).count()
+        .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy("source")
+    })
   )
 
   // =====================================================================
@@ -1172,7 +1221,33 @@ object SparkEntry {
         "g AS (SELECT doc_id, list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS grams FROM tk WHERE len(tk) >= 3) " +
         "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams, " +
         "round((len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE), 4) AS dup_gram_ratio " +
-        "FROM g ORDER BY doc_id")
+        "FROM g ORDER BY doc_id"),
+      "txt_top_tokens" -> ("WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents) " +
+        "SELECT token, count(*) AS n FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+      "txt_bigrams" -> ("WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "g AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram FROM tk WHERE len(tk) >= 2) " +
+        "SELECT gram, count(*) AS n FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20"),
+      "pipe_split" -> (s"WITH h AS (SELECT n_chars, ${knuthHash("doc_id")} % 100 AS pos FROM documents) " +
+        "SELECT CASE WHEN pos < 80 THEN 'train' WHEN pos < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM h GROUP BY 1 ORDER BY split"),
+      "pipe_interleave" -> ("WITH r AS (SELECT doc_id, source, " +
+        s"row_number() OVER (PARTITION BY source ORDER BY ${knuthHash("doc_id")}, doc_id) AS rn FROM documents) " +
+        "SELECT rn, source, doc_id FROM r ORDER BY rn, source LIMIT 60"),
+      // quantization twin: identical DOUBLE arithmetic and floor(x+0.5)
+      // rounding; list_sum of a BIGINT list is HUGEINT — cast back
+      "sim_quantize" -> ("WITH m AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS vd, " +
+        "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma FROM embeddings), " +
+        "q AS (SELECT vec_id, CASE WHEN ma = 0 THEN list_transform(vd, v -> CAST(0 AS BIGINT)) " +
+        "ELSE list_transform(vd, v -> CAST(floor(v / ma * 127.0 + 0.5) AS BIGINT)) END AS q FROM m) " +
+        "SELECT vec_id, CAST(list_sum(q) AS BIGINT) AS q_sum, list_min(q) AS q_min, list_max(q) AS q_max, " +
+        "CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS nnz FROM q ORDER BY vec_id"),
+      "q_cube" -> ("SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS source, " +
+        "count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents " +
+        "GROUP BY CUBE (lang, source) ORDER BY lang, source"),
+      "q_pivot" -> ("SELECT source, " +
+        "count(*) FILTER (lang = 'de') AS de, count(*) FILTER (lang = 'en') AS en, " +
+        "count(*) FILTER (lang = 'es') AS es, count(*) FILTER (lang = 'fr') AS fr, " +
+        "count(*) FILTER (lang = 'zh') AS zh FROM documents GROUP BY source ORDER BY source")
     )
   }
 }

@@ -100,4 +100,42 @@ object Sampling {
   def shuffled(df: DataFrame, idCol: String): DataFrame =
     df.withColumn("pos", hashMod(col(idCol), 1L << 32))
       .orderBy(col("pos"), col(idCol))
+
+  /** Deterministic train/val/test assignment: each row's hash position in
+    * [0,100) is matched against the cumulative split percentages, so a row
+    * lands in the same split on every run, engine, and cluster size — the
+    * property that keeps eval sets leak-free when the corpus is rebuilt.
+    * A pure projection (adds a `split` column) — no shuffle.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100)
+    val pos = hashMod(col(idCol), 100L)
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val chain = splits.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (None, ((name, _), hi))    => Some(when(pos < hi, lit(name)))
+      case (Some(c), ((name, _), hi)) => Some(c.when(pos < hi, lit(name)))
+    }
+    df.withColumn("split",
+      chain.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1))))
+  }
+
+  /** Source-interleaved training order — the fair multi-source mix: rows
+    * are ranked within their group in deterministic pseudo-random order
+    * (`rn`), and the global training order is (rn, group), i.e. a
+    * round-robin across groups. Every prefix of the output is group-
+    * balanced (up to group exhaustion), which is what keeps a training run
+    * from seeing one source in a burst.
+    *
+    * Plan shape: one shuffle on the group key for the rank window, then a
+    * range repartition + local sort for the declared global order — no
+    * single-reducer stage. A hot group concentrates its RANKING on one
+    * reducer; pre-cap such groups with [[bernoulli]] first.
+    */
+  def interleaved(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashMod(col(idCol), 1L << 32), col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .orderBy(col("rn"), col(groupCol))
+  }
 }

@@ -114,6 +114,27 @@ object Similarity {
     df.withColumn("cell", array_max(array(scores: _*)).getField("cell"))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * standard 4× footprint cut before ANN indexing: each vector is scaled
+    * by its own max-abs so codes are `floor(v / maxabs * 127 + 0.5)` in
+    * [-127, 127]; zero vectors quantize to zeros. All arithmetic is DOUBLE
+    * with explicit floor(x+0.5) rounding, so any engine reproduces the
+    * identical codes bit-for-bit (library round() tie-breaking varies;
+    * this does not). A pure projection — no shuffle, codegen'd.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val vd = transform(col(vecCol), v => v.cast("double"))
+    val ma = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
+    df.withColumn("__ma", ma)
+      .withColumn("q",
+        when(col("__ma") === 0.0, transform(vd, _ => lit(0L)))
+          .otherwise(transform(vd,
+            v => floor(v / col("__ma") * 127.0 + 0.5).cast("long"))))
+      .withColumn("scale", col("__ma") / 127.0)
+      .drop("__ma")
+  }
+
   /** Probe an IVF index: rank cells by query-centroid cosine, scan only the
     * best `nProbe` cells, exact cosine inside them.
     */

@@ -88,6 +88,37 @@ object TextAnalysis {
       .withColumn("fingerprint", gf.doc_fingerprint(col(textCol), 16))
       .withColumn("simhash", gf.simhash64(gf.ws_tokens(col(textCol))))
 
+  /** Corpus vocabulary: global token frequencies, top `k` by
+    * (count desc, token asc). Tokens are the same whitespace tokens every
+    * other text operator uses. Scale: the explode feeds a hash aggregate
+    * with map-side partial combine, so only the VOCABULARY (not the token
+    * stream) crosses the shuffle; the top-k plans as
+    * `TakeOrderedAndProject` — k rows per partition reach the driver,
+    * never a globally sorted corpus.
+    */
+  def topTokens(df: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    df.select(explode(gf.ws_tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Corpus n-gram frequencies, top `k` — same plan shape as
+    * [[topTokens]] over word n-gram shingles. Documents shorter than `n`
+    * tokens are excluded (their shingle is degenerate).
+    */
+  def topNgrams(df: DataFrame, n: Int, k: Int, textCol: String = "text"): DataFrame =
+    // tokenize once per row into an aliased projection: higher-order
+    // functions run interpreted with no common-subexpression elimination,
+    // so inlining `ws_tokens` into each of shingles' references would
+    // re-run the regex split several times per row (~2× end-to-end).
+    // CollapseProject keeps non-cheap aliases that are referenced twice+.
+    df.select(gf.ws_tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(explode(gf.shingles(col("__tk"), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+
   /** Within-document repetition — the repeated-n-gram fraction used by
     * corpus quality filters (C4/Gopher-style "repetitive text" signal):
     * of a document's word n-grams, what fraction are repeats of a gram
@@ -96,13 +127,15 @@ object TextAnalysis {
     * n tokens (shorter docs get a degenerate single-gram shingle; filter
     * them out caller-side, as the oracle does).
     */
-  def repetition(df: DataFrame, textCol: String = "text", n: Int = 3): DataFrame = {
-    val grams = gf.shingles(gf.ws_tokens(col(textCol)), n)
-    df.withColumn("n_grams", size(grams).cast("long"))
-      .withColumn("n_distinct_grams", size(array_distinct(grams)).cast("long"))
+  def repetition(df: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
+    // stage the gram array behind an alias (see topNgrams: interpreted
+    // HOFs get no CSE, so both size() references would re-shingle the row)
+    df.withColumn("__grams", gf.shingles(gf.ws_tokens(col(textCol)), n))
+      .withColumn("n_grams", size(col("__grams")).cast("long"))
+      .withColumn("n_distinct_grams", size(array_distinct(col("__grams"))).cast("long"))
       .withColumn("dup_gram_ratio",
         round((col("n_grams") - col("n_distinct_grams")) / col("n_grams"), 4))
-  }
+      .drop("__grams")
 }
 
 object Stopwords {

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Sampling
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Training-mix and corpus-stats operators: split assignment, interleave
+  * fairness, vocabulary top-k, and int8 quantization invariants.
+  */
+class TrainingOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b a", "s1"), (2L, "b c", "s1"), (3L, "a", "s1"), (4L, "c c c", "s1"),
+    (5L, "a b", "s2"), (6L, "b", "s2"), (7L, "a a b b", "s2"), (8L, "c", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("topTokens: counts the corpus vocabulary, orders by count desc then token") {
+    val top = TextAnalysis.topTokens(docs, 10).as[(String, Long)].collect()
+    assert(top.toSeq == Seq(("a", 6L), ("b", 6L), ("c", 5L)))
+  }
+
+  test("topNgrams: bigrams only from docs with >= 2 tokens") {
+    val top = TextAnalysis.topNgrams(docs, 2, 3).as[(String, Long)].collect()
+    // "a b" appears in docs 1, 5, 7; single-token docs 3/6/8 contribute none
+    assert(top.head == ("a b", 3L))
+    assert(top.map(_._1).forall(_.split(" ").length == 2))
+  }
+
+  test("assignSplits: total partition, deterministic, matches hash thresholds") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val assigned = Sampling.assignSplits(ids, "id", splits)
+    val counts = assigned.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // threshold semantics: split is a pure function of hashMod(id, 100)
+    val bad = assigned
+      .withColumn("pos", Sampling.hashMod(col("id"), 100L))
+      .filter(
+        (col("pos") < 80 && col("split") =!= "train") ||
+        (col("pos") >= 80 && col("pos") < 90 && col("split") =!= "val") ||
+        (col("pos") >= 90 && col("split") =!= "test"))
+      .count()
+    assert(bad == 0)
+    // repartitioning must not change any assignment
+    val again = Sampling.assignSplits(ids.repartition(7), "id", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("interleaved: every prefix of k*groups rows is group-balanced") {
+    val rows = Sampling.interleaved(docs, "source", "doc_id")
+      .select("rn", "source", "doc_id").as[(Long, String, Long)].collect()
+    assert(rows.length == 8)
+    // equal-size groups: positions 2k and 2k+1 hold rank k+1 of each source
+    rows.grouped(2).zipWithIndex.foreach { case (pair, k) =>
+      assert(pair.map(_._2).toSet == Set("s1", "s2"), s"prefix $k unbalanced")
+      assert(pair.forall(_._1 == k + 1))
+    }
+  }
+
+  test("quantizeInt8: codes in [-127,127], max-abs element hits ±127, zero vec is zeros") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, 1.0f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs)
+      .select("vec_id", "q").as[(Long, Seq[Long])].collect().toMap
+    assert(q(1L) == Seq(64L, -127L, 32L))   // floor(±x/maxabs*127+0.5)
+    assert(q(2L) == Seq(0L, 0L, 0L))
+    assert(q(3L) == Seq(127L, 64L, -32L))   // floor(-31.75 + 0.5) = -32
+    assert(q.values.flatten.forall(v => v >= -127 && v <= 127))
+  }
+
+  test("quantizeInt8: dequantization error bounded by half a step") {
+    val vecs = Seq((1L, Array(0.37f, -0.91f, 0.003f, 0.64f)))
+      .toDF("vec_id", "embedding")
+    val row = Similarity.quantizeInt8(vecs)
+      .select("embedding", "q", "scale").head()
+    val orig = row.getSeq[Float](0)
+    val codes = row.getSeq[Long](1)
+    val scale = row.getDouble(2)
+    orig.zip(codes).foreach { case (v, c) =>
+      assert(math.abs(v - c * scale) <= scale / 2 + 1e-12)
+    }
+  }
+}
