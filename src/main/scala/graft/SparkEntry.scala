@@ -917,7 +917,39 @@ object SparkEntry {
       t(s, d, "documents").groupBy("source").pivot("lang", langs).count()
         .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
         .orderBy("source")
-    })
+    }),
+    // vocabulary coverage: per-document OOV counts against the broadcast
+    // corpus top-15 vocabulary
+    "txt_oov" -> ((s, d) =>
+      TextAnalysis.oovRate(t(s, d, "documents"), vocabSize = 15)
+        .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+        .orderBy("doc_id")),
+    // PII redaction over synthesized addresses/numbers (the corpus itself
+    // is clean): engine-portable regex subset, counts + redacted tail
+    // verified character-exact
+    "txt_redact" -> ((s, d) => {
+      val withPii = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-01"), col("doc_id"), lit(" now")).as("text"))
+      TextAnalysis.redactPii(withPii)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          expr("substring(redacted, length(redacted) - 39, 40)").as("tail"))
+        .orderBy("doc_id")
+    }),
+    // HLL distinct-token estimate next to the exact count (rows-only: the
+    // sketch is Spark's HLL++; TrainingOpsSpec pins the error bound)
+    "agg_approx_distinct" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(gf.ws_tokens(col("text"))).as("token"))
+        .agg(count_distinct(col("token")).as("exact"),
+          approx_count_distinct(col("token"), 0.02).as("approx"))),
+    // LIVE streaming windowed counts + top-2 event types per window — the
+    // streaming-agg + post-ranking composition
+    "st_topk" -> ((s, d) =>
+      EventStreams.topEventTypesLive(s, s"$d/events.parquet", k = 2)
+        .select(unix_millis(col("window_start")).as("window_start"),
+          col("event_type"), col("n_events"), col("rank"))
+        .orderBy("window_start", "rank"))
   )
 
   // =====================================================================
@@ -1247,7 +1279,26 @@ object SparkEntry {
       "q_pivot" -> ("SELECT source, " +
         "count(*) FILTER (lang = 'de') AS de, count(*) FILTER (lang = 'en') AS en, " +
         "count(*) FILTER (lang = 'es') AS es, count(*) FILTER (lang = 'fr') AS fr, " +
-        "count(*) FILTER (lang = 'zh') AS zh FROM documents GROUP BY source ORDER BY source")
+        "count(*) FILTER (lang = 'zh') AS zh FROM documents GROUP BY source ORDER BY source"),
+      "txt_oov" -> ("WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents), " +
+        "v AS (SELECT token FROM (SELECT token, count(*) AS n FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 15)) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "count(*) FILTER (token NOT IN (SELECT token FROM v)) AS n_oov, " +
+        "round(count(*) FILTER (token NOT IN (SELECT token FROM v)) / CAST(count(*) AS DOUBLE), 6) AS oov_rate " +
+        "FROM tok GROUP BY doc_id ORDER BY doc_id"),
+      // same portable regex subset (no backrefs/lookaround); DuckDB
+      // regexp_replace needs the 'g' flag to match Spark's replace-all
+      "txt_redact" -> ("WITH p AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 555-01' || doc_id || ' now' AS text FROM documents), " +
+        "e AS (SELECT doc_id, text, regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g') AS de_emailed FROM p) " +
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(de_emailed, '[0-9][0-9][0-9]-[0-9][0-9]+')) AS BIGINT) AS n_phones, " +
+        "substring(regexp_replace(de_emailed, '[0-9][0-9][0-9]-[0-9][0-9]+', '<PHONE>', 'g'), " +
+        "len(regexp_replace(de_emailed, '[0-9][0-9][0-9]-[0-9][0-9]+', '<PHONE>', 'g')) - 39, 40) AS tail " +
+        "FROM e ORDER BY doc_id"),
+      "st_topk" -> ("WITH c AS (SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT window_start, event_type, n_events, " +
+        "row_number() OVER (PARTITION BY window_start ORDER BY n_events DESC, event_type) AS rank FROM c) " +
+        "SELECT window_start, event_type, n_events, rank FROM r WHERE rank <= 2 ORDER BY window_start, rank")
     )
   }
 }

@@ -218,4 +218,19 @@ object EventStreams {
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(queryName)
   }
+
+  /** Top-k event types per window from a LIVE streaming run: the windowed
+    * aggregate streams (bounded state via the complete-mode window table),
+    * the rank is applied to the emitted result table — the standard
+    * "streaming agg + batch post-ranking" composition. The window rank
+    * partitions by window_start, so no single-reducer stage.
+    */
+  def topEventTypesLive(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = windowedCountsLive(spark, dir, "graft_stream_topk")
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

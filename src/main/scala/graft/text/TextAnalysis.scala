@@ -119,6 +119,41 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram").asc)
       .limit(k)
 
+  /** Vocabulary coverage / out-of-vocabulary rate: per-document counts of
+    * token occurrences outside the corpus top-`vocabSize` vocabulary — the
+    * standard "will my tokenizer cover this corpus" health check. The
+    * vocabulary is tiny by construction (top-k), so it rides a broadcast;
+    * the only shuffle is the per-document aggregate.
+    */
+  def oovRate(df: DataFrame, vocabSize: Int, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val vocab = topTokens(df, vocabSize)
+      .select(col("token"), lit(true).as("__in_vocab"))
+    df.select(col(idCol), explode(gf.ws_tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+  }
+
+  /** PII scrubbing: emails and phone-like numbers replaced with typed
+    * placeholders, with per-document match counts. Patterns stay inside
+    * the regex subset Java (Spark) and RE2 (DuckDB/replay engines) agree
+    * on — no backrefs, no lookaround — so redaction is reproducible across
+    * engines. Pure projection, linear at any scale. Phones are counted on
+    * the email-redacted text so an address's digits are never double-
+    * counted.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val phone = "[0-9][0-9][0-9]-[0-9][0-9]+"
+    val deEmailed = regexp_replace(col(textCol), email, "<EMAIL>")
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(email)).cast("long"))
+      .withColumn("n_phones", regexp_count(deEmailed, lit(phone)).cast("long"))
+      .withColumn("redacted", regexp_replace(deEmailed, phone, "<PHONE>"))
+  }
+
   /** Within-document repetition — the repeated-n-gram fraction used by
     * corpus quality filters (C4/Gopher-style "repetitive text" signal):
     * of a document's word n-grams, what fraction are repeats of a gram

@@ -42,6 +42,26 @@ class StreamingSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS wc_out")
   }
 
+  test("streaming top-k per window equals the batch rank") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val events = (0 until 180).map(i => ev(i.toLong, i, user = i % 5,
+      tpe = Seq("view", "click", "buy")(i % 3), value = 1.0))
+    val dir = tmpDir("st-topk")
+    events.toDF().write.mode("overwrite").parquet(dir)
+    val live = EventStreams.topEventTypesLive(spark, dir, 2)
+      .select("window_start", "event_type", "n_events", "rank")
+      .orderBy("window_start", "rank").collect().toSeq
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    val batch = EventStreams.windowedCounts(events.toDF())
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select("window_start", "event_type", "n_events", "rank")
+      .orderBy("window_start", "rank").collect().toSeq
+    assert(live.nonEmpty && live.map(_.toSeq) == batch.map(_.toSeq))
+  }
+
   test("batch sessionization: gap splits sessions, aggregates correct") {
     val rows = Seq(
       ev(1, 0, 1L, value = 1.0), ev(2, 10, 1L, value = 2.0), ev(3, 20, 1L, value = 3.0),

@@ -75,6 +75,40 @@ class TrainingOpsSpec extends SparkSuite {
     assert(q.values.flatten.forall(v => v >= -127 && v <= 127))
   }
 
+  test("oovRate: counts token occurrences outside the top-k vocabulary") {
+    // vocabSize 2 → vocab {a, b} (counts 6/6 beat c's 5); c is OOV
+    val r = TextAnalysis.oovRate(docs, vocabSize = 2)
+      .select("doc_id", "n_tokens", "n_oov").as[(Long, Long, Long)]
+      .collect().map { case (id, n, oov) => id -> ((n, oov)) }.toMap
+    assert(r(1L) == ((3L, 0L)))  // "a b a"
+    assert(r(2L) == ((2L, 1L)))  // "b c" — c is OOV
+    assert(r(4L) == ((3L, 3L)))  // "c c c"
+    assert(r(8L) == ((1L, 1L)))  // "c"
+  }
+
+  test("redactPii: emails and phones replaced and counted, clean text untouched") {
+    val df = Seq(
+      (1L, "write to al.bo%x@ex-a.co or call 555-0199 now"),
+      (2L, "no pii here 12-3")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df)
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 1L, 1L, "write to <EMAIL> or call <PHONE> now")))
+    assert(r(1) == ((2L, 0L, 0L, "no pii here 12-3")))
+  }
+
+  test("approx_count_distinct: HLL estimate within 5% of exact") {
+    val toks = spark.range(0, 20000)
+      .select(concat(lit("tok"), (col("id") % 1000)).as("token"))
+    val row = toks.agg(
+      count_distinct(col("token")).as("exact"),
+      approx_count_distinct(col("token"), 0.02).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(exact == 1000L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL estimate $approx too far from exact $exact")
+  }
+
   test("quantizeInt8: dequantization error bounded by half a step") {
     val vecs = Seq((1L, Array(0.37f, -0.91f, 0.003f, 0.64f)))
       .toDF("vec_id", "embedding")
