@@ -949,7 +949,68 @@ object SparkEntry {
       EventStreams.topEventTypesLive(s, s"$d/events.parquet", k = 2)
         .select(unix_millis(col("window_start")).as("window_start"),
           col("event_type"), col("n_events"), col("rank"))
-        .orderBy("window_start", "rank"))
+        .orderBy("window_start", "rank")),
+    // snapshot diff between the store's two recorded versions (t=1000
+    // pre-upsert, t=2000 post-upsert): COW file sharing means only files
+    // REWRITTEN between the versions are compared — cost ∝ changed data,
+    // and version stamps are excluded so payload-unchanged rows cancel
+    "kv_diff" -> ((s, d) => {
+      val (store, _) = liStore(s, d)
+      val v1 = KVIndex.openAt(store, "ord", 1000L).fold(e => sys.error(e.message), identity)
+      val v2 = KVIndex.openAt(store, "ord", 2000L).fold(e => sys.error(e.message), identity)
+      v1.diff(v2)
+        .select(col("o_orderkey"), col("change"),
+          round(col("old_o_totalprice"), 2).as("old_price"),
+          round(col("new_o_totalprice"), 2).as("new_price"))
+        .orderBy("o_orderkey")
+    }),
+    // CCNet-style cross-document segment dedup: strip 10-token segments
+    // shared by >= 2 documents, reassemble the survivors in order
+    "dd_seg_dedup" -> ((s, d) =>
+      Dedup.dedupSegments(t(s, d, "documents"), segTokens = 10, minDf = 2)
+        .select("doc_id", "n_segs", "n_removed", "cleaned")
+        .orderBy("doc_id")),
+    // quality-weighted downsample: orders kept with probability
+    // totalprice / max(totalprice), deterministically
+    "samp_weighted" -> ((s, d) =>
+      graft.pipeline.Sampling.weighted(t(s, d, "orders"), "o_orderkey", "o_totalprice")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).cast("double") / 100.0)
+            .as("checksum"))
+        .orderBy("o_orderstatus")),
+    // per-label embedding centroid cohesion (count / avg / min cosine to
+    // the label's own float-cast centroid)
+    "sim_centroid" -> ((s, d) =>
+      Similarity.labelCohesion(t(s, d, "embeddings"))
+        .select("label", "n_vecs", "avg_cos", "min_cos")
+        .orderBy("label")),
+    // LIVE stream-static broadcast enrichment (events × customer dim) +
+    // windowed revenue per market segment
+    "st_enrich" -> ((s, d) =>
+      EventStreams.enrichedSegmentRevenueLive(s, s"$d/events.parquet", t(s, d, "customer"))
+        .select(unix_millis(col("window_start")).as("window_start"),
+          col("segment"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "segment")),
+    // batch band join: all event pairs within 120 s, via the bucketed
+    // equi-join (never a cartesian/broadcast-nested-loop plan)
+    "q_band_join" -> ((s, d) => {
+      val pairs = graft.operators.RangeJoin.bandJoin(
+        t(s, d, "events").select(col("event_id"), col("ts"), col("event_type")),
+        "event_id", "ts", bandMs = 120000L)
+      pairs.select(col("a_event_type").as("type_a"), col("b_event_type").as("type_b"),
+          (col("b_ms") - col("a_ms")).as("gap"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_pairs"), sum(abs(col("gap"))).as("sum_gap_ms"))
+        .orderBy("type_a", "type_b")
+    }),
+    // token-length histogram (buckets of 8 tokens) — the corpus length
+    // profile a batch-assembly stage sizes its packing budget from
+    "txt_len_hist" -> ((s, d) =>
+      t(s, d, "documents")
+        .select((floor(size(gf.ws_tokens(col("text"))) / 8) * 8).as("bucket_lo"))
+        .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_lo"))
   )
 
   // =====================================================================
@@ -1298,7 +1359,48 @@ object SparkEntry {
       "st_topk" -> ("WITH c AS (SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2), " +
         "r AS (SELECT window_start, event_type, n_events, " +
         "row_number() OVER (PARTITION BY window_start ORDER BY n_events DESC, event_type) AS rank FROM c) " +
-        "SELECT window_start, event_type, n_events, rank FROM r WHERE rank <= 2 ORDER BY window_start, rank")
+        "SELECT window_start, event_type, n_events, rank FROM r WHERE rank <= 2 ORDER BY window_start, rank"),
+      // the store's t=2000 snapshot differs from t=1000 exactly by the
+      // upsert that zeroed o_totalprice for o_orderkey < 50 (none of which
+      // is 0 to begin with), so the diff is those keys, all 'changed'
+      "kv_diff" -> ("SELECT o_orderkey, 'changed' AS change, round(o_totalprice, 2) AS old_price, " +
+        "0.0 AS new_price FROM orders WHERE o_orderkey < 50 AND o_totalprice <> 0 ORDER BY o_orderkey"),
+      // same segmentation as the Spark side: lower, \s+ split, consecutive
+      // 10-token slices; segments in >= 2 documents are boilerplate
+      "dd_seg_dedup" -> ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "seg AS (SELECT doc_id, i AS pos, array_to_string(tk[i*10+1:i*10+10], ' ') AS seg " +
+        "FROM d, unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) t(i) WHERE len(tk) > 0), " +
+        "f AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg) WHERE df >= 2) " +
+        "SELECT doc_id, count(*) AS n_segs, " +
+        "count(*) FILTER (seg IN (SELECT seg FROM f)) AS n_removed, " +
+        "coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (seg NOT IN (SELECT seg FROM f)), '') AS cleaned " +
+        "FROM seg GROUP BY doc_id ORDER BY doc_id"),
+      "samp_weighted" -> ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS checksum " +
+        "FROM orders, (SELECT max(o_totalprice) AS mw FROM orders) m " +
+        s"WHERE ${knuthHash("o_orderkey")} % 65536 < floor(65536.0 * o_totalprice / mw) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      // centroid = per-dimension avg cast to REAL (float) — same rounding
+      // as the Spark side, so the cosines agree to the 4 dp compared
+      "sim_centroid" -> ("WITH d AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+        "c AS (SELECT label, pos, CAST(CAST(avg(v) AS REAL) AS DOUBLE) AS c FROM d GROUP BY 1, 2), " +
+        "s AS (SELECT d.label, d.vec_id, sum(d.v * c.c) AS dot, sum(d.v * d.v) AS na, sum(c.c * c.c) AS nb " +
+        "FROM d JOIN c ON d.label = c.label AND d.pos = c.pos GROUP BY 1, 2), " +
+        "x AS (SELECT label, vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos_c FROM s) " +
+        "SELECT label, count(*) AS n_vecs, round(avg(round(cos_c, 4)), 4) AS avg_cos, " +
+        "round(min(cos_c), 4) AS min_cos FROM x GROUP BY label ORDER BY label"),
+      "st_enrich" -> ("SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, c_mktsegment AS segment, " +
+        s"count(*) AS n_events, $centSum AS sum_value FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY window_start, segment"),
+      // the oracle may nested-loop this freely; the Spark side must not
+      "q_band_join" -> ("SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs, " +
+        "CAST(sum(abs(epoch_ms(a.ts) - epoch_ms(b.ts))) AS BIGINT) AS sum_gap_ms " +
+        "FROM events a JOIN events b ON a.event_id < b.event_id " +
+        "AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 120000 " +
+        "GROUP BY 1, 2 ORDER BY type_a, type_b"),
+      "txt_len_hist" -> ("SELECT CAST(floor(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) / 8) * 8 AS BIGINT) AS bucket_lo, " +
+        "count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY bucket_lo")
     )
   }
 }

@@ -587,6 +587,44 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val rm = mk(rightId, rightNew ++ after)
     Right((store.commit(lm, -1L), store.commit(rm, -1L)))
   }
+
+  /** Snapshot diff — the COW dividend: data files shared by both manifests
+    * are byte-identical (files are immutable and referenced, never copied),
+    * so they are skipped entirely and the diff's cost is proportional to
+    * the CHANGED data, not the table size. Keys are classified as
+    * `added` / `removed` / `changed` between this snapshot and `newer`
+    * (two versions of the same logical index, any temporal distance apart).
+    *
+    * The write-version stamp is excluded from the value comparison: COW
+    * rewrites whole files, so a payload-unchanged row in a rewritten file
+    * re-appears on both sides with only a new stamp — those rows cancel
+    * here, which is what makes the output "what actually changed".
+    */
+  def diff(newer: KVIndex): DataFrame = {
+    val kcols = key.cols
+    val vals = manifest.valueCols.filterNot(_ == "version")
+    val oldPaths = manifest.files.map(_.path).toSet
+    val newPaths = newer.manifest.files.map(_.path).toSet
+    def side(m: SnapshotManifest, keep: Set[String], tag: String): DataFrame = {
+      val fs = m.files.filterNot(f => keep.contains(f.path))
+      val base =
+        if (fs.isEmpty) store.read(m).limit(0) // typed empty, no scan
+        else store.readFiles(fs.map(_.path), m)
+      base.select(kcols.map(col) ++ vals.map(c => col(c).as(s"${tag}_$c")) :+
+        lit(true).as(s"__$tag"): _*)
+    }
+    val o = side(manifest, newPaths, "old")
+    val n = side(newer.manifest, oldPaths, "new")
+    val valueChanged = vals.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, kcols, "full_outer")
+      .withColumn("change",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(valueChanged, lit("changed")))
+      .filter(col("change").isNotNull)
+      .drop("__old", "__new")
+  }
 }
 
 object KVIndex {

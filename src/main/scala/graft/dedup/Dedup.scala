@@ -295,6 +295,47 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** Cross-document segment dedup — the CCNet/RefinedWeb boilerplate-removal
+    * step: split every document into consecutive `segTokens`-token segments
+    * (the pseudo-paragraph unit), count each distinct segment's document
+    * frequency across the whole corpus, strip segments appearing in
+    * >= `minDf` documents, and reassemble the survivors in original order.
+    *
+    * Output per doc: `n_segs`, `n_removed`, `cleaned` (surviving segments
+    * joined by single spaces; empty string if everything was boilerplate).
+    *
+    * Plan shape: segments explode once (non-overlapping slices — O(n)
+    * total, unlike per-gram shingling); the document-frequency aggregate
+    * shuffles SEGMENT HASHES, not bodies, conceptually — here segments are
+    * short so they ride directly; and the frequent-segment list (only
+    * segments crossing the threshold — tiny in a real corpus, where
+    * boilerplate is a small distinct set repeated massively) broadcasts
+    * back, so the corpus never self-joins.
+    */
+  def dedupSegments(df: DataFrame, segTokens: Int = 10, minDf: Int = 2,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segTokens > 0 && minDf > 1)
+    val segs = df
+      .select(col(idCol), gf.ws_tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(__tk) / ${segTokens}.0) AS int) - 1), " +
+          s"i -> array_join(slice(__tk, i * $segTokens + 1, $segTokens), ' '))"))
+        .as(Seq("pos", "seg")))
+    val frequent = segs.groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("seg"), lit(true).as("__dup"))
+    segs.join(broadcast(frequent), Seq("seg"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("__dup"), 1)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__dup").isNull,
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("cleaned"))
+  }
 }
 
 /** Deterministic pseudo-random hyperplanes (splitmix64 stream) — fixed seed

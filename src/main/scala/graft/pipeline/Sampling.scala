@@ -120,6 +120,25 @@ object Sampling {
       chain.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1))))
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample: each row is kept with
+    * probability `weight / max(weight)` — the quality-weighted downsample
+    * ("keep good documents more often") of a training-data mix. The keep
+    * decision compares the Knuth-hash position against a per-row threshold
+    * of `floor(2^16 * w / maxW)`: one multiply and one divide, both
+    * IEEE-correctly-rounded, so the selected set is bit-identical across
+    * engines, partitionings and retries — `rand() < w` would not be.
+    *
+    * Plan shape: one tiny max-aggregate broadcast back, then a pure
+    * filter — no shuffle of the data rows.
+    */
+  def weighted(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val mx = df.agg(max(col(weightCol)).as("__maxW"))
+    df.crossJoin(broadcast(mx))
+      .filter(hashMod(col(idCol), 1L << 16) <
+        floor(lit((1L << 16).toDouble) * col(weightCol) / col("__maxW")))
+      .drop("__maxW")
+  }
+
   /** Source-interleaved training order — the fair multi-source mix: rows
     * are ranked within their group in deterministic pseudo-random order
     * (`rn`), and the global training order is (rn, group), i.e. a

@@ -153,4 +153,40 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Per-label centroid cohesion — the embedding-space cluster health
+    * check (is a label's region tight or diffuse?): mean vector per label,
+    * then every vector's cosine to its OWN label's centroid, aggregated to
+    * per-label count / average / minimum.
+    *
+    * The per-dimension mean is cast to FLOAT before the cosine: a double
+    * sum's last-ulp wobble across summation orders (partitionings, engines)
+    * is absorbed by the float rounding, making the centroid — and the
+    * downstream cosines — reproducible.
+    *
+    * Plan shape: one posexplode + (label, dim) aggregate for the centroids
+    * (dims × labels rows — tiny), centroids broadcast back, cosines are one
+    * codegen'd projection pass, then the per-label aggregate. At 100 TB the
+    * explode shuffles dim × N rows; swap in a vector-sum aggregate
+    * (zip_with accumulating buffer) if that shuffle ever dominates — the
+    * contract here stays the same.
+    */
+  def labelCohesion(df: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val dims = df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val centroids = dims.groupBy(col(labelCol), col("pos"))
+      .agg(avg(col("v")).as("c"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col(labelCol),
+        transform(col("pc"), x => x.getField("c").cast("float")).as("centroid"))
+    df.join(broadcast(centroids), Seq(labelCol))
+      .select(col(labelCol),
+        gf.cosine_sim(col(vecCol), col("centroid")).as("cos_c"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(round(col("cos_c"), 4)), 4).as("avg_cos"),
+        round(min(col("cos_c")), 4).as("min_cos"))
+  }
 }

@@ -225,6 +225,32 @@ object EventStreams {
     * "streaming agg + batch post-ranking" composition. The window rank
     * partitions by window_start, so no single-reducer stage.
     */
+  /** Stream-static enrichment: the live event stream joined to a static
+    * dimension (customer → market segment) before the windowed aggregate —
+    * Structured Streaming joins a static DataFrame per micro-batch with no
+    * join state, and the dimension rides a broadcast so the stream side
+    * never shuffles for the join. The canonical "enrich events with
+    * reference data" shape.
+    */
+  def enrichedSegmentRevenueLive(spark: SparkSession, dir: String,
+                                 customers: DataFrame,
+                                 queryName: String = "graft_stream_enrich"): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $queryName")
+    val dim = customers.select(col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("segment"))
+    val enriched = readEventStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n_events"), exactCentSum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("segment"),
+        col("n_events"), col("sum_value"))
+    val q = enriched.writeStream.outputMode("complete").format("memory")
+      .queryName(queryName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(queryName)
+  }
+
   def topEventTypesLive(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = windowedCountsLive(spark, dir, "graft_stream_topk")

@@ -284,6 +284,28 @@ abstract class KVIndexSpecBase extends SparkSuite {
       .left.exists(_.code == "INDEX_ALREADY_EXISTS"))
     assert(KVIndex.open(store, "no-such").left.exists(_.code == "INDEX_NOT_FOUND"))
   }
+
+  test("diff: added/removed/changed between versions; shared COW files skipped; unchanged rows cancel") {
+    val store = newStore()
+    val ix = boot(store, "tdiff") // k0001..k0100 in ~4 files of 32
+    val m2 = ix.execute(Seq(
+      Command.Insert(kv(Seq("k0001" -> "CHANGED", "zzzz" -> "fresh")), upsert = true),
+      Command.Remove(kv(Seq("k0002" -> "whatever")))), "tx-diff").orThrow
+    val newIx = new KVIndex(store, m2)
+    // COW must have left at least one file shared between the versions —
+    // diff reads only the others
+    val shared = ix.manifest.files.map(_.path).toSet
+      .intersect(m2.files.map(_.path).toSet)
+    assert(shared.nonEmpty)
+    val d = ix.diff(newIx).collect().map(r =>
+      r.getAs[String]("k") ->
+        ((r.getAs[String]("change"), r.getAs[String]("old_v"), r.getAs[String]("new_v")))).toMap
+    assert(d("k0001") == (("changed", "v1", "CHANGED")))
+    assert(d("zzzz") == (("added", null, "fresh")))
+    assert(d("k0002") == (("removed", "v2", null)))
+    // every other key in the rewritten file(s) is payload-unchanged → cancels
+    assert(d.size == 3)
+  }
 }
 
 class KVIndexSpec extends KVIndexSpecBase {

@@ -31,6 +31,28 @@ class SkewAndStreamOpsSpec extends SparkSuite {
   private def ts(min: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
 
+  test("bandJoin equals the naive band predicate, never misses cross-bucket pairs") {
+    // cluster timestamps around bucket edges so ±1-bucket probing is
+    // actually exercised (pairs straddling a bucket boundary)
+    val rows = Seq(0L, 50L, 119L, 120L, 121L, 240L, 400L, 430L, 1000L).zipWithIndex
+      .map { case (sec, i) => (i.toLong, new Timestamp(sec * 1000L), s"t${i % 2}") }
+      .toDF("event_id", "ts", "event_type")
+    val fast = graft.operators.RangeJoin.bandJoin(rows, "event_id", "ts", bandMs = 120000L)
+      .select("a_event_id", "b_event_id").as[(Long, Long)].collect().toSet
+    val a = rows.select(col("event_id").as("ia"), col("ts").as("ta"))
+    val b = rows.select(col("event_id").as("ib"), col("ts").as("tb"))
+    val naive = a.crossJoin(b)
+      .filter(col("ia") < col("ib") &&
+        abs(unix_millis(col("ta")) - unix_millis(col("tb"))) <= 120000L)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(fast == naive && naive.nonEmpty)
+    // the band predicate must ride an EQUI join on the bucket — never a
+    // cartesian / broadcast-nested-loop plan
+    val plan = graft.operators.RangeJoin.bandJoin(rows, "event_id", "ts", 120000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.dedupStream(input.toDF())

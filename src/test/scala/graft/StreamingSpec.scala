@@ -62,6 +62,29 @@ class StreamingSpec extends SparkSuite {
     assert(live.nonEmpty && live.map(_.toSeq) == batch.map(_.toSeq))
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val events = (0 until 120).map(i => ev(i.toLong, i, user = i % 4,
+      tpe = "view", value = 2.5 + i))
+    val dir = tmpDir("st-enrich")
+    events.toDF().write.mode("overwrite").parquet(dir)
+    val custs = Seq((0L, "AUTO"), (1L, "BIKE"), (2L, "AUTO"), (3L, "SHIP"))
+      .toDF("c_custkey", "c_mktsegment")
+    val live = EventStreams.enrichedSegmentRevenueLive(spark, dir, custs)
+      .select("window_start", "segment", "n_events", "sum_value")
+      .orderBy("window_start", "segment").collect().toSeq
+    val batch = events.toDF()
+      .join(custs.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        EventStreams.exactCentSum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("segment"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "segment").collect().toSeq
+    assert(live.nonEmpty && live.map(_.toSeq) == batch.map(_.toSeq))
+  }
+
   test("batch sessionization: gap splits sessions, aggregates correct") {
     val rows = Seq(
       ev(1, 0, 1L, value = 1.0), ev(2, 10, 1L, value = 2.0), ev(3, 20, 1L, value = 3.0),

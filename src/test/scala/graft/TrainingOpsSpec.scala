@@ -109,6 +109,47 @@ class TrainingOpsSpec extends SparkSuite {
       s"HLL estimate $approx too far from exact $exact")
   }
 
+  test("dedupSegments: strips segments shared across docs, keeps order, empties boilerplate-only docs") {
+    val df = Seq(
+      (1L, "a b c d e f"), // 2-token segs: "a b" | "c d" | "e f"
+      (2L, "x y a b"),     // segs: "x y" | "a b"
+      (3L, "p q"),         // segs: "p q"
+      (4L, "a b")          // entirely boilerplate
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.dedupSegments(df, segTokens = 2, minDf = 2)
+      .select("doc_id", "n_segs", "n_removed", "cleaned")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 3L, 1L, "c d e f")))
+    assert(r(1) == ((2L, 2L, 1L, "x y")))
+    assert(r(2) == ((3L, 1L, 0L, "p q")))
+    assert(r(3) == ((4L, 1L, 1L, "")))
+  }
+
+  test("weighted: max-weight always kept, zero-weight never, rate tracks weight, deterministic") {
+    val df = (0L until 1000L).map(i =>
+      (i, if (i % 10 == 0) 100.0 else if (i % 10 == 1) 0.0 else 50.0)).toDF("id", "w")
+    val kept = Sampling.weighted(df, "id", "w").as[(Long, Double)].collect()
+    assert(kept.count(_._2 == 100.0) == 100)
+    assert(!kept.exists(_._2 == 0.0))
+    val frac50 = kept.count(_._2 == 50.0).toDouble / 800
+    assert(frac50 > 0.4 && frac50 < 0.6, s"p=0.5 rows kept at rate $frac50")
+    val again = Sampling.weighted(df, "id", "w").as[(Long, Double)].collect()
+    assert(kept.toSet == again.toSet)
+  }
+
+  test("labelCohesion: identical vectors cohere at 1.0, mixed label lower") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f), "a"), (2L, Array(1f, 0f), "a"), (3L, Array(1f, 0f), "a"),
+      (4L, Array(1f, 0f), "b"), (5L, Array(0f, 1f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCohesion(vecs)
+      .select("label", "n_vecs", "avg_cos", "min_cos")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r(0) == (("a", 3L, 1.0, 1.0)))
+    // centroid of b is (.5, .5): both members sit at cos 0.7071
+    assert(r(1)._1 == "b" && r(1)._2 == 2L && r(1)._3 == 0.7071 && r(1)._4 == 0.7071)
+  }
+
   test("quantizeInt8: dequantization error bounded by half a step") {
     val vecs = Seq((1L, Array(0.37f, -0.91f, 0.003f, 0.64f)))
       .toDF("vec_id", "embedding")
