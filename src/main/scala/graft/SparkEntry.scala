@@ -1010,7 +1010,37 @@ object SparkEntry {
       t(s, d, "documents")
         .select((floor(size(gf.ws_tokens(col("text"))) / 8) * 8).as("bucket_lo"))
         .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
-        .orderBy("bucket_lo"))
+        .orderBy("bucket_lo")),
+    // z-order (Morton) interleave — the multi-dimensional clustering
+    // value; the layout property itself (tight per-file min/max on BOTH
+    // dims) is pinned in ZOrderSpec
+    "layout_zorder" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_id") < 200)
+        .select(col("event_id"),
+          graft.operators.ZOrder.zValue(col("user_id"), col("event_id") % 65536).as("z"))
+        .orderBy("event_id")),
+    // JSON source/sink round-trip (escaping-safe): write the documents
+    // table as JSON lines, read it back with the explicit schema, checksum
+    "io_json_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "source", "lang", "text")
+      val p = java.nio.file.Files.createTempDirectory("graft-json").toString
+      docs.write.mode("overwrite").json(p)
+      s.read.schema(docs.schema).json(p)
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("text_len"))
+    }),
+    // CSV source/sink round-trip (quoting-safe), typed read-back
+    "io_csv_roundtrip" -> ((s, d) => {
+      val ord = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val p = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      ord.write.mode("overwrite").option("header", "true").csv(p)
+      s.read.schema(ord.schema).option("header", "true").csv(p)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).cast("double") / 100.0)
+            .as("checksum"))
+        .orderBy("o_orderstatus")
+    })
   )
 
   // =====================================================================
@@ -1400,7 +1430,18 @@ object SparkEntry {
         "AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 120000 " +
         "GROUP BY 1, 2 ORDER BY type_a, type_b"),
       "txt_len_hist" -> ("SELECT CAST(floor(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) / 8) * 8 AS BIGINT) AS bucket_lo, " +
-        "count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY bucket_lo")
+        "count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY bucket_lo"),
+      // the unrolled bit-interleave — pure integer math, replayed exactly
+      "layout_zorder" -> ("SELECT event_id, " +
+        s"CAST(${graft.operators.ZOrder.zSql("user_id", "(event_id % 65536)")} AS BIGINT) AS z " +
+        "FROM events WHERE event_id < 200 ORDER BY event_id"),
+      // round-trips must preserve content exactly — oracle reads the
+      // ORIGINAL parquet, so any sink/source corruption breaks the hash
+      "io_json_roundtrip" -> ("SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+        "CAST(sum(len(text)) AS BIGINT) AS text_len FROM documents"),
+      "io_csv_roundtrip" -> ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS checksum " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     )
   }
 }
