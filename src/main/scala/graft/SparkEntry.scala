@@ -171,6 +171,32 @@ object SparkEntry {
       KVIndex.open(store, "vord").fold(e => sys.error(e.message), identity)
     }
 
+  /** removeRange() removed-row count per (kind|sfDir), captured at build
+    * time (not re-derivable once the files are gone).
+    */
+  private val rdResults = scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** Fragmented 4-file index (same bootstrap + three out-of-range appends
+    * as [[compactStore]]: one file per commit at these data sizes), then
+    * `removeRange([150, 1200])`: the interior file [300,1000) is dropped
+    * from the manifest with ZERO IO, only the two boundary files are read
+    * and rewritten, [0,100) is untouched — 3 files after. Backs the
+    * driver-verified bulk-delete row (kv_range_delete).
+    */
+  private def rangeDelStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-rangedel", s, d) { store =>
+      val ord = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      def slice(lo: Long, hi: Long) =
+        ord.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      var ix = KVIndex.bootstrap(store, "rord", slice(0L, 100L), Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      for ((lo, hi) <- Seq((100L, 300L), (300L, 1000L), (1000L, Long.MaxValue)))
+        ix = new KVIndex(store, ix.execute(Seq(Command.Insert(slice(lo, hi)))).orThrow)
+      val res = ix.removeRange(Seq(150L), Seq(1200L))
+      rdResults(s"kv-rangedel|$d") = res.commandRowCounts.headOption.getOrElse(0L)
+      new KVIndex(store, res.orThrow)
+    }
+
   /** Benchmark warm-up: absorb every one-time cost so per-query bench
     * numbers measure the QUERY, not whichever query happened to run first —
     * (a) the kv-store lifecycles for `d` (bootstrap + upsert + split +
@@ -182,7 +208,7 @@ object SparkEntry {
   def warmup(s: SparkSession, d: String,
              warmSf: String = "/root/testdata/sf0.001"): Unit = {
     try { liStore(s, d); bytesStore(s, d); ckStore(s, d)
-          compactStore(s, d); vacuumStore(s, d) }
+          compactStore(s, d); vacuumStore(s, d); rangeDelStore(s, d) }
     catch { case _: Throwable => () }
     queries.foreach { case (_, fn) =>
       try fn(s, warmSf).count() catch { case _: Throwable => () }
@@ -1040,6 +1066,66 @@ object SparkEntry {
           (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).cast("double") / 100.0)
             .as("checksum"))
         .orderBy("o_orderstatus")
+    }),
+    // bulk range delete at file grain (LSM DeleteRange analogue): interior
+    // files drop from the manifest with zero IO, only the two boundary
+    // files rewrite — survivor count + checksum + removal accounting
+    "kv_range_delete" -> ((s, d) => {
+      import s.implicits._
+      val (_, ix) = rangeDelStore(s, d)
+      val removed = rdResults(s"kv-rangedel|$d")
+      val r = ix.df.agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).cast("double") / 100.0)
+          .as("checksum")).head()
+      Seq((r.getLong(0), r.getDouble(1), removed, ix.numFiles.toLong))
+        .toDF("n", "checksum", "n_removed", "n_files")
+    }),
+    // GROUPING SETS — the explicit-set sibling of cube/rollup, one
+    // expand + single shuffle for all three grains
+    "q_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem").groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+    // arg-max per group (max_by): the row-valued aggregate; tie-broken on
+    // a unique (cents, orderkey) composite so the winner is deterministic
+    "agg_arg_max" -> ((s, d) => {
+      val ordKey = floor(col("o_totalprice") * 100 + 0.5).cast("long") *
+        lit(100000000L) + col("o_orderkey")
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(max_by(col("o_orderkey"), ordKey).as("top_orderkey"),
+          round(max_by(col("o_totalprice"), ordKey), 2).as("top_price"))
+        .orderBy("o_orderstatus")
+    }),
+    // alpha-smoothed (alpha = 0.5) domain mixture weights over character
+    // volume — the sampling distribution a temperature-mixed corpus uses
+    "pipe_domain_mix" -> ((s, d) =>
+      graft.pipeline.Sampling.domainMixture(t(s, d, "documents"), "source", "n_chars")
+        .orderBy("source")),
+    // cross-document bigram novelty: fraction of each doc's distinct
+    // bigrams that occur in no other document (df = 1)
+    "txt_novelty" -> ((s, d) =>
+      TextAnalysis.bigramNovelty(t(s, d, "documents"))
+        .select("doc_id", "n_bigrams", "n_novel", "novelty")
+        .orderBy("doc_id")),
+    // hive-partitioned write + partition-pruned read-back: the filter
+    // prunes whole partition directories before any file IO
+    "io_partition_prune" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      val p = java.nio.file.Files.createTempDirectory("graft-part").toString
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(p)
+      s.read.parquet(p)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .orderBy("event_type")
     })
   )
 
@@ -1441,7 +1527,37 @@ object SparkEntry {
         "CAST(sum(len(text)) AS BIGINT) AS text_len FROM documents"),
       "io_csv_roundtrip" -> ("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS checksum " +
-        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      // survivors = complement of the deleted [150, 1200]; file count is a
+      // layout invariant (1 untouched + 2 rewritten boundaries)
+      "kv_range_delete" -> ("SELECT count(*) AS n, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS checksum, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey >= 150 AND o_orderkey <= 1200) AS n_removed, " +
+        "CAST(3 AS BIGINT) AS n_files " +
+        "FROM orders WHERE o_orderkey < 150 OR o_orderkey > 1200"),
+      "q_grouping_sets" -> ("SELECT coalesce(l_returnflag, '(all)') AS rf, " +
+        "coalesce(l_linestatus, '(all)') AS ls, count(*) AS n, sum(l_quantity) AS sum_qty " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY rf, ls"),
+      "agg_arg_max" -> ("SELECT o_orderstatus, " +
+        "max_by(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 100000000 + o_orderkey) AS top_orderkey, " +
+        "round(max_by(o_totalprice, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 100000000 + o_orderkey), 2) AS top_price " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      "pipe_domain_mix" -> ("WITH c AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS size_sum FROM documents GROUP BY source) " +
+        "SELECT source, n_docs, size_sum, " +
+        "round(sqrt(size_sum) / sum(sqrt(size_sum)) OVER (), 6) AS weight " +
+        "FROM c ORDER BY source"),
+      "txt_novelty" -> ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS gram FROM tk WHERE len(tk) >= 2), " +
+        "df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "count(CASE WHEN df = 1 THEN 1 END) AS n_novel, " +
+        "round(count(CASE WHEN df = 1 THEN 1 END) / CAST(count(*) AS DOUBLE), 4) AS novelty " +
+        "FROM g JOIN df USING (gram) GROUP BY doc_id ORDER BY doc_id"),
+      "io_partition_prune" -> ("SELECT event_type, count(*) AS n, " +
+        s"$centSum AS sum_value FROM events " +
+        "WHERE event_type IN ('click', 'purchase') GROUP BY event_type ORDER BY event_type")
     )
   }
 }

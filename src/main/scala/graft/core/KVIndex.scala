@@ -514,6 +514,63 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     }
   }
 
+  /** Range delete at file grain — the `DeleteRange` of LSM/block stores,
+    * expressed on the flat COW layout: every file whose [min,max] lies
+    * entirely inside the deleted range is DROPPED from the manifest with
+    * zero IO (the dominant case when a large contiguous slice of a big
+    * index goes — retention expiry, tenant removal), and only the
+    * boundary files (at most two on the disjoint layout) are read,
+    * filtered and rewritten. The whole operation's IO is O(boundary
+    * files), independent of how many files the range covers. Commits a
+    * new snapshot version under the same CREATE_NEW single-writer CAS as
+    * [[execute]]. Reference analogue: the per-key `remove` loop
+    * (`Index.scala:1010-1036`) — the reference has no bulk delete; this
+    * is the file-grain form a 100-TB corpus needs.
+    */
+  def removeRange(from: Seq[Any], to: Seq[Any],
+                  incFrom: Boolean = true, incTo: Boolean = true,
+                  txVersion: String = UUID.randomUUID().toString): BatchResult = {
+    require(KeyOrd.compare(to, from) >= 0, "removeRange: to < from")
+    // overlap iff min <= to && max >= from; conservative at open bounds
+    // (an edge-touching file is merely rewritten to itself)
+    val (overlap, keep) = manifest.files.partition(f =>
+      KeyOrd.compare(f.min, to) <= 0 && KeyOrd.compare(f.max, from) >= 0)
+    if (overlap.isEmpty)
+      return BatchResult(success = true, None, Some(manifest))
+    // fully-covered files are dropped without being read
+    val (dropped, boundary) = overlap.partition { f =>
+      val loIn = KeyOrd.compare(from, f.min) < 0 ||
+        (incFrom && KeyOrd.compare(from, f.min) == 0)
+      val hiIn = KeyOrd.compare(f.max, to) < 0 ||
+        (incTo && KeyOrd.compare(f.max, to) == 0)
+      loIn && hiIn
+    }
+    val rewritten: Seq[FileEntry] =
+      if (boundary.isEmpty) Nil
+      else {
+        val inRange = key.gtKey(from, orEq = incFrom) &&
+          key.ltKey(to, orEq = incTo)
+        val survivors = store.readFiles(boundary.map(_.path), manifest)
+          .filter(!inRange)
+        // one output file per boundary file keeps the layout disjoint
+        val (_, nf) = store.writeData(manifest.id, survivors, key, boundary.size)
+        nf
+      }
+    val removed = dropped.map(_.rows).sum +
+      boundary.map(_.rows).sum - rewritten.map(_.rows).sum
+    val m2 = manifest.copy(
+      version = manifest.version + 1,
+      snapshotId = UUID.randomUUID().toString,
+      numElements = manifest.numElements - removed,
+      lastChangeVersion = txVersion,
+      files = (keep ++ rewritten).sortBy(_.min)(KeyOrd))
+    try BatchResult(success = true, None, Some(store.commit(m2, manifest.version)),
+      Seq(removed))
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      BatchResult(success = false, Some(GraftError.ContextAlreadyUsed(manifest.id)), None)
+    }
+  }
+
   /** U3 `copy` — cheap snapshot clone sharing every data file
     * (reference `QueryableIndex.scala:540-559`): zero data copy, new id.
     */

@@ -91,6 +91,28 @@ object Sampling {
       .drop("__rate_bp")
   }
 
+  /** Training-mix domain weights — the per-domain sampling distribution a
+    * temperature-mixed corpus is assembled from (the multilingual-LM
+    * "alpha-smoothed" mixture with alpha = 0.5): weight_i proportional to
+    * sqrt(size_i), renormalized to sum to 1. The sqrt keeps the math
+    * engine-portable (IEEE-correctly-rounded, unlike a general `pow`).
+    * Sized by a `sizeCol` sum (e.g. characters or tokens), not raw doc
+    * counts, so byte-heavy domains don't hide behind few documents.
+    *
+    * Plan shape: one partial-aggregated groupBy to domain grain (the only
+    * shuffle — output rows = #domains, at most thousands at any corpus
+    * size), then the normalizer over that tiny aggregate as an unbounded
+    * window. The corpus itself is touched exactly once.
+    */
+  def domainMixture(df: DataFrame, groupCol: String, sizeCol: String): DataFrame = {
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(sizeCol)).as("size_sum"))
+    val all = Window.partitionBy()
+    sizes.withColumn("weight",
+        round(sqrt(col("size_sum")) / sum(sqrt(col("size_sum"))).over(all), 6))
+      .select(col(groupCol), col("n_docs"), col("size_sum"), col("weight"))
+  }
+
   /** Deterministic global training shuffle: order by the Knuth hash of the
     * id (id tiebreak) — the 100 TB way to "shuffle the corpus" is a range
     * repartition on this hash followed by local sorts, which Spark plans

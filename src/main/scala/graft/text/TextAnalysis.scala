@@ -137,6 +137,40 @@ object TextAnalysis {
       .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
   }
 
+  /** Cross-document bigram novelty — the "how much of this document's
+    * phrasing is unique to it" signal used to spot boilerplate-heavy vs
+    * original text. For each document: its distinct word bigrams, and the
+    * fraction of them that occur in NO other document (corpus document
+    * frequency 1).
+    *
+    * Plan shape for scale: only the per-document DISTINCT bigram
+    * vocabulary crosses the shuffle (not the token stream), and the
+    * document-frequency side is reduced to just the grams with df >= 2
+    * before joining back — in a real corpus most bigrams are unique, so
+    * the join's build side is a small fraction of the vocabulary. A gram
+    * is novel iff it finds no match in that reduced set (left join, null
+    * probe), so the full df table never re-joins the corpus.
+    */
+  def bigramNovelty(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val grams = df
+      .select(col(idCol), gf.ws_tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol),
+        explode(array_distinct(gf.shingles(col("__tk"), 2))).as("gram"))
+    // grams appearing in 2+ documents; per-doc distinct above makes the
+    // count a document frequency
+    val shared = grams.groupBy("gram")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("gram"), lit(true).as("__shared"))
+    grams.join(shared, Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("__shared").isNull, 1)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_bigrams"), 4))
+  }
+
   /** PII scrubbing: emails and phone-like numbers replaced with typed
     * placeholders, with per-document match counts. Patterns stay inside
     * the regex subset Java (Spark) and RE2 (DuckDB/replay engines) agree

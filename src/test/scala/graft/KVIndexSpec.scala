@@ -237,6 +237,35 @@ abstract class KVIndexSpecBase extends SparkSuite {
     assert(res2.success)
   }
 
+  test("removeRange: interior files drop without rewrite, boundaries rewrite, bounds honored") {
+    val store = newStore()
+    val ix = boot(store, "trd") // 100 rows, files of ≤32 → ≥3 files
+    assert(ix.numFiles >= 3)
+    val pathsBefore = ix.manifest.files.map(f => f.path -> f).toMap
+    // delete (k0020, k0070] — open lower bound keeps k0020
+    val res = ix.removeRange(Seq("k0020"), Seq("k0070"), incFrom = false, incTo = true)
+    assert(res.success)
+    assert(res.commandRowCounts == Seq(50L))
+    val after = new KVIndex(store, res.snapshot.get)
+    assert(after.count == 50)
+    val expect = ((1 to 20) ++ (71 to 100)).map(i => f"k$i%04d" -> s"v$i").toMap
+    assert(dump(after) == expect)
+    // files entirely outside or entirely inside the range were NOT
+    // rewritten: survivors outside the hull keep their exact path entries
+    val untouched = after.manifest.files.filter(f => pathsBefore.contains(f.path))
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(pathsBefore(f.path).rows == f.rows))
+    // layout stays disjoint-ordered; old snapshot unaffected (isolation)
+    assert(after.manifest.filesDisjointOrdered)
+    assert(ix.count == 100 && dump(ix).size == 100)
+    // stale-manifest CAS: a second removeRange from the OLD handle fails
+    val stale = ix.removeRange(Seq("k0001"), Seq("k0002"))
+    assert(!stale.success && stale.error.exists(_.code == "CONTEXT_USED"))
+    // no overlap → no-op, same manifest version
+    val noop = after.removeRange(Seq("zzz0"), Seq("zzz9"))
+    assert(noop.success && noop.snapshot.get.version == after.manifest.version)
+  }
+
   test("composite-key store: bootstrap, pruned reads, CAS writes on (a, b) keys") {
     val store = newStore()
     val rows = for (a <- 1 to 10; b <- 1 to 10) yield (a.toLong, f"s$b%02d", a * 100 + b)

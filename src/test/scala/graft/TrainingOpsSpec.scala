@@ -28,6 +28,30 @@ class TrainingOpsSpec extends SparkSuite {
     assert(top.map(_._1).forall(_.split(" ").length == 2))
   }
 
+  test("bigramNovelty: shared bigrams counted once per doc, novel fraction exact") {
+    val corpus = Seq(
+      (1L, "x y z w"),   // bigrams: "x y" (shared with doc 2), "y z", "z w"
+      (2L, "x y q"),     // "x y" shared, "y q" novel
+      (3L, "solo")       // < 2 tokens → excluded
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramNovelty(corpus)
+      .select("doc_id", "n_bigrams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((1L, 3L, 2L, 0.6667), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("domainMixture: weights proportional to sqrt(size), sum to 1") {
+    val df = Seq(
+      (1L, "d1", 100L), (2L, "d1", 300L),   // d1 size 400 → sqrt 20
+      (3L, "d2", 100L)                      // d2 size 100 → sqrt 10
+    ).toDF("doc_id", "source", "n_chars")
+    val r = Sampling.domainMixture(df, "source", "n_chars")
+      .select("source", "n_docs", "size_sum", "weight")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(("d1", 2L, 400L, 0.666667), ("d2", 1L, 100L, 0.333333)))
+    assert(math.abs(r.map(_._4).sum - 1.0) < 1e-6)
+  }
+
   test("assignSplits: total partition, deterministic, matches hash thresholds") {
     val ids = spark.range(0, 2000).toDF("id")
     val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
