@@ -1113,6 +1113,54 @@ object SparkEntry {
       TextAnalysis.bigramNovelty(t(s, d, "documents"))
         .select("doc_id", "n_bigrams", "n_novel", "novelty")
         .orderBy("doc_id")),
+    // global token-budget cut via the two-pass prefix scan (per-bucket
+    // sums + broadcast offsets) — never a single-reducer running total
+    "pipe_token_budget" -> ((s, d) =>
+      graft.pipeline.Packing.headByBudget(
+          t(s, d, "documents"), "doc_id", "n_chars", budget = 50000L)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))),
+    // co-located bucketed join: both sides bucketed on the join key into
+    // the session catalog, merge-join planned with NO exchange on either
+    // side (the layout-level join the kv snapshots enable; pinned in
+    // BucketedJoinSpec)
+    "layout_bucket_join" -> ((s, d) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").option("path", s"$p/o")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_b_orders")
+      t(s, d, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").option("path", s"$p/c")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_b_customer")
+      s.table("graft_b_orders").hint("merge")
+        .join(s.table("graft_b_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).cast("double") / 100.0)
+            .as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+    // RANGE-frame window (value-based frame, not row-based): per customer,
+    // cent volume of orders within the trailing 5 order keys
+    "q_window_range" -> ((s, d) => {
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rangeBetween(-5L, Window.currentRow)
+      t(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents).over(w).as("near_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    // several DISTINCT aggregates in one pass (planner expands to one
+    // shuffle, not one scan per distinct column)
+    "q_multi_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("d_parts"),
+          count_distinct(col("l_suppkey")).as("d_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
     // hive-partitioned write + partition-pruned read-back: the filter
     // prunes whole partition directories before any file IO
     "io_partition_prune" -> ((s, d) => {
@@ -1557,7 +1605,21 @@ object SparkEntry {
         "FROM g JOIN df USING (gram) GROUP BY doc_id ORDER BY doc_id"),
       "io_partition_prune" -> ("SELECT event_type, count(*) AS n, " +
         s"$centSum AS sum_value FROM events " +
-        "WHERE event_type IN ('click', 'purchase') GROUP BY event_type ORDER BY event_type")
+        "WHERE event_type IN ('click', 'purchase') GROUP BY event_type ORDER BY event_type"),
+      "pipe_token_budget" -> (s"WITH h AS (SELECT doc_id, n_chars, ${knuthHash("doc_id")} AS pos FROM documents), " +
+        "r AS (SELECT n_chars, sum(n_chars) OVER (ORDER BY pos, doc_id) AS run FROM h) " +
+        "SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars FROM r WHERE run <= 50000"),
+      "layout_bucket_join" -> ("SELECT c_mktsegment, count(*) AS n, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+      "q_window_range" -> ("SELECT o_custkey, o_orderkey, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cents " +
+        "FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey"),
+      "q_multi_distinct" -> ("SELECT l_returnflag, count(DISTINCT l_partkey) AS d_parts, " +
+        "count(DISTINCT l_suppkey) AS d_supps, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
     )
   }
 }

@@ -37,6 +37,43 @@ object Packing {
         floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / budget))
   }
 
+  /** Global budget cut — "take the first `budget` units of the
+    * (deterministically) shuffled corpus": selects every document whose
+    * RUNNING size total, in the canonical hash-shuffle order
+    * ([[Sampling.hashMod]] position, id tiebreak), stays within `budget`.
+    * The standard "assemble exactly N tokens of training data" step.
+    *
+    * A naive running total is a global sort + single-reducer window; this
+    * is the scalable two-pass prefix scan instead: (1) documents land in
+    * `nBuckets` ORDER-PRESERVING position buckets (bucket = pos / width,
+    * so bucket i's positions all precede bucket i+1's); per-bucket sums —
+    * `nBuckets` rows total, at any corpus size — produce each bucket's
+    * starting offset via a tiny single-partition window; (2) the running
+    * total WITHIN each bucket is a partitioned window, all buckets in
+    * parallel, plus the broadcast offset. No global sort, no
+    * single-reducer scan of the data.
+    */
+  def headByBudget(df: DataFrame, idCol: String, sizeCol: String,
+                   budget: Long, nBuckets: Int = 256): DataFrame = {
+    require(budget > 0 && nBuckets > 0)
+    val width = (1L << 32) / nBuckets
+    val pos = Sampling.hashMod(col(idCol), 1L << 32)
+    val bucketed = df.withColumn("__pos", pos)
+      .withColumn("__b", (col("__pos") / width).cast("int"))
+    val offsets = bucketed.groupBy("__b")
+      .agg(sum(col(sizeCol)).as("__bs"))
+      .withColumn("__off", coalesce(
+        sum(col("__bs")).over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val run = Window.partitionBy(col("__b"))
+      .orderBy(col("__pos"), col(idCol))
+    bucketed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__run", col("__off") + sum(col(sizeCol)).over(run))
+      .filter(col("__run") <= budget)
+      .drop("__b", "__pos", "__off", "__run")
+  }
+
   /** Sliding-window document chunking — the other half of batch assembly:
     * long documents split into `budget`-token chunks whose starts advance
     * by `budget - overlap` tokens (chunk i covers tokens

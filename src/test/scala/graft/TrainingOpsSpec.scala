@@ -52,6 +52,28 @@ class TrainingOpsSpec extends SparkSuite {
     assert(math.abs(r.map(_._4).sum - 1.0) < 1e-6)
   }
 
+  test("headByBudget: bucketed prefix scan equals the naive global running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("sz", (col("id") % 37 + 1).cast("long"))
+    val budget = 3000L
+    // naive single-reducer oracle: global running sum in hash order
+    val pos = Sampling.hashMod(col("id"), 1L << 32)
+    val naive = df.withColumn("__p", pos)
+      .withColumn("run", sum(col("sz")).over(Window.orderBy(col("__p"), col("id"))))
+      .filter(col("run") <= budget).select("id").as[Long].collect().toSet
+    for (nBuckets <- Seq(1, 7, 256)) {
+      val got = graft.pipeline.Packing.headByBudget(df, "id", "sz", budget, nBuckets)
+        .select("id").as[Long].collect().toSet
+      assert(got == naive, s"nBuckets=$nBuckets")
+    }
+    // selected set is a prefix: total size within budget, adding the next
+    // doc in hash order would exceed it
+    val total = df.filter(col("id").isInCollection(naive)).agg(sum("sz"))
+      .as[Long].head()
+    assert(total <= budget)
+  }
+
   test("assignSplits: total partition, deterministic, matches hash thresholds") {
     val ids = spark.range(0, 2000).toDF("id")
     val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
