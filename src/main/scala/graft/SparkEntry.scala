@@ -1153,6 +1153,37 @@ object SparkEntry {
           sum(cents).over(w).as("near_cents"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+    // window navigation functions in one pass: lead/lag with defaults,
+    // ntile, first_value — one sort per partition serves all four
+    "q_window_nav" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      t(s, d, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1, -1L).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first_value(cents).over(w).as("first_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    // correlated scalar subqueries (per-row aggregate lookups): the
+    // planner must decorrelate to an aggregate + join, never a per-row
+    // re-scan; exact integer-cent math keeps the comparison portable
+    "q_corr_scalar" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("ord_v")
+      s.sql("""
+        SELECT count(*) AS n,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS big_total
+        FROM (
+          SELECT o.o_orderkey,
+                 CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM ord_v o
+          WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) *
+                (SELECT count(*) FROM ord_v i WHERE i.o_custkey = o.o_custkey) >
+                2 * (SELECT sum(CAST(floor(i.o_totalprice * 100 + 0.5) AS BIGINT))
+                     FROM ord_v i WHERE i.o_custkey = o.o_custkey)
+        )""")
+    }),
     // several DISTINCT aggregates in one pass (planner expands to one
     // shuffle, not one scan per distinct column)
     "q_multi_distinct" -> ((s, d) =>
@@ -1619,7 +1650,22 @@ object SparkEntry {
         "FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey"),
       "q_multi_distinct" -> ("SELECT l_returnflag, count(DISTINCT l_partkey) AS d_parts, " +
         "count(DISTINCT l_suppkey) AS d_supps, count(*) AS n " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      "q_window_nav" -> ("SELECT o_custkey, o_orderkey, " +
+        "coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_key, " +
+        "coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+        "first_value(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS first_cents " +
+        "FROM orders WHERE o_custkey < 50 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+      "q_corr_scalar" -> ("SELECT count(*) AS n, CAST(sum(cents) AS DOUBLE) / 100.0 AS big_total FROM (" +
+        "SELECT o.o_orderkey, CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents " +
+        "FROM orders o " +
+        "WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * " +
+        "(SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) > " +
+        "2 * (SELECT sum(CAST(floor(i.o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "FROM orders i WHERE i.o_custkey = o.o_custkey))")
     )
   }
 }
