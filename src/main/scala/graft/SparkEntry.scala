@@ -1192,6 +1192,28 @@ object SparkEntry {
           count_distinct(col("l_suppkey")).as("d_supps"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
+    // dynamic partition pruning: the fact side is partitioned on disk by
+    // event_type and the pruning predicate arrives at RUNTIME from the
+    // filtered dimension — the fact scan reads only the partitions the
+    // dim's surviving keys name (plan pinned in PartitionPruningSpec)
+    "io_dpp_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      val p = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(s"$p/fact")
+      // the filtering side must be a relation scan for DPP to consider it
+      Seq(("click", 1.0), ("purchase", 5.0), ("signup", 2.0))
+        .toDF("etype", "score")
+        .write.mode("overwrite").parquet(s"$p/dim")
+      s.read.parquet(s"$p/fact")
+        .join(s.read.parquet(s"$p/dim").filter(col("score") >= 2.0),
+          col("event_type") === col("etype"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
     // hive-partitioned write + partition-pruned read-back: the filter
     // prunes whole partition directories before any file IO
     "io_partition_prune" -> ((s, d) => {
@@ -1637,6 +1659,10 @@ object SparkEntry {
       "io_partition_prune" -> ("SELECT event_type, count(*) AS n, " +
         s"$centSum AS sum_value FROM events " +
         "WHERE event_type IN ('click', 'purchase') GROUP BY event_type ORDER BY event_type"),
+      // dim filter score >= 2.0 keeps purchase (5.0) and signup (2.0)
+      "io_dpp_join" -> ("SELECT event_type, count(*) AS n, " +
+        s"$centSum AS sum_value FROM events " +
+        "WHERE event_type IN ('purchase', 'signup') GROUP BY event_type ORDER BY event_type"),
       "pipe_token_budget" -> (s"WITH h AS (SELECT doc_id, n_chars, ${knuthHash("doc_id")} AS pos FROM documents), " +
         "r AS (SELECT n_chars, sum(n_chars) OVER (ORDER BY pos, doc_id) AS run FROM h) " +
         "SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars FROM r WHERE run <= 50000"),
