@@ -1184,6 +1184,36 @@ object SparkEntry {
                      FROM ord_v i WHERE i.o_custkey = o.o_custkey)
         )""")
     }),
+    // cosine RANGE search (radius contract, not count): scan once, only
+    // survivors leave the scan — top-k's sibling
+    "sim_range_query" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.rangeSearch(emb, q, threshold = 0.3).orderBy("vec_id")
+    }),
+    // exact all-pairs edit distance on a bounded id range — the
+    // gold-standard verifier behind fuzzy near-dup candidates (classic
+    // Levenshtein is engine-portable integer math)
+    "dd_edit_pairs" -> ((s, d) => {
+      val sub = t(s, d, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id").as("idA"), substring(col("text"), 1, 40).as("sA"))
+      val b = sub.select(col("idA").as("idB"), col("sA").as("sB"))
+      sub.join(b, col("idA") < col("idB"))
+        .select(col("idA"), col("idB"),
+          levenshtein(col("sA"), col("sB")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 25)
+        .orderBy("idA", "idB")
+    }),
+    // second-moment statistics per group: correlation, sample stddev /
+    // variance — one pass, map-side partial co-moments
+    "agg_stats" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          round(stddev_samp(col("l_discount")), 4).as("disc_sd"),
+          round(var_samp(col("l_tax")), 4).as("tax_var"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
     // several DISTINCT aggregates in one pass (planner expands to one
     // shuffle, not one scan per distinct column)
     "q_multi_distinct" -> ((s, d) =>
@@ -1685,6 +1715,26 @@ object SparkEntry {
         "FROM orders WHERE o_custkey < 50 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+      // same double-precision UNNEST cosine as sim_topk; the range filter
+      // compares the ROUNDED cosine on both engines
+      "sim_range_query" -> ("WITH q AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id = 0), " +
+        "e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i FROM embeddings), " +
+        "s AS (SELECT e.vec_id, SUM(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot, " +
+        "SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS na, SUM(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS nb " +
+        "FROM e JOIN q USING (i) GROUP BY e.vec_id) " +
+        "SELECT vec_id, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cosine FROM s " +
+        "WHERE round(dot/(sqrt(na)*sqrt(nb)), 4) >= 0.3 ORDER BY vec_id"),
+      "dd_edit_pairs" -> ("SELECT a.doc_id AS idA, b.doc_id AS idB, " +
+        "CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS BIGINT) AS edit_dist " +
+        "FROM documents a JOIN documents b ON a.doc_id < b.doc_id " +
+        "WHERE a.doc_id < 30 AND b.doc_id < 30 " +
+        "AND levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 25 " +
+        "ORDER BY idA, idB"),
+      "agg_stats" -> ("SELECT l_returnflag, " +
+        "round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr, " +
+        "round(stddev_samp(l_discount), 4) AS disc_sd, " +
+        "round(var_samp(l_tax), 4) AS tax_var, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       "q_corr_scalar" -> ("SELECT count(*) AS n, CAST(sum(cents) AS DOUBLE) / 100.0 AS big_total FROM (" +
         "SELECT o.o_orderkey, CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents " +
         "FROM orders o " +

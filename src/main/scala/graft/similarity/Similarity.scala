@@ -29,6 +29,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine range search: every vector within cosine >= `threshold`
+    * of the query — top-k's sibling when the RADIUS, not the count, is the
+    * contract ("find all near-duplicates of this one"). Same scan-once,
+    * no-vector-shuffle plan as [[bruteForceTopK]]; only survivors leave
+    * the scan. The comparison is made on the 4-dp-rounded cosine so the
+    * survivor set is reproducible across engines (raw last-ulp dot-product
+    * differences cannot flip a boundary row).
+    */
+  def rangeSearch(df: DataFrame, query: Array[Float], threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), round(gf.cosine_sim(col(vecCol), q), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Exact top-k for MANY query vectors at once (the batch shape a training
     * pipeline actually runs): broadcast the queries, one pass over the
     * corpus, per-query top-k via window rank — corpus is scanned once
