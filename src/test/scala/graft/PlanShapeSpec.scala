@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanHelper}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Plan-shape invariants the 100-TB story depends on, pinned as tests so a
+  * refactor that silently loses them fails CI rather than a cluster bill:
+  * filter/projection pushdown to the parquet scan, AQE shuffle-partition
+  * coalescing, broadcast selection for small dims, and whole-stage codegen
+  * over the hot projection path.
+  */
+class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-planshape").toString
+    (1 to 5000).map(i => (i.toLong, s"name$i", i % 97, i * 1.5))
+      .toDF("id", "name", "grp", "score")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("filter and projection push down to the parquet scan") {
+    val q = spark.read.parquet(dir).filter(col("id") > 4900).select("id", "grp")
+    assert(q.count() == 100)
+    val scan = collectFirst(q.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }.get
+    // the range predicate reaches the reader (row-group stats skip), and
+    // the scan schema carries ONLY the referenced columns — a 2-column
+    // projection must never read the 4-column file
+    assert(scan.dataFilters.nonEmpty)
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(id,4900)"),
+      scan.metadata("PushedFilters"))
+    assert(scan.requiredSchema.fieldNames.toSet == Set("id", "grp"),
+      scan.requiredSchema.treeString)
+  }
+
+  test("AQE coalesces the shuffle partitions of a small aggregate") {
+    val q = spark.read.parquet(dir).groupBy("grp").agg(sum("score"))
+    // execute THIS dataframe (not a derived count) so its adaptive plan
+    // finalizes and the runtime shuffle-read decision is observable
+    assert(q.collect().length == 97)
+    // 8 configured shuffle partitions carry ~97 tiny groups; AQE must
+    // plan a coalesced shuffle read rather than schedule every partition
+    val reads = collect(q.queryExecution.executedPlan) {
+      case r: AQEShuffleReadExec => r
+    }
+    assert(reads.nonEmpty, "expected an AQE shuffle read")
+    assert(reads.exists(_.partitionSpecs.length <
+      spark.conf.get("spark.sql.shuffle.partitions").toInt),
+      s"expected coalesced partitions, got ${reads.map(_.partitionSpecs.length)}")
+  }
+
+  test("a small dimension joins via broadcast hash, not a shuffled join") {
+    val dim = (0 until 97).map(i => (i, s"g$i")).toDF("grp", "gname")
+    val q = spark.read.parquet(dir).join(dim, Seq("grp"))
+    assert(q.count() == 5000)
+    val bhj = collectFirst(q.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.isDefined, "expected a broadcast hash join for the tiny dim")
+    val shuffles = collect(q.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"broadcast join must not shuffle: $shuffles")
+  }
+
+  test("hot projection path stays inside one whole-stage codegen span") {
+    val q = spark.read.parquet(dir)
+      .filter(col("score") > 100.0)
+      .select(col("id"), (col("score") * 2 + col("grp")).as("x"))
+    q.collect()
+    val planStr = q.queryExecution.executedPlan.toString
+    // scan -> filter -> project fuse into ONE generated function (the
+    // `*(1)` markers share a codegen stage id); a break here means an
+    // interpreted expression snuck into the hot path
+    assert(planStr.contains("*(1) Project") && planStr.contains("*(1) Filter"),
+      planStr.take(2000))
+  }
+}
