@@ -103,4 +103,36 @@ class RandomizedWriteSpec extends SparkSuite {
     // the version chain recorded every successful commit
     assert(store.loadLatest("r").toOption.get.version == ix.manifest.version)
   }
+
+  for (seed <- Seq(31, 91))
+  test(s"random removeRange sequence vs model — seed $seed") {
+    rnd = new scala.util.Random(seed)
+    val store = new FsSnapshotStore(tmpDir("graft-rrd"), spark)
+    val init = (1 to 120).map(_ => randKey() -> randVal()).distinct.toMap
+    var model = TreeMap(init.toSeq: _*)
+    var ix = KVIndex.bootstrap(store, "rr", init.toSeq.toDF("k", "v"),
+      Seq("k"), maxRowsPerFile = 16).toOption.get
+
+    (1 to 10).foreach { round =>
+      // random bounds drawn from the key ALPHABET (not just existing keys)
+      // so ranges land inside files, across files, before/after everything
+      val a = randKey(); val b = randKey()
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val incFrom = rnd.nextBoolean(); val incTo = rnd.nextBoolean()
+      val res = ix.removeRange(Seq(lo), Seq(hi), incFrom, incTo, s"rtx$round")
+      assert(res.success)
+      val doomed = model.keys.filter { k =>
+        (if (incFrom) k >= lo else k > lo) && (if (incTo) k <= hi else k < hi)
+      }.toSeq
+      model --= doomed
+      val next = new KVIndex(store, res.snapshot.get)
+      assert(res.commandRowCounts.headOption.getOrElse(0L) == doomed.size.toLong,
+        s"round $round removed count")
+      val got = next.df.select("k", "v").as[(String, String)].collect().toMap
+      assert(got == model.toMap, s"round $round scan")
+      assert(next.count == model.size)
+      assert(next.manifest.filesDisjointOrdered, s"round $round layout")
+      ix = next
+    }
+  }
 }
