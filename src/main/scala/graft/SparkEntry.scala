@@ -1184,6 +1184,34 @@ object SparkEntry {
                      FROM ord_v i WHERE i.o_custkey = o.o_custkey)
         )""")
     }),
+    // top-k per group via rank filter — Spark pushes the rank bound into
+    // the window sort (WindowGroupLimit): each partition keeps k rows
+    // instead of sorting its whole group
+    "q_topk_group" -> ((s, d) => {
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(cents.desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("o_orderstatus", "rn")
+    }),
+    // calendar decomposition + ISO weekday + week bucketing + day arithmetic
+    // (conventions differ per engine: Spark weekday()+1 = ISO dow)
+    "q_datetime" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_id") < 100)
+        .select(col("event_id"),
+          year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("mo"),
+          dayofmonth(col("ts")).cast("long").as("dom"),
+          (weekday(col("ts")) + 1).cast("long").as("isodow"),
+          unix_millis(date_trunc("week", col("ts"))).as("week_start_ms"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("event_id")),
     // cosine RANGE search (radius contract, not count): scan once, only
     // survivors leave the scan — top-k's sibling
     "sim_range_query" -> ((s, d) => {
@@ -1715,6 +1743,17 @@ object SparkEntry {
         "FROM orders WHERE o_custkey < 50 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+      "q_topk_group" -> ("WITH r AS (SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price, " +
+        "row_number() OVER (PARTITION BY o_orderstatus ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn " +
+        "FROM orders) SELECT o_orderstatus, o_orderkey, price, CAST(rn AS BIGINT) AS rn " +
+        "FROM r WHERE rn <= 3 ORDER BY o_orderstatus, rn"),
+      "q_datetime" -> ("SELECT event_id, CAST(extract(year FROM ts) AS BIGINT) AS y, " +
+        "CAST(extract(month FROM ts) AS BIGINT) AS mo, " +
+        "CAST(extract(day FROM ts) AS BIGINT) AS dom, " +
+        "CAST(extract(isodow FROM ts) AS BIGINT) AS isodow, " +
+        "epoch_ms(date_trunc('week', ts)) AS week_start_ms, " +
+        "CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since " +
+        "FROM events WHERE event_id < 100 ORDER BY event_id"),
       // same double-precision UNNEST cosine as sim_topk; the range filter
       // compares the ROUNDED cosine on both engines
       "sim_range_query" -> ("WITH q AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id = 0), " +
