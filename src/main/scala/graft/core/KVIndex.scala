@@ -571,6 +571,22 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     }
   }
 
+  /** Export this snapshot into a hash-BUCKETED table on the session
+    * catalog — the one-time layout conversion that makes every subsequent
+    * join on the key exchange-free (Spark reads co-bucketed tables
+    * already distributed by the key; a merge join of two such exports
+    * plans ZERO shuffles — pinned in BucketedJoinSpec). The snapshot's
+    * range layout serves ordered scans and point reads; a join-heavy
+    * workload pays this export once instead of re-shuffling the fact
+    * data on every join. Buckets hash on the LEADING key column (Spark
+    * bucketing is single-expression hash).
+    */
+  def toBucketedTable(tableName: String, nBuckets: Int, path: String): Unit =
+    df.write.mode("overwrite").option("path", path)
+      .bucketBy(nBuckets, key.cols.head)
+      .sortBy(key.cols.head, key.cols.tail: _*)
+      .saveAsTable(tableName)
+
   /** U3 `copy` — cheap snapshot clone sharing every data file
     * (reference `QueryableIndex.scala:540-559`): zero data copy, new id.
     */

@@ -40,4 +40,33 @@ class BucketedJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     spark.sql("DROP TABLE IF EXISTS bjs_left")
     spark.sql("DROP TABLE IF EXISTS bjs_right")
   }
+
+  test("two exported snapshots merge-join with zero exchanges and exact content") {
+    import graft.core._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt-kv").toString
+    val store = new FsSnapshotStore(s"$dir/store", spark)
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (200 to 700).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+    val ixA = KVIndex.bootstrap(store, "ja", a, Seq("k")).toOption.get
+    val ixB = KVIndex.bootstrap(store, "jb", b, Seq("k")).toOption.get
+    ixA.toBucketedTable("bjs_ka", 4, s"$dir/ta")
+    ixB.toBucketedTable("bjs_kb", 4, s"$dir/tb")
+
+    val joined = spark.table("bjs_ka").hint("merge")
+      .join(spark.table("bjs_kb"), Seq("k"))
+    val rows = joined.select("k", "av", "bv").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 301) // keys 200..500
+    assert(rows.head == ((200L, "a200", "b200")) && rows.last == ((500L, "a500", "b500")))
+
+    val smj = collectFirst(joined.queryExecution.executedPlan) {
+      case j: SortMergeJoinExec => j
+    }
+    assert(smj.isDefined)
+    assert(collect(smj.get) { case e: ShuffleExchangeExec => e }.isEmpty,
+      "exported snapshot join must not shuffle")
+
+    spark.sql("DROP TABLE IF EXISTS bjs_ka")
+    spark.sql("DROP TABLE IF EXISTS bjs_kb")
+  }
 }
