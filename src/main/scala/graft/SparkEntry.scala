@@ -1196,6 +1196,31 @@ object SparkEntry {
                      FROM ord_v i WHERE i.o_custkey = o.o_custkey)
         )""")
     }),
+    // left outer join with null-group accounting: customers without
+    // orders survive with o_cnt null; the aggregate counts both
+    "q_outer_join" -> ((s, d) => {
+      val perCust = t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("o_cnt"))
+      t(s, d, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          count(col("o_cnt")).as("with_orders"),
+          coalesce(sum(col("o_cnt")), lit(0L)).as("total_orders"))
+        .orderBy("c_mktsegment")
+    }),
+    // ORC source/sink round-trip (second columnar format), typed read-back
+    "io_orc_roundtrip" -> ((s, d) => {
+      val ord = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val p = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      ord.write.mode("overwrite").orc(p)
+      s.read.schema(ord.schema).orc(p)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).cast("double") / 100.0)
+            .as("checksum"))
+        .orderBy("o_orderstatus")
+    }),
     // two SNAPSHOT indexes exported once into co-bucketed tables, then
     // merge-joined with zero exchanges: the store's range layout serves
     // scans and point reads, the bucketed export serves join-heavy work
@@ -1773,6 +1798,14 @@ object SparkEntry {
         "FROM orders WHERE o_custkey < 50 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+      "q_outer_join" -> ("WITH pc AS (SELECT o_custkey, count(*) AS o_cnt FROM orders GROUP BY 1) " +
+        "SELECT c_mktsegment, count(*) AS n_cust, count(o_cnt) AS with_orders, " +
+        "CAST(coalesce(sum(o_cnt), 0) AS BIGINT) AS total_orders " +
+        "FROM customer LEFT JOIN pc ON c_custkey = o_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+      "io_orc_roundtrip" -> ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS checksum " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
       "kv_colocated_join" -> ("WITH li AS (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY 1) " +
         "SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS qty_sum, " +
         "CAST(sum(CAST(floor((CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum " +
