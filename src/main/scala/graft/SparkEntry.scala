@@ -1196,6 +1196,27 @@ object SparkEntry {
                      FROM ord_v i WHERE i.o_custkey = o.o_custkey)
         )""")
     }),
+    // scalar string-function surface over the portable subset (case,
+    // trim, pad, substring, replace, regexp extract) — pure projection
+    "q_string_funcs" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          lower(col("c_mktsegment")).as("lseg"),
+          length(trim(col("c_name"))).cast("long").as("trimmed_len"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          substring(col("c_name"), 1, 8).as("prefix8"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+        .orderBy("c_custkey")),
+    // order-pinned list aggregation: collect + explicit sort renders the
+    // same string on any engine/partitioning
+    "agg_list_sorted" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_custkey") <= 20)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("o_orderkey").cast("string"))), ",")
+            .as("order_keys"))
+        .orderBy("o_custkey")),
     // left outer join with null-group accounting: customers without
     // orders survive with o_cnt null; the aggregate counts both
     "q_outer_join" -> ((s, d) => {
@@ -1798,6 +1819,15 @@ object SparkEntry {
         "FROM orders WHERE o_custkey < 50 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+      "q_string_funcs" -> ("SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg, " +
+        "CAST(length(trim(c_name)) AS BIGINT) AS trimmed_len, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, " +
+        "substring(c_name, 1, 8) AS prefix8, " +
+        "regexp_extract(c_name, '([0-9]+)', 1) AS digits " +
+        "FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey"),
+      "agg_list_sorted" -> ("SELECT o_custkey, count(*) AS n, " +
+        "string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys " +
+        "FROM orders WHERE o_custkey <= 20 GROUP BY o_custkey ORDER BY o_custkey"),
       "q_outer_join" -> ("WITH pc AS (SELECT o_custkey, count(*) AS o_cnt FROM orders GROUP BY 1) " +
         "SELECT c_mktsegment, count(*) AS n_cust, count(o_cnt) AS with_orders, " +
         "CAST(coalesce(sum(o_cnt), 0) AS BIGINT) AS total_orders " +
