@@ -1079,6 +1079,13 @@ object SparkEntry {
             .as("checksum"))
         .orderBy("o_orderstatus")
     }),
+    // exact range count at manifest cost: interior files counted from
+    // stats with zero IO, only the two boundary files scanned
+    "kv_count_range" -> ((s, d) => {
+      import s.implicits._
+      val (_, ix) = liStore(s, d)
+      Seq(ix.countRange(Seq(100L), Seq(5000L))).toDF("n")
+    }),
     // bulk range delete at file grain (LSM DeleteRange analogue): interior
     // files drop from the manifest with zero IO, only the two boundary
     // files rewrite — survivor count + checksum + removal accounting
@@ -1763,6 +1770,7 @@ object SparkEntry {
       "io_csv_roundtrip" -> ("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS checksum " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      "kv_count_range" -> "SELECT count(*) AS n FROM orders WHERE o_orderkey >= 100 AND o_orderkey <= 5000",
       // survivors = complement of the deleted [150, 1200]; file count is a
       // layout invariant (1 untouched + 2 rewritten boundaries)
       "kv_range_delete" -> ("SELECT count(*) AS n, " +

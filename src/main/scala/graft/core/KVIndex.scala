@@ -514,6 +514,35 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     }
   }
 
+  /** Exact range count at manifest cost — the aggregate twin of the A1
+    * O(1) count: files fully inside [from,to] contribute their manifest
+    * row counts WITHOUT being read; only the boundary files (at most two
+    * on the disjoint layout) are scanned, with the range predicate
+    * pushed into those scans. Cost is O(boundary files) no matter how
+    * many files — or terabytes — the range spans. Reference analogue:
+    * subtree counts served from node metadata (`Meta.scala` counters).
+    */
+  def countRange(from: Seq[Any], to: Seq[Any],
+                 incFrom: Boolean = true, incTo: Boolean = true): Long = {
+    require(KeyOrd.compare(to, from) >= 0, "countRange: to < from")
+    val overlap = manifest.files.filter(f =>
+      KeyOrd.compare(f.min, to) <= 0 && KeyOrd.compare(f.max, from) >= 0)
+    if (overlap.isEmpty) return 0L
+    val (covered, boundary) = overlap.partition { f =>
+      val loIn = KeyOrd.compare(from, f.min) < 0 ||
+        (incFrom && KeyOrd.compare(from, f.min) == 0)
+      val hiIn = KeyOrd.compare(f.max, to) < 0 ||
+        (incTo && KeyOrd.compare(f.max, to) == 0)
+      loIn && hiIn
+    }
+    val boundaryN =
+      if (boundary.isEmpty) 0L
+      else store.readFiles(boundary.map(_.path), manifest)
+        .filter(key.gtKey(from, orEq = incFrom) && key.ltKey(to, orEq = incTo))
+        .count()
+    covered.map(_.rows).sum + boundaryN
+  }
+
   /** Range delete at file grain — the `DeleteRange` of LSM/block stores,
     * expressed on the flat COW layout: every file whose [min,max] lies
     * entirely inside the deleted range is DROPPED from the manifest with

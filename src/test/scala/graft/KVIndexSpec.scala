@@ -266,6 +266,20 @@ abstract class KVIndexSpecBase extends SparkSuite {
     assert(noop.success && noop.snapshot.get.version == after.manifest.version)
   }
 
+  test("countRange: manifest-stat interior + boundary scan equals the filtered count") {
+    val store = newStore()
+    val ix = boot(store, "tcr") // 100 rows, files of ≤32
+    def model(lo: String, hi: String, il: Boolean, ih: Boolean): Long =
+      (1 to 100).map(i => f"k$i%04d").count(k =>
+        (if (il) k >= lo else k > lo) && (if (ih) k <= hi else k < hi))
+    for ((lo, hi, il, ih) <- Seq(
+        ("k0010", "k0090", true, true), ("k0010", "k0090", false, false),
+        ("k0001", "k0100", true, true), ("k0050", "k0050", true, true),
+        ("a", "b", true, true), ("z", "zz", true, true)))
+      assert(ix.countRange(Seq(lo), Seq(hi), il, ih) == model(lo, hi, il, ih),
+        s"[$lo,$hi] inc=($il,$ih)")
+  }
+
   test("composite-key store: bootstrap, pruned reads, CAS writes on (a, b) keys") {
     val store = newStore()
     val rows = for (a <- 1 to 10; b <- 1 to 10) yield (a.toLong, f"s$b%02d", a * 100 + b)
