@@ -685,6 +685,14 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_no")),
 
+    // native session_window operator — same sessions as st_sessions up
+    // to the boundary convention (a gap of EXACTLY 30 min splits here)
+    "st_session_native" -> ((s, d) =>
+      EventStreams.sessionWindows(t(s, d, "events"))
+        .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "start_ms")),
+
     // ---- training-data pipeline: dedup ----
     "dd_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy("doc_id")),
@@ -1555,6 +1563,15 @@ object SparkEntry {
         "SELECT user_id, session_no, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms, " +
         s"count(*) AS n_events, $centSum AS sum_value FROM s " +
         "GROUP BY user_id, session_no ORDER BY user_id, session_no"),
+      // >= gap break (session_window convention), islands otherwise
+      "st_session_native" -> ("WITH g AS (SELECT user_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
+        "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000 THEN 1 ELSE 0 END AS brk " +
+        "FROM events), s AS (SELECT user_id, ts, value, " +
+        "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no FROM g) " +
+        "SELECT user_id, epoch_ms(min(ts)) AS start_ms, count(*) AS n_events, " +
+        s"$centSum AS sum_value FROM s " +
+        "GROUP BY user_id, session_no ORDER BY user_id, start_ms"),
       "dd_contamination" -> ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
         "g AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram " +
         "FROM d, unnest(range(1, greatest(len(tk) - 1, 1))) t(i) WHERE len(tk) >= 3), " +

@@ -121,6 +121,22 @@ object EventStreams {
         count(lit(1)).as("n_events"), exactCentSum(col("value")).as("sum_value"))
   }
 
+  /** Spark-native session windows (the SessionWindowing operator) — the
+    * engine-level sibling of [[sessionizeBatch]]'s SQL-islands
+    * formulation and [[sessionize]]'s explicit state machine. Identical
+    * session assignment except the boundary convention: an inter-event
+    * gap of EXACTLY `gap` starts a new session here (the window is
+    * [start, last+gap)), where the islands form breaks only past it.
+    * The same expression runs unchanged under readStream with a
+    * watermark — session state evicts at close + lateness.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), exactCentSum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming deduplication: drop events with a duplicate `idCol` whose
     * event times fall within the watermark window — bounded state (ids are
     * evicted once older than `lateness`), the streaming twin of
