@@ -857,6 +857,20 @@ object SparkEntry {
           round(element_at(col("feature"), 1), 4).as("f0"))
         .orderBy("media_id")
     }),
+    // resize plumbing (rows-only like mm_features: the pooled payload is
+    // byte-level and the corpus is multi-byte text): length + checksum
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        s, docs.withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "image")
+      graft.multimodal.Multimodal.resize(media, factor = 4).toDF()
+        .select(col("media_id"),
+          length(col("bytes")).cast("long").as("n_bytes"),
+          xxhash64(col("bytes")).as("payload_hash"))
+        .orderBy("media_id")
+    }),
     // frame-sampling plumbing: the chunking/sampling math is deterministic
     // byte arithmetic, so this one IS oracle-verifiable (only the decode
     // inside each frame is stubbed)

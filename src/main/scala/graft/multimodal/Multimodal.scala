@@ -75,6 +75,36 @@ object Multimodal {
     }
   }
 
+  /** "Resize" stage stub: pool the payload down by an integer `factor`
+    * (every `factor` consecutive bytes average into one) and update the
+    * typed metadata to match — the schema/metadata plumbing of an
+    * image-resize stage, with the pixel resample stubbed at the marked
+    * line. Pure per-row map: payloads never shuffle, output rows keep the
+    * canonical media schema so resize stages compose with
+    * [[extractFeatures]]/[[frameSample]].
+    */
+  def resize(media: Dataset[MediaRow], factor: Int = 4): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(factor > 0)
+    media.map { m =>
+      val bytes = if (m.bytes == null) Array.empty[Byte] else m.bytes
+      val n = math.max(if (bytes.isEmpty) 0 else 1, bytes.length / factor)
+      val out = new Array[Byte](n) // STUB: real pixel/sample resample here
+      var i = 0
+      while (i < n) {
+        var s = 0; var j = 0
+        while (j < factor && i * factor + j < bytes.length) {
+          s += bytes(i * factor + j) & 0xff; j += 1
+        }
+        out(i) = (s / math.max(1, j)).toByte
+        i += 1
+      }
+      m.copy(bytes = out,
+        meta = m.meta.copy(width = m.meta.width / factor,
+          height = m.meta.height / factor))
+    }
+  }
+
   /** "Resize / frame-sample" stage stub: for video-kind rows, sample every
     * `everyNth` frame. The frame split is stubbed as fixed-size byte
     * chunks; a real impl calls the container demuxer at the marked line.

@@ -51,6 +51,27 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("resize: pooled length, averaged bytes, metadata scaled, composes with features") {
+    val df = payloads.toDF("id", "data")
+    val media = Multimodal.asMediaTable(spark, df, "id", "data", "image")
+    val resized = Multimodal.resize(media, factor = 4).collect().sortBy(_.media_id)
+    resized.zip(payloads.sortBy(_._1)).foreach { case (m, (id, orig)) =>
+      assert(m.media_id == id)
+      assert(m.bytes.length == orig.length / 4)
+      // first output byte is the average of the first 4 input bytes
+      val exp = (orig.take(4).map(_ & 0xff).sum / 4).toByte
+      assert(m.bytes(0) == exp)
+    }
+    // deterministic run-to-run, and the output still feeds extractFeatures
+    val again = Multimodal.resize(media, factor = 4).collect().sortBy(_.media_id)
+    resized.zip(again).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.bytes, b.bytes))
+    }
+    val feats = Multimodal.extractFeatures(
+      Multimodal.resize(media, factor = 4), dim = 8).collect()
+    assert(feats.length == payloads.length && feats.forall(_.feature.length == 8))
+  }
+
   test("non-video rows are excluded from frame sampling") {
     val df = payloads.take(3).toDF("id", "data")
     val media = Multimodal.asMediaTable(spark, df, "id", "data", "audio")
