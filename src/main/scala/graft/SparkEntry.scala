@@ -45,6 +45,28 @@ object SparkEntry {
     }
   }
 
+  /** Real PNG payloads derived from the documents table: per doc_id render a
+    * solid-color `(1 + id%13) × (1 + id%7)` image with channel values
+    * `(id*37)%256 / (id*59)%256 / (id*83)%256` and encode via the JDK PNG
+    * writer. The decode side (`Multimodal.imageStats`) then exercises the
+    * REAL `javax.imageio` codec, and every decoded property is exactly
+    * computable from doc_id in the SQL oracle. Encode runs per-partition on
+    * executors; payload bytes never shuffle.
+    */
+  private def mediaPngTable(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRow] = {
+    import s.implicits._
+    val png = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val w = 1 + (id % 13).toInt
+        val h = 1 + (id % 7).toInt
+        (id, graft.multimodal.Multimodal.solidPng(w, h,
+          ((id * 37) % 256).toInt, ((id * 59) % 256).toInt,
+          ((id * 83) % 256).toInt))
+      }.toDF("doc_id", "payload")
+    graft.multimodal.Multimodal.asMediaTable(s, png, "doc_id", "payload", "image")
+  }
+
   /** orders as an ordered KV table, composite key (o_custkey, o_orderkey) —
     * the datom-style "column permutation is the ordering" model (SURVEY
     * §1.4, reference `DatomHelpers.scala:123-133`).
@@ -846,29 +868,27 @@ object SparkEntry {
         .toDF("input", "after_quality", "after_exact", "after_neardup", "after_lang")
     }),
 
-    // ---- multimodal plumbing (stubbed codec, real plumbing) ----
+    // ---- multimodal: REAL JDK image codec (javax.imageio + Graphics2D).
+    // Payloads are real PNGs rendered per-document (dims + solid color
+    // derived from doc_id), so the decoded width/height/channel means are
+    // exactly oracle-computable in SQL.
     "mm_features" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val media = graft.multimodal.Multimodal.asMediaTable(
-        s, docs.withColumn("payload", col("text").cast("binary")),
-        "doc_id", "payload", "image")
-      graft.multimodal.Multimodal.extractFeatures(media, dim = 8).toDF()
-        .select(col("media_id"), col("n_bytes"),
-          round(element_at(col("feature"), 1), 4).as("f0"))
+      val media = mediaPngTable(s, d)
+      graft.multimodal.Multimodal.imageStats(media).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy("media_id")
     }),
-    // resize plumbing (rows-only like mm_features: the pooled payload is
-    // byte-level and the corpus is multi-byte text): length + checksum
+    // real decode → Graphics2D bilinear half-size → re-encode → re-decode:
+    // the asserted dims/means come from decoding the RESIZED payload
     "mm_resize" -> ((s, d) => {
-      import s.implicits._
-      val docs = t(s, d, "documents")
-      val media = graft.multimodal.Multimodal.asMediaTable(
-        s, docs.withColumn("payload", col("text").cast("binary")),
-        "doc_id", "payload", "image")
-      graft.multimodal.Multimodal.resize(media, factor = 4).toDF()
-        .select(col("media_id"),
-          length(col("bytes")).cast("long").as("n_bytes"),
-          xxhash64(col("bytes")).as("payload_hash"))
+      val media = mediaPngTable(s, d)
+      val resized = graft.multimodal.Multimodal.resize(media, factor = 2)
+      graft.multimodal.Multimodal.imageStats(resized).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy("media_id")
     }),
     // frame-sampling plumbing: the chunking/sampling math is deterministic
@@ -1662,6 +1682,18 @@ object SparkEntry {
         "SELECT idA, idB, cosine FROM p WHERE cosine >= 0.35 ORDER BY idA, idB"),
       "dd_cluster_chain" -> ("SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id // 8) AS label FROM documents " +
         "QUALIFY count(*) OVER (PARTITION BY doc_id // 8) >= 2 ORDER BY id"),
+      // real-codec twins: payloads are solid PNGs rendered from doc_id, so
+      // decoded dims and per-channel means are pure integer math
+      "mm_features" -> ("SELECT doc_id AS media_id, 1 + doc_id % 13 AS width, " +
+        "1 + doc_id % 7 AS height, (doc_id * 37) % 256 AS mean_r, " +
+        "(doc_id * 59) % 256 AS mean_g, (doc_id * 83) % 256 AS mean_b " +
+        "FROM documents ORDER BY media_id"),
+      // bilinear half-size of a solid image keeps the exact channel values;
+      // dims follow the max(1, v/2) rule Multimodal.resize pins
+      "mm_resize" -> ("SELECT doc_id AS media_id, greatest(1, (1 + doc_id % 13) // 2) AS width, " +
+        "greatest(1, (1 + doc_id % 7) // 2) AS height, (doc_id * 37) % 256 AS mean_r, " +
+        "(doc_id * 59) % 256 AS mean_g, (doc_id * 83) % 256 AS mean_b " +
+        "FROM documents ORDER BY media_id"),
       "mm_frame_sample" -> ("WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents), " +
         "f AS (SELECT media_id, len, unnest(range(0, greatest(len // 64, 1), 2)) AS frame_no FROM m) " +
         "SELECT media_id, frame_no, least(len - frame_no * 64, 64) AS frame_bytes FROM f " +

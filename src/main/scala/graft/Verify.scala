@@ -43,7 +43,11 @@ object Verify {
     // a killed mid-write never leaves a partial result dir that the
     // comparer would score as a wrong answer.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 dumps just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val group = s"verify-$name"
       val tmp = s"$outDir/.tmp-$name"
       @volatile var failure: Option[Throwable] = None

@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,14 +15,16 @@ import org.apache.spark.sql.functions._
   * reference takes with its opaque `Bytes` values (reference
   * `package.scala:39-42,102-105`). All pipeline plumbing (schema,
   * partition sizing, batched per-partition processing, feature output
-  * shape) is real Spark; ONLY the codec call is stubbed, because no
-  * image/audio libraries exist in this container.
+  * shape) is real Spark.
   *
-  * STUB NOTE: `decodeStub` is a clearly-marked deterministic fake standing
-  * in for a real decoder (e.g. javax.imageio / ffmpeg bindings). It
-  * produces a reproducible feature vector from the bytes so tests can
-  * assert plumbing end-to-end. Swap `decodeStub` for a real codec without
-  * touching any other line.
+  * The IMAGE codec is real: `javax.imageio` (PNG/BMP/GIF/JPEG decode +
+  * PNG encode) and `java.awt.Graphics2D` resampling — both JDK-built-in,
+  * zero external dependencies. Payloads that do not decode as an image
+  * (audio, video, arbitrary bytes) fall back to a clearly-marked
+  * deterministic byte-fold so the pipeline never crashes on a bad
+  * payload; audio/video demux remains a documented stub
+  * ([[frameSample]]) because no media-container libraries exist in the
+  * JDK.
   */
 object Multimodal {
 
@@ -26,6 +33,10 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            feature: Array[Float])
+  /** Typed per-image stats from a REAL decode; `decoded=false` rows carry
+    * zeros (payload was not a decodable image). */
+  case class ImageStats(media_id: Long, decoded: Boolean, width: Int, height: Int,
+                        mean_r: Long, mean_g: Long, mean_b: Long, n_bytes: Long)
 
   /** Wrap raw binary payloads into the canonical media schema. */
   def asMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
@@ -38,13 +49,81 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** ======== STUBBED CODEC ========
-    * Deterministic fake "decode + feature extract": folds the payload bytes
-    * into a `dim`-float vector (splitmix-style mixing). A real
-    * implementation decodes pixels/samples here; everything around it —
-    * batching, schema, null handling — is production plumbing.
+  // ======== REAL image codec (JDK javax.imageio + Graphics2D) ========
+
+  /** Decode any ImageIO-supported payload (PNG/BMP/GIF/JPEG). None when the
+    * bytes are not a decodable image — callers fall back rather than throw,
+    * because at 100 TB a corrupt payload must not kill the stage. */
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] = {
+    if (bytes == null || bytes.length == 0) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+  }
+
+  /** Encode a BufferedImage as PNG bytes (lossless, deterministic for a
+    * given pixel buffer — the JDK PNG writer emits no timestamp chunks). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Render a solid-color RGB image and encode it as PNG. Used by tests and
+    * the driver queries to derive REAL image payloads from tabular data. */
+  def solidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    val row = Array.fill(width)(rgb)
+    var y = 0
+    while (y < height) { img.setRGB(0, y, width, 1, row, 0, width); y += 1 }
+    encodePng(img)
+  }
+
+  /** Per-channel pixel means of a decoded image (rounded to nearest). */
+  def channelMeans(img: BufferedImage): (Long, Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      i += 1
+    }
+    val n = px.length.toLong
+    (math.round(sr.toDouble / n), math.round(sg.toDouble / n),
+      math.round(sb.toDouble / n))
+  }
+
+  /** Real per-partition image decode → typed stats. The heavy payload never
+    * shuffles; only the small stats rows flow downstream. Non-decodable
+    * payloads yield `decoded=false` zero rows instead of failing the stage. */
+  def imageStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val nBytes = if (m.bytes == null) 0L else m.bytes.length.toLong
+        decodeImage(m.bytes) match {
+          case Some(img) =>
+            val (r, g, b) = channelMeans(img)
+            ImageStats(m.media_id, decoded = true, img.getWidth, img.getHeight,
+              r, g, b, nBytes)
+          case None =>
+            ImageStats(m.media_id, decoded = false, 0, 0, 0L, 0L, 0L, nBytes)
+        }
+      }
+    }
+  }
+
+  /** ======== FALLBACK byte-fold (non-image payloads only) ========
+    * Deterministic byte-fold standing in for codecs the JDK lacks (audio
+    * sample decode, video demux): folds the payload bytes into a
+    * `dim`-float vector (splitmix-style mixing) so the feature-pipeline
+    * plumbing stays testable end-to-end on any payload.
     */
-  def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+  def byteFoldFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (bytes == null) return out
     var h = 0x9e3779b97f4a7c15L
@@ -60,54 +139,83 @@ object Multimodal {
   /** Batched per-partition feature extraction — the Scala analogue of a
     * pandas-UDF `mapInPandas` stage: one JVM-side pass per partition, media
     * bytes never shuffled, features (small) are the only thing that flows
-    * downstream. Partition count should be sized so a partition's payload
-    * fits in executor memory (`spark.sql.files.maxPartitionBytes` governs
-    * the scan side).
+    * downstream. Decodable images get REAL features
+    * `[width, height, meanR, meanG, meanB, 0…]`; anything else gets the
+    * deterministic byte-fold fallback. Partition count should be sized so a
+    * partition's payload fits in executor memory
+    * (`spark.sql.files.maxPartitionBytes` governs the scan side).
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 32): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        MediaFeatures(m.media_id, m.kind,
-          if (m.bytes == null) 0L else m.bytes.length.toLong,
-          decodeStub(m.bytes, dim))
+        val nBytes = if (m.bytes == null) 0L else m.bytes.length.toLong
+        val feat = decodeImage(m.bytes) match {
+          case Some(img) =>
+            val (r, g, b) = channelMeans(img)
+            val out = new Array[Float](dim)
+            val real = Array(img.getWidth.toFloat, img.getHeight.toFloat,
+              r.toFloat, g.toFloat, b.toFloat)
+            System.arraycopy(real, 0, out, 0, math.min(dim, real.length))
+            out
+          case None => byteFoldFeature(m.bytes, dim)
+        }
+        MediaFeatures(m.media_id, m.kind, nBytes, feat)
       }
     }
   }
 
-  /** "Resize" stage stub: pool the payload down by an integer `factor`
-    * (every `factor` consecutive bytes average into one) and update the
-    * typed metadata to match — the schema/metadata plumbing of an
-    * image-resize stage, with the pixel resample stubbed at the marked
-    * line. Pure per-row map: payloads never shuffle, output rows keep the
-    * canonical media schema so resize stages compose with
-    * [[extractFeatures]]/[[frameSample]].
+  /** Resize stage. Decodable images take the REAL path: decode, Graphics2D
+    * bilinear resample to `(max(1, w/factor), max(1, h/factor))`, re-encode
+    * PNG, metadata set from the ACTUAL decoded dimensions. Non-decodable
+    * payloads fall back to integer byte-pooling (every `factor` consecutive
+    * bytes average into one) so the stage still composes for audio-ish
+    * payloads. Pure per-row map: payloads never shuffle, output rows keep
+    * the canonical media schema so resize stages compose with
+    * [[extractFeatures]]/[[imageStats]]/[[frameSample]].
     */
   def resize(media: Dataset[MediaRow], factor: Int = 4): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     require(factor > 0)
     media.map { m =>
-      val bytes = if (m.bytes == null) Array.empty[Byte] else m.bytes
-      val n = math.max(if (bytes.isEmpty) 0 else 1, bytes.length / factor)
-      val out = new Array[Byte](n) // STUB: real pixel/sample resample here
-      var i = 0
-      while (i < n) {
-        var s = 0; var j = 0
-        while (j < factor && i * factor + j < bytes.length) {
-          s += bytes(i * factor + j) & 0xff; j += 1
-        }
-        out(i) = (s / math.max(1, j)).toByte
-        i += 1
+      decodeImage(m.bytes) match {
+        case Some(img) =>
+          val w2 = math.max(1, img.getWidth / factor)
+          val h2 = math.max(1, img.getHeight / factor)
+          val dst = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_RGB)
+          val gfx = dst.createGraphics()
+          try {
+            gfx.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            gfx.drawImage(img, 0, 0, w2, h2, null)
+          } finally gfx.dispose()
+          m.copy(bytes = encodePng(dst),
+            meta = m.meta.copy(width = w2, height = h2))
+        case None =>
+          val bytes = if (m.bytes == null) Array.empty[Byte] else m.bytes
+          val n = math.max(if (bytes.isEmpty) 0 else 1, bytes.length / factor)
+          val out = new Array[Byte](n) // FALLBACK: byte pooling, not pixels
+          var i = 0
+          while (i < n) {
+            var s = 0; var j = 0
+            while (j < factor && i * factor + j < bytes.length) {
+              s += bytes(i * factor + j) & 0xff; j += 1
+            }
+            out(i) = (s / math.max(1, j)).toByte
+            i += 1
+          }
+          m.copy(bytes = out,
+            meta = m.meta.copy(width = m.meta.width / factor,
+              height = m.meta.height / factor))
       }
-      m.copy(bytes = out,
-        meta = m.meta.copy(width = m.meta.width / factor,
-          height = m.meta.height / factor))
     }
   }
 
-  /** "Resize / frame-sample" stage stub: for video-kind rows, sample every
-    * `everyNth` frame. The frame split is stubbed as fixed-size byte
-    * chunks; a real impl calls the container demuxer at the marked line.
+  /** Frame-sample stage: for video-kind rows, sample every `everyNth`
+    * frame. The frame split is STUBBED as fixed-size byte chunks — the JDK
+    * has no video container demuxer; a real impl calls the demuxer at the
+    * marked line. Per-frame features use the byte-fold fallback for the
+    * same reason.
     */
   def frameSample(media: Dataset[MediaRow], everyNth: Int = 10,
                   frameBytes: Int = 4096): DataFrame = {
@@ -118,7 +226,7 @@ object Multimodal {
       (0 until nFrames by everyNth).map { f =>
         val start = f * frameBytes
         val frame = bytes.slice(start, math.min(start + frameBytes, bytes.length))
-        (m.media_id, f, frame.length, decodeStub(frame, 16))
+        (m.media_id, f, frame.length, byteFoldFeature(frame, 16))
       }
     }.toDF("media_id", "frame_no", "frame_bytes", "feature")
   }

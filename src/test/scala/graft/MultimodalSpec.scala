@@ -3,15 +3,79 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing: schema, per-partition batch extraction, frame
-  * sampling — the codec is a documented deterministic stub, so features
-  * must be reproducible run-to-run.
+/** Multimodal: REAL JDK image codec (javax.imageio decode, Graphics2D
+  * resample, PNG encode) for images; deterministic byte-fold fallback for
+  * payloads the JDK cannot decode (audio/video).
   */
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
 
   private lazy val payloads = (0 until 20).map { i =>
     (i.toLong, Array.tabulate[Byte](1000 + i * 100)(j => ((i * 31 + j) % 127).toByte))
+  }
+
+  // real PNGs: id i → (2+i) × (1+i%5), solid color (i*11, i*23, i*41) mod 256
+  private lazy val pngs = (0 until 12).map { i =>
+    (i.toLong, Multimodal.solidPng(2 + i, 1 + i % 5,
+      (i * 11) % 256, (i * 23) % 256, (i * 41) % 256))
+  }
+
+  test("real codec: PNG encode → ImageIO decode round-trips dims and channel means") {
+    val bytes = Multimodal.solidPng(5, 3, 10, 20, 30)
+    val img = Multimodal.decodeImage(bytes).get
+    assert(img.getWidth == 5 && img.getHeight == 3)
+    assert(Multimodal.channelMeans(img) == ((10L, 20L, 30L)))
+    // non-image payloads must decode to None, never throw
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
+  test("imageStats: real decode per partition, exact dims/means, decoded flag") {
+    val df = pngs.toDF("id", "data")
+    val media = Multimodal.asMediaTable(spark, df, "id", "data", "image")
+    val stats = Multimodal.imageStats(media).collect().sortBy(_.media_id)
+    assert(stats.length == pngs.length && stats.forall(_.decoded))
+    stats.foreach { st =>
+      val i = st.media_id.toInt
+      assert(st.width == 2 + i && st.height == 1 + i % 5)
+      assert(st.mean_r == (i * 11) % 256 && st.mean_g == (i * 23) % 256 &&
+        st.mean_b == (i * 41) % 256)
+    }
+    // a corrupt payload yields decoded=false zeros, not a stage failure
+    val bad = Seq((99L, Array[Byte](9, 9, 9))).toDF("id", "data")
+    val badStats = Multimodal.imageStats(
+      Multimodal.asMediaTable(spark, bad, "id", "data", "image")).collect()
+    assert(badStats.length == 1 && !badStats(0).decoded && badStats(0).width == 0)
+  }
+
+  test("resize: real Graphics2D half-size keeps solid color, dims follow max(1, v/f)") {
+    val df = pngs.toDF("id", "data")
+    val media = Multimodal.asMediaTable(spark, df, "id", "data", "image")
+    val halved = Multimodal.imageStats(Multimodal.resize(media, factor = 2))
+      .collect().sortBy(_.media_id)
+    halved.foreach { st =>
+      val i = st.media_id.toInt
+      assert(st.decoded, "resized payload must re-decode as a real PNG")
+      assert(st.width == math.max(1, (2 + i) / 2))
+      assert(st.height == math.max(1, (1 + i % 5) / 2))
+      assert(st.mean_r == (i * 11) % 256 && st.mean_g == (i * 23) % 256 &&
+        st.mean_b == (i * 41) % 256)
+    }
+    // factor beyond the dims clamps to 1×1
+    val tiny = Multimodal.imageStats(Multimodal.resize(media, factor = 1000)).collect()
+    assert(tiny.forall(st => st.width == 1 && st.height == 1))
+  }
+
+  test("extractFeatures: decodable images carry [w,h,r,g,b] real features") {
+    val df = pngs.take(4).toDF("id", "data")
+    val media = Multimodal.asMediaTable(spark, df, "id", "data", "image")
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
+    feats.foreach { f =>
+      val i = f.media_id.toInt
+      assert(f.feature.take(5).toSeq == Seq[Float](2 + i, 1 + i % 5,
+        (i * 11) % 256, (i * 23) % 256, (i * 41) % 256))
+    }
   }
 
   test("feature extraction: deterministic, right shape, bytes never null-crash") {
