@@ -579,11 +579,23 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       else {
         val inRange = key.gtKey(from, orEq = incFrom) &&
           key.ltKey(to, orEq = incTo)
+        // survivor = NOT in range, null-SAFE: for a null key component
+        // gtKey evaluates to SQL NULL (null sorts below any non-null
+        // `from`, so the row is genuinely outside the range), and a bare
+        // `!inRange` would evaluate NULL → dropped, silently deleting
+        // null-keyed rows. coalesce pins NULL → not-in-range → kept.
         val survivors = store.readFiles(boundary.map(_.path), manifest)
-          .filter(!inRange)
-        // one output file per boundary file keeps the layout disjoint
-        val (_, nf) = store.writeData(manifest.id, survivors, key, boundary.size)
-        nf
+          .filter(not(coalesce(inRange, lit(false))))
+        // skip the write when nothing survives (isEmpty is a limit-1 scan
+        // over at most two boundary files) — otherwise every boundary-
+        // covering delete leaves an empty orphan snapshot dir. Dirs
+        // orphaned by a LOST commit CAS are reclaimed by store.vacuum.
+        if (survivors.isEmpty) Nil
+        else {
+          // one output file per boundary file keeps the layout disjoint
+          val (_, nf) = store.writeData(manifest.id, survivors, key, boundary.size)
+          nf
+        }
       }
     val removed = dropped.map(_.rows).sum +
       boundary.map(_.rows).sum - rewritten.map(_.rows).sum

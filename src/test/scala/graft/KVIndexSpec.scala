@@ -266,6 +266,31 @@ abstract class KVIndexSpecBase extends SparkSuite {
     assert(noop.success && noop.snapshot.get.version == after.manifest.version)
   }
 
+  test("removeRange: null-keyed row in a boundary file survives (null sorts below the range)") {
+    val store = newStore()
+    // null key sorts FIRST → lands in the first file, which the delete
+    // below touches as a BOUNDARY file. The old `.filter(!inRange)`
+    // survivor filter evaluated NULL for the null key → row silently
+    // dropped; the null-safe complement must keep it.
+    val rows = ((null: String) -> "vnull") +: (1 to 40).map(i => (f"k$i%04d", s"v$i"))
+    val ix = KVIndex.bootstrap(store, "tnul", kv(rows), Seq("k"), maxRowsPerFile = 16)
+      .fold(e => fail(e.message), identity)
+    val res = ix.removeRange(Seq("k0002"), Seq("k0010"))
+    assert(res.success)
+    assert(res.commandRowCounts == Seq(9L))
+    val after = new KVIndex(store, res.snapshot.get)
+    assert(after.count == 32)
+    val vals = after.df.select("v").as[String].collect().toSet
+    assert(vals.contains("vnull"),
+      "null-keyed row must not be deleted by a removeRange it sorts outside of")
+    assert(after.manifest.filesDisjointOrdered)
+    // a range whose lower bound IS null (from the key floor) does cover it
+    val res2 = after.removeRange(Seq(null), Seq("k0001"))
+    assert(res2.success)
+    val gone = new KVIndex(store, res2.snapshot.get)
+    assert(!gone.df.select("v").as[String].collect().toSet.contains("vnull"))
+  }
+
   test("countRange: manifest-stat interior + boundary scan equals the filtered count") {
     val store = newStore()
     val ix = boot(store, "tcr") // 100 rows, files of ≤32

@@ -110,7 +110,11 @@ class RandomizedWriteSpec extends SparkSuite {
     val store = new FsSnapshotStore(tmpDir("graft-rrd"), spark)
     val init = (1 to 120).map(_ => randKey() -> randVal()).distinct.toMap
     var model = TreeMap(init.toSeq: _*)
-    var ix = KVIndex.bootstrap(store, "rr", init.toSeq.toDF("k", "v"),
+    // a null-keyed row sorts below every drawn bound (non-null alphabet), so
+    // it must survive EVERY removeRange below — regression for the
+    // null-unsafe survivor filter that silently deleted it
+    val withNull = ((null: String) -> "vnull") +: init.toSeq
+    var ix = KVIndex.bootstrap(store, "rr", withNull.toDF("k", "v"),
       Seq("k"), maxRowsPerFile = 16).toOption.get
 
     (1 to 10).foreach { round =>
@@ -129,8 +133,9 @@ class RandomizedWriteSpec extends SparkSuite {
       assert(res.commandRowCounts.headOption.getOrElse(0L) == doomed.size.toLong,
         s"round $round removed count")
       val got = next.df.select("k", "v").as[(String, String)].collect().toMap
-      assert(got == model.toMap, s"round $round scan")
-      assert(next.count == model.size)
+      assert(got.get(null).contains("vnull"), s"round $round null-keyed row lost")
+      assert((got - null) == model.toMap, s"round $round scan")
+      assert(next.count == model.size + 1)
       assert(next.manifest.filesDisjointOrdered, s"round $round layout")
       ix = next
     }
