@@ -44,12 +44,15 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Exact top-k for MANY query vectors at once (the batch shape a training
-    * pipeline actually runs): broadcast the queries, one pass over the
-    * corpus, per-query top-k via window rank — corpus is scanned once
-    * regardless of query count.
+  /** Differential-test ORACLE ONLY — window-rank formulation of batch
+    * top-k. It shuffles EVERY scored row (corpus × queries) to sort each
+    * query's partition, which is a scale-killer at 100 TB; the shipped
+    * path is [[bruteForceTopKBatchAgg]], whose bounded aggregate sends at
+    * most k rows per query per map task. Kept package-private so library
+    * callers cannot reach the unbounded shuffle by accident; specs use it
+    * to cross-check the Aggregator row for row.
     */
-  def bruteForceTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+  private[graft] def windowTopKBatchOracle(corpus: DataFrame, queries: DataFrame, k: Int,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     val scored = corpus.join(broadcast(queries))
@@ -59,10 +62,11 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Same result as [[bruteForceTopKBatch]] but through the bounded
-    * [[graft.operators.TopKAgg]] aggregate: partial aggregation sends at
-    * most k rows per query per map task across the shuffle, where the
-    * window formulation shuffles every scored row. The scale path.
+  /** Exact top-k for MANY query vectors at once (the batch shape a training
+    * pipeline actually runs): broadcast the queries, one pass over the
+    * corpus, per-query top-k through the bounded
+    * [[graft.operators.TopKAgg]] aggregate — partial aggregation sends at
+    * most k rows per query per map task across the shuffle. The scale path.
     */
   def bruteForceTopKBatchAgg(corpus: DataFrame, queries: DataFrame, k: Int,
                              idCol: String = "vec_id", vecCol: String = "embedding",
@@ -85,22 +89,17 @@ object Similarity {
       .withColumn("h", xxhash64(col(idCol)))
       .orderBy("h").limit(nCells)
       .collect().map(_.getSeq[Float](1).toArray)
-    // one refinement pass: assign to nearest seed, then average per
-    // (cell, component) over EXPLODED components — only nCells×dim small
-    // aggregates reach the driver, never whole vectors (collect_list of
-    // member vectors would pull a cell's entire data driver-side)
+    // one refinement pass: assign to nearest seed, then element-wise mean
+    // per cell via the bounded vector-sum Aggregator — ONE dim-length
+    // buffer per (map task, cell) crosses the shuffle (the posexplode
+    // formulation shuffled dim×N rows), and only nCells×dim floats reach
+    // the driver, never whole member vectors
     val assigned0 = assign(df, seeds, idCol, vecCol)
-    val comps = assigned0
-      .select(col("cell"), posexplode(col(vecCol)).as(Seq("i", "x")))
-      .groupBy("cell", "i").agg(avg(col("x")).as("m"))
+    val comps = assigned0.groupBy(col("cell"))
+      .agg(graft.operators.VecMeanAgg.vecMean(col(vecCol)).as("m"))
       .collect()
-    val byCell = comps.groupBy(_.getInt(0))
-    val refined = byCell.keys.toSeq.sorted.map { cell =>
-      val rows = byCell(cell)
-      val c = new Array[Float](rows.map(_.getInt(1)).max + 1)
-      rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
-      c
-    }
+    val refined = comps.sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray).toSeq
     (assign(df, refined, idCol, vecCol), refined)
   }
 
@@ -179,23 +178,18 @@ object Similarity {
     * is absorbed by the float rounding, making the centroid — and the
     * downstream cosines — reproducible.
     *
-    * Plan shape: one posexplode + (label, dim) aggregate for the centroids
-    * (dims × labels rows — tiny), centroids broadcast back, cosines are one
-    * codegen'd projection pass, then the per-label aggregate. At 100 TB the
-    * explode shuffles dim × N rows; swap in a vector-sum aggregate
-    * (zip_with accumulating buffer) if that shuffle ever dominates — the
-    * contract here stays the same.
+    * Plan shape: centroids come from the bounded vector-sum Aggregator
+    * ([[graft.operators.VecMeanAgg]]) — one dim-length buffer per
+    * (map task, label) crosses the shuffle, partial aggregation applies —
+    * then broadcast back; cosines are one codegen'd projection pass, then
+    * the per-label aggregate. (The old posexplode formulation shuffled
+    * dim × N rows — 1024× the row count at dim=1024.)
     */
   def labelCohesion(df: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
-    val dims = df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-    val centroids = dims.groupBy(col(labelCol), col("pos"))
-      .agg(avg(col("v")).as("c"))
-      .groupBy(col(labelCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col(labelCol),
-        transform(col("pc"), x => x.getField("c").cast("float")).as("centroid"))
+    val centroids = df.groupBy(col(labelCol))
+      .agg(graft.operators.VecMeanAgg.vecMean(col(vecCol)).as("centroid"))
     df.join(broadcast(centroids), Seq(labelCol))
       .select(col(labelCol),
         gf.cosine_sim(col(vecCol), col("centroid")).as("cos_c"))

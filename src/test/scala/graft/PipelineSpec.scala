@@ -138,7 +138,7 @@ class PipelineSpec extends SparkSuite {
     val vs = (0 until 50).map(i => (i.toLong, v()))
     val df = vs.toDF("vec_id", "embedding")
     val queries = vs.take(3).map { case (i, x) => (i, x) }.toDF("q_id", "q_vec")
-    val res = Similarity.bruteForceTopKBatch(df, queries, 3)
+    val res = Similarity.windowTopKBatchOracle(df, queries, 3)
       .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
     assert(res.count(_._3 == 1) == 3)
     res.filter(_._3 == 1).foreach { case (q, id, _) => assert(q == id) }
@@ -150,7 +150,7 @@ class PipelineSpec extends SparkSuite {
     val vs = (0 until 120).map(i => (i.toLong, v()))
     val df = vs.toDF("vec_id", "embedding").cache()
     val queries = vs.take(5).map { case (i, x) => (i, x) }.toDF("q_id", "q_vec")
-    val win = Similarity.bruteForceTopKBatch(df, queries, 7)
+    val win = Similarity.windowTopKBatchOracle(df, queries, 7)
       .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)]
       .collect().toSet
     val agg = Similarity.bruteForceTopKBatchAgg(df, queries, 7)

@@ -69,6 +69,29 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(shuffles.isEmpty, s"broadcast join must not shuffle: $shuffles")
   }
 
+  test("centroid aggregation plans no Generate: vector-sum agg, not posexplode") {
+    val rnd = new scala.util.Random(7)
+    val vs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f), s"l${i % 5}"))
+    val df = vs.toDF("vec_id", "embedding", "label")
+    val cohesion = graft.similarity.Similarity.labelCohesion(df)
+    assert(cohesion.count() == 5)
+    val gens = collect(cohesion.queryExecution.executedPlan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.isEmpty,
+      s"labelCohesion must not explode vectors (dim×N shuffle): $gens")
+    // ivfBuild's refinement pass goes through the same aggregate — the
+    // returned index must carry no Generate either
+    val (indexed, cents) = graft.similarity.Similarity.ivfBuild(
+      vs.map(v => (v._1, v._2)).toDF("vec_id", "embedding"), nCells = 4)
+    assert(cents.nonEmpty && cents.forall(_.length == 16))
+    val gens2 = collect(indexed.queryExecution.executedPlan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens2.isEmpty, s"ivfBuild must not explode vectors: $gens2")
+  }
+
   test("hot projection path stays inside one whole-stage codegen span") {
     val q = spark.read.parquet(dir)
       .filter(col("score") > 100.0)
