@@ -142,7 +142,8 @@ object SparkEntry {
     */
   private def ckStore(s: SparkSession, d: String): KVIndex =
     cachedIndex("kv-ck", s, d) { store =>
-      val df = t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      val df = t(s, d, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus")
       KVIndex.bootstrap(store, "ordck", df, Seq("o_custkey", "o_orderkey"))
         .fold(e => sys.error(e.message), identity)
     }._2
@@ -435,9 +436,12 @@ object SparkEntry {
     }),
     // streaming pull surface (reference RichAsyncIndexIterator): resume
     // after a seek key, filter pushed into the scan, consumer-driven early
-    // stop — only the partitions holding the first 25 matches are computed
+    // stop. Runs on the manifest-backed index: seek skips whole files via
+    // manifest stats, and adjacent files batch into ramped pull jobs — the
+    // take(25) below computes only the first small batch, never a global
+    // sort of the table
     "s13_iterator_pull" -> ((s, d) => {
-      val tbl = ordersKv(s, d)
+      val tbl = ckStore(s, d)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         tbl.df.schema("o_custkey"), tbl.df.schema("o_orderkey"),
         tbl.df.schema("o_totalprice")))

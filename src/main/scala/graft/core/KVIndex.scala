@@ -264,13 +264,18 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
 
   /** Iterator pull over the snapshot — the reference's
     * `RichAsyncIndexIterator` surface (`RichAsyncIndexIterator.scala:13-41`)
-    * made manifest-aware: files are visited LAZILY in key order (one small
-    * job per file, run only when the consumer reaches it), so early stop
-    * never computes the files past the stop point, and `seek` skips whole
-    * files via manifest stats before any job runs.
+    * made manifest-aware: ADJACENT files are grouped into ~`batchRows`-row
+    * batches (~128 MB at 64-byte rows) visited LAZILY in key order — one
+    * small job per BATCH, run only when the consumer reaches it. Early
+    * stop never computes batches past the stop point, `seek` skips whole
+    * files via manifest stats before any job runs, and the fixed per-job
+    * scheduler overhead amortizes across a batch's files (per-file jobs
+    * would mean a million jobs on a million-file snapshot consumed to the
+    * end).
     */
   def pullIterator(pred: Column = lit(true), seek: Option[Seq[Any]] = None,
-                   reverse: Boolean = false): Iterator[org.apache.spark.sql.Row] = {
+                   reverse: Boolean = false,
+                   batchRows: Long = 2L << 20): Iterator[org.apache.spark.sql.Row] = {
     import scala.jdk.CollectionConverters._
     if (!manifest.filesDisjointOrdered)
       return table.pullIterator(pred, seek, reverse)
@@ -285,8 +290,26 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       case Some(k) => key.gtKey(k)
       case None => lit(true)
     }
-    fs.iterator.flatMap { f =>
-      store.readFiles(Seq(f.path), manifest)
+    // exponential ramp: the first batch is small (cheap early stop for the
+    // common take(n) consumer), each next batch targets 4× more rows up to
+    // `batchRows` — a consumer that drains the whole snapshot still runs
+    // O(files/batch) jobs, one that stops early computed almost nothing
+    val batches = {
+      val out = Seq.newBuilder[Seq[FileEntry]]
+      var cur = Vector.empty[FileEntry]; var rows = 0L
+      var target = math.max(1L, batchRows >> 6)
+      fs.foreach { f =>
+        if (cur.nonEmpty && rows + f.rows > target) {
+          out += cur; cur = Vector.empty; rows = 0L
+          target = math.min(batchRows, target << 2)
+        }
+        cur :+= f; rows += f.rows
+      }
+      if (cur.nonEmpty) out += cur
+      out.result()
+    }
+    batches.iterator.flatMap { batch =>
+      store.readFiles(batch.map(_.path), manifest)
         .filter(seekPred && pred)
         .coalesce(1)
         .sortWithinPartitions(key.sortCols(reverse): _*)

@@ -197,6 +197,42 @@ class OrderedReadsSpec extends SparkSuite {
     }
   }
 
+  test("pullIterator: adjacent files batch into ramped jobs, not one job per file") {
+    val store = new FsSnapshotStore(tmpDir("graft-batch"), spark)
+    val ix = boot(store, "bat", 1 to 1000)
+    assert(ix.numFiles >= 10, s"need many files, got ${ix.numFiles}")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // full drain: ramped batches amortize per-job overhead — far fewer
+      // jobs than files (per-file jobs would be numFiles here)
+      val n = ix.pullIterator(batchRows = 256L).size
+      Thread.sleep(500) // listener bus is async
+      val drainJobs = jobs.get()
+      assert(n == 1000)
+      assert(drainJobs < ix.numFiles,
+        s"expected batched jobs < ${ix.numFiles} files, got $drainJobs")
+      // early stop: take(5) must compute only the small first batch
+      jobs.set(0)
+      val first5 = ix.pullIterator(batchRows = 256L).take(5).toSeq
+      Thread.sleep(500)
+      assert(first5.size == 5 && jobs.get() <= 2,
+        s"take(5) ran ${jobs.get()} jobs — early stop broken")
+      // batching must preserve global order and seek/pred parity
+      assert(iterPairs(ix.pullIterator(batchRows = 64L)) ==
+        iterPairs(ix.table.pullIterator()))
+      assert(iterPairs(ix.pullIterator(seek = Some(Seq[Any]("k0500")),
+          reverse = true, batchRows = 64L)) ==
+        iterPairs(ix.table.pullIterator(seek = Some(Seq[Any]("k0500")),
+          reverse = true)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("temporal cache: memoized per (id,t), never stale across store instances") {
     val root = tmpDir("graft-shared")
     val reader = new CountingStore(root)
