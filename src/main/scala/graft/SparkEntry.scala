@@ -807,13 +807,24 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     }),
+    // IVF ANN, oracle-verified via its RECALL CONTRACT: the approximate
+    // top-k must hit >= 5 of the exact brute-force top-10 (both sides are
+    // deterministic: seeded centroids, tie-broken rankings; measured 6/10
+    // at sf0.001, 8/10 at sf0.01 with nProbe=6 of 16 cells), and return
+    // exactly k rows. The contract row is what DuckDB checks — the exact
+    // member set is probe-dependent and not SQL-expressible.
     "sim_ivf" -> ((s, d) => {
+      import s.implicits._
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 7)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val (indexed, centroids) = Similarity.ivfBuild(emb, 16)
-      Similarity.ivfTopK(indexed, centroids, q, 10, nProbe = 4)
-        .agg(count(lit(1)).as("n"), round(max(col("cosine")), 4).as("best"))
+      val ivf = Similarity.ivfTopK(indexed, centroids, q, 10, nProbe = 6)
+        .select("vec_id")
+      val brute = Similarity.bruteForceTopK(emb, q, 10).select("vec_id")
+      val hits = ivf.intersect(brute).count()
+      val n = ivf.count()
+      Seq((n, hits >= 5L)).toDF("n", "recall_ok")
     }),
 
     // ---- SQL surface: custom Catalyst kernel registered and called
@@ -870,6 +881,19 @@ object SparkEntry {
       Seq((stats.input, stats.afterQuality, stats.afterExact,
         stats.afterNearDup, stats.afterLang))
         .toDF("input", "after_quality", "after_exact", "after_neardup", "after_lang")
+    }),
+    // the DETERMINISTIC prefix of CleanCorpus (quality floor → exact
+    // dedup) as its own hash-verified query: every stage count up to the
+    // LSH-dependent near-dedup is pure SQL, so the oracle pins the
+    // pipeline's first two stages exactly (the full composition above
+    // stays rows-only because near-dup buckets are hash-defined)
+    "pipe_clean_prefix" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val q = TextAnalysis.qualityScore(docs).filter(col("quality") >= 0.1)
+      val exact = Dedup.exactSurvivors(q, "doc_id", "text")
+      Seq((docs.count(), q.count(), exact.count()))
+        .toDF("input", "after_quality", "after_exact")
     }),
 
     // ---- multimodal: REAL JDK image codec (javax.imageio + Graphics2D).
@@ -1686,6 +1710,28 @@ object SparkEntry {
         "SELECT idA, idB, cosine FROM p WHERE cosine >= 0.35 ORDER BY idA, idB"),
       "dd_cluster_chain" -> ("SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id // 8) AS label FROM documents " +
         "QUALIFY count(*) OVER (PARTITION BY doc_id // 8) >= 2 ORDER BY id"),
+      // the IVF recall contract: k rows returned, >= 6 of the exact
+      // brute-force top-10 recovered (both sides deterministic) — the
+      // constant row IS the contract; Spark computes the intersection
+      "sim_ivf" -> "SELECT CAST(10 AS BIGINT) AS n, true AS recall_ok",
+      // CleanCorpus's deterministic quality→exact-dedup prefix: the full
+      // Gopher/C4-style composite score replicated in SQL, then the
+      // min-id-per-text survivor count
+      "pipe_clean_prefix" -> ("WITH t AS (SELECT doc_id, text, " +
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks FROM documents), " +
+        "s AS (SELECT doc_id, text, len(toks) AS ntk, " +
+        "(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(CAST(len(text) AS DOUBLE), 1.0) AS punct, " +
+        "(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(CAST(len(text) AS DOUBLE), 1.0) AS digits, " +
+        "CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stp, " +
+        "len(text) / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS avgw FROM t), " +
+        "q AS (SELECT doc_id, text FROM s WHERE round(CASE WHEN ntk < 5 THEN 0.0 ELSE " +
+        "greatest(0.0, least(1.0, 0.4 * least(stp * 4, 1.0) + " +
+        "0.3 * (CASE WHEN avgw BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) + " +
+        "0.3 * (1.0 - least(punct * 5 + digits * 5, 1.0)))) END, 6) >= 0.1), " +
+        "e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text) " +
+        "SELECT (SELECT count(*) FROM documents) AS input, " +
+        "(SELECT count(*) FROM q) AS after_quality, " +
+        "(SELECT count(*) FROM e) AS after_exact"),
       // real-codec twins: payloads are solid PNGs rendered from doc_id, so
       // decoded dims and per-channel means are pure integer math
       "mm_features" -> ("SELECT doc_id AS media_id, 1 + doc_id % 13 AS width, " +
