@@ -19,15 +19,29 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     SparkEntry.warmup(spark, sfDir)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // median-of-N per query (default 3): one-directional machine-load noise
+    // swung identical code ±50% run to run under single-shot timing — the
+    // median makes a real regression attributable. Reps interleave by
+    // whole suite passes so a transient load spike degrades one PASS, not
+    // one query's entire sample.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      samples(name) = sec :: samples.getOrElse(name, Nil)
     }
+    val results = names.map { name =>
+      val sorted = samples(name).sorted
+      name -> sorted(sorted.size / 2)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

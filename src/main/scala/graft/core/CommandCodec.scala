@@ -16,25 +16,43 @@ import org.json4s.jackson.JsonMethods
   * A wire command batch is by nature BOUNDED (the reference caps batches at
   * ~1000 tuples, `MainSpec.scala:63`): encoding collects the batch rows —
   * this is a front-end RPC surface, not a bulk-data path. Bulk loads go
-  * through `KVIndex.bootstrap`, which never leaves the cluster.
+  * through `KVIndex.bootstrap`, which never leaves the cluster. The bound
+  * is ENFORCED: encode drains each command through `toLocalIterator` (one
+  * partition of rows on the driver at a time, never the whole batch) and
+  * throws the typed `BATCH_TOO_LARGE` error the moment a command exceeds
+  * `maxRows` — a misrouted bulk DataFrame fails fast instead of OOMing
+  * the driver.
   */
 object CommandCodec {
 
-  def toJson(cmds: Seq[Command]): String = {
+  /** default encode cap — mirrors the reference's ~1000-tuple batches with
+    * headroom; override per call for bigger authorized envelopes */
+  val DefaultMaxRows: Long = 100000L
+
+  def toJson(cmds: Seq[Command], maxRows: Long = DefaultMaxRows): String = {
     val arr = cmds.map {
-      case Command.Insert(rows, upsert) => obj("insert", rows, Some(upsert))
-      case Command.Update(rows) => obj("update", rows, None)
-      case Command.Remove(rows) => obj("remove", rows, None)
+      case Command.Insert(rows, upsert) => obj("insert", rows, Some(upsert), maxRows)
+      case Command.Update(rows) => obj("update", rows, None, maxRows)
+      case Command.Remove(rows) => obj("remove", rows, None, maxRows)
     }
     JsonMethods.compact(JsonMethods.render(
       JObject("commands" -> JArray(arr.toList))))
   }
 
-  private def obj(typ: String, rows: DataFrame, upsert: Option[Boolean]): JObject = {
+  private def obj(typ: String, rows: DataFrame, upsert: Option[Boolean],
+                  maxRows: Long): JObject = {
+    val it = rows.toJSON.toLocalIterator()
+    val lines = List.newBuilder[JValue]
+    var n = 0L
+    while (it.hasNext) {
+      n += 1
+      if (n > maxRows) throw GraftException(GraftError.BatchTooLarge(n, maxRows))
+      lines += JString(it.next())
+    }
     val base: List[(String, JValue)] = List(
       "type" -> JString(typ),
       "schema" -> JString(rows.schema.json),
-      "rows" -> JArray(rows.toJSON.collect().map(JString(_): JValue).toList))
+      "rows" -> JArray(lines.result()))
     JObject(upsert.fold(base)(u => ("upsert" -> (JBool(u): JValue)) :: base))
   }
 

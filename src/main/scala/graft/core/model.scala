@@ -91,7 +91,17 @@ object GraftError {
       extends GraftError("CONTEXT_USED", s"write context already executed a batch: $id")
   final case class MergeTooLarge(n: Long, max: Long)
       extends GraftError("MERGE_TOO_LARGE", s"merged size $n exceeds maxNItems $max")
+  final case class BatchTooLarge(n: Long, max: Long)
+      extends GraftError("BATCH_TOO_LARGE",
+        s"wire batch of $n rows exceeds the $max-row encode cap — bulk data belongs in bootstrap/execute, not the RPC codec")
 }
+
+/** Exception wrapper for surfaces that cannot return a typed result value
+  * (e.g. the wire codec's String-returning encode). Carries the
+  * [[GraftError]] so callers still dispatch on `error.code`.
+  */
+final case class GraftException(error: GraftError)
+    extends RuntimeException(s"${error.code}: ${error.message}")
 
 /** Command ADT — reference `Commands.scala:5-15`. A batch is executed
   * all-or-nothing (reference `Index.scala:1010-1036`): the first failing

@@ -97,4 +97,15 @@ class CommandCodecSpec extends SparkSuite {
     assert(dump("wire")(5L) == "upserted" && !dump("wire").contains(1L))
   }
 
+  test("encode caps the batch: typed BATCH_TOO_LARGE instead of a driver OOM") {
+    val big = spark.range(0, 500).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    val ex = intercept[GraftException] {
+      CommandCodec.toJson(Seq(Command.Insert(big)), maxRows = 100L)
+    }
+    assert(ex.error.code == "BATCH_TOO_LARGE")
+    // at the cap is fine; the encoder streams rather than collecting
+    val ok = CommandCodec.toJson(Seq(Command.Insert(big.limit(100))), maxRows = 100L)
+    assert(CommandCodec.fromJson(ok, spark).head.rows.count() == 100L)
+  }
+
 }

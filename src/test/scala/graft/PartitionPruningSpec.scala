@@ -24,7 +24,10 @@ class PartitionPruningSpec extends SparkSuite with AdaptiveSparkPlanHelper {
 
   test("static pruning: partition-column filter reaches the scan, not a post-filter") {
     val q = spark.read.parquet(dir).filter(col("etype") === "t1")
-    assert(q.count() == 100)
+    // execute THE INSPECTED plan (collect() drives q's own QueryExecution;
+    // a derived q.count() would execute a different one and leave these
+    // metrics at 0, making the file-count assert vacuous)
+    assert(q.collect().length == 100)
     val scan = collectFirst(q.queryExecution.executedPlan) {
       case s: FileSourceScanExec => s
     }.get
@@ -32,7 +35,10 @@ class PartitionPruningSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // partition directories survives
     assert(scan.partitionFilters.nonEmpty)
     assert(scan.relation.location.inputFiles.length >= 3) // all dirs on disk
-    assert(scan.metrics("numFiles").value <= scan.relation.location.inputFiles.length / 3)
+    val scanned = scan.metrics("numFiles").value
+    assert(scanned > 0, "inspected plan did not execute — metric is empty")
+    assert(scanned <= scan.relation.location.inputFiles.length / 3,
+      s"static pruning read $scanned files of ${scan.relation.location.inputFiles.length}")
   }
 
   test("dynamic pruning: runtime dim filter prunes fact partitions via DPP") {
