@@ -29,6 +29,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
 
+  /** SQL-computable truth set for the near-dup recall contracts: exact
+    * all-pairs shingle Jaccard over the bounded `doc_id < 500` range
+    * (25 pairs at sf0.01 — O(500²) work at EVERY scale factor), docs with
+    * >= 3 whitespace tokens (the oracle's string shingler emits nothing for
+    * shorter docs where the hash shingler emits one partial shingle).
+    */
+  private def ddTruthPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = docs.filter(col("doc_id") < 500)
+      .filter(size(gf.ws_tokens(col("text"))) >= 3)
+      .select(col("doc_id").as("id"), gf.shingle_hashes(col("text"), 3).as("sh"))
+    sh.select(col("id").as("idA"), col("sh").as("shA"))
+      .join(sh.select(col("id").as("idB"), col("sh").as("shB")),
+        col("idA") < col("idB"))
+      .filter(gf.jaccard_sorted(col("shA"), col("shB")) >= minJaccard)
+      .select("idA", "idB")
+  }
+
   /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4 only
     * reads via the nanosAsLong legacy conf; re-derive a proper timestamp at
     * microsecond precision (`div` keeps the long math exact — a double cast
@@ -742,22 +759,74 @@ object SparkEntry {
     "dd_exact_survivors" -> ((s, d) =>
       Dedup.exactSurvivors(t(s, d, "documents"))
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
-    "dd_minhash" -> ((s, d) =>
-      Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.2)
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("est_jaccard")), 4).as("avg_est"))),
-    "dd_simhash" -> ((s, d) =>
-      Dedup.simhash(t(s, d, "documents"), maxHamming = 8)
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("hamming")), 4).as("avg_hamming"))),
-    "dd_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(t(s, d, "documents"), threshold = 0.3)
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("jaccard")), 4).as("avg_jaccard"))),
-    "dd_embed_cosine" -> ((s, d) =>
-      Dedup.embeddingCosine(t(s, d, "embeddings"), threshold = 0.9)
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("cosine")), 4).as("avg_cosine"))),
+    // MinHash-LSH recall contract: the truth set (exact all-pairs shingle
+    // Jaccard >= 0.5 on the bounded doc_id < 500 range — SQL-computable,
+    // so n_true is hash-verified) must be recovered by the full-corpus LSH
+    // path at >= 80% recall. Deterministic hashes + a banded-collision
+    // probability of 1-(1-s^4)^16 ~ 1 at the s >= 0.9 pairs the generator
+    // plants make the bound hold with wide margin (measured 25/25 at
+    // sf0.01, 1/1 at sf0.1).
+    "dd_minhash" -> ((s, d) => {
+      import s.implicits._
+      val full = t(s, d, "documents")
+      val truth = ddTruthPairs(full, minJaccard = 0.5).cache()
+      val cand = Dedup.minhashLsh(full, threshold = 0.2).select("idA", "idB")
+      val nTrue = truth.count()
+      val hits = truth.join(cand, Seq("idA", "idB"), "left_semi").count()
+      Seq((nTrue, hits * 5L >= nTrue * 4L)).toDF("n_true", "recall_ok")
+    }),
+    // SimHash recall contract against the same SQL-computable truth set:
+    // >= 0.9-Jaccard pairs have near-identical unigram distributions, so
+    // their 64-bit sketches sit within a few bits and the 4x16-bit chunk
+    // bucketing recovers them (guaranteed for Hamming <= 3; measured 23/25
+    // at sf0.01 — bound at >= 50%).
+    "dd_simhash" -> ((s, d) => {
+      import s.implicits._
+      val full = t(s, d, "documents")
+      val truth = ddTruthPairs(full, minJaccard = 0.5).cache()
+      val cand = Dedup.simhash(full, maxHamming = 8).select("idA", "idB")
+      val nTrue = truth.count()
+      val hits = truth.join(cand, Seq("idA", "idB"), "left_semi").count()
+      Seq((nTrue, hits * 2L >= nTrue)).toDF("n_true", "recall_ok")
+    }),
+    // LSH-accelerated exact-verify n-gram Jaccard: recall contract vs the
+    // SQL truth set at the operator's own threshold, plus an EXACT
+    // precision check — every emitted pair inside the bounded range must
+    // be in the truth set (the verify stage computes true Jaccard, so any
+    // false positive is a kernel bug, not LSH luck).
+    "dd_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      val full = t(s, d, "documents")
+        .filter(size(gf.ws_tokens(col("text"))) >= 3)
+      val truth = ddTruthPairs(full, minJaccard = 0.3).cache()
+      val found = Dedup.ngramJaccard(full, threshold = 0.3)
+        .filter(col("idA") < 500 && col("idB") < 500).select("idA", "idB")
+      val nTrue = truth.count()
+      val nFound = found.count()
+      val hits = truth.join(found, Seq("idA", "idB"), "left_semi").count()
+      Seq((nTrue, hits * 5L >= nTrue * 4L, nFound == hits))
+        .toDF("n_true", "recall_ok", "precision_ok")
+    }),
+    // sign-LSH near-dup recall on PLANTED duplicates: clone vec_id < 50
+    // with one coordinate nudged (cosine ~ 0.9998), then require the
+    // bucketed path to recover >= 45 of the 50 planted pairs. A clone's
+    // signature differs from its source by at most the planes its nudge
+    // flips, and multi-probe covers every single-bit flip — measured
+    // 50/50 at both SFs.
+    "dd_embed_cosine" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + when(i === lit(0), lit(0.01f)).otherwise(lit(0.0f))).cast("float"))
+            .as("embedding"))
+      val nPlanted = planted.count()
+      val found = Dedup.embeddingCosine(emb.unionByName(planted), threshold = 0.95)
+      val hits = found
+        .filter(col("idA") < 50 && col("idB") === col("idA") + 100000L).count()
+      Seq((nPlanted, hits * 10L >= nPlanted * 9L)).toDF("n_planted", "all_found")
+    }),
     // exact all-pairs n-gram Jaccard on a bounded id range: pins the FNV
     // shingle + sorted-merge kernel to textbook string-shingle Jaccard
     // (ratio of integer set sizes — bit-identical across engines), with a
@@ -884,20 +953,38 @@ object SparkEntry {
     "txt_langid" -> ((s, d) =>
       TextAnalysis.languageId(t(s, d, "documents"))
         .select("doc_id", "pred_lang").orderBy("doc_id")),
-    "txt_fingerprint" -> ((s, d) =>
-      TextAnalysis.fingerprints(t(s, d, "documents"))
-        .select("doc_id", "exact_hash", "fingerprint", "simhash")
-        .orderBy("doc_id")),
+    // fingerprint property contract (kernel values themselves are pinned
+    // by KernelsSpec): every distinct text maps to exactly one
+    // (exact_hash, fingerprint, simhash) triple — the functions are pure —
+    // and xxhash64 is collision-free on this corpus, so distinct hashes ==
+    // distinct texts. Both counts are SQL-computable and hash-verified.
+    "txt_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val fp = TextAnalysis.fingerprints(t(s, d, "documents"))
+      val inconsistent = fp.groupBy("text")
+        .agg(countDistinct("fingerprint").as("nf"),
+          countDistinct("exact_hash").as("ne"),
+          countDistinct("simhash").as("ns"))
+        .filter(col("nf") > 1 || col("ne") > 1 || col("ns") > 1).count()
+      val r = fp.agg(count(lit(1)), countDistinct(col("text")),
+        countDistinct(col("exact_hash"))).head()
+      Seq((r.getLong(0), r.getLong(1), inconsistent == 0L, r.getLong(2) == r.getLong(1)))
+        .toDF("n_docs", "n_text", "fp_consistent", "hash_injective")
+    }),
 
-    // ---- full corpus-cleaning composition (rows-only: LSH stage uses
-    //      Spark-specific hashes) ----
+    // ---- full corpus-cleaning composition. The deterministic prefix
+    // counts (input → quality floor → exact dedup) are hash-verified
+    // against the SQL oracle; the LSH-dependent suffix (near-dup, lang)
+    // is pinned by a monotonicity contract — each stage can only shrink
+    // the corpus and must leave survivors. ----
     "pipe_clean_corpus" -> ((s, d) => {
       import s.implicits._
       val (_, stats) = graft.pipeline.CleanCorpus(
         t(s, d, "documents"), minQuality = 0.1, nearDupThreshold = 0.8)
-      Seq((stats.input, stats.afterQuality, stats.afterExact,
-        stats.afterNearDup, stats.afterLang))
-        .toDF("input", "after_quality", "after_exact", "after_neardup", "after_lang")
+      val monoOk = stats.afterNearDup <= stats.afterExact &&
+        stats.afterLang <= stats.afterNearDup && stats.afterLang >= 1L
+      Seq((stats.input, stats.afterQuality, stats.afterExact, monoOk))
+        .toDF("input", "after_quality", "after_exact", "mono_ok")
     }),
     // the DETERMINISTIC prefix of CleanCorpus (quality floor → exact
     // dedup) as its own hash-verified query: every stage count up to the
@@ -1063,11 +1150,19 @@ object SparkEntry {
     }),
     // HLL distinct-token estimate next to the exact count (rows-only: the
     // sketch is Spark's HLL++; TrainingOpsSpec pins the error bound)
-    "agg_approx_distinct" -> ((s, d) =>
-      t(s, d, "documents")
+    // HLL++ error contract: `exact` is SQL-computable (hash-verified); the
+    // sketch must land within max(15%, ±2) of it — at rsd 0.02 the sparse
+    // encoding is exact for small cardinalities, so the bound is generous.
+    "agg_approx_distinct" -> ((s, d) => {
+      import s.implicits._
+      val r = t(s, d, "documents")
         .select(explode(gf.ws_tokens(col("text"))).as("token"))
         .agg(count_distinct(col("token")).as("exact"),
-          approx_count_distinct(col("token"), 0.02).as("approx"))),
+          approx_count_distinct(col("token"), 0.02).as("approx")).head()
+      val exact = r.getLong(0); val approx = r.getLong(1)
+      Seq((exact, math.abs(approx - exact) <= math.max(2L, (exact * 0.15).toLong)))
+        .toDF("exact", "err_ok")
+    }),
     // LIVE streaming windowed counts + top-2 event types per window — the
     // streaming-agg + post-ranking composition
     "st_topk" -> ((s, d) =>
@@ -1475,6 +1570,17 @@ object SparkEntry {
     // order-independent exact sum of the 2-decimal `value` column (twin of
     // EventStreams.exactCentSum): integer-cent sum, one final division
     val centSum = "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
+    // exact all-pairs shingle-Jaccard truth set on doc_id < 500 (string
+    // shingles — the SQL twin of graft's FNV hash shingles, identical
+    // counts absent 64-bit collisions); shared by the near-dup recall
+    // contracts
+    def ddTruthSql(minJ: Double): String =
+      "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk " +
+        "FROM documents WHERE doc_id < 500), " +
+        "sh AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk)-1)]) AS ss " +
+        "FROM toks WHERE len(tk) >= 3), " +
+        "p AS (SELECT a.doc_id AS idA, b.doc_id AS idB FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
+        s"AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) >= $minJ)"
     Map(
       "kv_point" -> "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderkey = 142",
       "kv_range" -> ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders " +
@@ -1728,6 +1834,18 @@ object SparkEntry {
         "SELECT idA, idB, cosine FROM p WHERE cosine >= 0.35 ORDER BY idA, idB"),
       "dd_cluster_chain" -> ("SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id // 8) AS label FROM documents " +
         "QUALIFY count(*) OVER (PARTITION BY doc_id // 8) >= 2 ORDER BY id"),
+      // near-dup recall contracts: n_true is the exact all-pairs shingle
+      // Jaccard count on the bounded doc_id < 500 range (same CTE shape as
+      // dd_jaccard_pairs — string shingles, no hashes), hash-verified; the
+      // boolean IS the contract, computed Spark-side over the LSH output
+      "dd_minhash" -> (ddTruthSql(0.5) + " SELECT count(*) AS n_true, true AS recall_ok FROM p"),
+      "dd_simhash" -> (ddTruthSql(0.5) + " SELECT count(*) AS n_true, true AS recall_ok FROM p"),
+      "dd_ngram_jaccard" -> (ddTruthSql(0.3) +
+        " SELECT count(*) AS n_true, true AS recall_ok, true AS precision_ok FROM p"),
+      // planted-duplicate contract: 50 nudged clones must be recovered by
+      // the sign-LSH bucketing (>= 45; multi-probe covers any 1-bit flip)
+      "dd_embed_cosine" -> ("SELECT count(*) AS n_planted, true AS all_found " +
+        "FROM embeddings WHERE vec_id < 50"),
       // the IVF recall contract: k rows returned, >= 6 of the exact
       // brute-force top-10 recovered (both sides deterministic) — the
       // constant row IS the contract; Spark computes the intersection
@@ -1750,6 +1868,29 @@ object SparkEntry {
         "SELECT (SELECT count(*) FROM documents) AS input, " +
         "(SELECT count(*) FROM q) AS after_quality, " +
         "(SELECT count(*) FROM e) AS after_exact"),
+      // full composition: same deterministic prefix counts hash-verified,
+      // plus the Spark-side monotonicity contract over the LSH suffix
+      "pipe_clean_corpus" -> ("WITH t AS (SELECT doc_id, text, " +
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks FROM documents), " +
+        "s AS (SELECT doc_id, text, len(toks) AS ntk, " +
+        "(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(CAST(len(text) AS DOUBLE), 1.0) AS punct, " +
+        "(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(CAST(len(text) AS DOUBLE), 1.0) AS digits, " +
+        "CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by'], x))) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stp, " +
+        "len(text) / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS avgw FROM t), " +
+        "q AS (SELECT doc_id, text FROM s WHERE round(CASE WHEN ntk < 5 THEN 0.0 ELSE " +
+        "greatest(0.0, least(1.0, 0.4 * least(stp * 4, 1.0) + " +
+        "0.3 * (CASE WHEN avgw BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) + " +
+        "0.3 * (1.0 - least(punct * 5 + digits * 5, 1.0)))) END, 6) >= 0.1), " +
+        "e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text) " +
+        "SELECT (SELECT count(*) FROM documents) AS input, " +
+        "(SELECT count(*) FROM q) AS after_quality, " +
+        "(SELECT count(*) FROM e) AS after_exact, true AS mono_ok"),
+      // HLL++ error contract: exact distinct hash-verified, bound Spark-side
+      "agg_approx_distinct" -> ("SELECT count(DISTINCT tok) AS exact, true AS err_ok FROM " +
+        "(SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok FROM documents)"),
+      // fingerprint purity + xxhash64 injectivity on this corpus
+      "txt_fingerprint" -> ("SELECT count(*) AS n_docs, count(DISTINCT text) AS n_text, " +
+        "true AS fp_consistent, true AS hash_injective FROM documents"),
       // real-codec twins: payloads are solid PNGs rendered from doc_id, so
       // decoded dims and per-channel means are pure integer math
       "mm_features" -> ("SELECT doc_id AS media_id, 1 + doc_id % 13 AS width, " +
