@@ -737,6 +737,18 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("li_sum"),
           round(sum(col("o_totalprice")), 2).as("ord_sum"))
     }),
+    // bloom-prefiltered exact semi join (operators/BloomJoin.scala): fact
+    // rows that cannot match the filtered dim are dropped BEFORE the join
+    // shuffle. Bloom admits no false negatives and the exact join removes
+    // the false positives, so the plain semi-join SQL is a full hash
+    // oracle — the filter changes shuffled volume, never the result.
+    "q_bloom_join" -> ((s, d) => {
+      val dim = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      graft.operators.BloomJoin.semiJoin(t(s, d, "orders"), dim,
+          "o_custkey", "c_custkey", expectedItems = 1L << 16, numBits = 1L << 20)
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"))
+    }),
     "st_sessions" -> ((s, d) =>
       EventStreams.sessionizeBatch(t(s, d, "events"))
         .select(col("user_id"), col("session_no"),
@@ -1088,6 +1100,28 @@ object SparkEntry {
     // corpus bigram top-k — same plan over 2-gram shingles
     "txt_bigrams" -> ((s, d) =>
       TextAnalysis.topNgrams(t(s, d, "documents"), 2, 20)),
+    // heavy-hitter sketch contract: the one-pass frequent-items sketch
+    // (O(1/support) counters per partition, vocabulary never ranked) must
+    // contain EVERY token above 5% relative frequency — its no-false-
+    // negative guarantee — with the sketch run at the looser 3% support so
+    // the 5% truth threshold sits well inside it. n_heavy is the exact
+    // SQL-computable truth count (hash-verified).
+    "txt_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val toks = docs.select(explode(gf.ws_tokens(col("text"))).as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = toks.count()
+      val truth = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") > lit(0.05) * lit(total))
+      val found = TextAnalysis.heavyHitterTokens(docs, support = 0.03)
+      val nTrue = truth.count()
+      val missed =
+        if (found.isEmpty) nTrue
+        else truth.filter(!col("token").isin(found: _*)).count()
+      toks.unpersist()
+      Seq((nTrue, missed == 0L)).toDF("n_heavy", "all_found")
+    }),
     // deterministic train/val/test assignment: pure projection, the same
     // row lands in the same split on every run/engine/cluster size
     "pipe_split" -> ((s, d) =>
@@ -1162,6 +1196,26 @@ object SparkEntry {
       val exact = r.getLong(0); val approx = r.getLong(1)
       Seq((exact, math.abs(approx - exact) <= math.max(2L, (exact * 0.15).toLong)))
         .toDF("exact", "err_ok")
+    }),
+    // KLL/GK-style quantile sketch next to the exact percentile: exact
+    // p50/p90 are hash-verified (continuous interpolation = quantile_cont,
+    // as q_percentile pins); the sketch must land within 5% of each — at
+    // accuracy 10000 over test-scale rows it is an exact order statistic,
+    // so the bound is generous.
+    "agg_approx_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val r = t(s, d, "orders").agg(
+        expr("percentile(o_totalprice, 0.5)"),
+        expr("percentile(o_totalprice, 0.9)"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)")).head()
+      val (e50, e90) = (r.getDouble(0), r.getDouble(1))
+      val (a50, a90) = (r.getDouble(2), r.getDouble(3))
+      def ok(e: Double, a: Double) = math.abs(a - e) <= math.abs(e) * 0.05
+      Seq((BigDecimal(e50).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(e90).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        ok(e50, a50) && ok(e90, a90)))
+        .toDF("p50", "p90", "approx_ok")
     }),
     // LIVE streaming windowed counts + top-2 event types per window — the
     // streaming-agg + post-ranking composition
@@ -1888,6 +1942,19 @@ object SparkEntry {
       // HLL++ error contract: exact distinct hash-verified, bound Spark-side
       "agg_approx_distinct" -> ("SELECT count(DISTINCT tok) AS exact, true AS err_ok FROM " +
         "(SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok FROM documents)"),
+      // quantile-sketch error contract: exact percentiles hash-verified
+      "agg_approx_quantiles" -> ("SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, true AS approx_ok FROM orders"),
+      // bloom prefilter never changes the result — plain semi join IS the oracle
+      "q_bloom_join" -> ("SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS price_sum " +
+        "FROM orders WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"),
+      // frequent-items sketch: exact heavy-hitter count hash-verified, the
+      // no-false-negative containment checked Spark-side
+      "txt_heavy_hitters" -> ("WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents), " +
+        "c AS (SELECT token, count(*) AS n FROM tok GROUP BY token) " +
+        "SELECT count(*) AS n_heavy, true AS all_found FROM c " +
+        "WHERE n > 0.05 * (SELECT count(*) FROM tok)"),
       // fingerprint purity + xxhash64 injectivity on this corpus
       "txt_fingerprint" -> ("SELECT count(*) AS n_docs, count(DISTINCT text) AS n_text, " +
         "true AS fp_consistent, true AS hash_injective FROM documents"),

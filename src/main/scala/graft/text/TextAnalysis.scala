@@ -102,6 +102,21 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Approximate heavy-hitter tokens at relative frequency > `support`
+    * via Spark's one-pass frequent-items sketch (the Karp-Papadimitriou-
+    * Shenker counter family): GUARANTEED to include every token above
+    * support (no false negatives), may include some below it. Unlike
+    * [[topTokens]] this never ranks the full vocabulary — per-partition
+    * state is O(1/support) counters regardless of corpus size, which is
+    * the right shape when the vocabulary itself is huge (URLs, hashes,
+    * n-grams) and only the dominating items matter.
+    */
+  def heavyHitterTokens(df: DataFrame, support: Double,
+                        textCol: String = "text"): Seq[String] =
+    df.select(explode(gf.ws_tokens(col(textCol))).as("token"))
+      .stat.freqItems(Seq("token"), support)
+      .head().getSeq[String](0)
+
   /** Corpus n-gram frequencies, top `k` — same plan shape as
     * [[topTokens]] over word n-gram shingles. Documents shorter than `n`
     * tokens are excluded (their shingle is degenerate).
