@@ -49,6 +49,20 @@ class BloomJoinSpec extends SparkSuite {
       s"prefilter kept $keptN rows for $matchN matches — filter not selective")
   }
 
+  test("prefilter plans scan-side: no exchange anywhere in the filtered fact") {
+    val (fact, dim) = fixture
+    val pre = BloomJoin.prefilter(fact, dim, "fk", "dk",
+      expectedItems = 1L << 12, numBits = 1L << 16)
+    pre.count()
+    val plan = pre.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val exchanges = helper.collect(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"bloom prefilter must not shuffle the fact side, found: $exchanges")
+  }
+
   test("degenerate dims: empty dim keeps nothing, full dim keeps everything") {
     val (fact, dim) = fixture
     val empty = dim.filter(lit(false))
