@@ -984,6 +984,24 @@ object SparkEntry {
         .toDF("n_docs", "n_text", "fp_consistent", "hash_injective")
     }),
 
+    // incremental ingest dedup (Dedup.incrementalSurvivors): incoming
+    // batch (the upper-id half plus planted clones of every 5th corpus
+    // doc) deduped against the existing corpus via bloom-split — rows
+    // failing might_contain skip the join as provably new, the remainder
+    // hits the exact anti join. Result == plain anti join, so plain SQL
+    // is a full hash oracle.
+    "pipe_incr_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250)
+        .unionByName(corpus.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      Dedup.incrementalSurvivors(incoming, corpus, "text",
+          expectedItems = 1L << 14, numBits = 1L << 18)
+        .agg(count(lit(1)).as("n_new"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // ---- full corpus-cleaning composition. The deterministic prefix
     // counts (input → quality floor → exact dedup) are hash-verified
     // against the SQL oracle; the LSH-dependent suffix (near-dup, lang)
@@ -1958,6 +1976,12 @@ object SparkEntry {
       // fingerprint purity + xxhash64 injectivity on this corpus
       "txt_fingerprint" -> ("SELECT count(*) AS n_docs, count(DISTINCT text) AS n_text, " +
         "true AS fp_consistent, true AS hash_injective FROM documents"),
+      // bloom-split incremental dedup == plain anti join
+      "pipe_incr_dedup" -> ("WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250), " +
+        "incoming AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250 " +
+        "UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM corpus WHERE doc_id % 5 = 0), " +
+        "s AS (SELECT * FROM incoming WHERE text NOT IN (SELECT text FROM corpus)) " +
+        "SELECT count(*) AS n_new, min(doc_id) AS min_id, max(doc_id) AS max_id FROM s"),
       // real-codec twins: payloads are solid PNGs rendered from doc_id, so
       // decoded dims and per-channel means are pure integer math
       "mm_features" -> ("SELECT doc_id AS media_id, 1 + doc_id % 13 AS width, " +

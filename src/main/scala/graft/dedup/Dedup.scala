@@ -40,6 +40,32 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup of an incoming batch against an EXISTING
+    * corpus — the steady-state ingestion shape: the corpus is orders of
+    * magnitude larger than the batch and must not be re-shuffled per
+    * ingest. A bloom filter over the corpus keys (one distributed
+    * aggregate, reusable across batches) splits the batch: rows failing
+    * `might_contain` are PROVABLY new (bloom has no false negatives) and
+    * skip the join entirely; only the might-match remainder — the true
+    * dups plus ~1% false positives — reaches the exact anti join. Result
+    * is exactly `incoming anti-join corpus` on `keyCol`; only the
+    * (tiny) might-match slice of the batch ever shuffles against corpus
+    * keys.
+    */
+  def incrementalSurvivors(incoming: DataFrame, corpusKeys: DataFrame,
+                           keyCol: String, expectedItems: Long = 1L << 20,
+                           numBits: Long = 1L << 24): DataFrame = {
+    val bf = graft.operators.BloomJoin.keyFilterBytes(
+      corpusKeys.select(keyCol), col(keyCol), expectedItems, numBits)
+    if (bf == null) incoming // empty corpus: the whole batch is new
+    else {
+      val mc = graft.operators.BloomJoin.mightContain(bf, col(keyCol))
+      incoming.filter(!mc).unionByName(
+        incoming.filter(mc)
+          .join(corpusKeys.select(keyCol), Seq(keyCol), "left_anti"))
+    }
+  }
+
   /** Benchmark decontamination — which training docs share at least one
     * word n-gram with an evaluation/benchmark set (the standard
     * train-test-overlap check an LLM data pipeline runs before training).
