@@ -12,10 +12,11 @@ import graft.streaming.EventStreams
 import graft.text.TextAnalysis
 
 /** Driver contract — every operator of SURVEY.md §2 exposed as a
-  * `(SparkSession, sfDir) => DataFrame` with a DuckDB-oracle twin in
-  * [[SparkEntry.oracleSql]] where the semantics are ANSI-SQL-expressible
-  * (hash-verified), and a rows-only entry where not (Spark-specific hashes,
-  * LSH bucketing).
+  * `(SparkSession, sfDir) => DataFrame`, each with a DuckDB-oracle twin in
+  * [[SparkEntry.oracleSql]]: ANSI-SQL-expressible semantics hash-verify
+  * directly; sketch/LSH semantics emit SQL-computable columns (exact
+  * truth-set counts) that hash-verify plus a recall/error contract boolean
+  * for the hash-seeded part.
   *
   * Conventions for oracle parity:
   *  - every result is deterministically ordered and every computed column
@@ -965,6 +966,12 @@ object SparkEntry {
     "txt_langid" -> ((s, d) =>
       TextAnalysis.languageId(t(s, d, "documents"))
         .select("doc_id", "pred_lang").orderBy("doc_id")),
+    // corpus-self-trained smoothed bigram LM typicality (fixed-point
+    // per-bigram micro-probabilities → exact integer sums → one final
+    // division; fully engine-portable, full hash oracle)
+    "txt_lm_score" -> ((s, d) =>
+      TextAnalysis.lmTypicality(t(s, d, "documents"))
+        .orderBy("doc_id")),
     // fingerprint property contract (kernel values themselves are pinned
     // by KernelsSpec): every distinct text maps to exactly one
     // (exact_hash, fingerprint, simhash) triple — the functions are pure —
@@ -1967,6 +1974,19 @@ object SparkEntry {
       "q_bloom_join" -> ("SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS price_sum " +
         "FROM orders WHERE o_custkey IN " +
         "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"),
+      // bigram LM typicality: same fixed-point micro-probability pipeline
+      // in SQL — floor after only correctly-rounded IEEE ops (+, /, ×)
+      // makes every per-bigram integer identical across engines
+      "txt_lm_score" -> ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "f AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2), " +
+        "uni AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(tk) AS w1 FROM f) GROUP BY w1), " +
+        "big AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM f), " +
+        "cb AS (SELECT bg, count(*) AS c12 FROM big GROUP BY bg), " +
+        "m AS (SELECT b.doc_id, CAST(floor(1000000.0 * (c12 + 0.5) / (c1 + 0.5 * (SELECT count(*) FROM uni))) AS BIGINT) AS micro " +
+        "FROM big b JOIN cb USING (bg) JOIN uni ON string_split(b.bg, ' ')[1] = uni.w1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(floor(sum(micro) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS typicality_micro " +
+        "FROM m GROUP BY doc_id ORDER BY doc_id"),
       // frequent-items sketch: exact heavy-hitter count hash-verified, the
       // no-false-negative containment checked Spark-side
       "txt_heavy_hitters" -> ("WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents), " +

@@ -117,6 +117,50 @@ object TextAnalysis {
       .stat.freqItems(Seq("token"), support)
       .head().getSeq[String](0)
 
+  /** Corpus-self-trained bigram LM typicality — the model-based quality
+    * signal (a lightweight stand-in for LM-perplexity filtering): train an
+    * add-k-smoothed bigram model ON the corpus itself (bigram + unigram
+    * counts, two map-side-combined aggregates), then score every document
+    * by its mean smoothed bigram probability `(c12+k)/(c1+k·V)`. Low
+    * scores = atypical phrasing (garbled text, boilerplate soup); high =
+    * phrasing the corpus has seen a lot.
+    *
+    * Engine-portable by construction: each per-bigram probability is
+    * quantized to integer micro-units — `floor(1e6·p)` — before the
+    * per-doc aggregate, so the sum is exact integer arithmetic (only
+    * correctly-rounded IEEE ops feed the floor: +, /, ×), never an
+    * order-dependent float sum; the reported score stays in integer
+    * micro-units (`floor(mean)`) because rounding a DECIMAL
+    * representation sits on half-way boundaries that Spark (HALF_UP on
+    * the shortest decimal) and other engines (double rounding) resolve
+    * differently. Docs with < 2 tokens have no bigram events and are
+    * excluded.
+    *
+    * Scale shape: the model tables are vocabulary-sized (broadcast-able
+    * under AQE when small); the token stream shuffles once per count and
+    * once per probability join — the inherent cost of exact counting.
+    * Returns (idCol, n_bigrams, typicality).
+    */
+  def lmTypicality(df: DataFrame, k: Double = 0.5, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), gf.ws_tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val uni = toks.select(explode(col("tk")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = toks.select(col("id"), explode(gf.shingles(col("tk"), 2)).as("bg"))
+    val cb = big.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val vocab = uni.count() // one tiny scalar: |V| for the smoothing term
+    big.join(cb, Seq("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(uni, Seq("w1"))
+      .withColumn("micro",
+        floor(lit(1e6) * (col("c12") + lit(k)) / (col("c1") + lit(k * vocab)))
+          .cast("long"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        floor(sum(col("micro")) / count(lit(1))).cast("long").as("typicality_micro"))
+  }
+
   /** Corpus n-gram frequencies, top `k` — same plan shape as
     * [[topTokens]] over word n-gram shingles. Documents shorter than `n`
     * tokens are excluded (their shingle is degenerate).

@@ -280,4 +280,24 @@ class PipelineSpec extends SparkSuite {
     val b = Sampling.shuffled(df, "id").select("id").as[Long].collect()
     assert(a.toSeq == b.toSeq, "identical permutation on rerun")
   }
+
+  test("bigram LM typicality: common phrasing scores above a garbled doc") {
+    // 8 docs of the same phrasing + one doc of never-repeated bigrams
+    val docs = ((1L to 8L).map(i => (i, "the cat sat on the mat")) :+
+      (9L, "zq xv pk wj rb nm")).toDF("doc_id", "text")
+    val scored = TextAnalysis.lmTypicality(docs)
+      .select($"doc_id", $"n_bigrams", $"typicality_micro")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scored.size == 9)
+    assert(scored(1L)._1 == 5L, "5 bigrams per 6-token doc")
+    val common = scored(1L)._2
+    val garbled = scored(9L)._2
+    assert((1L to 8L).forall(i => scored(i) == scored(1L)), "identical docs tie")
+    assert(common > garbled,
+      s"corpus-typical phrasing must outscore garbled text ($common vs $garbled)")
+    // a doc with < 2 tokens emits no bigram events and is excluded
+    val short = TextAnalysis.lmTypicality(
+      docs.unionByName(Seq((10L, "single")).toDF("doc_id", "text")))
+    assert(short.filter($"doc_id" === 10L).count() == 0L)
+  }
 }
