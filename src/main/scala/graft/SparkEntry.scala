@@ -716,6 +716,36 @@ object SparkEntry {
       KVIndex.open(store, "ev").fold(e => sys.error(e.message), identity)
         .df.agg(count(lit(1)).as("n"), EventStreams.exactCentSum(col("value")).as("sum_value"))
     }),
+    // streaming ingest with per-batch incremental dedup: two micro-batches
+    // through a MemoryStream (batch 2 carries clones of every 5th batch-1
+    // doc under new ids) → the snapshot must hold exactly one row per
+    // distinct text ever streamed, first writer winning. The driver-side
+    // collect feeds the MEMORY SOURCE only — the dedup itself runs the
+    // distributed bloom-split path per batch.
+    "st_incr_ingest" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val lower = docs.filter(col("doc_id") < 250).as[(Long, String)].collect()
+      val upper = docs.filter(col("doc_id") >= 250).as[(Long, String)].collect()
+      val clones = lower.filter(_._1 % 5 == 0)
+        .map { case (id, tx) => (id + 10000L, tx) }
+      val root = java.nio.file.Files.createTempDirectory("graft-incr-ingest").toString
+      val store = new FsSnapshotStore(root, s)
+      val input = MemoryStream[(Long, String)](s)
+      val q = EventStreams.streamDedupIngest(
+        input.toDF().toDF("doc_id", "text"), store, "docs", Seq("doc_id"))
+      try {
+        input.addData(lower.toSeq)
+        q.processAllAvailable()
+        input.addData((upper ++ clones).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      KVIndex.open(store, "docs").fold(e => sys.error(e.message), identity)
+        .df.agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("text")).as("n_texts"),
+          max(col("doc_id")).as("max_id"))
+    }),
     "st_dedup" -> ((s, d) => {
       // batch twin of EventStreams.dedupStream: re-ingest the stream twice,
       // dedup on event_id (duplicate rows are identical, so any survivor
@@ -1809,6 +1839,11 @@ object SparkEntry {
         s"count(*) AS n_events, $centSum AS sum_value FROM events " +
         "GROUP BY 1, 2 ORDER BY window_start, event_type"),
       "st_ingest_store" -> s"SELECT count(*) AS n, $centSum AS sum_value FROM events",
+      // deduped streaming ingest: snapshot rows == distinct texts ever
+      // streamed (clones add none); survivors are originals, so max id is
+      // the corpus max
+      "st_incr_ingest" -> ("SELECT count(DISTINCT text) AS n_rows, count(DISTINCT text) AS n_texts, " +
+        "max(doc_id) AS max_id FROM documents"),
       "st_dedup" -> ("WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events) " +
         s"SELECT count(*) AS n, $centSum AS sum_value " +
         "FROM (SELECT DISTINCT event_id, value FROM u) t"),

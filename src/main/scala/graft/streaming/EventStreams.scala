@@ -197,6 +197,47 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest with per-batch incremental dedup — the steady-state
+    * corpus pipeline: every micro-batch is (1) deduped within itself
+    * (min-key per text survives), (2) deduped against everything ALREADY
+    * in the snapshot via the bloom-split anti join
+    * ([[graft.dedup.Dedup.incrementalSurvivors]] — provably-new rows skip
+    * the join; only the might-match slice joins corpus keys), and (3) the
+    * survivors commit one COW snapshot. The snapshot therefore holds one
+    * row per distinct text ever streamed, first writer wins, and readers
+    * time-travel across ingest batches like any other snapshot history.
+    */
+  def streamDedupIngest(stream: DataFrame, store: graft.core.SnapshotStore,
+                        indexId: String, keyCols: Seq[String],
+                        textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.core._
+        import graft.dedup.Dedup
+        if (!batch.isEmpty) {
+          val tx = s"ingest-batch-$batchId"
+          val withinBatch = Dedup.exactSurvivors(batch, keyCols.head, textCol)
+          if (!store.exists(indexId)) {
+            val m = KVIndex.bootstrap(store, indexId, withinBatch, keyCols, txVersion = tx)
+              .fold(e => sys.error(e.message), _.manifest)
+            store.recordSnapshot(indexId, m.version)
+          } else {
+            val ix = KVIndex.open(store, indexId).fold(e => sys.error(e.message), identity)
+            val news = Dedup.incrementalSurvivors(
+              withinBatch, ix.df.select(textCol), textCol)
+            // an all-duplicate batch commits nothing and records nothing —
+            // the temporal log stays one entry per actual change
+            if (!news.isEmpty) {
+              val m = ix.execute(Seq(Command.Insert(news, upsert = true)), tx).orThrow
+              store.recordSnapshot(indexId, m.version)
+            }
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Open the events table as a file stream (schema from the batch read) —
     * the readStream entry point. Normalizes a nanos-as-long `ts` column
     * back to a timestamp like the batch loader.

@@ -121,6 +121,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest with per-batch incremental dedup: one row per distinct text, first writer wins") {
+    import graft.core._
+    val store = new FsSnapshotStore(tmpDir("graft-incr-stream"), spark)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStreams.streamDedupIngest(
+      input.toDF().toDF("doc_id", "text"), store, "docs", Seq("doc_id"))
+    try {
+      // batch 1 carries a within-batch dup (ids 1 and 3 share "alpha")
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      val v1 = KVIndex.open(store, "docs").toOption.get
+      assert(v1.count == 2, "within-batch dedup keeps one row per text")
+      // batch 2: one cross-batch dup ("beta"), one new ("gamma", itself duped)
+      input.addData((4L, "beta"), (5L, "gamma"), (6L, "gamma"))
+      q.processAllAvailable()
+      val v2 = KVIndex.open(store, "docs").toOption.get
+      assert(v2.count == 3)
+      val rows = v2.df.select("doc_id", "text").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")),
+        s"first writer wins per text, got $rows")
+      // snapshot isolation across ingest batches
+      assert(v1.df.count() == 2)
+      assert(store.historyLog("docs").size == 2)
+      // an all-duplicate batch commits no new rows AND records no snapshot
+      input.addData((7L, "alpha"))
+      q.processAllAvailable()
+      assert(KVIndex.open(store, "docs").toOption.get.count == 3)
+      assert(store.historyLog("docs").size == 2,
+        "no-op batch must not grow the temporal log")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes a session when a gap appears") {
     val input = MemoryStream[Event](spark)
     // NoTimeout in the test: ProcessingTimeTimeout makes the engine poll
