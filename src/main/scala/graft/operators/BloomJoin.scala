@@ -37,15 +37,70 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomJoin {
 
+  /** Hard ceiling on sketch size: 2^28 bits = 32 MB serialized. The sketch
+    * is embedded as a PLAN LITERAL in the fact-side predicate and therefore
+    * rides every serialized task closure — a caller asking for a 128 MB
+    * filter (`numBits = 1L << 30`) would ship 128 MB with every task. Above
+    * the ceiling the right tool is a shuffled join, not a bigger literal.
+    */
+  val MaxSketchBits: Long = 1L << 28
+
+  /** Thrown when a requested filter would exceed [[MaxSketchBits]] — typed
+    * so callers can catch the sizing contract specifically.
+    */
+  final class SketchTooLargeException(requested: Long)
+    extends IllegalArgumentException(
+      s"bloom sketch of $requested bits exceeds MaxSketchBits=$MaxSketchBits " +
+        "(32 MB serialized); the sketch is a plan literal shipped with every " +
+        "task — use a shuffled join for dims this large")
+
+  /** Filter sizing from the expected item count: ~10 bits/item (~1% false
+    * positives), floored at 64 bits, capped at [[MaxSketchBits]] — at the
+    * cap the fp rate degrades gracefully instead of the literal exploding.
+    */
+  def derivedNumBits(expectedItems: Long): Long =
+    math.min(MaxSketchBits, math.max(64L, expectedItems * 10L))
+
+  private def checkBits(numBits: Long): Long = {
+    require(numBits > 0, s"numBits must be positive, got $numBits")
+    if (numBits > MaxSketchBits) throw new SketchTooLargeException(numBits)
+    numBits
+  }
+
   /** Serialized bloom filter of `key` over `dim`, built by a distributed
     * aggregate; null when `dim` is empty. `expectedItems`/`numBits` size
-    * the filter: bits/item ≈ 10 gives ~1% false positives.
+    * the filter: bits/item ≈ 10 gives ~1% false positives. `numBits` is
+    * capped by [[MaxSketchBits]] ([[SketchTooLargeException]] above it).
     */
   def keyFilterBytes(dim: DataFrame, key: Column, expectedItems: Long,
                      numBits: Long): Array[Byte] =
     dim.agg(Shim.col(new BloomFilterAggregate(Shim.expr(xxhash64(key)),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+        Literal(expectedItems), Literal(checkBits(numBits))).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+
+  /** [[keyFilterBytes]] with the bit count derived from `expectedItems`. */
+  def keyFilterBytes(dim: DataFrame, key: Column, expectedItems: Long): Array[Byte] =
+    keyFilterBytes(dim, key, expectedItems, derivedNumBits(expectedItems))
+
+  /** OR-merge two serialized filters built with the SAME
+    * (expectedItems, numBits) sizing — bloom union is bitwise-or, so the
+    * merged filter contains exactly the union of both key sets (still no
+    * false negatives). This is what makes a cached corpus sketch
+    * INCREMENTALLY maintainable: build a small filter over just a new
+    * batch's keys and fold it in, never rescanning the corpus. Null
+    * arguments (empty side) pass the other filter through.
+    */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    if (a == null) return b
+    if (b == null) return a
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb) // throws IncompatibleMergeException on sizing mismatch
+    val out = new java.io.ByteArrayOutputStream(a.length)
+    fa.writeTo(out)
+    out.toByteArray
+  }
 
   /** Membership probe of `key` against a finished filter. */
   def mightContain(bf: Array[Byte], key: Column): Column =
@@ -66,12 +121,17 @@ object BloomJoin {
 
   /** Exact left-semi join with the bloom prefilter on the fact side:
     * row-identical to `fact.join(dim, factKey === dimKey, "left_semi")`,
-    * shuffling only the prefilter's survivors.
+    * shuffling only the prefilter's survivors. The dim side is aliased
+    * before the join so `factKey == dimKey` (same column name on both
+    * sides — a perfectly plausible call shape) does not hit an ambiguous
+    * column reference.
     */
   def semiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                dimKey: String, expectedItems: Long = 1L << 20,
-               numBits: Long = 1L << 24): DataFrame =
+               numBits: Long = 1L << 24): DataFrame = {
+    val dk = "__graft_bloom_dk"
     prefilter(fact, dim, factKey, dimKey, expectedItems, numBits)
-      .join(dim.select(col(dimKey)).distinct(),
-        col(factKey) === col(dimKey), "left_semi")
+      .join(dim.select(col(dimKey).as(dk)).distinct(),
+        col(factKey) === col(dk), "left_semi")
+  }
 }

@@ -63,6 +63,43 @@ class BloomJoinSpec extends SparkSuite {
       s"bloom prefilter must not shuffle the fact side, found: $exchanges")
   }
 
+  test("semi join works when fact and dim share the key column name") {
+    val fact = (1L to 200L).map(i => (i, s"f$i")).toDF("k", "fv")
+    val dim = (1L to 200L).filter(_ % 10 == 0).map(i => Tuple1(i)).toDF("k")
+    val n = BloomJoin.semiJoin(fact, dim, "k", "k",
+      expectedItems = 64, numBits = 1L << 10).count()
+    assert(n == 20L)
+  }
+
+  test("sketch size guard: numBits above the 32 MB ceiling throws typed") {
+    val (fact, dim) = fixture
+    intercept[BloomJoin.SketchTooLargeException] {
+      BloomJoin.keyFilterBytes(dim, col("dk"), 1L << 20, 1L << 30)
+    }
+    intercept[IllegalArgumentException] {
+      BloomJoin.keyFilterBytes(dim, col("dk"), 1L << 20, 0L)
+    }
+    // derived sizing: 10 bits/item, floored, capped
+    assert(BloomJoin.derivedNumBits(1) == 64L)
+    assert(BloomJoin.derivedNumBits(1000) == 10000L)
+    assert(BloomJoin.derivedNumBits(1L << 40) == BloomJoin.MaxSketchBits)
+  }
+
+  test("merge ORs two filters: union of key sets, no false negatives") {
+    val a = (1L to 500L).map(Tuple1(_)).toDF("k")
+    val b = (10000L to 10500L).map(Tuple1(_)).toDF("k")
+    val bits = 1L << 14
+    val fa = BloomJoin.keyFilterBytes(a, col("k"), 1L << 10, bits)
+    val fb = BloomJoin.keyFilterBytes(b, col("k"), 1L << 10, bits)
+    val merged = BloomJoin.merge(fa, fb)
+    val probe = (a.select("k") union b.select("k"))
+    val kept = probe.filter(BloomJoin.mightContain(merged, col("k"))).count()
+    assert(kept == probe.count(), "merged filter lost keys from one side")
+    // null passthrough (empty side)
+    assert(BloomJoin.merge(null, fa).sameElements(fa))
+    assert(BloomJoin.merge(fa, null).sameElements(fa))
+  }
+
   test("degenerate dims: empty dim keeps nothing, full dim keeps everything") {
     val (fact, dim) = fixture
     val empty = dim.filter(lit(false))
