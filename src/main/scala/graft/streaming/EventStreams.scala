@@ -197,19 +197,60 @@ object EventStreams {
       }
       .start()
 
+  /** Test/ops visibility into [[streamDedupIngest]]'s steady-state cost
+    * shape: how often the corpus bloom sketch was rebuilt from a FULL
+    * corpus scan (should be ≤1 per query lifetime — restart only), how
+    * often a batch needed the exact anti-join verify (only when the bloom
+    * might-match slice was non-empty), and how often auto-compaction
+    * fired. Process-wide counters; specs reset() around a single query.
+    */
+  private[graft] object IngestStats {
+    val corpusRebuilds = new java.util.concurrent.atomic.AtomicLong
+    val exactVerifies = new java.util.concurrent.atomic.AtomicLong
+    val compactions = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = { corpusRebuilds.set(0); exactVerifies.set(0); compactions.set(0) }
+  }
+
   /** Streaming ingest with per-batch incremental dedup — the steady-state
     * corpus pipeline: every micro-batch is (1) deduped within itself
     * (min-key per text survives), (2) deduped against everything ALREADY
     * in the snapshot via the bloom-split anti join
-    * ([[graft.dedup.Dedup.incrementalSurvivors]] — provably-new rows skip
-    * the join; only the might-match slice joins corpus keys), and (3) the
-    * survivors commit one COW snapshot. The snapshot therefore holds one
-    * row per distinct text ever streamed, first writer wins, and readers
+    * ([[graft.dedup.Dedup.incrementalSurvivorsWith]]), and (3) the
+    * survivors commit one COW snapshot. The snapshot holds one row per
+    * distinct text ever streamed, first writer wins, and readers
     * time-travel across ingest batches like any other snapshot history.
+    *
+    * Steady-state cost is O(batch), NOT O(corpus): the corpus bloom sketch
+    * is built ONCE (at bootstrap, over the first batch; or on restart,
+    * over the corpus) and then maintained incrementally — each committed
+    * batch's keys are folded in by OR-merging a batch-sized filter
+    * ([[graft.operators.BloomJoin.merge]]; bloom union is bitwise-or, so
+    * the cached sketch always covers exactly the committed key set and
+    * keeps the no-false-negative guarantee). A batch whose might-match
+    * slice is empty — the common case for fresh content — touches zero
+    * corpus bytes; only bloom false positives and true duplicates reach
+    * the exact anti join. The sketch is sized for `expectedItems` total
+    * corpus keys: beyond it the fp rate (and hence verify traffic) degrades
+    * gracefully; correctness never depends on the sizing.
+    *
+    * Long streams don't fragment the snapshot: when a commit pushes the
+    * manifest past `compactAboveFiles` files, `compact()` folds the small
+    * files into right-sized ones (content-invariant), so reader plan width
+    * stays bounded no matter how many batches ever committed.
+    *
+    * Single-writer per indexId (the store's CREATE_NEW CAS enforces it) —
+    * a second writer would invalidate the cached sketch, and its commit
+    * race would fail the CAS anyway.
     */
   def streamDedupIngest(stream: DataFrame, store: graft.core.SnapshotStore,
                         indexId: String, keyCols: Seq[String],
-                        textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+                        textCol: String = "text",
+                        expectedItems: Long = 1L << 20,
+                        compactAboveFiles: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.BloomJoin
+    val numBits = BloomJoin.derivedNumBits(expectedItems)
+    // cached corpus sketch — lives for the query; null until first build
+    var corpusBf: Array[Byte] = null
     stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -219,24 +260,57 @@ object EventStreams {
           val tx = s"ingest-batch-$batchId"
           val withinBatch = Dedup.exactSurvivors(batch, keyCols.head, textCol)
           if (!store.exists(indexId)) {
-            val m = KVIndex.bootstrap(store, indexId, withinBatch, keyCols, txVersion = tx)
-              .fold(e => sys.error(e.message), _.manifest)
-            store.recordSnapshot(indexId, m.version)
+            val ixb = KVIndex.bootstrap(store, indexId, withinBatch, keyCols, txVersion = tx)
+              .fold(e => sys.error(e.message), identity)
+            store.recordSnapshot(indexId, ixb.manifest.version)
+            // first sketch: over the batch just committed — O(batch)
+            corpusBf = BloomJoin.keyFilterBytes(
+              withinBatch.select(textCol), col(textCol), expectedItems, numBits)
           } else {
             val ix = KVIndex.open(store, indexId).fold(e => sys.error(e.message), identity)
-            val news = Dedup.incrementalSurvivors(
-              withinBatch, ix.df.select(textCol), textCol)
+            if (corpusBf == null) {
+              // restart recovery: the ONE full corpus scan of the query's life
+              corpusBf = BloomJoin.keyFilterBytes(
+                ix.df.select(textCol), col(textCol), expectedItems, numBits)
+              IngestStats.corpusRebuilds.incrementAndGet()
+            }
+            val mc = BloomJoin.mightContain(corpusBf, col(textCol))
+            val mightMatch = withinBatch.filter(mc)
+            val news =
+              if (mightMatch.isEmpty) withinBatch // provably new: zero corpus IO
+              else {
+                IngestStats.exactVerifies.incrementAndGet()
+                withinBatch.filter(!mc).unionByName(
+                  mightMatch.join(ix.df.select(textCol), Seq(textCol), "left_anti"))
+              }
             // an all-duplicate batch commits nothing and records nothing —
             // the temporal log stays one entry per actual change
             if (!news.isEmpty) {
               val m = ix.execute(Seq(Command.Insert(news, upsert = true)), tx).orThrow
               store.recordSnapshot(indexId, m.version)
+              // fold the committed keys into the cached sketch — batch-sized
+              // build + bitwise-or; the corpus is never rescanned
+              corpusBf = BloomJoin.merge(corpusBf,
+                BloomJoin.keyFilterBytes(news.select(textCol), col(textCol),
+                  expectedItems, numBits))
+              val ix2 = new KVIndex(store, m)
+              if (ix2.numFiles > compactAboveFiles) {
+                // compact() no-ops (returns the same version) when there is
+                // nothing to merge — only a REAL rewrite is recorded
+                ix2.compact().snapshot
+                  .filter(_.version != m.version)
+                  .foreach { m2 =>
+                    store.recordSnapshot(indexId, m2.version)
+                    IngestStats.compactions.incrementAndGet()
+                  }
+              }
             }
           }
         }
         ()
       }
       .start()
+  }
 
   /** Open the events table as a file stream (schema from the batch read) —
     * the readStream entry point. Normalizes a nanos-as-long `ts` column

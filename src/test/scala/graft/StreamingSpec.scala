@@ -153,6 +153,66 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedup ingest is O(batch) steady-state: no per-batch corpus scan, all-new batches skip the verify join") {
+    import graft.core._
+    val store = new FsSnapshotStore(tmpDir("graft-incr-flat"), spark)
+    val input = MemoryStream[(Long, String)](spark)
+    EventStreams.IngestStats.reset()
+    val q = EventStreams.streamDedupIngest(
+      input.toDF().toDF("doc_id", "text"), store, "docs", Seq("doc_id"))
+    try {
+      // 8 batches of all-new texts — the corpus grows every batch, so a
+      // per-batch rebuild (the round-8 defect) would show up as 7 corpus
+      // rebuilds; the cached+merged sketch does ZERO (it was seeded at
+      // bootstrap) and never needs the exact verify join either
+      for (b <- 0 until 8) {
+        input.addData((0 until 10).map(i => (b * 100L + i, s"uniq text $b-$i")))
+        q.processAllAvailable()
+      }
+      assert(KVIndex.open(store, "docs").toOption.get.count == 80)
+      assert(EventStreams.IngestStats.corpusRebuilds.get() == 0,
+        "cached sketch must never be rebuilt from a corpus scan mid-stream")
+      assert(EventStreams.IngestStats.exactVerifies.get() == 0,
+        "all-new batches must skip the exact anti join entirely")
+      // a batch carrying a true duplicate DOES take the verify path once,
+      // and the merged sketch (not a rebuild) is what caught it
+      input.addData((9999L, "uniq text 0-0"), (9998L, "really new"))
+      q.processAllAvailable()
+      assert(EventStreams.IngestStats.exactVerifies.get() == 1)
+      assert(EventStreams.IngestStats.corpusRebuilds.get() == 0)
+      val ix = KVIndex.open(store, "docs").toOption.get
+      assert(ix.count == 81, "dup dropped, new row kept")
+    } finally q.stop()
+  }
+
+  test("dedup ingest auto-compacts: file count stays bounded over a long stream, content invariant") {
+    import graft.core._
+    val store = new FsSnapshotStore(tmpDir("graft-incr-compact"), spark)
+    val input = MemoryStream[(Long, String)](spark)
+    EventStreams.IngestStats.reset()
+    val q = EventStreams.streamDedupIngest(
+      input.toDF().toDF("doc_id", "text"), store, "docs", Seq("doc_id"),
+      compactAboveFiles = 4)
+    try {
+      // 20 committing batches; without compaction the manifest would hold
+      // ~20 files (one per commit at these sizes)
+      for (b <- 0 until 20) {
+        input.addData((0 until 5).map(i => (b * 100L + i, s"long stream $b-$i")))
+        q.processAllAvailable()
+      }
+      val ix = KVIndex.open(store, "docs").toOption.get
+      assert(ix.count == 100, "compaction must not lose or duplicate rows")
+      assert(ix.df.select("text").distinct().count() == 100)
+      assert(ix.numFiles <= 5,
+        s"file count must stay bounded by the compaction threshold, got ${ix.numFiles}")
+      assert(EventStreams.IngestStats.compactions.get() >= 1)
+      // dedup still exact after compaction rewrote the files
+      input.addData((8888L, "long stream 0-0"))
+      q.processAllAvailable()
+      assert(KVIndex.open(store, "docs").toOption.get.count == 100)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes a session when a gap appears") {
     val input = MemoryStream[Event](spark)
     // NoTimeout in the test: ProcessingTimeTimeout makes the engine poll
