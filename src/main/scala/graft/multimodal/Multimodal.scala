@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
   * shape) is real Spark.
   *
   * The IMAGE codec is real: `javax.imageio` (PNG/BMP/GIF/JPEG decode +
-  * PNG encode) and `java.awt.Graphics2D` resampling — both JDK-built-in,
-  * zero external dependencies. Payloads that do not decode as an image
-  * (audio, video, arbitrary bytes) fall back to a clearly-marked
+  * PNG encode) and `java.awt.Graphics2D` resampling. The AUDIO codec is
+  * real too: `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU container
+  * parse + 16-bit PCM decode, [[decodeAudio]]/[[audioWindows]]). Both are
+  * JDK-built-in — zero external dependencies. Payloads that decode as
+  * neither (video, arbitrary bytes) fall back to a clearly-marked
   * deterministic byte-fold so the pipeline never crashes on a bad
-  * payload; audio/video demux remains a documented stub
-  * ([[frameSample]]) because no media-container libraries exist in the
-  * JDK.
+  * payload; only VIDEO demux remains a documented stub ([[frameSample]])
+  * because the JDK has no video-container demuxer.
   */
 object Multimodal {
 
@@ -117,7 +118,105 @@ object Multimodal {
     }
   }
 
-  /** ======== FALLBACK byte-fold (non-image payloads only) ========
+  // ======== REAL audio codec (JDK javax.sound.sampled) ========
+
+  /** Typed per-window audio features from a REAL decode: `w_peak` is the
+    * max absolute sample, `w_sumsq` the exact integer sum of squares (the
+    * RMS numerator — kept integral so any engine reproduces it
+    * bit-for-bit; RMS itself is `sqrt(w_sumsq / w_n)`). Media-level
+    * `sample_rate`/`duration_ms` ride every window row.
+    */
+  case class AudioWindow(media_id: Long, sample_rate: Int, duration_ms: Long,
+                         window_no: Int, w_n: Int, w_peak: Int, w_sumsq: Long)
+
+  /** Encode signed 16-bit mono PCM as a WAV via the JDK's own
+    * `javax.sound.sampled.AudioSystem` writer — the audio twin of
+    * [[solidPng]]: tests and driver queries derive REAL WAV payloads from
+    * tabular data, so every decoded feature is oracle-computable.
+    */
+  def pcmWavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(sampleRate > 0)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // 16-bit little-endian per WAV PCM
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV/AIFF/AU payload to (sampleRate, mono 16-bit samples)
+    * through `AudioSystem` — a REAL container parse + PCM decode, not a
+    * byte-fold. None when the bytes are not decodable audio (same
+    * degrade-don't-kill stance as [[decodeImage]]). Multi-channel input
+    * takes channel 0; 16-bit signed PCM (either endianness) supported.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    import javax.sound.sampled.AudioSystem
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val frameBytes = fmt.getFrameSize
+        val raw = ais.readAllBytes()
+        val nFrames = raw.length / frameBytes
+        val out = new Array[Short](nFrames)
+        var i = 0
+        while (i < nFrames) { // channel 0 of each frame
+          val o = i * frameBytes
+          val s =
+            if (fmt.isBigEndian) ((raw(o) << 8) | (raw(o + 1) & 0xff))
+            else ((raw(o + 1) << 8) | (raw(o) & 0xff))
+          out(i) = s.toShort
+          i += 1
+        }
+        Some((math.round(fmt.getSampleRate), out))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Real per-partition audio decode → per-window features. Payloads never
+    * shuffle — only the small feature rows flow downstream; non-decodable
+    * payloads yield no rows instead of failing the stage. Windows are
+    * `windowSamples` wide; the last window may be short (`w_n` carries the
+    * actual count).
+    */
+  def audioWindows(media: Dataset[MediaRow],
+                   windowSamples: Int = 160): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    require(windowSamples > 0)
+    media.flatMap { m =>
+      decodeAudio(m.bytes) match {
+        case Some((rate, samples)) =>
+          val durationMs = samples.length.toLong * 1000L / rate
+          val nWin = (samples.length + windowSamples - 1) / windowSamples
+          (0 until nWin).map { w =>
+            val from = w * windowSamples
+            val until = math.min(from + windowSamples, samples.length)
+            var peak = 0; var sumsq = 0L; var i = from
+            while (i < until) {
+              val v = samples(i).toInt
+              if (math.abs(v) > peak) peak = math.abs(v)
+              sumsq += v.toLong * v.toLong
+              i += 1
+            }
+            AudioWindow(m.media_id, rate, durationMs, w, until - from, peak, sumsq)
+          }
+        case None => Nil
+      }
+    }
+  }
+
+  /** ======== FALLBACK byte-fold (video payloads only) ========
     * Deterministic byte-fold standing in for codecs the JDK lacks (audio
     * sample decode, video demux): folds the payload bytes into a
     * `dim`-float vector (splitmix-style mixing) so the feature-pipeline

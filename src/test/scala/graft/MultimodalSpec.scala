@@ -141,4 +141,37 @@ class MultimodalSpec extends SparkSuite {
     val media = Multimodal.asMediaTable(spark, df, "id", "data", "audio")
     assert(Multimodal.frameSample(media).count() == 0)
   }
+
+  test("audio codec round-trips: WAV encode then AudioSystem decode returns the samples") {
+    val samples = Array.tabulate(330)(i => ((i * 7919) % 30000 - 15000).toShort)
+    val wav = Multimodal.pcmWavBytes(8000, samples)
+    // a real RIFF/WAVE container came out
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((rate, back)) = Multimodal.decodeAudio(wav)
+    assert(rate == 8000)
+    assert(back.sameElements(samples), "PCM decode must be lossless")
+    // corrupt payloads degrade, not throw
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    assert(Multimodal.decodeAudio(wav.take(10)).isEmpty)
+  }
+
+  test("audioWindows: per-window peak and exact sum of squares from a real decode") {
+    val samples = Array.tabulate(330)(i => ((i % 100) - 50).toShort) // 3 windows: 160,160,10
+    val df = Seq((1L, Multimodal.pcmWavBytes(16000, samples)),
+      (2L, "junk payload".getBytes)).toDF("id", "data")
+    val media = Multimodal.asMediaTable(spark, df, "id", "data", "audio")
+    val rows = Multimodal.audioWindows(media, windowSamples = 160)
+      .collect().sortBy(r => (r.media_id, r.window_no))
+    assert(rows.forall(_.media_id == 1L), "non-decodable payload must emit no rows")
+    assert(rows.map(_.w_n).toSeq == Seq(160, 160, 10))
+    assert(rows.forall(_.sample_rate == 16000))
+    assert(rows.forall(_.duration_ms == 330L * 1000 / 16000))
+    rows.foreach { r =>
+      val slice = samples.slice(r.window_no * 160, r.window_no * 160 + r.w_n)
+      assert(r.w_peak == slice.map(v => math.abs(v.toInt)).max)
+      assert(r.w_sumsq == slice.map(v => v.toLong * v.toLong).sum)
+    }
+  }
 }
