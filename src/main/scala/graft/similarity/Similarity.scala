@@ -149,23 +149,69 @@ object Similarity {
       .drop("__ma")
   }
 
+  /** Query→cell ranking shared by the single and batch probes (double
+    * arithmetic, deterministic tie-break on cell id): the best `nProbe`
+    * cells by query-centroid cosine.
+    */
+  private def rankCells(centroids: Seq[Array[Float]], query: Array[Float],
+                        nProbe: Int): Seq[Int] = {
+    val nq = math.sqrt(query.map(x => x.toDouble * x).sum)
+    centroids.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(query).map { case (a, b) => a.toDouble * b }.sum
+      val nc = math.sqrt(c.map(x => x.toDouble * x).sum)
+      (if (nc == 0 || nq == 0) 0.0 else dot / (nc * nq), i)
+    }.sortBy(p => (-p._1, p._2)).take(nProbe).map(_._2)
+  }
+
   /** Probe an IVF index: rank cells by query-centroid cosine, scan only the
     * best `nProbe` cells, exact cosine inside them.
     */
   def ivfTopK(indexed: DataFrame, centroids: Seq[Array[Float]],
               query: Array[Float], k: Int, nProbe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val ranked = centroids.zipWithIndex.map { case (c, i) =>
-      val dot = c.zip(query).map { case (a, b) => a * b }.sum
-      val nc = math.sqrt(c.map(x => x * x).sum)
-      val nq = math.sqrt(query.map(x => x * x).sum)
-      (if (nc == 0 || nq == 0) 0.0 else dot / (nc * nq), i)
-    }.sortBy(-_._1).take(nProbe).map(_._2)
+    val ranked = rankCells(centroids, query, nProbe)
     val q = array(query.map(v => lit(v)): _*)
     indexed.filter(col("cell").isin(ranked: _*))
       .select(col(idCol), gf.cosine_sim(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Probe an IVF index with MANY queries at once — the batch shape a
+    * training pipeline actually runs (N lookups per stage, not one).
+    * The probed cells are UNIONED across queries and the index is scanned
+    * ONCE: a cell probed by m queries is still read once, its rows
+    * replicated to those m queries by a broadcast join against the tiny
+    * (cell, q_id) probe map — never a rescan. Per-query top-k goes through
+    * the bounded [[graft.operators.TopKAgg]] aggregate, so at most k rows
+    * per query per map task cross the shuffle (same scale path as
+    * [[bruteForceTopKBatchAgg]]).
+    *
+    * `queries` is the SMALL side (same contract as the broadcast in the
+    * brute-force batch): its rows are collected to rank cells per query on
+    * the driver — nQueries × nCells cosine ops, trivially bounded.
+    */
+  def ivfTopKBatch(indexed: DataFrame, centroids: Seq[Array[Float]],
+                   queries: DataFrame, k: Int, nProbe: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val probes: Seq[(Int, Long)] = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .collect().toSeq.flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Float](1).toArray
+        rankCells(centroids, qv, nProbe).map(cell => (cell, qid))
+      }
+    val unionCells = probes.map(_._1).distinct
+    val probeDf = probes.toDF("cell", qIdCol)
+    val scored = indexed.filter(col("cell").isin(unionCells: _*)) // one scan
+      .join(broadcast(probeDf), Seq("cell"))
+      .join(broadcast(queries.select(col(qIdCol).cast("long").as(qIdCol), col(qVecCol))),
+        Seq(qIdCol))
+      .select(col(qIdCol), col(idCol),
+        gf.cosine_sim(col(vecCol), col(qVecCol)).as("cosine"))
+    graft.operators.TopKAgg.topKPerGroup(scored, qIdCol, idCol, "cosine", k)
   }
 
   /** Per-label centroid cohesion — the embedding-space cluster health

@@ -112,6 +112,27 @@ class PipelineSpec extends SparkSuite {
     assert(brute.toSet.intersect(ivf.toSet).size >= 5, "probe recall too low")
   }
 
+  test("batch IVF probe: per-query results equal the single-query probe, one scan") {
+    val dim = 16
+    def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    val vs = (0 until 200).map(i => (i.toLong, v()))
+    val df = vs.toDF("vec_id", "embedding").cache()
+    val (indexed, cents) = Similarity.ivfBuild(df, 8)
+    val qids = Seq(5L, 17L, 99L)
+    val queries = qids.map(i => (i, vs(i.toInt)._2)).toDF("q_id", "q_vec")
+    val batch = Similarity.ivfTopKBatch(indexed, cents, queries, 10, nProbe = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(batch.keySet == qids.toSet)
+    qids.foreach { q =>
+      val single = Similarity.ivfTopK(indexed, cents, vs(q.toInt)._2, 10, nProbe = 4)
+        .select("vec_id").as[Long].collect().toSet
+      assert(batch(q) == single,
+        s"batch probe for q=$q diverged from the single-query probe")
+      assert(batch(q).contains(q), "self must be found")
+    }
+  }
+
   test("IVF store: cell-partitioned write, pruned probe matches in-memory probe") {
     val dim = 16
     def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() - 0.5f)
