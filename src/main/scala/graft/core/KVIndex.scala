@@ -240,6 +240,18 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     else if (reverse) table.reverseScan()
     else table.inOrder()
 
+  /** SQL catalog surface: register this snapshot as a temp view over the
+    * exchange-free ordered read path, so pure `spark.sql` text queries the
+    * snapshot like any table — the reference's "embed the library"
+    * ergonomics get a SQL twin. The view is a logical plan, not a copy:
+    * predicates written in SQL still push into the per-file parquet scans,
+    * and the declared ordering lets Catalyst elide redundant ORDER BYs on
+    * the key. Reference analogue: the queryable-index read surface
+    * (`QueryableIndex.scala:18-40`) exposed to a query language.
+    */
+  def createOrReplaceView(name: String): Unit =
+    inOrdered().createOrReplaceTempView(name)
+
   /** S3 head/tail over a snapshot: only the manifest-prefix of files
     * covering the first `n` rows is read — O(n) input regardless of
     * index size, no sort exchange on the covered files.

@@ -71,6 +71,26 @@ object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrate
   }
 }
 
+/** Filter pushdown THROUGH the ordering declaration. [[DeclareOrdered]] is
+  * a custom logical node, so the stock `PushDownPredicates` stops at it —
+  * a `spark.sql` predicate over a registered snapshot view (or any filter
+  * a consumer stacks on `inOrdered()`) would otherwise evaluate ABOVE the
+  * scans, reading every snapshot byte. A filter cannot change the
+  * per-partition order, so it commutes freely with the declaration; this
+  * rule swaps them, and the companion stock `PushDownPredicates` instance
+  * registered alongside it (same fixed-point batch) carries the predicate
+  * on down through the Sort/Coalesce/Union stitch to the parquet relations,
+  * where physical planning turns it into `PushedFilters`.
+  */
+object PushThroughDeclareOrdered
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(cond, DeclareOrdered(child, ordering)) if cond.deterministic =>
+      DeclareOrdered(Filter(cond, child), ordering)
+  }
+}
+
 object OrderedPlans {
   /** Wraps `df` (whose rows genuinely arrive in `keyCols` order across
     * partition index — the caller's contract) in the ordering declaration.
@@ -83,6 +103,10 @@ object OrderedPlans {
     if (!spark.experimental.extraStrategies.contains(DeclareOrderedStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ DeclareOrderedStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushThroughDeclareOrdered))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ Seq(PushThroughDeclareOrdered,
+          org.apache.spark.sql.catalyst.optimizer.PushDownPredicates)
     val child = df.queryExecution.analyzed
     val dir = if (reverse) Descending else Ascending
     val ordering = keyCols.map { c =>

@@ -32,6 +32,28 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(res.forall(_._2 == 10))
   }
 
+  test("snapshot registered as a view: pure SQL reads it with scan-side pushdown") {
+    import graft.core._
+    import org.apache.spark.sql.functions._
+    val store = new FsSnapshotStore(tmpDir("graft-sqlview"), spark)
+    val rows = (1L to 2000L).map(i => (i, s"v$i", i * 3)).toDF("k", "s", "x")
+    val ix = KVIndex.bootstrap(store, "sv", rows, Seq("k"))
+      .fold(e => sys.error(e.message), identity)
+    ix.createOrReplaceView("sv_view")
+    val got = spark.sql(
+      "SELECT k, x FROM sv_view WHERE k BETWEEN 100 AND 110 ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == (100L to 110L).map(i => (i, i * 3)))
+    // the SQL predicate reaches the parquet scans (no full-snapshot read)
+    val plan = spark.sql("SELECT k FROM sv_view WHERE k > 1990")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(k,1990)"),
+      s"expected pushed filter in:\n$plan")
+    // aggregation through the view matches the direct frame
+    val n = spark.sql("SELECT count(*) AS n FROM sv_view").as[Long].head()
+    assert(n == 2000L)
+  }
+
   test("approx_count_distinct tracks exact within its error bound") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     import org.apache.spark.sql.functions._
