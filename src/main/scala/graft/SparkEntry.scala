@@ -315,6 +315,18 @@ object SparkEntry {
       ix.get(Seq(142L)).select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
+    // SQL-visible snapshot: the store-built index registered as a temp
+    // view, queried with PURE spark.sql text (range predicate + projection
+    // — pushed into the snapshot's per-file scans). A reference user's
+    // "query my index" call becomes a SQL statement.
+    "kv_sql_view" -> ((s, d) => {
+      val (_, ix) = liStore(s, d)
+      ix.createOrReplaceView("graft_ord_snapshot")
+      s.sql("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+               FROM graft_ord_snapshot
+               WHERE o_orderkey BETWEEN 100 AND 200
+               ORDER BY o_orderkey""")
+    }),
     "kv_range" -> ((s, d) => {
       val (_, ix) = liStore(s, d)
       ix.range(Seq(100L), Seq(200L), incFrom = true, incTo = false)
@@ -984,6 +996,29 @@ object SparkEntry {
       Seq((n, hits >= 5L)).toDF("n", "recall_ok")
     }),
 
+    // batch IVF probe: 3 queries at once — probed cells unioned, index
+    // scanned ONCE, per-query top-k via the bounded aggregate. Same recall
+    // contract as sim_ivf, held PER QUERY: k rows out and >= 5 of the
+    // exact brute-force top-10 recovered (measured 7-10/10 at sf0.001,
+    // 8-10/10 at sf0.01 with nProbe=6 of 16 cells).
+    "sim_ivf_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(3L, 7L, 11L))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val (indexed, centroids) = Similarity.ivfBuild(emb, 16)
+      val ivf = Similarity.ivfTopKBatch(indexed, centroids, queries, 10, nProbe = 6)
+        .select(col("q_id"), col("vec_id"))
+      val brute = Similarity.bruteForceTopKBatchAgg(emb, queries, 10)
+        .select(col("q_id"), col("vec_id"))
+      val hits = ivf.intersect(brute)
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      ivf.groupBy("q_id").agg(count(lit(1)).as("n"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n"),
+          (coalesce(col("n_hits"), lit(0L)) >= 5L).as("recall_ok"))
+        .orderBy("q_id")
+    }),
+
     // ---- SQL surface: custom Catalyst kernel registered and called
     //      from spark.sql, hash-verified against the DuckDB oracle ----
     "q_sql_kernel" -> ((s, d) => {
@@ -1117,6 +1152,31 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy("media_id")
+    }),
+    // REAL JDK audio codec (javax.sound.sampled): per-doc deterministic
+    // 16-bit PCM (sample i = (((id*31 + i*7) % 201) - 100) * 300 at 8 kHz,
+    // 800/1200/1600 samples by id%3) is WAV-encoded, then DECODED back
+    // through AudioSystem and reduced to per-window peak + exact integer
+    // sum-of-squares — every output cell is pure integer math on doc_id,
+    // so the SQL oracle regenerates the identical features
+    "mm_audio" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 40L)
+      val wav = ids.map { id =>
+        val n = 800 + (id % 3).toInt * 400
+        val samples = Array.tabulate(n)(i =>
+          ((((id * 31 + i * 7) % 201) - 100) * 300).toShort)
+        (id, graft.multimodal.Multimodal.pcmWavBytes(8000, samples))
+      }.toDF("doc_id", "payload")
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        s, wav, "doc_id", "payload", "audio")
+      graft.multimodal.Multimodal.audioWindows(media, windowSamples = 160).toDF()
+        .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("duration_ms"), col("window_no").cast("long").as("window_no"),
+          col("w_n").cast("long").as("w_n"),
+          col("w_peak").cast("long").as("w_peak"), col("w_sumsq"))
+        .orderBy("media_id", "window_no")
     }),
     // frame-sampling plumbing: the chunking/sampling math is deterministic
     // byte arithmetic, so this one IS oracle-verifiable (only the decode
@@ -1722,6 +1782,10 @@ object SparkEntry {
       "kv_point" -> "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderkey = 142",
       "kv_range" -> ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders " +
         "WHERE o_orderkey >= 100 AND o_orderkey < 200 ORDER BY o_orderkey"),
+      // the registered-view twin reads the SAME snapshot via pure SQL; the
+      // upserted zero-price rows sit below the queried range
+      "kv_sql_view" -> ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders " +
+        "WHERE o_orderkey BETWEEN 100 AND 200 ORDER BY o_orderkey"),
       "kv_cow_upsert" -> ("SELECT count(*) AS n, round(sum(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END), 2) AS price_sum " +
         "FROM orders"),
       "kv_split" -> ("WITH ranked AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn, " +
@@ -1995,6 +2059,9 @@ object SparkEntry {
       // brute-force top-10 recovered (both sides deterministic) — the
       // constant row IS the contract; Spark computes the intersection
       "sim_ivf" -> "SELECT CAST(10 AS BIGINT) AS n, true AS recall_ok",
+      // per-query batch-IVF contract rows (one per probe query)
+      "sim_ivf_batch" -> ("SELECT CAST(q_id AS BIGINT) AS q_id, CAST(10 AS BIGINT) AS n, " +
+        "true AS recall_ok FROM (SELECT unnest([3, 7, 11]) AS q_id) ORDER BY q_id"),
       // CleanCorpus's deterministic quality→exact-dedup prefix: the full
       // Gopher/C4-style composite score replicated in SQL, then the
       // min-id-per-text survivor count
@@ -2080,6 +2147,18 @@ object SparkEntry {
         "greatest(1, (1 + doc_id % 7) // 2) AS height, (doc_id * 37) % 256 AS mean_r, " +
         "(doc_id * 59) % 256 AS mean_g, (doc_id * 83) % 256 AS mean_b " +
         "FROM documents ORDER BY media_id"),
+      // real-codec audio twin: WAV payloads are generated from doc_id by a
+      // pure integer formula, so the decoded per-window features are exact
+      // integer math (sum() cast — DuckDB widens to HUGEINT)
+      "mm_audio" -> ("WITH d AS (SELECT doc_id, 800 + (doc_id % 3) * 400 AS n FROM documents WHERE doc_id < 40), " +
+        "s AS (SELECT d.doc_id AS media_id, d.n, g.i, " +
+        "(((d.doc_id * 31 + g.i * 7) % 201) - 100) * 300 AS v " +
+        "FROM d CROSS JOIN (SELECT unnest(range(0, 2000)) AS i) g WHERE g.i < d.n) " +
+        "SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate, " +
+        "CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms, i // 160 AS window_no, " +
+        "count(*) AS w_n, CAST(max(abs(v)) AS BIGINT) AS w_peak, " +
+        "CAST(sum(v * v) AS BIGINT) AS w_sumsq " +
+        "FROM s GROUP BY media_id, n, i // 160 ORDER BY media_id, window_no"),
       "mm_frame_sample" -> ("WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents), " +
         "f AS (SELECT media_id, len, unnest(range(0, greatest(len // 64, 1), 2)) AS frame_no FROM m) " +
         "SELECT media_id, frame_no, least(len - frame_no * 64, 64) AS frame_bytes FROM f " +
