@@ -133,7 +133,24 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val keysDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         keys.map(k => org.apache.spark.sql.Row(k: _*)), 1), schema)
-    OrderedTable(base, key).getAll(keysDf, mustFindAll)
+    // Huge key batches additionally bloom-prefilter the SCAN side: a
+    // ~10-bits/key sketch of the batch (one tiny job over the
+    // single-partition keysDf) rides the covering-file scans as a plan
+    // literal, so corpus rows that CANNOT match any batch key drop inside
+    // the scan's codegen stage before the semi-join shuffle — the
+    // q_bloom_join fact×dim move applied to multi-get. No false negatives,
+    // so the result is identical; small batches skip the extra job.
+    val base2 =
+      if (keys.size < 256 || touched.isEmpty) base
+      else {
+        val keyExpr =
+          if (key.cols.length == 1) col(key.cols.head)
+          else org.apache.spark.sql.functions.struct(key.cols.map(col): _*)
+        val bf = graft.operators.BloomJoin.keyFilterBytes(
+          keysDf, keyExpr, keys.size.toLong)
+        base.filter(graft.operators.BloomJoin.mightContain(bf, keyExpr))
+      }
+    OrderedTable(base2, key).getAll(keysDf, mustFindAll)
   }
 
   /** Range scan through the pruned read path. On the normal disjoint
@@ -203,23 +220,42 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   // global sort and no Exchange anywhere in the plan.
   // ------------------------------------------------------------------
 
-  /** Union of one single-partition, locally-sorted scan per file, in the
-    * given scan order. The local sort is belt-and-braces (files are
-    * already written sorted; a >128 MB file that split and re-coalesced
-    * could interleave) and never shuffles.
+  /** Union of one single-partition, locally-sorted scan per LEG, where a
+    * leg groups ADJACENT manifest files up to ~`maxRowsPerFile` rows
+    * (fragmented manifests of many small files collapse into few legs; a
+    * right-sized file stays its own leg). Legs cover disjoint key ranges
+    * in scan order, and each leg's local sort restores the exact order
+    * within it — multiple parquet splits of one leg land in a single
+    * coalesced partition in no contractual order, so the per-leg sort is
+    * load-bearing, not belt-and-braces. It still never shuffles.
     *
-    * Plan note: one scan leaf per file — right-sized for pruned reads and
-    * test/bench snapshots. A full ordered scan over a million-file
-    * snapshot should use [[pullIterator]] (lazy, one file at a time)
-    * rather than a million-leaf union plan.
+    * Plan note: leaf count is O(totalRows / maxRowsPerFile) instead of
+    * O(files) — a 10k-small-file snapshot no longer builds a 10k-leaf
+    * union plan for `inOrdered` readers (the same batching
+    * [[pullIterator]] applies to its jobs). A full ordered scan over a
+    * million-file snapshot should still prefer [[pullIterator]] (lazy,
+    * early-stop) over materializing any whole-snapshot plan.
     */
   private def orderedUnion(filesInScanOrder: Seq[FileEntry],
-                           reverse: Boolean): DataFrame =
-    filesInScanOrder.map { f =>
-      store.readFiles(Seq(f.path), manifest)
+                           reverse: Boolean): DataFrame = {
+    val legs = {
+      val out = Seq.newBuilder[Seq[FileEntry]]
+      var cur = Vector.empty[FileEntry]; var rows = 0L
+      filesInScanOrder.foreach { f =>
+        if (cur.nonEmpty && rows + f.rows > maxRowsPerFile) {
+          out += cur; cur = Vector.empty; rows = 0L
+        }
+        cur :+= f; rows += f.rows
+      }
+      if (cur.nonEmpty) out += cur
+      out.result()
+    }
+    legs.map { leg =>
+      store.readFiles(leg.map(_.path), manifest)
         .coalesce(1)
         .sortWithinPartitions(key.sortCols(reverse): _*)
     }.reduce(_ unionByName _)
+  }
 
   /** S1 `inOrder` / S2 `reverse` over a snapshot with NO sort exchange
     * when file ranges are disjoint (the normal layout — see

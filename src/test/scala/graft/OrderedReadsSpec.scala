@@ -73,6 +73,54 @@ class OrderedReadsSpec extends SparkSuite {
       iterPairs(table.pullIterator()).take(7))
   }
 
+  test("fragmented manifest: orderedUnion batches files into legs — bounded plan leaves, order intact") {
+    val store = new FsSnapshotStore(tmpDir("graft-frag"), spark)
+    var ix = KVIndex.bootstrap(store, "frag",
+      kv((0 until 50).map(i => (f"a$i%04d", s"v$i"))), Seq("k"))
+      .fold(e => fail(e.message), identity)
+    // 12 append commits, each one small out-of-range file — the long-lived
+    // ingest fragmentation shape
+    for (b <- 1 to 12) {
+      val rows = kv((0 until 50).map(i => (f"b$b%02d$i%04d", s"w$i")))
+      ix = new KVIndex(store, ix.execute(Seq(Command.Insert(rows))).orThrow)
+    }
+    assert(ix.numFiles >= 13, s"need a fragmented snapshot, got ${ix.numFiles} files")
+    val df = ix.inOrdered()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size <= 2,
+      s"${ix.numFiles} small files must batch into O(rows/maxRowsPerFile) legs, " +
+        s"got ${scans.size} scan leaves")
+    // rows AND order still exact, still exchange-free
+    assert(pairs(df) == pairs(ix.table.inOrder()))
+    assert(pairs(ix.inOrdered(reverse = true)) == pairs(ix.table.reverseScan()))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    // pruned stitched reads (range) agree too
+    assert(pairs(ix.range(Seq("b01"), Seq("b03"), incFrom = true, incTo = false)) ==
+      pairs(ix.table.range(Seq("b01"), Seq("b03"), incFrom = true, incTo = false)))
+  }
+
+  test("getAll over a huge key batch bloom-prefilters the scan side, result unchanged") {
+    val store = new FsSnapshotStore(tmpDir("graft-getall-bloom"), spark)
+    val ix = boot(store, "gab", 1 to 3000)
+    val hit = (1 to 3000 by 7).map(i => Seq[Any](f"k$i%04d"))
+    val miss = Seq(Seq[Any]("zz999"), Seq[Any]("k0000x"))
+    val keys = (hit ++ miss)
+    assert(keys.size >= 256, "test must cross the bloom threshold")
+    val res = ix.getAll(keys)
+    assert(res.success)
+    val got = pairs(res.found)
+    assert(got.map(_._1).sorted == hit.map(_.head.toString).sorted)
+    // the membership predicate sits in the scan stage, and no exchange
+    // feeds it (the prefilter must not shuffle the corpus side)
+    val plan = res.found.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom predicate in:\n$plan")
+    // small batches skip the sketch job entirely
+    val small = ix.getAll(hit.take(10))
+    assert(!small.found.queryExecution.executedPlan.toString.contains("might_contain"))
+    assert(pairs(small.found).map(_._1).sorted == hit.take(10).map(_.head.toString).sorted)
+  }
+
   test("overlapping manifest: every entry point falls back and stays correct") {
     val store = new FsSnapshotStore(tmpDir("graft-ovl"), spark)
     // two bootstraps with interleaved key ranges, stitched into one manifest
