@@ -381,7 +381,19 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     */
   def execute(cmds: Seq[Command], txVersion: String = UUID.randomUUID().toString): BatchResult = {
     if (cmds.isEmpty) return BatchResult(success = true, None, Some(manifest))
+    // Batch inputs are read by SEVERAL write-path passes (key pruning, the
+    // step fold's forced count, range sampling inside writeData, the write
+    // itself) — an uncached compute-heavy input (a dedup pipeline, a join)
+    // would re-execute per pass. Persist batch-sized inputs once,
+    // spill-safe; leave alone anything the caller already persisted.
+    val pin = cmds.map(_.rows)
+      .filter(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    pin.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try executePinned(cmds, txVersion)
+    finally pin.foreach(_.unpersist())
+  }
 
+  private def executePinned(cmds: Seq[Command], txVersion: String): BatchResult = {
     // ---- file pruning: which files can a batch key live in? ----
     val allBatchKeys = cmds.map(c => c.rows.select(key.cols.map(col): _*))
       .reduce(_ unionByName _).distinct()
@@ -840,7 +852,13 @@ object KVIndex {
         val targetBytes = 64.0 * maxRowsPerFile
         val nParts = math.max(1, math.min(100000,
           math.ceil(sizeBytes / targetBytes).toInt))
-        val (_, files) = store.writeData(id, stamped, key, nParts)
+        // writeData reads the input twice (range sampling + write): pin a
+        // compute-heavy input once, unless the caller already did
+        val pin = stamped.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        if (pin) stamped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val files =
+          try store.writeData(id, stamped, key, nParts)._2
+          finally { if (pin) stamped.unpersist() }
         val m1 = m0.copy(version = 1L, snapshotId = UUID.randomUUID().toString,
           numElements = files.map(_.rows).sum, lastChangeVersion = txVersion,
           files = files.sortBy(_.min)(KeyOrd))

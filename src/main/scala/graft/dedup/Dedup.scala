@@ -44,7 +44,9 @@ object Dedup {
     * corpus — the steady-state ingestion shape: the corpus is orders of
     * magnitude larger than the batch and must not be re-shuffled per
     * ingest. A bloom filter over the corpus keys (one distributed
-    * aggregate, reusable across batches) splits the batch: rows failing
+    * aggregate here; streaming callers cache it across batches via
+    * [[incrementalSurvivorsWith]] + `BloomJoin.merge` instead of
+    * rebuilding) splits the batch: rows failing
     * `might_contain` are PROVABLY new (bloom has no false negatives) and
     * skip the join entirely; only the might-match remainder — the true
     * dups plus ~1% false positives — reaches the exact anti join. Result

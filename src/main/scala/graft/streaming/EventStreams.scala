@@ -258,54 +258,61 @@ object EventStreams {
         import graft.dedup.Dedup
         if (!batch.isEmpty) {
           val tx = s"ingest-batch-$batchId"
+          // the dedup DAG feeds several consumers (emptiness probes, the
+          // write path's passes, the sketch build) — pin it once per batch
           val withinBatch = Dedup.exactSurvivors(batch, keyCols.head, textCol)
-          if (!store.exists(indexId)) {
-            val ixb = KVIndex.bootstrap(store, indexId, withinBatch, keyCols, txVersion = tx)
-              .fold(e => sys.error(e.message), identity)
-            store.recordSnapshot(indexId, ixb.manifest.version)
-            // first sketch: over the batch just committed — O(batch)
-            corpusBf = BloomJoin.keyFilterBytes(
-              withinBatch.select(textCol), col(textCol), expectedItems, numBits)
-          } else {
-            val ix = KVIndex.open(store, indexId).fold(e => sys.error(e.message), identity)
-            if (corpusBf == null) {
-              // restart recovery: the ONE full corpus scan of the query's life
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!store.exists(indexId)) {
+              val ixb = KVIndex.bootstrap(store, indexId, withinBatch, keyCols, txVersion = tx)
+                .fold(e => sys.error(e.message), identity)
+              store.recordSnapshot(indexId, ixb.manifest.version)
+              // first sketch: over the batch just committed — O(batch)
               corpusBf = BloomJoin.keyFilterBytes(
-                ix.df.select(textCol), col(textCol), expectedItems, numBits)
-              IngestStats.corpusRebuilds.incrementAndGet()
-            }
-            val mc = BloomJoin.mightContain(corpusBf, col(textCol))
-            val mightMatch = withinBatch.filter(mc)
-            val news =
-              if (mightMatch.isEmpty) withinBatch // provably new: zero corpus IO
-              else {
-                IngestStats.exactVerifies.incrementAndGet()
-                withinBatch.filter(!mc).unionByName(
-                  mightMatch.join(ix.df.select(textCol), Seq(textCol), "left_anti"))
+                withinBatch.select(textCol), col(textCol), expectedItems, numBits)
+            } else {
+              val ix = KVIndex.open(store, indexId).fold(e => sys.error(e.message), identity)
+              if (corpusBf == null) {
+                // restart recovery: the ONE full corpus scan of the query's life
+                corpusBf = BloomJoin.keyFilterBytes(
+                  ix.df.select(textCol), col(textCol), expectedItems, numBits)
+                IngestStats.corpusRebuilds.incrementAndGet()
               }
-            // an all-duplicate batch commits nothing and records nothing —
-            // the temporal log stays one entry per actual change
-            if (!news.isEmpty) {
-              val m = ix.execute(Seq(Command.Insert(news, upsert = true)), tx).orThrow
-              store.recordSnapshot(indexId, m.version)
-              // fold the committed keys into the cached sketch — batch-sized
-              // build + bitwise-or; the corpus is never rescanned
-              corpusBf = BloomJoin.merge(corpusBf,
-                BloomJoin.keyFilterBytes(news.select(textCol), col(textCol),
-                  expectedItems, numBits))
-              val ix2 = new KVIndex(store, m)
-              if (ix2.numFiles > compactAboveFiles) {
-                // compact() no-ops (returns the same version) when there is
-                // nothing to merge — only a REAL rewrite is recorded
-                ix2.compact().snapshot
-                  .filter(_.version != m.version)
-                  .foreach { m2 =>
-                    store.recordSnapshot(indexId, m2.version)
-                    IngestStats.compactions.incrementAndGet()
+              val mc = BloomJoin.mightContain(corpusBf, col(textCol))
+              val mightMatch = withinBatch.filter(mc)
+              val news =
+                (if (mightMatch.isEmpty) withinBatch // provably new: zero corpus IO
+                 else {
+                   IngestStats.exactVerifies.incrementAndGet()
+                   withinBatch.filter(!mc).unionByName(
+                     mightMatch.join(ix.df.select(textCol), Seq(textCol), "left_anti"))
+                 }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                // an all-duplicate batch commits nothing and records nothing —
+                // the temporal log stays one entry per actual change
+                if (!news.isEmpty) {
+                  val m = ix.execute(Seq(Command.Insert(news, upsert = true)), tx).orThrow
+                  store.recordSnapshot(indexId, m.version)
+                  // fold the committed keys into the cached sketch — batch-sized
+                  // build + bitwise-or; the corpus is never rescanned
+                  corpusBf = BloomJoin.merge(corpusBf,
+                    BloomJoin.keyFilterBytes(news.select(textCol), col(textCol),
+                      expectedItems, numBits))
+                  val ix2 = new KVIndex(store, m)
+                  if (ix2.numFiles > compactAboveFiles) {
+                    // compact() no-ops (returns the same version) when there is
+                    // nothing to merge — only a REAL rewrite is recorded
+                    ix2.compact().snapshot
+                      .filter(_.version != m.version)
+                      .foreach { m2 =>
+                        store.recordSnapshot(indexId, m2.version)
+                        IngestStats.compactions.incrementAndGet()
+                      }
                   }
-              }
+                }
+              } finally news.unpersist()
             }
-          }
+          } finally withinBatch.unpersist()
         }
         ()
       }
