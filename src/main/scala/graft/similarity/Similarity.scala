@@ -214,6 +214,19 @@ object Similarity {
     graft.operators.TopKAgg.topKPerGroup(scored, qIdCol, idCol, "cosine", k)
   }
 
+  /** Batch probe against a cell-partitioned stored index: the unioned
+    * cell filter prunes parquet partitions before any IO, so the batch
+    * reads only the cells SOME query probes — at scale, ~|union of
+    * probed cells|/nCells of the index bytes, once, for the whole batch.
+    */
+  def ivfTopKBatchFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                            centroids: Seq[Array[Float]], queries: DataFrame,
+                            k: Int, nProbe: Int,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame =
+    ivfTopKBatch(spark.read.parquet(path), centroids, queries, k, nProbe,
+      idCol, vecCol, qIdCol, qVecCol)
+
   /** Per-label centroid cohesion — the embedding-space cluster health
     * check (is a label's region tight or diffuse?): mean vector per label,
     * then every vector's cosine to its OWN label's centroid, aggregated to

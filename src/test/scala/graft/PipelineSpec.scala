@@ -151,6 +151,16 @@ class PipelineSpec extends SparkSuite {
     val plan = Similarity.ivfTopKFromStore(spark, path, cents, q, 5, nProbe = 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"), s"expected partition pruning in:\n$plan")
+    // the BATCH probe from the store prunes too (unioned probed cells) and
+    // agrees with the in-memory batch probe
+    val queries = Seq((42L, q)).toDF("q_id", "q_vec")
+    val memB = Similarity.ivfTopKBatch(indexed, cents, queries, 5, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val storedB = Similarity.ivfTopKBatchFromStore(spark, path, cents, queries, 5, nProbe = 3)
+    assert(storedB.select("vec_id").as[Long].collect().toSet == memB)
+    val planB = storedB.queryExecution.executedPlan.toString
+    assert(planB.contains("PartitionFilters: [cell"),
+      s"expected partition pruning in batch probe:\n$planB")
   }
 
   test("batch top-k scans corpus once and ranks per query") {

@@ -185,6 +185,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedup ingest restart: one corpus rebuild seeds the sketch, dedup stays exact") {
+    import graft.core._
+    val store = new FsSnapshotStore(tmpDir("graft-incr-restart"), spark)
+    val input1 = MemoryStream[(Long, String)](spark)
+    val q1 = EventStreams.streamDedupIngest(
+      input1.toDF().toDF("doc_id", "text"), store, "docs", Seq("doc_id"))
+    try {
+      input1.addData((1L, "alpha"), (2L, "beta"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a NEW query over the SAME store (process restart): the cached sketch
+    // is gone, so exactly ONE corpus scan rebuilds it — then it's cached
+    EventStreams.IngestStats.reset()
+    val input2 = MemoryStream[(Long, String)](spark)
+    val q2 = EventStreams.streamDedupIngest(
+      input2.toDF().toDF("doc_id", "text"), store, "docs", Seq("doc_id"))
+    try {
+      input2.addData((3L, "alpha"), (4L, "gamma")) // one pre-restart dup
+      q2.processAllAvailable()
+      input2.addData((5L, "delta"))
+      q2.processAllAvailable()
+      assert(EventStreams.IngestStats.corpusRebuilds.get() == 1,
+        "restart must rebuild the sketch exactly once, then cache it")
+      val rows = KVIndex.open(store, "docs").toOption.get
+        .df.select("doc_id", "text").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "alpha"), (2L, "beta"), (4L, "gamma"), (5L, "delta")),
+        s"pre-restart duplicates must still be caught, got $rows")
+    } finally q2.stop()
+  }
+
   test("dedup ingest auto-compacts: file count stays bounded over a long stream, content invariant") {
     import graft.core._
     val store = new FsSnapshotStore(tmpDir("graft-incr-compact"), spark)
