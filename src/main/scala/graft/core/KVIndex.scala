@@ -153,6 +153,51 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     OrderedTable(base2, key).getAll(keysDf, mustFindAll)
   }
 
+  /** Sorted multi-PREFIX get: every row whose leading `prefixes.head.length`
+    * key columns equal ANY of the probe prefixes — the bucket-probe shape
+    * (e.g. LSH band lookups: thousands of (band, bucket) probes against a
+    * corpus-sized index keyed (band, bucket, id)). Manifest-pruned like
+    * [[getAll]]: one pass over sorted probes assigns the batch to its
+    * covering files (prefix-truncated file bounds, the [[prefix]]
+    * comparator convention), so cost is O(touched files + probes), never
+    * O(index). Huge probe batches bloom-prefilter the kept scans the same
+    * way [[getAll]] does.
+    */
+  def getAllPrefix(prefixes: Seq[Seq[Any]]): DataFrame = {
+    if (prefixes.isEmpty) return df.limit(0)
+    val plen = prefixes.head.length
+    require(plen > 0 && plen <= key.cols.length, s"prefix length $plen out of range")
+    require(prefixes.forall(_.length == plen), "mixed prefix lengths")
+    val sorted = prefixes.sorted(KeyOrd)
+    val touched = manifest.files.filter { f =>
+      val fmin = f.min.take(plen); val fmax = f.max.take(plen)
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (KeyOrd.compare(sorted(mid), fmin) < 0) lo = mid + 1 else hi = mid
+      }
+      lo < sorted.length && KeyOrd.compare(sorted(lo), fmax) <= 0
+    }
+    if (touched.isEmpty) return df.limit(0)
+    val base = store.readFiles(touched.map(_.path), manifest)
+    val pcols = key.cols.take(plen)
+    val schema = org.apache.spark.sql.types.StructType(pcols.map(c => base.schema(c)))
+    val probesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        prefixes.map(k => org.apache.spark.sql.Row(k: _*)), 1), schema)
+    val base2 =
+      if (prefixes.size < 256) base
+      else {
+        val keyExpr =
+          if (plen == 1) col(pcols.head)
+          else org.apache.spark.sql.functions.struct(pcols.map(col): _*)
+        val bf = graft.operators.BloomJoin.keyFilterBytes(
+          probesDf, keyExpr, prefixes.size.toLong)
+        base.filter(graft.operators.BloomJoin.mightContain(bf, keyExpr))
+      }
+    base2.join(probesDf, pcols, "left_semi")
+  }
+
   /** Range scan through the pruned read path. On the normal disjoint
     * layout this is the manifest-ordered per-file stitch with the range
     * predicate applied INSIDE the stitch (so it still pushes down to the

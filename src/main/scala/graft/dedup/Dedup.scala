@@ -82,6 +82,41 @@ object Dedup {
       mightMatch.join(corpusKeys.select(keyCol), Seq(keyCol), "left_anti"))
   }
 
+  /** NEAR-dup dedup of an incoming batch against an EXISTING corpus — the
+    * LSH twin of [[incrementalSurvivorsWith]]: `corpusBands` is the
+    * corpus's persisted band-row set (`(band, bucket, id, sig)`, built by
+    * [[bandRows]] — e.g. a KV snapshot keyed `(band, bucket, id)`, read
+    * manifest-pruned via `KVIndex.getAllPrefix` on the incoming batch's
+    * band keys). The incoming batch is banded once, candidate pairs come
+    * from (band, bucket) equality — never all-pairs — and are verified by
+    * signature match rate at `threshold` (the same estimator
+    * [[minhashLsh]] thresholds on, so batch and incremental semantics
+    * agree). Survivors are incoming rows with NO corpus near-dup;
+    * incoming-vs-incoming near-dups are deliberately NOT removed here
+    * (run [[minhashLsh]] within the batch first if wanted).
+    *
+    * Scale shape: only the batch is banded per call; the corpus side is
+    * whatever slice the caller hands in — with a pruned `getAllPrefix`
+    * read that is O(touched band files), not O(corpus).
+    */
+  def incrementalNearDupSurvivors(incoming: DataFrame, corpusBands: DataFrame,
+                                  idCol: String = "doc_id", textCol: String = "text",
+                                  shingleLen: Int = 3, bands: Int = 16,
+                                  rowsPerBand: Int = 4,
+                                  threshold: Double = 0.5): DataFrame = {
+    // inBanded appears ONCE in the final plan (the verify join); `incoming`
+    // appears twice (banding + the anti-join left side) — callers holding a
+    // compute-heavy `incoming` should persist it around the call
+    val inBanded = bandRows(incoming, idCol, textCol, shingleLen, bands, rowsPerBand)
+    val matched = corpusBands
+      .select(col("band"), col("bucket"), col("sig").as("corpus_sig"))
+      .join(inBanded.select(col("band"), col("bucket"), col("id"), col("sig")),
+        Seq("band", "bucket"))
+      .filter(gf.sig_match_rate(col("sig"), col("corpus_sig")) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    incoming.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination — which training docs share at least one
     * word n-gram with an evaluation/benchmark set (the standard
     * train-test-overlap check an LLM data pipeline runs before training).
@@ -114,15 +149,27 @@ object Dedup {
     * signature agreement rate (unbiased Jaccard estimate); `threshold`
     * filters the verified estimate.
     */
+  /** MinHash band rows of a corpus slice: `(band, bucket, id, sig)` — one
+    * row per (doc, band). This IS the LSH index content: persisted as a
+    * KV snapshot keyed `(band, bucket, id)` it becomes a probeable
+    * near-dup index (see [[incrementalNearDupSurvivors]] and
+    * `EventStreams.streamNearDupIngest`); exploded in place it feeds the
+    * batch self-join ([[minhashLsh]]).
+    */
+  def bandRows(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+               shingleLen: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    df.select(col(idCol).as("id"),
+        gf.minhash_text_sig(col(textCol), shingleLen, k).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(gf.lsh_bands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+  }
+
   def minhashLsh(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  shingleLen: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
-    val k = bands * rowsPerBand
-    val docs = df.select(col(idCol).as("id"),
-        gf.minhash_text_sig(col(textCol), shingleLen, k).as("sig"))
-    val banded = docs
-      .select(col("id"), col("sig"),
-        posexplode(gf.lsh_bands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val banded = bandRows(df, idCol, textCol, shingleLen, bands, rowsPerBand)
       // persist: the self-join would otherwise recompute (and re-codegen)
       // the whole tokenize->shingle->sign subtree for BOTH sides
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

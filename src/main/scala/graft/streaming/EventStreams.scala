@@ -319,6 +319,90 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming ingest with per-batch incremental NEAR-dup dedup — the LSH
+    * twin of [[streamDedupIngest]]: the corpus lives in TWO snapshots, the
+    * documents index (`docsId`, keyed `keyCols`, source of truth) and a
+    * derived band index (`bandsId`, keyed `(band, bucket, id)` — one row
+    * per (doc, band), rebuildable from the docs index via
+    * `Dedup.bandRows`). Every micro-batch is (1) exact-deduped within
+    * itself, (2) near-dup-checked against the corpus by probing ONLY the
+    * band buckets the batch's own signatures hit —
+    * `KVIndex.getAllPrefix` over the batch's distinct (band, bucket)
+    * keys reads just the covering band-index files, so the probe is
+    * O(touched files + batch), never O(corpus) — with candidate pairs
+    * verified at `threshold` by signature match rate, and (3) survivors
+    * commit to BOTH snapshots (docs first: a crash between the commits
+    * costs only re-derivable band rows). Identical signatures match at
+    * rate 1.0, so near-dup ingest subsumes exact dedup.
+    *
+    * Batches whose distinct band keys exceed `maxDriverProbes` fall back
+    * to scanning the band snapshot with the bucket join (correct, just
+    * not file-pruned) — the documented bound on driver-side probe
+    * collection, same trade as `getAll`'s key batch.
+    */
+  def streamNearDupIngest(stream: DataFrame, store: graft.core.SnapshotStore,
+                          docsId: String, bandsId: String, keyCols: Seq[String],
+                          textCol: String = "text", threshold: Double = 0.5,
+                          maxDriverProbes: Int = 200000,
+                          compactAboveFiles: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.core._
+        import graft.dedup.Dedup
+        if (!batch.isEmpty) {
+          val tx = s"neardup-batch-$batchId"
+          val withinBatch = Dedup.exactSurvivors(batch, keyCols.head, textCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            def bandsOf(df: DataFrame) =
+              Dedup.bandRows(df, keyCols.head, textCol)
+            if (!store.exists(docsId)) {
+              val ixd = KVIndex.bootstrap(store, docsId, withinBatch, keyCols, txVersion = tx)
+                .fold(e => sys.error(e.message), identity)
+              store.recordSnapshot(docsId, ixd.manifest.version)
+              val ixb = KVIndex.bootstrap(store, bandsId, bandsOf(withinBatch),
+                Seq("band", "bucket", "id"), txVersion = tx)
+                .fold(e => sys.error(e.message), identity)
+              store.recordSnapshot(bandsId, ixb.manifest.version)
+            } else {
+              val docsIx = KVIndex.open(store, docsId).fold(e => sys.error(e.message), identity)
+              val bandsIx = KVIndex.open(store, bandsId).fold(e => sys.error(e.message), identity)
+              val probeRows = bandsOf(withinBatch).select("band", "bucket")
+                .distinct().limit(maxDriverProbes + 1).collect()
+              val corpusSlice =
+                if (probeRows.length > maxDriverProbes) bandsIx.df // fallback: full band scan
+                else bandsIx.getAllPrefix(
+                  probeRows.map(r => Seq[Any](r.get(0), r.get(1))).toSeq)
+              val news = Dedup.incrementalNearDupSurvivors(
+                  withinBatch, corpusSlice, keyCols.head, textCol, threshold = threshold)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                if (!news.isEmpty) {
+                  val md = docsIx.execute(Seq(Command.Insert(news, upsert = true)), tx).orThrow
+                  store.recordSnapshot(docsId, md.version)
+                  val mb = bandsIx.execute(
+                    Seq(Command.Insert(bandsOf(news), upsert = true)), tx).orThrow
+                  store.recordSnapshot(bandsId, mb.version)
+                  for ((id, m) <- Seq((docsId, md), (bandsId, mb))) {
+                    val ix2 = new KVIndex(store, m)
+                    if (ix2.numFiles > compactAboveFiles) {
+                      ix2.compact().snapshot.filter(_.version != m.version)
+                        .foreach { m2 =>
+                          store.recordSnapshot(id, m2.version)
+                          IngestStats.compactions.incrementAndGet()
+                        }
+                    }
+                  }
+                }
+              } finally news.unpersist()
+            }
+          } finally withinBatch.unpersist()
+        }
+        ()
+      }
+      .start()
+
   /** Open the events table as a file stream (schema from the batch read) —
     * the readStream entry point. Normalizes a nanos-as-long `ts` column
     * back to a timestamp like the batch loader.
