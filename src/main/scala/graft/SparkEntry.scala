@@ -41,12 +41,15 @@ object SparkEntry {
 
   /** Recall-contract bound for the LSH recall checks: >= `num/den` of the
     * truth set at statistically meaningful sizes, but never all-or-nothing —
-    * at tiny truth sets (< 5 pairs, e.g. one data-dependent pair at a given
-    * SF) a single LSH miss on a borderline pair must not fail the whole
-    * run, so one miss is tolerated there. nTrue == 0 is vacuously ok.
+    * at small truth sets (2..4 pairs, e.g. one borderline data-dependent
+    * pair at a given SF) a single LSH miss must not fail the whole run, so
+    * one miss is tolerated there. A truth set of exactly one pair gets NO
+    * slack (hits >= 0 would pass a total recall failure silently);
+    * nTrue == 0 is vacuously ok.
     */
   private def recallOk(hits: Long, nTrue: Long, num: Long, den: Long): Boolean =
-    if (nTrue < 5) hits >= math.max(0L, nTrue - 1)
+    if (nTrue <= 1) hits >= nTrue
+    else if (nTrue < 5) hits >= nTrue - 1
     else hits * den >= nTrue * num
 
   /** SQL-computable truth set for the near-dup recall contracts: exact

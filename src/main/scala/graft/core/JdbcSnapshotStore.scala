@@ -1,0 +1,265 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import java.sql.{Connection, DriverManager, SQLException}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedded-JDBC (Apache Derby) storage backend — the IO3 analogue of the
+  * reference's `CassandraStorage` (reference `CassandraStorage.scala:14-176`,
+  * schema `cassandra_keyspace.cql:1-19`): every durable object lives in a
+  * database table instead of a filesystem.
+  *
+  *  - `control(rel, buf)` mirrors the reference's `indexes(id, buf)` blob
+  *    table: manifests, LATEST pointers and the temporal log are rows keyed
+  *    by their relative control path. The commit CAS is the PRIMARY KEY
+  *    constraint — an `INSERT` of an existing rel fails exactly like the
+  *    reference's `INSERT ... IF NOT EXISTS` LWT (`CassandraStorage.scala`'s
+  *    applied-flag check) and is surfaced as the same
+  *    `FileAlreadyExistsException` the FS store throws, so the trait's
+  *    single-writer protocol is untouched.
+  *  - `datafiles(path, buf)` mirrors the reference's `blocks(id, buf)`
+  *    table: each range-sorted parquet part is ONE blob row (parquet is the
+  *    block codec, IO4). Files are immutable once written, so reads
+  *    materialize blobs into a per-store local cache for Spark's parquet
+  *    reader at most once each.
+  *  - `filelists(rel, buf)` holds big-manifest filelist checkpoints as one
+  *    JSON blob per snapshot (the DB is already a row store — a columnar
+  *    side-table buys nothing inside Derby).
+  *
+  * Scope matches the reference's Cassandra backend in spirit: prove the
+  * `SnapshotStore` trait against a transactional row store. The zero-egress
+  * sandbox forbids a networked Cassandra/YugabyteDB; in-process Derby
+  * (`jdbc:derby:memory:...`) exercises the identical seam — swap the URL
+  * (and the two dialect-specific DDL strings) for a networked JDBC store.
+  * Bulk analytics at 100 TB stays on the FS/object-store backend; this one
+  * is the control-plane-in-a-database deployment shape.
+  */
+final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
+    extends SnapshotStore {
+
+  val root: String = url
+
+  private val conn: Connection = DriverManager.getConnection(url)
+  conn.setAutoCommit(true)
+
+  private val cacheDir = Files.createTempDirectory("graft-jdbc-cache")
+
+  // idempotent schema bootstrap (Derby has no CREATE TABLE IF NOT EXISTS)
+  for (ddl <- Seq(
+    "CREATE TABLE control (rel VARCHAR(512) PRIMARY KEY, buf CLOB)",
+    "CREATE TABLE filelists (rel VARCHAR(512) PRIMARY KEY, buf CLOB)",
+    "CREATE TABLE datafiles (path VARCHAR(512) PRIMARY KEY, buf BLOB)")) {
+    try { val st = conn.createStatement(); try st.execute(ddl) finally st.close() }
+    catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists
+  }
+
+  // all JDBC access serialized on the single connection; contention is
+  // control-plane-sized (manifest/pointer rows), never data-volume-sized
+  private def withConn[A](f: Connection => A): A = conn.synchronized(f(conn))
+
+  /** literal-prefix LIKE pattern ('_'/'%' in ids must not be wildcards) */
+  private def likePrefix(prefix: String): String =
+    prefix.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_") + "%"
+
+  // ---- control plane ----
+
+  override protected def readText(rel: String): Option[String] = withConn { c =>
+    val ps = c.prepareStatement("SELECT buf FROM control WHERE rel = ?")
+    try {
+      ps.setString(1, rel)
+      val rs = ps.executeQuery()
+      if (rs.next()) { val cl = rs.getClob(1); Some(cl.getSubString(1, cl.length().toInt)) }
+      else None
+    } finally ps.close()
+  }
+
+  override protected def writeTextCreateNew(rel: String, s: String): Unit = withConn { c =>
+    val ps = c.prepareStatement("INSERT INTO control (rel, buf) VALUES (?, ?)")
+    try {
+      ps.setString(1, rel); ps.setString(2, s)
+      ps.executeUpdate()
+    } catch {
+      case e: SQLException if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+        throw new java.nio.file.FileAlreadyExistsException(rel) // PK violation = CAS loss
+    } finally ps.close()
+  }
+
+  override protected def writeTextAtomic(rel: String, s: String): Unit = withConn { c =>
+    val up = c.prepareStatement("UPDATE control SET buf = ? WHERE rel = ?")
+    try {
+      up.setString(1, s); up.setString(2, rel)
+      if (up.executeUpdate() == 0) {
+        val ins = c.prepareStatement("INSERT INTO control (rel, buf) VALUES (?, ?)")
+        try { ins.setString(1, rel); ins.setString(2, s); ins.executeUpdate() }
+        finally ins.close()
+      }
+    } finally up.close()
+  }
+
+  override protected def appendText(rel: String, s: String): Unit = withConn { _ =>
+    writeTextAtomic(rel, readText(rel).getOrElse("") + s)
+  }
+
+  override protected def listNames(relDir: String): Seq[String] = withConn { c =>
+    val prefix = if (relDir.isEmpty) "" else relDir + "/"
+    val ps = c.prepareStatement(
+      "SELECT rel FROM control WHERE rel LIKE ? ESCAPE '\\'")
+    try {
+      ps.setString(1, likePrefix(prefix))
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[String]
+      while (rs.next()) out += rs.getString(1).stripPrefix(prefix).takeWhile(_ != '/')
+      out.result().distinct
+    } finally ps.close()
+  }
+
+  override protected def deleteControl(rel: String): Unit = withConn { c =>
+    val ps = c.prepareStatement("DELETE FROM control WHERE rel = ?")
+    try { ps.setString(1, rel); ps.executeUpdate() } finally ps.close()
+  }
+
+  // ---- filelist checkpoints ----
+
+  override protected def writeFileList(rel: String, files: Seq[FileEntry]): Unit =
+    withConn { c =>
+      val ps = c.prepareStatement("INSERT INTO filelists (rel, buf) VALUES (?, ?)")
+      try {
+        ps.setString(1, rel); ps.setString(2, SnapshotManifest.filesToJson(files))
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  override protected def readFileList(rel: String): Seq[FileEntry] = withConn { c =>
+    val ps = c.prepareStatement("SELECT buf FROM filelists WHERE rel = ?")
+    try {
+      ps.setString(1, rel)
+      val rs = ps.executeQuery()
+      if (!rs.next()) throw new java.util.NoSuchElementException(s"no such filelist: $rel")
+      val cl = rs.getClob(1)
+      SnapshotManifest.filesFromJson(cl.getSubString(1, cl.length().toInt))
+    } finally ps.close()
+  }
+
+  override protected def deleteFileList(rel: String): Unit = withConn { c =>
+    val ps = c.prepareStatement("DELETE FROM filelists WHERE rel = ?")
+    try { ps.setString(1, rel); ps.executeUpdate() } finally ps.close()
+  }
+
+  override protected def listFileLists(id: String): Seq[String] = withConn { c =>
+    val prefix = s"$id/filelist/"
+    val ps = c.prepareStatement(
+      "SELECT rel FROM filelists WHERE rel LIKE ? ESCAPE '\\'")
+    try {
+      ps.setString(1, likePrefix(prefix))
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[String]
+      while (rs.next()) out += rs.getString(1).stripPrefix(prefix)
+      out.result()
+    } finally ps.close()
+  }
+
+  // ---- data plane ----
+
+  private def logicalPrefix(id: String) = s"jdbc/$id/data/"
+
+  override def writeData(id: String, df: DataFrame, keySpec: KeySpec,
+                         targetPartitions: Int = 0): (String, Seq[FileEntry]) = {
+    val snapshotId = UUID.randomUUID().toString
+    val tmpRoot = Files.createTempDirectory("graft-jdbc-write")
+    val dir = tmpRoot.resolve("d")
+    try {
+      val keyCols = keySpec.cols.map(col)
+      val nParts =
+        if (targetPartitions > 0) targetPartitions
+        else math.max(1, df.sparkSession.sparkContext.defaultParallelism / 4)
+      df.repartitionByRange(nParts, keyCols: _*)
+        .sortWithinPartitions(keyCols: _*)
+        .write.mode("errorifexists").parquet(dir.toString)
+      // stats over the local staging dir, then each part becomes one blob
+      // row under an immutable logical path
+      val staged = fileStats(dir.toString, keySpec)
+      val entries = staged.zipWithIndex.map { case (f, i) =>
+        val localPath = Paths.get(new java.net.URI(f.path).getPath)
+        val logical = s"${logicalPrefix(id)}$snapshotId/part-$i"
+        withConn { c =>
+          val ps = c.prepareStatement("INSERT INTO datafiles (path, buf) VALUES (?, ?)")
+          try {
+            ps.setString(1, logical)
+            ps.setBytes(2, Files.readAllBytes(localPath))
+            ps.executeUpdate()
+          } finally ps.close()
+        }
+        f.copy(path = logical)
+      }
+      (snapshotId, entries)
+    } finally deleteRec(tmpRoot)
+  }
+
+  override def readFiles(paths: Seq[String], m: SnapshotManifest): DataFrame = {
+    val cols = (m.keyCols ++ m.valueCols :+ "version").map(col)
+    spark.read.parquet(paths.map(materialize): _*).select(cols: _*)
+  }
+
+  /** Blobs are immutable — cache each at most once for Spark's reader. */
+  private def materialize(logical: String): String = cacheDir.synchronized {
+    val f = cacheDir.resolve(logical.replace('/', '_') + ".parquet")
+    if (!Files.exists(f)) {
+      val bytes = withConn { c =>
+        val ps = c.prepareStatement("SELECT buf FROM datafiles WHERE path = ?")
+        try {
+          ps.setString(1, logical)
+          val rs = ps.executeQuery()
+          if (!rs.next())
+            throw new java.util.NoSuchElementException(s"no such data file: $logical")
+          val bl = rs.getBlob(1)
+          bl.getBytes(1, bl.length().toInt)
+        } finally ps.close()
+      }
+      val tmp = f.resolveSibling(f.getFileName.toString + "." + UUID.randomUUID())
+      Files.write(tmp, bytes)
+      Files.move(tmp, f)
+    }
+    f.toString
+  }
+
+  override protected def listDataFiles(id: String): Seq[String] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT path FROM datafiles WHERE path LIKE ? ESCAPE '\\'")
+    try {
+      ps.setString(1, likePrefix(logicalPrefix(id)))
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[String]
+      while (rs.next()) out += rs.getString(1)
+      out.result()
+    } finally ps.close()
+  }
+
+  override protected def deleteDataFile(path: String): Unit = {
+    withConn { c =>
+      val ps = c.prepareStatement("DELETE FROM datafiles WHERE path = ?")
+      try { ps.setString(1, path); ps.executeUpdate() } finally ps.close()
+    }
+    Files.deleteIfExists(cacheDir.resolve(path.replace('/', '_') + ".parquet"))
+  }
+
+  private def deleteRec(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Exception => () }
+
+  /** Close the backing connection (drops an in-memory Derby database). */
+  def close(): Unit =
+    try conn.close() catch { case _: SQLException => () }
+}
+
+object JdbcSnapshotStore {
+  /** Fresh private in-memory Derby database — the unit-test/dev shape. */
+  def inMemory(spark: SparkSession): JdbcSnapshotStore =
+    new JdbcSnapshotStore(
+      s"jdbc:derby:memory:graft-${UUID.randomUUID()};create=true", spark)
+}

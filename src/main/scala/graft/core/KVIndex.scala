@@ -424,21 +424,26 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * single-writer `used` flag (`Index.scala:1012,1032-1035`) as a storage
     * CAS instead of an in-memory bit.
     */
-  def execute(cmds: Seq[Command], txVersion: String = UUID.randomUUID().toString): BatchResult = {
+  def execute(cmds: Seq[Command], txVersion: String = UUID.randomUUID().toString,
+              recordHistory: Boolean = false): BatchResult = {
     if (cmds.isEmpty) return BatchResult(success = true, None, Some(manifest))
     // Batch inputs are read by SEVERAL write-path passes (key pruning, the
     // step fold's forced count, range sampling inside writeData, the write
     // itself) — an uncached compute-heavy input (a dedup pipeline, a join)
     // would re-execute per pass. Persist batch-sized inputs once,
-    // spill-safe; leave alone anything the caller already persisted.
+    // spill-safe; leave alone anything the caller already persisted AND
+    // anything trivially recomputable (a bare scan / in-memory batch) —
+    // pinning those just adds serialization cost to small write batches.
     val pin = cmds.map(_.rows)
       .filter(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      .filterNot(KVIndex.isTrivialPlan)
     pin.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    try executePinned(cmds, txVersion)
+    try executePinned(cmds, txVersion, recordHistory)
     finally pin.foreach(_.unpersist())
   }
 
-  private def executePinned(cmds: Seq[Command], txVersion: String): BatchResult = {
+  private def executePinned(cmds: Seq[Command], txVersion: String,
+                            recordHistory: Boolean): BatchResult = {
     // ---- file pruning: which files can a batch key live in? ----
     val allBatchKeys = cmds.map(c => c.rows.select(key.cols.map(col): _*))
       .reduce(_ unionByName _).distinct()
@@ -481,8 +486,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       numElements = untouchedRows + newFiles.map(_.rows).sum,
       lastChangeVersion = txVersion,
       files = (untouched ++ newFiles).sortBy(_.min)(KeyOrd))
-    try BatchResult(success = true, None, Some(store.commit(m2, manifest.version)),
-      counts)
+    try BatchResult(success = true, None,
+      Some(store.commit(m2, manifest.version, recordHistory)), counts)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       BatchResult(success = false, Some(GraftError.ContextAlreadyUsed(manifest.id)), None)
     }
@@ -624,7 +629,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * volume, not the index size. No-op (returns current manifest) when
     * there is nothing to merge.
     */
-  def compact(targetRowsPerFile: Long = maxRowsPerFile): BatchResult = {
+  def compact(targetRowsPerFile: Long = maxRowsPerFile,
+              recordHistory: Boolean = false): BatchResult = {
     val (small, big) = manifest.files.partition(_.rows < targetRowsPerFile / 2)
     if (small.size < 2)
       return BatchResult(success = true, None, Some(manifest))
@@ -636,7 +642,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       version = manifest.version + 1,
       snapshotId = UUID.randomUUID().toString,
       files = (big ++ newFiles).sortBy(_.min)(KeyOrd))
-    try BatchResult(success = true, None, Some(store.commit(m2, manifest.version)))
+    try BatchResult(success = true, None,
+      Some(store.commit(m2, manifest.version, recordHistory)))
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       BatchResult(success = false, Some(GraftError.ContextAlreadyUsed(manifest.id)), None)
     }
@@ -870,6 +877,23 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
 }
 
 object KVIndex {
+  /** True when re-computing `df` costs no more than re-reading it: a bare
+    * leaf (in-memory batch, file scan) under only projections/filters.
+    * The write path's multi-pass pinning skips these — persisting a
+    * MemoryStream micro-batch or a plain parquet scan trades a free
+    * recompute for serialize-to-storage cost on every small write batch.
+    */
+  private[core] def isTrivialPlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def ok(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case p: Project => ok(p.child)
+      case f: Filter => ok(f.child)
+      case _ => false
+    }
+    ok(df.queryExecution.optimizedPlan)
+  }
+
   /** Build the first snapshot of a new index from a bulk DataFrame —
     * SURVEY §7's `KVSnapshot.fromBatch`. Stamps every tuple with the insert
     * version (reference `Index.scala:281-320` stamps `insertVersion`).
@@ -877,7 +901,8 @@ object KVIndex {
   def bootstrap(store: SnapshotStore, id: String, df: DataFrame, keyCols: Seq[String],
                 maxNItems: Long = -1L,
                 txVersion: String = UUID.randomUUID().toString,
-                maxRowsPerFile: Long = 1L << 19): Either[GraftError, KVIndex] = {
+                maxRowsPerFile: Long = 1L << 19,
+                recordHistory: Boolean = false): Either[GraftError, KVIndex] = {
     val valueColNames = df.columns.filterNot(c => keyCols.contains(c) || c == "version").toSeq
     // record per-column DDL types so an empty snapshot still reads typed
     val colTypes = (keyCols ++ valueColNames).map(c => df.schema(c).dataType.sql)
@@ -898,8 +923,10 @@ object KVIndex {
         val nParts = math.max(1, math.min(100000,
           math.ceil(sizeBytes / targetBytes).toInt))
         // writeData reads the input twice (range sampling + write): pin a
-        // compute-heavy input once, unless the caller already did
-        val pin = stamped.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        // compute-heavy input once, unless the caller already did or the
+        // plan is trivially recomputable (re-scanning beats serializing)
+        val pin = stamped.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+          !isTrivialPlan(stamped)
         if (pin) stamped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val files =
           try store.writeData(id, stamped, key, nParts)._2
@@ -907,7 +934,7 @@ object KVIndex {
         val m1 = m0.copy(version = 1L, snapshotId = UUID.randomUUID().toString,
           numElements = files.map(_.rows).sum, lastChangeVersion = txVersion,
           files = files.sortBy(_.min)(KeyOrd))
-        Right(new KVIndex(store, store.commit(m1, 0L), maxRowsPerFile))
+        Right(new KVIndex(store, store.commit(m1, 0L, recordHistory), maxRowsPerFile))
     }
   }
 

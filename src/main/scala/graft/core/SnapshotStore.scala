@@ -43,7 +43,13 @@ final case class SnapshotManifest(
     maxNItems: Long,            // capacity before split; -1 = unbounded
     lastChangeVersion: String,  // tx id of last writer, reference Context.scala:20
     files: Seq[FileEntry],
-    colTypes: Seq[String] = Nil) {
+    colTypes: Seq[String] = Nil,
+    // wire-only pointer to a parquet filelist checkpoint (big manifests,
+    // Delta-checkpoint pattern). Set ONLY between toJson and loadVersion:
+    // commit decides it from files.size, loadVersion resolves and CLEARS it
+    // — in-memory manifests always carry inline `files`, so no caller can
+    // propagate a stale ref through copy().
+    filesRef: Option[String] = None) {
 
   def keySpec: KeySpec = KeySpec(keyCols)
   def isEmpty: Boolean = numElements == 0
@@ -97,12 +103,35 @@ object SnapshotManifest {
     case other => JsonMethods.compact(JsonMethods.render(other))
   }
 
+  /** JSON-encode one composite key literal (filelist checkpoint cells). */
+  private[core] def keyToJson(k: Seq[Any]): String =
+    JsonMethods.compact(JsonMethods.render(JArray(k.map(anyToJson).toList)))
+  private[core] def keyFromJson(s: String): Seq[Any] =
+    JsonMethods.parse(s).asInstanceOf[JArray].arr.map(jsonToAny)
+
+  /** JSON-encode a whole file list (backends that keep filelist
+    * checkpoints in a single blob, e.g. the JDBC store).
+    */
+  private[core] def filesToJson(files: Seq[FileEntry]): String =
+    JsonMethods.compact(JsonMethods.render(JArray(files.map(f => JObject(
+      "path" -> JString(f.path), "rows" -> JInt(BigInt(f.rows)),
+      "min" -> JArray(f.min.map(anyToJson).toList),
+      "max" -> JArray(f.max.map(anyToJson).toList))).toList)))
+  private[core] def filesFromJson(s: String): Seq[FileEntry] =
+    JsonMethods.parse(s).asInstanceOf[JArray].arr.map { fj =>
+      FileEntry(
+        (fj \ "path").asInstanceOf[JString].s,
+        (fj \ "rows").asInstanceOf[JInt].num.toLong,
+        (fj \ "min").asInstanceOf[JArray].arr.map(jsonToAny),
+        (fj \ "max").asInstanceOf[JArray].arr.map(jsonToAny))
+    }
+
   def toJson(m: SnapshotManifest): String = {
     val files = JArray(m.files.map(f => JObject(
       "path" -> JString(f.path), "rows" -> JInt(BigInt(f.rows)),
       "min" -> JArray(f.min.map(anyToJson).toList),
       "max" -> JArray(f.max.map(anyToJson).toList))).toList)
-    JsonMethods.compact(JsonMethods.render(JObject(
+    val base: List[(String, JValue)] = List(
       "id" -> JString(m.id), "version" -> JInt(BigInt(m.version)),
       "snapshotId" -> JString(m.snapshotId),
       "keyCols" -> JArray(m.keyCols.map(JString(_)).toList),
@@ -111,7 +140,10 @@ object SnapshotManifest {
       "maxNItems" -> JInt(BigInt(m.maxNItems)),
       "lastChangeVersion" -> JString(m.lastChangeVersion),
       "files" -> files,
-      "colTypes" -> JArray(m.colTypes.map(JString(_)).toList))))
+      "colTypes" -> JArray(m.colTypes.map(JString(_)).toList))
+    val withRef = m.filesRef.fold(base)(r => base :+ ("filesRef" -> (JString(r): JValue)))
+
+    JsonMethods.compact(JsonMethods.render(JObject(withRef)))
   }
 
   def fromJson(s: String): SnapshotManifest = {
@@ -133,9 +165,14 @@ object SnapshotManifest {
         (fj \ "min").asInstanceOf[JArray].arr.map(jsonToAny),
         (fj \ "max").asInstanceOf[JArray].arr.map(jsonToAny))
     }
+    val filesRef = (j \ "filesRef") match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
     SnapshotManifest(str("id"), lng("version"), str("snapshotId"),
       strs("keyCols"), strs("valueCols"), lng("numElements"),
-      lng("maxNItems"), str("lastChangeVersion"), files, strsOpt("colTypes"))
+      lng("maxNItems"), str("lastChangeVersion"), files, strsOpt("colTypes"),
+      filesRef)
   }
 }
 
@@ -164,7 +201,20 @@ object KeyOrd extends Ordering[Seq[Any]] {
       }
       x.length - y.length
     case (x: Number, y: Number) =>
-      new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
+      // typed fast paths — O(files) prune passes over big manifests ran
+      // through BigDecimal-via-toString here, which allocated two objects
+      // and parsed two strings PER COMPARE; integral/floating keys (the
+      // overwhelming case) now compare primitively. Kinds only mix across
+      // a JSON round-trip (Int becomes Long), never semantically.
+      val xi = x.isInstanceOf[java.lang.Long] || x.isInstanceOf[java.lang.Integer] ||
+        x.isInstanceOf[java.lang.Short] || x.isInstanceOf[java.lang.Byte]
+      val yi = y.isInstanceOf[java.lang.Long] || y.isInstanceOf[java.lang.Integer] ||
+        y.isInstanceOf[java.lang.Short] || y.isInstanceOf[java.lang.Byte]
+      val xf = x.isInstanceOf[java.lang.Double] || x.isInstanceOf[java.lang.Float]
+      val yf = y.isInstanceOf[java.lang.Double] || y.isInstanceOf[java.lang.Float]
+      if (xi && yi) java.lang.Long.compare(x.longValue(), y.longValue())
+      else if (xf && yf) java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      else new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
     case (x, y) => x.toString.compareTo(y.toString)
   }
   override def compare(a: Seq[Any], b: Seq[Any]): Int = {
@@ -215,6 +265,25 @@ trait SnapshotStore {
   protected def listNames(relDir: String): Seq[String]
   protected def deleteControl(rel: String): Unit
 
+  // ---- filelist checkpoints (big manifests) ----
+
+  /** Above this many files, commit stores the manifest's file list as a
+    * columnar side-table instead of inline JSON — the Delta-checkpoint
+    * pattern: at 100 TB / 32 MB files a manifest is ~3M entries, and
+    * parsing that as a JSON monolith on every open is the wrong cost
+    * shape; a parquet read of the same rows is columnar, parallel and
+    * cheap. Below it, plain inline JSON keeps small manifests
+    * zero-extra-IO and human-readable.
+    */
+  protected def inlineFilesMax: Int = 10000
+  /** write `files` (in order) as the checkpoint at `rel` */
+  protected def writeFileList(rel: String, files: Seq[FileEntry]): Unit
+  /** read a checkpoint back, preserving write order */
+  protected def readFileList(rel: String): Seq[FileEntry]
+  protected def deleteFileList(rel: String): Unit
+  /** checkpoint names (snapshotIds) currently stored for `id` */
+  protected def listFileLists(id: String): Seq[String]
+
   // ---- data-plane primitives ----
 
   /** Write `df` as the data of a brand-new snapshot, range-partitioned and
@@ -227,6 +296,23 @@ trait SnapshotStore {
 
   /** Read a subset of a snapshot's files (the touched set during COW). */
   def readFiles(paths: Seq[String], m: SnapshotManifest): DataFrame
+
+  /** Per-file stats via one small aggregate over freshly written parquet
+    * (struct min/max = lexicographic composite-key min/max in Spark) —
+    * shared by every parquet-writing backend.
+    */
+  def fileStats(dir: String, keySpec: KeySpec): Seq[FileEntry] = {
+    val df = spark.read.parquet(dir)
+    val kstruct = struct(keySpec.cols.map(col): _*)
+    val rows = df.groupBy(input_file_name().as("path"))
+      .agg(count(lit(1)).as("rows"), min(kstruct).as("mn"), max(kstruct).as("mx"))
+      .collect()
+    rows.map { r =>
+      val mn = r.getStruct(2); val mx = r.getStruct(3)
+      FileEntry(r.getString(0), r.getLong(1),
+        mn.toSeq, mx.toSeq)
+    }.sortBy(f => f.min)(KeyOrd)
+  }
 
   /** every data file path currently stored for `id`, normalized */
   protected def listDataFiles(id: String): Seq[String]
@@ -266,8 +352,17 @@ trait SnapshotStore {
     }
 
   final def loadVersion(id: String, version: Long): SnapshotManifest =
-    SnapshotManifest.fromJson(readText(s"$id/v$version.manifest.json")
-      .getOrElse(throw new java.util.NoSuchElementException(s"$id@v$version")))
+    resolveFiles(SnapshotManifest.fromJson(readText(s"$id/v$version.manifest.json")
+      .getOrElse(throw new java.util.NoSuchElementException(s"$id@v$version"))))
+
+  /** Materialize a checkpointed file list (and clear the wire-only ref, so
+    * in-memory manifests always carry inline files — see `filesRef`).
+    */
+  private def resolveFiles(m: SnapshotManifest): SnapshotManifest =
+    m.filesRef match {
+      case Some(ref) => m.copy(files = readFileList(ref), filesRef = None)
+      case None => m
+    }
 
   /** Atomic commit: create-new manifest for version parent+1 (fails if a
     * concurrent writer already committed that version — the CAS), then
@@ -275,15 +370,68 @@ trait SnapshotStore {
     * (createIndex/copy/merge/split); otherwise the manifest must be exactly
     * the parent's successor — the CREATE_NEW below enforces uniqueness, the
     * require catches caller bugs that would silently skip versions.
+    *
+    * `recordHistory = true` folds the temporal log append INTO the commit
+    * protocol: the history line is written after the manifest CAS but
+    * BEFORE LATEST is repointed, so no crash window can leave a committed
+    * (LATEST-visible) version invisible to time travel. (The reference has
+    * the reverse window — two separate saves, `TemporalIndex.scala:55-85`;
+    * ours trades it for the benign one: a crash after the history append
+    * may log a version whose LATEST swap was lost, which time travel can
+    * still read consistently because its manifest and files are durable.)
+    *
+    * Replay is idempotent when recording history: if the manifest CAS
+    * fails but the existing manifest carries the SAME `lastChangeVersion`
+    * (this transaction already won it, then crashed mid-commit), the
+    * interrupted commit is completed instead — history appended if (and
+    * only if) missing, LATEST repointed. A different writer's version
+    * still fails the CAS like before.
     */
-  final def commit(m: SnapshotManifest, expectedParent: Long): SnapshotManifest = {
+  final def commit(m: SnapshotManifest, expectedParent: Long,
+                   recordHistory: Boolean = false,
+                   historyTs: Long = System.nanoTime()): SnapshotManifest = {
     require(expectedParent < 0 || m.version == expectedParent + 1,
       s"commit: manifest version ${m.version} is not expectedParent ${expectedParent} + 1")
-    writeTextCreateNew(s"${m.id}/v${m.version}.manifest.json",
-      SnapshotManifest.toJson(m))
+    try writeTextCreateNew(s"${m.id}/v${m.version}.manifest.json",
+      serializeManifest(m))
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      if (!recordHistory) throw e
+      val existing = loadVersion(m.id, m.version)
+      if (existing.lastChangeVersion != m.lastChangeVersion) throw e
+      // same-tx replay after a crash between the CAS and the LATEST swap:
+      // complete the interrupted commit (this path is rare, so the O(log)
+      // dup check stays off the steady-state commit path)
+      if (!historyLog(m.id).exists(_._2 == m.version)) {
+        appendText(historyRel(m.id),
+          s"""{"ts":$historyTs,"version":${m.version}}""" + "\n")
+        invalidateTemporal(m.id)
+      }
+      writeTextAtomic(s"${m.id}/LATEST", s"v${m.version}")
+      return existing
+    }
+    if (recordHistory) {
+      appendText(historyRel(m.id),
+        s"""{"ts":$historyTs,"version":${m.version}}""" + "\n")
+      invalidateTemporal(m.id)
+    }
     writeTextAtomic(s"${m.id}/LATEST", s"v${m.version}")
     m
   }
+
+  /** Inline JSON below [[inlineFilesMax]] files; above it the file list
+    * goes to a columnar checkpoint keyed by snapshotId (unique per commit
+    * attempt, so a replay never collides) and the JSON carries only the
+    * ref. A checkpoint orphaned by a crash between its write and the
+    * manifest CAS is swept by vacuum.
+    */
+  private def serializeManifest(m: SnapshotManifest): String =
+    if (m.files.size <= inlineFilesMax)
+      SnapshotManifest.toJson(m.copy(filesRef = None))
+    else {
+      val ref = s"${m.id}/filelist/${m.snapshotId}"
+      writeFileList(ref, m.files)
+      SnapshotManifest.toJson(m.copy(files = Nil, filesRef = Some(ref)))
+    }
 
   /** Read one snapshot as a DataFrame. Files are immutable so this is a
     * consistent non-blocking read of that frozen version regardless of
@@ -434,12 +582,24 @@ trait SnapshotStore {
       writeTextAtomic(historyRel(id),
         kept.map { case (ts, v) => s"""{"ts":$ts,"version":$v}""" }.mkString("", "\n", "\n"))
     }
-    // mark: files referenced by ANY surviving manifest of ANY index
-    val referenced: Set[String] = (for {
+    // mark: files referenced by ANY surviving manifest of ANY index —
+    // resolving filelist checkpoints, else a big manifest's data files
+    // would all look unreferenced and be swept
+    val kept = for {
       otherId <- listIndexes()
       mn <- listNames(otherId).collect { case n @ ManifestRe(_) => n }
-      f <- SnapshotManifest.fromJson(readText(s"$otherId/$mn").get).files
+    } yield SnapshotManifest.fromJson(readText(s"$otherId/$mn").get)
+    val referenced: Set[String] = (for {
+      km <- kept
+      f <- km.filesRef.fold(km.files)(readFileList)
     } yield normalizePath(f.path)).toSet
+    // sweep this index's filelist checkpoints no kept manifest points at
+    // (dropped versions' checkpoints, plus orphans of crashed commits)
+    val keptRefs = kept.flatMap(_.filesRef).toSet
+    listFileLists(id)
+      .map(sid => s"$id/filelist/$sid")
+      .filterNot(keptRefs.contains)
+      .foreach(deleteFileList)
     // sweep this index's unreferenced data files
     var deleted = 0
     listDataFiles(id).filterNot(referenced.contains).foreach { p =>
@@ -516,6 +676,41 @@ class FsSnapshotStore(val root: String, val spark: SparkSession)
 
   override protected def deleteControl(rel: String): Unit = Files.delete(p(rel))
 
+  /** Filelist checkpoint as parquet (Delta-checkpoint pattern): one row per
+    * file, composite min/max keys JSON-encoded per cell (type-exact via the
+    * same encoding as inline manifests), a `seq` column pinning the sorted
+    * order across partitions. ~3M rows read back in seconds where the JSON
+    * monolith took a driver-bound parse.
+    */
+  override protected def writeFileList(rel: String, files: Seq[FileEntry]): Unit = {
+    import spark.implicits._
+    val rows = files.iterator.zipWithIndex.map { case (f, i) =>
+      (i.toLong, f.path, f.rows,
+        SnapshotManifest.keyToJson(f.min), SnapshotManifest.keyToJson(f.max))
+    }.toSeq
+    val nParts = math.max(1, rows.size / 1000000)
+    spark.createDataset(rows).toDF("seq", "path", "rows", "minJson", "maxJson")
+      .repartition(nParts)
+      .write.mode("errorifexists").parquet(p(rel).toString)
+  }
+
+  override protected def readFileList(rel: String): Seq[FileEntry] =
+    spark.read.parquet(p(rel).toString).orderBy("seq").collect().iterator.map { r =>
+      FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
+        SnapshotManifest.keyFromJson(r.getAs[String]("minJson")),
+        SnapshotManifest.keyFromJson(r.getAs[String]("maxJson")))
+    }.toSeq
+
+  override protected def deleteFileList(rel: String): Unit = {
+    val dir = p(rel)
+    if (Files.exists(dir))
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+  }
+
+  override protected def listFileLists(id: String): Seq[String] =
+    listNames(s"$id/filelist")
+
   override def writeData(id: String, df: DataFrame, keySpec: KeySpec,
                          targetPartitions: Int = 0): (String, Seq[FileEntry]) = {
     val snapshotId = UUID.randomUUID().toString
@@ -528,22 +723,6 @@ class FsSnapshotStore(val root: String, val spark: SparkSession)
       .sortWithinPartitions(keyCols: _*)
       .write.mode("errorifexists").parquet(dir.toString)
     (snapshotId, fileStats(dir.toString, keySpec))
-  }
-
-  /** Per-file stats via one small aggregate over the written files (struct
-    * min/max = lexicographic composite-key min/max in Spark).
-    */
-  def fileStats(dir: String, keySpec: KeySpec): Seq[FileEntry] = {
-    val df = spark.read.parquet(dir)
-    val kstruct = struct(keySpec.cols.map(col): _*)
-    val rows = df.groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"), min(kstruct).as("mn"), max(kstruct).as("mx"))
-      .collect()
-    rows.map { r =>
-      val mn = r.getStruct(2); val mx = r.getStruct(3)
-      FileEntry(r.getString(0), r.getLong(1),
-        mn.toSeq, mx.toSeq)
-    }.sortBy(f => f.min)(KeyOrd)
   }
 
   override def readFiles(paths: Seq[String], m: SnapshotManifest): DataFrame = {
@@ -582,6 +761,19 @@ final class MemorySnapshotStore(val spark: SparkSession,
   private val control = TrieMap.empty[String, String]
   private val dataFiles = TrieMap.empty[String, DataFrame]
   private val snapshotRdds = TrieMap.empty[String, RDD[Row]]
+  private val fileLists = TrieMap.empty[String, Seq[FileEntry]]
+
+  override protected def writeFileList(rel: String, files: Seq[FileEntry]): Unit =
+    fileLists(rel) = files
+  override protected def readFileList(rel: String): Seq[FileEntry] =
+    fileLists.getOrElse(rel,
+      throw new java.util.NoSuchElementException(s"no such filelist: $rel"))
+  override protected def deleteFileList(rel: String): Unit = fileLists.remove(rel)
+  override protected def listFileLists(id: String): Seq[String] = {
+    val prefix = s"$id/filelist/"
+    fileLists.keys.filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix)).toSeq
+  }
 
   override protected def readText(rel: String): Option[String] = control.get(rel)
 

@@ -165,7 +165,12 @@ object Multimodal {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16) return None
+        // the sample loop below assumes SIGNED 16-bit PCM — a PCM_UNSIGNED
+        // (or a-law/u-law) 16-bit stream would be silently misread, so it is
+        // rejected like any other undecodable payload
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
         val frameBytes = fmt.getFrameSize
         val raw = ais.readAllBytes()
         val nFrames = raw.length / frameBytes

@@ -189,16 +189,27 @@ object Similarity {
     *
     * `queries` is the SMALL side (same contract as the broadcast in the
     * brute-force batch): its rows are collected to rank cells per query on
-    * the driver — nQueries × nCells cosine ops, trivially bounded.
+    * the driver — nQueries × nCells cosine ops. The contract is ENFORCED:
+    * more than `maxQueries` rows raise [[BatchTooLargeException]] instead
+    * of silently OOMing the driver (same stance as `streamNearDupIngest`'s
+    * `maxDriverProbes`); split a bigger batch or raise the bound knowingly.
     */
+  final class BatchTooLargeException(n: Int)
+    extends IllegalArgumentException(
+      s"ivfTopKBatch query batch exceeds maxQueries=$n rows; " +
+        "split the batch or raise maxQueries explicitly")
+
   def ivfTopKBatch(indexed: DataFrame, centroids: Seq[Array[Float]],
                    queries: DataFrame, k: Int, nProbe: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+                   qIdCol: String = "q_id", qVecCol: String = "q_vec",
+                   maxQueries: Int = 65536): DataFrame = {
     val spark = indexed.sparkSession
     import spark.implicits._
-    val probes: Seq[(Int, Long)] = queries.select(col(qIdCol).cast("long"), col(qVecCol))
-      .collect().toSeq.flatMap { r =>
+    val qRows = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .limit(maxQueries + 1).collect()
+    if (qRows.length > maxQueries) throw new BatchTooLargeException(maxQueries)
+    val probes: Seq[(Int, Long)] = qRows.toSeq.flatMap { r =>
         val qid = r.getLong(0)
         val qv = r.getSeq[Float](1).toArray
         rankCells(centroids, qv, nProbe).map(cell => (cell, qid))

@@ -184,27 +184,35 @@ object EventStreams {
         import graft.core._
         if (!batch.isEmpty) {
           val tx = s"stream-batch-$batchId"
-          val m = if (!store.exists(indexId)) {
-            KVIndex.bootstrap(store, indexId, batch, keyCols, txVersion = tx)
+          // recordHistory=true: temporal log line rides inside the commit
+          // protocol — a crash can't commit a version invisible to time travel
+          if (!store.exists(indexId)) {
+            KVIndex.bootstrap(store, indexId, batch, keyCols, txVersion = tx,
+                recordHistory = true)
               .fold(e => sys.error(e.message), _.manifest)
           } else {
             val ix = KVIndex.open(store, indexId).fold(e => sys.error(e.message), identity)
-            ix.execute(Seq(Command.Insert(batch, upsert = true)), tx).orThrow
+            ix.execute(Seq(Command.Insert(batch, upsert = true)), tx,
+              recordHistory = true).orThrow
           }
-          store.recordSnapshot(indexId, m.version)
         }
         ()
       }
       .start()
 
-  /** Test/ops visibility into [[streamDedupIngest]]'s steady-state cost
-    * shape: how often the corpus bloom sketch was rebuilt from a FULL
-    * corpus scan (should be ≤1 per query lifetime — restart only), how
-    * often a batch needed the exact anti-join verify (only when the bloom
-    * might-match slice was non-empty), and how often auto-compaction
-    * fired. Process-wide counters; specs reset() around a single query.
+  /** Test/ops visibility into an ingest query's steady-state cost shape:
+    * how often the corpus bloom sketch was rebuilt from a FULL corpus scan
+    * (should be ≤1 per query lifetime — restart only), how often a batch
+    * needed the exact anti-join verify (only when the bloom might-match
+    * slice was non-empty), and how often auto-compaction fired.
+    *
+    * Scoped PER QUERY: each [[streamDedupIngest]]/[[streamNearDupIngest]]
+    * call takes (or defaults) its own instance, so concurrent ingest
+    * queries in one process never race each other's counters — a
+    * process-wide singleton here made per-query assertions and ops
+    * dashboards racy as soon as two queries ran.
     */
-  private[graft] object IngestStats {
+  private[graft] final class IngestStats {
     val corpusRebuilds = new java.util.concurrent.atomic.AtomicLong
     val exactVerifies = new java.util.concurrent.atomic.AtomicLong
     val compactions = new java.util.concurrent.atomic.AtomicLong
@@ -246,7 +254,8 @@ object EventStreams {
                         indexId: String, keyCols: Seq[String],
                         textCol: String = "text",
                         expectedItems: Long = 1L << 20,
-                        compactAboveFiles: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+                        compactAboveFiles: Int = 16,
+                        stats: IngestStats = new IngestStats): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.BloomJoin
     val numBits = BloomJoin.derivedNumBits(expectedItems)
     // cached corpus sketch — lives for the query; null until first build
@@ -264,9 +273,12 @@ object EventStreams {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             if (!store.exists(indexId)) {
-              val ixb = KVIndex.bootstrap(store, indexId, withinBatch, keyCols, txVersion = tx)
+              // recordHistory=true: the temporal log line rides INSIDE the
+              // commit protocol (before the LATEST swap) — no crash window
+              // can commit a version that time travel can't see
+              KVIndex.bootstrap(store, indexId, withinBatch, keyCols, txVersion = tx,
+                  recordHistory = true)
                 .fold(e => sys.error(e.message), identity)
-              store.recordSnapshot(indexId, ixb.manifest.version)
               // first sketch: over the batch just committed — O(batch)
               corpusBf = BloomJoin.keyFilterBytes(
                 withinBatch.select(textCol), col(textCol), expectedItems, numBits)
@@ -276,14 +288,14 @@ object EventStreams {
                 // restart recovery: the ONE full corpus scan of the query's life
                 corpusBf = BloomJoin.keyFilterBytes(
                   ix.df.select(textCol), col(textCol), expectedItems, numBits)
-                IngestStats.corpusRebuilds.incrementAndGet()
+                stats.corpusRebuilds.incrementAndGet()
               }
               val mc = BloomJoin.mightContain(corpusBf, col(textCol))
               val mightMatch = withinBatch.filter(mc)
               val news =
                 (if (mightMatch.isEmpty) withinBatch // provably new: zero corpus IO
                  else {
-                   IngestStats.exactVerifies.incrementAndGet()
+                   stats.exactVerifies.incrementAndGet()
                    withinBatch.filter(!mc).unionByName(
                      mightMatch.join(ix.df.select(textCol), Seq(textCol), "left_anti"))
                  }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -291,8 +303,8 @@ object EventStreams {
                 // an all-duplicate batch commits nothing and records nothing —
                 // the temporal log stays one entry per actual change
                 if (!news.isEmpty) {
-                  val m = ix.execute(Seq(Command.Insert(news, upsert = true)), tx).orThrow
-                  store.recordSnapshot(indexId, m.version)
+                  val m = ix.execute(Seq(Command.Insert(news, upsert = true)), tx,
+                    recordHistory = true).orThrow
                   // fold the committed keys into the cached sketch — batch-sized
                   // build + bitwise-or; the corpus is never rescanned
                   corpusBf = BloomJoin.merge(corpusBf,
@@ -300,14 +312,12 @@ object EventStreams {
                       expectedItems, numBits))
                   val ix2 = new KVIndex(store, m)
                   if (ix2.numFiles > compactAboveFiles) {
-                    // compact() no-ops (returns the same version) when there is
-                    // nothing to merge — only a REAL rewrite is recorded
-                    ix2.compact().snapshot
+                    // compact() no-ops (returns the same version) without
+                    // committing — only a REAL rewrite reaches the commit,
+                    // whose recordHistory carries the temporal log line
+                    ix2.compact(recordHistory = true).snapshot
                       .filter(_.version != m.version)
-                      .foreach { m2 =>
-                        store.recordSnapshot(indexId, m2.version)
-                        IngestStats.compactions.incrementAndGet()
-                      }
+                      .foreach(_ => stats.compactions.incrementAndGet())
                   }
                 }
               } finally news.unpersist()
@@ -344,7 +354,8 @@ object EventStreams {
                           docsId: String, bandsId: String, keyCols: Seq[String],
                           textCol: String = "text", threshold: Double = 0.5,
                           maxDriverProbes: Int = 200000,
-                          compactAboveFiles: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+                          compactAboveFiles: Int = 16,
+                          stats: IngestStats = new IngestStats): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -358,13 +369,12 @@ object EventStreams {
             def bandsOf(df: DataFrame) =
               Dedup.bandRows(df, keyCols.head, textCol)
             if (!store.exists(docsId)) {
-              val ixd = KVIndex.bootstrap(store, docsId, withinBatch, keyCols, txVersion = tx)
+              KVIndex.bootstrap(store, docsId, withinBatch, keyCols, txVersion = tx,
+                  recordHistory = true)
                 .fold(e => sys.error(e.message), identity)
-              store.recordSnapshot(docsId, ixd.manifest.version)
-              val ixb = KVIndex.bootstrap(store, bandsId, bandsOf(withinBatch),
-                Seq("band", "bucket", "id"), txVersion = tx)
+              KVIndex.bootstrap(store, bandsId, bandsOf(withinBatch),
+                  Seq("band", "bucket", "id"), txVersion = tx, recordHistory = true)
                 .fold(e => sys.error(e.message), identity)
-              store.recordSnapshot(bandsId, ixb.manifest.version)
             } else {
               val docsIx = KVIndex.open(store, docsId).fold(e => sys.error(e.message), identity)
               val bandsIx = KVIndex.open(store, bandsId).fold(e => sys.error(e.message), identity)
@@ -379,19 +389,17 @@ object EventStreams {
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               try {
                 if (!news.isEmpty) {
-                  val md = docsIx.execute(Seq(Command.Insert(news, upsert = true)), tx).orThrow
-                  store.recordSnapshot(docsId, md.version)
+                  val md = docsIx.execute(Seq(Command.Insert(news, upsert = true)), tx,
+                    recordHistory = true).orThrow
                   val mb = bandsIx.execute(
-                    Seq(Command.Insert(bandsOf(news), upsert = true)), tx).orThrow
-                  store.recordSnapshot(bandsId, mb.version)
-                  for ((id, m) <- Seq((docsId, md), (bandsId, mb))) {
+                    Seq(Command.Insert(bandsOf(news), upsert = true)), tx,
+                    recordHistory = true).orThrow
+                  for ((_, m) <- Seq((docsId, md), (bandsId, mb))) {
                     val ix2 = new KVIndex(store, m)
                     if (ix2.numFiles > compactAboveFiles) {
-                      ix2.compact().snapshot.filter(_.version != m.version)
-                        .foreach { m2 =>
-                          store.recordSnapshot(id, m2.version)
-                          IngestStats.compactions.incrementAndGet()
-                        }
+                      ix2.compact(recordHistory = true).snapshot
+                        .filter(_.version != m.version)
+                        .foreach(_ => stats.compactions.incrementAndGet())
                     }
                   }
                 }

@@ -383,3 +383,10 @@ class KVIndexSpec extends KVIndexSpecBase {
 class MemoryKVIndexSpec extends KVIndexSpecBase {
   override def newStore(): SnapshotStore = new MemorySnapshotStore(spark)
 }
+
+/** Third backend — embedded Derby, the reference's `CassandraSpec` move:
+  * rerun the whole write-path contract against the JDBC store.
+  */
+class JdbcKVIndexSpec extends KVIndexSpecBase {
+  override def newStore(): SnapshotStore = JdbcSnapshotStore.inMemory(spark)
+}

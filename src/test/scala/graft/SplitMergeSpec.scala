@@ -88,3 +88,7 @@ class SplitMergeSpec extends SplitMergeSpecBase {
 class MemorySplitMergeSpec extends SplitMergeSpecBase {
   override def newStore(): SnapshotStore = new MemorySnapshotStore(spark)
 }
+
+class JdbcSplitMergeSpec extends SplitMergeSpecBase {
+  override def newStore(): SnapshotStore = JdbcSnapshotStore.inMemory(spark)
+}

@@ -25,7 +25,8 @@ class StoreSpec extends SparkSuite {
 
   private def stores() = Seq(
     new FsSnapshotStore(tmpDir("graft-storespec"), spark),
-    new MemorySnapshotStore(spark))
+    new MemorySnapshotStore(spark),
+    JdbcSnapshotStore.inMemory(spark))
 
   test("vacuum keeps data files referenced by a zero-copy clone") {
     for (store <- stores()) {
@@ -118,6 +119,92 @@ class StoreSpec extends SparkSuite {
       assert(latest.count == 65)
       assert(latest.get(Seq(s"race-$winnerTag")).count() == 1)
     }
+  }
+
+  /** Crash injection for the commit+history protocol: trips exactly one
+    * simulated crash at a chosen protocol point (before the LATEST swap /
+    * before the history append), then behaves normally — the restart.
+    */
+  private class CrashingStore(root: String) extends FsSnapshotStore(root, spark) {
+    @volatile var crashOnLatestSwap = false
+    @volatile var crashOnHistoryAppend = false
+    override protected def writeTextAtomic(rel: String, s: String): Unit = {
+      if (crashOnLatestSwap && rel.endsWith("/LATEST")) {
+        crashOnLatestSwap = false
+        throw new RuntimeException("simulated crash before LATEST swap")
+      }
+      super.writeTextAtomic(rel, s)
+    }
+    override protected def appendText(rel: String, s: String): Unit = {
+      if (crashOnHistoryAppend && rel.endsWith("history.jsonl")) {
+        crashOnHistoryAppend = false
+        throw new RuntimeException("simulated crash before history append")
+      }
+      super.appendText(rel, s)
+    }
+  }
+
+  test("crash window: every committed (LATEST-visible) version has a history entry") {
+    // With the old two-step protocol (commit THEN recordSnapshot), a crash
+    // between the two produced a committed version invisible to time
+    // travel. recordHistory=true folds the append inside the commit, BEFORE
+    // the LATEST swap — so this invariant holds at every crash point.
+    val store = new CrashingStore(tmpDir("graft-crash-hist"))
+    val ix = KVIndex.bootstrap(store, "cw",
+      kv(Seq("a" -> "1", "b" -> "2")), Seq("k"), recordHistory = true)
+      .fold(e => fail(e.message), identity)
+    assert(store.historyLog("cw").map(_._2) == Seq(1L))
+
+    // crash point 1: after manifest CAS + history append, before LATEST swap
+    store.crashOnLatestSwap = true
+    val r = intercept[RuntimeException] {
+      ix.execute(Seq(Command.Insert(kv(Seq("c" -> "3")), upsert = true)),
+        txVersion = "tx-crash", recordHistory = true)
+    }
+    assert(r.getMessage.contains("simulated crash"))
+    // invariant: LATEST still v1, and v1 is in history; the history may
+    // also hold the durable-but-unswapped v2 (benign: its manifest and
+    // files are durable and readable)
+    assert(KVIndex.open(store, "cw").toOption.get.manifest.version == 1L)
+    assert(store.historyLog("cw").map(_._2).contains(1L))
+
+    // restart replay of the SAME tx completes the interrupted commit
+    // idempotently: no duplicate history line, LATEST repointed
+    val m2 = ix.execute(Seq(Command.Insert(kv(Seq("c" -> "3")), upsert = true)),
+      txVersion = "tx-crash", recordHistory = true).orThrow
+    assert(m2.version == 2L)
+    assert(KVIndex.open(store, "cw").toOption.get.manifest.version == 2L)
+    assert(store.historyLog("cw").map(_._2).count(_ == 2L) == 1,
+      "replay must not duplicate the history entry")
+    assert(KVIndex.open(store, "cw").toOption.get.count == 3)
+
+    // a DIFFERENT writer replaying the same version is still a CAS loss
+    val loser = new KVIndex(store, store.loadVersion("cw", 1L))
+    val lr = loser.execute(Seq(Command.Insert(kv(Seq("z" -> "9")), upsert = true)),
+      txVersion = "tx-other", recordHistory = true)
+    assert(!lr.success && lr.error.exists(_.isInstanceOf[GraftError.ContextAlreadyUsed]))
+  }
+
+  test("crash window: crash before the history append commits nothing") {
+    val store = new CrashingStore(tmpDir("graft-crash-hist2"))
+    val ix = KVIndex.bootstrap(store, "cw2",
+      kv(Seq("a" -> "1")), Seq("k"), recordHistory = true)
+      .fold(e => fail(e.message), identity)
+    store.crashOnHistoryAppend = true
+    intercept[RuntimeException] {
+      ix.execute(Seq(Command.Insert(kv(Seq("b" -> "2")), upsert = true)),
+        txVersion = "tx-c2", recordHistory = true)
+    }
+    // LATEST untouched, history untouched — v2's manifest exists (CAS won)
+    // but the version is fully invisible until the tx replays
+    assert(KVIndex.open(store, "cw2").toOption.get.manifest.version == 1L)
+    assert(store.historyLog("cw2").map(_._2) == Seq(1L))
+    // replay completes it: history + LATEST both land
+    val m2 = ix.execute(Seq(Command.Insert(kv(Seq("b" -> "2")), upsert = true)),
+      txVersion = "tx-c2", recordHistory = true).orThrow
+    assert(m2.version == 2L)
+    assert(store.historyLog("cw2").map(_._2) == Seq(1L, 2L))
+    assert(store.findAt("cw2", System.nanoTime()).contains(2L))
   }
 
   test("memory store round-trips the full temporal log and catalog") {

@@ -157,9 +157,10 @@ class StreamingSpec extends SparkSuite {
     import graft.core._
     val store = new FsSnapshotStore(tmpDir("graft-incr-flat"), spark)
     val input = MemoryStream[(Long, String)](spark)
-    EventStreams.IngestStats.reset()
+    val stats = new EventStreams.IngestStats
     val q = EventStreams.streamDedupIngest(
-      input.toDF().toDF("doc_id", "text"), store, "docs", Seq("doc_id"))
+      input.toDF().toDF("doc_id", "text"), store, "docs", Seq("doc_id"),
+      stats = stats)
     try {
       // 8 batches of all-new texts — the corpus grows every batch, so a
       // per-batch rebuild (the round-8 defect) would show up as 7 corpus
@@ -170,16 +171,16 @@ class StreamingSpec extends SparkSuite {
         q.processAllAvailable()
       }
       assert(KVIndex.open(store, "docs").toOption.get.count == 80)
-      assert(EventStreams.IngestStats.corpusRebuilds.get() == 0,
+      assert(stats.corpusRebuilds.get() == 0,
         "cached sketch must never be rebuilt from a corpus scan mid-stream")
-      assert(EventStreams.IngestStats.exactVerifies.get() == 0,
+      assert(stats.exactVerifies.get() == 0,
         "all-new batches must skip the exact anti join entirely")
       // a batch carrying a true duplicate DOES take the verify path once,
       // and the merged sketch (not a rebuild) is what caught it
       input.addData((9999L, "uniq text 0-0"), (9998L, "really new"))
       q.processAllAvailable()
-      assert(EventStreams.IngestStats.exactVerifies.get() == 1)
-      assert(EventStreams.IngestStats.corpusRebuilds.get() == 0)
+      assert(stats.exactVerifies.get() == 1)
+      assert(stats.corpusRebuilds.get() == 0)
       val ix = KVIndex.open(store, "docs").toOption.get
       assert(ix.count == 81, "dup dropped, new row kept")
     } finally q.stop()
@@ -197,16 +198,17 @@ class StreamingSpec extends SparkSuite {
     } finally q1.stop()
     // a NEW query over the SAME store (process restart): the cached sketch
     // is gone, so exactly ONE corpus scan rebuilds it — then it's cached
-    EventStreams.IngestStats.reset()
+    val stats = new EventStreams.IngestStats
     val input2 = MemoryStream[(Long, String)](spark)
     val q2 = EventStreams.streamDedupIngest(
-      input2.toDF().toDF("doc_id", "text"), store, "docs", Seq("doc_id"))
+      input2.toDF().toDF("doc_id", "text"), store, "docs", Seq("doc_id"),
+      stats = stats)
     try {
       input2.addData((3L, "alpha"), (4L, "gamma")) // one pre-restart dup
       q2.processAllAvailable()
       input2.addData((5L, "delta"))
       q2.processAllAvailable()
-      assert(EventStreams.IngestStats.corpusRebuilds.get() == 1,
+      assert(stats.corpusRebuilds.get() == 1,
         "restart must rebuild the sketch exactly once, then cache it")
       val rows = KVIndex.open(store, "docs").toOption.get
         .df.select("doc_id", "text").as[(Long, String)].collect().toSet
@@ -219,10 +221,10 @@ class StreamingSpec extends SparkSuite {
     import graft.core._
     val store = new FsSnapshotStore(tmpDir("graft-incr-compact"), spark)
     val input = MemoryStream[(Long, String)](spark)
-    EventStreams.IngestStats.reset()
+    val stats = new EventStreams.IngestStats
     val q = EventStreams.streamDedupIngest(
       input.toDF().toDF("doc_id", "text"), store, "docs", Seq("doc_id"),
-      compactAboveFiles = 4)
+      compactAboveFiles = 4, stats = stats)
     try {
       // 20 committing batches; without compaction the manifest would hold
       // ~20 files (one per commit at these sizes)
@@ -235,7 +237,7 @@ class StreamingSpec extends SparkSuite {
       assert(ix.df.select("text").distinct().count() == 100)
       assert(ix.numFiles <= 5,
         s"file count must stay bounded by the compaction threshold, got ${ix.numFiles}")
-      assert(EventStreams.IngestStats.compactions.get() >= 1)
+      assert(stats.compactions.get() >= 1)
       // dedup still exact after compaction rewrote the files
       input.addData((8888L, "long stream 0-0"))
       q.processAllAvailable()
