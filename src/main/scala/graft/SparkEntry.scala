@@ -1181,17 +1181,35 @@ object SparkEntry {
           col("w_peak").cast("long").as("w_peak"), col("w_sumsq"))
         .orderBy("media_id", "window_no")
     }),
-    // frame-sampling plumbing: the chunking/sampling math is deterministic
-    // byte arithmetic, so this one IS oracle-verifiable (only the decode
-    // inside each frame is stubbed)
+    // REAL RIFF/AVI demux + per-frame decode: per-doc Motion-PNG videos
+    // (3..6 solid-color frames, dims + colors integer-derived from doc_id)
+    // are containerized with aviBytes, demuxed back through demuxAvi, and
+    // every 2nd frame decoded with the real image codec — frame count,
+    // dims and channel means are pure integer math on doc_id, so the SQL
+    // oracle regenerates them exactly (the solidPng/pcmWavBytes move,
+    // third verse)
     "mm_frame_sample" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 60L)
+      val avi = ids.map { id =>
+        val nf = 3 + (id % 4).toInt
+        val w = 8 + (id % 5).toInt; val h = 6 + (id % 3).toInt
+        val frames = (0 until nf).map { i =>
+          graft.multimodal.Multimodal.solidPng(w, h,
+            ((id * 7 + i * 13) % 256).toInt,
+            ((id * 11 + i * 5) % 256).toInt,
+            ((id * 3 + i * 17) % 256).toInt)
+        }
+        (id, graft.multimodal.Multimodal.aviBytes(frames, w, h, codec = "MPNG"))
+      }.toDF("doc_id", "payload")
       val media = graft.multimodal.Multimodal.asMediaTable(
-        s, docs.withColumn("payload", col("text").cast("binary")),
-        "doc_id", "payload", "video")
-      graft.multimodal.Multimodal.frameSample(media, everyNth = 2, frameBytes = 64)
+        s, avi, "doc_id", "payload", "video")
+      graft.multimodal.Multimodal.frameSample(media, everyNth = 2)
         .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
-          col("frame_bytes").cast("long").as("frame_bytes"))
+          col("decoded"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy("media_id", "frame_no")
     }),
 
@@ -2162,10 +2180,15 @@ object SparkEntry {
         "count(*) AS w_n, CAST(max(abs(v)) AS BIGINT) AS w_peak, " +
         "CAST(sum(v * v) AS BIGINT) AS w_sumsq " +
         "FROM s GROUP BY media_id, n, i // 160 ORDER BY media_id, window_no"),
-      "mm_frame_sample" -> ("WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents), " +
-        "f AS (SELECT media_id, len, unnest(range(0, greatest(len // 64, 1), 2)) AS frame_no FROM m) " +
-        "SELECT media_id, frame_no, least(len - frame_no * 64, 64) AS frame_bytes FROM f " +
-        "ORDER BY media_id, frame_no"),
+      "mm_frame_sample" -> ("WITH m AS (SELECT doc_id AS media_id, 3 + doc_id % 4 AS nf, " +
+        "8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents WHERE doc_id < 60), " +
+        "f AS (SELECT media_id, w, h, unnest(range(0, nf, 2)) AS frame_no FROM m) " +
+        "SELECT media_id, frame_no, true AS decoded, CAST(w AS BIGINT) AS width, " +
+        "CAST(h AS BIGINT) AS height, " +
+        "CAST((media_id * 7 + frame_no * 13) % 256 AS BIGINT) AS mean_r, " +
+        "CAST((media_id * 11 + frame_no * 5) % 256 AS BIGINT) AS mean_g, " +
+        "CAST((media_id * 3 + frame_no * 17) % 256 AS BIGINT) AS mean_b " +
+        "FROM f ORDER BY media_id, frame_no"),
       // integer sum() is HUGEINT in DuckDB vs Spark's BIGINT — the driver
       // hash is type-sensitive, so pin the oracle to BIGINT explicitly
       "samp_bernoulli" -> ("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents " +

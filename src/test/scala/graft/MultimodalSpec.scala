@@ -4,8 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
 /** Multimodal: REAL JDK image codec (javax.imageio decode, Graphics2D
-  * resample, PNG encode) for images; deterministic byte-fold fallback for
-  * payloads the JDK cannot decode (audio/video).
+  * resample, PNG encode), REAL audio codec (javax.sound.sampled), and a
+  * REAL pure-JDK RIFF/AVI video demuxer (Motion-JPEG / Motion-PNG);
+  * deterministic byte-fold fallback only for payloads none of those
+  * decode.
   */
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
@@ -91,7 +93,7 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.forall(f => f.n_bytes == 1000 + f.media_id * 100))
   }
 
-  test("frame sampling: every Nth fixed-size chunk of video payloads") {
+  test("frame sampling fallback: non-AVI payloads chunk every Nth fixed-size slice, undecoded") {
     val df = payloads.take(3).toDF("id", "data")
     val media = Multimodal.asMediaTable(spark, df, "id", "data", "video")
     val frames = Multimodal.frameSample(media, everyNth = 1, frameBytes = 256)
@@ -99,6 +101,66 @@ class MultimodalSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(byId(0L) == 1000 / 256) // 3 full frames... plus remainder handling
     assert(frames.filter($"frame_bytes" > 256).count() == 0)
+    assert(frames.filter($"decoded").count() == 0, "arbitrary bytes never claim a decode")
+  }
+
+  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("AVI demux round-trip: Motion-JPEG frames come back byte-identical and decodable") {
+    val imgs = (0 until 5).map { i =>
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(i * 40 % 256, i * 80 % 256, i * 20 % 256))
+      g.fillRect(0, 0, 32, 24); g.dispose()
+      jpegBytes(img)
+    }
+    val avi = Multimodal.aviBytes(imgs, 32, 24, fps = 5, codec = "MJPG")
+    val frames = Multimodal.demuxAvi(avi)
+    assert(frames.size == 5, "every 00dc chunk demuxes")
+    frames.zip(imgs).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want), "frame payloads are byte-identical")
+    }
+    frames.foreach { f =>
+      val img = Multimodal.decodeImage(f)
+      assert(img.exists(i => i.getWidth == 32 && i.getHeight == 24),
+        "each demuxed JPEG frame decodes with the container's dims")
+    }
+  }
+
+  test("AVI demux degrades: garbage is Nil, truncation salvages the frames that fit") {
+    assert(Multimodal.demuxAvi(null) == Nil)
+    assert(Multimodal.demuxAvi(Array[Byte](1, 2, 3)) == Nil)
+    assert(Multimodal.demuxAvi("RIFFxxxxWAVE".getBytes("US-ASCII")) == Nil)
+    val imgs = (0 until 4).map(i => Multimodal.solidPng(8, 8, i, i, i))
+    val avi = Multimodal.aviBytes(imgs, 8, 8, codec = "MPNG")
+    val full = Multimodal.demuxAvi(avi)
+    assert(full.size == 4)
+    // cut inside the last movi chunk: earlier frames still come back
+    val cut = java.util.Arrays.copyOf(avi, avi.length - imgs.last.length - 200)
+    val salvaged = Multimodal.demuxAvi(cut)
+    assert(salvaged.nonEmpty && salvaged.size < 4)
+    salvaged.zip(imgs).foreach { case (g, w) => assert(java.util.Arrays.equals(g, w)) }
+  }
+
+  test("frameSample: real demux + real per-frame decode, exact solid-color means") {
+    val vids = (0L until 3L).map { id =>
+      val frames = (0 until 4).map(i =>
+        Multimodal.solidPng(10, 6, (id * 50 + i).toInt, i * 30, 255 - i * 10))
+      (id, Multimodal.aviBytes(frames, 10, 6, codec = "MPNG"))
+    }
+    val media = Multimodal.asMediaTable(spark, vids.toDF("id", "data"), "id", "data", "video")
+    val out = Multimodal.frameSample(media, everyNth = 2)
+      .select("media_id", "frame_no", "decoded", "width", "height",
+        "mean_r", "mean_g", "mean_b")
+      .as[(Long, Int, Boolean, Int, Int, Long, Long, Long)].collect().toSet
+    val want = (for { id <- 0L until 3L; i <- 0 until 4 by 2 } yield
+      (id, i, true, 10, 6, id * 50 + i, (i * 30).toLong, (255 - i * 10).toLong)).toSet
+    assert(out == want)
   }
 
   test("media table round-trips parquet with binary payloads intact") {
