@@ -330,8 +330,36 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * the key. Reference analogue: the queryable-index read surface
     * (`QueryableIndex.scala:18-40`) exposed to a query language.
     */
-  def createOrReplaceView(name: String): Unit =
-    inOrdered().createOrReplaceTempView(name)
+  def createOrReplaceView(name: String): Unit = {
+    val base =
+      if (manifest.files.isEmpty || !manifest.filesDisjointOrdered) inOrdered()
+      else {
+        // the stitch is wrapped in the manifest-prune marker, so a SQL
+        // point/range predicate on the leading key re-plans over ONLY the
+        // covering files (graft.plans.PruneSnapshotFiles) — the view gets
+        // the native tableForRange file prune, not just row-group skipping
+        val prunable = graft.plans.OrderedPlans.snapshotPrunable(
+          orderedUnion(manifest.files, reverse = false), key.cols.head, prunedPlanFor)
+        graft.plans.OrderedPlans.declareOrdered(prunable, key.cols, reverse = false)
+      }
+    base.createOrReplaceTempView(name)
+  }
+
+  /** Re-stitch over the files whose leading-key [min,max] intersects the
+    * (inclusive, over-approximate) bounds; None when nothing prunes.
+    */
+  private def prunedPlanFor(lo: Option[Any], hi: Option[Any])
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    val files = manifest.files.filter { f =>
+      hi.forall(h => KeyOrd.compare(Seq(f.min.head), Seq(h)) <= 0) &&
+        lo.forall(l => KeyOrd.compare(Seq(f.max.head), Seq(l)) >= 0)
+    }
+    if (files.size == manifest.files.size) None
+    else {
+      val pdf = if (files.isEmpty) df.limit(0) else orderedUnion(files, reverse = false)
+      Some(pdf.queryExecution.analyzed)
+    }
+  }
 
   /** S3 head/tail over a snapshot: only the manifest-prefix of files
     * covering the first `n` rows is read — O(n) input regardless of

@@ -67,6 +67,9 @@ object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrate
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case DeclareOrdered(child, ordering) =>
       DeclareOrderedExec(planLater(child), ordering) :: Nil
+    case SnapshotFilePrune(child, _, _) =>
+      // unconsumed marker (no filter ever landed on it): plan the child
+      planLater(child) :: Nil
     case _ => Nil
   }
 }
@@ -91,6 +94,77 @@ object PushThroughDeclareOrdered
   }
 }
 
+/** Marker carrying a MANIFEST-level file-prune callback for a registered
+  * snapshot view. Spark's stock planning prunes parquet ROW GROUPS via
+  * pushed filters, but it has no idea the snapshot's manifest already
+  * knows each file's [min,max] key range — on a 3M-file snapshot a SQL
+  * point query would still schedule a task per file. [[PruneSnapshotFiles]]
+  * extracts leading-key bounds from a pushed conjunction and asks the
+  * callback for a re-stitched plan over ONLY the covering files — the
+  * SQL twin of the native `tableForRange` prune. The callback returns
+  * None when nothing can be pruned; bounds are inclusive
+  * over-approximations (a kept extra file is correct, a dropped needed
+  * file never happens).
+  */
+final case class SnapshotFilePrune(
+    child: LogicalPlan,
+    leadingKey: String,
+    prune: (Option[Any], Option[Any]) => Option[LogicalPlan]) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): SnapshotFilePrune =
+    copy(child = newChild)
+}
+
+object PruneSnapshotFiles
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(cond, SnapshotFilePrune(child, leading, prune)) if cond.deterministic =>
+      def isKey(e: Expression): Boolean = e match {
+        case a: Attribute => a.name == leading
+        case _ => false
+      }
+      def ext(l: Literal): Option[Any] =
+        Option(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      var lo: Option[Any] = None
+      var hi: Option[Any] = None
+      conjuncts(cond).foreach {
+        case EqualTo(a, l: Literal) if isKey(a) => lo = ext(l); hi = ext(l)
+        case EqualTo(l: Literal, a) if isKey(a) => lo = ext(l); hi = ext(l)
+        case GreaterThan(a, l: Literal) if isKey(a) => lo = ext(l)
+        case GreaterThanOrEqual(a, l: Literal) if isKey(a) => lo = ext(l)
+        case LessThan(a, l: Literal) if isKey(a) => hi = ext(l)
+        case LessThanOrEqual(a, l: Literal) if isKey(a) => hi = ext(l)
+        case GreaterThan(l: Literal, a) if isKey(a) => hi = ext(l)
+        case GreaterThanOrEqual(l: Literal, a) if isKey(a) => hi = ext(l)
+        case LessThan(l: Literal, a) if isKey(a) => lo = ext(l)
+        case LessThanOrEqual(l: Literal, a) if isKey(a) => lo = ext(l)
+        case _ => ()
+      }
+      val replacement =
+        if (lo.isEmpty && hi.isEmpty) None
+        else prune(lo, hi).map { pruned =>
+          // restore the original output exprIds so cond and everything
+          // above keep resolving against the swapped-in child
+          val byName = pruned.output.map(a => a.name -> a).toMap
+          val aliases = child.output.map(o =>
+            Alias(byName(o.name), o.name)(exprId = o.exprId))
+          Project(aliases, pruned)
+        }
+      // every branch erases the marker, so the fixed point terminates
+      Filter(cond, replacement.getOrElse(child))
+  }
+}
+
 object OrderedPlans {
   /** Wraps `df` (whose rows genuinely arrive in `keyCols` order across
     * partition index — the caller's contract) in the ordering declaration.
@@ -98,6 +172,12 @@ object OrderedPlans {
     * builder-time `SparkSessionExtensions` wiring is required (though
     * `injectPlannerStrategy(_ => DeclareOrderedStrategy)` works too).
     */
+  /** Wrap `df` in the manifest-prune marker (see [[SnapshotFilePrune]]). */
+  def snapshotPrunable(df: DataFrame, leadingKey: String,
+                       prune: (Option[Any], Option[Any]) => Option[LogicalPlan]): DataFrame =
+    Shim.ofRows(df.sparkSession,
+      SnapshotFilePrune(df.queryExecution.analyzed, leadingKey, prune))
+
   def declareOrdered(df: DataFrame, keyCols: Seq[String], reverse: Boolean): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(DeclareOrderedStrategy))
@@ -106,7 +186,8 @@ object OrderedPlans {
     if (!spark.experimental.extraOptimizations.contains(PushThroughDeclareOrdered))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations ++ Seq(PushThroughDeclareOrdered,
-          org.apache.spark.sql.catalyst.optimizer.PushDownPredicates)
+          org.apache.spark.sql.catalyst.optimizer.PushDownPredicates,
+          PruneSnapshotFiles)
     val child = df.queryExecution.analyzed
     val dir = if (reverse) Descending else Ascending
     val ordering = keyCols.map { c =>

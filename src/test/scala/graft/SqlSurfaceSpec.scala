@@ -54,6 +54,33 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(n == 2000L)
   }
 
+  test("SQL view prunes manifest FILES on key predicates, not just row groups") {
+    import graft.core._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val store = new FsSnapshotStore(tmpDir("graft-sqlprune"), spark)
+    val rows = (1L to 4000L).map(i => (i, i * 3)).toDF("k", "x")
+    val ix = KVIndex.bootstrap(store, "svp", rows, Seq("k"), maxRowsPerFile = 512)
+      .fold(e => sys.error(e.message), identity)
+    assert(ix.numFiles >= 4, "need a multi-file snapshot to observe pruning")
+    ix.createOrReplaceView("svp_view")
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    // point: exactly the one covering file (the native tableForRange prune,
+    // via graft.plans.PruneSnapshotFiles on the pushed predicate)
+    val point = spark.sql("SELECT x FROM svp_view WHERE k = 1234")
+    assert(point.as[Long].collect().toSeq == Seq(3702L))
+    assert(scannedFiles(point) == 1,
+      s"point query must open 1 covering file of ${ix.numFiles}")
+    // range: only the covering suffix of files
+    val range = spark.sql("SELECT k FROM svp_view WHERE k > 3900")
+    assert(range.as[Long].collect().length == 100)
+    assert(scannedFiles(range) < ix.numFiles,
+      "range query must not enumerate the whole snapshot")
+  }
+
   test("approx_count_distinct tracks exact within its error bound") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     import org.apache.spark.sql.functions._
