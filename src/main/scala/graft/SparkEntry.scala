@@ -69,10 +69,14 @@ object SparkEntry {
       .select("idA", "idB")
   }
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4 only
-    * reads via the nanosAsLong legacy conf; re-derive a proper timestamp at
-    * microsecond precision (`div` keeps the long math exact — a double cast
-    * would lose ~256 ns at 2024 epochs).
+  /** Normalize the events table's `ts` to a plain TIMESTAMP regardless of
+    * how the generator wrote it: parquet TIMESTAMP(NANOS) arrives as a
+    * nanos Long under the nanosAsLong legacy conf (`div` keeps the long
+    * math exact — a double cast would lose ~256 ns at 2024 epochs);
+    * un-adjusted TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ and casts to
+    * the identical instant under the pinned UTC session zone (DuckDB reads
+    * the same file as a naive TIMESTAMP and `epoch_ms` treats it as UTC —
+    * the engines stay value-identical).
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -81,6 +85,8 @@ object SparkEntry {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -428,9 +428,14 @@ object EventStreams {
         reader.option("pathGlobFilter", p.getFileName.toString)
           .parquet(p.getParent.toString)
       else reader.parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // un-adjusted TIMESTAMP(MICROS); same instant under the UTC session
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Run the windowed aggregate as a REAL streaming query (file source →
