@@ -1414,6 +1414,20 @@ object SparkEntry {
       Dedup.dedupSegments(t(s, d, "documents"), segTokens = 10, minDf = 2)
         .select("doc_id", "n_segs", "n_removed", "cleaned")
         .orderBy("doc_id")),
+    // exact duplicated-substring spans (Lee et al. suffix-array dedup,
+    // relational form): maximal runs every 8-token window of which appears
+    // in >= 2 documents, reported as 0-based [start, end) token spans
+    "dd_substring_spans" -> ((s, d) =>
+      Dedup.substringSpans(t(s, d, "documents"), gramTokens = 8, minDf = 2)
+        .orderBy("doc_id", "span_start")),
+    // the apply step: every document rebuilt with its duplicated-span
+    // tokens dropped (docs survive, cross-doc quotes don't)
+    "dd_span_clean" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.removeSpans(docs,
+          Dedup.substringSpans(docs, gramTokens = 8, minDf = 2))
+        .orderBy("doc_id")
+    }),
     // quality-weighted downsample: orders kept with probability
     // totalprice / max(totalprice), deterministically
     "samp_weighted" -> ((s, d) =>
@@ -2293,6 +2307,37 @@ object SparkEntry {
         "count(*) FILTER (seg IN (SELECT seg FROM f)) AS n_removed, " +
         "coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (seg NOT IN (SELECT seg FROM f)), '') AS cleaned " +
         "FROM seg GROUP BY doc_id ORDER BY doc_id"),
+      // sliding 8-token windows (one per position); positions whose window
+      // is in >= 2 docs survive; equal-width islands merge where the
+      // position gap <= 8 (lag NULL at doc start -> ELSE branch -> new span)
+      "dd_substring_spans" -> ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "g AS (SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+8], ' ') AS gram " +
+        "FROM d, unnest(range(0, len(tk) - 7)) t(i) WHERE len(tk) >= 8), " +
+        "f AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) WHERE df >= 2), " +
+        "p AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM f)), " +
+        "i AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk FROM p), " +
+        "j AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM i) " +
+        "SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start, CAST(max(pos) + 8 AS INTEGER) AS span_end, " +
+        "CAST(max(pos) - min(pos) + 8 AS INTEGER) AS span_tokens " +
+        "FROM j GROUP BY doc_id, grp ORDER BY doc_id, span_start"),
+      // spans as above, then every token whose position falls inside a
+      // span of its doc is dropped and the survivors re-joined in order
+      "dd_span_clean" -> ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "g AS (SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+8], ' ') AS gram " +
+        "FROM d, unnest(range(0, len(tk) - 7)) t(i) WHERE len(tk) >= 8), " +
+        "f AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) WHERE df >= 2), " +
+        "p AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM f)), " +
+        "br AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk FROM p), " +
+        "jj AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM br), " +
+        "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM jj GROUP BY doc_id, grp), " +
+        "tok AS (SELECT doc_id, i AS pos, tk[i+1] AS tok FROM d, unnest(range(0, len(tk))) u(i)), " +
+        "keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id AND t.pos >= sp.s AND t.pos < sp.e)) " +
+        "SELECT d.doc_id, CAST(len(d.tk) AS INTEGER) AS n_tokens, " +
+        "CAST(len(d.tk) - count(k.tok) AS INTEGER) AS n_removed, " +
+        "coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS cleaned " +
+        "FROM d LEFT JOIN keep k ON d.doc_id = k.doc_id " +
+        "GROUP BY d.doc_id, len(d.tk) ORDER BY d.doc_id"),
       "samp_weighted" -> ("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS checksum " +
         "FROM orders, (SELECT max(o_totalprice) AS mw FROM orders) m " +

@@ -425,6 +425,102 @@ object Dedup {
             struct(col("pos"), col("seg"))))),
           x => x.getField("seg")), " ").as("cleaned"))
   }
+
+  /** Exact duplicated-SUBSTRING spans — the suffix-array dedup step of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), re-expressed as relational algebra: find every
+    * maximal run of tokens that some `gramTokens`-token window shares with
+    * >= `minDf` documents, and report it as a per-document span. Doc-level
+    * and segment-level dedup can't see these (a long doc quoting one
+    * paragraph of another is unique at both granularities); span detection
+    * is what actually removes the quoted bytes.
+    *
+    * Method: slide a `gramTokens` window over every document (one gram per
+    * token position), count each gram's document frequency corpus-wide,
+    * keep positions whose gram clears `minDf`, and merge
+    * overlapping-or-adjacent surviving windows into maximal spans. Because
+    * every window has the SAME width, interval merge degenerates to
+    * gaps-and-islands over the sorted positions: a new span starts exactly
+    * where `pos - lag(pos) > gramTokens` — a pure window-function pass, no
+    * per-row interval fold.
+    *
+    * Output: one row per span — `(doc_id, span_start, span_end,
+    * span_tokens)`, token indices 0-based, end exclusive.
+    *
+    * Plan shape, in 100-TB order: the gram strings are hashed to 64 bits
+    * IMMEDIATELY after the window explode, so both shuffles move
+    * `(hash | doc_id, pos)` tuples — 8-byte keys, never text. The
+    * document-frequency aggregate gets a map-side partial; the
+    * surviving-position probe is a hash semi-join on the 8-byte key set
+    * (NOT broadcast — at corpus scale the duplicated-gram set is
+    * unbounded); the island merge partitions by doc, and only DUPLICATED
+    * positions reach it (a tiny fraction of the corpus in the non-spam
+    * case). The exploded gram table is persisted spill-safe because it
+    * feeds both the frequency count and the probe side — an unpersisted
+    * plan would tokenize+shingle the corpus twice. 64-bit hashing accepts
+    * the same ~n²/2⁶⁵ collision expectation [[exact]] documents; a
+    * collision can only join two spans that were already duplicated.
+    */
+  def substringSpans(df: DataFrame, gramTokens: Int = 8, minDf: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(gramTokens > 0 && minDf > 1)
+    val grams = df
+      .select(col(idCol), gf.ws_tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= gramTokens)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__tk) - $gramTokens), " +
+          s"i -> array_join(slice(__tk, i + 1, $gramTokens), ' '))"))
+        .as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), xxhash64(col("gram")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = grams.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"))
+    val perDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    grams.join(dup, Seq("__h"), "left_semi")
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(perDoc) <= gramTokens, 0)
+          .otherwise(1))
+      .withColumn("__grp", sum(col("__brk")).over(perDoc))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + gramTokens).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Apply [[substringSpans]] output: rebuild every document with the
+    * tokens inside its duplicated spans removed (the Lee-et-al. "drop the
+    * repeated bytes" step — docs survive, quotes don't). `spans` is any
+    * frame shaped like [[substringSpans]]'s output for the same id column.
+    *
+    * Output per doc: `n_tokens` (original), `n_removed`, `cleaned`
+    * (surviving tokens joined by single spaces — whitespace-normalized
+    * like every token-level op here).
+    *
+    * Plan shape: spans collapse to one bounded array per doc (spans are
+    * disjoint, so ≤ tokens/window of them per doc), join back to the
+    * corpus on the id — one shuffle each side, then a single
+    * codegen-friendly HOF pass filters tokens by span membership. No
+    * range join, no explode of the corpus tokens.
+    */
+  def removeSpans(df: DataFrame, spans: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    df.join(sp, Seq(idCol), "left")
+      .select(col(idCol), gf.ws_tokens(col(textCol)).as("__tk"),
+        coalesce(col("__spans"), array()).as("__sp"))
+      .select(col(idCol), col("__tk"),
+        expr("filter(__tk, (x, i) -> NOT exists(__sp, s -> i >= s.s AND i < s.e))")
+          .as("__keep"))
+      .select(col(idCol),
+        size(col("__tk")).as("n_tokens"),
+        (size(col("__tk")) - size(col("__keep"))).as("n_removed"),
+        array_join(col("__keep"), " ").as("cleaned"))
+  }
 }
 
 /** Deterministic pseudo-random hyperplanes (splitmix64 stream) — fixed seed

@@ -171,6 +171,36 @@ class TrainingOpsSpec extends SparkSuite {
     assert(r(3) == ((4L, 1L, 1L, "")))
   }
 
+  test("substringSpans: cross-doc runs merge to maximal spans; within-doc repeats and short docs don't flag") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),         // shares "a b c d e" w/ 2, "f g h" w/ 5
+      (2L, "z z a b c d e z z z"),      // the quoted run sits mid-doc
+      (3L, "p q r p q r p q r"),        // repeats only WITHIN itself -> clean
+      (4L, "m n"),                      // shorter than the gram window
+      (5L, "a b c q q q q f g h")       // two shared runs split by a gap > L
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.substringSpans(df, gramTokens = 3, minDf = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Int)].collect()
+    // doc 1: dup window positions {0,1,2,5}; gap 5-2=3 <= L so the two runs
+    // touch ([2,5) + [5,8)) and merge into one fully-covered span [0,8)
+    assert(r.toSeq == Seq(
+      (1L, 0, 8, 8),
+      (2L, 2, 7, 5),
+      (5L, 0, 3, 3),
+      (5L, 7, 10, 3)))
+
+    val cleaned = graft.dedup.Dedup.removeSpans(df,
+        graft.dedup.Dedup.substringSpans(df, gramTokens = 3, minDf = 2))
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect()
+    assert(cleaned.toSeq == Seq(
+      (1L, 8, 8, ""),                        // fully covered -> empty
+      (2L, 10, 5, "z z z z z"),              // mid-doc quote excised
+      (3L, 9, 0, "p q r p q r p q r"),       // self-repeats untouched
+      (4L, 2, 0, "m n"),
+      (5L, 10, 6, "q q q q")))               // both shared runs dropped
+  }
+
   test("weighted: max-weight always kept, zero-weight never, rate tracks weight, deterministic") {
     val df = (0L until 1000L).map(i =>
       (i, if (i % 10 == 0) 100.0 else if (i % 10 == 1) 0.0 else 50.0)).toDF("id", "w")
