@@ -104,4 +104,25 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(planStr.contains("*(1) Project") && planStr.contains("*(1) Filter"),
       planStr.take(2000))
   }
+
+  test("substringSpans probes via a semi join over the persisted gram table") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, if (i % 2 == 0) "a b c d e f g h i j" else s"u$i v$i w x y z a$i b c d"))
+      .toDF("doc_id", "text")
+    val q = graft.dedup.Dedup.substringSpans(docs, gramTokens = 4, minDf = 2)
+    q.collect()
+    val optimized = q.queryExecution.optimizedPlan
+    // the duplicated-position probe must stay a SEMI join (only doc/pos
+    // survive — gram hashes never widen the output), and the gram table
+    // must come back from the persisted relation on BOTH consumers, not
+    // re-tokenize the corpus twice
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    assert(optimized.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+      optimized.treeString.take(2000))
+    val cached = optimized.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cached.size == 2, s"expected the gram table cached on both sides, saw ${cached.size}")
+  }
 }
