@@ -942,20 +942,29 @@ object KVIndex {
         val stamped =
           if (df.columns.contains("version")) df
           else df.withColumn("version", lit(txVersion))
-        // size the file count from optimizer stats (scan bytes) instead of
-        // a dedicated count() pass — targets ~32 MB of input per file,
-        // i.e. maxRowsPerFile at the default for ~64-byte rows
-        val sizeBytes = BigDecimal(
-          stamped.queryExecution.optimizedPlan.stats.sizeInBytes).toDouble
-        val targetBytes = 64.0 * maxRowsPerFile
-        val nParts = math.max(1, math.min(100000,
-          math.ceil(sizeBytes / targetBytes).toInt))
         // writeData reads the input twice (range sampling + write): pin a
         // compute-heavy input once, unless the caller already did or the
         // plan is trivially recomputable (re-scanning beats serializing)
         val pin = stamped.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
           !isTrivialPlan(stamped)
         if (pin) stamped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // size the file count from optimizer stats (scan bytes) instead of
+        // a dedicated count() pass — targets ~32 MB of input per file,
+        // i.e. maxRowsPerFile at the default for ~64-byte rows. Plans with
+        // NO real estimate (LogicalRDD / streaming micro-batches report the
+        // unknown-stats sentinel, ~8 EB) would cap out the partition count
+        // and the range partitioner would then write ONE FILE PER ROW —
+        // those pay one O(input) count instead (free off the pin, or a
+        // cheap rescan for the trivial plans the pin skips).
+        val statsBytes = BigDecimal(
+          stamped.queryExecution.optimizedPlan.stats.sizeInBytes)
+        val nParts =
+          if (statsBytes < BigDecimal(Long.MaxValue) / 4) {
+            val targetBytes = BigDecimal(64L) * maxRowsPerFile
+            (statsBytes / targetBytes).setScale(0, BigDecimal.RoundingMode.CEILING)
+              .min(100000).max(1).toInt
+          } else math.max(1,
+            math.ceil(stamped.count().toDouble / maxRowsPerFile).toInt)
         val files =
           try store.writeData(id, stamped, key, nParts)._2
           finally { if (pin) stamped.unpersist() }

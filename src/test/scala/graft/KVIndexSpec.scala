@@ -29,6 +29,24 @@ abstract class KVIndexSpecBase extends SparkSuite {
       .fold(e => fail(e.message), identity)
   }
 
+  test("bootstrap from a stats-less plan sizes files by a count, not the sentinel") {
+    // LogicalRDD (like a streaming micro-batch) reports the unknown-stats
+    // sentinel; the size-based file heuristic once capped out the range
+    // partitioner and wrote ONE FILE PER ROW (a 250-doc ingest bootstrap
+    // produced a 250-file manifest every later open/prune/compact paid for)
+    val store = newStore()
+    val rows = (1 to 250).map(i => org.apache.spark.sql.Row(f"k$i%04d", s"v$i"))
+    val rdd = spark.sparkContext.parallelize(rows, 8)
+    val df = spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    val ix = KVIndex.bootstrap(store, "tstats", df, Seq("k"), maxRowsPerFile = 100)
+      .fold(e => fail(e.message), identity)
+    assert(ix.count == 250)
+    assert(ix.numFiles == 3, s"expected ceil(250/100)=3 files, got ${ix.numFiles}")
+    assert(dump(ix).size == 250)
+  }
+
   test("bootstrap + read back + O(1) count from manifest") {
     val store = newStore()
     val ix = boot(store, "t1")
