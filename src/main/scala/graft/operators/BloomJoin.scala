@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal, Predicate, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types.BinaryType
@@ -26,10 +28,11 @@ import org.apache.spark.sql.types.BinaryType
   * The sketch itself is built distributed (partial filters OR-merge in the
   * aggregate) and only the finished fixed-size bitset reaches the driver —
   * the same movement Spark's runtime filter performs when it evaluates the
-  * filter-creation subquery. `might_contain` requires its filter side to
-  * be a constant or scalar subquery, so the sketch is embedded as a
-  * literal in the fact-side predicate (≈ a broadcast of `numBits/8`
-  * bytes riding the plan).
+  * filter-creation subquery. Small sketches are embedded as a literal in
+  * the fact-side predicate; above [[BloomJoin.InlineSketchBytes]] the
+  * bytes ride a torrent broadcast and the predicate holds only the handle
+  * ([[BloomMightContainBc]]) — plans, optimizer passes and task binaries
+  * stay small no matter the sketch size.
   *
   * Keys are pre-hashed with xxhash64 on BOTH sides, matching how Spark's
   * runtime filtering feeds BloomFilterAggregate — the filter stores 64-bit
@@ -37,11 +40,12 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomJoin {
 
-  /** Hard ceiling on sketch size: 2^28 bits = 32 MB serialized. The sketch
-    * is embedded as a PLAN LITERAL in the fact-side predicate and therefore
-    * rides every serialized task closure — a caller asking for a 128 MB
-    * filter (`numBits = 1L << 30`) would ship 128 MB with every task. Above
-    * the ceiling the right tool is a shuffled join, not a bigger literal.
+  /** Hard ceiling on sketch size: 2^28 bits = 32 MB serialized. Above
+    * [[InlineSketchBytes]] the bytes ship via broadcast (once per
+    * executor), so the cap is no longer about task closures — it bounds
+    * the driver-side aggregate result and per-executor resident memory; a
+    * dim whose honest sketch needs more than 32 MB is big enough that the
+    * right tool is a shuffled join, not a bigger filter.
     */
   val MaxSketchBits: Long = 1L << 28
 
@@ -51,8 +55,7 @@ object BloomJoin {
   final class SketchTooLargeException(requested: Long)
     extends IllegalArgumentException(
       s"bloom sketch of $requested bits exceeds MaxSketchBits=$MaxSketchBits " +
-        "(32 MB serialized); the sketch is a plan literal shipped with every " +
-        "task — use a shuffled join for dims this large")
+        "(32 MB serialized) — use a shuffled join for dims this large")
 
   /** Filter sizing from the expected item count: ~10 bits/item (~1% false
     * positives), floored at 64 bits, capped at [[MaxSketchBits]] — at the
@@ -102,10 +105,29 @@ object BloomJoin {
     out.toByteArray
   }
 
-  /** Membership probe of `key` against a finished filter. */
+  /** Sketches at or below this serialized size are embedded as plan
+    * literals (zero moving parts, same shape Spark's own runtime filter
+    * produces); above it they ride a torrent BROADCAST instead. A multi-MB
+    * literal is costly twice over: Catalyst re-hashes it on every
+    * optimizer-rule pass of every plan that references it (driver CPU per
+    * ACTION, painfully visible in a streaming loop that plans dozens of
+    * small jobs per batch), and it ships inside every serialized task
+    * binary. A broadcast moves the bytes once per executor and leaves the
+    * plan holding a handle.
+    */
+  val InlineSketchBytes: Int = 1 << 20
+
+  /** Membership probe of `key` against a finished filter — literal-embedded
+    * below [[InlineSketchBytes]], broadcast-backed above.
+    */
   def mightContain(bf: Array[Byte], key: Column): Column =
-    Shim.col(BloomFilterMightContain(Literal(bf, BinaryType),
-      Shim.expr(xxhash64(key))))
+    if (bf == null || bf.length <= InlineSketchBytes)
+      Shim.col(BloomFilterMightContain(Literal(bf, BinaryType),
+        Shim.expr(xxhash64(key))))
+    else {
+      val bc = SparkSession.active.sparkContext.broadcast(bf)
+      Shim.col(BloomMightContainBc(bc, Shim.expr(xxhash64(key))))
+    }
 
   /** `fact` reduced to the rows whose `factKey` might appear in `dim`'s
     * `dimKey` set — the prefilter alone, for callers composing their own
@@ -134,4 +156,35 @@ object BloomJoin {
       .join(dim.select(col(dimKey).as(dk)).distinct(),
         col(factKey) === col(dk), "left_semi")
   }
+}
+
+/** Broadcast-backed bloom membership probe (`child` = the pre-hashed
+  * 64-bit key, same convention as `BloomFilterMightContain`): the
+  * serialized sketch lives in a torrent broadcast fetched once per
+  * executor; the expression tree — and thus every optimizer pass and task
+  * closure — carries only the handle. The deserialized filter is built
+  * lazily once per JVM that evaluates it. Chosen automatically by
+  * [[BloomJoin.mightContain]] above [[BloomJoin.InlineSketchBytes]];
+  * semantics are identical to the literal form (no false negatives, null
+  * key → null).
+  */
+case class BloomMightContainBc(bc: Broadcast[Array[Byte]], child: Expression)
+    extends UnaryExpression with Predicate {
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bc.value))
+
+  /** public: called from generated code via the reference object */
+  def probe(hash: Long): Boolean = filter.mightContainLong(hash)
+
+  override def nullSafeEval(hash: Any): Any = probe(hash.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.probe($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContainBc =
+    copy(child = c)
 }

@@ -109,4 +109,34 @@ class BloomJoinSpec extends SparkSuite {
     assert(BloomJoin.semiJoin(fact, full, "fk", "dk",
       expectedItems = 1L << 13, numBits = 1L << 17).count() == 5000L)
   }
+
+  test("big sketches probe via broadcast, not a plan literal; small stay literal") {
+    val (fact, dim) = fixture
+    // 2^24 bits = 2 MB serialized — above InlineSketchBytes (1 MB)
+    val big = BloomJoin.keyFilterBytes(dim, col("dk"), 1L << 10, 1L << 24)
+    assert(big.length > BloomJoin.InlineSketchBytes)
+    // RDD-backed fact: a LocalRelation would let ConvertToLocalRelation
+    // evaluate the probe at optimization time and erase the filter node
+    val factRdd = spark.createDataFrame(
+      spark.sparkContext.parallelize(fact.collect().toSeq, 4), fact.schema)
+    val probed = factRdd.filter(BloomJoin.mightContain(big, col("fk")))
+    // the plan must carry a broadcast HANDLE, not megabytes of literal:
+    // Catalyst re-hashes every literal on each rule pass, and a literal
+    // ships inside every task binary
+    val exprs = probed.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case b: graft.operators.BloomMightContainBc => b
+    })
+    assert(exprs.nonEmpty, probed.queryExecution.optimizedPlan.treeString.take(1000))
+    // no false negatives through the broadcast path either
+    val matches = dim.select($"dk".as("fk")).collect().map(_.getLong(0)).toSet
+    val kept = probed.select("fk").collect().map(_.getLong(0)).toSet
+    assert(matches.subsetOf(kept))
+    // small sketch: same probe stays a literal (no broadcast round trip)
+    val small = BloomJoin.keyFilterBytes(dim, col("dk"), 1L << 10, 1L << 14)
+    val litProbe = fact.filter(BloomJoin.mightContain(small, col("fk")))
+    val bcExprs = litProbe.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case b: graft.operators.BloomMightContainBc => b
+    })
+    assert(bcExprs.isEmpty)
+  }
 }
