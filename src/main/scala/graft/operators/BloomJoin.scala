@@ -171,9 +171,11 @@ object BloomJoin {
 case class BloomMightContainBc(bc: Broadcast[Array[Byte]], child: Expression)
     extends UnaryExpression with Predicate {
 
-  @transient private lazy val filter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bc.value))
+  // every TASK deserializes its own copy of this expression, so a plain
+  // lazy val would re-parse the sketch bytes per task (32 concurrent tasks
+  // × a 32 MB filter = a GB of transient garbage per stage); the per-JVM
+  // cache keyed by broadcast id shares one parsed filter per executor
+  @transient private lazy val filter = BloomMightContainBc.filterFor(bc)
 
   /** public: called from generated code via the reference object */
   def probe(hash: Long): Boolean = filter.mightContainLong(hash)
@@ -187,4 +189,33 @@ case class BloomMightContainBc(bc: Broadcast[Array[Byte]], child: Expression)
 
   override protected def withNewChildInternal(c: Expression): BloomMightContainBc =
     copy(child = c)
+}
+
+object BloomMightContainBc {
+  // bounded LRU: an ingest stream broadcasts a fresh merged sketch every
+  // batch, so an unbounded cache would pin every superseded filter in
+  // executor memory for the stream's life. 4 live filters × the 32 MB cap
+  // bounds the cache at 128 MB worst case, one entry in the common case.
+  // Keyed by (appId, broadcastId): broadcast ids restart with the
+  // SparkContext, and a same-JVM successor context (test matrices,
+  // repeated local sessions) must not hit the predecessor's filter.
+  private val cache = new java.util.LinkedHashMap[(String, Long), org.apache.spark.util.sketch.BloomFilter](
+      8, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Long), org.apache.spark.util.sketch.BloomFilter]): Boolean =
+      size() > 4
+  }
+
+  private[operators] def filterFor(bc: Broadcast[Array[Byte]])
+      : org.apache.spark.util.sketch.BloomFilter = cache.synchronized {
+    val key = (org.apache.spark.SparkEnv.get.conf.getAppId, bc.id)
+    val got = cache.get(key)
+    if (got != null) got
+    else {
+      val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bc.value))
+      cache.put(key, f)
+      f
+    }
+  }
 }
