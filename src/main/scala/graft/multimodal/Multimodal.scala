@@ -383,30 +383,31 @@ object Multimodal {
         ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     if (str4(0) != "RIFF" || str4(8) != "AVI ") return Nil
     val out = Seq.newBuilder[Array[Byte]]
-    def walk(from: Int, to: Int): Unit = {
+    // offsets are Longs: a corrupt size field near 2^31 would overflow Int
+    // arithmetic into a NEGATIVE `end` that slips past the truncation
+    // guard and throws from copyOfRange — in Long, an absurd size simply
+    // reads as `end > to` and stops, per the salvage contract
+    def walk(from: Long, to: Long): Unit = {
       var o = from
       var ok = true
       while (ok && o + 8 <= to) {
-        val id = str4(o)
-        val sz = u32(o + 4)
-        if (sz < 0 || sz > Int.MaxValue - 8) ok = false
+        val id = str4(o.toInt)
+        val sz = u32(o.toInt + 4) // unsigned 32-bit: 0 .. 2^32-1
+        val end = o + 8 + sz
+        if (id == "LIST" && sz >= 4) {
+          // a truncated LIST is still walked over the bytes that DID
+          // arrive — salvage the frames that fit
+          walk(o + 12, math.min(end, to))
+          if (end > to) ok = false else o = end + (sz & 1)
+        } else if (end > to) ok = false // truncated plain chunk: stop
         else {
-          val end = o + 8 + sz.toInt
-          if (id == "LIST" && sz >= 4) {
-            // a truncated LIST is still walked over the bytes that DID
-            // arrive — salvage the frames that fit
-            walk(o + 12, math.min(end, to))
-            if (end > to) ok = false else o = end + (sz.toInt & 1)
-          } else if (end > to) ok = false // truncated plain chunk: stop
-          else {
-            if (id.endsWith("dc") || id.endsWith("db"))
-              out += java.util.Arrays.copyOfRange(bytes, o + 8, end)
-            o = end + (sz.toInt & 1)
-          }
+          if (id.endsWith("dc") || id.endsWith("db"))
+            out += java.util.Arrays.copyOfRange(bytes, o.toInt + 8, end.toInt)
+          o = end + (sz & 1)
         }
       }
     }
-    walk(12, bytes.length)
+    walk(12L, bytes.length.toLong)
     out.result()
   }
 

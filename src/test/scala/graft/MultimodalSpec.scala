@@ -145,6 +145,26 @@ class MultimodalSpec extends SparkSuite {
     val salvaged = Multimodal.demuxAvi(cut)
     assert(salvaged.nonEmpty && salvaged.size < 4)
     salvaged.zip(imgs).foreach { case (g, w) => assert(java.util.Arrays.equals(g, w)) }
+    // corrupt SIZE field near 2^31: Int arithmetic would overflow into a
+    // negative chunk end and THROW from copyOfRange; the contract is
+    // salvage-then-stop. Patch the last frame chunk's size to 0x7FFFFFF0.
+    val evil = avi.clone()
+    val lastFrame = imgs.last
+    def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    // the last REAL '00dc' chunk header (size field == frame length) —
+    // a bare fourcc search would land on the idx1 index entries instead
+    val idx = Range(0, evil.length - 8).lastIndexWhere(o =>
+      evil(o) == '0'.toByte && evil(o + 1) == '0'.toByte &&
+        evil(o + 2) == 'd'.toByte && evil(o + 3) == 'c'.toByte &&
+        u32(evil, o + 4) == lastFrame.length)
+    assert(idx > 0)
+    evil(idx + 4) = 0xf0.toByte; evil(idx + 5) = 0xff.toByte
+    evil(idx + 6) = 0xff.toByte; evil(idx + 7) = 0x7f.toByte
+    val beforeEvil = Multimodal.demuxAvi(evil)
+    assert(beforeEvil.size == 3, s"expected the 3 intact frames, got ${beforeEvil.size}")
+    beforeEvil.zip(imgs).foreach { case (g, w) => assert(java.util.Arrays.equals(g, w)) }
   }
 
   test("frameSample: real demux + real per-frame decode, exact solid-color means") {
