@@ -236,7 +236,7 @@ object SparkEntry {
       for ((lo, hi) <- Seq((100L, 300L), (300L, 1000L), (1000L, Long.MaxValue)))
         ix = new KVIndex(store, ix.execute(Seq(Command.Insert(slice(lo, hi)))).orThrow)
       ix = new KVIndex(store, ix.compact().orThrow)
-      vacResults(s"kv-vacuum|$d") = store.vacuum("vord", retainVersions = 1)
+      vacResults(s"kv-vacuum|$d") = store.vacuum("vord", retainVersions = 1, graceMs = 0L)
       KVIndex.open(store, "vord").fold(e => sys.error(e.message), identity)
     }
 

@@ -33,12 +33,24 @@ import org.apache.spark.sql.functions._
   * `SnapshotStore` trait against a transactional row store. The zero-egress
   * sandbox forbids a networked Cassandra/YugabyteDB; in-process Derby
   * (`jdbc:derby:memory:...`) exercises the identical seam — swap the URL
-  * (and the two dialect-specific DDL strings) for a networked JDBC store.
+  * (and the two dialect-specific DDL strings) for a networked JDBC store,
+  * AND move the parquet staging/cache onto shared storage: as shipped the
+  * data plane stages through driver-local temp files, so the store is
+  * single-JVM only (enforced below).
   * Bulk analytics at 100 TB stays on the FS/object-store backend; this one
   * is the control-plane-in-a-database deployment shape.
   */
 final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
     extends SnapshotStore {
+
+  // the data plane stages parquet through DRIVER-LOCAL temp files (write
+  // staging + the blob read cache) — executors on other machines could
+  // neither produce nor read them. In-process Derby is single-JVM by
+  // nature, so this matches the store's whole deployment shape; a
+  // networked-JDBC port must move staging to shared storage first.
+  require(spark.sparkContext.isLocal,
+    "JdbcSnapshotStore is an embedded, single-JVM backend (driver-local " +
+      "parquet staging); it cannot serve a multi-executor cluster")
 
   val root: String = url
 
@@ -123,7 +135,7 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
 
   // ---- filelist checkpoints ----
 
-  override protected def writeFileList(rel: String, files: Seq[FileEntry]): Unit =
+  override protected def writeFileList(rel: String, files: Seq[FileEntry]): Unit = {
     withConn { c =>
       val ps = c.prepareStatement("INSERT INTO filelists (rel, buf) VALUES (?, ?)")
       try {
@@ -131,6 +143,8 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
         ps.executeUpdate()
       } finally ps.close()
     }
+    createdMs(rel) = System.currentTimeMillis()
+  }
 
   override protected def readFileList(rel: String): Seq[FileEntry] = withConn { c =>
     val ps = c.prepareStatement("SELECT buf FROM filelists WHERE rel = ?")
@@ -143,9 +157,12 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
     } finally ps.close()
   }
 
-  override protected def deleteFileList(rel: String): Unit = withConn { c =>
-    val ps = c.prepareStatement("DELETE FROM filelists WHERE rel = ?")
-    try { ps.setString(1, rel); ps.executeUpdate() } finally ps.close()
+  override protected def deleteFileList(rel: String): Unit = {
+    withConn { c =>
+      val ps = c.prepareStatement("DELETE FROM filelists WHERE rel = ?")
+      try { ps.setString(1, rel); ps.executeUpdate() } finally ps.close()
+    }
+    createdMs.remove(rel)
   }
 
   override protected def listFileLists(id: String): Seq[String] = withConn { c =>
@@ -192,6 +209,7 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
             ps.executeUpdate()
           } finally ps.close()
         }
+        createdMs(logical) = System.currentTimeMillis()
         f.copy(path = logical)
       }
       (snapshotId, entries)
@@ -242,8 +260,20 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
       val ps = c.prepareStatement("DELETE FROM datafiles WHERE path = ?")
       try { ps.setString(1, path); ps.executeUpdate() } finally ps.close()
     }
+    createdMs.remove(path)
     Files.deleteIfExists(cacheDir.resolve(path.replace('/', '_') + ".parquet"))
   }
+
+  // in-JVM creation stamps for vacuum's grace window — adequate for an
+  // in-process store (a restarted JVM cannot have an in-flight writer from
+  // before the restart; undated objects sweep as before)
+  private val createdMs = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  override protected def dataFileModifiedMs(path: String): Option[Long] =
+    createdMs.get(path)
+
+  override protected def fileListModifiedMs(rel: String): Option[Long] =
+    createdMs.get(rel)
 
   private def deleteRec(root: java.nio.file.Path): Unit =
     try {

@@ -322,6 +322,15 @@ trait SnapshotStore {
     * filesystem paths) */
   protected def normalizePath(p: String): String = p
 
+  /** Last-modified wall time of a data file / filelist checkpoint, for
+    * vacuum's grace window (an unreferenced-but-YOUNG object may belong to
+    * an in-flight commit and must not be swept). `None` = the backend
+    * cannot date the object; it is treated as old, i.e. sweepable — the
+    * pre-grace behavior.
+    */
+  protected def dataFileModifiedMs(path: String): Option[Long] = None
+  protected def fileListModifiedMs(rel: String): Option[Long] = None
+
   // ---- shared catalog logic ----
 
   final def exists(id: String): Boolean = readText(s"$id/LATEST").isDefined
@@ -562,13 +571,22 @@ trait SnapshotStore {
     * Concurrency contract: vacuum is a maintenance operation — do not run
     * it concurrently with `copyTo`/`merge`/`split` of the SAME index's
     * files (a clone committed after the mark phase could reference a
-    * just-swept file). Same-index writers are safe: their files are either
-    * in kept manifests or newer.
+    * just-swept file). Same-index writers are safe PROVIDED their
+    * write-to-commit span is shorter than `graceMs`: an in-flight commit's
+    * data files and filelist checkpoint exist before its manifest CAS, so
+    * they look unreferenced to the mark phase — the grace window keeps the
+    * sweep's hands off anything younger than `graceMs` (objects a backend
+    * cannot date are treated as old). `graceMs = 0` restores the exact
+    * deterministic sweep (single-writer maintenance windows, tests).
     *
     * Returns (#manifests removed, #files deleted).
     */
-  final def vacuum(id: String, retainVersions: Int = 2): (Int, Int) = {
+  final def vacuum(id: String, retainVersions: Int = 2,
+                   graceMs: Long = SnapshotStore.DefaultVacuumGraceMs): (Int, Int) = {
     require(retainVersions >= 1)
+    val sweepStartMs = System.currentTimeMillis()
+    def aged(modified: Option[Long]): Boolean =
+      graceMs <= 0 || !modified.exists(sweepStartMs - _ < graceMs)
     val latest = loadLatest(id).fold(e => throw new IllegalStateException(e.message), identity)
     val cutoff = latest.version - retainVersions + 1
     val dropM = listNames(id).collect {
@@ -594,17 +612,19 @@ trait SnapshotStore {
       f <- km.filesRef.fold(km.files)(readFileList)
     } yield normalizePath(f.path)).toSet
     // sweep this index's filelist checkpoints no kept manifest points at
-    // (dropped versions' checkpoints, plus orphans of crashed commits)
+    // (dropped versions' checkpoints, plus AGED orphans of crashed commits
+    // — young ones may be an in-flight commit's, written pre-CAS)
     val keptRefs = kept.flatMap(_.filesRef).toSet
     listFileLists(id)
       .map(sid => s"$id/filelist/$sid")
       .filterNot(keptRefs.contains)
+      .filter(rel => aged(fileListModifiedMs(rel)))
       .foreach(deleteFileList)
-    // sweep this index's unreferenced data files
+    // sweep this index's unreferenced, out-of-grace data files
     var deleted = 0
-    listDataFiles(id).filterNot(referenced.contains).foreach { p =>
-      deleteDataFile(p); deleted += 1
-    }
+    listDataFiles(id).filterNot(referenced.contains)
+      .filter(p => aged(dataFileModifiedMs(p)))
+      .foreach { p => deleteDataFile(p); deleted += 1 }
     (dropM.size, deleted)
   }
 }
@@ -613,6 +633,14 @@ object SnapshotStore {
   /** default backend */
   def apply(root: String, spark: SparkSession): SnapshotStore =
     new FsSnapshotStore(root, spark)
+
+  /** Default vacuum grace window: unreferenced objects younger than this
+    * survive the sweep, protecting in-flight commits (whose data files and
+    * filelist checkpoint legitimately precede their manifest CAS). Sized
+    * for a generous multi-TB write; writers slower than this must not
+    * overlap a vacuum.
+    */
+  val DefaultVacuumGraceMs: Long = 15L * 60L * 1000L
 }
 
 /** Filesystem/HadoopFS-backed store: manifests are JSON files, data files
@@ -743,6 +771,14 @@ class FsSnapshotStore(val root: String, val spark: SparkSession)
 
   override protected def normalizePath(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  override protected def dataFileModifiedMs(path: String): Option[Long] =
+    try Some(Files.getLastModifiedTime(Paths.get(path)).toMillis)
+    catch { case _: java.io.IOException => None }
+
+  override protected def fileListModifiedMs(rel: String): Option[Long] =
+    try Some(Files.getLastModifiedTime(p(rel)).toMillis)
+    catch { case _: java.io.IOException => None }
 }
 
 /** In-memory store — the reference's `MemoryStorage` analogue
@@ -762,13 +798,19 @@ final class MemorySnapshotStore(val spark: SparkSession,
   private val dataFiles = TrieMap.empty[String, DataFrame]
   private val snapshotRdds = TrieMap.empty[String, RDD[Row]]
   private val fileLists = TrieMap.empty[String, Seq[FileEntry]]
+  // creation stamps for vacuum's grace window (keys: data paths + rels)
+  private val createdMs = TrieMap.empty[String, Long]
 
-  override protected def writeFileList(rel: String, files: Seq[FileEntry]): Unit =
+  override protected def writeFileList(rel: String, files: Seq[FileEntry]): Unit = {
     fileLists(rel) = files
+    createdMs(rel) = System.currentTimeMillis()
+  }
   override protected def readFileList(rel: String): Seq[FileEntry] =
     fileLists.getOrElse(rel,
       throw new java.util.NoSuchElementException(s"no such filelist: $rel"))
-  override protected def deleteFileList(rel: String): Unit = fileLists.remove(rel)
+  override protected def deleteFileList(rel: String): Unit = {
+    fileLists.remove(rel); createdMs.remove(rel)
+  }
   override protected def listFileLists(id: String): Seq[String] = {
     val prefix = s"$id/filelist/"
     fileLists.keys.filter(_.startsWith(prefix))
@@ -821,6 +863,7 @@ final class MemorySnapshotStore(val spark: SparkSession,
       val fileNo = r.getInt(0)
       val path = s"$dirKey/part-$fileNo"
       dataFiles(path) = pinned.filter(col("__file") === fileNo).drop("__file")
+      createdMs(path) = System.currentTimeMillis()
       FileEntry(path, r.getLong(1), r.getStruct(2).toSeq, r.getStruct(3).toSeq)
     }.toSeq.sortBy(_.min)(KeyOrd)
     (snapshotId, entries)
@@ -838,8 +881,15 @@ final class MemorySnapshotStore(val spark: SparkSession,
 
   override protected def deleteDataFile(path: String): Unit = {
     dataFiles.remove(path)
+    createdMs.remove(path)
     val dirKey = path.substring(0, path.lastIndexOf('/'))
     if (!dataFiles.keys.exists(_.startsWith(dirKey + "/")))
       snapshotRdds.remove(dirKey).foreach(_.unpersist(blocking = false))
   }
+
+  override protected def dataFileModifiedMs(path: String): Option[Long] =
+    createdMs.get(path)
+
+  override protected def fileListModifiedMs(rel: String): Option[Long] =
+    createdMs.get(rel)
 }

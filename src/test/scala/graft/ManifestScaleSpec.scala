@@ -84,7 +84,7 @@ class ManifestScaleSpec extends SparkSuite {
       snapshotId = java.util.UUID.randomUUID().toString, files = bigFiles(N)), 2L)
     val flDir = java.nio.file.Paths.get(store.root, "big", "filelist")
     assert(java.nio.file.Files.list(flDir).count() == 3)
-    val (droppedManifests, _) = store.vacuum("big", retainVersions = 1)
+    val (droppedManifests, _) = store.vacuum("big", retainVersions = 1, graceMs = 0L)
     assert(droppedManifests == 3) // v0 (createIndex), v1, v2
     assert(java.nio.file.Files.list(flDir).count() == 1,
       "dropped versions' checkpoints must be swept")

@@ -42,7 +42,7 @@ class StoreSpec extends SparkSuite {
         assert(r.success)
         ix = new KVIndex(store, r.snapshot.get, maxRowsPerFile = 32)
       }
-      val (droppedManifests, deletedFiles) = store.vacuum("orig", retainVersions = 2)
+      val (droppedManifests, deletedFiles) = store.vacuum("orig", retainVersions = 2, graceMs = 0L)
       assert(droppedManifests >= 2)
       // the clone (a different index, version untouched) must still read fully
       val cloneAfter = new KVIndex(store, store.loadLatest("clone").toOption.get)
@@ -65,10 +65,40 @@ class StoreSpec extends SparkSuite {
         assert(r.success)
         ix = new KVIndex(store, r.snapshot.get, maxRowsPerFile = 32)
       }
-      val (_, deleted) = store.vacuum("gc", retainVersions = 1)
+      val (_, deleted) = store.vacuum("gc", retainVersions = 1, graceMs = 0L)
       assert(deleted > 0, "full-rewrite garbage must be reclaimed")
       val latest = KVIndex.open(store, "gc").toOption.get
       assert(latest.df.count() == 64)
+    }
+  }
+
+  test("vacuum's grace window spares an in-flight commit's pre-CAS files") {
+    for (store <- stores()) {
+      var ix = boot(store, "inflight", n = 64)
+      // make real garbage so the grace-0 sweep has something aged to prove
+      val r = ix.execute(Seq(Command.Insert(
+        kv((1 to 64).map(j => (f"k$j%04d", s"gen2-$j"))), upsert = true)))
+      ix = new KVIndex(store, r.snapshot.get, maxRowsPerFile = 32)
+      // simulate the pre-CAS half of a commit: data files written, no
+      // manifest referencing them yet
+      val (_, staged) = store.writeData("inflight",
+        kv(Seq(("zz01", "pending"))).withColumn("version", lit("tx-pending")),
+        KeySpec(Seq("k")), 1)
+      // default grace: the staged (young, unreferenced) files survive
+      store.vacuum("inflight", retainVersions = 1)
+      val stagedPaths = staged.map(_.path)
+      val readable = store.readFiles(stagedPaths,
+        store.loadLatest("inflight").toOption.get).count()
+      assert(readable == 1L, "grace window must spare pre-CAS files")
+      // grace 0: the same unreferenced files are reclaimed as garbage
+      val (_, deleted) = store.vacuum("inflight", retainVersions = 1, graceMs = 0L)
+      assert(deleted > 0)
+      assertThrows[Exception] {
+        store.readFiles(stagedPaths,
+          store.loadLatest("inflight").toOption.get).count()
+      }
+      // the committed snapshot is intact either way
+      assert(KVIndex.open(store, "inflight").toOption.get.df.count() == 64)
     }
   }
 

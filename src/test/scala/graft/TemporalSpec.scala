@@ -57,7 +57,7 @@ class TemporalSpec extends SparkSuite {
 
     // ---- vacuum: keep last 2 versions, old snapshots become unreachable,
     //      latest still reads the full model ----
-    val (droppedManifests, deletedFiles) = store.vacuum("tt", retainVersions = 2)
+    val (droppedManifests, deletedFiles) = store.vacuum("tt", retainVersions = 2, graceMs = 0L)
     assert(droppedManifests > 0)
     assert(deletedFiles > 0, "old COW files should be swept")
     val latest = KVIndex.open(store, "tt").toOption.get
