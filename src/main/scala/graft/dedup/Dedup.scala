@@ -457,7 +457,11 @@ object Dedup {
     * positions reach it (a tiny fraction of the corpus in the non-spam
     * case). The exploded gram table is persisted spill-safe because it
     * feeds both the frequency count and the probe side — an unpersisted
-    * plan would tokenize+shingle the corpus twice. 64-bit hashing accepts
+    * plan would tokenize+shingle the corpus twice. The cache entry lives
+    * until the session ends or the block manager evicts it (same lifecycle
+    * as [[minhashLsh]]'s signature table); a long-lived driver running
+    * repeated passes should `spark.catalog.clearCache()` between them or
+    * checkpoint the gram table explicitly. 64-bit hashing accepts
     * the same ~n²/2⁶⁵ collision expectation [[exact]] documents; a
     * collision can only join two spans that were already duplicated.
     */

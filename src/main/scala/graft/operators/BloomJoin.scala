@@ -118,16 +118,28 @@ object BloomJoin {
   val InlineSketchBytes: Int = 1 << 20
 
   /** Membership probe of `key` against a finished filter — literal-embedded
-    * below [[InlineSketchBytes]], broadcast-backed above.
+    * below [[InlineSketchBytes]], broadcast-backed above. The broadcast
+    * made here is anonymous: it is reclaimed by the ContextCleaner after
+    * the column (and its plans) become garbage — fine for one-shot batch
+    * queries; a LOOP probing fresh big sketches (streaming ingest) should
+    * own the lifecycle via [[broadcastSketch]] + the `Broadcast` overload
+    * and destroy each superseded sketch deterministically.
     */
   def mightContain(bf: Array[Byte], key: Column): Column =
     if (bf == null || bf.length <= InlineSketchBytes)
       Shim.col(BloomFilterMightContain(Literal(bf, BinaryType),
         Shim.expr(xxhash64(key))))
-    else {
-      val bc = SparkSession.active.sparkContext.broadcast(bf)
-      Shim.col(BloomMightContainBc(bc, Shim.expr(xxhash64(key))))
-    }
+    else mightContain(broadcastSketch(SparkSession.active, bf), key)
+
+  /** Pre-broadcast a sketch for repeated / caller-managed probing. The
+    * caller owns the handle: destroy it when a newer sketch supersedes it.
+    */
+  def broadcastSketch(spark: SparkSession, bf: Array[Byte]): Broadcast[Array[Byte]] =
+    spark.sparkContext.broadcast(bf)
+
+  /** Membership probe through a caller-owned broadcast sketch. */
+  def mightContain(bc: Broadcast[Array[Byte]], key: Column): Column =
+    Shim.col(BloomMightContainBc(bc, Shim.expr(xxhash64(key))))
 
   /** `fact` reduced to the rows whose `factKey` might appear in `dim`'s
     * `dimKey` set — the prefilter alone, for callers composing their own

@@ -258,8 +258,19 @@ object EventStreams {
                         stats: IngestStats = new IngestStats): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.BloomJoin
     val numBits = BloomJoin.derivedNumBits(expectedItems)
-    // cached corpus sketch — lives for the query; null until first build
+    // cached corpus sketch — lives for the query; null until first build.
+    // Big sketches ride a query-OWNED broadcast so each batch's merged
+    // successor deterministically destroys the superseded one (the
+    // anonymous-broadcast path would pile dead megabyte blocks in the
+    // block managers until a driver GC)
     var corpusBf: Array[Byte] = null
+    var corpusBc: org.apache.spark.broadcast.Broadcast[Array[Byte]] = null
+    def setSketch(bf: Array[Byte], spark: org.apache.spark.sql.SparkSession): Unit = {
+      corpusBf = bf
+      if (corpusBc != null) { corpusBc.destroy(); corpusBc = null }
+      if (bf != null && bf.length > BloomJoin.InlineSketchBytes)
+        corpusBc = BloomJoin.broadcastSketch(spark, bf)
+    }
     stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -280,17 +291,21 @@ object EventStreams {
                   recordHistory = true)
                 .fold(e => sys.error(e.message), identity)
               // first sketch: over the batch just committed — O(batch)
-              corpusBf = BloomJoin.keyFilterBytes(
-                withinBatch.select(textCol), col(textCol), expectedItems, numBits)
+              setSketch(BloomJoin.keyFilterBytes(
+                withinBatch.select(textCol), col(textCol), expectedItems, numBits),
+                batch.sparkSession)
             } else {
               val ix = KVIndex.open(store, indexId).fold(e => sys.error(e.message), identity)
               if (corpusBf == null) {
                 // restart recovery: the ONE full corpus scan of the query's life
-                corpusBf = BloomJoin.keyFilterBytes(
-                  ix.df.select(textCol), col(textCol), expectedItems, numBits)
+                setSketch(BloomJoin.keyFilterBytes(
+                  ix.df.select(textCol), col(textCol), expectedItems, numBits),
+                  batch.sparkSession)
                 stats.corpusRebuilds.incrementAndGet()
               }
-              val mc = BloomJoin.mightContain(corpusBf, col(textCol))
+              val mc =
+                if (corpusBc != null) BloomJoin.mightContain(corpusBc, col(textCol))
+                else BloomJoin.mightContain(corpusBf, col(textCol))
               val mightMatch = withinBatch.filter(mc)
               val news =
                 (if (mightMatch.isEmpty) withinBatch // provably new: zero corpus IO
@@ -307,9 +322,9 @@ object EventStreams {
                     recordHistory = true).orThrow
                   // fold the committed keys into the cached sketch — batch-sized
                   // build + bitwise-or; the corpus is never rescanned
-                  corpusBf = BloomJoin.merge(corpusBf,
+                  setSketch(BloomJoin.merge(corpusBf,
                     BloomJoin.keyFilterBytes(news.select(textCol), col(textCol),
-                      expectedItems, numBits))
+                      expectedItems, numBits)), batch.sparkSession)
                   val ix2 = new KVIndex(store, m)
                   if (ix2.numFiles > compactAboveFiles) {
                     // compact() no-ops (returns the same version) without
