@@ -201,6 +201,47 @@ class TrainingOpsSpec extends SparkSuite {
       (5L, 10, 6, "q q q q")))               // both shared runs dropped
   }
 
+  test("substringSpans: randomized differential vs a brute-force reference") {
+    // tiny vocab + short docs force heavy cross-doc gram collisions, so
+    // every merge/split/boundary case of the island algebra gets exercised
+    val rng = new scala.util.Random(77)
+    val smallVocab = Vector("a", "b", "c", "d")
+    for (round <- 1 to 5) {
+      val l = 2 + round % 3 // gram width 2..4
+      val docs = (0 until 12).map { i =>
+        val n = rng.nextInt(14) // 0..13 tokens, incl. below-width docs
+        (i.toLong, (0 until n).map(_ => smallVocab(rng.nextInt(smallVocab.size))).mkString(" "))
+      }
+      // reference: literal grams, cross-doc df, interval union per doc
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val grams = for {
+        (id, tk) <- toks.toSeq
+        i <- 0 to tk.length - l
+      } yield (id, i, tk.slice(i, i + l).mkString(" "))
+      val df2 = grams.groupBy(_._3).filter { case (_, g) => g.map(_._1).distinct.size >= 2 }.keySet
+      val expected = (for {
+        (id, _) <- docs
+        ps = grams.collect { case (`id`, p, g) if df2(g) => p }.sorted
+        if ps.nonEmpty
+      } yield {
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        for (p <- ps) {
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s, e) = spans.last; spans(spans.size - 1) = (s, math.max(e, p + l))
+          } else spans += ((p, p + l))
+        }
+        spans.map { case (s, e) => (id, s, e, e - s) }
+      }).flatten.sortBy(r => (r._1, r._2))
+      val got = graft.dedup.Dedup.substringSpans(
+          docs.toDF("doc_id", "text"), gramTokens = l, minDf = 2)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Int, Int, Int)].collect().toSeq
+      assert(got == expected, s"round $round (l=$l): got $got\nwant $expected")
+    }
+  }
+
   test("weighted: max-weight always kept, zero-weight never, rate tracks weight, deterministic") {
     val df = (0L until 1000L).map(i =>
       (i, if (i % 10 == 0) 100.0 else if (i % 10 == 1) 0.0 else 50.0)).toDF("id", "w")
