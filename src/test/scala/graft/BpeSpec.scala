@@ -109,4 +109,27 @@ class BpeSpec extends SparkSuite {
     assert(lowest.length < "lowlowerlowest".length)
     assert(got.find(_._1 == 4L).get._3 == 0) // empty doc -> zero subwords
   }
+
+  test("subword counts drive sequence packing end to end") {
+    // the scaladoc's claim, executed: encode -> n_subwords -> packSequences
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(1 + i % 5)(Seq("low", "lower", "newest", "widest")(i % 4)).mkString(" ")))
+    val df = corpus.toDF("doc_id", "text")
+    val merges = Bpe.train(df, numMerges = 10)
+    val counted = Bpe.encode(df, merges)
+    val packed = graft.pipeline.Packing.packSequences(
+      counted, "doc_id", "n_subwords", budget = 40L, nBuckets = 4)
+    // a pack closes once its running SUBWORD total crosses the budget, so
+    // no pack exceeds budget + the largest single document
+    val maxDoc = counted.agg(max("n_subwords")).as[Int].head().toLong
+    val sums = packed.groupBy("bucket", "pack_id")
+      .agg(sum("n_subwords").as("s")).select("s").as[Long].collect()
+    assert(sums.nonEmpty && sums.forall(_ < 40L + maxDoc),
+      s"overfull pack in ${sums.toSeq}")
+    // and subword counts differ from whitespace counts, so the packing is
+    // genuinely tokenizer-aware
+    val ws = df.join(counted, "doc_id")
+      .filter(size(split(col("text"), "\\s+")) =!= col("n_subwords")).count()
+    assert(ws > 0)
+  }
 }
