@@ -25,9 +25,16 @@ import org.apache.spark.sql.functions._
   *    block codec, IO4). Files are immutable once written, so reads
   *    materialize blobs into a per-store local cache for Spark's parquet
   *    reader at most once each.
+  *  - `control_appends(rel, seq, line)` holds appended log lines (the
+  *    temporal history) one row each: append is a single INSERT — O(line),
+  *    never a read-concat-rewrite of the whole log — and `readText`
+  *    reassembles base + lines in seq order. Whole-content replaces
+  *    (vacuum's history rewrite) clear the rows and reset the base.
   *  - `filelists(rel, buf)` holds big-manifest filelist checkpoints as one
   *    JSON blob per snapshot (the DB is already a row store — a columnar
-  *    side-table buys nothing inside Derby).
+  *    side-table buys nothing inside Derby). Both blob tables carry a
+  *    `created_ms` stamp so vacuum's grace window follows the DATABASE:
+  *    every instance sharing the URL dates objects identically.
   *
   * Scope matches the reference's Cassandra backend in spirit: prove the
   * `SnapshotStore` trait against a transactional row store. The zero-egress
@@ -40,7 +47,7 @@ import org.apache.spark.sql.functions._
   * Bulk analytics at 100 TB stays on the FS/object-store backend; this one
   * is the control-plane-in-a-database deployment shape.
   */
-final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
+class JdbcSnapshotStore(val url: String, val spark: SparkSession)
     extends SnapshotStore {
 
   // the data plane stages parquet through DRIVER-LOCAL temp files (write
@@ -59,13 +66,28 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
 
   private val cacheDir = Files.createTempDirectory("graft-jdbc-cache")
 
-  // idempotent schema bootstrap (Derby has no CREATE TABLE IF NOT EXISTS)
+  // idempotent schema bootstrap (Derby has no CREATE TABLE IF NOT EXISTS).
+  // `created_ms` dates every object IN the database, so vacuum's grace
+  // window sees one truth no matter how many store instances share the
+  // URL. `control_appends` holds appended log lines one ROW each — the
+  // temporal history log is append-only, and a read-concat-rewrite CLOB
+  // would make the log O(history²) over an index's life.
   for (ddl <- Seq(
     "CREATE TABLE control (rel VARCHAR(512) PRIMARY KEY, buf CLOB)",
-    "CREATE TABLE filelists (rel VARCHAR(512) PRIMARY KEY, buf CLOB)",
-    "CREATE TABLE datafiles (path VARCHAR(512) PRIMARY KEY, buf BLOB)")) {
+    "CREATE TABLE control_appends (rel VARCHAR(512) NOT NULL, " +
+      "seq BIGINT NOT NULL, line CLOB, PRIMARY KEY (rel, seq))",
+    "CREATE TABLE filelists (rel VARCHAR(512) PRIMARY KEY, buf CLOB, created_ms BIGINT)",
+    "CREATE TABLE datafiles (path VARCHAR(512) PRIMARY KEY, buf BLOB, created_ms BIGINT)")) {
     try { val st = conn.createStatement(); try st.execute(ddl) finally st.close() }
     catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists
+  }
+  // migrate pre-created_ms databases opened from a directory URL (undated
+  // rows read as NULL -> swept-as-old, same as before the column existed)
+  for (tbl <- Seq("filelists", "datafiles")) {
+    try {
+      val st = conn.createStatement()
+      try st.execute(s"ALTER TABLE $tbl ADD COLUMN created_ms BIGINT") finally st.close()
+    } catch { case _: SQLException => () } // column already there
   }
 
   // all JDBC access serialized on the single connection; contention is
@@ -79,16 +101,37 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
   // ---- control plane ----
 
   override protected def readText(rel: String): Option[String] = withConn { c =>
-    val ps = c.prepareStatement("SELECT buf FROM control WHERE rel = ?")
-    try {
-      ps.setString(1, rel)
-      val rs = ps.executeQuery()
-      if (rs.next()) { val cl = rs.getClob(1); Some(cl.getSubString(1, cl.length().toInt)) }
-      else None
-    } finally ps.close()
+    val base = {
+      val ps = c.prepareStatement("SELECT buf FROM control WHERE rel = ?")
+      try {
+        ps.setString(1, rel)
+        val rs = ps.executeQuery()
+        if (rs.next()) { val cl = rs.getClob(1); Some(cl.getSubString(1, cl.length().toInt)) }
+        else None
+      } finally ps.close()
+    }
+    val appended = {
+      val ps = c.prepareStatement(
+        "SELECT line FROM control_appends WHERE rel = ? ORDER BY seq")
+      try {
+        ps.setString(1, rel)
+        val rs = ps.executeQuery()
+        val sb = new StringBuilder
+        var any = false
+        while (rs.next()) {
+          val cl = rs.getClob(1)
+          sb.append(cl.getSubString(1, cl.length().toInt)); any = true
+        }
+        if (any) Some(sb.toString) else None
+      } finally ps.close()
+    }
+    if (base.isEmpty && appended.isEmpty) None
+    else Some(base.getOrElse("") + appended.getOrElse(""))
   }
 
   override protected def writeTextCreateNew(rel: String, s: String): Unit = withConn { c =>
+    if (appendSeqMax(c, rel).isDefined) // rel existing only as appended lines
+      throw new java.nio.file.FileAlreadyExistsException(rel)
     val ps = c.prepareStatement("INSERT INTO control (rel, buf) VALUES (?, ?)")
     try {
       ps.setString(1, rel); ps.setString(2, s)
@@ -100,6 +143,10 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
   }
 
   override protected def writeTextAtomic(rel: String, s: String): Unit = withConn { c =>
+    // whole-content replace: any appended lines are part of the content
+    // being replaced (vacuum's history rewrite), so they go too
+    val del = c.prepareStatement("DELETE FROM control_appends WHERE rel = ?")
+    try { del.setString(1, rel); del.executeUpdate() } finally del.close()
     val up = c.prepareStatement("UPDATE control SET buf = ? WHERE rel = ?")
     try {
       up.setString(1, s); up.setString(2, rel)
@@ -111,40 +158,64 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
     } finally up.close()
   }
 
-  override protected def appendText(rel: String, s: String): Unit = withConn { _ =>
-    writeTextAtomic(rel, readText(rel).getOrElse("") + s)
+  private def appendSeqMax(c: Connection, rel: String): Option[Long] = {
+    val ps = c.prepareStatement("SELECT MAX(seq) FROM control_appends WHERE rel = ?")
+    try {
+      ps.setString(1, rel)
+      val rs = ps.executeQuery()
+      if (rs.next()) { val m = rs.getLong(1); if (rs.wasNull()) None else Some(m) }
+      else None
+    } finally ps.close()
+  }
+
+  /** O(appended line), not O(log length): one row per append — the
+    * temporal history log grows by INSERT, never read-concat-rewrite.
+    */
+  override protected def appendText(rel: String, s: String): Unit = withConn { c =>
+    val seq = appendSeqMax(c, rel).fold(0L)(_ + 1L)
+    val ps = c.prepareStatement(
+      "INSERT INTO control_appends (rel, seq, line) VALUES (?, ?, ?)")
+    try {
+      ps.setString(1, rel); ps.setLong(2, seq); ps.setString(3, s)
+      ps.executeUpdate()
+    } finally ps.close()
   }
 
   override protected def listNames(relDir: String): Seq[String] = withConn { c =>
     val prefix = if (relDir.isEmpty) "" else relDir + "/"
-    val ps = c.prepareStatement(
-      "SELECT rel FROM control WHERE rel LIKE ? ESCAPE '\\'")
-    try {
-      ps.setString(1, likePrefix(prefix))
-      val rs = ps.executeQuery()
-      val out = Seq.newBuilder[String]
-      while (rs.next()) out += rs.getString(1).stripPrefix(prefix).takeWhile(_ != '/')
-      out.result().distinct
-    } finally ps.close()
+    val out = Seq.newBuilder[String]
+    for (table <- Seq("control", "control_appends")) {
+      val ps = c.prepareStatement(
+        s"SELECT DISTINCT rel FROM $table WHERE rel LIKE ? ESCAPE '\\'")
+      try {
+        ps.setString(1, likePrefix(prefix))
+        val rs = ps.executeQuery()
+        while (rs.next()) out += rs.getString(1).stripPrefix(prefix).takeWhile(_ != '/')
+      } finally ps.close()
+    }
+    out.result().distinct
   }
 
   override protected def deleteControl(rel: String): Unit = withConn { c =>
-    val ps = c.prepareStatement("DELETE FROM control WHERE rel = ?")
-    try { ps.setString(1, rel); ps.executeUpdate() } finally ps.close()
+    for (sql <- Seq("DELETE FROM control WHERE rel = ?",
+                    "DELETE FROM control_appends WHERE rel = ?")) {
+      val ps = c.prepareStatement(sql)
+      try { ps.setString(1, rel); ps.executeUpdate() } finally ps.close()
+    }
   }
 
   // ---- filelist checkpoints ----
 
-  override protected def writeFileList(rel: String, files: Seq[FileEntry]): Unit = {
+  override protected def writeFileList(rel: String, files: Seq[FileEntry]): Unit =
     withConn { c =>
-      val ps = c.prepareStatement("INSERT INTO filelists (rel, buf) VALUES (?, ?)")
+      val ps = c.prepareStatement(
+        "INSERT INTO filelists (rel, buf, created_ms) VALUES (?, ?, ?)")
       try {
         ps.setString(1, rel); ps.setString(2, SnapshotManifest.filesToJson(files))
+        ps.setLong(3, System.currentTimeMillis())
         ps.executeUpdate()
       } finally ps.close()
     }
-    createdMs(rel) = System.currentTimeMillis()
-  }
 
   override protected def readFileList(rel: String): Seq[FileEntry] = withConn { c =>
     val ps = c.prepareStatement("SELECT buf FROM filelists WHERE rel = ?")
@@ -157,12 +228,9 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
     } finally ps.close()
   }
 
-  override protected def deleteFileList(rel: String): Unit = {
-    withConn { c =>
-      val ps = c.prepareStatement("DELETE FROM filelists WHERE rel = ?")
-      try { ps.setString(1, rel); ps.executeUpdate() } finally ps.close()
-    }
-    createdMs.remove(rel)
+  override protected def deleteFileList(rel: String): Unit = withConn { c =>
+    val ps = c.prepareStatement("DELETE FROM filelists WHERE rel = ?")
+    try { ps.setString(1, rel); ps.executeUpdate() } finally ps.close()
   }
 
   override protected def listFileLists(id: String): Seq[String] = withConn { c =>
@@ -202,14 +270,15 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
         val localPath = Paths.get(new java.net.URI(f.path).getPath)
         val logical = s"${logicalPrefix(id)}$snapshotId/part-$i"
         withConn { c =>
-          val ps = c.prepareStatement("INSERT INTO datafiles (path, buf) VALUES (?, ?)")
+          val ps = c.prepareStatement(
+            "INSERT INTO datafiles (path, buf, created_ms) VALUES (?, ?, ?)")
           try {
             ps.setString(1, logical)
             ps.setBytes(2, Files.readAllBytes(localPath))
+            ps.setLong(3, System.currentTimeMillis())
             ps.executeUpdate()
           } finally ps.close()
         }
-        createdMs(logical) = System.currentTimeMillis()
         f.copy(path = logical)
       }
       (snapshotId, entries)
@@ -260,20 +329,31 @@ final class JdbcSnapshotStore(val url: String, val spark: SparkSession)
       val ps = c.prepareStatement("DELETE FROM datafiles WHERE path = ?")
       try { ps.setString(1, path); ps.executeUpdate() } finally ps.close()
     }
-    createdMs.remove(path)
     Files.deleteIfExists(cacheDir.resolve(path.replace('/', '_') + ".parquet"))
   }
 
-  // in-JVM creation stamps for vacuum's grace window — adequate for an
-  // in-process store (a restarted JVM cannot have an in-flight writer from
-  // before the restart; undated objects sweep as before)
-  private val createdMs = scala.collection.concurrent.TrieMap.empty[String, Long]
+  // creation stamps for vacuum's grace window live IN the database: every
+  // store instance sharing the URL (e.g. one handle for ingest, another
+  // for maintenance) sees the same dates, so a second instance can never
+  // sweep the first's young pre-CAS objects. Pre-migration rows read as
+  // NULL -> None -> swept as old, same as before the column existed.
+  private def selectCreatedMs(table: String, keyCol: String, key: String): Option[Long] =
+    withConn { c =>
+      val ps = c.prepareStatement(
+        s"SELECT created_ms FROM $table WHERE $keyCol = ?")
+      try {
+        ps.setString(1, key)
+        val rs = ps.executeQuery()
+        if (!rs.next()) None
+        else { val v = rs.getLong(1); if (rs.wasNull()) None else Some(v) }
+      } finally ps.close()
+    }
 
   override protected def dataFileModifiedMs(path: String): Option[Long] =
-    createdMs.get(path)
+    selectCreatedMs("datafiles", "path", path)
 
   override protected def fileListModifiedMs(rel: String): Option[Long] =
-    createdMs.get(rel)
+    selectCreatedMs("filelists", "rel", rel)
 
   private def deleteRec(root: java.nio.file.Path): Unit =
     try {

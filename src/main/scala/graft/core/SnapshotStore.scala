@@ -331,6 +331,17 @@ trait SnapshotStore {
   protected def dataFileModifiedMs(path: String): Option[Long] = None
   protected def fileListModifiedMs(rel: String): Option[Long] = None
 
+  /** "Now" for vacuum's grace arithmetic. The default is driver wall
+    * clock, which ASSUMES the clock writing the object stamps agrees with
+    * the driver to well within `graceMs` — against a remote filesystem or
+    * object store, skew larger than the grace window in the wrong
+    * direction would silently void the in-flight-commit protection (and
+    * over-retain garbage in the other). Backends whose stamps come from
+    * their own clock should override this to derive 'now' from the SAME
+    * clock — [[FsSnapshotStore]] stats a just-written probe object.
+    */
+  protected def sweepNowMs(): Long = System.currentTimeMillis()
+
   // ---- shared catalog logic ----
 
   final def exists(id: String): Boolean = readText(s"$id/LATEST").isDefined
@@ -584,7 +595,7 @@ trait SnapshotStore {
   final def vacuum(id: String, retainVersions: Int = 2,
                    graceMs: Long = SnapshotStore.DefaultVacuumGraceMs): (Int, Int) = {
     require(retainVersions >= 1)
-    val sweepStartMs = System.currentTimeMillis()
+    val sweepStartMs = sweepNowMs()
     def aged(modified: Option[Long]): Boolean =
       graceMs <= 0 || !modified.exists(sweepStartMs - _ < graceMs)
     val latest = loadLatest(id).fold(e => throw new IllegalStateException(e.message), identity)
@@ -779,6 +790,22 @@ class FsSnapshotStore(val root: String, val spark: SparkSession)
   override protected def fileListModifiedMs(rel: String): Option[Long] =
     try Some(Files.getLastModifiedTime(p(rel)).toMillis)
     catch { case _: java.io.IOException => None }
+
+  /** Grace-window 'now' from the FILESYSTEM's clock, not the driver's: the
+    * object stamps vacuum compares against are backend mtimes, so 'now' is
+    * the mtime of a just-written probe object — skew between driver and a
+    * remote filesystem cancels out of the subtraction. Falls back to wall
+    * clock if the probe cannot be written.
+    */
+  override protected def sweepNowMs(): Long = {
+    val f = p(s".vacuum-probe-${java.util.UUID.randomUUID()}")
+    try {
+      Files.createDirectories(f.getParent)
+      Files.write(f, Array.emptyByteArray)
+      Files.getLastModifiedTime(f).toMillis
+    } catch { case _: java.io.IOException => System.currentTimeMillis() }
+    finally { try Files.deleteIfExists(f) catch { case _: java.io.IOException => () } }
+  }
 }
 
 /** In-memory store — the reference's `MemoryStorage` analogue

@@ -457,26 +457,40 @@ object Dedup {
     * positions reach it (a tiny fraction of the corpus in the non-spam
     * case). The exploded gram table is persisted spill-safe because it
     * feeds both the frequency count and the probe side — an unpersisted
-    * plan would tokenize+shingle the corpus twice. The cache entry lives
-    * until the session ends or the block manager evicts it (same lifecycle
-    * as [[minhashLsh]]'s signature table); a long-lived driver running
-    * repeated passes should `spark.catalog.clearCache()` between them or
-    * checkpoint the gram table explicitly. 64-bit hashing accepts
-    * the same ~n²/2⁶⁵ collision expectation [[exact]] documents; a
-    * collision can only join two spans that were already duplicated.
+    * plan would tokenize+shingle the corpus twice. The persisted table is
+    * MEMOIZED per (session, input plan, params): repeated calls on the
+    * same documents — the span query and its apply step, or a bench loop
+    * re-running either — share ONE pinned copy instead of accumulating
+    * fresh ones. Entries live until [[releaseGramCache]] (or session
+    * end / block-manager eviction); a long-lived driver running repeated
+    * passes over CHANGING corpora should call it between passes. 64-bit
+    * hashing accepts the same ~n²/2⁶⁵ collision expectation as [[exact]];
+    * a collision can only join two spans that were already duplicated.
     */
   def substringSpans(df: DataFrame, gramTokens: Int = 8, minDf: Int = 2,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(gramTokens > 0 && minDf > 1)
-    val grams = df
-      .select(col(idCol), gf.ws_tokens(col(textCol)).as("__tk"))
-      .filter(size(col("__tk")) >= gramTokens)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, size(__tk) - $gramTokens), " +
-          s"i -> array_join(slice(__tk, i + 1, $gramTokens), ' '))"))
-        .as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos"), xxhash64(col("gram")).as("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plan = df.queryExecution.analyzed
+    val key = (System.identityHashCode(df.sparkSession),
+      plan.semanticHash(), gramTokens, idCol, textCol)
+    val grams = gramCache.get(key).flatMap(_.collectFirst {
+      case (p, g) if p.sameResult(plan) => g
+    }).getOrElse {
+      val built = df
+        .select(col(idCol), gf.ws_tokens(col(textCol)).as("__tk"))
+        .filter(size(col("__tk")) >= gramTokens)
+        .select(col(idCol), posexplode(expr(
+          s"transform(sequence(0, size(__tk) - $gramTokens), " +
+            s"i -> array_join(slice(__tk, i + 1, $gramTokens), ' '))"))
+          .as(Seq("pos", "gram")))
+        .select(col(idCol), col("pos"), xxhash64(col("gram")).as("__h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      gramCache.updateWith(key) {
+        case Some(entries) => Some((plan, built) :: entries)
+        case None          => Some(List((plan, built)))
+      }
+      built
+    }
     val dup = grams.groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDf)
@@ -492,6 +506,24 @@ object Dedup {
         (max(col("pos")) + gramTokens).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Memo of [[substringSpans]]'s persisted gram tables, keyed by
+    * (session identity, input-plan semanticHash, gramTokens, id/text cols)
+    * with `sameResult` confirming each hit — hash buckets hold a list so
+    * distinct same-hash plans never collide.
+    */
+  private[graft] val gramCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int, String, String),
+      List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]
+
+  /** Unpersist every memoized gram table (entries bound to an
+    * already-stopped session are dropped silently).
+    */
+  def releaseGramCache(): Unit = {
+    gramCache.values.flatten
+      .foreach { case (_, g) => scala.util.Try(g.unpersist(blocking = false)) }
+    gramCache.clear()
   }
 
   /** Apply [[substringSpans]] output: rebuild every document with the

@@ -38,10 +38,22 @@ object Bpe {
     * (frequency-weighted) and merge the most frequent pair. Stops early
     * when no pair reaches `minCount`. Ties break lexicographically so
     * training is deterministic across partitionings and engines.
+    *
+    * Merge rounds are BATCHED: each round collects the top pairs of the
+    * corpus-wide count and greedily keeps the longest prefix of that
+    * ordering that is provably safe to apply in one rewrite — pairs must
+    * be pairwise symbol-disjoint (including fused strings), and a
+    * full-table guard rejects any pair whose rank could be overtaken by a
+    * pair the earlier merges in the batch create or destroy (a created
+    * pair `(x, ab)` can never out-count the pre-merge `(x, a)` it derives
+    * from, so bounding by the max count of pairs touching a selected
+    * symbol is sound). The result is IDENTICAL to the one-merge-per-round
+    * loop — `BpeSpec` pins that against an independent sequential
+    * reference — with ~`maxBatch`× fewer Spark jobs.
     */
   def train(df: DataFrame, textCol: String = "text", numMerges: Int = 100,
-            minCount: Long = 2L): Seq[(String, String)] = {
-    require(numMerges >= 0 && minCount >= 1)
+            minCount: Long = 2L, maxBatch: Int = 8): Seq[(String, String)] = {
+    require(numMerges >= 0 && minCount >= 1 && maxBatch >= 1)
     val words = df
       .select(explode(gf.ws_tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -53,42 +65,114 @@ object Bpe {
     var exhausted = false
     try {
       while (learned < numMerges && !exhausted) {
-        val top = cur.filter(size(col("sym")) >= 2)
+        val pairCounts = cur.filter(size(col("sym")) >= 2)
           .select(posexplode(slice(col("sym"), lit(1), size(col("sym")) - 1))
             .as(Seq("i", "a")), col("sym"), col("cnt"))
           .select(col("a"), element_at(col("sym"), col("i") + 2).as("b"), col("cnt"))
           .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
-          .orderBy(desc("n"), asc("a"), asc("b")).limit(1).collect()
-        val best = top.headOption.filter(_.getLong(2) >= minCount)
-        if (best.isEmpty) exhausted = true
-        else {
-          val (a, b) = (best.get.getString(0), best.get.getString(1))
-          merges += ((a, b))
-          learned += 1
-          // rewrite every word's symbols, merging (a, b) left-to-right
-          val next = cur
-            .withColumn("sym", mergePairColumn(col("sym"), a, b))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count()
-          cur.unpersist()
-          cur = next
-        }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val budget = math.min(maxBatch, numMerges - learned)
+          val m = math.min(64, math.max(8, 4 * budget))
+          val top = pairCounts
+            .orderBy(desc("n"), asc("a"), asc("b")).limit(m).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          if (!top.headOption.exists(_._3 >= minCount)) exhausted = true
+          else {
+            val batch = selectBatch(pairCounts, top, budget, minCount)
+            merges ++= batch
+            learned += batch.length
+            val next = cur
+              .withColumn("sym", mergePairsColumn(col("sym"), batch))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            next.count()
+            cur.unpersist()
+            cur = next
+          }
+        } finally pairCounts.unpersist()
       }
     } finally cur.unpersist()
     merges.result()
   }
 
-  /** One merge round as a left-to-right fold: append each symbol, but when
-    * the accumulator ends in `a` and the next symbol is `b`, replace that
-    * tail with the fused symbol. Built from Column functions — corpus
-    * symbols never get spliced into SQL text.
+  /** Greedy safe-prefix selection for one batched round. `top` is the true
+    * top-M of the (desc n, asc a, asc b) total order, so everything not in
+    * it ranks below everything in it. Selection stops (never skips) at the
+    * first pair sharing a symbol with an earlier selection, keeping the
+    * prefix property the equivalence proof needs; a second tiny aggregate
+    * over the full pair table then truncates the prefix wherever an
+    * earlier selection's neighborhood (pairs touching its symbols — the
+    * upper bound for anything its merge can create) could reach the
+    * candidate's count, or wherever a fused string collides with a
+    * pre-existing symbol.
     */
-  private def mergePairColumn(sym: Column, a: String, b: String): Column =
+  private def selectBatch(pairCounts: DataFrame, top: Array[(String, String, Long)],
+                          budget: Int, minCount: Long): Seq[(String, String)] = {
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val used = scala.collection.mutable.Set.empty[String]
+    var stop = false
+    for ((a, b, n) <- top if !stop) {
+      if (sel.length >= budget || n < minCount ||
+          used.contains(a) || used.contains(b) || used.contains(a + b)) stop = true
+      else { sel += ((a, b, n)); used ++= Seq(a, b, a + b) }
+    }
+    var keep = 1
+    if (sel.length > 1) {
+      // for each selected index j: max count among non-selected pairs that
+      // touch {a_j, b_j} ("s"), and existence of any pair touching the
+      // fused string a_j+b_j ("f" — a fused/symbol collision breaks the
+      // count bound entirely, so any hit truncates)
+      val notSel = sel.foldLeft(lit(true)) { case (acc, (a, b, _)) =>
+        acc && !(col("a") === lit(a) && col("b") === lit(b))
+      }
+      def firstIdx(conds: Seq[Column]): Column =
+        conds.zipWithIndex.foldRight(lit(null).cast("int")) {
+          case ((c, j), els) => when(c, lit(j)).otherwise(els)
+        }
+      val symIdx = firstIdx(sel.toSeq.map { case (a, b, _) =>
+        col("a").isin(a, b) || col("b").isin(a, b) })
+      val fusedIdx = firstIdx(sel.toSeq.map { case (a, b, _) =>
+        col("a") === lit(a + b) || col("b") === lit(a + b) })
+      val guards = pairCounts.filter(notSel)
+        .select(explode(array(
+          struct(lit("s").as("kind"), symIdx.as("j"), col("n")),
+          struct(lit("f").as("kind"), fusedIdx.as("j"), col("n")))).as("e"))
+        .select(col("e.kind"), col("e.j"), col("e.n"))
+        .filter(col("j").isNotNull)
+        .groupBy(col("kind"), col("j")).agg(max(col("n")).as("m"))
+        .collect()
+      val symMax = guards.collect { case r if r.getString(0) == "s" =>
+        r.getInt(1) -> r.getLong(2) }.toMap
+      val fusedHit = guards.collect { case r if r.getString(0) == "f" =>
+        r.getInt(1) }.toSet
+      var guardMax = Long.MinValue
+      var broken = false
+      var i = 1
+      while (i < sel.length && !broken) {
+        guardMax = math.max(guardMax, symMax.getOrElse(i - 1, Long.MinValue))
+        broken = fusedHit.contains(i - 1) || sel(i)._3 <= guardMax
+        if (!broken) { keep = i + 1; i += 1 }
+      }
+    }
+    sel.take(keep).toSeq.map { case (a, b, _) => (a, b) }
+  }
+
+  /** One batched merge round as a left-to-right fold: append each symbol,
+    * but when the accumulator ends in some selected `a` and the next
+    * symbol is its `b`, replace that tail with the fused symbol. The
+    * selected pairs are symbol-disjoint, so at most one can match any
+    * position and the single scan equals applying them one pass at a
+    * time. Built from Column functions — corpus symbols never get spliced
+    * into SQL text.
+    */
+  private def mergePairsColumn(sym: Column, pairs: Seq[(String, String)]): Column =
     aggregate(sym, array().cast("array<string>"), (acc, x) => {
       val tail = element_at(acc, -1)
-      when(size(acc) > 0 && tail === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x)))
+      pairs.foldRight(concat(acc, array(x))) { case ((a, b), els) =>
+        when(size(acc) > 0 && tail === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(els)
+      }
     })
 
   /** Encode `textCol` with a trained merge list: per document, whitespace
@@ -119,8 +203,24 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val rank: Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
+  /** Split by CODE POINT, not UTF-16 char: training's `split(w, "")` keeps
+    * surrogate pairs whole, so encode must too — a char-based split would
+    * produce lone-surrogate symbols that never match trained merges and
+    * corrupt to replacement bytes in UTF8String.
+    */
+  private def codePointSyms(word: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   private def encodeWord(word: String): Seq[String] = {
-    var syms = word.map(_.toString).toIndexedSeq
+    var syms = codePointSyms(word)
     var done = syms.length < 2
     while (!done) {
       // lowest-rank adjacent pair present in the word

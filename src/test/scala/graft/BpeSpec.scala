@@ -14,6 +14,17 @@ import graft.text.Bpe
 class BpeSpec extends SparkSuite {
   import spark.implicits._
 
+  private def codePoints(w: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   private def mergeLR(syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
     val out = IndexedSeq.newBuilder[String]
     var i = 0
@@ -28,7 +39,7 @@ class BpeSpec extends SparkSuite {
     val wordCnt = corpus.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
       .groupBy(identity).view.mapValues(_.size.toLong).toSeq
     var words: Seq[(IndexedSeq[String], Long)] =
-      wordCnt.map { case (w, c) => (w.map(_.toString).toIndexedSeq, c) }
+      wordCnt.map { case (w, c) => (codePoints(w), c) }
     val out = Seq.newBuilder[(String, String)]
     var n = 0
     var stop = false
@@ -50,7 +61,7 @@ class BpeSpec extends SparkSuite {
   }
 
   private def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms = word.map(_.toString).toIndexedSeq
+    var syms = codePoints(word)
     for ((a, b) <- merges) syms = mergeLR(syms, a, b)
     syms
   }
@@ -80,6 +91,33 @@ class BpeSpec extends SparkSuite {
       val got = Bpe.train(df, numMerges = 12)
       val want = refTrain(corpus, 12, 2L)
       assert(got == want, s"round $round: got $got want $want")
+      // the batched selector must be invisible: maxBatch=1 is the exact
+      // one-merge-per-job loop, and the default batch must equal it
+      assert(Bpe.train(df, numMerges = 12, maxBatch = 1) == want,
+        s"round $round: sequential train diverged")
+    }
+  }
+
+  test("train + encode survive non-BMP text: code-point symbols, no lone surrogates") {
+    // astral-plane characters (surrogate pairs in UTF-16): symbols must be
+    // whole code points on BOTH the train and encode sides
+    val rocket = new String(Character.toChars(0x1F680))  // 🚀
+    val ox = new String(Character.toChars(0x1F409))      // 🐉 (caseless, like all emoji)
+    val corpus = Seq.fill(6)(s"$rocket${ox}go") ++ Seq.fill(3)(s"$rocket$ox") ++
+      Seq.fill(2)(s"go$rocket")
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.train(df, numMerges = 6)
+    assert(merges == refTrain(corpus, 6, 2L), merges.toString)
+    // the most frequent pair is the two astral chars adjacent (9 times)
+    assert(merges.head == ((rocket, ox)))
+    val got = Bpe.encode(df, merges).orderBy("doc_id")
+      .as[(Long, Seq[String], Int)].collect()
+    for ((id, subwords, _) <- got) {
+      val words = corpus(id.toInt).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(subwords == words.flatMap(w => refEncode(w, merges)), s"doc $id")
+      // reconstruction means no symbol was split mid-surrogate
+      assert(subwords.mkString == words.mkString)
+      assert(subwords.forall(s => !s.exists(c => Character.isSurrogate(c) && s.length == 1)))
     }
   }
 

@@ -102,6 +102,50 @@ class StoreSpec extends SparkSuite {
     }
   }
 
+  test("jdbc grace stamps live in the database: a second instance on the same URL cannot sweep young pre-CAS files") {
+    val url = s"jdbc:derby:memory:graft-shared-${java.util.UUID.randomUUID()};create=true"
+    val ingest = new JdbcSnapshotStore(url, spark)
+    val maintenance = new JdbcSnapshotStore(url, spark) // fresh instance, no in-JVM state
+    try {
+      val ix = boot(ingest, "shared", n = 32)
+      // the ingest instance stages the pre-CAS half of a commit...
+      val (_, staged) = ingest.writeData("shared",
+        kv(Seq(("zz01", "pending"))).withColumn("version", lit("tx-pending")),
+        KeySpec(Seq("k")), 1)
+      // ...and the MAINTENANCE instance vacuums: it must read the ingest
+      // instance's created_ms from the database and spare the young files
+      maintenance.vacuum("shared", retainVersions = 1)
+      val readable = maintenance.readFiles(staged.map(_.path),
+        maintenance.loadLatest("shared").toOption.get).count()
+      assert(readable == 1L,
+        "second instance swept inside the grace window — stamps must follow the database")
+      // grace 0 from the second instance still reclaims deterministically
+      val (_, deleted) = maintenance.vacuum("shared", retainVersions = 1, graceMs = 0L)
+      assert(deleted > 0)
+      assert(new KVIndex(ingest, ingest.loadLatest("shared").toOption.get).df.count() == ix.count)
+    } finally { ingest.close(); maintenance.close() }
+  }
+
+  test("jdbc history append is O(1): one INSERT, no reread of prior lines") {
+    var reads = 0
+    val store = new JdbcSnapshotStore(
+      s"jdbc:derby:memory:graft-${java.util.UUID.randomUUID()};create=true", spark) {
+      override protected def readText(rel: String): Option[String] = {
+        reads += 1; super.readText(rel)
+      }
+    }
+    try {
+      (1 to 25).foreach(v => store.recordSnapshot("applog", v.toLong, ts = v.toLong * 100))
+      // the appends themselves must never read the log back
+      assert(reads == 0, s"appendText read the log back $reads times")
+      // and the reassembled log is complete and ordered
+      assert(store.historyLog("applog") == (1 to 25).map(v => (v.toLong * 100, v.toLong)))
+      // whole-content replace folds the rows away; appends resume after it
+      store.recordSnapshot("applog", 26L, ts = 2600L)
+      assert(store.historyLog("applog").last == ((2600L, 26L)))
+    } finally store.close()
+  }
+
   test("empty index reads as typed empty result, not an error") {
     for (store <- stores()) {
       store.createIndex("empty", Seq("a", "b"), Seq("v"),

@@ -171,6 +171,20 @@ class TrainingOpsSpec extends SparkSuite {
     assert(r(3) == ((4L, 1L, 1L, "")))
   }
 
+  test("substringSpans memoizes its persisted gram table across repeated calls") {
+    graft.dedup.Dedup.releaseGramCache()
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    graft.dedup.Dedup.substringSpans(df, gramTokens = 3, minDf = 2).collect()
+    // the span query and its apply step (or a bench re-run) must share ONE
+    // pinned gram table, not accumulate a fresh persist per call
+    graft.dedup.Dedup.removeSpans(df,
+      graft.dedup.Dedup.substringSpans(df, gramTokens = 3, minDf = 2)).collect()
+    assert(graft.dedup.Dedup.gramCache.size == 1,
+      s"expected one shared gram cache entry, saw ${graft.dedup.Dedup.gramCache.size}")
+    graft.dedup.Dedup.releaseGramCache()
+    assert(graft.dedup.Dedup.gramCache.isEmpty)
+  }
+
   test("substringSpans: cross-doc runs merge to maximal spans; within-doc repeats and short docs don't flag") {
     val df = Seq(
       (1L, "a b c d e f g h"),         // shares "a b c d e" w/ 2, "f g h" w/ 5
