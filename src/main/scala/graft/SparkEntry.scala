@@ -336,6 +336,18 @@ object SparkEntry {
                WHERE o_orderkey BETWEEN 100 AND 200
                ORDER BY o_orderkey""")
     }),
+    // the SAME snapshot as a first-class DataSource V2 table:
+    // spark.read.format("graft") with the manifest file prune running as
+    // DSv2 filter pushdown (graft.sources.GraftDataSource) — what a
+    // catalog user gets without touching the library API
+    "kv_dsv2" -> ((s, d) => {
+      val (store, _) = liStore(s, d)
+      s.read.format("graft").option("root", store.root).load("ord")
+        .filter(col("o_orderkey").between(100L, 200L))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
     "kv_range" -> ((s, d) => {
       val (_, ix) = liStore(s, d)
       ix.range(Seq(100L), Seq(200L), incFrom = true, incTo = false)
@@ -1826,6 +1838,8 @@ object SparkEntry {
       // the registered-view twin reads the SAME snapshot via pure SQL; the
       // upserted zero-price rows sit below the queried range
       "kv_sql_view" -> ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders " +
+        "WHERE o_orderkey BETWEEN 100 AND 200 ORDER BY o_orderkey"),
+      "kv_dsv2" -> ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders " +
         "WHERE o_orderkey BETWEEN 100 AND 200 ORDER BY o_orderkey"),
       "kv_cow_upsert" -> ("SELECT count(*) AS n, round(sum(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END), 2) AS price_sum " +
         "FROM orders"),

@@ -25,6 +25,49 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   def spark: SparkSession = store.spark
   val key: KeySpec = manifest.keySpec
 
+  // ---- lazy file-list resolution (big-manifest checkpoints) ----
+  // A manifest opened with an unresolved checkpoint ref (KVIndex.open of a
+  // >inlineFilesMax-file snapshot) is NOT materialized here: point/range
+  // reads push their covering-file predicate into the checkpoint scan
+  // Spark-side and materialize survivors only; operations that genuinely
+  // need the whole list (ordered scans, writes, split/merge/diff) resolve
+  // once and cache. Inline manifests behave exactly as before.
+  @volatile private[this] var fullFiles: Seq[FileEntry] =
+    if (manifest.filesRef.isEmpty) manifest.files else null
+
+  private def resolved: Boolean = fullFiles != null
+
+  private def files: Seq[FileEntry] = {
+    var fs = fullFiles
+    if (fs == null) { fs = store.resolveAllFiles(manifest); fullFiles = fs }
+    fs
+  }
+
+  private def filesWhere(pred: FileEntry => Boolean): Seq[FileEntry] = {
+    val fs = fullFiles
+    if (fs != null) fs.filter(pred) else store.resolveFilesWhere(manifest, pred)
+  }
+
+  private def firstFile(pred: FileEntry => Boolean, fromEnd: Boolean = false): Option[FileEntry] = {
+    val fs = fullFiles
+    if (fs != null) (if (fromEnd) fs.reverse else fs).find(pred)
+    else store.resolveFirstFile(manifest, pred, fromEnd)
+  }
+
+  /** Disjoint-chain layout test — from the commit-time hint when the list
+    * is checkpointed, so read routing never forces a full resolve.
+    */
+  private lazy val filesDisjoint: Boolean =
+    manifest.disjointHint.getOrElse {
+      if (resolved) SnapshotManifest.disjointOrdered(fullFiles)
+      else SnapshotManifest.disjointOrdered(files)
+    }
+
+  /** Typed empty result without touching (or resolving) any file list. */
+  private def emptyScan(): DataFrame =
+    if (resolved && fullFiles.nonEmpty) df.limit(0)
+    else store.emptyTyped(manifest)
+
   /** reads of this frozen snapshot */
   def df: DataFrame = store.read(manifest)
   def table: OrderedTable = OrderedTable(df, key)
@@ -38,19 +81,24 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * (reference `Index.scala:900,956-1001`): file count plays the role of
     * leaf count; there is no tree height in a flat file layout.
     */
-  def numFiles: Int = manifest.files.size
+  def numFiles: Int = files.size
 
   /** P3 `find` — the "leaf block containing k" analogue
     * (reference `QueryableIndex.scala:20-22`): the data file whose
     * [min,max] range covers k, located by manifest binary search — the
-    * whole findPath descent (reference `Index.scala:85-99`) on stats.
+    * whole findPath descent (reference `Index.scala:85-99`) on stats. On a
+    * checkpointed disjoint manifest the descent becomes a Spark-side
+    * covering filter that materializes at most one entry.
     */
   def findFile(k: Seq[Any]): Option[FileEntry] = {
-    val files = manifest.files // sorted by min
-    var lo = 0; var hi = files.size - 1; var res: Option[FileEntry] = None
+    if (!resolved && filesDisjoint)
+      return firstFile(f =>
+        KeyOrd.compare(f.min, k) <= 0 && KeyOrd.compare(k, f.max) <= 0)
+    val fs = files // sorted by min
+    var lo = 0; var hi = fs.size - 1; var res: Option[FileEntry] = None
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      if (KeyOrd.compare(files(mid).min, k) <= 0) { res = Some(files(mid)); lo = mid + 1 }
+      if (KeyOrd.compare(fs(mid).min, k) <= 0) { res = Some(fs(mid)); lo = mid + 1 }
       else hi = mid - 1
     }
     res.filter(f => KeyOrd.compare(k, f.max) <= 0)
@@ -61,10 +109,10 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * seek primitive scans start from.
     */
   def nextKeyFile(k: Seq[Any]): Option[FileEntry] =
-    manifest.files.find(f => KeyOrd.compare(f.max, k) > 0)
+    firstFile(f => KeyOrd.compare(f.max, k) > 0)
 
   def previousKeyFile(k: Seq[Any]): Option[FileEntry] =
-    manifest.files.reverse.find(f => KeyOrd.compare(f.min, k) < 0)
+    firstFile(f => KeyOrd.compare(f.min, k) < 0, fromEnd = true)
 
   /** Manifest-pruned read: an [[OrderedTable]] over ONLY the files whose
     * [min,max] intersects [from,to] — the read-side findPath descent
@@ -73,11 +121,11 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * from there inside each file.
     */
   def tableForRange(from: Seq[Any], to: Seq[Any]): OrderedTable = {
-    val files = manifest.files.filter(f =>
+    val covering = filesWhere(f =>
       KeyOrd.compare(f.min, to) <= 0 && KeyOrd.compare(f.max, from) >= 0)
     val df0 =
-      if (files.isEmpty) df.limit(0)
-      else store.readFiles(files.map(_.path), manifest)
+      if (covering.isEmpty) emptyScan()
+      else store.readFiles(covering.map(_.path), manifest)
     OrderedTable(df0, key)
   }
 
@@ -92,17 +140,17 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * (`QueryableIndex.scala:31-83`) done on manifest stats.
     */
   def nextKey(k: Seq[Any]): DataFrame =
-    if (!manifest.filesDisjointOrdered) table.nextKey(k)
+    if (!filesDisjoint) table.nextKey(k)
     else nextKeyFile(k) match {
-      case None => df.limit(0)
+      case None => emptyScan()
       case Some(f) =>
         OrderedTable(store.readFiles(Seq(f.path), manifest), key).nextKey(k)
     }
 
   def previousKey(k: Seq[Any]): DataFrame =
-    if (!manifest.filesDisjointOrdered) table.previousKey(k)
+    if (!filesDisjoint) table.previousKey(k)
     else previousKeyFile(k) match {
-      case None => df.limit(0)
+      case None => emptyScan()
       case Some(f) =>
         OrderedTable(store.readFiles(Seq(f.path), manifest), key).previousKey(k)
     }
@@ -115,9 +163,9 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     */
   def getAll(keys: Seq[Seq[Any]], mustFindAll: Boolean = false): GetResult = {
     if (keys.isEmpty)
-      return GetResult(df.limit(0), 0L, success = true, None)
+      return GetResult(emptyScan(), 0L, success = true, None)
     val sorted = keys.sorted(KeyOrd)
-    val touched = manifest.files.filter { f =>
+    val touched = filesWhere { f =>
       var lo = 0; var hi = sorted.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
@@ -126,7 +174,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       lo < sorted.length && KeyOrd.compare(sorted(lo), f.max) <= 0
     }
     val base =
-      if (touched.isEmpty) df.limit(0)
+      if (touched.isEmpty) emptyScan()
       else store.readFiles(touched.map(_.path), manifest)
     val schema = org.apache.spark.sql.types.StructType(
       key.cols.map(c => base.schema(c)))
@@ -164,12 +212,12 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * way [[getAll]] does.
     */
   def getAllPrefix(prefixes: Seq[Seq[Any]]): DataFrame = {
-    if (prefixes.isEmpty) return df.limit(0)
+    if (prefixes.isEmpty) return emptyScan()
     val plen = prefixes.head.length
     require(plen > 0 && plen <= key.cols.length, s"prefix length $plen out of range")
     require(prefixes.forall(_.length == plen), "mixed prefix lengths")
     val sorted = prefixes.sorted(KeyOrd)
-    val touched = manifest.files.filter { f =>
+    val touched = filesWhere { f =>
       val fmin = f.min.take(plen); val fmax = f.max.take(plen)
       var lo = 0; var hi = sorted.length
       while (lo < hi) {
@@ -178,7 +226,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       }
       lo < sorted.length && KeyOrd.compare(sorted(lo), fmax) <= 0
     }
-    if (touched.isEmpty) return df.limit(0)
+    if (touched.isEmpty) return emptyScan()
     val base = store.readFiles(touched.map(_.path), manifest)
     val pcols = key.cols.take(plen)
     val schema = org.apache.spark.sql.types.StructType(pcols.map(c => base.schema(c)))
@@ -221,11 +269,11 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     */
   private def stitchedScan(filePred: FileEntry => Boolean, rowPred: Column,
                            reverse: Boolean)(fallback: => DataFrame): DataFrame = {
-    if (!manifest.filesDisjointOrdered) return fallback
-    val files = manifest.files.filter(filePred)
-    if (files.isEmpty) return df.limit(0)
+    if (!filesDisjoint) return fallback
+    val kept = filesWhere(filePred)
+    if (kept.isEmpty) return emptyScan()
     graft.plans.OrderedPlans.declareOrdered(
-      orderedUnion(if (reverse) files.reverse else files, reverse).filter(rowPred),
+      orderedUnion(if (reverse) kept.reverse else kept, reverse).filter(rowPred),
       key.cols, reverse)
   }
 
@@ -313,10 +361,10 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * rule instead of re-shuffling already-ordered data.
     */
   def inOrdered(reverse: Boolean = false): DataFrame =
-    if (manifest.files.isEmpty) df
-    else if (manifest.filesDisjointOrdered)
+    if (manifest.isEmpty || files.isEmpty) df // whole-snapshot scan: full resolve is inherent
+    else if (filesDisjoint)
       graft.plans.OrderedPlans.declareOrdered(
-        orderedUnion(if (reverse) manifest.files.reverse else manifest.files, reverse),
+        orderedUnion(if (reverse) files.reverse else files, reverse),
         key.cols, reverse)
     else if (reverse) table.reverseScan()
     else table.inOrder()
@@ -332,14 +380,14 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     */
   def createOrReplaceView(name: String): Unit = {
     val base =
-      if (manifest.files.isEmpty || !manifest.filesDisjointOrdered) inOrdered()
+      if (files.isEmpty || !filesDisjoint) inOrdered()
       else {
         // the stitch is wrapped in the manifest-prune marker, so a SQL
         // point/range predicate on the leading key re-plans over ONLY the
         // covering files (graft.plans.PruneSnapshotFiles) — the view gets
         // the native tableForRange file prune, not just row-group skipping
         val prunable = graft.plans.OrderedPlans.snapshotPrunable(
-          orderedUnion(manifest.files, reverse = false), key.cols.head, prunedPlanFor)
+          orderedUnion(files, reverse = false), key.cols.head, prunedPlanFor)
         graft.plans.OrderedPlans.declareOrdered(prunable, key.cols, reverse = false)
       }
     base.createOrReplaceTempView(name)
@@ -350,13 +398,13 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     */
   private def prunedPlanFor(lo: Option[Any], hi: Option[Any])
       : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
-    val files = manifest.files.filter { f =>
+    val kept = files.filter { f =>
       hi.forall(h => KeyOrd.compare(Seq(f.min.head), Seq(h)) <= 0) &&
         lo.forall(l => KeyOrd.compare(Seq(f.max.head), Seq(l)) >= 0)
     }
-    if (files.size == manifest.files.size) None
+    if (kept.size == files.size) None
     else {
-      val pdf = if (files.isEmpty) df.limit(0) else orderedUnion(files, reverse = false)
+      val pdf = if (kept.isEmpty) df.limit(0) else orderedUnion(kept, reverse = false)
       Some(pdf.queryExecution.analyzed)
     }
   }
@@ -373,12 +421,12 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * global sort of the scanned data.
     */
   def headOrdered(n: Int, reverse: Boolean = false): DataFrame = {
-    if (!manifest.filesDisjointOrdered)
+    if (!filesDisjoint)
       return if (reverse) table.tail(n) else table.head(n)
-    val ordered = if (reverse) manifest.files.reverse else manifest.files
+    val ordered = if (reverse) files.reverse else files
     var cum = 0L
     val prefix = ordered.takeWhile { f => val need = cum < n; cum += f.rows; need }
-    if (prefix.isEmpty) df.limit(0)
+    if (prefix.isEmpty) emptyScan()
     else orderedUnion(prefix, reverse).limit(n)
       .coalesce(1).sortWithinPartitions(key.sortCols(reverse): _*)
   }
@@ -398,9 +446,9 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
                    reverse: Boolean = false,
                    batchRows: Long = 2L << 20): Iterator[org.apache.spark.sql.Row] = {
     import scala.jdk.CollectionConverters._
-    if (!manifest.filesDisjointOrdered)
+    if (!filesDisjoint)
       return table.pullIterator(pred, seek, reverse)
-    val ordered = if (reverse) manifest.files.reverse else manifest.files
+    val ordered = if (reverse) files.reverse else files
     val fs = seek match {
       case Some(k) if reverse => ordered.filter(f => KeyOrd.compare(f.min, k) < 0)
       case Some(k) => ordered.filter(f => KeyOrd.compare(f.max, k) > 0)
@@ -513,7 +561,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       snapshotId = UUID.randomUUID().toString,
       numElements = untouchedRows + newFiles.map(_.rows).sum,
       lastChangeVersion = txVersion,
-      files = (untouched ++ newFiles).sortBy(_.min)(KeyOrd))
+      files = (untouched ++ newFiles).sortBy(_.min)(KeyOrd),
+      filesRef = None, disjointHint = None)
     try BatchResult(success = true, None,
       Some(store.commit(m2, manifest.version, recordHistory)), counts)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -604,7 +653,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * big batches fall back to the batch hull.
     */
   private def pruneFiles(batchKeys: DataFrame): (Seq[FileEntry], Seq[FileEntry]) = {
-    if (manifest.files.isEmpty) return (Nil, Nil)
+    if (files.isEmpty) return (Nil, Nil)
     // one early-stopping take decides small-vs-hull AND fetches the keys
     // (the previous limit+count probe plus full collect was two jobs)
     val taken = batchKeys.take(100001)
@@ -619,12 +668,12 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
         }
         lo < keys.length && KeyOrd.compare(keys(lo), f.max) <= 0
       }
-      manifest.files.partition(containsAny)
+      files.partition(containsAny)
     } else {
       val hull = batchKeys.agg(
         min(struct(key.cols.map(col): _*)), max(struct(key.cols.map(col): _*))).head()
       val lo = hull.getStruct(0).toSeq; val hi = hull.getStruct(1).toSeq
-      manifest.files.partition(f =>
+      files.partition(f =>
         KeyOrd.compare(f.min, hi) <= 0 && KeyOrd.compare(f.max, lo) >= 0)
     }
   }
@@ -634,7 +683,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * insert: zero current files are read, zero rewritten).
     */
   private def emptyLike(cmds: Seq[Command]): DataFrame = {
-    if (manifest.files.nonEmpty) store.read(manifest).limit(0)
+    if (files.nonEmpty) store.read(manifest).limit(0)
     else {
       val c = cmds.collectFirst { case Command.Insert(r, _) => r }
         .getOrElse(cmds.head.rows)
@@ -659,7 +708,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     */
   def compact(targetRowsPerFile: Long = maxRowsPerFile,
               recordHistory: Boolean = false): BatchResult = {
-    val (small, big) = manifest.files.partition(_.rows < targetRowsPerFile / 2)
+    val (small, big) = files.partition(_.rows < targetRowsPerFile / 2)
     if (small.size < 2)
       return BatchResult(success = true, None, Some(manifest))
     val df = store.readFiles(small.map(_.path), manifest)
@@ -669,7 +718,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val m2 = manifest.copy(
       version = manifest.version + 1,
       snapshotId = UUID.randomUUID().toString,
-      files = (big ++ newFiles).sortBy(_.min)(KeyOrd))
+      files = (big ++ newFiles).sortBy(_.min)(KeyOrd),
+      filesRef = None, disjointHint = None)
     try BatchResult(success = true, None,
       Some(store.commit(m2, manifest.version, recordHistory)))
     catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -688,7 +738,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   def countRange(from: Seq[Any], to: Seq[Any],
                  incFrom: Boolean = true, incTo: Boolean = true): Long = {
     require(KeyOrd.compare(to, from) >= 0, "countRange: to < from")
-    val overlap = manifest.files.filter(f =>
+    val overlap = filesWhere(f =>
       KeyOrd.compare(f.min, to) <= 0 && KeyOrd.compare(f.max, from) >= 0)
     if (overlap.isEmpty) return 0L
     val (covered, boundary) = overlap.partition { f =>
@@ -725,7 +775,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     require(KeyOrd.compare(to, from) >= 0, "removeRange: to < from")
     // overlap iff min <= to && max >= from; conservative at open bounds
     // (an edge-touching file is merely rewritten to itself)
-    val (overlap, keep) = manifest.files.partition(f =>
+    val (overlap, keep) = files.partition(f =>
       KeyOrd.compare(f.min, to) <= 0 && KeyOrd.compare(f.max, from) >= 0)
     if (overlap.isEmpty)
       return BatchResult(success = true, None, Some(manifest))
@@ -767,7 +817,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       snapshotId = UUID.randomUUID().toString,
       numElements = manifest.numElements - removed,
       lastChangeVersion = txVersion,
-      files = (keep ++ rewritten).sortBy(_.min)(KeyOrd))
+      files = (keep ++ rewritten).sortBy(_.min)(KeyOrd),
+      filesRef = None, disjointHint = None)
     try BatchResult(success = true, None, Some(store.commit(m2, manifest.version)),
       Seq(removed))
     catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -797,8 +848,12 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   def copyTo(newId: String): Either[GraftError, SnapshotManifest] = {
     if (store.exists(newId)) Left(GraftError.IndexAlreadyExists(newId))
     else {
+      // resolve before committing: the clone's checkpoint must live under
+      // ITS id (the original's could be vacuumed away), so a lazy ref is
+      // materialized and re-checkpointed rather than propagated
       val m = manifest.copy(id = newId, version = 0L,
-        snapshotId = UUID.randomUUID().toString)
+        snapshotId = UUID.randomUUID().toString,
+        files = files, filesRef = None, disjointHint = None)
       Right(store.commit(m, -1L))
     }
   }
@@ -814,14 +869,15 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     if (manifest.maxNItems > 0 && total > manifest.maxNItems)
       return Left(GraftError.MergeTooLarge(total, manifest.maxNItems))
     if (store.exists(newId)) return Left(GraftError.IndexAlreadyExists(newId))
-    val (a, b) = (manifest, other.manifest)
-    val disjoint = a.files.isEmpty || b.files.isEmpty ||
-      KeyOrd.compare(a.files.map(_.max).max(KeyOrd), b.files.map(_.min).min(KeyOrd)) < 0 ||
-      KeyOrd.compare(b.files.map(_.max).max(KeyOrd), a.files.map(_.min).min(KeyOrd)) < 0
+    val (af, bf) = (files, other.files)
+    val a = manifest
+    val disjoint = af.isEmpty || bf.isEmpty ||
+      KeyOrd.compare(af.map(_.max).max(KeyOrd), bf.map(_.min).min(KeyOrd)) < 0 ||
+      KeyOrd.compare(bf.map(_.max).max(KeyOrd), af.map(_.min).min(KeyOrd)) < 0
     require(disjoint, "merge requires disjoint key ranges")
     val m = SnapshotManifest(newId, 0L, UUID.randomUUID().toString,
       a.keyCols, a.valueCols, total, a.maxNItems, a.lastChangeVersion,
-      (a.files ++ b.files).sortBy(_.min)(KeyOrd), a.colTypes)
+      (af ++ bf).sortBy(_.min)(KeyOrd), a.colTypes)
     Right(store.commit(m, -1L))
   }
 
@@ -835,7 +891,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   def split(leftId: String, rightId: String): Either[GraftError, (SnapshotManifest, SnapshotManifest)] = {
     if (count < 2) return Left(GraftError.MergeTooLarge(count, 2))
     val half = count / 2
-    val files = manifest.files
+    val files = this.files
     var cum = 0L
     val idx = files.indexWhere { f => val c = cum; cum += f.rows; half <= c + f.rows && half > c }
     val straddle = files(math.max(idx, 0))
@@ -880,18 +936,19 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   def diff(newer: KVIndex): DataFrame = {
     val kcols = key.cols
     val vals = manifest.valueCols.filterNot(_ == "version")
-    val oldPaths = manifest.files.map(_.path).toSet
-    val newPaths = newer.manifest.files.map(_.path).toSet
-    def side(m: SnapshotManifest, keep: Set[String], tag: String): DataFrame = {
-      val fs = m.files.filterNot(f => keep.contains(f.path))
+    val oldPaths = files.map(_.path).toSet
+    val newPaths = newer.files.map(_.path).toSet
+    def side(m: SnapshotManifest, sideFiles: Seq[FileEntry], keep: Set[String],
+             tag: String): DataFrame = {
+      val fs = sideFiles.filterNot(f => keep.contains(f.path))
       val base =
-        if (fs.isEmpty) store.read(m).limit(0) // typed empty, no scan
+        if (fs.isEmpty) store.emptyTyped(m) // typed empty, no scan
         else store.readFiles(fs.map(_.path), m)
       base.select(kcols.map(col) ++ vals.map(c => col(c).as(s"${tag}_$c")) :+
         lit(true).as(s"__$tag"): _*)
     }
-    val o = side(manifest, newPaths, "old")
-    val n = side(newer.manifest, oldPaths, "new")
+    val o = side(manifest, files, newPaths, "old")
+    val n = side(newer.manifest, newer.files, oldPaths, "new")
     val valueChanged = vals.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     o.join(n, kcols, "full_outer")
@@ -975,8 +1032,46 @@ object KVIndex {
     }
   }
 
+  /** Open LATEST. Big-manifest snapshots (filelist checkpoint) open LAZY:
+    * no file entry is materialized until an operation needs it, and
+    * point/range reads materialize only their covering entries — a 3M-file
+    * snapshot point-get plans over a handful of driver-side objects.
+    */
   def open(store: SnapshotStore, id: String): Either[GraftError, KVIndex] =
-    store.loadLatest(id).map(new KVIndex(store, _))
+    store.loadLatestLazy(id).map(new KVIndex(store, _))
+
+  /** Multi-writer convenience: execute `cmds` against LATEST, and when the
+    * commit CAS is lost to a concurrent writer (`ContextAlreadyUsed` — the
+    * reference's single-writer `used` flag, `Index.scala:1012,1032-1035`),
+    * re-open the NEW latest and re-validate + re-apply, up to
+    * `maxAttempts` times. Losing writers therefore serialize behind the
+    * winner instead of hand-rolling the reopen loop. Only the CAS loss is
+    * transient and retried; validation failures (duplicate keys, missing
+    * keys, stale row versions — possibly caused by the winning writer's
+    * batch) surface immediately, because re-running them would return the
+    * same error against the same state.
+    */
+  def executeWithRetry(store: SnapshotStore, id: String, cmds: Seq[Command],
+                       maxAttempts: Int = 5,
+                       recordHistory: Boolean = false,
+                       maxRowsPerFile: Long = 1L << 19): BatchResult = {
+    require(maxAttempts >= 1, "executeWithRetry: maxAttempts must be >= 1")
+    var last: BatchResult =
+      BatchResult(success = false, Some(GraftError.IndexNotFound(id)), None)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      store.loadLatestLazy(id) match {
+        case Left(e) => return BatchResult(success = false, Some(e), None)
+        case Right(m) =>
+          last = new KVIndex(store, m, maxRowsPerFile)
+            .execute(cmds, recordHistory = recordHistory)
+          val casLoss = last.error.exists(_.isInstanceOf[GraftError.ContextAlreadyUsed])
+          if (!casLoss) return last
+      }
+      attempt += 1
+    }
+    last
+  }
 
   def openAt(store: SnapshotStore, id: String, t: Long): Either[GraftError, KVIndex] =
     store.findIndexAt(id, t).map(m => new KVIndex(store, m))

@@ -44,12 +44,18 @@ final case class SnapshotManifest(
     lastChangeVersion: String,  // tx id of last writer, reference Context.scala:20
     files: Seq[FileEntry],
     colTypes: Seq[String] = Nil,
-    // wire-only pointer to a parquet filelist checkpoint (big manifests,
-    // Delta-checkpoint pattern). Set ONLY between toJson and loadVersion:
-    // commit decides it from files.size, loadVersion resolves and CLEARS it
-    // — in-memory manifests always carry inline `files`, so no caller can
-    // propagate a stale ref through copy().
-    filesRef: Option[String] = None) {
+    // pointer to a parquet filelist checkpoint (big manifests, Delta-
+    // checkpoint pattern). Commit decides it from files.size; the eager
+    // load path (loadVersion) resolves and CLEARS it, while the lazy open
+    // path (loadVersionLazy -> KVIndex.open) KEEPS it so reads can prune
+    // the checkpoint Spark-side and materialize only covering entries.
+    // Writer-built manifests must always inline `files` — commit refuses a
+    // manifest still carrying a ref (serializeManifest's require).
+    filesRef: Option[String] = None,
+    // commit-time record of [[filesDisjointOrdered]] carried alongside a
+    // checkpoint ref, so lazily-opened manifests can pick the sort-free
+    // read paths without materializing the file list first
+    disjointHint: Option[Boolean] = None) {
 
   def keySpec: KeySpec = KeySpec(keyCols)
   def isEmpty: Boolean = numElements == 0
@@ -65,10 +71,7 @@ final case class SnapshotManifest(
     * several inter-file gaps produces a new file overlapping kept files'
     * ranges — those snapshots fall back to a sorted read.
     */
-  def filesDisjointOrdered: Boolean =
-    files.sizeIs < 2 || files.iterator.zip(files.iterator.drop(1)).forall {
-      case (a, b) => KeyOrd.compare(a.max, b.min) < 0
-    }
+  def filesDisjointOrdered: Boolean = SnapshotManifest.disjointOrdered(files)
 }
 
 object SnapshotManifest {
@@ -142,8 +145,9 @@ object SnapshotManifest {
       "files" -> files,
       "colTypes" -> JArray(m.colTypes.map(JString(_)).toList))
     val withRef = m.filesRef.fold(base)(r => base :+ ("filesRef" -> (JString(r): JValue)))
+    val withHint = m.disjointHint.fold(withRef)(d => withRef :+ ("disjoint" -> (JBool(d): JValue)))
 
-    JsonMethods.compact(JsonMethods.render(JObject(withRef)))
+    JsonMethods.compact(JsonMethods.render(JObject(withHint)))
   }
 
   def fromJson(s: String): SnapshotManifest = {
@@ -169,11 +173,23 @@ object SnapshotManifest {
       case JString(s) => Some(s)
       case _ => None
     }
+    val disjointHint = (j \ "disjoint") match {
+      case JBool(b) => Some(b)
+      case _ => None
+    }
     SnapshotManifest(str("id"), lng("version"), str("snapshotId"),
       strs("keyCols"), strs("valueCols"), lng("numElements"),
       lng("maxNItems"), str("lastChangeVersion"), files, strsOpt("colTypes"),
-      filesRef)
+      filesRef, disjointHint)
   }
+
+  /** True iff `files` (sorted by min) form a strictly increasing, pairwise-
+    * disjoint key-range chain — see [[SnapshotManifest.filesDisjointOrdered]].
+    */
+  def disjointOrdered(files: Seq[FileEntry]): Boolean =
+    files.sizeIs < 2 || files.iterator.zip(files.iterator.drop(1)).forall {
+      case (a, b) => KeyOrd.compare(a.max, b.min) < 0
+    }
 }
 
 /** Driver-side ordering over composite key literals, used only for manifest
@@ -366,23 +382,71 @@ trait SnapshotStore {
   }
 
   final def loadLatest(id: String): Either[GraftError, SnapshotManifest] =
-    readText(s"$id/LATEST") match {
-      case None => Left(GraftError.IndexNotFound(id))
-      case Some(v) => Right(loadVersion(id, v.trim.stripPrefix("v").toLong))
-    }
+    loadLatestLazy(id).map(resolveFiles)
 
   final def loadVersion(id: String, version: Long): SnapshotManifest =
-    resolveFiles(SnapshotManifest.fromJson(readText(s"$id/v$version.manifest.json")
-      .getOrElse(throw new java.util.NoSuchElementException(s"$id@v$version"))))
+    resolveFiles(loadVersionLazy(id, version))
 
-  /** Materialize a checkpointed file list (and clear the wire-only ref, so
-    * in-memory manifests always carry inline files — see `filesRef`).
+  /** Like [[loadLatest]]/[[loadVersion]] but a filelist-checkpoint ref is
+    * KEPT unresolved: `files` stays empty and `filesRef` points at the
+    * checkpoint, so the opener ([[graft.core.KVIndex]]) can prune it
+    * Spark-side per operation instead of materializing millions of
+    * entries on the driver at open. Small manifests (inline files) come
+    * back identical to the eager load.
+    */
+  final def loadLatestLazy(id: String): Either[GraftError, SnapshotManifest] =
+    readText(s"$id/LATEST") match {
+      case None => Left(GraftError.IndexNotFound(id))
+      case Some(v) => Right(loadVersionLazy(id, v.trim.stripPrefix("v").toLong))
+    }
+
+  final def loadVersionLazy(id: String, version: Long): SnapshotManifest =
+    SnapshotManifest.fromJson(readText(s"$id/v$version.manifest.json")
+      .getOrElse(throw new java.util.NoSuchElementException(s"$id@v$version")))
+
+  /** Materialize a checkpointed file list (and clear the ref, so eager
+    * manifests always carry inline files — see `filesRef`).
     */
   private def resolveFiles(m: SnapshotManifest): SnapshotManifest =
     m.filesRef match {
       case Some(ref) => m.copy(files = readFileList(ref), filesRef = None)
       case None => m
     }
+
+  /** Full file list of `m`, resolving a checkpoint ref if present. */
+  private[graft] final def resolveAllFiles(m: SnapshotManifest): Seq[FileEntry] =
+    m.filesRef.fold(m.files)(readFileList)
+
+  /** Only the entries of `m`'s file list satisfying `pred`, in manifest
+    * (min-sorted) order. With a checkpoint ref the filter runs Spark-side
+    * ([[readFileListWhere]]) and the driver materializes survivors only.
+    */
+  private[graft] final def resolveFilesWhere(m: SnapshotManifest,
+                                            pred: FileEntry => Boolean): Seq[FileEntry] =
+    m.filesRef.fold(m.files.filter(pred))(readFileListWhere(_, pred))
+
+  /** First entry (manifest order; last when `fromEnd`) satisfying `pred` —
+    * the successor/predecessor file seek without materializing the list.
+    */
+  private[graft] final def resolveFirstFile(m: SnapshotManifest, pred: FileEntry => Boolean,
+                                           fromEnd: Boolean): Option[FileEntry] =
+    m.filesRef match {
+      case Some(ref) => readFileListFirst(ref, pred, fromEnd)
+      case None => (if (fromEnd) m.files.reverse else m.files).find(pred)
+    }
+
+  /** Backend hook for [[resolveFilesWhere]]; default filters driver-side
+    * (in-process backends already hold the list in memory / one blob).
+    */
+  protected def readFileListWhere(rel: String, pred: FileEntry => Boolean): Seq[FileEntry] =
+    readFileList(rel).filter(pred)
+
+  /** Backend hook for [[resolveFirstFile]]; same default stance. */
+  protected def readFileListFirst(rel: String, pred: FileEntry => Boolean,
+                                  fromEnd: Boolean): Option[FileEntry] = {
+    val fs = readFileList(rel)
+    (if (fromEnd) fs.reverse else fs).find(pred)
+  }
 
   /** Atomic commit: create-new manifest for version parent+1 (fails if a
     * concurrent writer already committed that version — the CAS), then
@@ -444,14 +508,21 @@ trait SnapshotStore {
     * ref. A checkpoint orphaned by a crash between its write and the
     * manifest CAS is swept by vacuum.
     */
-  private def serializeManifest(m: SnapshotManifest): String =
+  private def serializeManifest(m: SnapshotManifest): String = {
+    require(m.filesRef.isEmpty,
+      s"commit of ${m.id}@v${m.version}: writer manifests must inline their " +
+        "file list (a lazily-opened manifest's ref must not be re-committed)")
     if (m.files.size <= inlineFilesMax)
-      SnapshotManifest.toJson(m.copy(filesRef = None))
+      SnapshotManifest.toJson(m.copy(disjointHint = None))
     else {
       val ref = s"${m.id}/filelist/${m.snapshotId}"
       writeFileList(ref, m.files)
-      SnapshotManifest.toJson(m.copy(files = Nil, filesRef = Some(ref)))
+      // record disjointness next to the ref: lazy opens route reads
+      // without materializing the checkpoint
+      SnapshotManifest.toJson(m.copy(files = Nil, filesRef = Some(ref),
+        disjointHint = Some(m.filesDisjointOrdered)))
     }
+  }
 
   /** Read one snapshot as a DataFrame. Files are immutable so this is a
     * consistent non-blocking read of that frozen version regardless of
@@ -459,11 +530,13 @@ trait SnapshotStore {
     * reads as a typed EMPTY DataFrame (reference: empty reads return
     * empty results, not errors).
     */
-  final def read(m: SnapshotManifest): DataFrame =
-    if (m.files.isEmpty) emptyTyped(m)
-    else readFiles(m.files.map(_.path), m)
+  final def read(m: SnapshotManifest): DataFrame = {
+    val fs = resolveAllFiles(m)
+    if (fs.isEmpty) emptyTyped(m)
+    else readFiles(fs.map(_.path), m)
+  }
 
-  private def emptyTyped(m: SnapshotManifest): DataFrame = {
+  private[graft] def emptyTyped(m: SnapshotManifest): DataFrame = {
     val names = m.keyCols ++ m.valueCols
     val types =
       if (m.colTypes.size == names.size) m.colTypes.map(DataType.fromDDL)
@@ -740,6 +813,40 @@ class FsSnapshotStore(val root: String, val spark: SparkSession)
         SnapshotManifest.keyFromJson(r.getAs[String]("maxJson")))
     }.toSeq
 
+  /** Spark-side checkpoint prune: the predicate ships INTO the checkpoint
+    * scan, each task decodes and tests its rows, and the driver collects
+    * ONLY survivors — a point get over a 3M-file snapshot materializes a
+    * handful of entries instead of the whole list. The closure captures
+    * just the predicate (key literals + the KeyOrd module), never the
+    * store.
+    */
+  override protected def readFileListWhere(rel: String,
+                                           pred: FileEntry => Boolean): Seq[FileEntry] = {
+    import spark.implicits._
+    val dec = FsSnapshotStore.decodeEntry
+    val keep = pred
+    spark.read.parquet(p(rel).toString)
+      .select(col("seq"), col("path"), col("rows"), col("minJson"), col("maxJson"))
+      .as[(Long, String, Long, String, String)]
+      .filter(t => keep(dec(t)))
+      .collect().sortBy(_._1).iterator.map(dec).toSeq
+  }
+
+  override protected def readFileListFirst(rel: String, pred: FileEntry => Boolean,
+                                           fromEnd: Boolean): Option[FileEntry] = {
+    import spark.implicits._
+    val dec = FsSnapshotStore.decodeEntry
+    val keep = pred
+    val survivors = spark.read.parquet(p(rel).toString)
+      .select(col("seq"), col("path"), col("rows"), col("minJson"), col("maxJson"))
+      .as[(Long, String, Long, String, String)]
+      .filter(t => keep(dec(t)))
+    val row = survivors
+      .orderBy(if (fromEnd) col("seq").desc else col("seq").asc)
+      .limit(1).collect()
+    row.headOption.map(dec)
+  }
+
   override protected def deleteFileList(rel: String): Unit = {
     val dir = p(rel)
     if (Files.exists(dir))
@@ -806,6 +913,15 @@ class FsSnapshotStore(val root: String, val spark: SparkSession)
     } catch { case _: java.io.IOException => System.currentTimeMillis() }
     finally { try Files.deleteIfExists(f) catch { case _: java.io.IOException => () } }
   }
+}
+
+object FsSnapshotStore {
+  /** Checkpoint-row decoder as a standalone serializable function — shipped
+    * inside executor-side prune closures, so it must not capture a store.
+    */
+  private[core] val decodeEntry: ((Long, String, Long, String, String)) => FileEntry =
+    t => FileEntry(t._2, t._3,
+      SnapshotManifest.keyFromJson(t._4), SnapshotManifest.keyFromJson(t._5))
 }
 
 /** In-memory store — the reference's `MemoryStorage` analogue

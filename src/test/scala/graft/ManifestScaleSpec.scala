@@ -64,6 +64,50 @@ class ManifestScaleSpec extends SparkSuite {
     assert(pruneSec < 5.0, s"100 prune passes over 60k files took ${pruneSec}s")
   }
 
+  /** Store double that counts checkpoint materializations. */
+  private class CountingFsStore(root0: String) extends FsSnapshotStore(root0, spark) {
+    @volatile var fullListReads = 0
+    @volatile var entriesMaterialized = 0L
+    def resetCounts(): Unit = { fullListReads = 0; entriesMaterialized = 0L }
+    override protected def readFileList(rel: String): Seq[FileEntry] = {
+      fullListReads += 1
+      val r = super.readFileList(rel); entriesMaterialized += r.size; r
+    }
+    override protected def readFileListWhere(rel: String,
+                                             pred: FileEntry => Boolean): Seq[FileEntry] = {
+      val r = super.readFileListWhere(rel, pred); entriesMaterialized += r.size; r
+    }
+    override protected def readFileListFirst(rel: String, pred: FileEntry => Boolean,
+                                             fromEnd: Boolean): Option[FileEntry] = {
+      val r = super.readFileListFirst(rel, pred, fromEnd)
+      entriesMaterialized += r.size; r
+    }
+  }
+
+  test("lazy open: point planning over a 60k-file checkpoint materializes only covering entries") {
+    val store = new CountingFsStore(tmpDir("graft-lazy-open"))
+    commitBig(store, "big", N)
+    val ix = KVIndex.open(store, "big").fold(e => fail(e.message), identity)
+    assert(ix.manifest.filesRef.isDefined, "open must keep the checkpoint ref lazy")
+    assert(ix.manifest.disjointHint.contains(true), "commit must record disjointness")
+    store.resetCounts()
+    // covering-file locate, successor/predecessor seeks, covered-range count:
+    // each plans through a Spark-side checkpoint filter, never the full list
+    assert(ix.findFile(Seq(123455L)).exists(_.min.head == 123450L))
+    assert(ix.nextKeyFile(Seq(123459L)).exists(_.min.head == 123460L))
+    assert(ix.previousKeyFile(Seq(0L)).isEmpty)
+    assert(ix.countRange(Seq(100L), Seq(129L)) == 30L) // 3 covered files, zero data IO
+    assert(store.fullListReads == 0,
+      "point planning over a lazy manifest must not materialize the full file list")
+    assert(store.entriesMaterialized <= 8,
+      s"expected O(covering files) entries, materialized ${store.entriesMaterialized}")
+    // whole-list operations resolve once and cache the resolution
+    assert(ix.numFiles == N)
+    assert(store.fullListReads == 1)
+    ix.numFiles
+    assert(store.fullListReads == 1, "full resolve must be cached on the index")
+  }
+
   test("small manifests stay inline JSON (no checkpoint IO)") {
     val store = new FsSnapshotStore(tmpDir("graft-smallmanifest"), spark)
     val committed = commitBig(store, "small", 50)

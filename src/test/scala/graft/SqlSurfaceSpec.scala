@@ -32,6 +32,51 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(res.forall(_._2 == 10))
   }
 
+  test("DataSource V2: spark.read.format(\"graft\") opens a snapshot with file pruning + pushdown") {
+    import graft.core._
+    val store = new FsSnapshotStore(tmpDir("graft-dsv2"), spark)
+    val rows = (1L to 4000L).map(i => (i, s"v$i", i * 3)).toDF("k", "s", "x")
+    val ix = KVIndex.bootstrap(store, "dsv", rows, Seq("k"), maxRowsPerFile = 512)
+      .fold(e => sys.error(e.message), identity)
+    assert(ix.numFiles >= 4, "need a multi-file snapshot to observe pruning")
+    def load() = spark.read.format("graft")
+      .option("root", store.root).load("dsv")
+    // full read round-trips
+    assert(load().count() == 4000L)
+    // kv_sql_view-equivalent query through the format
+    val got = load().filter($"k" >= 100L && $"k" <= 110L)
+      .select("k", "x").orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == (100L to 110L).map(i => (i, i * 3)))
+    // the point predicate prunes the MANIFEST to one covering file before
+    // the parquet scan is planned (the native tableForRange prune as DSv2
+    // filter pushdown; the V1 bridge hides the inner scan's metrics, so
+    // pruning is pinned through the scan's planning telemetry)
+    import graft.sources.GraftScan
+    val point = load().filter($"k" === 1234L).select("x")
+    assert(point.as[Long].collect().toSeq == Seq(3702L))
+    assert(GraftScan.lastPlannedFiles == 1,
+      s"point query must plan 1 covering file of ${ix.numFiles}, " +
+        s"planned ${GraftScan.lastPlannedFiles}")
+    val range = load().filter($"k" > 3900L).select("k")
+    assert(range.as[Long].collect().length == 100)
+    assert(GraftScan.lastPlannedFiles >= 1 && GraftScan.lastPlannedFiles < ix.numFiles,
+      s"range query must prune the file set, planned ${GraftScan.lastPlannedFiles}")
+    load().count()
+    assert(GraftScan.lastPlannedFiles == ix.numFiles, "unfiltered scan reads all files")
+    // time travel via version option
+    val r2 = ix.execute(Seq(Command.Insert(
+      Seq((9999L, "new", 1L)).toDF("k", "s", "x"))))
+    assert(r2.success)
+    assert(spark.read.format("graft").option("root", store.root)
+      .option("version", "1").load("dsv").count() == 4000L)
+    assert(spark.read.format("graft").option("root", store.root)
+      .load("dsv").count() == 4001L)
+    // SQL text over the format: CREATE TABLE ... USING graft
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dsv_sql USING graft " +
+      s"OPTIONS (root '${store.root}', path 'dsv')")
+    assert(spark.sql("SELECT x FROM dsv_sql WHERE k = 1234").as[Long].head() == 3702L)
+  }
+
   test("snapshot registered as a view: pure SQL reads it with scan-side pushdown") {
     import graft.core._
     import org.apache.spark.sql.functions._

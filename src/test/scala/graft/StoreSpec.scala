@@ -195,6 +195,54 @@ class StoreSpec extends SparkSuite {
     }
   }
 
+  test("executeWithRetry: a deterministic CAS loss re-opens LATEST and lands") {
+    // a store whose first LATEST read is stale forces the retry path
+    // deterministically: attempt 1 executes against v1, loses the CAS to
+    // the already-committed v2, attempt 2 re-opens the real LATEST
+    val store = new FsSnapshotStore(tmpDir("graft-retry-stale"), spark) {
+      @volatile var staleOnce = false
+      override protected def readText(rel: String): Option[String] =
+        if (staleOnce && rel.endsWith("/LATEST")) { staleOnce = false; Some("v1") }
+        else super.readText(rel)
+    }
+    val ix = boot(store, "retry", n = 32)
+    assert(ix.execute(Seq(Command.Insert(kv(Seq("zz-first" -> "w1"))))).success) // -> v2
+    store.staleOnce = true
+    val r = KVIndex.executeWithRetry(store, "retry",
+      Seq(Command.Insert(kv(Seq("zz-second" -> "w2")))))
+    assert(r.success, r.error.toString)
+    assert(r.snapshot.get.version == 3L, "retry must serialize behind the winner")
+    val latest = KVIndex.open(store, "retry").toOption.get
+    assert(latest.get(Seq("zz-first")).count() == 1)
+    assert(latest.get(Seq("zz-second")).count() == 1)
+    // validation failures are NOT retried: inserting an existing key fails
+    // once with the real error, no CAS involved
+    val dup = KVIndex.executeWithRetry(store, "retry",
+      Seq(Command.Insert(kv(Seq("zz-second" -> "again")))))
+    assert(!dup.success && dup.error.get.code == "LEAF_DUPLICATE_KEY")
+  }
+
+  test("executeWithRetry: concurrent writers all commit, serialized") {
+    for (store <- stores()) {
+      boot(store, "retryrace", n = 32)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Seq("a", "b").map(tag => Future(
+        tag -> KVIndex.executeWithRetry(store, "retryrace",
+          Seq(Command.Insert(kv(Seq(s"race-$tag" -> tag)))))))
+        .map(Await.result(_, 5.minutes))
+      assert(results.forall(_._2.success),
+        results.map(r => r._1 -> r._2.error).toString)
+      val latest = KVIndex.open(store, "retryrace").toOption.get
+      assert(latest.count == 34)
+      assert(latest.get(Seq("race-a")).count() == 1)
+      assert(latest.get(Seq("race-b")).count() == 1)
+      assert(latest.manifest.version == 3L,
+        "both batches must land as consecutive serialized versions")
+    }
+  }
+
   /** Crash injection for the commit+history protocol: trips exactly one
     * simulated crash at a chosen protocol point (before the LATEST swap /
     * before the history append), then behaves normally — the restart.
