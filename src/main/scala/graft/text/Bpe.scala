@@ -22,8 +22,9 @@ import graft.functions.{functions => gf}
   * argmax — only the single winning pair ever reaches the driver. The
   * per-round symbol rewrite is a higher-order-function fold built with
   * the Column API (no SQL-string splicing of corpus-derived symbols).
-  * Rounds persist/unpersist pointer-style like `Dedup.clusters`, so the
-  * plan stays one rewrite deep instead of `numMerges` deep.
+  * Rounds materialize via `localCheckpoint`, truncating lineage to a
+  * leaf each time — the plan stays one rewrite deep instead of
+  * `numMerges` deep, and plan rendering stays O(1) per round.
   *
   * At 100 TB: train on a SAMPLE (pass `df.sample(...)` or a `limit`ed
   * frame — vocabulary learning converges long before the corpus is
@@ -54,17 +55,22 @@ object Bpe {
   def train(df: DataFrame, textCol: String = "text", numMerges: Int = 100,
             minCount: Long = 2L, maxBatch: Int = 8): Seq[(String, String)] = {
     require(numMerges >= 0 && minCount >= 1 && maxBatch >= 1)
-    val words = df
+    // each round materializes via localCheckpoint, which TRUNCATES the
+    // logical lineage to a leaf: a plain persist keeps nesting every prior
+    // round's cached plan inside the next plan tree, and the explain
+    // string Spark renders per collect grows superlinearly with merge
+    // count (OOMs the driver near ~60 merges). The checkpointed blocks are
+    // word-table sized (distinct words, not the corpus) and the context
+    // cleaner reclaims them once unreferenced.
+    var cur = df
       .select(explode(gf.ws_tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(filter(split(col("w"), ""), x => x =!= lit("")).as("sym"), col("cnt"))
-    var cur = words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cur.count()
+      .localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String)]
     var learned = 0
     var exhausted = false
-    try {
-      while (learned < numMerges && !exhausted) {
+    while (learned < numMerges && !exhausted) {
         val pairCounts = cur.filter(size(col("sym")) >= 2)
           .select(posexplode(slice(col("sym"), lit(1), size(col("sym")) - 1))
             .as(Seq("i", "a")), col("sym"), col("cnt"))
@@ -82,16 +88,12 @@ object Bpe {
             val batch = selectBatch(pairCounts, top, budget, minCount)
             merges ++= batch
             learned += batch.length
-            val next = cur
+            cur = cur
               .withColumn("sym", mergePairsColumn(col("sym"), batch))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            next.count()
-            cur.unpersist()
-            cur = next
+              .localCheckpoint(true)
           }
-        } finally pairCounts.unpersist()
-      }
-    } finally cur.unpersist()
+      } finally pairCounts.unpersist()
+    }
     merges.result()
   }
 

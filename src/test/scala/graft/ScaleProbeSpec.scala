@@ -69,4 +69,67 @@ class ScaleProbeSpec extends SparkSuite {
     info(f"view range count: ${(System.nanoTime() - tVR) / 1e9}%.2f s")
     info(s"view/native file ratio: $viewFiles / $nativeFiles")
   }
+
+  test("1M docs: substringSpans under a pathological boilerplate gram (50% of docs)") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    graft.dedup.Dedup.releaseGramCache()
+    val nDocs = 1000000L
+    // even docs: an 8-token boilerplate PREFIX shared by 500k docs (the
+    // df-count hot key and probe-side heavy hitter), then unique tokens;
+    // odd docs: all-unique tokens -> no spans
+    val docs = spark.range(0, nDocs).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0,
+        concat(lit("b1 b2 b3 b4 b5 b6 b7 b8 "),
+          concat_ws(" ", expr("transform(sequence(0, 15), j -> concat('t', id, '_', j))"))))
+        .otherwise(
+          concat_ws(" ", expr("transform(sequence(0, 23), j -> concat('u', id, '_', j))")))
+        .as("text"))
+    val t0 = System.nanoTime()
+    val spans = graft.dedup.Dedup.substringSpans(docs, gramTokens = 8, minDf = 2)
+      .persist()
+    val nSpans = spans.count()
+    val spanSec = (System.nanoTime() - t0) / 1e9
+    info(f"substringSpans over $nDocs docs (500k sharing one boilerplate gram): $nSpans spans, $spanSec%.1f s")
+    // every even doc flags exactly its boilerplate prefix [0, 8)
+    assert(nSpans == nDocs / 2, s"expected ${nDocs / 2} spans, got $nSpans")
+    val sample = spans.filter(col("doc_id").isin(0L, 2L, 999998L))
+      .select("span_start", "span_end").distinct().collect()
+    assert(sample.toSeq.map(r => (r.getInt(0), r.getInt(1))) == Seq((0, 8)))
+    // the apply step over the full corpus: one HOF filter, no explode
+    val t1 = System.nanoTime()
+    val cleaned = graft.dedup.Dedup.removeSpans(docs, spans)
+    val removed = cleaned.agg(sum("n_removed")).head().getLong(0)
+    info(f"removeSpans: ${(System.nanoTime() - t1) / 1e9}%.1f s, $removed tokens removed")
+    assert(removed == nDocs / 2 * 8)
+    spans.unpersist()
+    graft.dedup.Dedup.releaseGramCache()
+  }
+
+  test("1M docs: batched BPE train + corpus-wide encode throughput") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    spark.catalog.clearCache() // drop earlier probes' pinned tables first
+    val nDocs = 1000000L
+    // skewed Zipf-ish word mix over a small alphabet so merges are learned
+    // from genuinely frequent pairs
+    val words = Seq("alpha", "beta", "gamma", "delta", "alphabet", "better", "gamble")
+    val docs = spark.range(0, nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", expr(
+        s"transform(sequence(0, 7), j -> element_at(array(${words.map("'" + _ + "'").mkString(",")}), " +
+          "cast(pmod(id * 2654435761 + j * j * 40503, 7) + 1 as int)))")).as("text"))
+    val t0 = System.nanoTime()
+    val merges = graft.text.Bpe.train(docs, numMerges = 60, maxBatch = 8)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    info(f"batched train (60 merges, maxBatch=8) over $nDocs docs: $trainSec%.1f s, ${merges.size} merges")
+    assert(merges.nonEmpty)
+    val t1 = System.nanoTime()
+    val encoded = graft.text.Bpe.encode(docs, merges)
+    val total = encoded.agg(sum("n_subwords")).head().getLong(0)
+    val encSec = (System.nanoTime() - t1) / 1e9
+    info(f"encode: $total subwords over ${nDocs * 8} words, $encSec%.1f s " +
+      f"(${nDocs * 8 / encSec / 1e6}%.1f M words/s)")
+    // compression sanity: trained merges fuse frequent words below their
+    // character counts
+    assert(total < nDocs * 8 * 6, "subword count should sit well under char count")
+    assert(total >= nDocs * 8, "at least one subword per word")
+  }
 }
