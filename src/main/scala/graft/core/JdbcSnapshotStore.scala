@@ -181,6 +181,41 @@ class JdbcSnapshotStore(val url: String, val spark: SparkSession)
     } finally ps.close()
   }
 
+  /** O(base + 1) instead of O(appended history): the append rows enter the
+    * fingerprint through (count, max seq) — both change on every append —
+    * and only the vacuum-compacted base CLOB (bounded by retainVersions)
+    * is read and hashed. The trait default would reassemble the whole log
+    * per temporal-cache validation.
+    */
+  override protected def historyFingerprint(id: String): Long = withConn { c =>
+    val rel = historyRel(id)
+    val base = {
+      val ps = c.prepareStatement("SELECT buf FROM control WHERE rel = ?")
+      try {
+        ps.setString(1, rel)
+        val rs = ps.executeQuery()
+        if (rs.next()) { val cl = rs.getClob(1); cl.getSubString(1, cl.length().toInt) }
+        else null
+      } finally ps.close()
+    }
+    val (nApp, maxSeq) = {
+      val ps = c.prepareStatement(
+        "SELECT COUNT(*), COALESCE(MAX(seq), -1) FROM control_appends WHERE rel = ?")
+      try {
+        ps.setString(1, rel)
+        val rs = ps.executeQuery()
+        rs.next()
+        (rs.getLong(1), rs.getLong(2))
+      } finally ps.close()
+    }
+    if (base == null && nApp == 0L) -1L
+    else {
+      var h = if (base == null) -1L else base.length.toLong * 1000003L + base.hashCode
+      h = h * 6364136223846793005L + nApp
+      h * 6364136223846793005L + maxSeq
+    }
+  }
+
   override protected def listNames(relDir: String): Seq[String] = withConn { c =>
     val prefix = if (relDir.isEmpty) "" else relDir + "/"
     val out = Seq.newBuilder[String]

@@ -783,7 +783,11 @@ class FsSnapshotStore(val root: String, val spark: SparkSession)
   override protected def listNames(relDir: String): Seq[String] = {
     val d = p(relDir)
     if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator().asScala.map(_.getFileName.toString).toSeq
+    else {
+      val s = Files.list(d) // close the stream — each leaks a directory fd
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
   }
 
   override protected def deleteControl(rel: String): Unit = Files.delete(p(rel))

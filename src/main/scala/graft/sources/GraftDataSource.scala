@@ -2,18 +2,23 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.core.{FsSnapshotStore, KeyOrd, SnapshotManifest, SnapshotStore}
+import graft.core.{Command, FsSnapshotStore, GraftError, GraftException, KVIndex, KeyOrd, SnapshotManifest, SnapshotStore}
 
 /** DataSource V2 surface for snapshot indexes: `spark.read.format("graft")
   * .option("root", storeRoot).load(indexId)` opens LATEST (or
@@ -38,18 +43,22 @@ import graft.core.{FsSnapshotStore, KeyOrd, SnapshotManifest, SnapshotStore}
   * ordering contract, and claiming one the RDD does not guarantee could
   * elide a sort Catalyst actually needs.
   */
-final class GraftDataSource extends TableProvider with DataSourceRegister {
+final class GraftDataSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
 
   override def shortName(): String = "graft"
 
-  private def resolve(options: CaseInsensitiveStringMap): GraftTable = {
+  private def storeAndId(options: CaseInsensitiveStringMap): (FsSnapshotStore, String) = {
     val root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         "graft: set .option(\"root\", <store root>)"))
     val id = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft: pass the index id to load(...)"))
-    val spark = SparkSession.active
-    val store = new FsSnapshotStore(root, spark)
+      throw new IllegalArgumentException("graft: pass the index id to load(...)/save(...)"))
+    (new FsSnapshotStore(root, SparkSession.active), id)
+  }
+
+  private def resolve(options: CaseInsensitiveStringMap): GraftTable = {
+    val (store, id) = storeAndId(options)
     val manifest = Option(options.get("version")) match {
       case Some(v) => store.loadVersionLazy(id, v.toLong)
       case None => store.loadLatestLazy(id).fold(
@@ -62,24 +71,132 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     resolve(options).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    resolve(new CaseInsensitiveStringMap(properties))
+                        properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val (store, id) = storeAndId(options)
+    if (store.exists(id)) resolve(options)
+    else new GraftNewIndexTable(store, id, schema, options) // write-creates it
+  }
 
-  override def supportsExternalMetadata(): Boolean = false
+  // external metadata = the incoming batch's schema on a write that
+  // CREATES the index; reads of an existing index always resolve the
+  // manifest schema via inferSchema
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** `df.write.format("graft")` — the DataFrameWriter.save path.
+    * A MISSING index is bootstrapped from the batch (requires
+    * `.option("keys", "col1[,col2,...]")` — a DataFrame write that
+    * CREATES a snapshot index). An existing index takes `Append` as one
+    * `Command.Insert` batch through [[graft.core.KVIndex.executeWithRetry]]
+    * (`.option("upsert", "true")` for upsert semantics), refuses
+    * `Overwrite` (a versioned COW store replaces content with a NEW
+    * version — `removeRange` + insert — never by destroying one), and
+    * honors `ErrorIfExists`/`Ignore` literally.
+    */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val (store, id) = storeAndId(opts)
+    if (!store.exists(id)) {
+      val keys = Option(opts.get("keys")).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft: creating index '$id' needs .option(\"keys\", \"col1[,col2,...]\")"))
+      KVIndex.bootstrap(store, id, data, keys)
+        .fold(e => throw GraftException(e), identity)
+    } else mode match {
+      case SaveMode.Append =>
+        val r = KVIndex.executeWithRetry(store, id,
+          Seq(Command.Insert(data, upsert = opts.getBoolean("upsert", false))))
+        if (!r.success) throw GraftException(r.error.get)
+      case SaveMode.Overwrite => throw new UnsupportedOperationException(
+        "graft: overwrite is not supported — commit a new version " +
+          "(removeRange + insert) or bootstrap a fresh index instead")
+      case SaveMode.ErrorIfExists =>
+        throw GraftException(GraftError.IndexAlreadyExists(id))
+      case SaveMode.Ignore => ()
+    }
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = store.emptyTyped(
+        store.loadLatestLazy(id).fold(e => throw GraftException(e), identity)).schema
+    }
+  }
 }
 
 final class GraftTable(store: SnapshotStore, manifest: SnapshotManifest)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft.${manifest.id}@v${manifest.version}"
 
   override def schema(): StructType = store.emptyTyped(manifest).schema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store, manifest, schema())
+
+  /** Append = one `Command.Insert` batch committed through
+    * [[graft.core.KVIndex.executeWithRetry]], so concurrent format-level
+    * writers serialize behind the commit CAS instead of failing.
+    * `.option("upsert", "true")` makes it an upsert; duplicate keys
+    * without it surface the library's typed error. Overwrite is
+    * deliberately unsupported — a versioned COW store replaces content
+    * with a NEW version (`removeRange` + insert, or a fresh bootstrap),
+    * never by destroying one.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                "graft: overwrite is not supported — commit a new version " +
+                  "(removeRange + insert) or bootstrap a fresh index instead")
+              val upsert = info.options.getBoolean("upsert", false)
+              val r = KVIndex.executeWithRetry(store, manifest.id,
+                Seq(Command.Insert(data, upsert = upsert)))
+              if (!r.success) throw GraftException(r.error.get)
+            }
+          }
+      }
+    }
+}
+
+/** A not-yet-existing index id: the first written batch BOOTSTRAPS the
+  * index (`.option("keys", "col1[,col2,...]")` names the key columns) —
+  * `df.write.format("graft")` as index creation.
+  */
+final class GraftNewIndexTable(store: SnapshotStore, id: String,
+                               writeSchema: StructType,
+                               options: CaseInsensitiveStringMap)
+    extends Table with SupportsWrite {
+
+  override def name(): String = s"graft.$id@new"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val keysOpt = Option(info.options.get("keys"))
+                .orElse(Option(options.get("keys")))
+              val keys = keysOpt.map(_.split(",").map(_.trim).toSeq)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"graft: creating index '$id' needs .option(\"keys\", \"col1[,col2,...]\")"))
+              KVIndex.bootstrap(store, id, data, keys)
+                .fold(e => throw GraftException(e), identity)
+              ()
+            }
+          }
+      }
+    }
 }
 
 /** Collects leading-key bounds from pushed filters (for the manifest file
@@ -112,9 +229,42 @@ final class GraftScanBuilder(store: SnapshotStore, manifest: SnapshotManifest,
 
 final class GraftScan(store: SnapshotStore, manifest: SnapshotManifest,
                       keyCol: String, filters: Array[Filter],
-                      required: StructType) extends V1Scan {
+                      required: StructType)
+    extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  // intersect all bounds; None = unbounded on that side
+  private lazy val bounds = filters.flatMap(GraftScan.boundsOf(_, keyCol))
+  private lazy val lo = bounds.flatMap(_._1).reduceOption(KeyOrd.max(_, _))
+  private lazy val hi = bounds.flatMap(_._2).reduceOption(KeyOrd.min(_, _))
+
+  // compare LEADING components only: on composite keys a full-tuple
+  // compare would drop a file whose leading key equals the bound
+  // (prefix convention ranks the longer tuple above its prefix)
+  private lazy val covering = {
+    val c = store.resolveFilesWhere(manifest, f =>
+      lo.forall(l => KeyOrd.compare(Seq(f.max.head), l) >= 0) &&
+        hi.forall(h => KeyOrd.compare(Seq(f.min.head), h) <= 0))
+    GraftScan.lastPlannedFiles = c.size
+    c
+  }
+
+  /** Post-pushdown stats from MANIFEST metadata, no scan: the unfiltered
+    * row count is the O(1) `numElements`, a bounded scan sums the pruned
+    * covering files' entry counts — so Catalyst's join-strategy sizing
+    * (broadcast-vs-shuffle) sees a snapshot like a well-analyzed table.
+    */
+  override def estimateStatistics(): Statistics = {
+    val rows =
+      if (bounds.isEmpty) manifest.numElements
+      else covering.map(_.rows).sum
+    new Statistics {
+      override def sizeInBytes: OptionalLong =
+        OptionalLong.of(math.max(1L, rows) * math.max(8, required.defaultSize))
+      override def numRows: OptionalLong = OptionalLong.of(rows)
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
@@ -123,17 +273,6 @@ final class GraftScan(store: SnapshotStore, manifest: SnapshotManifest,
       override def schema: StructType = required
       override def needConversion: Boolean = true
       override def buildScan(): RDD[Row] = {
-        val bounds = filters.flatMap(GraftScan.boundsOf(_, keyCol))
-        // intersect all bounds; None = unbounded on that side
-        val lo = bounds.flatMap(_._1).reduceOption(KeyOrd.max(_, _))
-        val hi = bounds.flatMap(_._2).reduceOption(KeyOrd.min(_, _))
-        // compare LEADING components only: on composite keys a full-tuple
-        // compare would drop a file whose leading key equals the bound
-        // (prefix convention ranks the longer tuple above its prefix)
-        val covering = store.resolveFilesWhere(manifest, f =>
-          lo.forall(l => KeyOrd.compare(Seq(f.max.head), l) >= 0) &&
-            hi.forall(h => KeyOrd.compare(Seq(f.min.head), h) <= 0))
-        GraftScan.lastPlannedFiles = covering.size
         val base =
           if (covering.isEmpty) store.emptyTyped(manifest)
           else store.readFiles(covering.map(_.path), manifest)

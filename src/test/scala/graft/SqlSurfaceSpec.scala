@@ -75,6 +75,41 @@ class SqlSurfaceSpec extends SparkSuite {
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dsv_sql USING graft " +
       s"OPTIONS (root '${store.root}', path 'dsv')")
     assert(spark.sql("SELECT x FROM dsv_sql WHERE k = 1234").as[Long].head() == 3702L)
+
+    // ---- write path: append commits a COW version through the CAS ----
+    Seq((5001L, "w1", 15003L), (5002L, "w2", 15006L)).toDF("k", "s", "x")
+      .write.format("graft").option("root", store.root).mode("append").save("dsv")
+    assert(load().count() == 4003L) // 4001 (incl. the library-API insert) + 2
+    assert(load().filter($"k" === 5001L).select("x").as[Long].head() == 15003L)
+    // upsert option rewrites in place
+    Seq((5001L, "w1b", 999L)).toDF("k", "s", "x")
+      .write.format("graft").option("root", store.root).option("upsert", "true")
+      .mode("append").save("dsv")
+    assert(load().filter($"k" === 5001L).select("x").as[Long].head() == 999L)
+    assert(load().count() == 4003L)
+    // duplicate key without upsert surfaces the library's typed error
+    val dupErr = intercept[Exception] {
+      Seq((5002L, "dup", 0L)).toDF("k", "s", "x")
+        .write.format("graft").option("root", store.root).mode("append").save("dsv")
+    }
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(rootCauses(dupErr).exists(_.getMessage.contains("LEAF_DUPLICATE_KEY")),
+      dupErr.toString)
+    // overwrite is refused: versioned COW replaces by new version, never
+    // by destroying one
+    assertThrows[Exception] {
+      Seq((1L, "o", 0L)).toDF("k", "s", "x")
+        .write.format("graft").option("root", store.root).mode("overwrite").save("dsv")
+    }
+    assert(load().count() == 4003L, "refused overwrite must not change content")
+    // a DataFrame write CREATES a new index when given key columns
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.format("graft").option("root", store.root)
+      .option("keys", "id").save("fresh")
+    val fresh = spark.read.format("graft").option("root", store.root).load("fresh")
+    assert(fresh.orderBy("id").as[(Long, Long, String)].collect()
+      .map(t => (t._1, t._2)).toSeq == Seq((1L, 10L), (2L, 20L)))
   }
 
   test("snapshot registered as a view: pure SQL reads it with scan-side pushdown") {
