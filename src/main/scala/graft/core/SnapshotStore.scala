@@ -640,6 +640,31 @@ trait SnapshotStore {
 
   private val ManifestRe = "v(\\d+)\\.manifest\\.json".r
 
+  /** Drop an index: all control entries (manifests, LATEST, history),
+    * its filelist checkpoints, and its data files — EXCEPT data files
+    * still referenced by another index's manifests (zero-copy clones via
+    * copyTo/merge/split keep shared files alive, the same mark phase as
+    * [[vacuum]]). Concurrency contract matches vacuum: a maintenance
+    * operation, not to be raced with writers/cloners of this index.
+    * Returns false when the index does not exist.
+    */
+  final def dropIndex(id: String): Boolean = {
+    if (!exists(id)) return false
+    val referenced: Set[String] = (for {
+      otherId <- listIndexes() if otherId != id
+      mn <- listNames(otherId).collect { case n @ ManifestRe(_) => n }
+      m = SnapshotManifest.fromJson(readText(s"$otherId/$mn").get)
+      f <- m.filesRef.fold(m.files)(readFileList)
+    } yield normalizePath(f.path)).toSet
+    // control plane first so concurrent opens fail fast
+    listNames(id).foreach(n => scala.util.Try(deleteControl(s"$id/$n")))
+    listFileLists(id).foreach(sid => scala.util.Try(deleteFileList(s"$id/filelist/$sid")))
+    listDataFiles(id).filterNot(p => referenced.contains(normalizePath(p)))
+      .foreach(p => scala.util.Try(deleteDataFile(p)))
+    invalidateTemporal(id)
+    true
+  }
+
   /** Garbage collection: keep the newest `retainVersions` snapshots of `id`,
     * drop older manifests + history entries, then delete every data file of
     * `id` that NO kept manifest references (mark-and-sweep over manifests —

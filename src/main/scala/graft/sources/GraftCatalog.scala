@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{FsSnapshotStore, GraftException}
+
+/** Catalog plugin: every index of a snapshot store is a first-class SQL
+  * table. Register with
+  * {{{
+  *   spark.sql.catalog.<name>       = graft.sources.GraftCatalog
+  *   spark.sql.catalog.<name>.root  = <store root>
+  * }}}
+  * and `SELECT * FROM <name>.<indexId>` just works — including
+  * `VERSION AS OF n` time travel (snapshot versions ARE the table
+  * versions), `INSERT INTO` (a `Command.Insert` batch through the commit
+  * CAS), `CREATE TABLE ... TBLPROPERTIES('keys'='k1[,k2]')` (an empty
+  * index with typed columns) and `DROP TABLE` (clone-aware: data files
+  * shared with another index survive, same mark as vacuum).
+  *
+  * This is the catalog-facing twin of embedding the library — the
+  * reference's `QueryableIndex` surface exposed to a SQL engine's
+  * namespace, on the same lazily-resolved manifests and pruned scans as
+  * [[GraftDataSource]].
+  */
+final class GraftCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var store: FsSnapshotStore = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name': set spark.sql.catalog.$name.root"))
+    store = new FsSnapshotStore(root, SparkSession.active)
+  }
+
+  override def name(): String = catName
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    store.listIndexes().map(id => Identifier.of(namespace, id)).toArray
+
+  override def tableExists(ident: Identifier): Boolean = store.exists(ident.name)
+
+  override def loadTable(ident: Identifier): Table =
+    store.loadLatestLazy(ident.name).fold(
+      _ => throw new NoSuchTableException(ident),
+      m => new GraftTable(store, m))
+
+  /** `FOR VERSION AS OF n` — snapshot version n, lazily resolved. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!store.exists(ident.name)) throw new NoSuchTableException(ident)
+    new GraftTable(store, store.loadVersionLazy(ident.name, version.toLong))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft: TIMESTAMP AS OF is not supported — history timestamps are an " +
+        "opaque monotonic timeline (reference System.nanoTime), not " +
+        "wall-clock; use KVIndex.openAt / SnapshotStore.findIndexAt")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    if (store.exists(ident.name)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft: PARTITIONED BY is not supported — snapshots are range-laid by key")
+    val keys = Option(properties.get("keys")).map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft: CREATE TABLE needs TBLPROPERTIES('keys'='col1[,col2,...]')"))
+    val missing = keys.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"graft: key columns not in schema: ${missing.mkString(",")}")
+    val valueCols = schema.fieldNames.filterNot(c => keys.contains(c) || c == "version").toSeq
+    val colTypes = (keys ++ valueCols).map(c => schema(c).dataType.sql)
+    store.createIndex(ident.name, keys, valueCols, colTypes = colTypes)
+      .fold(e => throw GraftException(e), m => new GraftTable(store, m))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft: ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = store.dropIndex(ident.name)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft: RENAME is not supported — use KVIndex.copyTo + DROP TABLE")
+}

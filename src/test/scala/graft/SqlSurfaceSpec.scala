@@ -112,6 +112,46 @@ class SqlSurfaceSpec extends SparkSuite {
       .map(t => (t._1, t._2)).toSeq == Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("catalog plugin: snapshot indexes are SQL tables with VERSION AS OF, INSERT, CREATE, DROP") {
+    import graft.core._
+    val store = new FsSnapshotStore(tmpDir("graft-catalog"), spark)
+    val rows = (1L to 1000L).map(i => (i, i * 3)).toDF("k", "x")
+    val ix = KVIndex.bootstrap(store, "cat1", rows, Seq("k"), maxRowsPerFile = 256)
+      .fold(e => sys.error(e.message), identity)
+    assert(ix.execute(Seq(Command.Insert(
+      Seq((2000L, 6000L)).toDF("k", "x")))).success) // -> v2
+    spark.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.root", store.root)
+    // reads through the catalog namespace, with pushdown-driven pruning
+    assert(spark.sql("SELECT count(*) FROM gcat.cat1").as[Long].head() == 1001L)
+    assert(spark.sql("SELECT x FROM gcat.cat1 WHERE k = 123").as[Long].head() == 369L)
+    assert(graft.sources.GraftScan.lastPlannedFiles == 1,
+      "catalog point query must prune to the covering file")
+    // VERSION AS OF = snapshot versions
+    assert(spark.sql("SELECT count(*) FROM gcat.cat1 VERSION AS OF 1").as[Long].head() == 1000L)
+    assert(spark.sql("SELECT count(*) FROM gcat.cat1 VERSION AS OF 2").as[Long].head() == 1001L)
+    // INSERT INTO commits a new COW version through the CAS
+    spark.sql("INSERT INTO gcat.cat1 VALUES (3000, 9000, 'sql-tx')")
+    assert(spark.sql("SELECT count(*) FROM gcat.cat1").as[Long].head() == 1002L)
+    assert(KVIndex.open(store, "cat1").toOption.get.manifest.version == 3L)
+    // CREATE TABLE makes a typed empty index; INSERT then populates it
+    spark.sql("CREATE TABLE gcat.cat2 (id BIGINT, v STRING, version STRING) " +
+      "TBLPROPERTIES('keys'='id')")
+    assert(store.exists("cat2"))
+    spark.sql("INSERT INTO gcat.cat2 VALUES (1, 'a', 't1'), (2, 'b', 't1')")
+    assert(spark.sql("SELECT v FROM gcat.cat2 WHERE id = 2").as[String].head() == "b")
+    // DROP TABLE removes the index but spares clone-shared data files
+    val clone = KVIndex.open(store, "cat1").toOption.get.copyTo("cat1_clone")
+    assert(clone.isRight)
+    assert(spark.sql("SHOW TABLES IN gcat").count() >= 3)
+    spark.sql("DROP TABLE gcat.cat1")
+    assert(!store.exists("cat1"))
+    assert(spark.sql("SELECT count(*) FROM gcat.cat1_clone").as[Long].head() == 1002L,
+      "zero-copy clone must survive dropping its source")
+    spark.sql("DROP TABLE gcat.cat2")
+    assert(!store.exists("cat2"))
+  }
+
   test("snapshot registered as a view: pure SQL reads it with scan-side pushdown") {
     import graft.core._
     import org.apache.spark.sql.functions._
