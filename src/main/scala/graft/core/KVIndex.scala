@@ -1054,7 +1054,8 @@ object KVIndex {
   def executeWithRetry(store: SnapshotStore, id: String, cmds: Seq[Command],
                        maxAttempts: Int = 5,
                        recordHistory: Boolean = false,
-                       maxRowsPerFile: Long = 1L << 19): BatchResult = {
+                       maxRowsPerFile: Long = 1L << 19,
+                       txVersion: String = UUID.randomUUID().toString): BatchResult = {
     require(maxAttempts >= 1, "executeWithRetry: maxAttempts must be >= 1")
     var last: BatchResult =
       BatchResult(success = false, Some(GraftError.IndexNotFound(id)), None)
@@ -1063,8 +1064,11 @@ object KVIndex {
       store.loadLatestLazy(id) match {
         case Left(e) => return BatchResult(success = false, Some(e), None)
         case Right(m) =>
+          // one txVersion across attempts: the committed version carries
+          // the SAME lastChangeVersion whichever attempt lands, so callers
+          // (e.g. the streaming sink's replay check) can dedupe on it
           last = new KVIndex(store, m, maxRowsPerFile)
-            .execute(cmds, recordHistory = recordHistory)
+            .execute(cmds, txVersion, recordHistory = recordHistory)
           val casLoss = last.error.exists(_.isInstanceOf[GraftError.ContextAlreadyUsed])
           if (!casLoss) return last
       }

@@ -14,7 +14,9 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, Suppo
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -44,7 +46,7 @@ import graft.core.{Command, FsSnapshotStore, GraftError, GraftException, KVIndex
   * elide a sort Catalyst actually needs.
   */
 final class GraftDataSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -122,6 +124,57 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
         store.loadLatestLazy(id).fold(e => throw GraftException(e), identity)).schema
     }
   }
+
+  /** `df.writeStream.format("graft")` — each micro-batch commits ONE COW
+    * snapshot version (upsert semantics), the same per-batch protocol as
+    * `EventStreams.streamIntoIndex`, with `recordHistory=true` so time
+    * travel sees every batch. A missing index bootstraps from the first
+    * non-empty batch (`keys` option). Batch REPLAY after a crash is
+    * detected via the committed `lastChangeVersion` (the batch id IS the
+    * transaction id) and skipped — exactly-once versions, not just
+    * idempotent content. Concurrent non-stream writers are tolerated:
+    * a lost commit CAS re-opens LATEST and retries.
+    */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft: partitionBy is not supported — snapshots are range-laid by key")
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    // NOT named `id`: Spark 4's Table interface ships a `default String
+    // id()` (null), and inside a Table subclass an inherited member
+    // SHADOWS an enclosing-scope local — a captured `id` silently reads
+    // null (Sink extends Table)
+    val (store, indexId) = storeAndId(opts)
+    val keys = Option(opts.get("keys")).map(_.split(",").map(_.trim).toSeq)
+    val upsert = opts.getBoolean("upsert", true)
+    new Sink {
+      override def name(): String = s"graft.$indexId@sink"
+      override def addBatch(batchId: Long, data: org.apache.spark.sql.Dataset[Row]): Unit = {
+        val tx = s"stream-batch-$batchId"
+        // the incoming frame still carries the streaming source — rewrap
+        // as a plain batch before running the multi-pass write protocol
+        val batch = org.apache.spark.sql.graft.Shim.asBatch(data.toDF())
+        if (!batch.isEmpty) {
+          if (!store.exists(indexId)) {
+            val k = keys.getOrElse(throw new IllegalArgumentException(
+              s"graft: creating index '$indexId' needs .option(\"keys\", \"col1[,col2,...]\")"))
+            KVIndex.bootstrap(store, indexId, batch, k, txVersion = tx, recordHistory = true)
+              .fold(e => throw GraftException(e), identity)
+            ()
+          } else if (store.loadLatestLazy(indexId)
+              .fold(e => throw GraftException(e), identity).lastChangeVersion == tx) {
+            () // replayed batch: its version already committed
+          } else {
+            val r = KVIndex.executeWithRetry(store, indexId,
+              Seq(Command.Insert(batch, upsert = upsert)),
+              recordHistory = true, txVersion = tx)
+            if (!r.success) throw GraftException(r.error.get)
+          }
+        }
+      }
+    }
+  }
 }
 
 final class GraftTable(store: SnapshotStore, manifest: SnapshotManifest)
@@ -169,12 +222,12 @@ final class GraftTable(store: SnapshotStore, manifest: SnapshotManifest)
   * index (`.option("keys", "col1[,col2,...]")` names the key columns) —
   * `df.write.format("graft")` as index creation.
   */
-final class GraftNewIndexTable(store: SnapshotStore, id: String,
+final class GraftNewIndexTable(store: SnapshotStore, indexId: String,
                                writeSchema: StructType,
                                options: CaseInsensitiveStringMap)
     extends Table with SupportsWrite {
 
-  override def name(): String = s"graft.$id@new"
+  override def name(): String = s"graft.$indexId@new"
   override def schema(): StructType = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
@@ -189,8 +242,8 @@ final class GraftNewIndexTable(store: SnapshotStore, id: String,
                 .orElse(Option(options.get("keys")))
               val keys = keysOpt.map(_.split(",").map(_.trim).toSeq)
                 .getOrElse(throw new IllegalArgumentException(
-                  s"graft: creating index '$id' needs .option(\"keys\", \"col1[,col2,...]\")"))
-              KVIndex.bootstrap(store, id, data, keys)
+                  s"graft: creating index '$indexId' needs .option(\"keys\", \"col1[,col2,...]\")"))
+              KVIndex.bootstrap(store, indexId, data, keys)
                 .fold(e => throw GraftException(e), identity)
               ()
             }

@@ -21,4 +21,17 @@ object Shim {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Rebuild a V1 streaming Sink's `addBatch` frame as a plain BATCH
+    * DataFrame: the incoming frame's plan still carries the streaming
+    * source (any new query over it fails analysis), so the sink executes
+    * it once and re-wraps the rows (the Delta-sink recipe;
+    * `internalCreateDataFrame` is `private[sql]`). Rows are copied —
+    * the executed iterator reuses unsafe-row buffers.
+    */
+  def asBatch(data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd.map(_.copy()), data.schema, isStreaming = false)
+  }
 }
