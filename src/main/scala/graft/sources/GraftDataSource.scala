@@ -14,8 +14,8 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, Suppo
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, TableScan}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,9 +46,28 @@ import graft.core.{Command, FsSnapshotStore, GraftError, GraftException, KVIndex
   * elide a sort Catalyst actually needs.
   */
 final class GraftDataSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider with StreamSinkProvider {
+    with CreatableRelationProvider with StreamSinkProvider with StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  /** `spark.readStream.format("graft")` — a CDC stream over the snapshot
+    * history; see [[GraftChangeSource]].
+    */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val (store, indexId) = storeAndId(opts)
+    (shortName(), new GraftChangeSource(store, indexId).schema)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val (store, indexId) = storeAndId(opts)
+    new GraftChangeSource(store, indexId)
+  }
 
   private def storeAndId(options: CaseInsensitiveStringMap): (FsSnapshotStore, String) = {
     val root = Option(options.get("root")).getOrElse(

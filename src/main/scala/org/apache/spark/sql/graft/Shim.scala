@@ -34,4 +34,14 @@ object Shim {
     spark.internalCreateDataFrame(
       data.queryExecution.toRdd.map(_.copy()), data.schema, isStreaming = false)
   }
+
+  /** The inverse bridge for a V1 streaming Source's `getBatch`: the engine
+    * expects a STREAMING-tagged frame, so the (bounded, change-data-sized)
+    * batch plan is executed and re-wrapped with `isStreaming = true`.
+    */
+  def asStreamingBatch(data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd.map(_.copy()), data.schema, isStreaming = true)
+  }
 }

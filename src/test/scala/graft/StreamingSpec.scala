@@ -149,6 +149,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("readStream.format(\"graft\"): snapshot history streams as change data") {
+    import graft.core._
+    val store = new FsSnapshotStore(tmpDir("graft-cdc"), spark)
+    var ix = KVIndex.bootstrap(store, "cdc",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+      .fold(e => fail(e.message), identity)
+    val q = spark.readStream.format("graft")
+      .option("root", store.root).load("cdc")
+      .writeStream.format("memory").queryName("cdc_out")
+      .option("checkpointLocation", tmpDir("graft-cdc-ckpt"))
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // initial batch: the whole v1 snapshot as `added`
+      def rows() = spark.table("cdc_out").orderBy("k", "_change")
+        .as[(Long, String, String)].collect().toSeq
+      assert(rows() == Seq((1L, "a", "added"), (2L, "b", "added")))
+      // v2: one upsert + one insert -> changed + added
+      val r2 = ix.execute(Seq(Command.Insert(
+        Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), upsert = true)))
+      ix = new KVIndex(store, r2.orThrow)
+      q.processAllAvailable()
+      assert(rows().contains((1L, "a2", "changed")) && rows().contains((3L, "c", "added")),
+        rows().toString)
+      // v3: remove -> removed (values from the old side)
+      val r3 = ix.execute(Seq(Command.Remove(Seq(Tuple1(2L)).toDF("k"))))
+      ix = new KVIndex(store, r3.orThrow)
+      q.processAllAvailable()
+      assert(rows().contains((2L, "b", "removed")), rows().toString)
+      assert(rows().size == 5, s"exactly one change row per change: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streaming ingest with per-batch incremental dedup: one row per distinct text, first writer wins") {
     import graft.core._
     val store = new FsSnapshotStore(tmpDir("graft-incr-stream"), spark)
