@@ -30,6 +30,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fixed retrieval queries for txt_bm25 (shared by the Spark query and
+    * its DuckDB oracle so both score the same term sets).
+    */
+  private val Bm25Queries: Seq[String] =
+    Seq("spark window join", "fast hash merge scan", "customer data stream value")
+
   /** Recursive delete for per-query temp stores (no orphan dirs across the
     * full sweep). Best-effort — a failed delete must not fail the query. */
   private def deleteRec(root: java.nio.file.Path): Unit =
@@ -266,6 +272,38 @@ object SparkEntry {
       new KVIndex(store, res.orThrow)
     }
 
+  /** Register a [[graft.sources.GraftCatalog]] over `root` under a name
+    * unique per (kind, sfDir) — catalog instances are cached by name in
+    * the session, so the name must pin one store root for the JVM's life
+    * (warm-up at sf0.001 and the timed run at sf0.1 share a session).
+    */
+  private def regCatalog(s: SparkSession, kind: String, d: String, root: String): String = {
+    val name = s"g$kind${math.abs(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+
+  /** SQL-surface delete fixture: orders keyed o_orderkey, then THREE
+    * `DELETE FROM` statements through the catalog — a bounded
+    * mixed-inclusivity range, an equality, and an open-above strict bound.
+    * Each maps to the file-grain `removeRange` (metadata-only delete:
+    * interior files drop with zero IO); the query row reports the
+    * SURVIVING state via catalog SQL, so repeated invocations are
+    * idempotent (deletes run once in the cached build).
+    */
+  private def sqlDelStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-sqldel", s, d) { store =>
+      val ord = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      KVIndex.bootstrap(store, "dord", ord, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      val cat = regCatalog(s, "sqldel", d, store.root)
+      s.sql(s"DELETE FROM $cat.dord WHERE o_orderkey >= 200 AND o_orderkey < 900")
+      s.sql(s"DELETE FROM $cat.dord WHERE o_orderkey = 32")
+      s.sql(s"DELETE FROM $cat.dord WHERE o_orderkey > 1200")
+      KVIndex.open(store, "dord").fold(e => sys.error(e.message), identity)
+    }
+
   /** lineitem aggregated to order grain, keyed l_orderkey — the second
     * fact index of the co-located join demo (kv_colocated_join).
     */
@@ -347,6 +385,26 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
+    }),
+    // SQL DELETE at file grain through the catalog (SupportsDelete →
+    // removeRange), surviving state read back via catalog SQL; the
+    // count/min/max SELECT collapses to ONE manifest-stat row (aggregate
+    // pushdown — zero files scanned), the checksum SELECT takes the scan
+    "kv_sql_delete" -> ((s, d) => {
+      val (store, _) = sqlDelStore(s, d)
+      val cat = regCatalog(s, "sqldel", d, store.root)
+      s.sql(s"SELECT count(*) AS n, min(o_orderkey) AS mn, " +
+          s"max(o_orderkey) AS mx FROM $cat.dord")
+        .crossJoin(s.sql("SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) " +
+          s"AS BIGINT)) AS DOUBLE) / 100.0 AS checksum FROM $cat.dord"))
+    }),
+    // A1/A2 served to SQL: count(*)/min/max over an untouched catalog
+    // table answer from manifest stats alone (complete agg pushdown)
+    "kv_sql_stats" -> ((s, d) => {
+      val (store, _) = liStore(s, d)
+      val cat = regCatalog(s, "kvstats", d, store.root)
+      s.sql(s"SELECT count(*) AS n, min(o_orderkey) AS mn, " +
+        s"max(o_orderkey) AS mx FROM $cat.ord")
     }),
     "kv_range" -> ((s, d) => {
       val (_, ix) = liStore(s, d)
@@ -1279,6 +1337,12 @@ object SparkEntry {
     // shuffle, top-k is TakeOrderedAndProject — never a global sort
     "txt_top_tokens" -> ((s, d) =>
       TextAnalysis.topTokens(t(s, d, "documents"), 20)),
+    // BM25 ranked retrieval, integer-exact rational-idf variant: per-query
+    // top-10 docs, score in milli-units, ties broken by doc id; the token
+    // stream is broadcast-semi-joined against the query terms before the
+    // (doc, term) count shuffles
+    "txt_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(t(s, d, "documents"), Bm25Queries, 10)),
     // corpus bigram top-k — same plan over 2-gram shingles
     "txt_bigrams" -> ((s, d) =>
       TextAnalysis.topNgrams(t(s, d, "documents"), 2, 20)),
@@ -1841,6 +1905,12 @@ object SparkEntry {
         "WHERE o_orderkey BETWEEN 100 AND 200 ORDER BY o_orderkey"),
       "kv_dsv2" -> ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders " +
         "WHERE o_orderkey BETWEEN 100 AND 200 ORDER BY o_orderkey"),
+      // survivors of the three SQL DELETEs (range / equality / strict gt)
+      "kv_sql_delete" -> ("SELECT count(*) AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS checksum " +
+        "FROM orders WHERE NOT (o_orderkey >= 200 AND o_orderkey < 900) " +
+        "AND o_orderkey <> 32 AND o_orderkey <= 1200"),
+      "kv_sql_stats" -> "SELECT count(*) AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders",
       "kv_cow_upsert" -> ("SELECT count(*) AS n, round(sum(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END), 2) AS price_sum " +
         "FROM orders"),
       "kv_split" -> ("WITH ranked AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn, " +
@@ -2263,6 +2333,26 @@ object SparkEntry {
         "FROM g ORDER BY doc_id"),
       "txt_top_tokens" -> ("WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents) " +
         "SELECT token, count(*) AS n FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+      // identical integer milli-unit BM25 algebra (rational idf, integer
+      // div only); DuckDB integer division is `//`, sums are HUGEINT →
+      // cast back to BIGINT
+      "txt_bm25" -> ("WITH q AS (SELECT * FROM (VALUES " +
+        Bm25Queries.zipWithIndex.map { case (q, i) =>
+          s"(CAST($i AS BIGINT), '$q')" }.mkString(", ") + ") AS t(q_id, q_text)), " +
+        "qt AS (SELECT q_id, unnest(list_distinct(list_filter(string_split_regex(lower(q_text), '\\s+'), x -> len(x) > 0))) AS term FROM q), " +
+        "tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "toks AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM tk), " +
+        "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM toks " +
+        "WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(len(tk)) AS BIGINT) AS na FROM tk), " +
+        "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY 1), " +
+        "sc AS (SELECT qt.q_id, tf.doc_id, CAST(sum( " +
+        "(((1000 * (2 * st.nd - 2 * dfreq.dft + 1)) // (2 * dfreq.dft + 1)) * 2200 * tf.tf) " +
+        "// (1000 * tf.tf + 300 + (900 * ((1000 * tf.dl * st.nd) // st.na)) // 1000) " +
+        ") AS BIGINT) AS score_milli " +
+        "FROM tf JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN st GROUP BY 1, 2) " +
+        "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank, " +
+        "doc_id, score_milli FROM sc QUALIFY rank <= 10 ORDER BY q_id, rank"),
       "txt_bigrams" -> ("WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
         "g AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram FROM tk WHERE len(tk) >= 2) " +
         "SELECT gram, count(*) AS n FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20"),

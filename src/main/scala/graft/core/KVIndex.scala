@@ -826,6 +826,39 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     }
   }
 
+  /** Exact [min, max] key-tuple bounds of the snapshot from manifest file
+    * stats — an O(files) driver fold over exact per-file key bounds, zero
+    * data IO (the A2 analogue at manifest cost). None on an empty
+    * snapshot. Works on overlapping layouts too (global fold, not
+    * first/last file).
+    */
+  def keyBounds: Option[(Seq[Any], Seq[Any])] = {
+    val fs = files
+    if (fs.isEmpty) None
+    else Some((fs.iterator.map(_.min).min(KeyOrd), fs.iterator.map(_.max).max(KeyOrd)))
+  }
+
+  /** Remove EVERY row in one commit: the next version's file list is
+    * simply EMPTY — no data file is read or rewritten (COW at its
+    * cheapest; the old version's files stay referenced by history until
+    * `vacuum`). SQL `TRUNCATE TABLE` / unconditioned `DELETE FROM` on the
+    * catalog surface land here. Same CREATE_NEW single-writer CAS as
+    * [[execute]].
+    */
+  def truncate(txVersion: String = UUID.randomUUID().toString): BatchResult = {
+    val m2 = manifest.copy(
+      version = manifest.version + 1,
+      snapshotId = UUID.randomUUID().toString,
+      numElements = 0L,
+      lastChangeVersion = txVersion,
+      files = Nil, filesRef = None, disjointHint = None)
+    try BatchResult(success = true, None, Some(store.commit(m2, manifest.version)),
+      Seq(manifest.numElements))
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      BatchResult(success = false, Some(GraftError.ContextAlreadyUsed(manifest.id)), None)
+    }
+  }
+
   /** Export this snapshot into a hash-BUCKETED table on the session
     * catalog — the one-time layout conversion that makes every subsequent
     * join on the key exchange-free (Spark reads co-bucketed tables

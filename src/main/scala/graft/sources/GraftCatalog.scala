@@ -59,7 +59,8 @@ final class GraftCatalog extends TableCatalog {
   /** `FOR VERSION AS OF n` — snapshot version n, lazily resolved. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!store.exists(ident.name)) throw new NoSuchTableException(ident)
-    new GraftTable(store, store.loadVersionLazy(ident.name, version.toLong))
+    new GraftTable(store, store.loadVersionLazy(ident.name, version.toLong),
+      pinned = true)
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table =

@@ -8,16 +8,17 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.{Command, FsSnapshotStore, GraftError, GraftException, KVIndex, KeyOrd, SnapshotManifest, SnapshotStore}
@@ -80,12 +81,12 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
 
   private def resolve(options: CaseInsensitiveStringMap): GraftTable = {
     val (store, id) = storeAndId(options)
-    val manifest = Option(options.get("version")) match {
-      case Some(v) => store.loadVersionLazy(id, v.toLong)
-      case None => store.loadLatestLazy(id).fold(
-        e => throw new java.util.NoSuchElementException(e.message), identity)
+    Option(options.get("version")) match {
+      case Some(v) => new GraftTable(store, store.loadVersionLazy(id, v.toLong),
+        pinned = true)
+      case None => new GraftTable(store, store.loadLatestLazy(id).fold(
+        e => throw new java.util.NoSuchElementException(e.message), identity))
     }
-    new GraftTable(store, manifest)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -196,8 +197,9 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
   }
 }
 
-final class GraftTable(store: SnapshotStore, manifest: SnapshotManifest)
-    extends Table with SupportsRead with SupportsWrite {
+final class GraftTable(store: SnapshotStore, manifest: SnapshotManifest,
+                       pinned: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft.${manifest.id}@v${manifest.version}"
 
@@ -235,6 +237,140 @@ final class GraftTable(store: SnapshotStore, manifest: SnapshotManifest)
           }
       }
     }
+
+  // ---- SQL DELETE / TRUNCATE ----
+  //
+  // `DELETE FROM <cat>.<idx> WHERE <leading-key range>` maps to the
+  // library's file-grain [[graft.core.KVIndex.removeRange]]: interior
+  // files DROP from the manifest with zero IO, at most the two boundary
+  // files rewrite — a metadata-only delete in Spark's taxonomy, which is
+  // exactly what a retention-expiry / tenant-removal DELETE over a 100-TB
+  // snapshot must be (never a full-table rewrite). Supported conditions
+  // are conjunctions of =, <, <=, >, >= on the SINGLE key column (the
+  // exact shapes `removeRange` can honor precisely — no over-delete, no
+  // under-delete); anything else reports `canDeleteWhere = false` and
+  // Spark raises its standard "cannot delete" analysis error. Unbounded
+  // sides close over the manifest's exact key bounds. An unconditioned
+  // DELETE / TRUNCATE TABLE commits an EMPTY file list
+  // ([[graft.core.KVIndex.truncate]]) without reading anything.
+
+  private def keyCol: String = manifest.keyCols.head
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !pinned && manifest.keyCols.size == 1 &&
+      GraftDelete.plan(filters, keyCol).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val plan = GraftDelete.plan(filters, keyCol).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft: unsupported DELETE condition ${filters.mkString(", ")} — " +
+          s"only leading-key range conjunctions on '$keyCol' delete at file grain"))
+    GraftDelete.retrying(store, manifest.id) { ix =>
+      plan match {
+        case GraftDelete.All => Some(ix.truncate())
+        case GraftDelete.Range(lo, hi) =>
+          ix.keyBounds match {
+            case None => None // empty snapshot: nothing to delete
+            case Some((gmin, gmax)) =>
+              if (lo.isEmpty && gmin.head == null)
+                throw new UnsupportedOperationException(
+                  "graft: DELETE with an open lower bound over null leading " +
+                    "keys — a SQL predicate never matches NULL; bound the " +
+                    "range or use the library removeRange")
+              val (from, incF) = lo.getOrElse((gmin.head, true))
+              val (to, incT) = hi.getOrElse((gmax.head, true))
+              val cmp = KeyOrd.compare(Seq(from), Seq(to))
+              if (cmp > 0 || (cmp == 0 && !(incF && incT))) None // empty range
+              else Some(ix.removeRange(Seq(from), Seq(to), incF, incT))
+          }
+      }
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    if (pinned) throw new UnsupportedOperationException(
+      "graft: cannot truncate a VERSION AS OF table — write to LATEST")
+    GraftDelete.retrying(store, manifest.id)(ix => Some(ix.truncate()))
+    true
+  }
+}
+
+/** DELETE-condition translation + the commit-CAS retry loop shared by
+  * delete and truncate. A condition is deletable iff it is a conjunction
+  * of exact range shapes on the leading key — the translation keeps
+  * INCLUSIVITY (unlike the scan-side [[GraftScan.boundsOf]], whose bounds
+  * are a conservative over-approximation: fine for pruning, data loss for
+  * deletion).
+  */
+private[sources] object GraftDelete {
+  sealed trait Plan
+  case object All extends Plan
+  /** (value, inclusive) per side; None = unbounded on that side. */
+  final case class Range(lo: Option[(Any, Boolean)],
+                         hi: Option[(Any, Boolean)]) extends Plan
+
+  def plan(filters: Array[Filter], keyCol: String): Option[Plan] =
+    if (filters.isEmpty) Some(All)
+    else filters.map(one(_, keyCol)).reduce((a, b) =>
+      for { ra <- a; rb <- b } yield merge(ra, rb)) match {
+      case Some(Range(None, None)) => Some(All)
+      case other => other
+    }
+
+  private def one(f: Filter, keyCol: String): Option[Range] = f match {
+    case sources.AlwaysTrue() => Some(Range(None, None))
+    // IsNotNull(key) is implied by every bounded range (null sorts below
+    // any non-null bound and a SQL range predicate is NULL on null keys)
+    case sources.IsNotNull(c) if c == keyCol => Some(Range(None, None))
+    case sources.EqualTo(c, v) if c == keyCol && v != null =>
+      Some(Range(Some((v, true)), Some((v, true))))
+    case sources.GreaterThan(c, v) if c == keyCol && v != null =>
+      Some(Range(Some((v, false)), None))
+    case sources.GreaterThanOrEqual(c, v) if c == keyCol && v != null =>
+      Some(Range(Some((v, true)), None))
+    case sources.LessThan(c, v) if c == keyCol && v != null =>
+      Some(Range(None, Some((v, false))))
+    case sources.LessThanOrEqual(c, v) if c == keyCol && v != null =>
+      Some(Range(None, Some((v, true))))
+    case sources.And(a, b) =>
+      for { ra <- one(a, keyCol); rb <- one(b, keyCol) } yield merge(ra, rb)
+    case _ => None
+  }
+
+  private def merge(a: Range, b: Range): Range =
+    Range(tighter(a.lo, b.lo, wantHigh = true), tighter(a.hi, b.hi, wantHigh = false))
+
+  // lower bounds tighten UPWARD, upper bounds DOWNWARD; on equal values
+  // the EXCLUSIVE bound is the tighter one
+  private def tighter(a: Option[(Any, Boolean)], b: Option[(Any, Boolean)],
+                      wantHigh: Boolean): Option[(Any, Boolean)] = (a, b) match {
+    case (Some((va, ia)), Some((vb, ib))) =>
+      val c = KeyOrd.compare(Seq(va), Seq(vb))
+      if (c == 0) Some((va, ia && ib))
+      else if ((c > 0) == wantHigh) a else b
+    case _ => a.orElse(b)
+  }
+
+  /** Re-open LATEST and re-apply on a lost commit CAS — the DELETE twin of
+    * [[graft.core.KVIndex.executeWithRetry]]. The thunk returns None for
+    * "nothing to do at this version" (success without a commit).
+    */
+  def retrying(store: SnapshotStore, id: String, maxAttempts: Int = 5)
+              (body: KVIndex => Option[graft.core.BatchResult]): Unit = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val m = store.loadLatestLazy(id).fold(e => throw GraftException(e), identity)
+      body(new KVIndex(store, m)) match {
+        case None => return
+        case Some(r) if r.success => return
+        case Some(r) =>
+          if (!r.error.exists(_.isInstanceOf[GraftError.ContextAlreadyUsed]))
+            throw GraftException(r.error.get)
+      }
+      attempt += 1
+    }
+    throw GraftException(GraftError.ContextAlreadyUsed(id))
+  }
 }
 
 /** A not-yet-existing index id: the first written batch BOOTSTRAPS the
@@ -280,11 +416,14 @@ final class GraftNewIndexTable(store: SnapshotStore, indexId: String,
   */
 final class GraftScanBuilder(store: SnapshotStore, manifest: SnapshotManifest,
                              fullSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private val keyCol = manifest.keyCols.head
   private var usable: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var aggRow: Option[Seq[(StructField, Any)]] = None
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     usable = filters.filter(f => GraftScan.boundsOf(f, keyCol).isDefined)
@@ -296,15 +435,86 @@ final class GraftScanBuilder(store: SnapshotStore, manifest: SnapshotManifest,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(store, manifest, keyCol, usable, required)
+  // ---- aggregate pushdown: COUNT(*) / MIN(key) / MAX(key) from manifest
+  // stats, ZERO files scanned ----
+  //
+  // The library serves A1 count O(1) from `numElements` and A2 min/max
+  // from exact per-file key bounds; this surfaces the same answers to
+  // `SELECT count(*) / min(k) / max(k) FROM <graft table>` — the whole
+  // aggregate COLLAPSES to one precomputed row (complete pushdown, no
+  // scan, no shuffle), regardless of whether the snapshot is 4 files or
+  // 3 million. Unsupported shapes (group-by, other aggregates, non-key
+  // min/max, filtered scans, null-able key bounds where SQL min/max must
+  // skip nulls) decline the pushdown and take the stock scan.
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case s @ Some(_) => aggRow = s; true
+      case None => false
+    }
+
+  private def colRef(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+    case _ => None
+  }
+
+  // external (Row-facing) value of a manifest-typed bound, only for types
+  // whose manifest representation maps 1:1 — others decline the pushdown
+  private def extVal(v: Any, dt: DataType): Option[Any] = dt match {
+    case LongType => Some(v.asInstanceOf[Number].longValue)
+    case IntegerType => Some(v.asInstanceOf[Number].intValue)
+    case DoubleType => Some(v.asInstanceOf[Number].doubleValue)
+    case StringType => Some(v.toString)
+    case _ => None
+  }
+
+  private def translateAgg(agg: Aggregation): Option[Seq[(StructField, Any)]] = {
+    if (agg.groupByExpressions.nonEmpty || usable.nonEmpty) return None
+    val keyField = fullSchema(keyCol)
+    lazy val bounds = new KVIndex(store, manifest).keyBounds
+    def bound(pick: ((Seq[Any], Seq[Any])) => Seq[Any], name: String)
+        : Option[(StructField, Any)] = bounds match {
+      case None => // empty snapshot: SQL min/max = NULL
+        Some((StructField(name, keyField.dataType, nullable = true), null))
+      case Some(b) => Option(pick(b).head) // null bound => nulls among keys: decline
+        .flatMap(extVal(_, keyField.dataType))
+        .map(v => (StructField(name, keyField.dataType, nullable = true), v))
+    }
+    val out: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          manifest.numElements: Any))
+      case m: Min if colRef(m.column).contains(keyCol) => bound(_._1, s"min_$keyCol")
+      case m: Max if colRef(m.column).contains(keyCol) => bound(_._2, s"max_$keyCol")
+      case _ => None
+    }
+    if (out.nonEmpty && out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+
+  /** LIMIT prefix: plan only enough covering files to satisfy n rows
+    * (exact entry counts make the prefix exact); Spark re-applies the
+    * limit above, so this is pure IO avoidance — `SELECT ... LIMIT 10`
+    * over a 3M-file snapshot reads one file.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan =
+    new GraftScan(store, manifest, keyCol, usable, required, aggRow, limit)
 }
 
 final class GraftScan(store: SnapshotStore, manifest: SnapshotManifest,
                       keyCol: String, filters: Array[Filter],
-                      required: StructType)
+                      required: StructType,
+                      aggRow: Option[Seq[(StructField, Any)]] = None,
+                      limit: Option[Int] = None)
     extends V1Scan with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    aggRow.fold(required)(s => StructType(s.map(_._1)))
 
   // intersect all bounds; None = unbounded on that side
   private lazy val bounds = filters.flatMap(GraftScan.boundsOf(_, keyCol))
@@ -315,11 +525,22 @@ final class GraftScan(store: SnapshotStore, manifest: SnapshotManifest,
   // compare would drop a file whose leading key equals the bound
   // (prefix convention ranks the longer tuple above its prefix)
   private lazy val covering = {
-    val c = store.resolveFilesWhere(manifest, f =>
+    val pruned = store.resolveFilesWhere(manifest, f =>
       lo.forall(l => KeyOrd.compare(Seq(f.max.head), l) >= 0) &&
         hi.forall(h => KeyOrd.compare(Seq(f.min.head), h) <= 0))
-    GraftScan.lastPlannedFiles = c.size
-    c
+    // limit prefix: exact entry counts make "enough files for n rows"
+    // exact; Spark re-applies the limit above (partial pushdown)
+    val kept = limit match {
+      case Some(n) =>
+        var acc = 0L
+        val b = Seq.newBuilder[graft.core.FileEntry]
+        val it = pruned.iterator
+        while (acc < n && it.hasNext) { val f = it.next(); b += f; acc += f.rows }
+        b.result()
+      case None => pruned
+    }
+    GraftScan.lastPlannedFiles = kept.size
+    kept
   }
 
   /** Post-pushdown stats from MANIFEST metadata, no scan: the unfiltered
@@ -329,11 +550,12 @@ final class GraftScan(store: SnapshotStore, manifest: SnapshotManifest,
     */
   override def estimateStatistics(): Statistics = {
     val rows =
-      if (bounds.isEmpty) manifest.numElements
+      if (aggRow.isDefined) 1L
+      else if (bounds.isEmpty && limit.isEmpty) manifest.numElements
       else covering.map(_.rows).sum
     new Statistics {
       override def sizeInBytes: OptionalLong =
-        OptionalLong.of(math.max(1L, rows) * math.max(8, required.defaultSize))
+        OptionalLong.of(math.max(1L, rows) * math.max(8, readSchema().defaultSize))
       override def numRows: OptionalLong = OptionalLong.of(rows)
     }
   }
@@ -342,19 +564,24 @@ final class GraftScan(store: SnapshotStore, manifest: SnapshotManifest,
       context: SQLContext): T =
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
-      override def schema: StructType = required
+      override def schema: StructType = readSchema()
       override def needConversion: Boolean = true
-      override def buildScan(): RDD[Row] = {
-        val base =
-          if (covering.isEmpty) store.emptyTyped(manifest)
-          else store.readFiles(covering.map(_.path), manifest)
-        // re-apply the bound predicates INSIDE the read so parquet
-        // row-group stats skip within the kept files too
-        val keyed = (lo.map(l => col(keyCol) >= l.head) ++
-          hi.map(h => col(keyCol) <= h.head))
-          .foldLeft(base)((d, p) => d.filter(p))
-        val cols = required.fieldNames
-        (if (cols.isEmpty) keyed else keyed.select(cols.map(col).toSeq: _*)).rdd
+      override def buildScan(): RDD[Row] = aggRow match {
+        case Some(spec) => // the whole aggregate is ONE manifest-stat row
+          GraftScan.lastPlannedFiles = 0
+          context.sparkSession.sparkContext
+            .parallelize(Seq(Row(spec.map(_._2): _*)), 1)
+        case None =>
+          val base =
+            if (covering.isEmpty) store.emptyTyped(manifest)
+            else store.readFiles(covering.map(_.path), manifest)
+          // re-apply the bound predicates INSIDE the read so parquet
+          // row-group stats skip within the kept files too
+          val keyed = (lo.map(l => col(keyCol) >= l.head) ++
+            hi.map(h => col(keyCol) <= h.head))
+            .foldLeft(base)((d, p) => d.filter(p))
+          val cols = required.fieldNames
+          (if (cols.isEmpty) keyed else keyed.select(cols.map(col).toSeq: _*)).rdd
       }
     }.asInstanceOf[T]
 }

@@ -264,6 +264,81 @@ object TextAnalysis {
       .withColumn("dup_gram_ratio",
         round((col("n_grams") - col("n_distinct_grams")) / col("n_grams"), 4))
       .drop("__grams")
+
+  /** BM25 ranked retrieval (Okapi form, k1 = 1.2, b = 0.75) of the corpus
+    * against a small set of query strings — the relevance-ranking shape a
+    * corpus search / decontamination audit runs at scale (Robertson &
+    * Walker's probabilistic weighting; the same surface an inverted-index
+    * engine serves, expressed relationally).
+    *
+    * Engine-portable scoring: the idf factor uses the RATIONAL Robertson
+    * argument (N - df + 0.5) / (df + 0.5) instead of its log (a per-term
+    * monotone transform — no engine-divergent `ln`), and every factor is
+    * quantized to exact integer milli-units computed with integer
+    * `div` only, so scores hash-match an independent SQL engine bit for
+    * bit (the `lmTypicality` portability pattern, taken fully integral):
+    * {{{
+    *   dl_norm  = (1000 * dl * N) div A                 // A = total tokens
+    *   idf      = (1000 * (2N - 2df + 1)) div (2df + 1)
+    *   denom    = 1000*tf + 300 + (900 * dl_norm) div 1000   // k1(1-b), k1*b
+    *   contrib  = (idf * 2200 * tf) div denom               // tf*(k1+1)
+    * }}}
+    * At synthetic test scale the BIGINT headroom is ~1e14; a production
+    * deployment at web scale would swap the rational idf for double `ln`
+    * (scores then differ from this oracle only by the monotone transform).
+    *
+    * Scale path: the token stream is semi-joined against the BROADCAST
+    * query-term set BEFORE anything shuffles — only matching tokens (a
+    * vanishing fraction of a 100-TB corpus) reach the (doc, term) count;
+    * document length rides the explode so no second corpus pass joins it
+    * back; per-term document frequencies are a second tiny broadcast; and
+    * the per-query top-k rank window executes as WindowGroupLimit
+    * (partial top-k per partition before the one small shuffle).
+    *
+    * Returns (q_id, rank, doc_id, score_milli), ranks 1..k per query,
+    * ties broken by ascending doc id.
+    */
+  def bm25TopK(df: DataFrame, queries: Seq[String], k: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty && k >= 1, "bm25TopK: need >= 1 query and k >= 1")
+    val qterms = queries.zipWithIndex
+      .toDF("q_text", "q_id")
+      .select(col("q_id").cast("long").as("q_id"),
+        explode(array_distinct(gf.ws_tokens(col("q_text")))).as("term"))
+    // one corpus pass: dl rides the explode; scan-side broadcast semi join
+    // drops every non-query token before the (doc, term) count shuffles
+    val toks = df
+      .select(col(idCol).as("id"), gf.ws_tokens(col(textCol)).as("__tk"))
+      .select(col("id"), size(col("__tk")).cast("long").as("dl"),
+        explode(col("__tk")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    val tf = toks.groupBy("id", "dl", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    // two corpus scalars (one tiny job); exact integers
+    val st = df.agg(count(lit(1)).cast("long").as("nd"),
+      sum(size(gf.ws_tokens(col(textCol)))).cast("long").as("na")).head()
+    val nd = st.getLong(0); val na = st.getLong(1)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("long").as("dft"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("idf_milli",
+        expr(s"(1000 * (2 * ${nd}L - 2 * dft + 1)) div (2 * dft + 1)"))
+      .withColumn("dl_norm_milli", expr(s"(1000 * dl * ${nd}L) div ${na}L"))
+      .withColumn("contrib_milli",
+        expr("(idf_milli * 2200 * tf) div (1000 * tf + 300 + (900 * dl_norm_milli) div 1000)"))
+      .groupBy("q_id", "id")
+      .agg(sum(col("contrib_milli")).cast("long").as("score_milli"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("score_milli").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as(idCol), col("score_milli"))
+      .orderBy("q_id", "rank")
+  }
 }
 
 object Stopwords {

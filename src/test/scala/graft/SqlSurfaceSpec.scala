@@ -61,8 +61,11 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(range.as[Long].collect().length == 100)
     assert(GraftScan.lastPlannedFiles >= 1 && GraftScan.lastPlannedFiles < ix.numFiles,
       s"range query must prune the file set, planned ${GraftScan.lastPlannedFiles}")
-    load().count()
+    load().collect()
     assert(GraftScan.lastPlannedFiles == ix.numFiles, "unfiltered scan reads all files")
+    // count() itself no longer scans: it collapses to manifest stats
+    load().count()
+    assert(GraftScan.lastPlannedFiles == 0, "count(*) answers from the manifest")
     // time travel via version option
     val r2 = ix.execute(Seq(Command.Insert(
       Seq((9999L, "new", 1L)).toDF("k", "s", "x"))))
@@ -199,6 +202,79 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(range.as[Long].collect().length == 100)
     assert(scannedFiles(range) < ix.numFiles,
       "range query must not enumerate the whole snapshot")
+  }
+
+  test("SQL DELETE at file grain; TRUNCATE + agg/limit pushdown answer from the manifest") {
+    import graft.core._
+    val store = new FsSnapshotStore(tmpDir("graft-del"), spark)
+    val rows = (1L to 4000L).map(i => (i, i * 3)).toDF("k", "x")
+    val ix = KVIndex.bootstrap(store, "del1", rows, Seq("k"), maxRowsPerFile = 512)
+      .fold(e => sys.error(e.message), identity)
+    assert(ix.numFiles >= 4, "need a multi-file snapshot to observe file-grain deletes")
+    spark.conf.set("spark.sql.catalog.gdel", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdel.root", store.root)
+
+    // aggregate pushdown: count/min/max collapse to ONE manifest-stat row
+    graft.sources.GraftScan.lastPlannedFiles = -1
+    val agg = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM gdel.del1")
+      .as[(Long, Long, Long)].head()
+    assert(agg == ((4000L, 1L, 4000L)))
+    assert(graft.sources.GraftScan.lastPlannedFiles == 0,
+      s"aggregate must plan ZERO files, planned ${graft.sources.GraftScan.lastPlannedFiles}")
+    // group-by declines the pushdown and still answers correctly
+    assert(spark.sql("SELECT k % 2 AS g, count(*) AS n FROM gdel.del1 GROUP BY 1")
+      .as[(Long, Long)].collect().toMap == Map(0L -> 2000L, 1L -> 2000L))
+
+    // LIMIT pushdown: a file PREFIX is planned, not the whole snapshot
+    assert(spark.sql("SELECT k FROM gdel.del1 LIMIT 10").collect().length == 10)
+    assert(graft.sources.GraftScan.lastPlannedFiles == 1,
+      s"LIMIT 10 must plan 1 file of ${ix.numFiles}, " +
+        s"planned ${graft.sources.GraftScan.lastPlannedFiles}")
+
+    // DELETE of an interior range: fully-covered files DROP from the
+    // manifest, only the two boundary files rewrite
+    spark.sql("DELETE FROM gdel.del1 WHERE k >= 1000 AND k <= 2000")
+    def loaded() = spark.read.format("graft").option("root", store.root).load("del1")
+    assert(loaded().count() == 2999L) // 4000 - 1001
+    assert(loaded().filter($"k" >= 1000L && $"k" <= 2000L).count() == 0L)
+    assert(loaded().filter($"k" === 999L).count() == 1L)
+    assert(loaded().filter($"k" === 2001L).count() == 1L)
+    // file-grain accounting from the v1 layout: fully-covered files DROP,
+    // each boundary file rewrites to one survivor file
+    def lead(t: Seq[Any]): Long = t.head.asInstanceOf[Number].longValue
+    val fs1 = ix.manifest.files
+    val droppedWhole = fs1.count(f => lead(f.min) >= 1000L && lead(f.max) <= 2000L)
+    assert(droppedWhole >= 1, "range must fully cover at least one interior file")
+    val v2 = KVIndex.open(store, "del1").fold(e => sys.error(e.message), identity)
+    assert(v2.numFiles == fs1.size - droppedWhole,
+      s"file-grain delete: expected ${fs1.size - droppedWhole}, got ${v2.numFiles}")
+    // time travel still sees the pre-delete version (COW)
+    assert(spark.sql("SELECT count(*) FROM gdel.del1 VERSION AS OF 1")
+      .as[Long].head() == 4000L)
+
+    // equality and strict-bound shapes delete EXACTLY their range
+    spark.sql("DELETE FROM gdel.del1 WHERE k = 2500")
+    spark.sql("DELETE FROM gdel.del1 WHERE k > 3996")
+    val agg2 = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM gdel.del1")
+      .as[(Long, Long, Long)].head()
+    assert(agg2 == ((2994L, 1L, 3996L)),
+      s"after deletes: $agg2") // 2999 - 1 - 4; max moved to 3996
+
+    // a non-key condition cannot delete at file grain: standard error,
+    // content untouched
+    intercept[Exception](spark.sql("DELETE FROM gdel.del1 WHERE x = 3"))
+    assert(loaded().count() == 2994L)
+
+    // unconditioned DELETE commits an EMPTY file list without reading
+    spark.sql("DELETE FROM gdel.del1")
+    assert(spark.sql("SELECT count(*) FROM gdel.del1").as[Long].head() == 0L)
+    assert(KVIndex.open(store, "del1").fold(e => sys.error(e.message), identity)
+      .numFiles == 0)
+    // empty snapshot still reads TYPED
+    assert(loaded().schema.fieldNames.toSeq.take(2) == Seq("k", "x"))
+    spark.sql("DROP TABLE gdel.del1")
   }
 
   test("approx_count_distinct tracks exact within its error bound") {

@@ -281,6 +281,35 @@ class TrainingOpsSpec extends SparkSuite {
     assert(r(1)._1 == "b" && r(1)._2 == 2L && r(1)._3 == 0.7071 && r(1)._4 == 0.7071)
   }
 
+  test("bm25TopK: tf and length normalization rank as BM25 must; plan broadcast-filters the token stream") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "spark spark spark join"),            // high tf, short
+      (2L, "spark join " + ("filler " * 50).trim), // one hit, long
+      (3L, "spark join spark"),                  // two hits, short
+      (4L, "nothing relevant here at all"),      // no hit
+      (5L, "join join")                          // other term only
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("spark"), 10)
+      .select("rank", "doc_id", "score_milli")
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 4 and 5 never match; ranking: tf3 short > tf2 short > tf1 long
+    assert(out.map(_._2) == Seq(1L, 3L, 2L), s"got $out")
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    assert(out.map(_._3).sliding(2).forall(p => p.head >= p.last), "scores descend")
+    // deterministic tie-break by doc id on equal scores
+    val ties = Seq((7L, "alpha beta"), (6L, "alpha beta")).toDF("doc_id", "text")
+    val tied = TextAnalysis.bm25TopK(ties, Seq("alpha"), 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(tied == Seq(6L, 7L))
+    // scale shape: the exploded token stream is reduced by a broadcast
+    // semi join BEFORE any aggregation exchange
+    val plan = TextAnalysis.bm25TopK(docs, Seq("spark"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi join in:\n$plan")
+  }
+
   test("quantizeInt8: dequantization error bounded by half a step") {
     val vecs = Seq((1L, Array(0.37f, -0.91f, 0.003f, 0.64f)))
       .toDF("vec_id", "embedding")
