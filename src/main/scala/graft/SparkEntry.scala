@@ -1617,6 +1617,13 @@ object SparkEntry {
           round(max_by(col("o_totalprice"), ordKey), 2).as("top_price"))
         .orderBy("o_orderstatus")
     }),
+    // DSIR-style data selection (linearized, integer-exact): top-30 docs
+    // by mean smoothed bigram-probability ratio against the lang='en'
+    // target slice — one corpus pass, tf-reduced gram table reused for
+    // both count and probe sides, exact-gram ratio join NOT broadcast
+    "pipe_dsir" -> ((s, d) =>
+      graft.pipeline.Sampling.importanceTopK(
+        t(s, d, "documents"), col("lang") === "en", 30)),
     // alpha-smoothed (alpha = 0.5) domain mixture weights over character
     // volume — the sampling distribution a temperature-mixed corpus uses
     "pipe_domain_mix" -> ((s, d) =>
@@ -2356,6 +2363,19 @@ object SparkEntry {
       "txt_bigrams" -> ("WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
         "g AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram FROM tk WHERE len(tk) >= 2) " +
         "SELECT gram, count(*) AS n FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20"),
+      // identical integer 1e4-fixed-point DSIR algebra: Laplace-smoothed
+      // target/corpus bigram ratio, arithmetic mean per doc, integer div
+      "pipe_dsir" -> ("WITH tk AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt, " +
+        "unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram FROM tk WHERE len(tk) >= 2), " +
+        "tfd AS (SELECT doc_id, gram, max(tgt) AS tgt, CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY 1, 2), " +
+        "cnt AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS cr, CAST(sum(tgt * tf) AS BIGINT) AS ct FROM tfd GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS b FROM cnt), " +
+        "r AS (SELECT gram, (10000 * (ct + 1) * (nr + b)) // ((cr + 1) * (nt + b)) AS ratio_e4 FROM cnt CROSS JOIN tot), " +
+        "sc AS (SELECT tfd.doc_id, CAST(CAST(sum(tf * ratio_e4) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS BIGINT) AS score_e4, " +
+        "CAST(sum(tf) AS BIGINT) AS n_bigrams FROM tfd JOIN r USING (gram) GROUP BY 1) " +
+        "SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank, " +
+        "doc_id, score_e4, n_bigrams FROM sc ORDER BY rank LIMIT 30"),
       "pipe_split" -> (s"WITH h AS (SELECT n_chars, ${knuthHash("doc_id")} % 100 AS pos FROM documents) " +
         "SELECT CASE WHEN pos < 80 THEN 'train' WHEN pos < 90 THEN 'val' ELSE 'test' END AS split, " +
         "count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM h GROUP BY 1 ORDER BY split"),

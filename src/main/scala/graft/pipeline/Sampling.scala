@@ -179,4 +179,80 @@ object Sampling {
     df.withColumn("rn", row_number().over(w).cast("long"))
       .orderBy(col("rn"), col(groupCol))
   }
+
+  /** DSIR-style data selection: score every document by how much its
+    * word-bigram distribution resembles a TARGET slice of the corpus —
+    * Data Selection via Importance Resampling (Xie et al. 2023), in a
+    * LINEARIZED integer-exact form. The paper scores docs with hashed
+    * n-gram importance weights `p_target(g) / p_raw(g)` combined in log
+    * space; log needs `ln`, which engines round differently, so this
+    * variant combines the Laplace-smoothed probability RATIOS by
+    * arithmetic mean in 1e4 fixed-point with integer +, *, `div` only —
+    * an independent SQL engine reproduces every score bit for bit
+    * (the lmTypicality/bm25TopK portability pattern):
+    * {{{
+    *   ratio_e4(g) = (10000 * (ct+1) * (Nr+B)) div ((cr+1) * (Nt+B))
+    *   score_e4(d) = sum_g tf_d(g) * ratio_e4(g)  div  sum_g tf_d(g)
+    * }}}
+    * ct/cr = target/corpus occurrences of gram g, Nt/Nr their totals,
+    * B = distinct corpus grams (the smoothing vocabulary). Integer
+    * headroom: 1e4 * Nt * (Nr+B) must stay under 2^63 — fine to ~1e7
+    * corpus tokens per run; beyond that drop to 1e3 units or the paper's
+    * hashed feature space (which also BOUNDS the ratio table: B buckets,
+    * broadcastable).
+    *
+    * Scale path: ONE corpus pass builds the (doc, gram, tf) table, which
+    * is persisted and reused for both sides of the inherent self-join
+    * (gram counts; probe) — the counts aggregate map-side over already
+    * tf-reduced rows, and the probe is a plain shuffle join on the gram
+    * key (deliberately NOT broadcast: the exact-gram ratio table is
+    * corpus-sized). Per-doc reduction is one more keyed aggregate. No
+    * driver materialization beyond three scalars.
+    *
+    * Returns the top `k` docs: (rank, idCol, score_e4, n_bigrams), ties
+    * broken by ascending doc id.
+    */
+  def importanceTopK(df: DataFrame, targetPred: Column, k: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.{functions => gf}
+    val tfd = df
+      .select(col(idCol).as("id"),
+        when(targetPred, 1L).otherwise(0L).as("tgt"),
+        gf.ws_tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col("id"), col("tgt"), explode(gf.shingles(col("__tk"), 2)).as("gram"))
+      .groupBy("id", "gram")
+      .agg(max(col("tgt")).as("tgt"), count(lit(1)).cast("long").as("tf"))
+      .persist()
+    val cnt = tfd.groupBy("gram")
+      .agg(sum(col("tf")).cast("long").as("cr"),
+        sum(col("tgt") * col("tf")).cast("long").as("ct"))
+    val tot = cnt.agg(sum(col("cr")).cast("long").as("nr"),
+      sum(col("ct")).cast("long").as("nt"),
+      count(lit(1)).cast("long").as("b")).head()
+    val (nr, nt, b) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val ratio = cnt.select(col("gram"),
+      expr(s"(10000 * (ct + 1) * (${nr}L + ${b}L)) div ((cr + 1) * (${nt}L + ${b}L))")
+        .as("ratio_e4"))
+    try {
+      // rank <= k over a global order executes as WindowGroupLimit:
+      // partial top-k per partition BEFORE the single-partition window
+      // sees anything (the q_topk_group plan property)
+      val top = tfd.join(ratio, Seq("gram"))
+        .groupBy("id")
+        .agg(expr("CAST(sum(tf * ratio_e4) AS BIGINT) div CAST(sum(tf) AS BIGINT)")
+          .as("score_e4"),
+          sum(col("tf")).cast("long").as("n_bigrams"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_e4").desc, col("id"))).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("rank"), col("id").as(idCol), col("score_e4"), col("n_bigrams"))
+      // materialize the k-row result so the persisted tf table can be
+      // released HERE, deterministically, instead of riding the caller's
+      // lineage for the session (k is small by contract)
+      val rows = top.orderBy("rank").collect().toSeq
+      df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(rows, 1), top.schema)
+    } finally tfd.unpersist()
+  }
 }

@@ -331,4 +331,31 @@ class PipelineSpec extends SparkSuite {
       docs.unionByName(Seq((10L, "single")).toDF("doc_id", "text")))
     assert(short.filter($"doc_id" === 10L).count() == 0L)
   }
+
+  test("importanceTopK: target-like docs outrank off-target, ties break by id, cache released") {
+    import graft.pipeline.Sampling
+    // target slice speaks "alpha beta"; doc 20 mimics it without being in
+    // the target, doc 30 shares nothing with the target distribution
+    val docs = (
+      (1L to 4L).map(i => (i, "t", "alpha beta alpha beta")) ++ Seq(
+        (20L, "r", "alpha beta alpha beta"), // target-like raw doc
+        (21L, "r", "alpha beta gamma delta"), // half target-like
+        (30L, "r", "zq xv pk wj"),            // off-target
+        (31L, "r", "zq xv pk wj"))            // identical twin of 30
+    ).toDF("doc_id", "grp", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Sampling.importanceTopK(docs, col("grp") === "t", 10)
+      .select($"rank", $"doc_id", $"score_e4").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(out.size == 8)
+    val scoreOf = out.map(r => r._2 -> r._3).toMap
+    assert(scoreOf(20L) > scoreOf(21L) && scoreOf(21L) > scoreOf(30L),
+      s"importance must order mimic > half > off-target: $scoreOf")
+    assert(scoreOf(30L) == scoreOf(31L), "identical docs tie")
+    val r30 = out.find(_._2 == 30L).get._1
+    assert(out.find(_._2 == 31L).get._1 == r30 + 1, "equal scores break by id")
+    assert(out.map(_._1) == (1L to 8L), "dense ranks in order")
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "the tf table's persist must be released before returning")
+  }
 }
