@@ -859,6 +859,55 @@ object SparkEntry {
           .toDF("n_rows", "n_texts", "max_id")
       } finally { q.stop(); deleteRec(root) }
     }),
+    // streaming sink -> CDC source roundtrip: three micro-batches commit
+    // through writeStream.format("graft") (bootstrap, insert, upsert),
+    // one library removeRange, and readStream.format("graft") replays the
+    // whole version history as (added / changed / removed) change rows —
+    // each CDC batch costs O(changed data) because diff skips COW-shared
+    // files; the query reports per-label counts + cent-exact sums
+    "st_sink_cdc" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val b1 = ord.filter(col("o_orderkey") <= 500).as[(Long, Double)].collect().toSeq
+      val b2 = ord.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000)
+        .as[(Long, Double)].collect().toSeq
+      val b3 = ord.filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1).as("p"))
+        .as[(Long, Double)].collect().toSeq
+      val root = java.nio.file.Files.createTempDirectory("graft-sinkcdc")
+      val cp = java.nio.file.Files.createTempDirectory("graft-sinkcdc-cp")
+      val store = new FsSnapshotStore(root.toString, s)
+      val input = MemoryStream[(Long, Double)](s)
+      val sink = input.toDF().toDF("o_orderkey", "o_totalprice").writeStream
+        .format("graft").option("root", root.toString).option("keys", "o_orderkey")
+        .option("checkpointLocation", cp.toString)
+        .start("sord")
+      val qname = "cdc" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      var cdcQ: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        input.addData(b1); sink.processAllAvailable() // v1: bootstrap
+        cdcQ = s.readStream.format("graft").option("root", root.toString).load("sord")
+          .writeStream.format("memory").queryName(qname).outputMode("append").start()
+        cdcQ.processAllAvailable() // initial batch: b1 as `added`
+        input.addData(b2); sink.processAllAvailable(); cdcQ.processAllAvailable()
+        input.addData(b3); sink.processAllAvailable(); cdcQ.processAllAvailable()
+        val ix = KVIndex.open(store, "sord").fold(e => sys.error(e.message), identity)
+        val rr = ix.removeRange(Seq(200L), Seq(300L))
+        require(rr.success, s"removeRange failed: ${rr.error}")
+        cdcQ.processAllAvailable()
+        val rows = s.table(qname).groupBy("_change")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).cast("long").as("cents"))
+          .orderBy("_change")
+          .as[(String, Long, Long)].collect().toSeq // eager: temp store dies below
+        rows.toDF("_change", "n", "cents")
+      } finally {
+        sink.stop(); if (cdcQ != null) cdcQ.stop()
+        s.catalog.dropTempView(qname)
+        deleteRec(root); deleteRec(cp)
+      }
+    }),
     "st_dedup" -> ((s, d) => {
       // batch twin of EventStreams.dedupStream: re-ingest the stream twice,
       // dedup on event_id (duplicate rows are identical, so any survivor
@@ -2068,6 +2117,17 @@ object SparkEntry {
       // min-id row per text (batch order = id order here), so the max
       // surviving id is max over per-text minima — DATA-INDEPENDENT, holds
       // even if a future fixture duplicates the max-id doc's text
+      // the CDC stream must replay exactly: all keys <= 1000 as `added`
+      // (original prices), keys < 100 as `changed` (NEW price = +1), the
+      // removed range [200, 300] as `removed` (old prices)
+      "st_sink_cdc" -> ("WITH c AS (" +
+        "SELECT 'added' AS _change, count(*) AS n, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders WHERE o_orderkey <= 1000 " +
+        "UNION ALL SELECT 'changed', count(*), CAST(sum(CAST(floor((o_totalprice + 1) * 100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "FROM orders WHERE o_orderkey < 100 " +
+        "UNION ALL SELECT 'removed', count(*), CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "FROM orders WHERE o_orderkey BETWEEN 200 AND 300) " +
+        "SELECT _change, n, cents FROM c ORDER BY _change"),
       "st_incr_ingest" -> ("SELECT count(DISTINCT text) AS n_rows, count(DISTINCT text) AS n_texts, " +
         "(SELECT max(m) FROM (SELECT min(doc_id) AS m FROM documents GROUP BY text) tt) AS max_id " +
         "FROM documents"),
