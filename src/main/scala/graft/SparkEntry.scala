@@ -1024,6 +1024,28 @@ object SparkEntry {
     // signature differs from its source by at most the planes its nudge
     // flips, and multi-probe covers every single-bit flip — measured
     // 50/50 at both SFs.
+    // SemDeDup contract: 50 planted near-clones (nudged copies of
+    // vec_id < 50) must be PRUNED by cluster-then-pairwise semantic dedup
+    // (>= 90%, keep-first means the clone with the higher id drops), while
+    // the originals survive; n_planted is the exact hash-verified column
+    "dd_semdedup" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + when(i === lit(0), lit(0.01f)).otherwise(lit(0.0f))).cast("float"))
+            .as("embedding"))
+      val nPlanted = planted.count()
+      val survivors = Dedup.semDedup(emb.unionByName(planted),
+        nCells = 16, threshold = 0.95)
+      val plantedLeft = survivors.filter(col("vec_id") >= 100000L).count()
+      val originalsLeft = survivors.filter(col("vec_id") < 50).count()
+      Seq((nPlanted,
+        (nPlanted - plantedLeft) * 10L >= nPlanted * 9L,
+        originalsLeft * 10L >= nPlanted * 9L))
+        .toDF("n_planted", "clones_pruned", "originals_kept")
+    }),
     "dd_embed_cosine" -> ((s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings").select("vec_id", "embedding")
@@ -2245,6 +2267,8 @@ object SparkEntry {
         " SELECT count(*) AS n_true, true AS recall_ok, true AS precision_ok FROM p"),
       // planted-duplicate contract: 50 nudged clones must be recovered by
       // the sign-LSH bucketing (>= 45; multi-probe covers any 1-bit flip)
+      "dd_semdedup" -> ("SELECT count(*) AS n_planted, true AS clones_pruned, true AS originals_kept " +
+        "FROM embeddings WHERE vec_id < 50"),
       "dd_embed_cosine" -> ("SELECT count(*) AS n_planted, true AS all_found " +
         "FROM embeddings WHERE vec_id < 50"),
       // the IVF recall contract: k rows returned, >= 6 of the exact

@@ -385,6 +385,41 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * REMOVAL by clustering embeddings and pruning within clusters — the
+    * step that catches re-phrasings exact/MinHash dedup cannot see.
+    * Each vector is assigned to its nearest of `nCells` k-means cells
+    * ([[graft.similarity.Similarity.ivfBuild]] — deterministic smallest-
+    * hash seeds + one refinement pass), then within every cell any vector
+    * whose cosine to a SMALLER-id cell-mate reaches `threshold` is
+    * dropped (keep-first, deterministic). Returns the surviving rows of
+    * `df` unchanged.
+    *
+    * Scale path: the pairwise stage is confined to cells — cost is
+    * sum over cells of |cell|² rather than corpus², and the cell count is
+    * chosen so cells fit comfortably in a task (the paper's cost model);
+    * the join key is the cell id, so each cell's pairs build inside one
+    * shuffle partition with no cross-cell traffic. The assigned table is
+    * persisted for its two sides of the self-join (session-lived, the
+    * [[embeddingCosine]] convention). A pathological giant cell is the
+    * skew to watch at 100 TB — split such cells by re-clustering or cap
+    * with a secondary hash, as the paper does with balanced k-means.
+    */
+  def semDedup(df: DataFrame, nCells: Int, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (indexed, _) = graft.similarity.Similarity.ivfBuild(df, nCells, idCol, vecCol)
+    val sk = indexed.select(col("cell"), col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sk.select(col("cell"), col("id").as("idA"), col("v").as("vA"))
+    val b = sk.select(col("cell"), col("id").as("idB"), col("v").as("vB"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("idA") < col("idB"))
+      .filter(gf.cosine_sim(col("vA"), col("vB")) >= threshold)
+      .select(col("idB").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Cross-document segment dedup — the CCNet/RefinedWeb boilerplate-removal
     * step: split every document into consecutive `segTokens`-token segments
     * (the pseudo-paragraph unit), count each distinct segment's document

@@ -332,6 +332,31 @@ class PipelineSpec extends SparkSuite {
     assert(short.filter($"doc_id" === 10L).count() == 0L)
   }
 
+  test("semDedup: planted semantic clones pruned keep-first, distinct content survives") {
+    // 3 families of near-identical vectors (clones of a base, tiny nudges)
+    // plus isolated orthogonal-ish vectors that must all survive
+    val dim = 8
+    def base(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => math.sin(seed * 31 + j * 7).toFloat)
+    val fams = for {
+      f <- 0 until 3
+      c <- 0 until 4 // id 10f+c: clone c of family f
+    } yield (f * 10L + c,
+      base(f).zipWithIndex.map { case (v, j) =>
+        if (j == 0) v + c * 1e-4f else v }.toSeq)
+    val solos = (0 until 5).map(i => (100L + i, base(50 + i * 17).toSeq))
+    val df = (fams ++ solos).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Dedup.semDedup(df, nCells = 4, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // keep-first: the smallest id of each family survives, the rest drop
+    assert(Set(0L, 10L, 20L).subsetOf(out), s"family heads must survive: $out")
+    assert((0 until 3).forall(f => (1 to 3).forall(c => !out.contains(f * 10L + c))),
+      s"family clones must be pruned: $out")
+    // isolated vectors are untouched
+    assert(solos.map(_._1).toSet.subsetOf(out), s"solos must survive: $out")
+  }
+
   test("importanceTopK: target-like docs outrank off-target, ties break by id, cache released") {
     import graft.pipeline.Sampling
     // target slice speaks "alpha beta"; doc 20 mimics it without being in
