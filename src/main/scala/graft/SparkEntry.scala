@@ -1169,6 +1169,34 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // product quantization: codebooks trained on the corpus (m=16
+    // subspaces × k=16 cells over dim 64 → 16-byte codes, a 16× footprint
+    // cut), used as ANN is used in practice: the ADC top-20 SHORTLIST
+    // must recover >= 4 of the exact squared-L2 top-10 (measured 5-8
+    // across sf0.001/0.01/0.1), and the 8× shortlist + exact-cosine
+    // rerank top-10 must recover >= 6 of the exact cosine top-10
+    // (measured 8-10). Builds its own truth sets in-query, like sim_ivf.
+    "sim_pq" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val model = Similarity.pqTrain(emb, m = 16, k = 16)
+      val codes = Similarity.pqEncode(emb, model)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val adc = Similarity.pqTopK(codes, model, q, 20).select("vec_id")
+        val exactL2 = Similarity.bruteForceTopKL2(emb, q, 10).select("vec_id")
+        val adcHits = adc.intersect(exactL2).count()
+        val rr = Similarity.pqTopKRerank(codes, emb, model, q, 10, rerank = 8)
+          .select("vec_id")
+        val exactCos = Similarity.bruteForceTopK(emb, q, 10).select("vec_id")
+        val rrHits = rr.intersect(exactCos).count()
+        Seq((rr.count(), adcHits >= 4L, rrHits >= 6L))
+          .toDF("n", "adc_recall_ok", "rerank_recall_ok")
+      } finally codes.unpersist()
+    }),
+
     // ---- SQL surface: custom Catalyst kernel registered and called
     //      from spark.sql, hash-verified against the DuckDB oracle ----
     "q_sql_kernel" -> ((s, d) => {
@@ -1414,6 +1442,39 @@ object SparkEntry {
     // (doc, term) count shuffles
     "txt_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(t(s, d, "documents"), Bm25Queries, 10)),
+    // unigram-LM (SentencePiece-style) subword tokenizer: EM-trained piece
+    // vocabulary, Viterbi encode. Segmentation itself has no SQL oracle
+    // (UnigramSpec's independent-reference differentials are that gate);
+    // the hash-verified column is the LOSSLESS invariant — summed piece
+    // code-point length == summed word length, which any engine can
+    // compute independently. A dropped/duplicated character anywhere in
+    // train->encode breaks the hash.
+    "txt_unigram" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.text.Unigram.train(docs, vocabSize = 400, maxPieceLen = 6)
+      graft.text.Unigram.encode(docs, model)
+        .select(col("doc_id"), col("piece_chars"))
+        .orderBy("doc_id")
+    }),
+    // hybrid retrieval, query-by-example on doc 7: the BM25 lexical
+    // shortlist (doc 7's distinct terms as the query) and the dense
+    // cosine shortlist (doc 7's embedding — vec_id aligns with doc_id in
+    // the testdata) are fused by reciprocal-rank fusion in exact integer
+    // nano-units; both shortlists, the fusion arithmetic, and the final
+    // ranks hash-verify against the DuckDB replica end to end.
+    "txt_hybrid" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val qText = docs.filter(col("doc_id") === 7)
+        .select(col("text")).head().getString(0)
+      val lex = TextAnalysis.bm25TopK(docs, Seq(qText), 20)
+        .select("q_id", "rank", "doc_id")
+      val qVec = t(s, d, "embeddings").filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val dense = Similarity.rankedTopK(t(s, d, "embeddings"), qVec, 20)
+        .withColumnRenamed("vec_id", "doc_id")
+      TextAnalysis.rrfFuse(Seq(lex, dense), k = 10)
+        .select(col("rank"), col("doc_id"), col("rrf_nano"))
+    }),
     // corpus bigram top-k — same plan over 2-gram shingles
     "txt_bigrams" -> ((s, d) =>
       TextAnalysis.topNgrams(t(s, d, "documents"), 2, 20)),
@@ -2275,6 +2336,9 @@ object SparkEntry {
       // brute-force top-10 recovered (both sides deterministic) — the
       // constant row IS the contract; Spark computes the intersection
       "sim_ivf" -> "SELECT CAST(10 AS BIGINT) AS n, true AS recall_ok",
+      // PQ recall contract (truth sets built in-query, like sim_ivf)
+      "sim_pq" -> ("SELECT CAST(10 AS BIGINT) AS n, true AS adc_recall_ok, " +
+        "true AS rerank_recall_ok"),
       // per-query batch-IVF contract rows (one per probe query)
       "sim_ivf_batch" -> ("SELECT CAST(q_id AS BIGINT) AS q_id, CAST(10 AS BIGINT) AS n, " +
         "true AS recall_ok FROM (SELECT unnest([3, 7, 11]) AS q_id) ORDER BY q_id"),
@@ -2427,6 +2491,36 @@ object SparkEntry {
       // identical integer milli-unit BM25 algebra (rational idf, integer
       // div only); DuckDB integer division is `//`, sums are HUGEINT →
       // cast back to BIGINT
+      // unigram tokenizer's lossless invariant: piece chars == word chars
+      "txt_unigram" -> ("SELECT doc_id, coalesce(CAST(list_sum(list_transform(" +
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0), " +
+        "w -> len(w))) AS BIGINT), 0) AS piece_chars FROM documents ORDER BY doc_id"),
+      // hybrid RRF: BM25 shortlist (doc 7's terms) + dense cosine
+      // shortlist (doc 7's embedding), fused in integer nano-units
+      "txt_hybrid" -> ("WITH qt AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(" +
+        "(SELECT text FROM documents WHERE doc_id = 7)), '\\s+'), x -> len(x) > 0)) AS term), " +
+        "tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "toks AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM tk), " +
+        "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM toks " +
+        "WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(len(tk)) AS BIGINT) AS na FROM tk), " +
+        "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, CAST(sum( " +
+        "(((1000 * (2 * st.nd - 2 * dfreq.dft + 1)) // (2 * dfreq.dft + 1)) * 2200 * tf.tf) " +
+        "// (1000 * tf.tf + 300 + (900 * ((1000 * tf.dl * st.nd) // st.na)) // 1000) " +
+        ") AS BIGINT) AS score_milli FROM tf JOIN dfreq USING (term) CROSS JOIN st GROUP BY 1), " +
+        "lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank FROM sc QUALIFY rank <= 20), " +
+        "qv AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i FROM embeddings WHERE vec_id = 7), " +
+        "e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i FROM embeddings), " +
+        "cs AS (SELECT e.vec_id, SUM(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot, " +
+        "SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS na2, SUM(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS nb " +
+        "FROM e JOIN qv q USING (i) GROUP BY 1), " +
+        "dense AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY round(dot/(sqrt(na2)*sqrt(nb)), 4) DESC, vec_id) AS BIGINT) AS rank FROM cs QUALIFY rank <= 20), " +
+        "allc AS (SELECT doc_id, 1000000000 // (60 + rank) AS contrib FROM lex " +
+        "UNION ALL SELECT doc_id, 1000000000 // (60 + rank) FROM dense), " +
+        "fused AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_nano FROM allc GROUP BY 1) " +
+        "SELECT CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rank, doc_id, rrf_nano " +
+        "FROM fused QUALIFY rank <= 10 ORDER BY rank"),
       "txt_bm25" -> ("WITH q AS (SELECT * FROM (VALUES " +
         Bm25Queries.zipWithIndex.map { case (q, i) =>
           s"(CAST($i AS BIGINT), '$q')" }.mkString(", ") + ") AS t(q_id, q_text)), " +

@@ -128,6 +128,26 @@ object Similarity {
     df.withColumn("cell", array_max(array(scores: _*)).getField("cell"))
   }
 
+  /** Ranked single-query dense shortlist for hybrid retrieval: top-k by
+    * 4-dp-ROUNDED cosine (the [[rangeSearch]] stance — last-ulp dot-
+    * product wobble cannot flip a rank across engines/partitionings),
+    * ties by ascending id, emitted as (q_id, rank, id) — the shape
+    * [[graft.text.TextAnalysis.rrfFuse]] consumes. The rank window runs
+    * over the ALREADY-limited k rows (TakeOrderedAndProject first), never
+    * the corpus.
+    */
+  def rankedTopK(df: DataFrame, query: Array[Float], k: Int, qId: Long = 0L,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), round(gf.cosine_sim(col(vecCol), q), 4).as("c"))
+      .orderBy(col("c").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("q_id", lit(qId))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("c").desc, col(idCol).asc)).cast("long"))
+      .select(col("q_id"), col("rank"), col(idCol))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× footprint cut before ANN indexing: each vector is scaled
     * by its own max-abs so codes are `floor(v / maxabs * 127 + 0.5)` in
@@ -238,6 +258,146 @@ object Similarity {
     ivfTopKBatch(spark.read.parquet(path), centroids, queries, k, nProbe,
       idCol, vecCol, qIdCol, qVecCol)
 
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011) — the memory-scale path for
+  // ANN: each vector compresses to `m` small codes (one per subspace), a
+  // 32×+ footprint cut at dim=64/m=8/k=16, so a 100 TB embedding corpus
+  // probes from ~3 TB of codes. Distances are ASYMMETRIC (ADC): the query
+  // stays full-precision, each row's distance is m table lookups.
+  // ------------------------------------------------------------------
+
+  /** Trained PQ codebooks: `codebooks(sub)(cell)` is the centroid of cell
+    * `cell` in subspace `sub` (each of length `subDim`). Bounded driver
+    * state: m × k × subDim floats (= dim × k), same stance as IVF
+    * centroids.
+    */
+  final case class PqModel(codebooks: Seq[Seq[Array[Float]]], subDim: Int) {
+    def m: Int = codebooks.size
+    def k: Int = codebooks.head.size
+  }
+
+  /** Train PQ codebooks on `df` (at 100 TB: on a sample — codebooks
+    * converge like any k-means): deterministic seeds (the `k` rows with
+    * smallest `xxhash64(id)` seed EVERY subspace, the [[ivfBuild]]
+    * recipe), then one Lloyd refinement pass per subspace — all
+    * subspaces refined in ONE distributed job: encode under the seed
+    * codebooks, explode to (sub, cell, subvector), element-wise mean via
+    * the bounded [[graft.operators.VecMeanAgg]] (one subDim-length buffer
+    * per (map task, sub, cell) crosses the shuffle). Only m × k × subDim
+    * floats reach the driver. Cells left empty keep their seed centroid.
+    */
+  def pqTrain(df: DataFrame, m: Int, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
+    require(m >= 1 && k >= 1 && k <= 256, "pqTrain: need 1 <= k <= 256")
+    val head = df.select(col(vecCol)).head().getSeq[Float](0)
+    val dim = head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val seedRows = df.select(col(idCol), col(vecCol))
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy("h").limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val seeds: Seq[Seq[Array[Float]]] = (0 until m).map { sub =>
+      seedRows.toSeq.map(v => java.util.Arrays.copyOfRange(v, sub * subDim, (sub + 1) * subDim))
+    }
+    val seedModel = PqModel(seeds, subDim)
+    // one job: seed-encode, explode to (sub, cell, subvec), mean per cell
+    val subSlices = transform(sequence(lit(0), lit(m - 1)),
+      i => slice(col(vecCol), i * subDim + 1, lit(subDim)))
+    val comps = df
+      .withColumn("codes", gfPqEncode(col(vecCol), seedModel))
+      .select(posexplode(subSlices).as(Seq("sub", "sv")), col("codes"))
+      .select(col("sub"), element_at(col("codes"), col("sub") + 1).as("cell"), col("sv"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(graft.operators.VecMeanAgg.vecMean(col("sv")).as("c"))
+      .collect()
+    val refined = Array.tabulate(m, k)((sub, cell) => seeds(sub)(cell))
+    comps.foreach { r =>
+      refined(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    PqModel(refined.map(_.toSeq).toSeq, subDim)
+  }
+
+  private def gfPqEncode(vec: Column, model: PqModel): Column =
+    org.apache.spark.sql.graft.Shim.col(
+      PqEncode(org.apache.spark.sql.graft.Shim.expr(vec), model))
+
+  /** Encode vectors to PQ codes — a pure codegen-friendly projection, no
+    * shuffle: per subspace, the L2-nearest codebook cell (double
+    * arithmetic in a fixed order, lowest cell id on ties — codes are
+    * engine- and partitioning-reproducible).
+    */
+  def pqEncode(df: DataFrame, model: PqModel,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), gfPqEncode(col(vecCol), model).as("codes"))
+
+  /** ADC top-k over a PQ-encoded table: build the query's m × k distance
+    * table on the driver (squared L2 to every cell centroid), then score
+    * every row with m array lookups — a scan-thin projection over the
+    * CODES (32×+ fewer bytes than the vectors) followed by distributed
+    * top-k; no shuffle of vectors, ever.
+    */
+  def pqTopK(codes: DataFrame, model: PqModel, query: Array[Float], k: Int,
+             idCol: String = "vec_id"): DataFrame = {
+    val table = adcTable(model, query)
+    codes.select(col(idCol),
+        org.apache.spark.sql.graft.Shim.col(PqAdc(
+          org.apache.spark.sql.graft.Shim.expr(col("codes")), table)).as("dist2"))
+      .orderBy(col("dist2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** ADC shortlist + exact re-rank: take the `k * rerank` best rows by ADC
+    * distance, join ONLY those ids back to the full-precision vectors
+    * (broadcast — the shortlist is k·rerank rows), exact cosine, top-k.
+    * The standard recall repair: the index scan still reads only codes;
+    * full vectors are fetched for a bounded candidate set.
+    */
+  def pqTopKRerank(codes: DataFrame, full: DataFrame, model: PqModel,
+                   query: Array[Float], k: Int, rerank: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val shortlist = pqTopK(codes, model, query, k * rerank, idCol).select(idCol)
+    val q = array(query.map(v => lit(v)): _*)
+    full.join(broadcast(shortlist), Seq(idCol))
+      .select(col(idCol), gf.cosine_sim(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Query → per-(sub, cell) squared-L2 lookup table (driver; m × k
+    * doubles — bounded like [[rankCells]]'s work).
+    */
+  private def adcTable(model: PqModel, query: Array[Float]): Array[Array[Double]] = {
+    require(query.length == model.m * model.subDim,
+      s"pq query dim ${query.length} != ${model.m}*${model.subDim}")
+    Array.tabulate(model.m, model.k) { (sub, cell) =>
+      val c = model.codebooks(sub)(cell)
+      var d = 0.0
+      var i = 0
+      while (i < model.subDim) {
+        val diff = query(sub * model.subDim + i).toDouble - c(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      d
+    }
+  }
+
+  /** Exact squared-L2 top-k — the truth companion for PQ's recall
+    * contract (PQ approximates L2, so its oracle must too). Same
+    * scan-once, no-vector-shuffle plan as [[bruteForceTopK]].
+    */
+  def bruteForceTopKL2(df: DataFrame, query: Array[Float], k: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val qq = query.map(v => v.toDouble * v).sum
+    val dist2 = lit(qq) + gf.dot_f(col(vecCol), col(vecCol)) -
+      lit(2.0) * gf.dot_f(col(vecCol), q)
+    df.select(col(idCol), dist2.as("dist2"))
+      .orderBy(col("dist2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-label centroid cohesion — the embedding-space cluster health
     * check (is a label's region tight or diffuse?): mean vector per label,
     * then every vector's cosine to its OWN label's centroid, aggregated to
@@ -268,4 +428,102 @@ object Similarity {
         round(avg(round(col("cos_c"), 4)), 4).as("avg_cos"),
         round(min(col("cos_c")), 4).as("min_cos"))
   }
+}
+
+/** PQ code assignment: per subspace, the squared-L2-nearest codebook cell
+  * (doubles in a fixed scan order; lowest cell wins ties via strict `<`).
+  * The codebook rides the plan — m × k × subDim floats, bounded by the
+  * training contract like `BpeEncode`'s rank table, never data-sized.
+  * Interpreted eval inside a codegen'd stage (one call per row in a
+  * projection), same stance as `kernels.ShingleHashes`.
+  */
+case class PqEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                    model: Similarity.PqModel)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData].toFloatArray()
+    val m = model.m; val k = model.k; val sd = model.subDim
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var bestCell = 0
+      var bestD = Double.MaxValue
+      var cell = 0
+      while (cell < k) {
+        val c = model.codebooks(sub)(cell)
+        var d = 0.0
+        var i = 0
+        while (i < sd) {
+          val diff = v(sub * sd + i).toDouble - c(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestCell = cell }
+        cell += 1
+      }
+      codes(sub) = bestCell
+      sub += 1
+    }
+    new GenericArrayData(codes.map(Int.box(_): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeExpr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        ((org.apache.spark.sql.catalyst.expressions.UnaryExpression) $ref).nullSafeEval($a);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): PqEncode =
+    copy(child = c)
+}
+
+/** ADC distance: sum of m table lookups (`table(sub)(code)`), the
+  * per-row cost that makes PQ probes scan-thin. The table is the QUERY's
+  * precomputed cell distances — m × k doubles riding the plan.
+  */
+case class PqAdc(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                 table: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{DataType, DoubleType}
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(in: Any): Any = {
+    val codes = in.asInstanceOf[ArrayData]
+    var d = 0.0
+    var sub = 0
+    val m = table.length
+    while (sub < m) {
+      d += table(sub)(codes.getInt(sub))
+      sub += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcExpr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+      ${ev.value} = (Double)
+        ((org.apache.spark.sql.catalyst.expressions.UnaryExpression) $ref).nullSafeEval($a);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): PqAdc =
+    copy(child = c)
 }

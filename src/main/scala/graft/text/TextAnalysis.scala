@@ -298,6 +298,36 @@ object TextAnalysis {
     * Returns (q_id, rank, doc_id, score_milli), ranks 1..k per query,
     * ties broken by ascending doc id.
     */
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval combiner: each input ranking contributes
+    * `1e9 div (rrfK + rank)` (integer nano-units, so fused scores are
+    * EXACT and engine-portable — float 1/(k+r) sums would hash-differ by
+    * addition order) and documents are re-ranked by the summed
+    * contribution, ties by ascending id.
+    *
+    * Inputs are SHORTLISTS — (qIdCol, rank, idCol) with ranks 1..n from
+    * [[bm25TopK]], a dense ANN probe, or any other retriever — so every
+    * stage here is small by construction: the union holds ≤ Σ nᵢ rows
+    * per query and the per-query rank window partitions are shortlist-
+    * sized (WindowGroupLimit semantics, nothing corpus-scale shuffles).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60,
+              qIdCol: String = "q_id", idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty && k >= 1 && rrfK >= 0)
+    val contribs = rankings.map(_.select(col(qIdCol), col(idCol),
+      expr(s"1000000000 div ($rrfK + rank)").as("contrib")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("contrib")).cast("long").as("rrf_nano"))
+    import org.apache.spark.sql.expressions.Window
+    fused
+      .withColumn("rank", row_number().over(Window.partitionBy(qIdCol)
+        .orderBy(col("rrf_nano").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("rrf_nano"))
+      .orderBy(qIdCol, "rank")
+  }
+
   def bm25TopK(df: DataFrame, queries: Seq[String], k: Int,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = df.sparkSession
