@@ -36,6 +36,40 @@ object SparkEntry {
   private val Bm25Queries: Seq[String] =
     Seq("spark window join", "fast hash merge scan", "customer data stream value")
 
+  /** DuckDB replica of [[graft.operators.PageRank.pagerank]] for the
+    * `graph_pagerank` oracle: the fixed iteration count unrolls to a
+    * plain CTE chain (r0..rN), every step the same integer arithmetic
+    * (`//` = `div` on positives), so the oracle replays the recurrence
+    * exactly rather than approximating it.
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    // and r_{i-1} is referenced twice per step — inlining would re-derive
+    // the whole chain per reference (exponential in iters; observed as a
+    // 90-CPU-minute hang at sf0.1 before this annotation)
+    val head =
+      "WITH eb AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "e AS MATERIALIZED (SELECT src, dst FROM eb UNION ALL SELECT dst AS src, src AS dst FROM eb), " +
+      "dg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1), " +
+      "nd AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)), " +
+      "nn AS MATERIALIZED (SELECT n.node, coalesce(dg.deg, 0) AS deg FROM nd n LEFT JOIN dg USING (node)), " +
+      "c0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, CAST(1000000000 // count(*) AS BIGINT) AS base, " +
+      "CAST((150 * (1000000000 // count(*))) // 1000 AS BIGINT) AS tele FROM nn), " +
+      "r0 AS MATERIALIZED (SELECT node, deg, (SELECT base FROM c0) AS r FROM nn)"
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s", c$i AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(r.r // r.deg) AS BIGINT) AS contrib " +
+      s"FROM $p r JOIN e ON r.node = e.src WHERE r.deg > 0 GROUP BY 1), " +
+      s"r$i AS MATERIALIZED (SELECT nn.node, nn.deg, CAST((SELECT tele FROM c0) + " +
+      s"(850 * (coalesce(c.contrib, 0) + " +
+      s"(SELECT coalesce(sum(rr.r), 0) FROM $p rr WHERE rr.deg = 0) // (SELECT n FROM c0))) // 1000 " +
+      s"AS BIGINT) AS r FROM nn LEFT JOIN c$i c USING (node))"
+    }.mkString
+    head + steps +
+      s" SELECT node, r AS rank_nano FROM r$iters ORDER BY rank_nano DESC, node LIMIT 20"
+  }
+
   /** Recursive delete for per-query temp stores (no orphan dirs across the
     * full sweep). Best-effort — a failed delete must not fail the query. */
   private def deleteRec(root: java.nio.file.Path): Unit =
@@ -922,6 +956,24 @@ object SparkEntry {
           unix_millis(col("signup_ts")).as("signup_ms"),
           unix_millis(col("click_ts")).as("click_ms"))
         .orderBy("event_id", "signup_ms")),
+    // link-analysis quality weighting (the crawl-pipeline prior): integer
+    // fixed-point PageRank, 5 rounds, over the customer<->supplier
+    // co-purchase graph (custkey*2 / suppkey*2+1 node ids, both edge
+    // directions). Integer recurrence => the unrolled-CTE DuckDB oracle
+    // replays it EXACTLY, top-20 hash-verified.
+    "graph_pagerank" -> ((s, d) => {
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val eb = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = eb.union(eb.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.pagerank(e, iters = 5)
+        .orderBy(col("rank_nano").desc, col("node"))
+        .limit(20)
+    }),
+
     "skew_salted_join" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(col("l_orderkey").as("k"), col("l_extendedprice"))
       val ord = t(s, d, "orders").select(col("o_orderkey").as("k"), col("o_totalprice"))
@@ -2222,6 +2274,7 @@ object SparkEntry {
         "AND c.event_type = 'click' AND s.event_type = 'signup' " +
         "AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR " +
         "ORDER BY c.event_id, signup_ms"),
+      "graph_pagerank" -> pagerankOracleSql(5),
       "skew_salted_join" -> ("SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS li_sum, " +
         "round(sum(o_totalprice), 2) AS ord_sum FROM lineitem JOIN orders ON l_orderkey = o_orderkey"),
       "st_sessions" -> ("WITH g AS (SELECT user_id, ts, value, " +

@@ -132,4 +132,50 @@ class ScaleProbeSpec extends SparkSuite {
     assert(total < nDocs * 8 * 6, "subword count should sit well under char count")
     assert(total >= nDocs * 8, "at least one subword per word")
   }
+
+  test("1M docs: unigram-LM train + corpus-wide Viterbi encode throughput") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    spark.catalog.clearCache()
+    val nDocs = 1000000L
+    val words = Seq("alpha", "beta", "gamma", "delta", "alphabet", "better", "gamble")
+    val docs = spark.range(0, nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", expr(
+        s"transform(sequence(0, 7), j -> element_at(array(${words.map("'" + _ + "'").mkString(",")}), " +
+          "cast(pmod(id * 2654435761 + j * j * 40503, 7) + 1 as int)))")).as("text"))
+    val t0 = System.nanoTime()
+    val model = graft.text.Unigram.train(docs, vocabSize = 60, maxPieceLen = 8)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    info(f"unigram train (vocab 60, maxPieceLen 8) over $nDocs docs: $trainSec%.1f s, ${model.pieces.size} pieces")
+    // the 7 corpus words are high-frequency and <= 8 cp: all should be
+    // whole pieces after EM
+    assert(words.toSet.subsetOf(model.pieces.map(_._1).toSet))
+    val t1 = System.nanoTime()
+    val encoded = graft.text.Unigram.encode(docs, model)
+    val total = encoded.agg(sum("n_pieces")).head().getLong(0)
+    val encSec = (System.nanoTime() - t1) / 1e9
+    info(f"encode: $total pieces over ${nDocs * 8} words, $encSec%.1f s " +
+      f"(${nDocs * 8 / encSec / 1e6}%.1f M words/s)")
+    assert(total == nDocs * 8, "every corpus word should encode as one piece")
+  }
+
+  test("8M-edge co-purchase graph: 5 PageRank rounds stay join+aggregate shaped") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    spark.catalog.clearCache()
+    // scale-free-ish: node i links to i/2 (preferential) and to a hash
+    // neighbor — 4M nodes, 8M directed edges
+    val nNodes = 4000000L
+    val edges = spark.range(1, nNodes).select(col("id").as("src"),
+        (col("id") / 2).cast("long").as("dst"))
+      .union(spark.range(1, nNodes).select(col("id").as("src"),
+        pmod(xxhash64(col("id")), lit(nNodes)).as("dst")))
+      .filter(col("src") =!= col("dst"))
+    val t0 = System.nanoTime()
+    val ranks = graft.operators.PageRank.pagerank(edges, iters = 5)
+    val top = ranks.orderBy(col("rank_nano").desc, col("node")).limit(5).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"pagerank 5 iters over ~8M edges: $sec%.1f s; top node ${top.head.getLong(0)} " +
+      s"rank ${top.head.getLong(1)}")
+    // node 1 sits at the root of the i/2 chain: must rank near the top
+    assert(top.map(_.getLong(0)).contains(1L), "root of the division chain should lead")
+  }
 }
