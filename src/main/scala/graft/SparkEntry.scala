@@ -956,6 +956,23 @@ object SparkEntry {
           unix_millis(col("signup_ts")).as("signup_ms"),
           unix_millis(col("click_ts")).as("click_ms"))
         .orderBy("event_id", "signup_ms")),
+    // binary sign-bit ANN: 1 bit/dim packed 32 bits/word => signatures
+    // and Hamming distances are exact small integers, so the ENTIRE
+    // top-10 (ids + distances) hash-verifies against the SQL replica —
+    // no recall hedge needed for determinism
+    "sim_binary" -> ((s, d) => {
+      val sigs = Similarity.quantizeBinary(t(s, d, "embeddings"))
+      val qSig = sigs.filter(col("vec_id") === 7)
+        .select(col("sig")).head().getSeq[Long](0).toArray
+      Similarity.hammingTopK(sigs, qSig, 10)
+    }),
+
+    // curriculum staging: mean-token-rarity difficulty in exact integer
+    // milli-units, quartile-binned at exact percentile_disc boundaries
+    "pipe_curriculum" -> ((s, d) =>
+      graft.pipeline.Sampling.curriculumStages(t(s, d, "documents"), stages = 4)
+        .orderBy("doc_id")),
+
     // link-analysis quality weighting (the crawl-pipeline prior): integer
     // fixed-point PageRank, 5 rounds, over the customer<->supplier
     // co-purchase graph (custkey*2 / suppkey*2+1 node ids, both edge
@@ -2275,6 +2292,31 @@ object SparkEntry {
         "AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR " +
         "ORDER BY c.event_id, signup_ms"),
       "graph_pagerank" -> pagerankOracleSql(5),
+      // binary sign-bit signatures + exact Hamming top-10 (dim 64 = two
+      // 32-bit words; CASE sums of distinct powers of two stay small
+      // positive BIGINTs in any engine)
+      "sim_binary" -> ("WITH s AS MATERIALIZED (SELECT vec_id, " +
+        "CAST(coalesce(list_sum(list_transform(range(1, 33), j -> " +
+        "CASE WHEN embedding[j] > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)), 0) AS BIGINT) AS s0, " +
+        "CAST(coalesce(list_sum(list_transform(range(33, 65), j -> " +
+        "CASE WHEN embedding[j] > 0 THEN (CAST(1 AS BIGINT) << (j - 33)) ELSE 0 END)), 0) AS BIGINT) AS s1 " +
+        "FROM embeddings), " +
+        "q AS (SELECT s0, s1 FROM s WHERE vec_id = 7) " +
+        "SELECT s.vec_id, CAST(bit_count(xor(s.s0, q.s0)) + bit_count(xor(s.s1, q.s1)) AS BIGINT) AS hamming " +
+        "FROM s CROSS JOIN q ORDER BY hamming, s.vec_id LIMIT 10"),
+      // curriculum difficulty staging, integer-exact
+      "pipe_curriculum" -> ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "toks AS (SELECT doc_id, unnest(tk) AS term FROM tk), " +
+        "dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+        "nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents), " +
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM dt GROUP BY 1), " +
+        "diff AS (SELECT dt.doc_id, CAST(sum(dt.tf * ((1000 * nd.n) // dfq.dft)) // sum(dt.tf) AS BIGINT) AS difficulty_milli " +
+        "FROM dt JOIN dfq USING (term) CROSS JOIN nd GROUP BY 1), " +
+        "b AS (SELECT quantile_disc(difficulty_milli, 0.25) AS b1, quantile_disc(difficulty_milli, 0.5) AS b2, " +
+        "quantile_disc(difficulty_milli, 0.75) AS b3 FROM diff) " +
+        "SELECT d.doc_id, d.difficulty_milli, CAST(1 + CAST(d.difficulty_milli > b.b1 AS INT) + " +
+        "CAST(d.difficulty_milli > b.b2 AS INT) + CAST(d.difficulty_milli > b.b3 AS INT) AS BIGINT) AS stage " +
+        "FROM diff d CROSS JOIN b ORDER BY d.doc_id"),
       "skew_salted_join" -> ("SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS li_sum, " +
         "round(sum(o_totalprice), 2) AS ord_sum FROM lineitem JOIN orders ON l_orderkey = o_orderkey"),
       "st_sessions" -> ("WITH g AS (SELECT user_id, ts, value, " +

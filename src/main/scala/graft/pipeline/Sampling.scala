@@ -255,4 +255,54 @@ object Sampling {
         df.sparkSession.sparkContext.parallelize(rows, 1), top.schema)
     } finally tfd.unpersist()
   }
+
+  /** Curriculum staging by lexical difficulty — the curriculum-learning
+    * data-ordering step (easy-first training batches): a document's
+    * difficulty is its MEAN TOKEN RARITY in exact integer milli-units
+    * (`rarity(term) = (1000 * nDocs) div df(term)`, averaged with integer
+    * division), and documents are binned into `stages` buckets at the
+    * exact difficulty quartile/percentile boundaries
+    * (`percentile_disc(i/stages)`), ties resolved by value comparison so
+    * the assignment is engine-exact.
+    *
+    * Plan shape: tokenize + explode once; per-term document frequencies
+    * are a (term, df) aggregate joined back onto the DISTINCT (doc, term)
+    * pairs — the same tf-reduced shuffle shape as BM25/DSIR, nothing
+    * corpus² — then one per-doc average. Stage boundaries are `stages-1`
+    * exact percentiles of the per-DOC difficulty (one value per document
+    * reaches that aggregate, not per token); at extreme corpus sizes swap
+    * in `approx_percentile` — the binning comparison stays identical.
+    * No global sort / single-partition window anywhere.
+    */
+  def curriculumStages(df: DataFrame, stages: Int = 4,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(stages >= 2 && stages <= 100)
+    import graft.functions.{functions => gf}
+    val toks = df.select(col(idCol), explode(gf.ws_tokens(col(textCol))).as("term"))
+    val docTerm = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = df.select(col(idCol)).distinct().count()
+      val dfreq = docTerm.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+      val difficulty = docTerm
+        .join(dfreq, Seq("term"))
+        .select(col(idCol),
+          col("tf"), expr(s"(1000 * ${nDocs}L) div dft").as("rar_milli"))
+        .groupBy(col(idCol))
+        .agg(expr("sum(tf * rar_milli) div sum(tf)").as("difficulty_milli"))
+      val boundAggs = (1 until stages).map(i =>
+        expr(s"percentile_disc(${i.toDouble / stages}) " +
+          "WITHIN GROUP (ORDER BY difficulty_milli)").as(s"b$i"))
+      val boundRow = difficulty.agg(boundAggs.head, boundAggs.tail: _*).head()
+      // percentile_disc returns DOUBLE in Spark even over BIGINT input; the
+      // picked value IS a data value (an exact integer), so toLong is exact
+      val bounds = (0 until stages - 1).map(i => boundRow.getDouble(i).toLong)
+      val stageCol = bounds.foldLeft(lit(1)) { (acc, b) =>
+        acc + when(col("difficulty_milli") > b, 1).otherwise(0)
+      }
+      difficulty.withColumn("stage", stageCol.cast("long"))
+    } finally docTerm.unpersist()
+  }
 }

@@ -128,6 +128,44 @@ object Similarity {
     df.withColumn("cell", array_max(array(scores: _*)).getField("cell"))
   }
 
+  /** Binary (sign-bit) quantization: one bit per dimension (`v > 0`),
+    * packed 32 bits per long word — a 128× footprint cut at dim 64 vs
+    * float32, the cheapest ANN representation there is. 32-bit packing
+    * (not 64) keeps every word a small positive BIGINT, so signatures
+    * and Hamming distances are EXACT integers any engine reproduces —
+    * the `sim_binary` oracle hash-verifies the entire top-k including
+    * distances, no recall-contract hedge needed for determinism.
+    * A pure codegen'd projection, no shuffle.
+    */
+  def quantizeBinary(df: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val dim = df.select(col(vecCol)).head().getSeq[Float](0).length
+    val words = (dim + 31) / 32
+    val sigWords = (0 until words).map { w =>
+      (0 until math.min(32, dim - 32 * w)).foldLeft(lit(0L)) { (acc, j) =>
+        acc + when(element_at(col(vecCol), 32 * w + j + 1) > 0f, lit(1L << j))
+          .otherwise(lit(0L))
+      }
+    }
+    df.select(col(idCol), array(sigWords: _*).as("sig"))
+  }
+
+  /** Exact Hamming top-k over binary signatures: per row, `words`
+    * xor+popcount ops (codegen'd `bit_count`), then distributed top-k —
+    * the scan touches only the 128×-compressed signatures. The standard
+    * two-stage ANN shape pairs this shortlist with an exact rerank
+    * ([[pqTopKRerank]]'s recipe) when cosine precision matters.
+    */
+  def hammingTopK(sigs: DataFrame, querySig: Array[Long], k: Int,
+                  idCol: String = "vec_id"): DataFrame = {
+    val dist = querySig.indices.map { w =>
+      bit_count(element_at(col("sig"), w + 1).bitwiseXOR(lit(querySig(w))))
+    }.reduce(_ + _)
+    sigs.select(col(idCol), dist.cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Ranked single-query dense shortlist for hybrid retrieval: top-k by
     * 4-dp-ROUNDED cosine (the [[rangeSearch]] stance — last-ulp dot-
     * product wobble cannot flip a rank across engines/partitionings),
