@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.core.{Command, FsSnapshotStore, KVIndex, KeySpec, OrderedTable, SnapshotStore}
+import graft.core.{Command, FsSnapshotStore, KVIndex, KeySpec, MaterializedAgg, OrderedTable, SnapshotStore}
 import graft.dedup.Dedup
 import graft.functions.{functions => gf}
 import graft.similarity.Similarity
@@ -205,6 +205,35 @@ object SparkEntry {
       store.recordSnapshot("ord", v2.version, ts = 2000L)
       new KVIndex(store, v2)
     }
+
+  /** Incrementally-maintained aggregate view fixture: bootstrap a cents
+    * source, materialize the per-customer sum/count view, apply one mixed
+    * COW batch (upsert-to-zero, range removal, fresh inserts incl. brand
+    * new groups), refresh the view from the DIFF — the driver output is
+    * the refreshed view's content, which the oracle recomputes from
+    * scratch in SQL (incremental == recompute is the whole contract).
+    */
+  private def maggView(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-magg", s, d) { store =>
+      val src0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = KVIndex.bootstrap(store, "aggsrc", src0, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      MaterializedAgg.create(store, "aggview", v1, Seq("o_custkey"), "cents")
+        .fold(e => sys.error(e.message), identity)
+      val res = v1.execute(Seq(
+        Command.Insert(src0.filter(col("o_orderkey") < 50)
+          .withColumn("cents", lit(0L)), upsert = true),
+        Command.Remove(src0.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+          .select("o_orderkey")),
+        Command.Insert(s.range(0, 10).select(
+          (col("id") + 2000000L).as("o_orderkey"),
+          (lit(999990L) + col("id") % 2).as("o_custkey"),
+          (lit(12345L) + col("id")).as("cents")))))
+      val v2 = new KVIndex(store, res.orThrow)
+      MaterializedAgg.refresh(store, "aggview", v2)
+        .fold(e => sys.error(e.message), identity)
+    }._2
 
   /** Binary-keyed index — the reference's CANONICAL key type is
     * unsigned-lexicographic `Bytes` (reference `package.scala:39-42`; every
@@ -450,6 +479,14 @@ object SparkEntry {
       val (_, ix) = liStore(s, d)
       ix.df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("price_sum"))
     }),
+    // incrementally-maintained aggregate view: refresh applies the COW
+    // diff (unshared files only), the oracle recomputes from scratch —
+    // hash equality IS the incremental-== -recompute contract
+    "kv_agg_view" -> ((s, d) =>
+      maggView(s, d).df
+        .select(col("o_custkey"), col("agg_sum"), col("agg_cnt"))
+        .orderBy("o_custkey")),
+
     "kv_split" -> ((s, d) => {
       import s.implicits._
       // REAL library split: median located via manifest cumulative row
@@ -2121,6 +2158,14 @@ object SparkEntry {
       "kv_sql_stats" -> "SELECT count(*) AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders",
       "kv_cow_upsert" -> ("SELECT count(*) AS n, round(sum(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END), 2) AS price_sum " +
         "FROM orders"),
+      "kv_agg_view" -> ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "mutated AS (SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderkey < 50 THEN 0 ELSE cents END AS cents " +
+        "FROM base WHERE NOT (o_orderkey >= 100 AND o_orderkey < 200) " +
+        "UNION ALL SELECT 2000000 + i, 999990 + i % 2, 12345 + i FROM range(10) t(i)) " +
+        "SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS agg_sum, " +
+        "CAST(count(*) AS BIGINT) AS agg_cnt FROM mutated GROUP BY 1 ORDER BY 1"),
       "kv_split" -> ("WITH ranked AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn, " +
         "count(*) OVER () AS total FROM orders) " +
         "SELECT (SELECT count(*) FROM ranked WHERE rn <= total // 2) AS n_left, " +
