@@ -993,6 +993,35 @@ object SparkEntry {
           unix_millis(col("signup_ts")).as("signup_ms"),
           unix_millis(col("click_ts")).as("click_ms"))
         .orderBy("event_id", "signup_ms")),
+    // IVF-PQ, the composed at-scale ANN shape: cells prune WHICH rows
+    // are scanned (nProbe=8 of 16), residual PQ codes shrink WHAT is
+    // scanned (16-byte codes). Contracts (measured across
+    // sf0.001/0.01/0.1): raw ADC top-20 recovers >= 3 of the exact
+    // L2 top-10 (measured 5-6); the 40-deep shortlist + exact-cosine
+    // rerank top-10 recovers >= 5 of the exact cosine top-10
+    // (measured 7-8).
+    "sim_ivfpq" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val (codes, cents, model) = Similarity.ivfPqBuild(emb, nCells = 16, m = 16, k = 16)
+      codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val exactL2 = Similarity.bruteForceTopKL2(emb, q, 10).select("vec_id")
+        val adcHits = Similarity.ivfPqTopK(codes, cents, model, q, 20, nProbe = 8)
+          .select("vec_id").intersect(exactL2).count()
+        val short = Similarity.ivfPqTopK(codes, cents, model, q, 40, nProbe = 8)
+          .select("vec_id")
+        val rrTop = Similarity.bruteForceTopK(
+          emb.join(broadcast(short), Seq("vec_id")), q, 10).select("vec_id")
+        val exactCos = Similarity.bruteForceTopK(emb, q, 10).select("vec_id")
+        val rrHits = rrTop.intersect(exactCos).count()
+        Seq((rrTop.count(), adcHits >= 3L, rrHits >= 5L))
+          .toDF("n", "adc_recall_ok", "rerank_recall_ok")
+      } finally codes.unpersist()
+    }),
+
     // binary sign-bit ANN: 1 bit/dim packed 32 bits/word => signatures
     // and Hamming distances are exact small integers, so the ENTIRE
     // top-10 (ids + distances) hash-verifies against the SQL replica —
@@ -2478,6 +2507,8 @@ object SparkEntry {
       "sim_ivf" -> "SELECT CAST(10 AS BIGINT) AS n, true AS recall_ok",
       // PQ recall contract (truth sets built in-query, like sim_ivf)
       "sim_pq" -> ("SELECT CAST(10 AS BIGINT) AS n, true AS adc_recall_ok, " +
+        "true AS rerank_recall_ok"),
+      "sim_ivfpq" -> ("SELECT CAST(10 AS BIGINT) AS n, true AS adc_recall_ok, " +
         "true AS rerank_recall_ok"),
       // per-query batch-IVF contract rows (one per probe query)
       "sim_ivf_batch" -> ("SELECT CAST(q_id AS BIGINT) AS q_id, CAST(10 AS BIGINT) AS n, " +

@@ -128,6 +128,75 @@ object Similarity {
     df.withColumn("cell", array_max(array(scores: _*)).getField("cell"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF-PQ — the composed at-scale ANN shape (FAISS's IVFPQ): IVF cells
+  // prune WHICH rows are scanned (nProbe/nCells of the data, partition-
+  // pruned when stored by cell), PQ residual codes shrink WHAT is
+  // scanned (bytes per row). Residual encoding (vector − its cell
+  // centroid) is what makes the shared codebook tight: residuals live
+  // in a small ball around zero regardless of which cell a vector
+  // landed in.
+  // ------------------------------------------------------------------
+
+  /** Build: IVF-assign, subtract each row's cell centroid, train ONE PQ
+    * codebook on the residuals, encode. Returns (codes (id, cell,
+    * codes), centroids, pqModel) — persist/write `codes` partitioned by
+    * cell for pruned probes (the [[ivfWrite]] layout).
+    */
+  def ivfPqBuild(df: DataFrame, nCells: Int, m: Int, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Seq[Array[Float]], PqModel) = {
+    val (indexed, centroids) = ivfBuild(df, nCells, idCol, vecCol)
+    val residuals = withResidual(indexed, centroids, vecCol)
+    val model = pqTrain(residuals.select(col(idCol), col("__res").as(vecCol)),
+      m, k, idCol, vecCol)
+    val codes = residuals
+      .withColumn("codes", gfPqEncode(col("__res"), model))
+      .select(col(idCol), col("cell"), col("codes"))
+    (codes, centroids, model)
+  }
+
+  /** residual = vector − its cell's centroid (broadcast-joined, one
+    * zip_with projection — no shuffle of vectors)
+    */
+  private def withResidual(indexed: DataFrame, centroids: Seq[Array[Float]],
+                           vecCol: String): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "__cent")
+    indexed.join(broadcast(cents), Seq("cell"))
+      .withColumn("__res", zip_with(col(vecCol), col("__cent"), (a, b) => a - b))
+      .drop("__cent")
+  }
+
+  /** Probe: rank cells by query-centroid cosine, scan only the probed
+    * cells' CODES, ADC against a PER-CELL distance table built from the
+    * query's residual to that cell (m × k doubles × nProbe on the
+    * driver), exact top-k overall. With cell-partitioned storage the
+    * probed-cell filter prunes partitions before IO, and each scanned
+    * row costs m lookups over a 16-byte code.
+    */
+  def ivfPqTopK(codes: DataFrame, centroids: Seq[Array[Float]], model: PqModel,
+                query: Array[Float], k: Int, nProbe: Int,
+                idCol: String = "vec_id"): DataFrame = {
+    val probed = rankCells(centroids, query, nProbe)
+    val tables = probed.map { cell =>
+      val c = centroids(cell)
+      val qRes = query.indices.map(i => query(i) - c(i)).toArray
+      cell -> adcTable(model, qRes)
+    }
+    val shim = org.apache.spark.sql.graft.Shim
+    val dist = tables.foldRight(lit(Double.MaxValue)) { case ((cell, table), els) =>
+      when(col("cell") === cell,
+        shim.col(PqAdc(shim.expr(col("codes")), table))).otherwise(els)
+    }
+    codes.filter(col("cell").isin(probed: _*))
+      .select(col(idCol), dist.as("dist2"))
+      .orderBy(col("dist2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Binary (sign-bit) quantization: one bit per dimension (`v > 0`),
     * packed 32 bits per long word — a 128× footprint cut at dim 64 vs
     * float32, the cheapest ANN representation there is. 32-bit packing

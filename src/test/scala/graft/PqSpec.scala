@@ -98,6 +98,40 @@ class PqSpec extends SparkSuite {
     assert(rrHits >= hits, s"rerank recall $rrHits worse than ADC $hits")
   }
 
+  test("IVF-PQ: ADC distance equals residual-to-reconstruction L2 exactly") {
+    val df = syntheticVecs(120, 16)
+    val (codes, centroids, model) = Similarity.ivfPqBuild(df, nCells = 4, m = 4, k = 8)
+    val query = df.filter(col("vec_id") === 9)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // probe EVERY cell so all rows get scored
+    val got = Similarity.ivfPqTopK(codes, centroids, model, query, 120, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = codes.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    rows.foreach { case (id, cell, cs) =>
+      val cent = centroids(cell)
+      val qRes = query.indices.map(i => query(i) - cent(i))
+      val recon = cs.zipWithIndex.flatMap { case (c, sub) => model.codebooks(sub)(c) }
+      val want = recon.zipWithIndex.map { case (x, i) =>
+        val d = qRes(i).toDouble - x.toDouble; d * d }.sum
+      assert(math.abs(got(id) - want) < 1e-12, s"vec $id")
+    }
+  }
+
+  test("IVF-PQ probe scans only probed cells; recall holds on clustered data") {
+    val df = syntheticVecs(400, 32)
+    val (codes, centroids, model) = Similarity.ivfPqBuild(df, nCells = 8, m = 8, k = 16)
+    val query = df.filter(col("vec_id") === 16)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probedK = Similarity.ivfPqTopK(codes, centroids, model, query, 20, nProbe = 3)
+    // scan containment: every returned row's cell is among the probed set
+    val cellOf = codes.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cells = probedK.collect().map(r => cellOf(r.getLong(0))).toSet
+    assert(cells.size <= 3, s"results from ${cells.size} cells with nProbe=3")
+    val exact = Similarity.bruteForceTopKL2(df, query, 10).select("vec_id")
+    val hits = probedK.select("vec_id").intersect(exact).count()
+    assert(hits >= 5, s"IVF-PQ top-20 recovered only $hits of exact top-10")
+  }
+
   test("pqTrain refuses non-divisible dims and oversized k") {
     val df = syntheticVecs(10, 16)
     intercept[IllegalArgumentException](Similarity.pqTrain(df, m = 5, k = 4))

@@ -175,7 +175,9 @@ class ScaleProbeSpec extends SparkSuite {
     val sec = (System.nanoTime() - t0) / 1e9
     info(f"pagerank 5 iters over ~8M edges: $sec%.1f s; top node ${top.head.getLong(0)} " +
       s"rank ${top.head.getLong(1)}")
-    // node 1 sits at the root of the i/2 chain: must rank near the top
-    assert(top.map(_.getLong(0)).contains(1L), "root of the division chain should lead")
+    // preferential attachment concentrates mass: the top node must hold
+    // several times the uniform base rank (1e9 / nNodes = 250 nano)
+    assert(top.head.getLong(1) >= 4 * (1000000000L / nNodes),
+      s"no concentration: top rank ${top.head.getLong(1)}")
   }
 }
