@@ -63,5 +63,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.kernels", name), builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.DeclareOrderedStrategy)
+    e.injectPlannerStrategy(_ => graft.sources.GraftDmlStrategy)
   }
 }

@@ -40,6 +40,9 @@ final class GraftCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"graft catalog '$name': set spark.sql.catalog.$name.root"))
     store = new FsSnapshotStore(root, SparkSession.active)
+    // catalog resolution precedes planning, so this is always in time for
+    // an UPDATE / MERGE INTO statement on a catalog table
+    GraftDmlStrategy.ensureRegistered(SparkSession.active)
   }
 
   override def name(): String = catName

@@ -201,6 +201,11 @@ final class GraftTable(store: SnapshotStore, manifest: SnapshotManifest,
                        pinned: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
+  // UPDATE / MERGE INTO compile against the live store (GraftDml)
+  private[sources] def storeRef: SnapshotStore = store
+  private[sources] def manifestRef: SnapshotManifest = manifest
+  private[sources] def isPinned: Boolean = pinned
+
   override def name(): String = s"graft.${manifest.id}@v${manifest.version}"
 
   override def schema(): StructType = store.emptyTyped(manifest).schema

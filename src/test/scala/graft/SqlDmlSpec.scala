@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core._
+
+/** SQL `UPDATE` / `MERGE INTO` compiled to atomic command batches
+  * ([[graft.sources.GraftDmlStrategy]]) — semantics, key moves, engine
+  * column protection, the MERGE cardinality rule, and snapshot/versioning
+  * behavior (each statement = exactly one COW version).
+  */
+class SqlDmlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(cat: String): (FsSnapshotStore, String) = {
+    val store = new FsSnapshotStore(tmpDir(s"graft-dml-$cat"), spark)
+    val rows = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "price")
+    KVIndex.bootstrap(store, "t", rows, Seq("k"))
+      .fold(e => sys.error(e.message), identity)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", store.root)
+    (store, s"$cat.t")
+  }
+
+  private def content(tbl: String): Seq[(Long, String, Double)] =
+    spark.sql(s"SELECT k, name, price FROM $tbl ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq
+
+  test("UPDATE: filtered assignment batch, one new version, untouched rows keep their tx version") {
+    val (store, tbl) = freshTable("gdml1")
+    val v0 = store.loadLatestLazy("t").fold(e => sys.error(e.message), identity).version
+    spark.sql(s"UPDATE $tbl SET price = price * 2, name = concat(name, '!') WHERE k >= 3")
+    assert(content(tbl) == Seq((1L, "a", 10.0), (2L, "b", 20.0),
+      (3L, "c!", 60.0), (4L, "d!", 80.0)))
+    val m = store.loadLatestLazy("t").fold(e => sys.error(e.message), identity)
+    assert(m.version == v0 + 1, "one UPDATE = exactly one new snapshot version")
+    // engine-stamped tx version differs between touched and untouched rows
+    val versions = spark.sql(s"SELECT k, version FROM $tbl").as[(Long, String)]
+      .collect().toMap
+    assert(versions(3L) == versions(4L) && versions(1L) != versions(3L))
+  }
+
+  test("UPDATE with no matching rows commits nothing") {
+    val (store, tbl) = freshTable("gdml2")
+    val v0 = store.loadLatestLazy("t").fold(e => sys.error(e.message), identity).version
+    spark.sql(s"UPDATE $tbl SET price = 0.0 WHERE k > 1000")
+    assert(store.loadLatestLazy("t").fold(e => sys.error(e.message), identity).version == v0)
+  }
+
+  test("UPDATE that moves a key compiles to Remove+Insert in one atomic batch") {
+    val (_, tbl) = freshTable("gdml3")
+    spark.sql(s"UPDATE $tbl SET k = k + 100 WHERE k <= 2")
+    assert(content(tbl).map(_._1) == Seq(3L, 4L, 101L, 102L))
+    // a key move COLLIDING with an existing key is the library's typed
+    // duplicate-key error and commits nothing
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $tbl SET k = 3 WHERE k = 101")
+    }
+    assert(e.getMessage.contains("LEAF_DUPLICATE_KEY"), e.getMessage)
+    assert(content(tbl).map(_._1) == Seq(3L, 4L, 101L, 102L), "failed batch must not commit")
+  }
+
+  test("UPDATE cannot assign the engine-maintained version column; VERSION AS OF is read-only") {
+    val (_, tbl) = freshTable("gdml4")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $tbl SET version = 'boo' WHERE k = 1")
+    }
+    assert(e.getMessage.contains("engine-maintained"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"UPDATE $tbl VERSION AS OF 1 SET price = 0.0")
+    }
+    // Spark itself rejects time-travel DML at parse/analysis; either its
+    // error or ours is fine — the write must not happen
+    assert(content(tbl) == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("MERGE: matched update + conditional delete + not-matched insert, one version") {
+    val (store, tbl) = freshTable("gdml5")
+    val v0 = store.loadLatestLazy("t").fold(e => sys.error(e.message), identity).version
+    Seq((2L, "B2", 222.0), (3L, "DEL", 0.0), (9L, "i", 90.0), (10L, "j", 91.0))
+      .toDF("k", "name", "price").createOrReplaceTempView("dml_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING dml_src s ON t.k = s.k
+         |WHEN MATCHED AND s.name = 'DEL' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET name = s.name, price = s.price
+         |WHEN NOT MATCHED THEN INSERT (k, name, price) VALUES (s.k, s.name, s.price)
+         |""".stripMargin)
+    assert(content(tbl) == Seq((1L, "a", 10.0), (2L, "B2", 222.0),
+      (4L, "d", 40.0), (9L, "i", 90.0), (10L, "j", 91.0)))
+    assert(store.loadLatestLazy("t").fold(e => sys.error(e.message), identity).version == v0 + 1,
+      "a MERGE with update+delete+insert is ONE atomic snapshot version")
+  }
+
+  test("MERGE: NOT MATCHED BY SOURCE update/delete, first-matching-clause-wins") {
+    val (_, tbl) = freshTable("gdml6")
+    Seq((1L, "x", 1.0)).toDF("k", "name", "price").createOrReplaceTempView("dml_src2")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING dml_src2 s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET price = s.price
+         |WHEN NOT MATCHED BY SOURCE AND t.k >= 4 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.k >= 3 THEN UPDATE SET name = 'kept'
+         |""".stripMargin)
+    // k=4 deleted by the FIRST matching clause (not updated by the second);
+    // k=3 updated by the second; k=2 untouched (no clause matches)
+    assert(content(tbl) == Seq((1L, "a", 1.0), (2L, "b", 20.0), (3L, "kept", 30.0)))
+  }
+
+  test("MERGE rejects a source that matches one target row twice (cardinality)") {
+    val (store, tbl) = freshTable("gdml7")
+    val v0 = store.loadLatestLazy("t").fold(e => sys.error(e.message), identity).version
+    Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "name", "price")
+      .createOrReplaceTempView("dml_src3")
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO $tbl t USING dml_src3 s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET price = s.price")
+    }
+    assert(e.getMessage.contains("MERGE_CARDINALITY_VIOLATION"), e.getMessage)
+    assert(store.loadLatestLazy("t").fold(e => sys.error(e.message), identity).version == v0)
+  }
+
+  test("MERGE insert-only with unassigned nullable column defaults to NULL") {
+    val (_, tbl) = freshTable("gdml8")
+    Seq((7L, 70.0)).toDF("k", "price").createOrReplaceTempView("dml_src4")
+    spark.sql(s"MERGE INTO $tbl t USING dml_src4 s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)")
+    val r = spark.sql(s"SELECT name, price FROM $tbl WHERE k = 7")
+      .as[(Option[String], Double)].head()
+    assert(r == (None, 70.0))
+  }
+
+  test("DML serializes behind a concurrent writer (commit-CAS retry)") {
+    val (store, tbl) = freshTable("gdml9")
+    // stale handle: another writer commits AFTER the UPDATE's target
+    // manifest was resolved — the retry loop re-opens LATEST and re-derives
+    val ix = KVIndex.open(store, "t").fold(e => sys.error(e.message), identity)
+    ix.execute(Seq(Command.Insert(Seq((50L, "z", 0.5)).toDF("k", "name", "price")))).orThrow
+    spark.sql(s"UPDATE $tbl SET price = -1.0 WHERE k = 50")
+    assert(content(tbl).find(_._1 == 50L).map(_._3).contains(-1.0))
+  }
+}
