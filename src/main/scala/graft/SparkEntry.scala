@@ -367,6 +367,56 @@ object SparkEntry {
       KVIndex.open(store, "dord").fold(e => sys.error(e.message), identity)
     }
 
+  /** SQL-surface UPDATE fixture ([[graft.sources.GraftDmlStrategy]]):
+    * three `UPDATE` statements through the catalog — a value rewrite on a
+    * low range, a disjoint value rewrite on a mid range, and a KEY-MOVING
+    * update (compiled to Remove+Insert in one atomic batch). Each commits
+    * exactly one COW version touching only covering files; the oracle
+    * replays the assignments as CASE expressions over the raw table.
+    */
+  private def sqlUpdStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-sqlupd", s, d) { store =>
+      val ord = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      KVIndex.bootstrap(store, "uord", ord, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      val cat = regCatalog(s, "sqlupd", d, store.root)
+      s.sql(s"UPDATE $cat.uord SET o_custkey = o_custkey * 2 WHERE o_orderkey < 50")
+      s.sql(s"UPDATE $cat.uord SET o_custkey = o_custkey + 1000000 " +
+        "WHERE o_orderkey >= 100 AND o_orderkey < 500")
+      s.sql(s"UPDATE $cat.uord SET o_orderkey = o_orderkey + 10000000 " +
+        "WHERE o_orderkey >= 1000 AND o_orderkey < 1100")
+      KVIndex.open(store, "uord").fold(e => sys.error(e.message), identity)
+    }
+
+  /** SQL-surface MERGE fixture: one `MERGE INTO` with all four clause
+    * kinds — conditional matched DELETE, matched UPDATE, not-matched
+    * INSERT, and a conditional NOT MATCHED BY SOURCE DELETE — compiled to
+    * one atomic Remove+Update+Insert batch = ONE snapshot version. The
+    * source is a shifted projection of the same table, so it mixes
+    * matching and novel keys at every scale factor.
+    */
+  private def sqlMrgStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-sqlmrg", s, d) { store =>
+      val ord = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      KVIndex.bootstrap(store, "mord", ord, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      val cat = regCatalog(s, "sqlmrg", d, store.root)
+      val v = s"mrg_src_${math.abs(d.hashCode)}"
+      t(s, d, "orders").filter(col("o_orderkey") % 4 === 1)
+        .select((col("o_orderkey") + 2).as("k"), (col("o_custkey") + 7).as("c"),
+          col("o_totalprice").as("p"))
+        .createOrReplaceTempView(v)
+      s.sql(
+        s"""MERGE INTO $cat.mord t USING $v s ON t.o_orderkey = s.k
+           |WHEN MATCHED AND s.c % 5 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_custkey = s.c, o_orderstatus = 'M', o_totalprice = s.p
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice) VALUES (s.k, s.c, 'N', s.p)
+           |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey < 10 THEN DELETE
+           |""".stripMargin)
+      KVIndex.open(store, "mord").fold(e => sys.error(e.message), identity)
+    }
+
   /** lineitem aggregated to order grain, keyed l_orderkey — the second
     * fact index of the co-located join demo (kv_colocated_join).
     */
@@ -460,6 +510,26 @@ object SparkEntry {
           s"max(o_orderkey) AS mx FROM $cat.dord")
         .crossJoin(s.sql("SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) " +
           s"AS BIGINT)) AS DOUBLE) / 100.0 AS checksum FROM $cat.dord"))
+    }),
+    // SQL UPDATE through the catalog (GraftDmlStrategy → atomic command
+    // batches): disjoint value rewrites + a key-moving update, surviving
+    // state summarized; the oracle replays the assignments as CASEs
+    "kv_sql_update" -> ((s, d) => {
+      val (store, _) = sqlUpdStore(s, d)
+      val cat = regCatalog(s, "sqlupd", d, store.root)
+      s.sql(s"SELECT count(*) AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx, " +
+        s"sum(o_custkey) AS cust_sum, " +
+        s"sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents FROM $cat.uord")
+    }),
+    // SQL MERGE INTO through the catalog — all four clause kinds in ONE
+    // atomic batch (= one snapshot version); per-status summary of the
+    // merged state, the oracle rebuilds it from tgt/src set algebra
+    "kv_sql_merge" -> ((s, d) => {
+      val (store, _) = sqlMrgStore(s, d)
+      val cat = regCatalog(s, "sqlmrg", d, store.root)
+      s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS cust_sum, " +
+        s"sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents " +
+        s"FROM $cat.mord GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }),
     // A1/A2 served to SQL: count(*)/min/max over an untouched catalog
     // table answer from manifest stats alone (complete agg pushdown)
@@ -1498,6 +1568,38 @@ object SparkEntry {
     // dims and channel means are pure integer math on doc_id, so the SQL
     // oracle regenerates them exactly (the solidPng/pcmWavBytes move,
     // third verse)
+    // image near-duplicate detection by DCT perceptual hash (pHash) +
+    // banded-Hamming self-join (the image twin of dd_simhash): planted
+    // near-dup groups (same gid pattern, per-member pixel noise) must be
+    // recovered EXACTLY — structural recall (8-band pigeonhole covers
+    // Hamming <= 7) and zero cross-group false positives
+    "mm_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val sel = t(s, d, "documents").select(col("doc_id").cast("long").as("media_id"))
+        .filter(col("media_id") < 400)
+      val rows = sel.as[Long]
+        .map(id => (id, graft.multimodal.Multimodal.patternPng(id / 4, id % 4)))
+        .toDF("media_id", "payload")
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        s, rows, "media_id", "payload", "image")
+      val pairs = graft.multimodal.Multimodal.phashNearDup(
+        graft.multimodal.Multimodal.imagePhash(media), maxHamming = 7)
+        .select("idA", "idB").cache()
+      try {
+        val withG = sel.withColumn("gid", floor(col("media_id") / 4))
+        val a = withG.toDF("idA", "gid")
+        val b = withG.toDF("idB", "gid")
+        val truth = a.join(b, "gid").filter(col("idA") < col("idB"))
+          .select("idA", "idB").cache()
+        val nImages = sel.count()
+        val nTrue = truth.count()
+        val hits = truth.join(pairs, Seq("idA", "idB"), "left_semi").count()
+        val nFound = pairs.count()
+        truth.unpersist()
+        Seq((nImages, nTrue, hits == nTrue, nFound == hits))
+          .toDF("n_images", "n_true", "recall_ok", "precision_ok")
+      } finally pairs.unpersist()
+    }),
     "mm_frame_sample" -> ((s, d) => {
       import s.implicits._
       val ids = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
@@ -2185,6 +2287,28 @@ object SparkEntry {
         "FROM orders WHERE NOT (o_orderkey >= 200 AND o_orderkey < 900) " +
         "AND o_orderkey <> 32 AND o_orderkey <= 1200"),
       "kv_sql_stats" -> "SELECT count(*) AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders",
+      // the three UPDATE statements replayed as CASE expressions (their
+      // ranges are disjoint, so application order is immaterial)
+      "kv_sql_update" -> ("WITH fin AS (SELECT " +
+        "CASE WHEN o_orderkey >= 1000 AND o_orderkey < 1100 THEN o_orderkey + 10000000 ELSE o_orderkey END AS k, " +
+        "CASE WHEN o_orderkey < 50 THEN o_custkey * 2 " +
+        "WHEN o_orderkey >= 100 AND o_orderkey < 500 THEN o_custkey + 1000000 ELSE o_custkey END AS c, " +
+        "o_totalprice AS p FROM orders) " +
+        "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx, CAST(sum(c) AS BIGINT) AS cust_sum, " +
+        "CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents FROM fin"),
+      // MERGE replayed as set algebra: survivors-not-matched + updated
+      // matches (minus conditional deletes) + source-only inserts
+      "kv_sql_merge" -> ("WITH src AS (SELECT o_orderkey + 2 AS k, o_custkey + 7 AS c, o_totalprice AS p " +
+        "FROM orders WHERE o_orderkey % 4 = 1), " +
+        "tgt AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS st, o_totalprice AS p FROM orders), " +
+        "matched AS (SELECT t.k, s.c AS sc, s.p AS sp FROM tgt t JOIN src s ON t.k = s.k), " +
+        "fin AS (" +
+        "SELECT t.k, t.c, t.st, t.p FROM tgt t WHERE t.k NOT IN (SELECT k FROM src) AND t.k >= 10 " +
+        "UNION ALL SELECT k, sc, 'M', sp FROM matched WHERE sc % 5 <> 0 " +
+        "UNION ALL SELECT s.k, s.c, 'N', s.p FROM src s WHERE s.k NOT IN (SELECT k FROM tgt)) " +
+        "SELECT st AS o_orderstatus, count(*) AS n, CAST(sum(c) AS BIGINT) AS cust_sum, " +
+        "CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM fin GROUP BY 1 ORDER BY 1"),
       "kv_cow_upsert" -> ("SELECT count(*) AS n, round(sum(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END), 2) AS price_sum " +
         "FROM orders"),
       "kv_agg_view" -> ("WITH base AS (SELECT o_orderkey, o_custkey, " +
@@ -2610,6 +2734,14 @@ object SparkEntry {
         "count(*) AS w_n, CAST(max(abs(v)) AS BIGINT) AS w_peak, " +
         "CAST(sum(v * v) AS BIGINT) AS w_sumsq " +
         "FROM s GROUP BY media_id, n, i // 160 ORDER BY media_id, window_no"),
+      // planted-group contract: the truth pair count is pure set algebra
+      // over doc_id; the recall/precision booleans are the operator's claim
+      "mm_phash_dedup" -> ("WITH sel AS (SELECT doc_id, CAST(floor(doc_id / 4.0) AS BIGINT) AS gid " +
+        "FROM documents WHERE doc_id < 400), " +
+        "g AS (SELECT gid, count(*) AS c FROM sel GROUP BY gid) " +
+        "SELECT (SELECT count(*) FROM sel) AS n_images, " +
+        "CAST(COALESCE(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_true, " +
+        "true AS recall_ok, true AS precision_ok FROM g"),
       "mm_frame_sample" -> ("WITH m AS (SELECT doc_id AS media_id, 3 + doc_id % 4 AS nf, " +
         "8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents WHERE doc_id < 60), " +
         "f AS (SELECT media_id, w, h, unnest(range(0, nf, 2)) AS frame_no FROM m) " +

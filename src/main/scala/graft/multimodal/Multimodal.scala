@@ -448,4 +448,155 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes", "decoded",
       "width", "height", "mean_r", "mean_g", "mean_b")
   }
+
+  // ======== perceptual hash (pHash, DCT variant) + image near-dup ========
+
+  /** 64-bit DCT perceptual hash (the pHash construction, Zauner 2010
+    * "Implementation and Benchmarking of Perceptual Image Hash
+    * Functions"): luminance → deterministic 32×32 area-average resample →
+    * 2-D DCT-II → the top-left 8×8 low-frequency block → each bit =
+    * coefficient above the block's median. Uniform brightness shifts move
+    * only the DC term (excluded via the median over the mixed block);
+    * small pixel-level noise perturbs low-frequency coefficients far less
+    * than pattern structure does — so re-encoded / lightly-edited copies
+    * of an image hash within a few bits while distinct images are ~32
+    * bits apart (the random baseline).
+    *
+    * Every stage is integer math or IEEE double ops on
+    * `StrictMath.cos`-derived constants — bit-identical on any JVM, so
+    * hashes computed by different executors (or rounds) always agree.
+    */
+  def phash64(img: BufferedImage): Long = {
+    val n = 32
+    // luminance, area-averaged onto an n×n grid (exact integer sums)
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val sums = new Array[Long](n * n)
+    val cnts = new Array[Long](n * n)
+    var y = 0
+    while (y < h) {
+      val cy = y * n / h
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        val lum = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        val cell = cy * n + x * n / w
+        sums(cell) += lum; cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val g = new Array[Double](n * n)
+    var i = 0
+    while (i < n * n) {
+      g(i) = if (cnts(i) == 0) 0.0 else sums(i).toDouble / (1000.0 * cnts(i))
+      i += 1
+    }
+    // 2-D DCT-II, only the first 8 output rows/cols are needed
+    val k = 8
+    val cos = Array.tabulate(k, n)((u, x) =>
+      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * n)))
+    val coef = new Array[Double](k * k)
+    var u = 0
+    while (u < k) {
+      var v = 0
+      while (v < k) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) {
+          var xx = 0
+          var rowS = 0.0
+          while (xx < n) { rowS += g(yy * n + xx) * cos(v)(xx); xx += 1 }
+          s += rowS * cos(u)(yy)
+          yy += 1
+        }
+        coef(u * k + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coef.clone(); java.util.Arrays.sort(sorted)
+    val median = (sorted(k * k / 2 - 1) + sorted(k * k / 2)) / 2.0
+    var hash = 0L
+    i = 0
+    while (i < k * k) {
+      if (coef(i) > median) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Deterministic patterned PNG for fixtures: an 8×8 grid of 4×4-pixel
+    * blocks whose gray levels hash off `gid` (strong low-frequency
+    * content — exactly what pHash keys on), plus per-`member` pixel noise
+    * (±2 gray at member-derived positions). Members of one `gid` are
+    * near-duplicate images; different `gid`s are unrelated patterns.
+    */
+  def patternPng(gid: Long, member: Long, size: Int = 32): Array[Byte] = {
+    require(size % 8 == 0)
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+    val blk = size / 8
+    def h64(a: Long, b: Long, c: Long): Long = {
+      var x = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      x
+    }
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        val base = (h64(gid, x / blk, y / blk) & 0xff).toInt
+        val noise = (h64(gid * 131 + member, x, y) % 5).toInt - 2 // ±2
+        val v = math.max(0, math.min(255, base + noise))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Per-image 64-bit perceptual hash; heavy payloads decode per partition
+    * and never shuffle — only (id, decoded, phash) flows downstream.
+    */
+  def imagePhash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeImage(m.bytes) match {
+          case Some(img) => (m.media_id, true, phash64(img))
+          case None => (m.media_id, false, 0L)
+        }
+      }
+    }.toDF("media_id", "decoded", "phash")
+  }
+
+  /** Near-duplicate image pairs by banded Hamming join over perceptual
+    * hashes — the image twin of SimHash text dedup (`Dedup.simhash`):
+    * 8 bands of 8 bits bucket the corpus, candidates collide on ANY equal
+    * band, and the exact `bit_count(xor)` verify keeps pairs within
+    * `maxHamming`. With 8 bands, any pair within Hamming ≤ 7 shares at
+    * least one clean band (pigeonhole) — recall is STRUCTURAL, not
+    * probabilistic. Never all-pairs: at 100 TB the join is |bucket|²
+    * per 8-bit-band bucket, and unrelated images (~32 bits apart) almost
+    * never collide on a band.
+    */
+  def phashNearDup(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "8×8-bit banding guarantees recall only to Hamming 7")
+    val bands = hashes.filter(col("decoded"))
+      .select(col("media_id"), col("phash"),
+        explode(expr("transform(sequence(0, 7), " +
+          "b -> named_struct('band_no', b, 'band_val', shiftright(phash, b * 8) & 255L))"))
+          .as("band"))
+      .select(col("media_id"), col("phash"),
+        col("band.band_no").as("band_no"), col("band.band_val").as("band_val"))
+    val a = bands.toDF("idA", "hashA", "band_no", "band_val")
+    val b = bands.toDF("idB", "hashB", "band_no", "band_val")
+    a.join(b, Seq("band_no", "band_val"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        expr("CAST(bit_count(hashA ^ hashB) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }
