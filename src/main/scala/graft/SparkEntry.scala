@@ -1448,6 +1448,17 @@ object SparkEntry {
     "txt_lm_score" -> ((s, d) =>
       TextAnalysis.lmTypicality(t(s, d, "documents"))
         .orderBy("doc_id")),
+    // Stupid-Backoff trigram LM (Brants 2007) scored HELD-OUT: train on
+    // even doc_ids, score odd ones, so trigram→bigram→unigram backoff
+    // genuinely fires; per-position nano-unit quantization makes the
+    // whole model/score pipeline hash-reproducible in SQL
+    "txt_backoff_lm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.stupidBackoffScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    }),
     // fingerprint property contract (kernel values themselves are pinned
     // by KernelsSpec): every distinct text maps to exactly one
     // (exact_hash, fingerprint, simhash) triple — the functions are pure —
@@ -2695,6 +2706,31 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_bigrams, " +
         "CAST(floor(sum(micro) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS typicality_micro " +
         "FROM m GROUP BY doc_id ORDER BY doc_id"),
+      // the Stupid-Backoff model replayed relationally: three count CTEs
+      // over the even-doc train split, a five-way left join per scored
+      // position, the same CASE backoff chain in nano-units
+      "txt_backoff_lm" -> ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "f AS (SELECT doc_id, tk FROM tk WHERE len(tk) >= 3), " +
+        "tr AS (SELECT tk FROM f WHERE doc_id % 2 = 0), " +
+        "uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w), " +
+        "big AS (SELECT g2, count(*) AS c2 FROM (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g2 FROM tr) GROUP BY g2), " +
+        "tri AS (SELECT g3, count(*) AS c3 FROM (SELECT unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g3 FROM tr) GROUP BY g3), " +
+        "nv AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM uni) + (SELECT count(*) FROM uni) AS denom), " +
+        "pos AS (SELECT doc_id, tk[i] AS w2, tk[i+1] AS w1, tk[i+2] AS w " +
+        "FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM f WHERE doc_id % 2 = 1)), " +
+        "sc AS (SELECT p.doc_id, CAST(floor(1000000000.0 * (" +
+        "CASE WHEN t.c3 IS NOT NULL THEN CAST(t.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE) " +
+        "WHEN b.c2 IS NOT NULL THEN 0.4 * (CAST(b.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE)) " +
+        "ELSE 0.16 * (CAST(COALESCE(u.c1, 0) + 1 AS DOUBLE) / CAST((SELECT denom FROM nv) AS DOUBLE)) END)) AS BIGINT) AS nano " +
+        "FROM pos p " +
+        "LEFT JOIN tri t ON t.g3 = p.w2 || ' ' || p.w1 || ' ' || p.w " +
+        "LEFT JOIN big b ON b.g2 = p.w1 || ' ' || p.w " +
+        "LEFT JOIN big bc ON bc.g2 = p.w2 || ' ' || p.w1 " +
+        "LEFT JOIN uni u ON u.w = p.w " +
+        "LEFT JOIN uni uc ON uc.w = p.w1) " +
+        "SELECT doc_id, count(*) AS n_trigrams, " +
+        "CAST(floor(sum(nano) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS sb_nano " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
       // frequent-items sketch: exact heavy-hitter count hash-verified, the
       // no-false-negative containment checked Spark-side
       "txt_heavy_hitters" -> ("WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents), " +

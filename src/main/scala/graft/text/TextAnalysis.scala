@@ -161,6 +161,86 @@ object TextAnalysis {
         floor(sum(col("micro")) / count(lit(1))).cast("long").as("typicality_micro"))
   }
 
+  /** Stupid-Backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — THE distributed-LM recipe:
+    * raw relative frequencies with a fixed backoff factor instead of
+    * normalized discounting, because at corpus scale the counts ARE the
+    * model). A reference model is trained as three count tables over
+    * `train` (unigram/bigram/trigram, each one map-side-combined
+    * aggregate); every position of every `score` document then looks up
+    * its deepest available n-gram:
+    *
+    * {{{
+    *   S(w | w2 w1) = c3(w2 w1 w) / c2(w2 w1)           if c3 > 0
+    *                = 0.4  · c2(w1 w) / c1(w1)           else if c2 > 0
+    *                = 0.16 · (c1(w) + 1) / (N + V)       else (add-one floor,
+    *                                                       also covers OOV)
+    * }}}
+    *
+    * Unlike [[lmTypicality]] (self-trained bigram), train and score are
+    * DIFFERENT frames — the held-out shape real pipelines use for
+    * perplexity filtering — so backoff genuinely fires on unseen n-grams.
+    *
+    * Engine-portable like lmTypicality: every branch is correctly-rounded
+    * IEEE ops (integer-to-double division, one multiply by a literal) fed
+    * to `floor(1e9·S)`, and per-doc totals are exact integer sums of
+    * those nano-units — no transcendentals, no order-dependent float
+    * accumulation, so an independent SQL engine reproduces scores bit for
+    * bit. (A production variant would report `ln S` sums; the monotone
+    * per-position transform is the only difference.)
+    *
+    * Scale shape: count tables shuffle on 8-byte gram hashes at corpus
+    * scale (strings here for oracle parity); the scored position stream
+    * joins each count table once — five hash joins, all map-side
+    * prunable by Bloom under AQE; the per-doc aggregate is the only
+    * position-stream shuffle. Returns (idCol, n_trigrams, sb_nano) where
+    * sb_nano = floor(mean position score in nano-units).
+    */
+  def stupidBackoffScore(train: DataFrame, score: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    def toks(df: DataFrame) = df
+      .select(col(idCol), gf.ws_tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 3)
+    val tr = toks(train)
+    val uni = tr.select(explode(col("__tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val big = tr.select(explode(gf.shingles(col("__tk"), 2)).as("g2"))
+      .groupBy("g2").agg(count(lit(1)).as("c2"))
+    val tri = tr.select(explode(gf.shingles(col("__tk"), 3)).as("g3"))
+      .groupBy("g3").agg(count(lit(1)).as("c3"))
+    // two tiny driver scalars parameterize the unigram floor
+    val Array(nTokens, vocab) = {
+      val r = uni.agg(sum(col("c1")), count(lit(1))).head()
+      Array(r.getLong(0), r.getLong(1))
+    }
+    val pos = toks(score)
+      .select(col(idCol), explode(gf.shingles(col("__tk"), 3)).as("g3"))
+      .withColumn("__p", split(col("g3"), " "))
+      .withColumn("w2", col("__p").getItem(0))
+      .withColumn("w1", col("__p").getItem(1))
+      .withColumn("w", col("__p").getItem(2))
+      .withColumn("g2", concat_ws(" ", col("w1"), col("w")))
+      .withColumn("ctx2", concat_ws(" ", col("w2"), col("w1")))
+      .drop("__p")
+    val s = pos
+      .join(tri, Seq("g3"), "left")
+      .join(big, Seq("g2"), "left")
+      .join(big.toDF("ctx2", "c2ctx"), Seq("ctx2"), "left")
+      .join(uni, Seq("w"), "left")
+      .join(uni.toDF("w1", "c1ctx"), Seq("w1"), "left")
+      .withColumn("__s",
+        when(col("c3").isNotNull, col("c3") / col("c2ctx"))
+          .when(col("c2").isNotNull, lit(0.4) * (col("c2") / col("c1ctx")))
+          .otherwise(lit(0.16) *
+            ((coalesce(col("c1"), lit(0L)) + 1L) / lit(nTokens + vocab))))
+      .withColumn("__nano", floor(lit(1e9) * col("__s")).cast("long"))
+    s.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        floor(sum(col("__nano")) / count(lit(1)).cast("double"))
+          .cast("long").as("sb_nano"))
+  }
+
   /** Corpus n-gram frequencies, top `k` — same plan shape as
     * [[topTokens]] over word n-gram shingles. Documents shorter than `n`
     * tokens are excluded (their shingle is degenerate).
