@@ -1448,6 +1448,20 @@ object SparkEntry {
     "txt_lm_score" -> ((s, d) =>
       TextAnalysis.lmTypicality(t(s, d, "documents"))
         .orderBy("doc_id")),
+    // ranked-retrieval evaluation (trec_eval core metrics, distributed):
+    // runs = per-customer orders ranked by totalprice, qrels = the
+    // orderkey%3 slice; MRR / recall@10 / nDCG@10 in exact integer
+    // micro-units (the nDCG discounts are literal constants shared with
+    // the oracle verbatim)
+    "eval_retrieval" -> ((s, d) => {
+      val runs = t(s, d, "orders").filter(col("o_custkey") < 500)
+        .select(col("o_custkey").as("query_id"), col("o_orderkey").as("doc_id"),
+          col("o_totalprice").as("score"))
+      val qrels = runs.filter(col("doc_id") % 3 === 0)
+        .select("query_id", "doc_id")
+      graft.text.RetrievalEval.evaluate(runs, qrels, k = 10)
+        .orderBy("query_id")
+    }),
     // Stupid-Backoff trigram LM (Brants 2007) scored HELD-OUT: train on
     // even doc_ids, score odd ones, so trigram→bigram→unigram backoff
     // genuinely fires; per-position nano-unit quantization makes the
@@ -2706,6 +2720,24 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_bigrams, " +
         "CAST(floor(sum(micro) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS typicality_micro " +
         "FROM m GROUP BY doc_id ORDER BY doc_id"),
+      // trec_eval metrics replayed relationally; the discount VALUES list
+      // is generated from the SAME driver-side constants the plan embeds
+      "eval_retrieval" -> ("WITH runs AS (SELECT o_custkey AS q, o_orderkey AS d, o_totalprice AS s " +
+        "FROM orders WHERE o_custkey < 500), " +
+        "ranked AS (SELECT q, d, row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS r FROM runs), " +
+        "topk AS (SELECT q, d, r FROM ranked WHERE r <= 10), " +
+        "qrels AS (SELECT q, d FROM runs WHERE d % 3 = 0), " +
+        "nrel AS (SELECT q, count(*) AS n_rel FROM qrels GROUP BY q), " +
+        s"disc(r, dm) AS (VALUES ${graft.text.RetrievalEval.discountValuesSql(10)}), " +
+        "hits AS (SELECT t.q, min(t.r) AS fr, count(*) AS h, CAST(sum(dm) AS BIGINT) AS dcg " +
+        "FROM topk t JOIN qrels u ON t.q = u.q AND t.d = u.d JOIN disc ON disc.r = t.r GROUP BY t.q), " +
+        "pre AS (SELECT d1.r AS nr, CAST(sum(d2.dm) AS BIGINT) AS idcg FROM disc d1 JOIN disc d2 ON d2.r <= d1.r GROUP BY d1.r) " +
+        "SELECT n.q AS query_id, n.n_rel, " +
+        "COALESCE(CAST(floor(1000000000.0 / h2.fr) AS BIGINT), 0) AS mrr_micro, " +
+        "COALESCE(CAST(floor((1000000000.0 * h2.h) / n.n_rel) AS BIGINT), 0) AS recall_micro, " +
+        "COALESCE(CAST(floor((1000000.0 * h2.dcg) / p.idcg) AS BIGINT), 0) AS ndcg_micro " +
+        "FROM nrel n JOIN pre p ON p.nr = LEAST(n.n_rel, 10) " +
+        "LEFT JOIN hits h2 ON h2.q = n.q ORDER BY query_id"),
       // the Stupid-Backoff model replayed relationally: three count CTEs
       // over the even-doc train split, a five-way left join per scored
       // position, the same CASE backoff chain in nano-units
