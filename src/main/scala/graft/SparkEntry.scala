@@ -1625,6 +1625,38 @@ object SparkEntry {
           .toDF("n_images", "n_true", "recall_ok", "precision_ok")
       } finally pairs.unpersist()
     }),
+    // audio near-duplicate detection by constellation fingerprinting
+    // (Wang 2003): planted groups are TIME-SHIFTED tonal near-copies, so
+    // the offset-delta vote must both find every pair and align the shift;
+    // cross-group chance collisions stay far under the vote threshold
+    // (probed margins: same-group >= 107 votes, cross <= 22, threshold 50)
+    "mm_audio_dedup" -> ((s, d) => {
+      import s.implicits._
+      val sel = t(s, d, "documents").select(col("doc_id").cast("long").as("media_id"))
+        .filter(col("media_id") < 240)
+      val rows = sel.as[Long]
+        .map(id => (id, graft.multimodal.Multimodal.toneWav(id / 3, id % 3)))
+        .toDF("media_id", "payload")
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        s, rows, "media_id", "payload", "audio")
+      val pairs = graft.multimodal.Multimodal.audioNearDup(
+        graft.multimodal.Multimodal.audioFingerprints(media), minVotes = 50)
+        .select("idA", "idB").cache()
+      try {
+        val withG = sel.withColumn("gid", floor(col("media_id") / 3))
+        val a = withG.toDF("idA", "gid")
+        val b = withG.toDF("idB", "gid")
+        val truth = a.join(b, "gid").filter(col("idA") < col("idB"))
+          .select("idA", "idB").cache()
+        val nMedia = sel.count()
+        val nTrue = truth.count()
+        val hits = truth.join(pairs, Seq("idA", "idB"), "left_semi").count()
+        val nFound = pairs.count()
+        truth.unpersist()
+        Seq((nMedia, nTrue, hits == nTrue, nFound == hits))
+          .toDF("n_media", "n_true", "recall_ok", "precision_ok")
+      } finally pairs.unpersist()
+    }),
     "mm_frame_sample" -> ((s, d) => {
       import s.implicits._
       val ids = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
@@ -2020,6 +2052,23 @@ object SparkEntry {
         t(s, d, "documents"), col("lang") === "en", 30)),
     // alpha-smoothed (alpha = 0.5) domain mixture weights over character
     // volume — the sampling distribution a temperature-mixed corpus uses
+    // per-domain quota cap (RefinedWeb/Pile rule): keep the top-20
+    // highest-priority docs per source; WindowGroupLimit plan — each
+    // partition pre-truncates before the one shuffle on the domain key
+    "pipe_domain_cap" -> ((s, d) =>
+      graft.pipeline.Sampling.domainCap(t(s, d, "documents"),
+          "source", 20, "n_chars", "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+          sum("n_chars").as("chars_sum"))
+        .orderBy("source")),
+    // time-bucket resample + LOCF gap fill over the event stream: hourly
+    // per-user cents totals, empty hours carried forward and flagged
+    "ts_gapfill" -> ((s, d) =>
+      graft.operators.TimeSeries.gapFill(
+          events(s, d).filter(col("user_id") < 40),
+          "user_id", "ts", "value", bucketMs = 3600000L)
+        .orderBy("user_id", "bin")),
     "pipe_domain_mix" -> ((s, d) =>
       graft.pipeline.Sampling.domainMixture(t(s, d, "documents"), "source", "n_chars")
         .orderBy("source")),
@@ -2810,6 +2859,12 @@ object SparkEntry {
         "SELECT (SELECT count(*) FROM sel) AS n_images, " +
         "CAST(COALESCE(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_true, " +
         "true AS recall_ok, true AS precision_ok FROM g"),
+      "mm_audio_dedup" -> ("WITH sel AS (SELECT doc_id, CAST(floor(doc_id / 3.0) AS BIGINT) AS gid " +
+        "FROM documents WHERE doc_id < 240), " +
+        "g AS (SELECT gid, count(*) AS c FROM sel GROUP BY gid) " +
+        "SELECT (SELECT count(*) FROM sel) AS n_media, " +
+        "CAST(COALESCE(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_true, " +
+        "true AS recall_ok, true AS precision_ok FROM g"),
       "mm_frame_sample" -> ("WITH m AS (SELECT doc_id AS media_id, 3 + doc_id % 4 AS nf, " +
         "8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents WHERE doc_id < 60), " +
         "f AS (SELECT media_id, w, h, unnest(range(0, nf, 2)) AS frame_no FROM m) " +
@@ -3064,6 +3119,20 @@ object SparkEntry {
         "max_by(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 100000000 + o_orderkey) AS top_orderkey, " +
         "round(max_by(o_totalprice, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 100000000 + o_orderkey), 2) AS top_price " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      "pipe_domain_cap" -> ("WITH r AS (SELECT source, doc_id, n_chars, " +
+        "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk FROM documents) " +
+        "SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+        "CAST(sum(n_chars) AS BIGINT) AS chars_sum FROM r WHERE rk <= 20 " +
+        "GROUP BY source ORDER BY source"),
+      "ts_gapfill" -> ("WITH b AS (SELECT user_id, CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS bin, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events WHERE user_id < 40 GROUP BY user_id, bin), " +
+        "sp AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bin " +
+        "FROM (SELECT user_id, min(bin) AS lo, max(bin) AS hi FROM b GROUP BY user_id)), " +
+        "j AS (SELECT sp.user_id, sp.bin, b.cents FROM sp LEFT JOIN b USING (user_id, bin)) " +
+        "SELECT user_id, bin, " +
+        "last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bin) AS filled_cents, " +
+        "cents IS NULL AS was_gap FROM j ORDER BY user_id, bin"),
       "pipe_domain_mix" -> ("WITH c AS (SELECT source, count(*) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS size_sum FROM documents GROUP BY source) " +
         "SELECT source, n_docs, size_sum, " +

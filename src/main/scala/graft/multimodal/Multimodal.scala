@@ -571,6 +571,115 @@ object Multimodal {
     }.toDF("media_id", "decoded", "phash")
   }
 
+  // ======== audio fingerprinting (constellation hashing) ========
+
+  /** Shazam-style constellation fingerprints (Wang 2003, "An
+    * Industrial-Strength Audio Search Algorithm"): frame the decoded PCM,
+    * take each frame's spectral PEAK band (direct DFT at `bands`
+    * frequencies — `StrictMath` tables, deterministic on any JVM; ties
+    * break to the lower band), then hash (peak_t, peak_{t+dt}, dt) pairs
+    * for dt = 1..fanout. Emits one small (media_id, frame_no, hash32) row
+    * per pair — the payload itself never shuffles.
+    */
+  def audioFingerprints(media: Dataset[MediaRow], frameSize: Int = 256,
+                        hop: Int = 128, bands: Int = 32,
+                        fanout: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    require(bands >= 2 && frameSize >= bands && hop >= 1 && fanout >= 1)
+    media.flatMap { m =>
+      decodeAudio(m.bytes) match {
+        case None => Iterator.empty
+        case Some((_, samples)) =>
+          val cosT = Array.tabulate(bands, frameSize)((k, n) =>
+            StrictMath.cos(2.0 * StrictMath.PI * (k + 1) * n / frameSize))
+          val sinT = Array.tabulate(bands, frameSize)((k, n) =>
+            StrictMath.sin(2.0 * StrictMath.PI * (k + 1) * n / frameSize))
+          val nFrames = math.max(0, (samples.length - frameSize) / hop + 1)
+          val peaks = new Array[Int](nFrames)
+          var t = 0
+          while (t < nFrames) {
+            val off = t * hop
+            var best = 0; var bestMag = -1.0
+            var k = 0
+            while (k < bands) {
+              var re = 0.0; var im = 0.0
+              var n = 0
+              while (n < frameSize) {
+                val s = samples(off + n).toDouble
+                re += s * cosT(k)(n); im += s * sinT(k)(n)
+                n += 1
+              }
+              val mag = re * re + im * im
+              if (mag > bestMag) { bestMag = mag; best = k }
+              k += 1
+            }
+            peaks(t) = best
+            t += 1
+          }
+          for {
+            t0 <- (0 until nFrames).iterator
+            dt <- 1 to fanout
+            if t0 + dt < nFrames
+          } yield (m.media_id, t0,
+            ((peaks(t0) & 0xff) << 16) | ((peaks(t0 + dt) & 0xff) << 8) | (dt & 0xff))
+      }
+    }.toDF("media_id", "frame_no", "hash")
+  }
+
+  /** Audio near-dup by OFFSET-DELTA VOTING over shared constellation
+    * hashes — Wang's matching step: a true copy (even time-shifted) piles
+    * its shared hashes onto ONE frame-offset delta, while chance hash
+    * collisions scatter across deltas. Pairs whose best-aligned vote
+    * count reaches `minVotes` are matches; `best_dt` recovers the shift.
+    * The join moves only (id, frame, int32-hash) rows and buckets by
+    * hash — never all-pairs, never the audio bytes.
+    */
+  def audioNearDup(fingerprints: DataFrame, minVotes: Int = 10): DataFrame = {
+    val a = fingerprints.toDF("idA", "tA", "hash")
+    val b = fingerprints.toDF("idB", "tB", "hash")
+    a.join(b, Seq("hash"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"), (col("tB") - col("tA")).as("dt"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(max(struct(col("votes"), col("dt"))).as("__best"))
+      .select(col("idA"), col("idB"),
+        col("__best.votes").as("votes"), col("__best.dt").as("best_dt"))
+      .filter(col("votes") >= minVotes)
+  }
+
+  /** Deterministic tonal WAV for fixtures: 1 s of 8 kHz mono PCM whose
+    * dominant tone sits exactly on a DFT bin center and changes every
+    * `segFrames` frames, the bin sequence keyed by `gid`; `member`
+    * time-shifts the signal by whole hops (plus small additive noise), so
+    * members of a gid are shifted near-copies the offset-delta vote must
+    * align, and different gids share no peak sequence.
+    */
+  def toneWav(gid: Long, member: Long, rate: Int = 8000, seconds: Double = 1.0,
+              frameSize: Int = 256, hop: Int = 128, segFrames: Int = 2): Array[Byte] = {
+    val nS = (rate * seconds).toInt
+    val shift = (member * 3 * hop).toInt
+    def h64(a: Long, b: Long): Long = {
+      var x = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      x
+    }
+    val samples = new Array[Short](nS)
+    var i = 0
+    while (i < nS) {
+      val src = i + shift // shifted copy of the same underlying signal
+      val seg = src / (segFrames * hop)
+      val band = 2 + (((h64(gid, seg) % 28) + 28) % 28).toInt // bins 3..30
+      val freq = (band + 1).toDouble * rate / frameSize // bin center
+      val tone = 8000.0 * StrictMath.sin(2.0 * StrictMath.PI * freq * src / rate)
+      val noise = ((h64(gid * 131 + member, i) % 201) - 100).toDouble
+      samples(i) = math.max(Short.MinValue, math.min(Short.MaxValue,
+        math.round(tone + noise))).toShort
+      i += 1
+    }
+    pcmWavBytes(rate, samples)
+  }
+
   /** Near-duplicate image pairs by banded Hamming join over perceptual
     * hashes — the image twin of SimHash text dedup (`Dedup.simhash`):
     * 8 bands of 8 bits bucket the corpus, candidates collide on ANY equal

@@ -113,6 +113,27 @@ object Sampling {
       .select(col(groupCol), col("n_docs"), col("size_sum"), col("weight"))
   }
 
+  /** Per-domain quota capping — the RefinedWeb/Pile-style "at most N
+    * documents per source/domain" rule that stops a handful of gigantic
+    * domains from dominating a web corpus. Keeps the `n` highest-priority
+    * rows of each domain (priority descending, id ascending tie-break, so
+    * the kept set is deterministic on any engine and cluster layout).
+    *
+    * Plan shape: the rank-filter pattern Spark plans as WindowGroupLimit —
+    * each partition pre-truncates to its local top-n PER DOMAIN before the
+    * single shuffle on the domain key, so a domain with a billion rows
+    * ships only n·partitions candidates, never its full row set.
+    */
+  def domainCap(df: DataFrame, domainCol: String, n: Int,
+                priorityCol: String, idCol: String): DataFrame = {
+    require(n >= 1)
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(priorityCol).desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Deterministic global training shuffle: order by the Knuth hash of the
     * id (id tiebreak) — the 100 TB way to "shuffle the corpus" is a range
     * repartition on this hash followed by local sorts, which Spark plans
