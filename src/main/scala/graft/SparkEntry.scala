@@ -1114,6 +1114,23 @@ object SparkEntry {
     // co-purchase graph (custkey*2 / suppkey*2+1 node ids, both edge
     // directions). Integer recurrence => the unrolled-CTE DuckDB oracle
     // replays it EXACTLY, top-20 hash-verified.
+    // triangle counting by degree orientation (Suri-Vassilvitskii): the
+    // wedge join is capped at O(sqrt(m)) out-degree per node, so no
+    // last-reducer hotspot; per-node corner counts, top-20
+    "graph_triangles" -> ((s, d) => {
+      val e = t(s, d, "orders")
+        .select((col("o_orderkey") % 300).as("src"), (col("o_custkey") % 300).as("dst"))
+      graft.operators.Graphs.triangleCorners(e)
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(20)
+    }),
+    // strictly-ordered conversion funnel with a 24h window over the event
+    // stream (earliest-entry semantics): per step, users reached +
+    // conversion vs step 1 in exact micro-units
+    "st_funnel" -> ((s, d) =>
+      graft.operators.Funnel.conversions(events(s, d),
+          Seq("view", "click", "purchase"), windowMs = 86400000L)
+        .orderBy("step_no")),
     "graph_pagerank" -> ((s, d) => {
       val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
@@ -2564,6 +2581,32 @@ object SparkEntry {
         "AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR " +
         "ORDER BY c.event_id, signup_ms"),
       "graph_pagerank" -> pagerankOracleSql(5),
+      // exact a<b<c triple join — the oracle pays the naive cost the
+      // oriented wedge join avoids
+      "graph_triangles" -> ("WITH raw AS (SELECT o_orderkey % 300 AS src, o_custkey % 300 AS dst FROM orders), " +
+        "e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw WHERE src <> dst), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+        "corners AS (SELECT unnest([x, y, z]) AS node FROM tri) " +
+        "SELECT node, count(*) AS n_triangles FROM corners GROUP BY node " +
+        "ORDER BY n_triangles DESC, node LIMIT 20"),
+      "st_funnel" -> ("WITH s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2 FROM events e JOIN s1 USING (user_id) " +
+        "WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t1 AND epoch_ms(e.ts) <= s1.t1 + 86400000 " +
+        "GROUP BY e.user_id), " +
+        "s2o AS (SELECT s2.user_id, s2.t2, s1.t1 FROM s2 JOIN s1 USING (user_id)), " +
+        "s3 AS (SELECT e.user_id FROM events e JOIN s2o USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2o.t2 AND epoch_ms(e.ts) <= s2o.t1 + 86400000 " +
+        "GROUP BY e.user_id), " +
+        "n AS (SELECT (SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3) " +
+        "SELECT * FROM (" +
+        "SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step, n1 AS users_reached, " +
+        "CASE WHEN n1 = 0 THEN 0 ELSE 1000000 END AS conversion_micro FROM n " +
+        "UNION ALL SELECT 2, 'click', n2, CAST((1000000 * n2) // n1 AS BIGINT) FROM n " +
+        "UNION ALL SELECT 3, 'purchase', n3, CAST((1000000 * n3) // n1 AS BIGINT) FROM n" +
+        ") ORDER BY step_no"),
       // binary sign-bit signatures + exact Hamming top-10 (dim 64 = two
       // 32-bit words; CASE sums of distinct powers of two stay small
       // positive BIGINTs in any engine)

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Funnel, Graphs}
+
+/** Degree-oriented triangle counting and ordered-funnel conversions. */
+class GraphFunnelSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("triangleCorners: hand-built graph, every triangle counted once per corner") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5 + an
+    // isolated edge (6,7); duplicates/reversed/self edges must not matter
+    val edges = Seq(
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (2, 1), (3, 3), (4, 5), (6, 7), (1, 2)
+    ).toDF("src", "dst")
+    val got = Graphs.triangleCorners(edges)
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+    assert(got.values.sum / 3 == 4, "global count = corner sum / 3")
+  }
+
+  test("triangleCorners randomized differential vs brute force") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val got = Graphs.triangleCorners(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    // brute force
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if und((a, b)) && und((a, c)) && und((b, c))
+      n <- Seq(a, b, c)
+    } brute(n) = brute.getOrElse(n, 0L) + 1
+    assert(got == brute.toMap)
+  }
+
+  test("funnel: ordered within-window semantics, hand-checked") {
+    def ts(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      // user 1 converts fully in order
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // user 2: click BEFORE view → stops at view
+      (2L, ts(2), "click"), (2L, ts(3), "view"),
+      // user 3: purchase before click → reaches click only
+      (3L, ts(1), "view"), (3L, ts(2), "purchase"), (3L, ts(4), "click"),
+      // user 4: full order but purchase outside the 6h window of FIRST view
+      (4L, ts(1), "view"), (4L, ts(2), "click"), (4L, ts(9), "purchase"),
+      // user 5 never views
+      (5L, ts(1), "click"), (5L, ts(2), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversions(events, Seq("view", "click", "purchase"),
+        windowMs = 6 * 3600 * 1000L)
+      .orderBy("step_no")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "view", 4L, 1000000L),
+      (2L, "click", 3L, 750000L), // users 1, 3, 4
+      (3L, "purchase", 1L, 250000L))) // user 1 only
+  }
+
+  test("funnel: earliest-entry semantics — a later re-view cannot reopen the window") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // first view at 01:00 opens a 2h window; the 05:00 re-view does NOT
+    // reopen it, so the 06:00 click is out of window
+    val events = Seq(
+      (1L, ts(1), "view"), (1L, ts(5), "view"), (1L, ts(6), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversions(events, Seq("view", "click"),
+        windowMs = 2 * 3600 * 1000L)
+      .orderBy("step_no").as[(Long, String, Long, Long)].collect()
+    assert(got(1)._3 == 0L)
+  }
+}
