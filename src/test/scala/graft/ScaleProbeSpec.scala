@@ -180,4 +180,42 @@ class ScaleProbeSpec extends SparkSuite {
     assert(top.head.getLong(1) >= 4 * (1000000000L / nNodes),
       s"no concentration: top rank ${top.head.getLong(1)}")
   }
+
+  test("5M-edge graph triangles + 10M-row domainCap/gapFill stay shuffle-bounded") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    // triangles: 5M random edges over 200k nodes (avg degree 50)
+    val t0 = System.nanoTime()
+    val edges = spark.range(5000000L).select(
+      (pmod(hash(col("id")), lit(200000)).cast("long")).as("src"),
+      (pmod(hash(col("id") * 7 + 1), lit(200000)).cast("long")).as("dst"))
+    val corners = graft.operators.Graphs.triangleCorners(edges)
+    val total = corners.agg(sum(col("n_triangles"))).head().getLong(0) / 3
+    info(f"5M-edge triangles: $total triangles in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(total > 0)
+
+    // domainCap at 10M rows across 1k domains: WindowGroupLimit keeps the
+    // shuffle at ~n*partitions rows per domain, not the full row set
+    val t1 = System.nanoTime()
+    val docs = spark.range(10000000L).select(
+      concat(lit("s"), pmod(col("id"), lit(1000))).as("source"),
+      col("id").as("doc_id"), pmod(col("id") * 31, lit(99991)).as("n_chars"))
+    val kept = graft.pipeline.Sampling.domainCap(docs, "source", 20, "n_chars", "doc_id")
+      .count()
+    info(f"10M-row domainCap: kept $kept in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    assert(kept == 20000L)
+
+    // gapFill at 10M events / 5k keys: spine rows = span buckets
+    val t2 = System.nanoTime()
+    val ev = spark.range(10000000L).select(
+      pmod(col("id"), lit(5000)).as("user_id"),
+      timestamp_millis(lit(1700000000000L) + pmod(col("id") * 131, lit(86400000L))).as("ts"),
+      (pmod(col("id"), lit(1000)) / lit(10.0)).as("value"))
+    val filled = graft.operators.TimeSeries.gapFill(ev, "user_id", "ts", "value", 3600000L)
+    val (nRows, nGaps) = {
+      val r = filled.agg(count(lit(1)), sum(when(col("was_gap"), 1L).otherwise(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    info(f"10M-event gapFill: $nRows bins ($nGaps filled) in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    assert(nRows > 0)
+  }
 }
