@@ -1479,6 +1479,19 @@ object SparkEntry {
       graft.text.RetrievalEval.evaluate(runs, qrels, k = 10)
         .orderBy("query_id")
     }),
+    // nearest-centroid (Rocchio) classifier: train per-lang centroids on
+    // even doc_ids, classify odd ones; exact-integer dot + portable-sqrt
+    // norms make predictions AND scores hash-reproducible in SQL
+    "txt_classify" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.nearestCentroid(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("pred_label"), col("cos_micro"),
+          (col("pred_label") === col("lang")).as("correct"))
+        .orderBy("doc_id")
+    }),
     // Stupid-Backoff trigram LM (Brants 2007) scored HELD-OUT: train on
     // even doc_ids, score odd ones, so trigram→bigram→unigram backoff
     // genuinely fires; per-position nano-unit quantization makes the
@@ -2830,6 +2843,19 @@ object SparkEntry {
         "COALESCE(CAST(floor((1000000.0 * h2.dcg) / p.idcg) AS BIGINT), 0) AS ndcg_micro " +
         "FROM nrel n JOIN pre p ON p.nr = LEAST(n.n_rel, 10) " +
         "LEFT JOIN hits h2 ON h2.q = n.q ORDER BY query_id"),
+      // Rocchio replayed relationally: centroid counts, exact-integer
+      // dots, sqrt norms, micro-quantized cosine, argmax-per-doc
+      "txt_classify" -> ("WITH tk AS (SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS w FROM documents), " +
+        "ctr AS (SELECT lang AS lbl, w, count(*) AS c FROM tk WHERE doc_id % 2 = 0 GROUP BY lbl, w), " +
+        "cn AS (SELECT lbl, sqrt(CAST(sum(c * c) AS DOUBLE)) AS cnorm FROM ctr GROUP BY lbl), " +
+        "dtf AS (SELECT doc_id, w, count(*) AS tf FROM tk WHERE doc_id % 2 = 1 GROUP BY doc_id, w), " +
+        "dn AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS dnorm FROM dtf GROUP BY doc_id), " +
+        "dots AS (SELECT d.doc_id, c.lbl, CAST(sum(d.tf * c.c) AS BIGINT) AS dot FROM dtf d JOIN ctr c USING (w) GROUP BY d.doc_id, c.lbl), " +
+        "sc AS (SELECT doc_id, lbl, CAST(floor((1000000.0 * dot) / (dnorm * cnorm)) AS BIGINT) AS cos_micro, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY CAST(floor((1000000.0 * dot) / (dnorm * cnorm)) AS BIGINT) DESC, lbl ASC) AS rk " +
+        "FROM dots JOIN dn USING (doc_id) JOIN cn USING (lbl)) " +
+        "SELECT s.doc_id, s.lbl AS pred_label, s.cos_micro, s.lbl = d2.lang AS correct " +
+        "FROM sc s JOIN documents d2 ON d2.doc_id = s.doc_id WHERE s.rk = 1 ORDER BY s.doc_id"),
       // the Stupid-Backoff model replayed relationally: three count CTEs
       // over the even-doc train split, a five-way left join per scored
       // position, the same CASE backoff chain in nano-units

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{functions => gf}
 
@@ -239,6 +240,54 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_trigrams"),
         floor(sum(col("__nano")) / count(lit(1)).cast("double"))
           .cast("long").as("sb_nano"))
+  }
+
+  /** Nearest-centroid (Rocchio) text classification — the trainable
+    * quality/domain classifier shape every corpus pipeline runs (a
+    * deterministic, closed-form stand-in for a fastText-style filter):
+    * each class's centroid is its summed term-count vector over the
+    * TRAIN split; a scored document takes the class whose centroid has
+    * the highest cosine to its term-frequency vector.
+    *
+    * Fully engine-portable: the dot product is an EXACT integer sum
+    * (tf·count products), both norms are `sqrt` of exact integer sums
+    * (sqrt is IEEE-correctly-rounded, hence portable — unlike `pow`/`ln`),
+    * and the score quantizes to micro-units with two more
+    * correctly-rounded ops — so predictions and scores hash-match an
+    * independent SQL engine exactly. Ties break to the lexicographically
+    * smaller label.
+    *
+    * Scale shape: the centroid table is (label × vocab)-sized and joins
+    * the scored (doc, token, tf) stream on token — the BM25/DSIR shuffle
+    * shape; the per-doc argmax is the WindowGroupLimit rank-filter.
+    * Documents sharing no token with any centroid yield no row (no
+    * evidence → no prediction).
+    */
+  def nearestCentroid(train: DataFrame, score: DataFrame, labelCol: String,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val trTf = train
+      .select(col(labelCol).as("__lbl"), explode(gf.ws_tokens(col(textCol))).as("__w"))
+      .groupBy("__lbl", "__w").agg(count(lit(1)).as("__c"))
+    val classNorm = trTf.groupBy("__lbl")
+      .agg(sqrt(sum(col("__c") * col("__c")).cast("double")).as("__cn"))
+    val docTf = score
+      .select(col(idCol), explode(gf.ws_tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
+    val docNorm = docTf.groupBy(col(idCol))
+      .agg(sqrt(sum(col("__tf") * col("__tf")).cast("double")).as("__dn"))
+    val dots = docTf.join(trTf, Seq("__w"))
+      .groupBy(col(idCol), col("__lbl"))
+      .agg(sum(col("__tf") * col("__c")).as("__dot"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos_micro").desc, col("__lbl").asc)
+    dots.join(docNorm, Seq(idCol)).join(classNorm, Seq("__lbl"))
+      .withColumn("__cos_micro",
+        floor((lit(1e6) * col("__dot")) / (col("__dn") * col("__cn"))).cast("long"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("__lbl").as("pred_label"),
+        col("__cos_micro").as("cos_micro"))
   }
 
   /** Corpus n-gram frequencies, top `k` — same plan shape as

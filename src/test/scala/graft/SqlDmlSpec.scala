@@ -129,6 +129,13 @@ class SqlDmlSpec extends SparkSuite {
     assert(r == (None, 70.0))
   }
 
+  test("UPDATE condition may carry a subquery (re-analyzed against the fresh snapshot)") {
+    val (_, tbl) = freshTable("gdml10")
+    Seq(2L, 3L).toDF("kk").createOrReplaceTempView("dml_keys")
+    spark.sql(s"UPDATE $tbl SET price = 0.0 WHERE k IN (SELECT kk FROM dml_keys)")
+    assert(content(tbl).map(_._3) == Seq(10.0, 0.0, 0.0, 40.0))
+  }
+
   test("DML serializes behind a concurrent writer (commit-CAS retry)") {
     val (store, tbl) = freshTable("gdml9")
     // stale handle: another writer commits AFTER the UPDATE's target
