@@ -1124,6 +1124,16 @@ object SparkEntry {
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(20)
     }),
+    // k-anonymity suppression (Sweeney): quasi-identifier groups under
+    // k=10 collapse into one '*' bucket before the aggregate is released
+    "q_kanon" -> ((s, d) =>
+      graft.pipeline.Privacy.kAnonymize(t(s, d, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10, "c_acctbal")
+        .orderBy("c_nationkey", "c_mktsegment")),
+    // frequent clickstream paths: top-20 length-3 event-type sequences
+    // over per-user (time, id)-ordered event streams
+    "st_paths" -> ((s, d) =>
+      graft.operators.Funnel.topPaths(events(s, d), n = 3, k = 20)),
     // strictly-ordered conversion funnel with a 24h window over the event
     // stream (earliest-entry semantics): per step, users reached +
     // conversion vs step 1 in exact micro-units
@@ -2604,6 +2614,21 @@ object SparkEntry {
         "corners AS (SELECT unnest([x, y, z]) AS node FROM tri) " +
         "SELECT node, count(*) AS n_triangles FROM corners GROUP BY node " +
         "ORDER BY n_triangles DESC, node LIMIT 20"),
+      "q_kanon" -> ("WITH a AS (SELECT CAST(c_nationkey AS VARCHAR) AS c_nationkey, " +
+        "CAST(c_mktsegment AS VARCHAR) AS c_mktsegment, count(*) AS n_rows, " +
+        "CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum " +
+        "FROM customer GROUP BY 1, 2) " +
+        "SELECT * FROM (" +
+        "SELECT c_nationkey, c_mktsegment, n_rows, cents_sum FROM a WHERE n_rows >= 10 " +
+        "UNION ALL SELECT '*', '*', CAST(sum(n_rows) AS BIGINT), CAST(sum(cents_sum) AS BIGINT) " +
+        "FROM a WHERE n_rows < 10 HAVING sum(n_rows) > 0" +
+        ") ORDER BY c_nationkey, c_mktsegment"),
+      "st_paths" -> ("WITH seqs AS (SELECT user_id, list(event_type ORDER BY epoch_ms(ts), event_id) AS l " +
+        "FROM events GROUP BY user_id), " +
+        "grams AS (SELECT unnest(list_transform(range(1, len(l) - 1), " +
+        "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS path FROM seqs WHERE len(l) >= 3) " +
+        "SELECT path, count(*) AS n_occurrences FROM grams GROUP BY path " +
+        "ORDER BY n_occurrences DESC, path LIMIT 20"),
       "st_funnel" -> ("WITH s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events " +
         "WHERE event_type = 'view' GROUP BY user_id), " +
         "s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2 FROM events e JOIN s1 USING (user_id) " +

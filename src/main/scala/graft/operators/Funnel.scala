@@ -53,4 +53,33 @@ object Funnel {
       (no.toLong, step, n, if (base == 0) 0L else math.floorDiv(1000000L * n, base))
     }.toDF("step_no", "step", "users_reached", "conversion_micro")
   }
+
+  /** Frequent event paths: each user's events in (time, id) order form a
+    * sequence; every length-`n` contiguous subsequence of event types is
+    * a path, and the corpus's top-`k` paths by occurrence are returned
+    * (count desc, path asc — fully deterministic).
+    *
+    * Plan shape: ONE per-user aggregate collects the (ms, id, type)
+    * triples and sorts them locally (per-user sequences are session-sized,
+    * not corpus-sized), one shingle explode, one map-side-combined count,
+    * and a top-k — the clickstream "what do users do next" staple.
+    */
+  def topPaths(events: DataFrame, n: Int = 3, k: Int = 20,
+               userCol: String = "user_id", tsCol: String = "ts",
+               typeCol: String = "event_type",
+               idCol: String = "event_id"): DataFrame = {
+    require(n >= 2 && k >= 1)
+    events
+      .select(col(userCol),
+        struct(unix_millis(col(tsCol)).as("ms"), col(idCol).as("id"),
+          col(typeCol).as("t")).as("__e"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(expr("transform(__evs, e -> e.t)").as("__types"))
+      .filter(size(col("__types")) >= n)
+      .select(explode(graft.functions.functions.shingles(col("__types"), n)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+      .limit(k)
+  }
 }
