@@ -2102,6 +2102,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
           sum("n_chars").as("chars_sum"))
         .orderBy("source")),
+    // rolling z-score anomaly scores: each observed hour vs its trailing
+    // 24 observed hours, exact-integer window sums, micro-quantized z
+    "ts_anomaly" -> ((s, d) =>
+      graft.operators.TimeSeries.anomalies(
+          events(s, d).filter(col("user_id") < 40),
+          "user_id", "ts", "value", bucketMs = 3600000L, lookback = 24)
+        .orderBy("user_id", "bin")),
     // time-bucket resample + LOCF gap fill over the event stream: hourly
     // per-user cents totals, empty hours carried forward and flagged
     "ts_gapfill" -> ((s, d) =>
@@ -3218,6 +3225,19 @@ object SparkEntry {
         "SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
         "CAST(sum(n_chars) AS BIGINT) AS chars_sum FROM r WHERE rk <= 20 " +
         "GROUP BY source ORDER BY source"),
+      "ts_anomaly" -> ("WITH b AS (SELECT user_id, CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS bin, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events WHERE user_id < 40 GROUP BY user_id, bin), " +
+        "wn AS (SELECT user_id, bin, cents, " +
+        "CAST(sum(cents) OVER tw AS BIGINT) AS s, " +
+        "CAST(sum(cents * cents) OVER tw AS BIGINT) AS sq, " +
+        "count(*) OVER tw AS n FROM b " +
+        "WINDOW tw AS (PARTITION BY user_id ORDER BY bin ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id, bin, cents, " +
+        "CAST(floor(1000000.0 * ((cents - CAST(s AS DOUBLE) / n) / " +
+        "sqrt((sq - CAST(s AS DOUBLE) * s / n) / n))) AS BIGINT) AS z_micro " +
+        "FROM wn WHERE n = 24 AND (sq - CAST(s AS DOUBLE) * s / n) / n > 0 " +
+        "ORDER BY user_id, bin"),
       "ts_gapfill" -> ("WITH b AS (SELECT user_id, CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS bin, " +
         "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM events WHERE user_id < 40 GROUP BY user_id, bin), " +

@@ -28,6 +28,46 @@ object TimeSeries {
     * Returns (keyCol, bin, filled_cents, was_gap); `bin` is
     * `floor(epoch_ms / bucketMs)` so any engine reproduces it exactly.
     */
+  /** Rolling z-score anomaly detection: each (key, bucket)'s total is
+    * scored against the mean/std of its TRAILING `lookback` observed
+    * buckets — the standard metrics-pipeline outlier flag. Only rows with
+    * a full trailing window are scored (no partial-window edge
+    * semantics).
+    *
+    * Engine-exact: the window sums (Σx, Σx², n) are exact integers over
+    * cents; mean, variance and z are a fixed sequence of correctly-
+    * rounded double ops quantized to micro-units — so scores hash-match
+    * an independent engine. Zero-variance windows are excluded (z is
+    * undefined, and IEEE ±Inf would poison the quantization).
+    *
+    * Plan shape: one map-side-combined aggregate to bucket grain, one
+    * ordered window per key over the (bucket-count-sized, not
+    * event-sized) series. Returns (keyCol, bin, cents, z_micro).
+    */
+  def anomalies(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                bucketMs: Long, lookback: Int = 24): DataFrame = {
+    require(bucketMs >= 1 && lookback >= 2)
+    val bucketed = df
+      .withColumn("__bin", floor(unix_millis(col(tsCol)) / bucketMs).cast("long"))
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(sum(floor(col(valCol) * 100 + 0.5).cast("long")).as("__cents"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__bin"))
+      .rowsBetween(-lookback, -1)
+    bucketed
+      .withColumn("__s", sum(col("__cents")).over(w))
+      .withColumn("__sq", sum(col("__cents") * col("__cents")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") === lookback)
+      .withColumn("__var",
+        (col("__sq") - col("__s") * col("__s") / col("__n")) / col("__n"))
+      .filter(col("__var") > 0)
+      .withColumn("z_micro",
+        floor(lit(1e6) * ((col("__cents") - col("__s") / col("__n")) /
+          sqrt(col("__var")))).cast("long"))
+      .select(col(keyCol), col("__bin").as("bin"),
+        col("__cents").as("cents"), col("z_micro"))
+  }
+
   def gapFill(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
               bucketMs: Long): DataFrame = {
     require(bucketMs >= 1)

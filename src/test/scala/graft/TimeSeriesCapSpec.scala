@@ -35,6 +35,20 @@ class TimeSeriesCapSpec extends SparkSuite {
     assert(got.length == 1 && got.head._3 == 325L && !got.head._4)
   }
 
+  test("anomalies: trailing-window z-scores, hand-computed; partial/zero-var windows excluded") {
+    val df = Seq(
+      (1L, ts(1), 1.00), (1L, ts(2), 2.00), (1L, ts(3), 1.00), (1L, ts(4), 4.00),
+      // user 2: zero-variance trailing window → excluded
+      (2L, ts(1), 1.00), (2L, ts(2), 1.00), (2L, ts(3), 9.00)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.anomalies(df, "user_id", "ts", "value",
+        bucketMs = 60000L, lookback = 2)
+      .orderBy("user_id", "bin").as[(Long, Long, Long, Long)].collect().toSeq
+    // user 1 bin3: mean(100,200)=150 std=50 → z=-1; bin4: z=(400-150)/50=5
+    assert(got.map(r => (r._1, r._3, r._4)) == Seq(
+      (1L, 100L, -1000000L), (1L, 400L, 5000000L)))
+  }
+
   test("domainCap keeps the top-n per domain with deterministic tie-breaks") {
     val df = Seq(
       ("a", 1L, 100L), ("a", 2L, 300L), ("a", 3L, 300L), ("a", 4L, 50L),
