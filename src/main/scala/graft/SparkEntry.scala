@@ -1429,6 +1429,46 @@ object SparkEntry {
       } finally codes.unpersist()
     }),
 
+    // distributed k-NN JOIN: the ENTIRE embeddings table is the query
+    // side (self-kNN = the hard-negative-mining shape). Queries are never
+    // collected or broadcast — per-row cell ranking is one codegen'd
+    // expression, candidates come from the cell equi-join (~nProbe/nCells
+    // of the corpus per query, never all-pairs), per-query top-k via the
+    // bounded aggregate. Contract: every query returns exactly k rows,
+    // finds ITSELF (its own cell is always probed), and mean recall vs
+    // the exact top-10 >= 0.6 (measured 0.707 sf0.001 / 0.717 sf0.01 /
+    // 0.698 sf0.1 with nProbe=6 of 16 cells).
+    "sim_knn_join" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val (indexed, centroids) = Similarity.ivfBuild(emb, 16)
+      val queries = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val approx = Similarity.knnJoin(indexed, centroids, queries, 10, nProbe = 6)
+        .select(col("q_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nQueries = approx.select(col("q_id")).distinct().count()
+        val perQ = approx.groupBy("q_id").agg(count(lit(1)).as("n"))
+        val allK = perQ.filter(col("n") =!= 10L).isEmpty
+        val selfOk = approx.filter(col("q_id") === col("vec_id")).count() == nQueries
+        val exact = Similarity.windowTopKBatchOracle(emb, queries, 10)
+          .select(col("q_id"), col("vec_id"))
+        val hits = approx.intersect(exact).count()
+        val meanRecall = hits.toDouble / (nQueries * 10L)
+        Seq((nQueries, allK, selfOk, meanRecall >= 0.6))
+          .toDF("n_queries", "all_k_rows", "self_recall_ok", "recall_ok")
+      } finally { approx.unpersist(); () }
+    }),
+
+    // one-pass column profiler: every column's null/distinct/min/max/
+    // length stats from a SINGLE scan + one aggregate (multi-distinct
+    // via Spark's Expand rewrite; `exact = false` swaps in HLL++ and
+    // drops the Expand — pinned in ProfilerSpec). Rendering is pinned
+    // (4-dp DECIMAL(18,4) for fractionals, ISO seconds for temporals)
+    // so the whole profile hash-matches the DuckDB replica.
+    "prof_columns" -> ((s, d) =>
+      graft.pipeline.Profiler.profile(t(s, d, "lineitem"))),
+
     // ---- SQL surface: custom Catalyst kernel registered and called
     //      from spark.sql, hash-verified against the DuckDB oracle ----
     "q_sql_kernel" -> ((s, d) => {
@@ -1788,6 +1828,20 @@ object SparkEntry {
       val model = graft.text.Unigram.train(docs, vocabSize = 400, maxPieceLen = 6)
       graft.text.Unigram.encode(docs, model)
         .select(col("doc_id"), col("piece_chars"))
+        .orderBy("doc_id")
+    }),
+    // WordPiece tokenizer (the trio's third member): likelihood-scored
+    // distributed train, greedy longest-match expression encode. The
+    // oracle hash-verifies the lossless invariant — pieces cover exactly
+    // the corpus word chars (## markers excluded) and a vocabulary
+    // containing its own training alphabet can never emit [UNK].
+    // Segmentation itself is gated by WordPieceSpec's differentials
+    // against an independent reference trainer + encoder.
+    "txt_wordpiece" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = graft.text.WordPiece.train(docs, numMerges = 40)
+      graft.text.WordPiece.encode(docs, vocab)
+        .select(col("doc_id"), col("n_unk"), col("piece_chars"))
         .orderBy("doc_id")
     }),
     // hybrid retrieval, query-by-example on doc 7: the BM25 lexical
@@ -2799,6 +2853,35 @@ object SparkEntry {
       // per-query batch-IVF contract rows (one per probe query)
       "sim_ivf_batch" -> ("SELECT CAST(q_id AS BIGINT) AS q_id, CAST(10 AS BIGINT) AS n, " +
         "true AS recall_ok FROM (SELECT unnest([3, 7, 11]) AS q_id) ORDER BY q_id"),
+      // k-NN JOIN contract: every embedding is a query; k rows each, self
+      // found, mean exact-top-10 recall >= 0.6 (Spark computes all four)
+      "sim_knn_join" -> ("SELECT count(*) AS n_queries, true AS all_k_rows, " +
+        "true AS self_recall_ok, true AS recall_ok FROM embeddings"),
+      // column profiler: one subquery per lineitem column, rendering
+      // pinned to the Profiler's rules (4-dp DECIMAL for fractionals,
+      // ISO seconds for temporals, raw strings/integers)
+      "prof_columns" -> {
+        def row(c: String, mn: String, mx: String, al: String) =
+          s"SELECT '$c' AS \"column\", count(*) AS n_rows, " +
+            s"count(*) - count($c) AS n_nulls, " +
+            s"count(DISTINCT $c) AS n_distinct, $mn AS min_repr, " +
+            s"$mx AS max_repr, $al AS avg_len FROM lineitem"
+        def intR(c: String) = row(c, s"CAST(min($c) AS VARCHAR)",
+          s"CAST(max($c) AS VARCHAR)", "CAST(NULL AS DOUBLE)")
+        def dblR(c: String) = row(c,
+          s"CAST(CAST(round(min($c), 4) AS DECIMAL(18,4)) AS VARCHAR)",
+          s"CAST(CAST(round(max($c), 4) AS DECIMAL(18,4)) AS VARCHAR)",
+          "CAST(NULL AS DOUBLE)")
+        def strR(c: String) = row(c, s"min($c)", s"max($c)",
+          s"round(avg(len($c)), 4)")
+        def tsR(c: String) = row(c, s"strftime(min($c), '%Y-%m-%d %H:%M:%S')",
+          s"strftime(max($c), '%Y-%m-%d %H:%M:%S')", "CAST(NULL AS DOUBLE)")
+        Seq(intR("l_orderkey"), intR("l_partkey"), intR("l_suppkey"),
+          intR("l_linenumber"), dblR("l_quantity"), dblR("l_extendedprice"),
+          dblR("l_discount"), dblR("l_tax"), strR("l_returnflag"),
+          strR("l_linestatus"), tsR("l_shipdate"))
+          .mkString("", " UNION ALL ", " ORDER BY \"column\"")
+      },
       // CleanCorpus's deterministic quality→exact-dedup prefix: the full
       // Gopher/C4-style composite score replicated in SQL, then the
       // min-id-per-text survivor count
@@ -3020,6 +3103,12 @@ object SparkEntry {
       // cast back to BIGINT
       // unigram tokenizer's lossless invariant: piece chars == word chars
       "txt_unigram" -> ("SELECT doc_id, coalesce(CAST(list_sum(list_transform(" +
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0), " +
+        "w -> len(w))) AS BIGINT), 0) AS piece_chars FROM documents ORDER BY doc_id"),
+      // WordPiece lossless invariant: zero [UNK]s (the vocab contains its
+      // own training alphabet) and piece chars == corpus word chars
+      "txt_wordpiece" -> ("SELECT doc_id, 0 AS n_unk, " +
+        "coalesce(CAST(list_sum(list_transform(" +
         "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0), " +
         "w -> len(w))) AS BIGINT), 0) AS piece_chars FROM documents ORDER BY doc_id"),
       // hybrid RRF: BM25 shortlist (doc 7's terms) + dense cosine

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass table profiling — the "what is actually in this 100 TB
+  * table" operator every ingest pipeline runs before anything else.
+  * For every column: row count, null count, distinct count, min / max
+  * (rendered deterministically), and mean string length.
+  *
+  * ONE aggregate job computes every column's stats from a single scan —
+  * no per-column passes. Exact distinct counts use Spark's
+  * multi-distinct rewrite (an Expand of n_cols replicas feeding
+  * map-side partial aggregation — n_cols × |rows| intermediate rows but
+  * still one scan and one shuffle); at 100 TB pass `exact = false` to
+  * swap every distinct for `approx_count_distinct` (HLL++, one buffer
+  * per column per task, no Expand) — same output shape, ±2% counts.
+  *
+  * Rendering is pinned so the profile is engine-reproducible:
+  * fractional numerics round to 4 dp and render as DECIMAL(18,4)
+  * strings, integers render as-is, temporals as `yyyy-MM-dd HH:mm:ss`.
+  */
+object Profiler {
+
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def nd(c: Column): Column =
+      if (exact) count_distinct(c) else approx_count_distinct(c)
+    val aggExprs = Seq(count(lit(1)).as("__rows")) ++ fields.flatMap { f =>
+      val c = col(f.name)
+      val (mn, mx): (Column, Column) = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          (min(c).cast(StringType), max(c).cast(StringType))
+        case FloatType | DoubleType | _: DecimalType =>
+          (round(min(c), 4).cast(DecimalType(18, 4)).cast(StringType),
+            round(max(c), 4).cast(DecimalType(18, 4)).cast(StringType))
+        case StringType => (min(c), max(c))
+        case DateType | TimestampType | TimestampNTZType =>
+          (date_format(min(c), "yyyy-MM-dd HH:mm:ss"),
+            date_format(max(c), "yyyy-MM-dd HH:mm:ss"))
+        case _ => (lit(null).cast(StringType), lit(null).cast(StringType))
+      }
+      val avgLen = f.dataType match {
+        case StringType => round(avg(length(c)), 4)
+        case _ => lit(null).cast(DoubleType)
+      }
+      Seq(
+        count(c).as(s"__nn_${f.name}"),
+        nd(c).as(s"__nd_${f.name}"),
+        mn.as(s"__mn_${f.name}"),
+        mx.as(s"__mx_${f.name}"),
+        avgLen.as(s"__al_${f.name}"))
+    }
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = fields.map { f =>
+      struct(
+        lit(f.name).as("column"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_${f.name}")).as("n_nulls"),
+        col(s"__nd_${f.name}").cast(LongType).as("n_distinct"),
+        col(s"__mn_${f.name}").as("min_repr"),
+        col(s"__mx_${f.name}").as("max_repr"),
+        col(s"__al_${f.name}").as("avg_len"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("column")
+  }
+}

@@ -365,6 +365,61 @@ object Similarity {
     ivfTopKBatch(spark.read.parquet(path), centroids, queries, k, nProbe,
       idCol, vecCol, qIdCol, qVecCol)
 
+  /** Distributed k-NN JOIN: EVERY row of `queries` — a full table, never
+    * collected to the driver or broadcast — finds its k nearest corpus
+    * rows by cosine. This is the shape hard-negative mining and
+    * retrieval-augmented dataset builds actually run (each of 10⁹
+    * training examples needs its neighbors), where [[ivfTopKBatch]]'s
+    * driver-ranked probe map cannot apply: the query side is as big as
+    * the corpus.
+    *
+    * Plan, all table-scale steps distributed:
+    *  1. per-QUERY-row cell ranking is a single codegen'd expression over
+    *     the centroid literals (nCells × dim floats — a few KB in the
+    *     plan, the same bounded-driver stance as IVF centroids): score
+    *     every centroid, `array_sort` the (score, cell) structs, take the
+    *     top `nProbe`, `explode`. Zero shuffle, zero driver trips.
+    *  2. candidate generation is an equi-join on `cell` — each query
+    *     meets only the corpus rows in its probed cells (~nProbe/nCells
+    *     of the corpus), never all-pairs. A corpus row lives in exactly
+    *     one cell, so no candidate pair is generated twice.
+    *  3. per-query top-k via the bounded [[graft.operators.TopKAgg]]:
+    *     at most k rows per query per map task cross the final shuffle.
+    *
+    * At 100 TB: size nCells ~ sqrt(N) so the cell join has real key
+    * cardinality (16 cells here is for the tiny test corpus; 1e9 vectors
+    * want ~30k cells), persist `indexed` written `partitionBy("cell")`
+    * (see [[ivfWrite]]), and let AQE split any hot cell. `excludeSelf`
+    * drops the trivial self-match when `queries` IS the corpus (the
+    * hard-negative shape).
+    */
+  def knnJoin(indexed: DataFrame, centroids: Seq[Array[Float]],
+              queries: DataFrame, k: Int, nProbe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qIdCol: String = "q_id", qVecCol: String = "q_vec",
+              excludeSelf: Boolean = false): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe must be in [1, ${centroids.size}]")
+    // (score, cell) structs sort ascending by score then cell; reverse →
+    // best score first, ties broken toward the LOWER cell id (struct
+    // compare on the second field descends after reverse, but equal
+    // scores are rare and any deterministic break is acceptable here —
+    // rankCells uses the same score ordering).
+    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(gf.cosine_sim(col(qVecCol), array(c.map(lit): _*)).as("s"),
+        lit(i).as("cell"))
+    }: _*)
+    val probed = queries.withColumn("cell",
+      explode(slice(reverse(array_sort(cellScores)), 1, nProbe).getField("cell")))
+    val cand = probed.join(indexed.select(col("cell"), col(idCol), col(vecCol)),
+      Seq("cell"))
+    val scored0 = cand.select(col(qIdCol), col(idCol),
+      gf.cosine_sim(col(vecCol), col(qVecCol)).as("cosine"))
+    val scored =
+      if (excludeSelf) scored0.filter(col(qIdCol) =!= col(idCol)) else scored0
+    graft.operators.TopKAgg.topKPerGroup(scored, qIdCol, idCol, "cosine", k)
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (Jégou et al. 2011) — the memory-scale path for
   // ANN: each vector compresses to `m` small codes (one per subspace), a

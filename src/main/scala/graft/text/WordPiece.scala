@@ -1,0 +1,211 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{functions => gf}
+
+/** WordPiece subword tokenizer — the third member of the tokenizer trio
+  * ([[Bpe]] merge-rank encode, [[Unigram]] Viterbi encode, WordPiece
+  * greedy longest-match encode). Two things distinguish it from BPE:
+  *
+  *  - TRAIN scores candidate merges by the likelihood ratio
+  *    `count(ab) / (count(a) * count(b))` (the pair that most
+  *    out-performs independence), not by raw pair frequency — the
+  *    scoring used by the standard WordPiece trainers;
+  *  - ENCODE ignores merge order entirely: each word is segmented by
+  *    greedy longest-match-first against the final vocabulary, with
+  *    non-initial pieces carrying the `##` continuation marker and a
+  *    whole-word `[UNK]` fallback when some position has no match.
+  *
+  * Train is distributed over the distinct-word frequency table exactly
+  * like [[Bpe.train]]: per round one pair-count aggregate (map-side
+  * partials, shuffle on the pair) joined against the tiny broadcast
+  * symbol-count table, and only the single argmax row reaches the
+  * driver. Rounds are sequential — BPE's safe-batch trick does NOT
+  * carry over, because the likelihood score of every surviving pair
+  * shifts whenever any merge changes a symbol count, so no
+  * count-ordering guard can prove a batch prefix equivalent. Rounds
+  * materialize via `localCheckpoint` (lineage truncated to a leaf per
+  * round, the [[Bpe.train]] lesson). At 100 TB: train on a sample —
+  * vocabulary learning converges long before the corpus is exhausted —
+  * then [[encode]] everywhere: encoding is one codegen-friendly
+  * expression with the vocab riding the plan, zero shuffle.
+  */
+object WordPiece {
+
+  /** Learn a WordPiece vocabulary: the initial code-point alphabet
+    * (word-initial symbols raw, continuations `##`-prefixed) plus up to
+    * `numMerges` fused pieces in learned order. Each round fuses the
+    * adjacent pair maximizing `n_ab / (n_a * n_b)` among pairs with
+    * `n_ab >= minCount`; ties break on (higher n_ab, lex a, lex b) so
+    * training is deterministic across partitionings.
+    */
+  def train(df: DataFrame, textCol: String = "text", numMerges: Int = 60,
+            minCount: Long = 2L): Seq[String] = {
+    require(numMerges >= 0 && minCount >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // split(w, "") is code-point aware (BpeSpec pins it): an astral char
+    // is ONE symbol. Word-initial symbol raw, the rest ##-prefixed.
+    var cur = df
+      .select(explode(gf.ws_tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(transform(
+        filter(split(col("w"), ""), x => x =!= lit("")),
+        (x, i) => when(i === 0, x).otherwise(concat(lit("##"), x))).as("sym"),
+        col("cnt"))
+      .localCheckpoint(true)
+    val alphabet = cur.select(explode(col("sym")).as("s")).distinct()
+      .orderBy("s").as[String].collect().toSeq
+    val vocab = Seq.newBuilder[String]
+    vocab ++= alphabet
+    var learned = 0
+    var exhausted = false
+    while (learned < numMerges && !exhausted) {
+      // symbol occurrence counts, freq-weighted — bounded by
+      // |alphabet| + numMerges rows, broadcast back into the pair scoring
+      val symCounts = cur
+        .select(explode(col("sym")).as("s"), col("cnt"))
+        .groupBy(col("s")).agg(sum(col("cnt")).as("sc"))
+      val best = cur.filter(size(col("sym")) >= 2)
+        .select(posexplode(slice(col("sym"), lit(1), size(col("sym")) - 1))
+          .as(Seq("i", "a")), col("sym"), col("cnt"))
+        .select(col("a"), element_at(col("sym"), col("i") + 2).as("b"), col("cnt"))
+        .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
+        .filter(col("n") >= minCount)
+        .join(broadcast(symCounts.select(col("s").as("a"), col("sc").as("na"))), Seq("a"))
+        .join(broadcast(symCounts.select(col("s").as("b"), col("sc").as("nb"))), Seq("b"))
+        .select(col("a"), col("b"), col("n"),
+          (col("n").cast("double") / (col("na") * col("nb")).cast("double")).as("score"))
+        .orderBy(desc("score"), desc("n"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getString(best(0).fieldIndex("a"))
+        val b = best(0).getString(best(0).fieldIndex("b"))
+        val fused = a + b.stripPrefix("##")
+        vocab += fused
+        learned += 1
+        cur = cur.withColumn("sym", fusePairColumn(col("sym"), a, b, fused))
+          .localCheckpoint(true)
+      }
+    }
+    vocab.result()
+  }
+
+  /** One merge as a left-to-right fold: append each symbol, but when the
+    * accumulator ends in `a` and the next symbol is `b`, replace that
+    * tail with `fused` (which, unlike BPE, is NOT `a + b` — the `##` of
+    * `b` is absorbed). Column-API only; corpus symbols never get spliced
+    * into SQL text.
+    */
+  private def fusePairColumn(sym: Column, a: String, b: String, fused: String): Column =
+    aggregate(sym, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Encode `textCol` with a trained vocabulary: per whitespace word,
+    * greedy longest-match-first segmentation (`##` continuations,
+    * whole-word `[UNK]` when stuck). Output: `idCol`,
+    * `pieces array<string>`, `n_pieces`, `n_unk` (words that fell back
+    * to `[UNK]`), and `piece_chars` — code points covered by real
+    * pieces (`##` markers excluded), which equals the corpus word chars
+    * exactly when `n_unk = 0`: the lossless-reconstruction invariant
+    * the oracle checks.
+    */
+  def encode(df: DataFrame, vocab: Seq[String],
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+      Shim.col(WordPieceEncode(Shim.expr(gf.ws_tokens(col(textCol))), vocab)).as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")))
+      .withColumn("n_unk",
+        size(filter(col("pieces"), p => p === lit("[UNK]"))))
+      .withColumn("piece_chars",
+        aggregate(col("pieces"), lit(0L), (acc, p) =>
+          acc + when(p === lit("[UNK]"), lit(0L))
+            .when(p.startsWith("##"), (length(p) - 2).cast("long"))
+            .otherwise(length(p).cast("long"))))
+}
+
+/** Greedy longest-match segmentation of a tokenized document (`child` =
+  * `array<string>` of whitespace words) under a WordPiece vocabulary.
+  * The vocab rides the plan (|alphabet| + numMerges strings — bounded by
+  * construction). Interpreted eval inside a codegen'd stage, the
+  * [[BpeEncode]] stance: one call per document in a projection.
+  */
+case class WordPieceEncode(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val vocabSet: Set[String] = vocab.toSet
+  /** longest piece in UTF-16 units — caps the backward scan per position */
+  @transient private lazy val maxPieceLen: Int =
+    if (vocab.isEmpty) 0 else vocab.iterator.map(_.length).max
+
+  /** Boundaries at CODE POINTS (the training alphabet's unit — a
+    * char-based scan would try lone-surrogate pieces that never match).
+    */
+  private[graft] def encodeWord(word: String): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    // code-point boundary offsets into the UTF-16 string
+    val bounds = {
+      val b = IndexedSeq.newBuilder[Int]
+      var i = 0
+      while (i < word.length) { b += i; i += Character.charCount(word.codePointAt(i)) }
+      b += word.length
+      b.result()
+    }
+    val out = Seq.newBuilder[String]
+    var s = 0 // index into bounds
+    while (s < bounds.length - 1) {
+      val prefix = if (s == 0) "" else "##"
+      var e = bounds.length - 1
+      var found = -1
+      while (e > s && found < 0) {
+        if (bounds(e) - bounds(s) + prefix.length <= maxPieceLen || e == s + 1) {
+          val cand = prefix + word.substring(bounds(s), bounds(e))
+          if (cand.length <= maxPieceLen && vocabSet.contains(cand)) found = e
+        }
+        e -= 1
+      }
+      if (found < 0) return Seq("[UNK]")
+      out += prefix + word.substring(bounds(s), bounds(found))
+      s = found
+    }
+    out.result()
+  }
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val out = Seq.newBuilder[UTF8String]
+    var i = 0
+    while (i < arr.numElements()) {
+      val w = arr.getUTF8String(i)
+      if (w != null && w.numBytes() > 0)
+        encodeWord(w.toString).foreach(s => out += UTF8String.fromString(s))
+      i += 1
+    }
+    new GenericArrayData(out.result().toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordPieceEncodeExpr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        ((org.apache.spark.sql.catalyst.expressions.UnaryExpression) $ref).nullSafeEval($a);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordPieceEncode =
+    copy(child = c)
+}

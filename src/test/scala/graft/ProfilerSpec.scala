@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.Profiler
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("profile: nulls, distincts, min/max rendering, string mean length") {
+    val df = Seq(
+      (1L, Some(1.5), Some("aa")),
+      (2L, Some(2.25), Some("bbbb")),
+      (3L, None, Some("aa")),
+      (4L, Some(1.5), None)
+    ).toDF("id", "x", "s")
+    val p = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "s", "x"))
+
+    val id = p("id")
+    assert(id.getLong(1) == 4L && id.getLong(2) == 0L && id.getLong(3) == 4L)
+    assert(id.getString(4) == "1" && id.getString(5) == "4")
+    assert(id.isNullAt(6))
+
+    val x = p("x")
+    assert(x.getLong(2) == 1L, "one null in x")
+    assert(x.getLong(3) == 2L, "distinct excludes nulls")
+    assert(x.getString(4) == "1.5000" && x.getString(5) == "2.2500")
+
+    val s = p("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L)
+    assert(s.getString(4) == "aa" && s.getString(5) == "bbbb")
+    assert(math.abs(s.getDouble(6) - 2.6667) < 1e-9, "mean of 2,4,2 rounded")
+  }
+
+  test("timestamp columns render as yyyy-MM-dd HH:mm:ss") {
+    val df = Seq("2021-03-04 05:06:07", "2020-01-01 00:00:00")
+      .toDF("raw").select(col("raw").cast("timestamp").as("ts"))
+    val p = Profiler.profile(df).collect().head
+    assert(p.getString(4) == "2020-01-01 00:00:00")
+    assert(p.getString(5) == "2021-03-04 05:06:07")
+  }
+
+  test("approx mode keeps the shape and lands near the exact counts") {
+    val df = (0 until 1000).map(i => (i.toLong, (i % 37).toString)).toDF("id", "k")
+    val exact = Profiler.profile(df).collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profiler.profile(df, exact = false).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(exact("k") == 37L)
+    assert(math.abs(approx("id") - 1000L) <= 50L)
+    assert(math.abs(approx("k") - 37L) <= 4L)
+    // approx plan must NOT contain the multi-distinct Expand
+    val plan = Profiler.profile(df, exact = false).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile should not Expand:\n$plan")
+  }
+}
