@@ -2352,6 +2352,40 @@ object SparkEntry {
     // exact all-pairs edit distance on a bounded id range — the
     // gold-standard verifier behind fuzzy near-dup candidates (classic
     // Levenshtein is engine-portable integer math)
+    // entity resolution on structured records: customers plus planted
+    // dirty variants (one name char swapped, +0.01 balance, id+1e6) are
+    // blocked by TWO half-name keys (either survives a single-field
+    // typo), matched by edit-distance + balance tolerance + segment
+    // equality, transitively clustered, and collapsed to one golden
+    // record per entity (min-id name, max balance). The DuckDB replica
+    // reproduces the whole pipeline — blocking, matching, depth-1
+    // labels (planted clusters are pairs, so closure == direct min;
+    // deeper chains are covered by EntityResolutionSpec) — and the
+    // output hash-matches end to end.
+    "er_resolve" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val dirty = cust.filter(col("c_custkey") % 7 === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 9), lit("x"),
+            substring(col("c_name"), 11, 100)).as("c_name"),
+          col("c_nationkey"),
+          (col("c_acctbal") + 0.01).as("c_acctbal"),
+          col("c_mktsegment"))
+      val all = cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment").unionByName(dirty)
+      val resolved = graft.dedup.EntityResolution.resolve(all, "c_custkey",
+        Seq(concat(col("c_nationkey"), lit("|"), substring(col("c_name"), 1, 13)),
+          concat(col("c_nationkey"), lit("|"), substring(col("c_name"), 14, 5))),
+        (l, r) =>
+          levenshtein(l.getField("c_name"), r.getField("c_name")) <= 1 &&
+            abs(l.getField("c_acctbal") - r.getField("c_acctbal")) <= 0.02 &&
+            l.getField("c_mktsegment") === r.getField("c_mktsegment"))
+      resolved.groupBy("entity")
+        .agg(count(lit(1)).as("n_members"),
+          min_by(col("c_name"), col("c_custkey")).as("name"),
+          max(col("c_acctbal")).as("best_bal"))
+        .orderBy("entity")
+    }),
     "dd_edit_pairs" -> ((s, d) => {
       val sub = t(s, d, "documents").filter(col("doc_id") < 30)
         .select(col("doc_id").as("idA"), substring(col("text"), 1, 40).as("sA"))
@@ -3418,6 +3452,36 @@ object SparkEntry {
         "FROM e JOIN q USING (i) GROUP BY e.vec_id) " +
         "SELECT vec_id, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cosine FROM s " +
         "WHERE round(dot/(sqrt(na)*sqrt(nb)), 4) >= 0.3 ORDER BY vec_id"),
+      // entity resolution: the full pipeline replicated — planted dirty
+      // variants, two-pass blocking (key index AND value, like the Spark
+      // join), match predicate, depth-1 min-neighbor labels (planted
+      // clusters are pairs; no chains — transitive closure is spec-gated)
+      "er_resolve" -> ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, " +
+        "c_acctbal, c_mktsegment FROM customer), " +
+        "dirty AS (SELECT c_custkey + 1000000 AS c_custkey, " +
+        "concat(substring(c_name, 1, 9), 'x', substring(c_name, 11)) AS c_name, " +
+        "c_nationkey, c_acctbal + 0.01 AS c_acctbal, c_mktsegment " +
+        "FROM base WHERE c_custkey % 7 = 3), " +
+        "allr AS (SELECT * FROM base UNION ALL SELECT * FROM dirty), " +
+        "keys AS (SELECT c_custkey AS id, 1 AS ki, " +
+        "concat(c_nationkey, '|', substring(c_name, 1, 13)) AS kv FROM allr " +
+        "UNION ALL SELECT c_custkey AS id, 2 AS ki, " +
+        "concat(c_nationkey, '|', substring(c_name, 14, 5)) AS kv FROM allr), " +
+        "cand AS (SELECT DISTINCT a.id AS idA, b.id AS idB FROM keys a " +
+        "JOIN keys b ON a.ki = b.ki AND a.kv = b.kv AND a.id < b.id), " +
+        "links AS (SELECT idA, idB FROM cand " +
+        "JOIN allr ra ON ra.c_custkey = cand.idA " +
+        "JOIN allr rb ON rb.c_custkey = cand.idB " +
+        "WHERE levenshtein(ra.c_name, rb.c_name) <= 1 " +
+        "AND abs(ra.c_acctbal - rb.c_acctbal) <= 0.02 " +
+        "AND ra.c_mktsegment = rb.c_mktsegment), " +
+        "lab AS (SELECT r.c_custkey AS id, least(r.c_custkey, coalesce(" +
+        "(SELECT min(l.idA) FROM links l WHERE l.idB = r.c_custkey), " +
+        "r.c_custkey)) AS entity FROM allr r) " +
+        "SELECT entity, count(*) AS n_members, " +
+        "min_by(r.c_name, r.c_custkey) AS name, max(r.c_acctbal) AS best_bal " +
+        "FROM allr r JOIN lab ON lab.id = r.c_custkey " +
+        "GROUP BY entity ORDER BY entity"),
       "dd_edit_pairs" -> ("SELECT a.doc_id AS idA, b.doc_id AS idB, " +
         "CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS BIGINT) AS edit_dist " +
         "FROM documents a JOIN documents b ON a.doc_id < b.doc_id " +

@@ -1,0 +1,66 @@
+package graft
+
+import graft.dedup.EntityResolution
+import org.apache.spark.sql.functions._
+
+class EntityResolutionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("candidates: multi-key blocking unions keys, dedupes pairs, skips nulls") {
+    val df = Seq(
+      (1L, Some("abc"), Some("xx")),
+      (2L, Some("abc"), Some("xx")), // meets 1 via BOTH keys -> one pair
+      (3L, Some("zzz"), Some("xx")), // meets 1,2 via key2 only
+      (4L, None, Some("yy")),        // null key1 never blocks
+      (5L, Some("qqq"), None)
+    ).toDF("id", "k1", "k2")
+    val cand = EntityResolution.candidates(df, "id", Seq(col("k1"), col("k2")))
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("resolve: typo clusters with a transitive chain close into one entity") {
+    // A(10)~B(11) and B(11)~C(12) match pairwise but A~C is 2 edits —
+    // the entity must still close transitively to min id 10
+    val df = Seq(
+      (10L, "aaaa", 5),
+      (11L, "aaab", 5), // 1 edit from A
+      (12L, "aabb", 5), // 1 edit from B, 2 edits from A
+      (20L, "jones", 5),
+      (21L, "jonez", 5),
+      (30L, "brown", 7)
+    ).toDF("id", "name", "grp")
+    val resolved = EntityResolution.resolve(df, "id",
+      Seq(col("grp")),
+      (l, r) => levenshtein(l.getField("name"), r.getField("name")) <= 1 &&
+        l.getField("grp") === r.getField("grp"))
+    val ent = resolved.select("id", "entity").as[(Long, Long)].collect().toMap
+    assert(ent(10L) == 10L && ent(11L) == 10L && ent(12L) == 10L)
+    assert(ent(20L) == 20L && ent(21L) == 20L)
+    assert(ent(30L) == 30L, "unlinked record is its own singleton entity")
+  }
+
+  test("survivorship: golden record per entity via plain groupBy") {
+    val df = Seq(
+      (1L, "acme corp", 100.0),
+      (2L, "acme corp.", 250.0),
+      (9L, "other", 5.0)
+    ).toDF("id", "name", "rev")
+    val resolved = EntityResolution.resolve(df, "id",
+      Seq(substring(col("name"), 1, 4)),
+      (l, r) => levenshtein(l.getField("name"), r.getField("name")) <= 2)
+    val golden = resolved.groupBy("entity")
+      .agg(count(lit(1)).as("n"), min_by(col("name"), col("id")).as("name"),
+        max(col("rev")).as("rev"))
+      .orderBy("entity")
+      .as[(Long, Long, String, Double)].collect()
+    assert(golden.toSeq == Seq((1L, 2L, "acme corp", 250.0), (9L, 1L, "other", 5.0)))
+  }
+
+  test("blocking is an equi-join: no all-pairs blowup across blocks") {
+    // 100 records in 50 distinct blocks of 2: exactly 50 candidate pairs
+    val df = (0 until 100).map(i => (i.toLong, s"blk${i / 2}")).toDF("id", "k")
+    val cand = EntityResolution.candidates(df, "id", Seq(col("k")))
+    assert(cand.count() == 50L)
+  }
+}
