@@ -1451,7 +1451,10 @@ object SparkEntry {
         val perQ = approx.groupBy("q_id").agg(count(lit(1)).as("n"))
         val allK = perQ.filter(col("n") =!= 10L).isEmpty
         val selfOk = approx.filter(col("q_id") === col("vec_id")).count() == nQueries
-        val exact = Similarity.windowTopKBatchOracle(emb, queries, 10)
+        // exact truth via the BOUNDED batch aggregate (k rows per query per
+        // map task), not the window oracle — the truth set costs as much
+        // as a scan, not a full-scored-table shuffle
+        val exact = Similarity.bruteForceTopKBatchAgg(emb, queries, 10)
           .select(col("q_id"), col("vec_id"))
         val hits = approx.intersect(exact).count()
         val meanRecall = hits.toDouble / (nQueries * 10L)
@@ -1549,6 +1552,20 @@ object SparkEntry {
     "txt_backoff_lm" -> ((s, d) => {
       val docs = t(s, d, "documents")
       TextAnalysis.stupidBackoffScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    }),
+    // CCNet-style per-language LM-quality bucketing: held-out docs are
+    // scored by the train-split Stupid-Backoff LM (exact nano-units),
+    // then each language splits at its own exact score terciles into
+    // head/middle/tail. Cutoffs are a bounded per-language aggregate
+    // broadcast back — no per-language global sort. The full pipeline
+    // (LM replica + quantile_disc terciles + bucket cases) hash-matches
+    // the DuckDB replica per document.
+    "pipe_ppl_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.pplBuckets(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
@@ -2480,6 +2497,29 @@ object SparkEntry {
         "FROM toks WHERE len(tk) >= 3), " +
         "p AS (SELECT a.doc_id AS idA, b.doc_id AS idB FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
         s"AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) >= $minJ)"
+    // Stupid-Backoff LM per-trigram nano scores of the odd (held-out)
+    // docs under the even-doc train split — CTEs through `sc`; shared by
+    // txt_backoff_lm and pipe_ppl_buckets
+    val sbScoreCte =
+      "WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "f AS (SELECT doc_id, tk FROM tk WHERE len(tk) >= 3), " +
+        "tr AS (SELECT tk FROM f WHERE doc_id % 2 = 0), " +
+        "uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w), " +
+        "big AS (SELECT g2, count(*) AS c2 FROM (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g2 FROM tr) GROUP BY g2), " +
+        "tri AS (SELECT g3, count(*) AS c3 FROM (SELECT unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g3 FROM tr) GROUP BY g3), " +
+        "nv AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM uni) + (SELECT count(*) FROM uni) AS denom), " +
+        "pos AS (SELECT doc_id, tk[i] AS w2, tk[i+1] AS w1, tk[i+2] AS w " +
+        "FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM f WHERE doc_id % 2 = 1)), " +
+        "sc AS (SELECT p.doc_id, CAST(floor(1000000000.0 * (" +
+        "CASE WHEN t.c3 IS NOT NULL THEN CAST(t.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE) " +
+        "WHEN b.c2 IS NOT NULL THEN 0.4 * (CAST(b.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE)) " +
+        "ELSE 0.16 * (CAST(COALESCE(u.c1, 0) + 1 AS DOUBLE) / CAST((SELECT denom FROM nv) AS DOUBLE)) END)) AS BIGINT) AS nano " +
+        "FROM pos p " +
+        "LEFT JOIN tri t ON t.g3 = p.w2 || ' ' || p.w1 || ' ' || p.w " +
+        "LEFT JOIN big b ON b.g2 = p.w1 || ' ' || p.w " +
+        "LEFT JOIN big bc ON bc.g2 = p.w2 || ' ' || p.w1 " +
+        "LEFT JOIN uni u ON u.w = p.w " +
+        "LEFT JOIN uni uc ON uc.w = p.w1)"
     Map(
       "kv_point" -> "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderkey = 142",
       "kv_range" -> ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders " +
@@ -3008,28 +3048,23 @@ object SparkEntry {
       // the Stupid-Backoff model replayed relationally: three count CTEs
       // over the even-doc train split, a five-way left join per scored
       // position, the same CASE backoff chain in nano-units
-      "txt_backoff_lm" -> ("WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
-        "f AS (SELECT doc_id, tk FROM tk WHERE len(tk) >= 3), " +
-        "tr AS (SELECT tk FROM f WHERE doc_id % 2 = 0), " +
-        "uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w), " +
-        "big AS (SELECT g2, count(*) AS c2 FROM (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g2 FROM tr) GROUP BY g2), " +
-        "tri AS (SELECT g3, count(*) AS c3 FROM (SELECT unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g3 FROM tr) GROUP BY g3), " +
-        "nv AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM uni) + (SELECT count(*) FROM uni) AS denom), " +
-        "pos AS (SELECT doc_id, tk[i] AS w2, tk[i+1] AS w1, tk[i+2] AS w " +
-        "FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM f WHERE doc_id % 2 = 1)), " +
-        "sc AS (SELECT p.doc_id, CAST(floor(1000000000.0 * (" +
-        "CASE WHEN t.c3 IS NOT NULL THEN CAST(t.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE) " +
-        "WHEN b.c2 IS NOT NULL THEN 0.4 * (CAST(b.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE)) " +
-        "ELSE 0.16 * (CAST(COALESCE(u.c1, 0) + 1 AS DOUBLE) / CAST((SELECT denom FROM nv) AS DOUBLE)) END)) AS BIGINT) AS nano " +
-        "FROM pos p " +
-        "LEFT JOIN tri t ON t.g3 = p.w2 || ' ' || p.w1 || ' ' || p.w " +
-        "LEFT JOIN big b ON b.g2 = p.w1 || ' ' || p.w " +
-        "LEFT JOIN big bc ON bc.g2 = p.w2 || ' ' || p.w1 " +
-        "LEFT JOIN uni u ON u.w = p.w " +
-        "LEFT JOIN uni uc ON uc.w = p.w1) " +
-        "SELECT doc_id, count(*) AS n_trigrams, " +
+      "txt_backoff_lm" -> (sbScoreCte +
+        " SELECT doc_id, count(*) AS n_trigrams, " +
         "CAST(floor(sum(nano) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS sb_nano " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+      // CCNet buckets: per-doc LM score -> per-language exact terciles ->
+      // head/middle/tail (same CTE prefix as txt_backoff_lm)
+      "pipe_ppl_buckets" -> (sbScoreCte +
+        ", d AS (SELECT doc_id, CAST(floor(sum(nano) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS sb_nano " +
+        "FROM sc GROUP BY doc_id), " +
+        "j AS (SELECT d.doc_id, doc.lang, d.sb_nano FROM d " +
+        "JOIN documents doc ON doc.doc_id = d.doc_id), " +
+        "c AS (SELECT lang, quantile_disc(sb_nano, 0.3333333333333333) AS p33, " +
+        "quantile_disc(sb_nano, 0.6666666666666666) AS p67 FROM j GROUP BY lang) " +
+        "SELECT j.doc_id, j.lang, j.sb_nano, " +
+        "CASE WHEN j.sb_nano <= c.p33 THEN 'tail' " +
+        "WHEN j.sb_nano <= c.p67 THEN 'middle' ELSE 'head' END AS bucket " +
+        "FROM j JOIN c ON c.lang = j.lang ORDER BY j.doc_id"),
       // frequent-items sketch: exact heavy-hitter count hash-verified, the
       // no-false-negative containment checked Spark-side
       "txt_heavy_hitters" -> ("WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents), " +

@@ -242,6 +242,36 @@ object TextAnalysis {
           .cast("long").as("sb_nano"))
   }
 
+  /** CCNet-style language-model quality bucketing (Wenzek et al. 2020,
+    * `ccnet`): score the corpus with the train-split Stupid-Backoff LM
+    * ([[stupidBackoffScore]] — integer nano-units, engine-exact), then
+    * split EACH LANGUAGE at its own score terciles into `head` (most
+    * LM-typical), `middle`, `tail` — the buckets CCNet materializes so
+    * downstream consumers can choose their quality/recall trade-off
+    * per language.
+    *
+    * Scale shape: the cutoffs are exact discrete percentiles computed
+    * by a BOUNDED aggregate (one row per language) and broadcast back
+    * for the bucket assignment — never a per-language global sort or a
+    * single-partition window. A language's whole corpus never
+    * concentrates on one task.
+    */
+  def pplBuckets(train: DataFrame, score: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 langCol: String = "lang"): DataFrame = {
+    val scored = stupidBackoffScore(train, score, idCol, textCol)
+      .join(score.select(col(idCol), col(langCol)), Seq(idCol))
+    val cuts = scored.groupBy(col(langCol))
+      .agg(expr("percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY sb_nano)").as("__p33"),
+        expr("percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY sb_nano)").as("__p67"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket",
+        when(col("sb_nano") <= col("__p33"), lit("tail"))
+          .when(col("sb_nano") <= col("__p67"), lit("middle"))
+          .otherwise(lit("head")))
+      .select(col(idCol), col(langCol), col("sb_nano"), col("bucket"))
+  }
+
   /** Nearest-centroid (Rocchio) text classification — the trainable
     * quality/domain classifier shape every corpus pipeline runs (a
     * deterministic, closed-form stand-in for a fastText-style filter):

@@ -52,4 +52,28 @@ class BackoffLmSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect()
     assert(got.map(_._1).toSeq == Seq(3L))
   }
+
+  test("pplBuckets: per-language terciles, monotone in score, all docs bucketed") {
+    import org.apache.spark.sql.functions._
+    // language X: 9 held-out docs with strictly increasing LM typicality
+    // (more copies of the trained trigram "a b c"); language Y: 3 docs.
+    // Terciles must split X 3/3/3 and Y 1/1/1, monotone by score.
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 9).map { i =>
+      // i+1 trained trigrams then one OOV tail token
+      val good = Seq.fill(i + 1)("a b c").mkString(" ")
+      (2L * i + 1, s"$good zz${i}", "X")
+    } ++ Seq((101L, "a b c", "Y"), (103L, "a b c a", "Y"), (105L, "a b c a b", "Y"))
+    val score = docs.toDF("doc_id", "text", "lang")
+    val res = TextAnalysis.pplBuckets(train.withColumn("lang", lit("X")), score)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(res.length == 12, "every held-out doc >= 3 tokens is bucketed")
+    for (lang <- Seq("X", "Y")) {
+      val l = res.filter(_._2 == lang).sortBy(_._3)
+      val n = l.length
+      assert(l.take(n / 3).forall(_._4 == "tail"))
+      assert(l.slice(n / 3, 2 * n / 3).forall(_._4 == "middle"))
+      assert(l.drop(2 * n / 3).forall(_._4 == "head"))
+    }
+  }
 }
