@@ -109,6 +109,74 @@ object SparkEntry {
       .select("idA", "idB")
   }
 
+  /** Shared resolution for `er_resolve` / `er_golden`: customers plus
+    * planted dirty variants (one name char swapped, +0.01 balance,
+    * id+1e6) blocked by TWO half-name keys (either survives a
+    * single-field typo), matched by edit-distance + balance tolerance +
+    * segment equality, transitively clustered. The DuckDB replica
+    * reproduces the whole pipeline — blocking (incl. the hot-block cap
+    * and empty-key filter), matching, and FULL transitive closure via a
+    * recursive reachability CTE, so accidental chains among base
+    * customers at larger scale factors label identically on both
+    * engines.
+    */
+  private def erResolved(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+    val dirty = cust.filter(col("c_custkey") % 7 === 3)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(substring(col("c_name"), 1, 9), lit("x"),
+          substring(col("c_name"), 11, 100)).as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + 0.01).as("c_acctbal"),
+        col("c_mktsegment"))
+    val all = cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment").unionByName(dirty)
+    graft.dedup.EntityResolution.resolve(all, "c_custkey",
+      Seq(concat(col("c_nationkey"), lit("|"), substring(col("c_name"), 1, 13)),
+        concat(col("c_nationkey"), lit("|"), substring(col("c_name"), 14, 5))),
+      (l, r) =>
+        levenshtein(l.getField("c_name"), r.getField("c_name")) <= 1 &&
+          abs(l.getField("c_acctbal") - r.getField("c_acctbal")) <= 0.02 &&
+          l.getField("c_mktsegment") === r.getField("c_mktsegment"))
+  }
+
+  /** Shared oracle-SQL prefix for `er_resolve` / `er_golden`: the CTE
+    * chain through transitive-closure labels. Starts with
+    * `WITH RECURSIVE` — callers append their own final CTEs + SELECT.
+    */
+  private val ErLabelCtes: String =
+    "WITH RECURSIVE base AS (SELECT c_custkey, c_name, c_nationkey, " +
+    "c_acctbal, c_mktsegment FROM customer), " +
+    "dirty AS (SELECT c_custkey + 1000000 AS c_custkey, " +
+    "concat(substring(c_name, 1, 9), 'x', substring(c_name, 11)) AS c_name, " +
+    "c_nationkey, c_acctbal + 0.01 AS c_acctbal, c_mktsegment " +
+    "FROM base WHERE c_custkey % 7 = 3), " +
+    "allr AS (SELECT * FROM base UNION ALL SELECT * FROM dirty), " +
+    "keys AS (SELECT c_custkey AS id, 1 AS ki, " +
+    "concat(c_nationkey, '|', substring(c_name, 1, 13)) AS kv FROM allr " +
+    "UNION ALL SELECT c_custkey AS id, 2 AS ki, " +
+    "concat(c_nationkey, '|', substring(c_name, 14, 5)) AS kv FROM allr), " +
+    // hot-block cap + empty-key filter, replicated from
+    // EntityResolution.candidates (window count per (ki, kv), drop > 10000)
+    "keptk AS (SELECT id, ki, kv FROM (SELECT id, ki, kv, " +
+    "count(*) OVER (PARTITION BY ki, kv) AS bs FROM keys " +
+    "WHERE kv IS NOT NULL AND length(kv) > 0) WHERE bs <= 10000), " +
+    "cand AS (SELECT DISTINCT a.id AS idA, b.id AS idB FROM keptk a " +
+    "JOIN keptk b ON a.ki = b.ki AND a.kv = b.kv AND a.id < b.id), " +
+    "links AS (SELECT idA, idB FROM cand " +
+    "JOIN allr ra ON ra.c_custkey = cand.idA " +
+    "JOIN allr rb ON rb.c_custkey = cand.idB " +
+    "WHERE levenshtein(ra.c_name, rb.c_name) <= 1 " +
+    "AND abs(ra.c_acctbal - rb.c_acctbal) <= 0.02 " +
+    "AND ra.c_mktsegment = rb.c_mktsegment), " +
+    // full transitive closure: undirected edges, recursive reachability,
+    // label = min reachable id (matches Dedup.clusters' min-id labels)
+    "links2 AS (SELECT idA AS a, idB AS b FROM links " +
+    "UNION SELECT idB AS a, idA AS b FROM links), " +
+    "reach AS (SELECT a AS src, a AS dst FROM links2 " +
+    "UNION SELECT r.src, l.b AS dst FROM reach r JOIN links2 l ON l.a = r.dst), " +
+    "lab AS (SELECT src AS id, min(dst) AS entity FROM reach GROUP BY src)"
+
   /** Normalize the events table's `ts` to a plain TIMESTAMP regardless of
     * how the generator wrote it: parquet TIMESTAMP(NANOS) arrives as a
     * nanos Long under the nanosAsLong legacy conf (`div` keeps the long
@@ -2379,28 +2447,22 @@ object SparkEntry {
     // labels (planted clusters are pairs, so closure == direct min;
     // deeper chains are covered by EntityResolutionSpec) — and the
     // output hash-matches end to end.
-    "er_resolve" -> ((s, d) => {
-      val cust = t(s, d, "customer")
-      val dirty = cust.filter(col("c_custkey") % 7 === 3)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"),
-          concat(substring(col("c_name"), 1, 9), lit("x"),
-            substring(col("c_name"), 11, 100)).as("c_name"),
-          col("c_nationkey"),
-          (col("c_acctbal") + 0.01).as("c_acctbal"),
-          col("c_mktsegment"))
-      val all = cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
-        "c_mktsegment").unionByName(dirty)
-      val resolved = graft.dedup.EntityResolution.resolve(all, "c_custkey",
-        Seq(concat(col("c_nationkey"), lit("|"), substring(col("c_name"), 1, 13)),
-          concat(col("c_nationkey"), lit("|"), substring(col("c_name"), 14, 5))),
-        (l, r) =>
-          levenshtein(l.getField("c_name"), r.getField("c_name")) <= 1 &&
-            abs(l.getField("c_acctbal") - r.getField("c_acctbal")) <= 0.02 &&
-            l.getField("c_mktsegment") === r.getField("c_mktsegment"))
-      resolved.groupBy("entity")
+    "er_resolve" -> ((s, d) =>
+      erResolved(s, d).groupBy("entity")
         .agg(count(lit(1)).as("n_members"),
           min_by(col("c_name"), col("c_custkey")).as("name"),
           max(col("c_acctbal")).as("best_bal"))
+        .orderBy("entity")),
+    // golden-record survivorship over the same resolution: per-column
+    // rules (newest-by-version balance, longest name, modal segment),
+    // each deterministic with greater-value tie-breaks — the oracle
+    // replays rule-for-rule with windowed argmaxes
+    "er_golden" -> ((s, d) => {
+      import graft.dedup.EntityResolution
+      import EntityResolution.Survivorship._
+      EntityResolution.goldenRecords(erResolved(s, d), "entity",
+        Seq("c_acctbal" -> Newest("c_custkey"), "c_name" -> Longest,
+          "c_mktsegment" -> MostFrequent))
         .orderBy("entity")
     }),
     "dd_edit_pairs" -> ((s, d) => {
@@ -3489,34 +3551,37 @@ object SparkEntry {
         "WHERE round(dot/(sqrt(na)*sqrt(nb)), 4) >= 0.3 ORDER BY vec_id"),
       // entity resolution: the full pipeline replicated — planted dirty
       // variants, two-pass blocking (key index AND value, like the Spark
-      // join), match predicate, depth-1 min-neighbor labels (planted
-      // clusters are pairs; no chains — transitive closure is spec-gated)
-      "er_resolve" -> ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, " +
-        "c_acctbal, c_mktsegment FROM customer), " +
-        "dirty AS (SELECT c_custkey + 1000000 AS c_custkey, " +
-        "concat(substring(c_name, 1, 9), 'x', substring(c_name, 11)) AS c_name, " +
-        "c_nationkey, c_acctbal + 0.01 AS c_acctbal, c_mktsegment " +
-        "FROM base WHERE c_custkey % 7 = 3), " +
-        "allr AS (SELECT * FROM base UNION ALL SELECT * FROM dirty), " +
-        "keys AS (SELECT c_custkey AS id, 1 AS ki, " +
-        "concat(c_nationkey, '|', substring(c_name, 1, 13)) AS kv FROM allr " +
-        "UNION ALL SELECT c_custkey AS id, 2 AS ki, " +
-        "concat(c_nationkey, '|', substring(c_name, 14, 5)) AS kv FROM allr), " +
-        "cand AS (SELECT DISTINCT a.id AS idA, b.id AS idB FROM keys a " +
-        "JOIN keys b ON a.ki = b.ki AND a.kv = b.kv AND a.id < b.id), " +
-        "links AS (SELECT idA, idB FROM cand " +
-        "JOIN allr ra ON ra.c_custkey = cand.idA " +
-        "JOIN allr rb ON rb.c_custkey = cand.idB " +
-        "WHERE levenshtein(ra.c_name, rb.c_name) <= 1 " +
-        "AND abs(ra.c_acctbal - rb.c_acctbal) <= 0.02 " +
-        "AND ra.c_mktsegment = rb.c_mktsegment), " +
-        "lab AS (SELECT r.c_custkey AS id, least(r.c_custkey, coalesce(" +
-        "(SELECT min(l.idA) FROM links l WHERE l.idB = r.c_custkey), " +
-        "r.c_custkey)) AS entity FROM allr r) " +
-        "SELECT entity, count(*) AS n_members, " +
+      // join) incl. the hot-block cap, match predicate, and FULL
+      // transitive closure (recursive reachability; min-id labels), so
+      // accidental chains at larger SFs label identically on both engines
+      "er_resolve" -> (ErLabelCtes + " " +
+        "SELECT coalesce(lab.entity, r.c_custkey) AS entity, " +
+        "count(*) AS n_members, " +
         "min_by(r.c_name, r.c_custkey) AS name, max(r.c_acctbal) AS best_bal " +
-        "FROM allr r JOIN lab ON lab.id = r.c_custkey " +
-        "GROUP BY entity ORDER BY entity"),
+        "FROM allr r LEFT JOIN lab ON lab.id = r.c_custkey " +
+        "GROUP BY 1 ORDER BY entity"),
+      // golden-record survivorship, rule-for-rule: newest = argmax by
+      // (version, value), longest = argmax by (length, value),
+      // most-frequent = argmax by (count, value) — all greater-value
+      // tie-breaks, replicated as windowed row_number picks
+      "er_golden" -> (ErLabelCtes + ", " +
+        "gold AS (SELECT r.c_custkey, r.c_name, r.c_acctbal, r.c_mktsegment, " +
+        "coalesce(lab.entity, r.c_custkey) AS entity " +
+        "FROM allr r LEFT JOIN lab ON lab.id = r.c_custkey), " +
+        "gn AS (SELECT entity, c_name, row_number() OVER (PARTITION BY entity " +
+        "ORDER BY length(c_name) DESC, c_name DESC) AS rn FROM gold), " +
+        "gb AS (SELECT entity, c_acctbal, row_number() OVER (PARTITION BY entity " +
+        "ORDER BY c_custkey DESC, c_acctbal DESC) AS rn FROM gold), " +
+        "gs AS (SELECT entity, c_mktsegment, row_number() OVER (PARTITION BY entity " +
+        "ORDER BY cnt DESC, c_mktsegment DESC) AS rn FROM " +
+        "(SELECT entity, c_mktsegment, count(*) AS cnt FROM gold GROUP BY 1, 2)), " +
+        "cnts AS (SELECT entity, count(*) AS n_members FROM gold GROUP BY 1) " +
+        "SELECT cnts.entity AS entity, cnts.n_members, gb.c_acctbal, gn.c_name, gs.c_mktsegment " +
+        "FROM cnts " +
+        "JOIN gn ON gn.entity = cnts.entity AND gn.rn = 1 " +
+        "JOIN gb ON gb.entity = cnts.entity AND gb.rn = 1 " +
+        "JOIN gs ON gs.entity = cnts.entity AND gs.rn = 1 " +
+        "ORDER BY cnts.entity"),
       "dd_edit_pairs" -> ("SELECT a.doc_id AS idA, b.doc_id AS idB, " +
         "CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS BIGINT) AS edit_dist " +
         "FROM documents a JOIN documents b ON a.doc_id < b.doc_id " +

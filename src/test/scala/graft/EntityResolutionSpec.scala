@@ -63,4 +63,52 @@ class EntityResolutionSpec extends SparkSuite {
     val cand = EntityResolution.candidates(df, "id", Seq(col("k")))
     assert(cand.count() == 50L)
   }
+
+  test("hot-block cap: a degenerate key value is dropped, reported, and " +
+       "leaves the non-degenerate records' resolution unchanged") {
+    // 10^4 records share one placeholder blocking value (the
+    // blank-but-not-null failure mode) — uncapped that block alone is
+    // ~5*10^7 candidate pairs before any match predicate runs.
+    val degenerate = (0 until 10000).map(i => (i.toLong, "PLACEHOLDER"))
+    val normal = Seq((20000L, "blkA"), (20001L, "blkA"), (20002L, "blkB"),
+      (20003L, "blkB"), (20004L, "blkC"))
+    val df = (degenerate ++ normal).toDF("id", "k")
+    val rep = EntityResolution.candidatesWithReport(df, "id", Seq(col("k")),
+      maxBlockSize = 100)
+    val cand = rep.candidates.as[(Long, Long)].collect().toSet
+    assert(cand == Set((20000L, 20001L), (20002L, 20003L)),
+      "only the bounded blocks' pairs survive")
+    val dropped = rep.droppedBlocks
+      .as[(Int, String, Long)].collect().toSeq
+    assert(dropped == Seq((0, "PLACEHOLDER", 10000L)),
+      "the dropped block's key and mass are reported")
+  }
+
+  test("empty-string block keys never block (substring-past-end failure mode)") {
+    val df = Seq((1L, ""), (2L, ""), (3L, "x"), (4L, "x")).toDF("id", "k")
+    val cand = EntityResolution.candidates(df, "id", Seq(col("k")))
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((3L, 4L)))
+  }
+
+  test("goldenRecords: newest / longest / most-frequent survivorship with " +
+       "deterministic greater-value tie-breaks") {
+    import EntityResolution.Survivorship._
+    val resolved = Seq(
+      // entity 1: ts ties on 5 (newest tie -> greater value "b2");
+      //           lengths tie at 4 (longest tie -> greater "name");
+      //           frequency ties 2-2 (modal tie -> greater "y")
+      (1L, "abcd", "b1", 5L, "x"),
+      (1L, "name", "b2", 5L, "x"),
+      (1L, "ab", "a0", 3L, "y"),
+      (1L, "abc", "a1", 4L, "y"),
+      // entity 2: singleton
+      (2L, "solo", "s1", 9L, "z")
+    ).toDF("entity", "nm", "code", "ts", "seg")
+    val golden = EntityResolution.goldenRecords(resolved, "entity",
+      Seq("code" -> Newest("ts"), "nm" -> Longest, "seg" -> MostFrequent))
+      .orderBy("entity")
+      .as[(Long, Long, String, String, String)].collect().toSeq
+    assert(golden == Seq((1L, 4L, "b2", "name", "y"), (2L, 1L, "s1", "solo", "z")))
+  }
 }
