@@ -23,19 +23,22 @@ import graft.functions.{functions => gf}
   *    non-initial pieces carrying the `##` continuation marker and a
   *    whole-word `[UNK]` fallback when some position has no match.
   *
-  * Train is distributed over the distinct-word frequency table exactly
-  * like [[Bpe.train]]: per round one pair-count aggregate (map-side
-  * partials, shuffle on the pair) joined against the tiny broadcast
-  * symbol-count table, and only the single argmax row reaches the
-  * driver. Rounds are sequential — BPE's safe-batch trick does NOT
-  * carry over, because the likelihood score of every surviving pair
-  * shifts whenever any merge changes a symbol count, so no
-  * count-ordering guard can prove a batch prefix equivalent. Rounds
-  * materialize via `localCheckpoint` (lineage truncated to a leaf per
-  * round, the [[Bpe.train]] lesson). At 100 TB: train on a sample —
-  * vocabulary learning converges long before the corpus is exhausted —
-  * then [[encode]] everywhere: encoding is one codegen-friendly
-  * expression with the vocab riding the plan, zero shuffle.
+  * Train is distributed over the distinct-word frequency table like
+  * [[Bpe.train]], but with ONE job per round: a single tagged-union
+  * aggregate emits the unigram rows (`b` null) and adjacent-pair rows
+  * (`b` set) from one explode of the symbol table, and the whole result
+  * — bounded by |symbols|² rows where |symbols| ≤ |alphabet| +
+  * numMerges, INDEPENDENT of corpus size — comes back to the driver,
+  * which scores `n_ab / (n_a * n_b)` and picks the argmax locally.
+  * Rounds are sequential — BPE's safe-batch trick does NOT carry over,
+  * because the likelihood score of every surviving pair shifts whenever
+  * any merge changes a symbol count, so no count-ordering guard can
+  * prove a batch prefix equivalent. Rounds materialize via
+  * `localCheckpoint` (lineage truncated to a leaf per round, the
+  * [[Bpe.train]] lesson). At 100 TB: pass `sampleFraction` — vocabulary
+  * learning converges long before the corpus is exhausted — then
+  * [[encode]] everywhere: encoding is one codegen-friendly expression
+  * with the vocab riding the plan, zero shuffle.
   */
 object WordPiece {
 
@@ -45,15 +48,23 @@ object WordPiece {
     * adjacent pair maximizing `n_ab / (n_a * n_b)` among pairs with
     * `n_ab >= minCount`; ties break on (higher n_ab, lex a, lex b) so
     * training is deterministic across partitionings.
+    *
+    * `sampleFraction < 1` trains on a deterministic Bernoulli sample of
+    * the documents (fixed `seed`) — the executable form of the train-
+    * on-a-sample stance above; encode still runs over everything.
     */
   def train(df: DataFrame, textCol: String = "text", numMerges: Int = 60,
-            minCount: Long = 2L): Seq[String] = {
+            minCount: Long = 2L, sampleFraction: Double = 1.0,
+            seed: Long = 42L): Seq[String] = {
     require(numMerges >= 0 && minCount >= 1)
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0, "sampleFraction in (0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
+    val src = if (sampleFraction < 1.0)
+      df.sample(withReplacement = false, sampleFraction, seed) else df
     // split(w, "") is code-point aware (BpeSpec pins it): an astral char
     // is ONE symbol. Word-initial symbol raw, the rest ##-prefixed.
-    var cur = df
+    var cur = src
       .select(explode(gf.ws_tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(transform(
@@ -68,32 +79,43 @@ object WordPiece {
     var learned = 0
     var exhausted = false
     while (learned < numMerges && !exhausted) {
-      // symbol occurrence counts, freq-weighted — bounded by
-      // |alphabet| + numMerges rows, broadcast back into the pair scoring
-      val symCounts = cur
-        .select(explode(col("sym")).as("s"), col("cnt"))
-        .groupBy(col("s")).agg(sum(col("cnt")).as("sc"))
-      val best = cur.filter(size(col("sym")) >= 2)
+      // ONE aggregate per round: unigram rows (b null) and adjacent-pair
+      // rows (b set) union into a single tagged count table. Both sides
+      // are bounded by the SYMBOL alphabet, not the corpus — ≤ |sym|
+      // unigrams and ≤ |sym|² pairs where |sym| ≤ |alphabet| + numMerges
+      // — so the whole table collects to the driver safely at any scale
+      // and the likelihood argmax is local arithmetic.
+      val uni = cur
+        .select(explode(col("sym")).as("a"), lit(null).cast("string").as("b"), col("cnt"))
+      val pairRows = cur.filter(size(col("sym")) >= 2)
         .select(posexplode(slice(col("sym"), lit(1), size(col("sym")) - 1))
           .as(Seq("i", "a")), col("sym"), col("cnt"))
         .select(col("a"), element_at(col("sym"), col("i") + 2).as("b"), col("cnt"))
+      val counts = uni.unionByName(pairRows)
         .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
-        .filter(col("n") >= minCount)
-        .join(broadcast(symCounts.select(col("s").as("a"), col("sc").as("na"))), Seq("a"))
-        .join(broadcast(symCounts.select(col("s").as("b"), col("sc").as("nb"))), Seq("b"))
-        .select(col("a"), col("b"), col("n"),
-          (col("n").cast("double") / (col("na") * col("nb")).cast("double")).as("score"))
-        .orderBy(desc("score"), desc("n"), asc("a"), asc("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .collect()
+      val symCount = counts.iterator.filter(_.isNullAt(1))
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val cand = counts.iterator.filterNot(_.isNullAt(1))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .filter(_._3 >= minCount)
+        .map { case (a, b, n) =>
+          (a, b, n, n.toDouble / (symCount(a) * symCount(b)).toDouble)
+        }.toSeq
+      if (cand.isEmpty) exhausted = true
       else {
-        val a = best(0).getString(best(0).fieldIndex("a"))
-        val b = best(0).getString(best(0).fieldIndex("b"))
+        // argmax score; ties desc n, asc a, asc b — same total order the
+        // old SQL orderBy used, now a local sort over ≤ |sym|² rows
+        val (a, b, _, _) = cand.minBy { case (a, b, n, score) => (-score, -n, a, b) }
         val fused = a + b.stripPrefix("##")
         vocab += fused
         learned += 1
+        // LAZY checkpoint: still truncates lineage to a leaf (the Bpe
+        // lesson — 60 stacked fold expressions would blow the plan up),
+        // but materializes as a side effect of the NEXT round's
+        // aggregate instead of paying a dedicated job per round
         cur = cur.withColumn("sym", fusePairColumn(col("sym"), a, b, fused))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     vocab.result()

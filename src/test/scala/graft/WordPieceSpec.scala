@@ -141,6 +141,25 @@ class WordPieceSpec extends SparkSuite {
     }
   }
 
+  test("sampled train converges: on a redundant corpus a 50% sample learns " +
+       "the same vocabulary as the full pass") {
+    // the 100-TB stance made executable: when the corpus is (as real
+    // corpora are) massively redundant at the subword level, the merge
+    // ranking is stable under Bernoulli sampling — the sample sees the
+    // same relative counts
+    val base = Seq("hello world", "hello there", "world wide web", "hello web")
+    val corpus = Seq.fill(100)(base).flatten
+    val df = corpus.toDF("text").repartition(8)
+    val full = WordPiece.train(df, numMerges = 10, minCount = 2)
+    val sampled = WordPiece.train(df, numMerges = 10, minCount = 2,
+      sampleFraction = 0.5, seed = 7L)
+    assert(sampled == full, s"sampled vocab diverged: $sampled != $full")
+    // and the sample path is deterministic under a fixed seed
+    val again = WordPiece.train(df, numMerges = 10, minCount = 2,
+      sampleFraction = 0.5, seed = 7L)
+    assert(again == sampled)
+  }
+
   test("unseen character falls back to a whole-word [UNK]") {
     val train = Seq("abc abc ab").toDF("text")
     val vocab = WordPiece.train(train, numMerges = 5, minCount = 2)
