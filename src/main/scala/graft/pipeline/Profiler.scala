@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   * multi-distinct rewrite (an Expand of n_cols replicas feeding
   * map-side partial aggregation — n_cols × |rows| intermediate rows but
   * still one scan and one shuffle); at 100 TB pass `exact = false` to
-  * swap every distinct for `approx_count_distinct` (HLL++, one buffer
-  * per column per task, no Expand) — same output shape, ±2% counts.
+  * swap every distinct for `approx_count_distinct` (HLL++ at
+  * rsd = 0.02, one buffer per column per task, no Expand) — same
+  * output shape, ±2% counts.
   *
   * Rendering is pinned so the profile is engine-reproducible:
   * fractional numerics round to 4 dp and render as DECIMAL(18,4)
@@ -25,10 +26,14 @@ object Profiler {
 
   def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
     val fields = df.schema.fields.toSeq
+    // backtick-quote every field reference: a column name containing a
+    // dot would otherwise parse as struct access (and a literal backtick
+    // escapes by doubling)
+    def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
     def nd(c: Column): Column =
-      if (exact) count_distinct(c) else approx_count_distinct(c)
+      if (exact) count_distinct(c) else approx_count_distinct(c, 0.02)
     val aggExprs = Seq(count(lit(1)).as("__rows")) ++ fields.flatMap { f =>
-      val c = col(f.name)
+      val c = q(f.name)
       val (mn, mx): (Column, Column) = f.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           (min(c).cast(StringType), max(c).cast(StringType))
@@ -57,11 +62,11 @@ object Profiler {
       struct(
         lit(f.name).as("column"),
         col("__rows").as("n_rows"),
-        (col("__rows") - col(s"__nn_${f.name}")).as("n_nulls"),
-        col(s"__nd_${f.name}").cast(LongType).as("n_distinct"),
-        col(s"__mn_${f.name}").as("min_repr"),
-        col(s"__mx_${f.name}").as("max_repr"),
-        col(s"__al_${f.name}").as("avg_len"))
+        (col("__rows") - q(s"__nn_${f.name}")).as("n_nulls"),
+        q(s"__nd_${f.name}").cast(LongType).as("n_distinct"),
+        q(s"__mn_${f.name}").as("min_repr"),
+        q(s"__mx_${f.name}").as("max_repr"),
+        q(s"__al_${f.name}").as("avg_len"))
     }
     one.select(explode(array(rows: _*)).as("p"))
       .select(col("p.*"))

@@ -400,17 +400,17 @@ object Similarity {
               excludeSelf: Boolean = false): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.size,
       s"nProbe must be in [1, ${centroids.size}]")
-    // (score, cell) structs sort ascending by score then cell; reverse →
-    // best score first, ties broken toward the LOWER cell id (struct
-    // compare on the second field descends after reverse, but equal
-    // scores are rare and any deterministic break is acceptable here —
-    // rankCells uses the same score ordering).
+    // (NEGATED score, cell) structs sort ascending → best score first,
+    // ties broken toward the LOWER cell id — the exact total order
+    // rankCells uses, so the expression path and the driver path probe
+    // identical cells even with tied/duplicate centroids (a reverse of
+    // the ascending sort would flip ties toward the HIGHER cell).
     val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(gf.cosine_sim(col(qVecCol), array(c.map(lit): _*)).as("s"),
+      struct((-gf.cosine_sim(col(qVecCol), array(c.map(lit): _*))).as("s"),
         lit(i).as("cell"))
     }: _*)
     val probed = queries.withColumn("cell",
-      explode(slice(reverse(array_sort(cellScores)), 1, nProbe).getField("cell")))
+      explode(slice(array_sort(cellScores), 1, nProbe).getField("cell")))
     val cand = probed.join(indexed.select(col("cell"), col(idCol), col(vecCol)),
       Seq("cell"))
     val scored0 = cand.select(col(qIdCol), col(idCol),

@@ -259,8 +259,16 @@ object TextAnalysis {
   def pplBuckets(train: DataFrame, score: DataFrame,
                  idCol: String = "doc_id", textCol: String = "text",
                  langCol: String = "lang"): DataFrame = {
+    // materialize the LM scoring pass ONCE: it (tokenize + three n-gram
+    // count aggregates + five-way join) feeds BOTH the cutoff aggregate
+    // and the final bucket join — without a checkpoint the second
+    // consumer would recompute the whole pass whenever the physical
+    // plans diverge (exchange reuse is an optimization, not a contract).
+    // The checkpointed table is narrow (id, counts, lang) and its blocks
+    // free when the plan is dropped — no unpersist bookkeeping.
     val scored = stupidBackoffScore(train, score, idCol, textCol)
       .join(score.select(col(idCol), col(langCol)), Seq(idCol))
+      .localCheckpoint(true)
     val cuts = scored.groupBy(col(langCol))
       .agg(expr("percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY sb_nano)").as("__p33"),
         expr("percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY sb_nano)").as("__p67"))

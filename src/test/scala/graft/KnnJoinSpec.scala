@@ -48,6 +48,28 @@ class KnnJoinSpec extends SparkSuite {
       "expression-ranked cells diverged from driver-ranked cells")
   }
 
+  test("tied/duplicate centroids: expression ranking breaks ties toward the " +
+       "LOWER cell id, agreeing with the driver-ranked probe") {
+    // four centroids, two DUPLICATED — every query's centroid scores tie
+    // pairwise, so a 1-cell probe is decided purely by tie-break; the expression
+    // path and rankCells must still probe identical cells
+    val c0 = Array.fill(8)(0.5f)
+    val c1 = Array.tabulate(8)(i => if (i < 4) 1.0f else -1.0f)
+    val cents = Seq(c0, c1, c0.clone(), c1.clone())
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) c0 else c1
+      (i.toLong, base.map(_ + (rnd.nextFloat() - 0.5f) * 0.01f), i % 4)
+    }
+    val indexed = rows.toDF("vec_id", "embedding", "cell")
+    val queries = rows.take(6).map(r => (r._1, r._2)).toDF("q_id", "q_vec")
+    val joinRes = Similarity.knnJoin(indexed, cents, queries, k = 3, nProbe = 1)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    val batchRes = Similarity.ivfTopKBatch(indexed, cents, queries, 3, nProbe = 1)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(joinRes == batchRes,
+      "tie-break diverged between expression and driver cell ranking")
+  }
+
   test("excludeSelf drops the self pair and still returns k rows per query") {
     val dim = 16
     def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() - 0.5f)

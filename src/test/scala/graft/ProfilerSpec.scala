@@ -41,6 +41,15 @@ class ProfilerSpec extends SparkSuite {
     assert(p.getString(5) == "2021-03-04 05:06:07")
   }
 
+  test("column names with dots and backticks profile correctly (no struct-access misparse)") {
+    val df = Seq((1L, "x"), (2L, "y"), (2L, null))
+      .toDF("a.b", "weird`name")
+    val p = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("a.b").getLong(2) == 0L && p("a.b").getLong(3) == 2L)
+    assert(p("weird`name").getLong(2) == 1L && p("weird`name").getLong(3) == 2L)
+  }
+
   test("approx mode keeps the shape and lands near the exact counts") {
     val df = (0 until 1000).map(i => (i.toLong, (i % 37).toString)).toDF("id", "k")
     val exact = Profiler.profile(df).collect().map(r => r.getString(0) -> r.getLong(3)).toMap
