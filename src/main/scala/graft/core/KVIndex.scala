@@ -409,6 +409,24 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     }
   }
 
+  /** UN-declared ordered stitch for the DSV2 ordering rung
+    * ([[graft.sources.GraftOrderedScan]]): the [[createOrReplaceView]]
+    * body minus the `DeclareOrdered` wrapper. The caller places the
+    * declaration ABOVE its own projection — `ManifestOrderedPartitioning`
+    * is not an `Expression`, so Spark's alias-aware projection would pass
+    * it through a `ProjectExec` unchanged and strand stale attribute ids
+    * inside it, silently un-satisfying the ordered distribution. `None`
+    * when the layout cannot stitch (overlapping file ranges, empty
+    * snapshot) — callers fall back to the plain scan.
+    */
+  private[graft] def orderedStitchFrame(reverse: Boolean): Option[DataFrame] =
+    if (manifest.isEmpty || files.isEmpty || !filesDisjoint) None
+    else {
+      val base = orderedUnion(if (reverse) files.reverse else files, reverse)
+      if (reverse) Some(base) // manifest prune marker is forward-only
+      else Some(graft.plans.OrderedPlans.snapshotPrunable(base, key.cols.head, prunedPlanFor))
+    }
+
   /** S3 head/tail over a snapshot: only the manifest-prefix of files
     * covering the first `n` rows is read — O(n) input regardless of
     * index size, no sort exchange on the covered files.

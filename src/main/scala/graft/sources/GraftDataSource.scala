@@ -41,10 +41,12 @@ import graft.core.{Command, FsSnapshotStore, GraftError, GraftException, KVIndex
   * decided here, while the actual scan keeps Spark's vectorized,
   * codegen'd parquet path — no hand-rolled reader to maintain.
   *
-  * Ordered/stitched SQL reads stay on [[graft.core.KVIndex.createOrReplaceView]]
-  * (its declared-ordering + prune rules): the V1 bridge does not carry an
-  * ordering contract, and claiming one the RDD does not guarantee could
-  * elide a sort Catalyst actually needs.
+  * Ordered SQL over this path gets the view path's exchange-free stitch
+  * via [[GraftOrderedScan]]: the V1 bridge itself carries no ordering
+  * contract, so a logical rewrite re-plans an eligible `ORDER BY
+  * <leading keys>` over the scan as the manifest-ordered stitch with the
+  * ordering DECLARED — the stock rules then elide the sort, exactly like
+  * `createOrReplaceView` readers.
   */
 final class GraftDataSource extends TableProvider with DataSourceRegister
     with CreatableRelationProvider with StreamSinkProvider with StreamSourceProvider {
@@ -67,7 +69,8 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
                             parameters: Map[String, String]): Source = {
     val opts = new CaseInsensitiveStringMap(parameters.asJava)
     val (store, indexId) = storeAndId(opts)
-    new GraftChangeSource(store, indexId)
+    val cap = Option(opts.get("maxVersionsPerBatch")).map(_.toLong)
+    new GraftChangeSource(store, indexId, cap)
   }
 
   private def storeAndId(options: CaseInsensitiveStringMap): (FsSnapshotStore, String) = {
@@ -200,6 +203,10 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
 final class GraftTable(store: SnapshotStore, manifest: SnapshotManifest,
                        pinned: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  // table resolution happens at ANALYSIS time — early enough that the
+  // session's optimizer picks the rule up for this very query
+  GraftOrderedScan.register(SparkSession.active)
 
   // UPDATE / MERGE INTO compile against the live store (GraftDml)
   private[sources] def storeRef: SnapshotStore = store
@@ -517,6 +524,14 @@ final class GraftScan(store: SnapshotStore, manifest: SnapshotManifest,
                       aggRow: Option[Seq[(StructField, Any)]] = None,
                       limit: Option[Int] = None)
     extends V1Scan with SupportsReportStatistics {
+
+  // the ordered-scan rewrite (GraftOrderedScan) re-plans an ORDER BY over
+  // this scan as the exchange-free manifest stitch; it needs the store +
+  // manifest, and must NOT fire when the scan already collapsed to an
+  // aggregate row or a limit prefix (both unordered by construction)
+  private[sources] def storeRef: SnapshotStore = store
+  private[sources] def manifestRef: SnapshotManifest = manifest
+  private[sources] def plainScan: Boolean = aggRow.isEmpty && limit.isEmpty
 
   override def readSchema(): StructType =
     aggRow.fold(required)(s => StructType(s.map(_._1)))

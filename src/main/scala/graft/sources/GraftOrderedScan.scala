@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, SortOrder}
+import org.apache.spark.sql.catalyst.optimizer.PushDownPredicates
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+import graft.core.KVIndex
+import graft.plans.{DeclareOrdered, DeclareOrderedStrategy, PruneSnapshotFiles, PushThroughDeclareOrdered}
+
+/** Ordering through the DSV2 path: `SELECT ... FROM cat.indexId ORDER BY
+  * key` plans the exchange-free manifest stitch instead of a global sort.
+  *
+  * The V1Scan bridge carries no ordering contract (`SupportsReportOrdering`
+  * reports are consumed by `BatchScanExec`, which the bridge never plans),
+  * so the report is made at the LOGICAL level instead: when a global
+  * `Sort` on a leading-key prefix sits (through deterministic filters and
+  * pure-attribute projections) over a [[GraftScan]] whose snapshot layout
+  * is disjoint-ordered, the scan relation is replaced by the same
+  * ordered-stitch plan the view path uses, wrapped in
+  * [[graft.plans.DeclareOrdered]] — whose physical twin satisfies
+  * `OrderedDistribution`, so the stock `EnsureRequirements` plans no
+  * exchange and `RemoveRedundantSorts` elides the sort. SQL predicates
+  * still prune manifest files: the stitch carries the
+  * `SnapshotFilePrune` marker and the companion push rules move filters
+  * into it.
+  *
+  * The rewrite declines (leaving the stock sort) when the scan already
+  * collapsed to an aggregate row or limit prefix, when file ranges
+  * overlap, or when the sort shape is anything but a plain
+  * ascending/descending leading-key prefix with default null ordering —
+  * claiming an order the RDD does not guarantee would corrupt results,
+  * so eligibility is strict.
+  */
+object GraftOrderedScan extends Rule[LogicalPlan] {
+
+  /** Idempotent session wiring: this rewrite plus the declaration
+    * strategy and the filter-push companions it relies on (shared with
+    * the view path — the same objects, so double registration is a
+    * no-op). Called from [[GraftTable]] at analysis time, early enough
+    * for the very query that resolved the table.
+    */
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(DeclareOrderedStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ DeclareOrderedStrategy
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+    if (!spark.experimental.extraOptimizations.contains(PushThroughDeclareOrdered))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ Seq(PushThroughDeclareOrdered,
+          PushDownPredicates, PruneSnapshotFiles)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case s: Sort if s.global =>
+      sortShape(s.order) match {
+        case Some((sortAttrs, reverse)) =>
+          rewriteThrough(s.child, sortAttrs, reverse)
+            .map(n => s.copy(child = n)).getOrElse(s)
+        case None => s
+      }
+  }
+
+  /** The sort must be plain attributes, one uniform direction, default
+    * null ordering — anything fancier keeps the stock sort.
+    */
+  private def sortShape(order: Seq[SortOrder])
+      : Option[(Seq[AttributeReference], Boolean)] = {
+    val attrs = order.map(_.child).collect { case a: AttributeReference => a }
+    if (attrs.size != order.size || order.isEmpty) return None
+    val dirs = order.map(_.direction).distinct
+    if (dirs.size != 1) return None
+    if (!order.forall(so => so.nullOrdering == so.direction.defaultNullOrdering))
+      return None
+    Some((attrs, dirs.head == Descending))
+  }
+
+  /** Walk down order-preserving nodes only (deterministic filters,
+    * pure-attribute projections — which also pass exprIds through
+    * unchanged, so the sort attributes trace to relation outputs by id).
+    */
+  private def rewriteThrough(p: LogicalPlan, sortAttrs: Seq[AttributeReference],
+                             reverse: Boolean): Option[LogicalPlan] = p match {
+    case f @ Filter(cond, child) if cond.deterministic =>
+      rewriteThrough(child, sortAttrs, reverse).map(n => f.copy(child = n))
+    case pr @ Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      rewriteThrough(child, sortAttrs, reverse).map(n => pr.copy(child = n))
+    case rel: DataSourceV2ScanRelation => rel.scan match {
+      // V2ScanRelationPushDown wraps every V1Scan before planning
+      case org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(g: GraftScan, _, _)
+          if g.plainScan => rewriteRelation(rel, g, sortAttrs, reverse)
+      case g: GraftScan if g.plainScan => rewriteRelation(rel, g, sortAttrs, reverse)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def rewriteRelation(rel: DataSourceV2ScanRelation, g: GraftScan,
+                              sortAttrs: Seq[AttributeReference],
+                              reverse: Boolean): Option[LogicalPlan] = {
+    val keyCols = g.manifestRef.keyCols
+    val outByName = rel.output.map(a => a.name -> a).toMap
+    // the declarable ordering: the longest keyCols prefix present in the
+    // relation output (a gap breaks the prefix — [k2] alone says nothing
+    // about global order)
+    val declared = keyCols.takeWhile(outByName.contains)
+    // eligibility: the query's sort columns are exactly a prefix of the
+    // declarable ordering, referencing the relation's own attributes
+    val sortNames = sortAttrs.map(_.name)
+    val eligible = sortNames == declared.take(sortNames.size) &&
+      sortAttrs.forall(a => outByName.get(a.name).exists(_.exprId == a.exprId))
+    if (!eligible) return None
+    val ix = new KVIndex(g.storeRef, g.manifestRef)
+    ix.orderedStitchFrame(reverse).map { stitched =>
+      val src = stitched.queryExecution.analyzed
+      val srcByName = src.output.map(a => a.name -> a).toMap
+      // project the full-schema stitch down to the relation's (possibly
+      // pruned) output, keeping the relation's exprIds so everything
+      // above keeps resolving (the PruneSnapshotFiles pattern)
+      val aliases = rel.output.map(o => Alias(srcByName(o.name), o.name)(exprId = o.exprId))
+      val dir = if (reverse) Descending else Ascending
+      val ordering = declared.map(c => SortOrder(outByName(c), dir))
+      DeclareOrdered(Project(aliases, src), ordering)
+    }
+  }
+}

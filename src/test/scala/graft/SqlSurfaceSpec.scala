@@ -115,6 +115,61 @@ class SqlSurfaceSpec extends SparkSuite {
       .map(t => (t._1, t._2)).toSeq == Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("ordered SQL through the DSV2 path: ORDER BY leading key plans the " +
+       "exchange-free stitch; non-key order keeps its sort") {
+    import graft.core._
+    val store = new FsSnapshotStore(tmpDir("graft-ordscan"), spark)
+    val rows = (1L to 4000L).map(i => (i, s"v$i", i * 3)).toDF("k", "s", "x")
+    val ix = KVIndex.bootstrap(store, "osv", rows, Seq("k"), maxRowsPerFile = 512)
+      .fold(e => sys.error(e.message), identity)
+    assert(ix.numFiles >= 4, "need a multi-file snapshot to observe the stitch")
+    def load() = spark.read.format("graft").option("root", store.root).load("osv")
+    // a global SortExec prints as "Sort [...], true, 0"; the stitch's
+    // per-leg local sorts print ", false," and are expected
+    val globalSort = """Sort \[[^\]]*\], true""".r
+
+    // ORDER BY key: the GraftOrderedScan rewrite swaps in the declared
+    // stitch — no global sort, no exchange, rows still in key order
+    val asc = load().orderBy("k")
+    val p1 = asc.queryExecution.executedPlan.toString
+    assert(globalSort.findFirstIn(p1).isEmpty && !p1.contains("Exchange"),
+      s"ORDER BY key over the DSV2 scan must elide the sort:\n$p1")
+    assert(asc.select("k").as[Long].collect().toSeq == (1L to 4000L))
+
+    // DESC too (reverse stitch)
+    val desc = load().orderBy($"k".desc)
+    val p2 = desc.queryExecution.executedPlan.toString
+    assert(globalSort.findFirstIn(p2).isEmpty && !p2.contains("Exchange"),
+      s"ORDER BY key DESC must elide the sort:\n$p2")
+    assert(desc.select("k").as[Long].collect().toSeq == (1L to 4000L).reverse)
+
+    // projection + range predicate: sort still elided, predicate still
+    // PRUNES the stitch to covering files, result correct
+    val ranged = load().select("k", "x").filter($"k".between(100L, 110L)).orderBy("k")
+    val p3 = ranged.queryExecution.executedPlan.toString
+    assert(globalSort.findFirstIn(p3).isEmpty && !p3.contains("Exchange"),
+      s"filtered+projected ORDER BY key must elide the sort:\n$p3")
+    val nScans = p3.sliding("FileScan".length).count(_ == "FileScan")
+    assert(nScans < ix.numFiles,
+      s"range predicate should prune stitch files ($nScans of ${ix.numFiles}):\n$p3")
+    assert(ranged.as[(Long, Long)].collect().toSeq ==
+      (100L to 110L).map(i => (i, i * 3)))
+
+    // SQL text over the format surface gets the same treatment
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW osv_sql USING graft " +
+      s"OPTIONS (root '${store.root}', path 'osv')")
+    val sqlQ = spark.sql("SELECT k FROM osv_sql ORDER BY k")
+    val p4 = sqlQ.queryExecution.executedPlan.toString
+    assert(globalSort.findFirstIn(p4).isEmpty && !p4.contains("Exchange"),
+      s"SQL-text ORDER BY key must elide the sort:\n$p4")
+    assert(sqlQ.as[Long].collect().toSeq == (1L to 4000L))
+
+    // ordering on a NON-key column must keep its real global sort
+    val nonKey = load().orderBy("x").queryExecution.executedPlan.toString
+    assert(globalSort.findFirstIn(nonKey).isDefined,
+      s"ORDER BY non-key must keep its global sort:\n$nonKey")
+  }
+
   test("catalog plugin: snapshot indexes are SQL tables with VERSION AS OF, INSERT, CREATE, DROP") {
     import graft.core._
     val store = new FsSnapshotStore(tmpDir("graft-catalog"), spark)
