@@ -23,16 +23,46 @@ import graft.core.{GraftException, KVIndex, SnapshotStore}
   * `vacuum(retainVersions = n)` must keep at least the stream's maximum
   * lag in versions; a vacuumed-away start version fails the batch with a
   * clear error rather than silently skipping changes.
+  *
+  * Admission control: `.option("maxVersionsPerBatch", n)` bounds how many
+  * committed versions one micro-batch may span. Without it, a reader
+  * restarted after a month of commits would plan ONE batch diffing across
+  * the whole gap — correct, but a giant unit of work with no intermediate
+  * progress or checkpoint. With the cap, [[getOffset]] advances at most
+  * `n` versions past the last batch this source planned, so the gap
+  * drains in `ceil(gap / n)` bounded batches whose change-rows union to
+  * the full diff (and preserve intermediate changes a collapsed diff
+  * would cancel). Offsets already committed to the query checkpoint are
+  * always served as-is — the cap shapes FUTURE batches, never re-splits
+  * a planned one.
   */
-final class GraftChangeSource(store: SnapshotStore, indexId: String)
+final class GraftChangeSource(store: SnapshotStore, indexId: String,
+                              maxVersionsPerBatch: Option[Long] = None)
     extends Source {
+
+  require(maxVersionsPerBatch.forall(_ >= 1L),
+    "graft: maxVersionsPerBatch must be >= 1")
+
+  /** End version of the last batch this instance planned — the base the
+    * cap advances from. Restart recovery initializes it: Spark replays
+    * `getBatch` for the last checkpointed batch before asking for new
+    * offsets, so the first capped step starts from the checkpoint, not
+    * from zero.
+    */
+  @volatile private var lastPlanned: Option[Long] = None
 
   override val schema: StructType = GraftChangeSource.changeSchema(
     store.emptyTyped(store.loadLatestLazy(indexId)
       .fold(e => throw GraftException(e), identity)).schema)
 
   override def getOffset: Option[Offset] =
-    store.loadLatestLazy(indexId).toOption.map(m => LongOffset(m.version))
+    store.loadLatestLazy(indexId).toOption.map { m =>
+      val capped = (maxVersionsPerBatch, lastPlanned) match {
+        case (Some(max), Some(prev)) => math.min(m.version, prev + max)
+        case _ => m.version // first batch is the full snapshot either way
+      }
+      LongOffset(capped)
+    }
 
   private def versionOf(o: Offset): Long = o.json.toLong
 
@@ -62,6 +92,7 @@ final class GraftChangeSource(store: SnapshotStore, indexId: String)
             vals.map(c => coalesce(col(s"new_$c"), col(s"old_$c")).as(c)) :+
             col("change").as("_change"): _*)
     }
+    lastPlanned = Some(endV)
     org.apache.spark.sql.graft.Shim.asStreamingBatch(keyed)
   }
 

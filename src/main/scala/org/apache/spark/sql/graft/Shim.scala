@@ -44,4 +44,19 @@ object Shim {
     spark.internalCreateDataFrame(
       data.queryExecution.toRdd.map(_.copy()), data.schema, isStreaming = true)
   }
+
+  /** Re-tag an [[asStreamingBatch]] result as a plain batch frame (tests /
+    * utilities that drive a Source by hand): the rows were already
+    * computed when the streaming wrapper was built — only the streaming
+    * bit blocks batch execution, so lift the RDD straight out of the
+    * `LogicalRDD` instead of re-executing through the batch checker.
+    */
+  def streamingRddAsBatch(data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    data.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        spark.internalCreateDataFrame(l.rdd, data.schema, isStreaming = false)
+      case _ => asBatch(data)
+    }
+  }
 }

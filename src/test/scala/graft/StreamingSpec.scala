@@ -183,6 +183,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("CDC admission control: a version gap drains in ceil(gap/max) bounded " +
+       "batches whose union equals the full diff") {
+    import graft.core._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val store = new FsSnapshotStore(tmpDir("graft-cdc-cap"), spark)
+    var ix = KVIndex.bootstrap(store, "cap",
+      Seq((0L, "base")).toDF("k", "v"), Seq("k"))
+      .fold(e => fail(e.message), identity)
+    // six more committed versions (v2..v7): the month-of-commits gap
+    for (i <- 1 to 6) {
+      val r = ix.execute(Seq(Command.Insert(Seq((i.toLong, s"v$i")).toDF("k", "v"))))
+      ix = new KVIndex(store, r.orThrow)
+    }
+    assert(ix.manifest.version == 7L)
+
+    val src = new graft.sources.GraftChangeSource(store, "cap",
+      maxVersionsPerBatch = Some(2L))
+    // restart recovery: Spark replays getBatch for the last checkpointed
+    // batch before asking for new offsets — the reader had consumed v1
+    src.getBatch(None, LongOffset(1L))
+    // drain: each offset step spans at most 2 versions -> 3 batches
+    var cur = 1L
+    val batches = Seq.newBuilder[(Long, Long)]
+    val seen = Seq.newBuilder[(Long, String, String)]
+    var guard = 0
+    while (cur < 7L && guard < 10) {
+      val next = src.getOffset.get.asInstanceOf[LongOffset].offset
+      assert(next - cur <= 2L, s"batch $cur->$next spans more than the cap")
+      assert(next > cur, "offset must advance")
+      // getBatch returns a streaming-tagged frame (the engine normally
+      // consumes it); re-tag as a batch to collect it in the test
+      seen ++= org.apache.spark.sql.graft.Shim
+        .streamingRddAsBatch(src.getBatch(Some(LongOffset(cur)), LongOffset(next)))
+        .as[(Long, String, String)].collect()
+      batches += ((cur, next))
+      cur = next
+      guard += 1
+    }
+    assert(batches.result() == Seq((1L, 3L), (3L, 5L), (5L, 7L)),
+      s"gap of 6 versions with cap 2 must drain in exactly 3 batches: ${batches.result()}")
+    // union of the stepwise batches == the end-to-end diff v1 -> v7
+    val full = new KVIndex(store, store.loadVersionLazy("cap", 1L))
+      .diff(new KVIndex(store, store.loadVersionLazy("cap", 7L)))
+      .select($"k", org.apache.spark.sql.functions.coalesce($"new_v", $"old_v").as("v"), $"change")
+      .as[(Long, String, String)].collect().toSet
+    assert(seen.result().toSet == full, "stepwise union must equal the full diff")
+    // once caught up, the next offset stays put (no phantom batches)
+    assert(src.getOffset.get.asInstanceOf[LongOffset].offset == 7L)
+  }
+
   test("streaming ingest with per-batch incremental dedup: one row per distinct text, first writer wins") {
     import graft.core._
     val store = new FsSnapshotStore(tmpDir("graft-incr-stream"), spark)
