@@ -303,6 +303,37 @@ object SparkEntry {
         .fold(e => sys.error(e.message), identity)
     }._2
 
+  /** Multi-column + min/max view fixture: same mutation protocol as
+    * [[maggView]] but the view maintains TWO sums in one ± pass and
+    * min/max of cents via the touched-group recompute (the mutations
+    * deliberately zero a group's minimum and remove bands holding
+    * maxima — the cases incremental min/max cannot serve).
+    */
+  private def maggMmView(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-magg-mm", s, d) { store =>
+      val src0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 97).as("points"))
+      val v1 = KVIndex.bootstrap(store, "aggsrcmm", src0, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      MaterializedAgg.create(store, "aggviewmm", v1, Seq("o_custkey"),
+        MaterializedAgg.ViewSpec(Seq("cents", "points"), Seq("cents")))
+        .fold(e => sys.error(e.message), identity)
+      val res = v1.execute(Seq(
+        Command.Insert(src0.filter(col("o_orderkey") < 50)
+          .withColumn("cents", lit(0L)), upsert = true),
+        Command.Remove(src0.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+          .select("o_orderkey")),
+        Command.Insert(s.range(0, 10).select(
+          (col("id") + 2000000L).as("o_orderkey"),
+          (lit(999990L) + col("id") % 2).as("o_custkey"),
+          (lit(12345L) + col("id")).as("cents"),
+          ((col("id") + 2000000L) % 97).as("points")))))
+      val v2 = new KVIndex(store, res.orThrow)
+      MaterializedAgg.refresh(store, "aggviewmm", v2)
+        .fold(e => sys.error(e.message), identity)
+    }._2
+
   /** Binary-keyed index — the reference's CANONICAL key type is
     * unsigned-lexicographic `Bytes` (reference `package.scala:39-42`; every
     * `MainSpec`/`QueriesRandomSpec` workload runs byte keys). Key layout
@@ -623,6 +654,14 @@ object SparkEntry {
     "kv_agg_view" -> ((s, d) =>
       maggView(s, d).df
         .select(col("o_custkey"), col("agg_sum"), col("agg_cnt"))
+        .orderBy("o_custkey")),
+    // multi-column + min/max view: two sums ride one ± pass, min/max of
+    // cents recomputes from the source for TOUCHED groups only; the
+    // oracle is again the from-scratch recompute of the mutated table
+    "kv_agg_view_mm" -> ((s, d) =>
+      maggMmView(s, d).df
+        .select(col("o_custkey"), col("sum_cents"), col("sum_points"),
+          col("agg_cnt"), col("min_cents"), col("max_cents"))
         .orderBy("o_custkey")),
 
     "kv_split" -> ((s, d) => {
@@ -2630,6 +2669,20 @@ object SparkEntry {
         "UNION ALL SELECT 2000000 + i, 999990 + i % 2, 12345 + i FROM range(10) t(i)) " +
         "SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS agg_sum, " +
         "CAST(count(*) AS BIGINT) AS agg_cnt FROM mutated GROUP BY 1 ORDER BY 1"),
+      "kv_agg_view_mm" -> ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "CAST(o_orderkey % 97 AS BIGINT) AS points FROM orders), " +
+        "mutated AS (SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderkey < 50 THEN 0 ELSE cents END AS cents, points " +
+        "FROM base WHERE NOT (o_orderkey >= 100 AND o_orderkey < 200) " +
+        "UNION ALL SELECT 2000000 + i, 999990 + i % 2, 12345 + i, " +
+        "CAST((2000000 + i) % 97 AS BIGINT) FROM range(10) t(i)) " +
+        "SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+        "CAST(sum(points) AS BIGINT) AS sum_points, " +
+        "CAST(count(*) AS BIGINT) AS agg_cnt, " +
+        "CAST(min(cents) AS BIGINT) AS min_cents, " +
+        "CAST(max(cents) AS BIGINT) AS max_cents " +
+        "FROM mutated GROUP BY 1 ORDER BY 1"),
       "kv_split" -> ("WITH ranked AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn, " +
         "count(*) OVER () AS total FROM orders) " +
         "SELECT (SELECT count(*) FROM ranked WHERE rn <= total // 2) AS n_left, " +

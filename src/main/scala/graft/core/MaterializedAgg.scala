@@ -9,38 +9,70 @@ import org.apache.spark.sql.functions._
   * versions reads ONLY unshared files ([[KVIndex.diff]]), so a refresh
   * costs O(changed data) + O(touched groups).
   *
-  * The view is itself a [[KVIndex]] keyed by the group columns with value
-  * columns `agg_sum` (of one source column) and `agg_cnt` — enough to
-  * derive sum/count/avg. The SOURCE position the view reflects rides in
-  * the view manifest's `lastChangeVersion` (`magg:<srcId>:<valueCol>:v<N>
-  * :<uuid>`), so refresh knows exactly which diff to apply and is
-  * idempotent per source version.
+  * The view is itself a [[KVIndex]] keyed by the group columns. A
+  * [[MaterializedAgg.ViewSpec]] names the maintained aggregates:
+  *
+  *  - `sumCols` — one `sum_<c>` column each (plus the shared `agg_cnt`),
+  *    all maintained in ONE pass over the diff's ±events; several value
+  *    columns cost no extra jobs over one. The single-column no-min/max
+  *    view keeps the legacy `agg_sum`/`agg_cnt` names.
+  *  - `minMaxCols` — `min_<m>`/`max_<m>` each. Min/max are NOT
+  *    incrementally maintainable under removals (dropping the current
+  *    minimum says nothing about the next one), so refresh recomputes
+  *    them from the SOURCE — but only for TOUCHED groups: the diff names
+  *    the groups whose membership changed, a semi-join restricts the
+  *    source aggregate to exactly those. Cost: one source scan whose
+  *    AGGREGATION is bounded by touched rows (and when the group columns
+  *    are the source's leading key, the scan itself prunes to their
+  *    files); untouched groups never rewrite. A spec without min/max
+  *    never scans the source at all — the pure-± economics.
+  *
+  * The SOURCE position the view reflects rides in the view manifest's
+  * `lastChangeVersion` (`magg:<srcId>:<spec>:v<N>:<uuid>`), so refresh
+  * knows exactly which diff to apply and is idempotent per source
+  * version.
   *
   * EXACTNESS contract: the maintained state is bit-identical to a full
-  * recompute, which requires order-independent addition — the source
-  * column must be integral or decimal (floats are REJECTED: their sums
-  * depend on association order, so "incremental == recompute" could not
-  * hold and the whole point of the oracle-checked view would be lost).
-  *
-  * Refresh plan shape: diff (unshared files only) → per-row ±events (a
-  * `changed` row emits a removal at its OLD group and an addition at its
-  * NEW group, so rows MIGRATING between groups just work) → one
-  * map-side-combined aggregate to (group, dSum, dCnt) → left join onto
-  * the view state → one COW write batch (upserts + removals of emptied
-  * groups). Untouched groups' files are never rewritten (file-grain COW).
-  * MIN/MAX are deliberately absent: they are not incrementally
-  * maintainable under removals without per-group recompute.
+  * recompute, which requires order-independent arithmetic — sum columns
+  * must be integral or decimal (floats are REJECTED: their sums depend on
+  * association order, so "incremental == recompute" could not hold).
+  * Min/max are order-independent for any orderable type, so min/max
+  * columns carry no type restriction.
   */
 object MaterializedAgg {
 
-  private def txOf(srcId: String, valueCol: String, srcVersion: Long): String =
-    s"magg:$srcId:$valueCol:v$srcVersion:${java.util.UUID.randomUUID()}"
+  /** The aggregates a view maintains. Column names must not contain the
+    * manifest-encoding separators.
+    */
+  final case class ViewSpec(sumCols: Seq[String], minMaxCols: Seq[String] = Nil) {
+    require(sumCols.nonEmpty, "at least one sum column")
+    require((sumCols ++ minMaxCols).forall(c => !Seq(",", "|", ":").exists(c.contains)),
+      "view columns must not contain ',', '|' or ':'")
+    /** single sum, no min/max — keeps the original agg_sum/agg_cnt names */
+    private[core] def legacy: Boolean = sumCols.sizeIs == 1 && minMaxCols.isEmpty
+    private[core] def sumName(c: String): String = if (legacy) "agg_sum" else s"sum_$c"
+    private[core] def encode: String = sumCols.mkString(",") +
+      (if (minMaxCols.nonEmpty) "|" + minMaxCols.mkString(",") else "")
+    /** view value columns in schema order */
+    private[core] def valueNames: Seq[String] =
+      sumCols.map(sumName) ++ Seq("agg_cnt") ++
+        minMaxCols.flatMap(m => Seq(s"min_$m", s"max_$m"))
+  }
 
-  /** (srcId, valueCol, srcVersion) recorded in a view manifest. */
-  private[graft] def sourceOf(m: SnapshotManifest): (String, String, Long) =
+  private[core] def decodeSpec(s: String): ViewSpec = s.split("\\|") match {
+    case Array(sums) => ViewSpec(sums.split(",").toSeq)
+    case Array(sums, mm) => ViewSpec(sums.split(",").toSeq, mm.split(",").toSeq)
+    case _ => throw new IllegalStateException(s"bad MaterializedAgg spec '$s'")
+  }
+
+  private def txOf(srcId: String, spec: ViewSpec, srcVersion: Long): String =
+    s"magg:$srcId:${spec.encode}:v$srcVersion:${java.util.UUID.randomUUID()}"
+
+  /** (srcId, spec, srcVersion) recorded in a view manifest. */
+  private[graft] def sourceOf(m: SnapshotManifest): (String, ViewSpec, Long) =
     m.lastChangeVersion.split(":") match {
-      case Array("magg", id, vc, v, _*) if v.startsWith("v") =>
-        (id, vc, v.drop(1).toLong)
+      case Array("magg", id, spec, v, _*) if v.startsWith("v") =>
+        (id, decodeSpec(spec), v.drop(1).toLong)
       case _ => throw new IllegalStateException(
         s"${m.id} is not a MaterializedAgg view (tx='${m.lastChangeVersion}')")
     }
@@ -56,22 +88,34 @@ object MaterializedAgg {
     }
   }
 
+  /** The full aggregate expressions of a spec, shared by create and the
+    * touched-group recompute so the two paths are the same arithmetic.
+    * `coalesce` BEFORE the sum: SQL `sum()` skips NULLs and yields NULL
+    * for an all-null group, which the incremental ± arithmetic could not
+    * reproduce; null-as-zero makes both paths agree exactly.
+    */
+  private def aggExprs(spec: ViewSpec): Seq[Column] =
+    spec.sumCols.map(c => sum(coalesce(col(c), lit(0))).as(spec.sumName(c))) ++
+      Seq(count(lit(1)).as("agg_cnt")) ++
+      spec.minMaxCols.flatMap(m => Seq(min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))
+
   /** Full aggregate of `src`'s current snapshot, materialized as index
-    * `viewId` (grouped on `groupCols`, summing/counting `valueCol`).
+    * `viewId` (grouped on `groupCols`, maintaining `spec`).
     */
   def create(store: SnapshotStore, viewId: String, src: KVIndex,
-             groupCols: Seq[String], valueCol: String): Either[GraftError, KVIndex] = {
+             groupCols: Seq[String], spec: ViewSpec): Either[GraftError, KVIndex] = {
     val df = src.df
-    requireExactType(df, valueCol)
-    // coalesce BEFORE the sum: SQL sum() skips NULLs and yields NULL for
-    // an all-null group, which the incremental ± arithmetic could not
-    // reproduce; null-as-zero makes both paths agree exactly
-    val agg = df.groupBy(groupCols.map(col): _*)
-      .agg(sum(coalesce(col(valueCol), lit(0))).as("agg_sum"),
-        count(lit(1)).as("agg_cnt"))
+    spec.sumCols.foreach(requireExactType(df, _))
+    val e = aggExprs(spec)
+    val agg = df.groupBy(groupCols.map(col): _*).agg(e.head, e.tail: _*)
     KVIndex.bootstrap(store, viewId, agg, groupCols,
-      txVersion = txOf(src.manifest.id, valueCol, src.manifest.version))
+      txVersion = txOf(src.manifest.id, spec, src.manifest.version))
   }
+
+  /** Single-sum convenience (the original surface). */
+  def create(store: SnapshotStore, viewId: String, src: KVIndex,
+             groupCols: Seq[String], valueCol: String): Either[GraftError, KVIndex] =
+    create(store, viewId, src, groupCols, ViewSpec(Seq(valueCol)))
 
   /** Apply the COW diff between the view's recorded source version and
     * `src`'s current version. No-op (same index returned, no commit) when
@@ -79,61 +123,123 @@ object MaterializedAgg {
     */
   def refresh(store: SnapshotStore, viewId: String, src: KVIndex): Either[GraftError, KVIndex] =
     KVIndex.open(store, viewId).map { view =>
-      val (srcId, valueCol, v0) = sourceOf(view.manifest)
+      val (srcId, spec, v0) = sourceOf(view.manifest)
       require(srcId == src.manifest.id,
         s"view $viewId tracks $srcId, not ${src.manifest.id}")
       if (src.manifest.version <= v0) view
-      else refreshFrom(store, view, src, valueCol, v0)
+      else if (spec.minMaxCols.isEmpty) refreshIncremental(store, view, src, spec, v0)
+      else refreshTouched(store, view, src, spec, v0)
     }
 
-  private def refreshFrom(store: SnapshotStore, view: KVIndex, src: KVIndex,
-                          valueCol: String, v0: Long): KVIndex = {
-      val srcId = src.manifest.id
-      val old = new KVIndex(store, store.loadVersion(srcId, v0))
-      val delta = groupDeltas(old.diff(src), view.manifest.keyCols,
-        valueCol, src.manifest.keyCols.toSet)
-      val state = view.df.select(
-        view.manifest.keyCols.map(col) :+ col("agg_sum") :+ col("agg_cnt"): _*)
-      val sumType = state.schema("agg_sum").dataType
-      val applied = delta.join(state, view.manifest.keyCols, "left")
-        .select(view.manifest.keyCols.map(col) ++ Seq(
-          (coalesce(col("agg_sum"), lit(0)) + col("d_sum")).cast(sumType).as("agg_sum"),
-          (coalesce(col("agg_cnt"), lit(0L)) + col("d_cnt")).cast("long").as("agg_cnt")): _*)
+  /** Pure-± path (no min/max): diff → per-group net deltas → one join
+    * onto the view state → one COW write batch. The source is never
+    * scanned.
+    */
+  private def refreshIncremental(store: SnapshotStore, view: KVIndex, src: KVIndex,
+                                 spec: ViewSpec, v0: Long): KVIndex = {
+    val srcId = src.manifest.id
+    val old = new KVIndex(store, store.loadVersion(srcId, v0))
+    val gcols = view.manifest.keyCols
+    val delta = groupDeltas(old.diff(src), gcols, spec, src.manifest.keyCols.toSet)
+      // groups whose events cancel exactly are dropped — their files
+      // must not churn (only sound without min/max: a swap that
+      // preserves sum and count can still move a group's extremes)
+      .filter(spec.sumCols.map(c => col(s"d_${spec.sumName(c)}") =!= 0)
+        .reduce(_ || _) || col("d_cnt") =!= 0L)
+    val state = view.df.select((gcols ++ spec.valueNames).map(col): _*)
+    val sumTypes = spec.sumCols.map(c => state.schema(spec.sumName(c)).dataType)
+    val applied = delta.join(state, gcols, "left")
+      .select(gcols.map(col) ++
+        spec.sumCols.zip(sumTypes).map { case (c, t) =>
+          val n = spec.sumName(c)
+          (coalesce(col(n), lit(0)) + col(s"d_$n")).cast(t).as(n)
+        } ++ Seq(
+        (coalesce(col("agg_cnt"), lit(0L)) + col("d_cnt")).cast("long").as("agg_cnt")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val upserts = applied.filter(col("agg_cnt") > 0L)
+      val removes = applied.filter(col("agg_cnt") === 0L).select(gcols.map(col): _*)
+      commit(store, view, upserts, removes, txOf(src.manifest.id, spec, src.manifest.version))
+    } finally applied.unpersist()
+  }
+
+  /** Min/max path: the diff names the TOUCHED groups; their rows (and
+    * only theirs — a semi-join) re-aggregate from the source with the
+    * same expressions `create` used. Unchanged recomputes are dropped by
+    * a null-safe compare against the view state, so a no-op touch never
+    * rewrites a file. Emptied groups (touched but absent from the
+    * recompute) are removed.
+    */
+  private def refreshTouched(store: SnapshotStore, view: KVIndex, src: KVIndex,
+                             spec: ViewSpec, v0: Long): KVIndex = {
+    val srcId = src.manifest.id
+    val old = new KVIndex(store, store.loadVersion(srcId, v0))
+    val gcols = view.manifest.keyCols
+    val srcKeys = src.manifest.keyCols.toSet
+    val diff = old.diff(src)
+    def side(c: String, s: String): Column =
+      if (srcKeys.contains(c)) col(c) else col(s"${s}_$c")
+    // touched = every group named by ANY diff event, BEFORE cancellation
+    // (a swap preserving sum and count can still move a group's extremes,
+    // so min/max views may not use the canceled-delta shortcut)
+    val touched = diff.filter(col("change").isin("removed", "changed"))
+      .select(gcols.map(c => side(c, "old").as(c)): _*)
+      .unionByName(diff.filter(col("change").isin("added", "changed"))
+        .select(gcols.map(c => side(c, "new").as(c)): _*))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val e = aggExprs(spec)
+      val fresh = src.df.join(touched, gcols, "left_semi")
+        .groupBy(gcols.map(col): _*).agg(e.head, e.tail: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val upserts = applied.filter(col("agg_cnt") > 0L)
-        val removes = applied.filter(col("agg_cnt") === 0L)
-          .select(view.manifest.keyCols.map(col): _*)
-        val cmds = Seq(
-          if (upserts.isEmpty) None else Some(Command.Insert(upserts, upsert = true)),
-          if (removes.isEmpty) None else Some(Command.Remove(removes))).flatten
-        if (cmds.isEmpty) view
-        else {
-          val res = view.execute(cmds,
-            txOf(srcId, valueCol, src.manifest.version))
-          new KVIndex(store, res.orThrow)
-        }
-      } finally applied.unpersist()
+        val state = view.df.select((gcols ++ spec.valueNames).map(col): _*)
+        // drop no-op recomputes (null-safe compare on every maintained col)
+        val stateAliased = state.select(gcols.map(col) ++
+          spec.valueNames.map(n => col(n).as(s"__old_$n")): _*)
+        val upserts = fresh.join(stateAliased, gcols, "left")
+          .filter(!spec.valueNames.map(n => col(n) <=> col(s"__old_$n")).reduce(_ && _))
+          .select((gcols ++ spec.valueNames).map(col): _*)
+        // emptied groups: touched, present in the view, absent from fresh
+        val removes = touched.join(state.select(gcols.map(col): _*), gcols, "left_semi")
+          .join(fresh.select(gcols.map(col): _*), gcols, "left_anti")
+        commit(store, view, upserts, removes, txOf(srcId, spec, src.manifest.version))
+      } finally fresh.unpersist()
+    } finally touched.unpersist()
+  }
+
+  private def commit(store: SnapshotStore, view: KVIndex,
+                     upserts: DataFrame, removes: DataFrame, tx: String): KVIndex = {
+    val cmds = Seq(
+      if (upserts.isEmpty) None else Some(Command.Insert(upserts, upsert = true)),
+      if (removes.isEmpty) None else Some(Command.Remove(removes))).flatten
+    if (cmds.isEmpty) view
+    else new KVIndex(store, view.execute(cmds, tx).orThrow)
   }
 
   /** Per-group net deltas from a [[KVIndex.diff]] frame: each diff row
     * contributes a removal event at its OLD group and/or an addition at
-    * its NEW group; groups whose events cancel exactly are dropped (their
-    * files must not churn).
+    * its NEW group (so rows MIGRATING between groups just work), one
+    * `d_<sum>` per sum column plus `d_cnt` — several value columns ride
+    * the same two-event union and single aggregate.
     */
   private def groupDeltas(diff: DataFrame, groupCols: Seq[String],
-                          valueCol: String, srcKeys: Set[String]): DataFrame = {
+                          spec: ViewSpec, srcKeys: Set[String]): DataFrame = {
     def sideCol(c: String, side: String): Column =
       if (srcKeys.contains(c)) col(c) else col(s"${side}_$c")
     def events(side: String, changes: Seq[String], sign: Int) = diff
       .filter(col("change").isin(changes: _*))
-      .select(groupCols.map(c => sideCol(c, side).as(c)) ++ Seq(
-        (lit(sign) * coalesce(sideCol(valueCol, side), lit(0))).as("d_sum"),
+      .select(groupCols.map(c => sideCol(c, side).as(c)) ++
+        spec.sumCols.map(c =>
+          (lit(sign) * coalesce(sideCol(c, side), lit(0))).as(s"d_${spec.sumName(c)}")) ++ Seq(
         lit(sign.toLong).as("d_cnt")): _*)
     events("old", Seq("removed", "changed"), -1)
       .unionByName(events("new", Seq("added", "changed"), 1))
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("d_sum")).as("d_sum"), sum(col("d_cnt")).as("d_cnt"))
-      .filter(col("d_sum") =!= 0 || col("d_cnt") =!= 0L)
+      .agg(sum(col(s"d_${spec.sumName(spec.sumCols.head)}")).as(s"d_${spec.sumName(spec.sumCols.head)}"),
+        (spec.sumCols.tail.map(c =>
+          sum(col(s"d_${spec.sumName(c)}")).as(s"d_${spec.sumName(c)}")) :+
+          sum(col("d_cnt")).as("d_cnt")): _*)
   }
 }

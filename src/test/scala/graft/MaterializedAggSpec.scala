@@ -127,6 +127,105 @@ class MaterializedAggSpec extends SparkSuite {
     }
   }
 
+  test("multi-column + min/max view: refresh equals full recompute, " +
+       "including removal of a group's extremes (both backends)") {
+    import MaterializedAgg.ViewSpec
+    for ((tag, store) <- stores) {
+      val rows = spark.range(0, 100).select(col("id").as("k"),
+        (col("id") % 5).as("grp"), (col("id") * 10).as("cents"),
+        (col("id") % 13).as("pts"))
+      val src0 = KVIndex.bootstrap(store, "s6", rows, Seq("k"))
+        .fold(e => fail(e.message), identity)
+      val spec = ViewSpec(Seq("cents", "pts"), Seq("cents"))
+      val view0 = MaterializedAgg.create(store, "v6", src0, Seq("grp"), spec)
+        .fold(e => fail(e.message), identity)
+      def recomputeMm(src: KVIndex) = src.df.groupBy("grp")
+        .agg(sum(coalesce(col("cents"), lit(0))).as("sum_cents"),
+          sum(coalesce(col("pts"), lit(0))).as("sum_pts"),
+          count(lit(1)).as("agg_cnt"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      def viewMm(v: KVIndex) = v.df
+        .select("grp", "sum_cents", "sum_pts", "agg_cnt", "min_cents", "max_cents")
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(viewMm(view0) == recomputeMm(src0), s"[$tag] create")
+      // remove each group's current MAX (k 95..99) and the global MIN
+      // (k=0), upsert a new low outlier, insert fresh rows incl. a new grp
+      val res = src0.execute(Seq(
+        Command.Remove((95L to 99L).toDF("k").unionByName(Seq(0L).toDF("k"))),
+        Command.Insert(Seq((1L, 1L, -500L, 3L)).toDF("k", "grp", "cents", "pts"),
+          upsert = true),
+        Command.Insert(Seq((200L, 9L, 7L, 1L)).toDF("k", "grp", "cents", "pts"))))
+      val src1 = new KVIndex(store, res.orThrow)
+      val view1 = MaterializedAgg.refresh(store, "v6", src1)
+        .fold(e => fail(e.message), identity)
+      assert(viewMm(view1) == recomputeMm(src1),
+        s"[$tag] min/max must track extreme removals via touched-group recompute")
+    }
+  }
+
+  test("min/max updates even when a swap cancels the sum and count deltas") {
+    import MaterializedAgg.ViewSpec
+    val store = new MemorySnapshotStore(spark)
+    // group 1 holds {0, 10}; swap to {4, 6}: sum 10 -> 10, count 2 -> 2,
+    // but min 0 -> 4 and max 10 -> 6 — the canceled-delta shortcut trap
+    val src0 = KVIndex.bootstrap(store, "s7",
+      Seq((1L, 1L, 0L), (2L, 1L, 10L), (3L, 2L, 5L)).toDF("k", "grp", "cents"),
+      Seq("k")).fold(e => fail(e.message), identity)
+    MaterializedAgg.create(store, "v7", src0, Seq("grp"),
+      ViewSpec(Seq("cents"), Seq("cents"))).fold(e => fail(e.message), identity)
+    val res = src0.execute(Seq(Command.Insert(
+      Seq((1L, 1L, 4L), (2L, 1L, 6L)).toDF("k", "grp", "cents"), upsert = true)))
+    val src1 = new KVIndex(store, res.orThrow)
+    val view1 = MaterializedAgg.refresh(store, "v7", src1)
+      .fold(e => fail(e.message), identity)
+    val g1 = view1.df.filter(col("grp") === 1L)
+      .select("sum_cents", "agg_cnt", "min_cents", "max_cents")
+      .as[(Long, Long, Long, Long)].head()
+    assert(g1 == ((10L, 2L, 4L, 6L)), s"swap must refresh extremes: $g1")
+    // the untouched group's recompute is a no-op: a second identical
+    // refresh must not commit a new version either
+    val view2 = MaterializedAgg.refresh(store, "v7", src1)
+      .fold(e => fail(e.message), identity)
+    assert(view2.manifest.version == view1.manifest.version)
+  }
+
+  test("randomized mutations against the min/max view track recompute") {
+    import MaterializedAgg.ViewSpec
+    val rnd = new scala.util.Random(91)
+    val store = new MemorySnapshotStore(spark)
+    var src = KVIndex.bootstrap(store, "s8",
+      spark.range(0, 80).select(col("id").as("k"), (col("id") % 6).as("grp"),
+        (col("id") * 3 % 101).as("cents")), Seq("k"))
+      .fold(e => fail(e.message), identity)
+    MaterializedAgg.create(store, "v8", src, Seq("grp"),
+      ViewSpec(Seq("cents"), Seq("cents"))).fold(e => fail(e.message), identity)
+    var nextKey = 5000L
+    for (step <- 1 to 3) {
+      val existing = src.df.select("k").as[Long].collect().sorted
+      val rmKeys = rnd.shuffle(existing.toSeq).take(4 + rnd.nextInt(8))
+      val upKeys = rnd.shuffle(existing.filterNot(rmKeys.contains).toSeq)
+        .take(4 + rnd.nextInt(8))
+      val ins = (0 until 6).map { _ => nextKey += 1;
+        (nextKey, rnd.nextInt(8).toLong, rnd.nextInt(400).toLong - 200L) }
+      val res = src.execute(Seq(
+        Command.Remove(rmKeys.toDF("k")),
+        Command.Insert(upKeys.map(k => (k, rnd.nextInt(8).toLong,
+          rnd.nextInt(400).toLong - 200L)).toDF("k", "grp", "cents"), upsert = true),
+        Command.Insert(ins.toDF("k", "grp", "cents"))))
+      src = new KVIndex(store, res.orThrow)
+      val view = MaterializedAgg.refresh(store, "v8", src)
+        .fold(e => fail(e.message), identity)
+      val got = view.df.select("grp", "sum_cents", "agg_cnt", "min_cents", "max_cents")
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      val want = src.df.groupBy("grp")
+        .agg(sum(coalesce(col("cents"), lit(0))).as("s"), count(lit(1)).as("c"),
+          min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(got == want, s"step $step")
+    }
+  }
+
   test("float source columns are rejected (exactness contract)") {
     val store = new MemorySnapshotStore(spark)
     val rows = spark.range(0, 10).select(col("id").as("k"),
