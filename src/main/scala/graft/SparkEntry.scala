@@ -1156,6 +1156,49 @@ object SparkEntry {
         deleteRec(root); deleteRec(cp)
       }
     }),
+    // streaming-maintained materialized view: each micro-batch commits one
+    // COW version through the graft sink, and MaterializedAgg.refresh
+    // rolls the aggregate view forward from the version diff alone (the
+    // table is never rescanned after bootstrap). The oracle recomputes
+    // the final aggregate from scratch — hash equality proves the chain
+    // of incremental refreshes converges to the true state
+    "st_view_agg" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val b1 = ord.filter(col("o_orderkey") <= 500)
+        .as[(Long, Long, Long)].collect().toSeq
+      val b2 = ord.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000)
+        .as[(Long, Long, Long)].collect().toSeq
+      val b3 = ord.filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), col("o_custkey"), (col("cents") + 1).as("cents"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val root = java.nio.file.Files.createTempDirectory("graft-viewagg")
+      val cp = java.nio.file.Files.createTempDirectory("graft-viewagg-cp")
+      val store = new FsSnapshotStore(root.toString, s)
+      val input = MemoryStream[(Long, Long, Long)](s)
+      val sink = input.toDF().toDF("o_orderkey", "o_custkey", "cents").writeStream
+        .format("graft").option("root", root.toString).option("keys", "o_orderkey")
+        .option("checkpointLocation", cp.toString)
+        .start("svord")
+      try {
+        def src() = KVIndex.open(store, "svord").fold(e => sys.error(e.message), identity)
+        input.addData(b1); sink.processAllAvailable()
+        graft.core.MaterializedAgg.create(store, "svview", src(),
+          Seq("o_custkey"), "cents").fold(e => sys.error(e.message), identity)
+        input.addData(b2); sink.processAllAvailable()
+        graft.core.MaterializedAgg.refresh(store, "svview", src())
+          .fold(e => sys.error(e.message), identity)
+        input.addData(b3); sink.processAllAvailable()
+        val view = graft.core.MaterializedAgg.refresh(store, "svview", src())
+          .fold(e => sys.error(e.message), identity)
+        // eager: the temp store is deleted in finally
+        val rows = view.df.select(col("o_custkey"), col("agg_sum"), col("agg_cnt"))
+          .orderBy("o_custkey").as[(Long, Long, Long)].collect().toSeq
+        rows.toDF("o_custkey", "agg_sum", "agg_cnt")
+      } finally { sink.stop(); deleteRec(root); deleteRec(cp) }
+    }),
     "st_dedup" -> ((s, d) => {
       // batch twin of EventStreams.dedupStream: re-ingest the stream twice,
       // dedup on event_id (duplicate rows are identical, so any survivor
@@ -1248,6 +1291,16 @@ object SparkEntry {
       graft.operators.Funnel.conversions(events(s, d),
           Seq("view", "click", "purchase"), windowMs = 86400000L)
         .orderBy("step_no")),
+    // cohort retention triangle: users bucketed by first-event week,
+    // per-cohort share still active k weeks on, exact micro-units
+    "st_retention" -> ((s, d) =>
+      graft.operators.Funnel.retention(events(s, d))
+        .orderBy("cohort_week", "week_offset")),
+    // first-order Markov transition matrix over per-user event chains:
+    // (from, to) counts + exact micro-unit row-conditional probabilities
+    "st_transitions" -> ((s, d) =>
+      graft.operators.Funnel.transitions(events(s, d))
+        .orderBy("from_type", "to_type")),
     "graph_pagerank" -> ((s, d) => {
       val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
@@ -1968,6 +2021,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_unk"), col("piece_chars"))
         .orderBy("doc_id")
     }),
+    // per-doc TF-IDF keywords: rational Robertson idf (integer div only),
+    // WindowGroupLimit top-3 per doc — the oracle replays the arithmetic
+    "txt_keywords" -> ((s, d) =>
+      TextAnalysis.keywords(t(s, d, "documents").filter(col("doc_id") < 200), k = 3)
+        .orderBy("doc_id", "rank")),
+    // PMI-monotone collocation mining in exact integer milli-units
+    // (the score is the PMI argument — no ln, engine-portable)
+    "txt_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(t(s, d, "documents"), k = 25, minCount = 5)),
     // hybrid retrieval, query-by-example on doc 7: the BM25 lexical
     // shortlist (doc 7's distinct terms as the query) and the dense
     // cosine shortlist (doc 7's embedding — vec_id aligns with doc_id in
@@ -2021,6 +2083,21 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("split")),
+    // leakage-safe split: near-dup CLUSTERS (here exact-prefix groups, so
+    // the oracle can rebuild them with a window min) split as a unit —
+    // members of one cluster can never straddle train/test; the oracle
+    // replays label + Knuth-hash assignment row for row
+    "pipe_leakage_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pref = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      val links = pref.select(col("p"), col("doc_id").as("idA"))
+        .join(pref.select(col("p"), col("doc_id").as("idB")), Seq("p"))
+        .filter(col("idA") < col("idB")).select("idA", "idB")
+      graft.pipeline.Sampling.leakageSafeSplit(docs, "doc_id", links,
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("entity"), col("split"))
+        .orderBy("doc_id")
+    }),
     // fair multi-source interleave: global training order (rn, source) is
     // round-robin across sources; first 60 positions shown
     "pipe_interleave" -> ((s, d) =>
@@ -2037,6 +2114,15 @@ object SparkEntry {
           array_max(col("q")).as("q_max"),
           size(filter(col("q"), x => x =!= 0L)).cast("long").as("nnz"))
         .orderBy("vec_id")),
+    // JL sign projection 64→8: deterministic fmix32 ±1 matrix, exact
+    // milli-integer coordinates — the shrink-then-index step of the
+    // 100-TB ANN path, hash-matched coordinate by coordinate
+    "sim_sign_project" -> ((s, d) =>
+      Similarity.signProject(t(s, d, "embeddings").filter(col("vec_id") < 100),
+          outDim = 8, inDim = 64)
+        .select(col("vec_id"), posexplode(col("proj_milli")).as(Seq("j", "coord_milli")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("coord_milli"))
+        .orderBy("vec_id", "j")),
     // CUBE over (lang, source): all four grouping sets in one pass
     // (partial-aggregated expand — one shuffle, no re-scan per set)
     "q_cube" -> ((s, d) =>
@@ -2895,6 +2981,29 @@ object SparkEntry {
         "UNION ALL SELECT 2, 'click', n2, CAST((1000000 * n2) // n1 AS BIGINT) FROM n " +
         "UNION ALL SELECT 3, 'purchase', n3, CAST((1000000 * n3) // n1 AS BIGINT) FROM n" +
         ") ORDER BY step_no"),
+      "st_view_agg" -> ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders WHERE o_orderkey <= 1000), " +
+        "fin AS (SELECT o_custkey, CASE WHEN o_orderkey < 100 THEN cents + 1 ELSE cents END AS cents FROM base) " +
+        "SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS agg_sum, " +
+        "CAST(count(*) AS BIGINT) AS agg_cnt FROM fin GROUP BY 1 ORDER BY 1"),
+      "st_retention" -> ("WITH c AS (SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week " +
+        "FROM events GROUP BY user_id), " +
+        "sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS size FROM c GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events), " +
+        "m AS (SELECT c.cohort_week, CAST((a.w - c.cohort_week) // 7 AS BIGINT) AS week_offset, " +
+        "CAST(count(*) AS BIGINT) AS active_users FROM a JOIN c USING (user_id) GROUP BY 1, 2) " +
+        "SELECT m.cohort_week, m.week_offset, m.active_users, " +
+        "CAST((1000000 * m.active_users) // sz.size AS BIGINT) AS retention_micro " +
+        "FROM m JOIN sz USING (cohort_week) ORDER BY cohort_week, week_offset"),
+      "st_transitions" -> ("WITH o AS (SELECT user_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS from_type " +
+        "FROM events), " +
+        "p AS (SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n_transitions " +
+        "FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2), " +
+        "tt AS (SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS total FROM p GROUP BY 1) " +
+        "SELECT p.from_type, p.to_type, p.n_transitions, " +
+        "CAST((1000000 * p.n_transitions) // tt.total AS BIGINT) AS prob_micro " +
+        "FROM p JOIN tt USING (from_type) ORDER BY from_type, to_type"),
       // binary sign-bit signatures + exact Hamming top-10 (dim 64 = two
       // 32-bit words; CASE sums of distinct powers of two stay small
       // positive BIGINTs in any engine)
@@ -3357,6 +3466,32 @@ object SparkEntry {
       "pipe_split" -> (s"WITH h AS (SELECT n_chars, ${knuthHash("doc_id")} % 100 AS pos FROM documents) " +
         "SELECT CASE WHEN pos < 80 THEN 'train' WHEN pos < 90 THEN 'val' ELSE 'test' END AS split, " +
         "count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM h GROUP BY 1 ORDER BY split"),
+      "pipe_leakage_split" -> ("WITH l AS (SELECT doc_id, " +
+        "min(doc_id) OVER (PARTITION BY substring(text, 1, 40)) AS entity FROM documents), " +
+        s"h AS (SELECT doc_id, entity, ${knuthHash("entity")} % 100 AS pos FROM l) " +
+        "SELECT doc_id, entity, CASE WHEN pos < 80 THEN 'train' " +
+        "WHEN pos < 90 THEN 'val' ELSE 'test' END AS split FROM h ORDER BY doc_id"),
+      "txt_keywords" -> ("WITH d AS (SELECT * FROM documents WHERE doc_id < 200), " +
+        "tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS term FROM d), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY 1), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d), " +
+        "sc AS (SELECT doc_id, term, CAST(tf * ((1000 * (2 * n - 2 * dft + 1)) // (2 * dft + 1)) AS BIGINT) AS score_milli " +
+        "FROM tf JOIN dfq USING (term) CROSS JOIN nd), " +
+        "r AS (SELECT doc_id, term, score_milli, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score_milli DESC, term) AS rank FROM sc) " +
+        "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_milli " +
+        "FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
+      "txt_collocations" -> ("WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM uni), " +
+        // parallel unnest of two aligned slices zips positionally in DuckDB
+        "bi0 AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2 FROM tk WHERE len(tk) >= 2), " +
+        "bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM bi0 GROUP BY 1, 2 HAVING count(*) >= 5) " +
+        "SELECT bi.w1, bi.w2, bi.n_ab, " +
+        "CAST((1000 * bi.n_ab * tot.nn) // (u1.cw * u2.cw) AS BIGINT) AS score_milli " +
+        "FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2 CROSS JOIN tot " +
+        "ORDER BY score_milli DESC, bi.n_ab DESC, bi.w1, bi.w2 LIMIT 25"),
       "pipe_interleave" -> ("WITH r AS (SELECT doc_id, source, " +
         s"row_number() OVER (PARTITION BY source ORDER BY ${knuthHash("doc_id")}, doc_id) AS rn FROM documents) " +
         "SELECT rn, source, doc_id FROM r ORDER BY rn, source LIMIT 60"),
@@ -3368,6 +3503,14 @@ object SparkEntry {
         "ELSE list_transform(vd, v -> CAST(floor(v / ma * 127.0 + 0.5) AS BIGINT)) END AS q FROM m) " +
         "SELECT vec_id, CAST(list_sum(q) AS BIGINT) AS q_sum, list_min(q) AS q_min, list_max(q) AS q_max, " +
         "CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS nnz FROM q ORDER BY vec_id"),
+      "sim_sign_project" -> ("WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100), " +
+        "js AS (SELECT unnest(range(0, 8)) AS j), " +
+        "p AS (SELECT vec_id, j, CAST(list_sum(list_transform(range(0, 64), i -> " +
+        "CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) * " +
+        s"(CASE WHEN (${graft.similarity.Similarity.fmix32("i * 4096 + j",
+          (a, b) => s"xor(($a), ($b))", "//")}) % 2 = 0 THEN 1 ELSE -1 END))) AS BIGINT) AS coord_milli " +
+        "FROM v CROSS JOIN js) " +
+        "SELECT vec_id, CAST(j AS BIGINT) AS j, coord_milli FROM p ORDER BY vec_id, j"),
       "q_cube" -> ("SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS source, " +
         "count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents " +
         "GROUP BY CUBE (lang, source) ORDER BY lang, source"),

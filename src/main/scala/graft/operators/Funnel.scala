@@ -54,6 +54,81 @@ object Funnel {
     }.toDF("step_no", "step", "users_reached", "conversion_micro")
   }
 
+  /** Cohort retention matrix: users are grouped by the week of their
+    * FIRST event (their cohort), and each cohort's share of users still
+    * active `k` weeks later is reported — the product-analytics
+    * retention triangle. Weeks are Monday-truncated calendar weeks so
+    * the bucketing is engine-portable; retention is exact integer
+    * micro-units vs the cohort's week-0 size (every cohort member is by
+    * construction active in week 0).
+    *
+    * @return (cohort_week DATE, week_offset, active_users,
+    *         retention_micro), one row per (cohort, offset) with ≥1
+    *         active user.
+    *
+    * Plan shape: one groupBy(user) for first-event cohorts, one
+    * distinct over (user, week) — both map-side combined and
+    * user/user-week-sized, never event-sized — then a user-keyed join
+    * of those two small tables and a final (cohort, offset) aggregate.
+    * The raw event table is scanned exactly twice and nothing
+    * event-sized ever shuffles; at 100 TB the joined tables are
+    * user-cardinality, the cheapest possible shape.
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val week = to_date(date_trunc("week", col(tsCol)))
+    val cohorts = events.groupBy(col(userCol))
+      .agg(min(week).as("cohort_week"))
+    val active = events.select(col(userCol), week.as("__w")).distinct()
+    val sized = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("__size"))
+    active.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (datediff(col("__w"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(sized, Seq("cohort_week"))
+      .withColumn("retention_micro",
+        expr("(1000000 * active_users) div __size"))
+      .select("cohort_week", "week_offset", "active_users", "retention_micro")
+  }
+
+  /** First-order Markov transition matrix over the event stream: for
+    * each user, events in (time, id) order form a chain, and every
+    * consecutive (from → to) type pair is counted; the transition
+    * probability is exact integer micro-units of the from-state's total
+    * outgoing count — "given a click, what happens next" as one table.
+    *
+    * @return (from_type, to_type, n_transitions, prob_micro), every
+    *         observed pair.
+    *
+    * Plan shape: ONE shuffle (by user, for the lag window — transitions
+    * within a user are meaningless across partitions), one
+    * map-side-combined pair count, and a type-keyed totals join whose
+    * both sides are |event-type-vocabulary|-sized. The window carries
+    * only (user, ms, id, type) — raw payload columns are pruned before
+    * the exchange.
+    */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", typeCol: String = "event_type",
+                  idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__ms"), col(idCol))
+    val pairs = events
+      .select(col(userCol), unix_millis(col(tsCol)).as("__ms"),
+        col(idCol), col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("__total"))
+    pairs.join(totals, Seq("from_type"))
+      .withColumn("prob_micro",
+        expr("(1000000 * n_transitions) div __total"))
+      .select("from_type", "to_type", "n_transitions", "prob_micro")
+  }
+
   /** Frequent event paths: each user's events in (time, id) order form a
     * sequence; every length-`n` contiguous subsequence of event types is
     * a path, and the corpus's top-`k` paths by occurrence are returned

@@ -163,6 +163,26 @@ object Sampling {
       chain.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1))))
   }
 
+  /** Leakage-safe split: near-duplicates must never straddle train and
+    * test — the standard way eval scores silently inflate. Rows are
+    * assigned by the hash of their dedup CLUSTER label, not their own
+    * id: every member of a linked cluster (the pair output of a
+    * MinHash/SimHash/embedding near-dup pass) lands in the same split;
+    * unlinked rows split by their own id exactly like [[assignSplits]].
+    *
+    * Scale shape: cluster labeling is [[graft.dedup.Dedup.clusters]]
+    * over the candidate-PAIR set (tiny relative to the corpus), the
+    * label attach is one id-keyed equi-join, and the split decision
+    * stays the pure [[hashMod]] projection — nothing corpus-scale
+    * shuffles beyond that one join. Output: `df` + `entity` (the
+    * cluster label, for audit) + `split`.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, links: DataFrame,
+                       splits: Seq[(String, Int)]): DataFrame = {
+    val labeled = graft.dedup.EntityResolution.entities(df, idCol, links)
+    assignSplits(labeled, "entity", splits)
+  }
+
   /** Deterministic WEIGHTED Bernoulli sample: each row is kept with
     * probability `weight / max(weight)` — the quality-weighted downsample
     * ("keep good documents more often") of a training-data mix. The keep

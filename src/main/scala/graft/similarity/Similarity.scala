@@ -120,13 +120,9 @@ object Similarity {
     ivfTopK(spark.read.parquet(path), centroids, query, k, nProbe, idCol, vecCol)
 
   private def assign(df: DataFrame, centroids: Seq[Array[Float]],
-                     idCol: String, vecCol: String): DataFrame = {
-    val scores = centroids.zipWithIndex.map { case (c, i) =>
-      struct(gf.cosine_sim(col(vecCol), array(c.map(lit): _*)).as("s"),
-        lit(i).as("cell"))
-    }
-    df.withColumn("cell", array_max(array(scores: _*)).getField("cell"))
-  }
+                     idCol: String, vecCol: String): DataFrame =
+    df.withColumn("cell", org.apache.spark.sql.graft.Shim.col(
+      NearestCell(org.apache.spark.sql.graft.Shim.expr(col(vecCol)), centroids)))
 
   // ------------------------------------------------------------------
   // IVF-PQ — the composed at-scale ANN shape (FAISS's IVFPQ): IVF cells
@@ -276,6 +272,62 @@ object Similarity {
       .drop("__ma")
   }
 
+  /** Random SIGN projection (Achlioptas's database-friendly
+    * Johnson–Lindenstrauss transform): each of `outDim` output
+    * coordinates is `Σᵢ qᵢ·s(i,j)` with `s(i,j) ∈ {+1,−1}` drawn from a
+    * DETERMINISTIC Knuth multiplicative hash of `(i, j)` — no stored
+    * projection matrix, any engine can regenerate it. Inputs are
+    * half-up-rounded to exact milli-integers first, so the projected
+    * coordinates are exact BIGINTs that hash-match an independent SQL
+    * engine bit for bit; pairwise dot products / distances in the
+    * projected space approximate the originals at the usual JL rate
+    * (the 1/√outDim rescale is a constant the caller can apply — kept
+    * OUT of the output to stay integer-exact).
+    *
+    * The 100-TB use: shrink dim-D embeddings to outDim≪D once, build
+    * the ANN / dedup structures on the small vectors — a pure per-row
+    * projection with NO shuffle, no UDF, no broadcast state; cost is
+    * inDim×outDim multiply-adds per row inside one higher-order
+    * expression whose SIZE is constant in both dims (the r12 compiled-
+    * kernel lesson does not bite: `transform`/`aggregate` loop at
+    * runtime, the tree does not grow with the model).
+    */
+  def signProject(df: DataFrame, outDim: Int, inDim: Int,
+                  vecCol: String = "embedding",
+                  outCol: String = "proj_milli"): DataFrame = {
+    require(outDim >= 1 && inDim >= 1)
+    // the sign needs REAL avalanche: any single multiply mod 2^32 is
+    // affine, so bit b of it depends on x mod 2^(b+1) only — columns come
+    // out correlated (measured: perfect anti-correlation pairs). This is
+    // murmur3's fmix32 written in engine-portable ops — each 32×32
+    // multiply via the hi/lo split (stays < 2^63), shifts as integer div,
+    // xor as ^ (DuckDB spells it xor(); values are identical).
+    val sign = s"case when (${Similarity.fmix32("i * 4096 + j",
+      (a, b) => s"(($a) ^ ($b))", "div")}) % 2 = 0 then 1L else -1L end"
+    df.withColumn(outCol, expr(
+      s"transform(sequence(0, ${outDim - 1}), j -> " +
+        s"aggregate(sequence(0, ${inDim - 1}), 0L, (acc, i) -> " +
+        s"acc + cast(floor(cast(element_at($vecCol, i + 1) as double) " +
+        s"* 1000 + 0.5) as long) * ($sign)))"))
+  }
+
+  /** murmur3 fmix32 over a non-negative 32-bit value, emitted as SQL text
+    * using only `*`, `%`, integer division, and xor — portable across
+    * engines (pass each engine's xor spelling and integer-div keyword).
+    * Every intermediate stays below 2^63.
+    */
+  private[graft] def fmix32(x: String, xor: (String, String) => String,
+                            idiv: String): String = {
+    def mul32(y: String, m: Long): String =
+      s"((((($y) $idiv 65536) * $m) % 65536) * 65536 + " +
+        s"((($y) % 65536) * $m) % 4294967296) % 4294967296"
+    val h1 = xor(x, s"($x) $idiv 65536")
+    val h2 = mul32(h1, 2246822507L)
+    val h3 = xor(h2, s"($h2) $idiv 8192")
+    val h4 = mul32(h3, 3266489909L)
+    xor(h4, s"($h4) $idiv 65536")
+  }
+
   /** Query→cell ranking shared by the single and batch probes (double
     * arithmetic, deterministic tie-break on cell id): the best `nProbe`
     * cells by query-centroid cosine.
@@ -400,17 +452,11 @@ object Similarity {
               excludeSelf: Boolean = false): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.size,
       s"nProbe must be in [1, ${centroids.size}]")
-    // (NEGATED score, cell) structs sort ascending → best score first,
-    // ties broken toward the LOWER cell id — the exact total order
-    // rankCells uses, so the expression path and the driver path probe
-    // identical cells even with tied/duplicate centroids (a reverse of
-    // the ascending sort would flip ties toward the HIGHER cell).
-    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct((-gf.cosine_sim(col(qVecCol), array(c.map(lit): _*))).as("s"),
-        lit(i).as("cell"))
-    }: _*)
+    // one compiled loop per query row ranks all cells in rankCells' total
+    // order (score desc, ties toward the LOWER cell id) — see ProbeCells
     val probed = queries.withColumn("cell",
-      explode(slice(array_sort(cellScores), 1, nProbe).getField("cell")))
+      explode(org.apache.spark.sql.graft.Shim.col(ProbeCells(
+        org.apache.spark.sql.graft.Shim.expr(col(qVecCol)), centroids, nProbe))))
     val cand = probed.join(indexed.select(col("cell"), col(idCol), col(vecCol)),
       Seq("cell"))
     val scored0 = cand.select(col(qIdCol), col(idCol),
@@ -687,5 +733,134 @@ case class PqAdc(child: org.apache.spark.sql.catalyst.expressions.Expression,
 
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): PqAdc =
+    copy(child = c)
+}
+
+/** Nearest-centroid assignment over the WHOLE centroid table in one
+  * compiled loop — the IVF `assign` kernel. The naive formulation (an
+  * `array_max` over nCells `struct(cosine_sim, cell)` subtrees) is
+  * correct but its expression tree grows with nCells: past a few dozen
+  * cells codegen falls back to interpreted eval and every row allocates
+  * nCells literal arrays and structs — a 5× wall-clock hit observed at
+  * 1M rows × 64 cells (ScaleProbeSpec). This expression carries the
+  * centroids as one plan-riding reference and loops in Java.
+  *
+  * Bit-parity contract: the cosine is [[graft.functions.expressions.CosineSim]]'s
+  * exact arithmetic (double accumulation in index order, zero-norm → 0),
+  * and ties pick the HIGHER cell id — `array_max` over `(score, cell)`
+  * structs resolved score ties by the second field, and assignments must
+  * not move under the rewrite.
+  */
+case class NearestCell(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                       centroids: Seq[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{DataType, IntegerType}
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    var bestCell = 0
+    var bestS = Double.NegativeInfinity
+    var cell = 0
+    while (cell < centroids.length) {
+      val c = centroids(cell)
+      val n = math.min(v.numElements(), c.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (s >= bestS) { bestS = s; bestCell = cell } // ties -> higher cell
+      cell += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCellExpr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+      ${ev.value} = (Integer)
+        ((org.apache.spark.sql.catalyst.expressions.UnaryExpression) $ref).nullSafeEval($a);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): NearestCell =
+    copy(child = c)
+}
+
+/** Top-`nProbe` cells by query-centroid cosine, as one compiled loop —
+  * the per-QUERY-row twin of [[NearestCell]] for [[Similarity.knnJoin]].
+  * Replaces the struct-sort expression chain whose size grew with
+  * nCells (interpreted fallback + per-row literal allocation past a few
+  * dozen cells). Exactly `rankCells`' total order: score descending,
+  * ties toward the LOWER cell id ([[graft.functions.expressions.CosineSim]]
+  * arithmetic, zero-norm → 0) — so the expression path and the
+  * driver-ranked batch probe choose identical cells.
+  */
+case class ProbeCells(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                      centroids: Seq[Array[Float]], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val nc = centroids.length
+    val scores = new Array[Double](nc)
+    var cell = 0
+    while (cell < nc) {
+      val c = centroids(cell)
+      val n = math.min(v.numElements(), c.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      scores(cell) = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      cell += 1
+    }
+    // nProbe argmax passes, strict > so equal scores keep the LOWER cell
+    val out = new Array[Int](nProbe)
+    val taken = new Array[Boolean](nc)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < nc) {
+        if (!taken(c2) && scores(c2) > bestS) { bestS = scores(c2); best = c2 }
+        c2 += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out.map(Int.box(_): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("probeCellsExpr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        ((org.apache.spark.sql.catalyst.expressions.UnaryExpression) $ref).nullSafeEval($a);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): ProbeCells =
     copy(child = c)
 }

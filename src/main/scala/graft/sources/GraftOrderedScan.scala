@@ -17,7 +17,7 @@ import graft.plans.{DeclareOrdered, DeclareOrderedStrategy, PruneSnapshotFiles, 
   * reports are consumed by `BatchScanExec`, which the bridge never plans),
   * so the report is made at the LOGICAL level instead: when a global
   * `Sort` on a leading-key prefix sits (through deterministic filters and
-  * pure-attribute projections) over a [[GraftScan]] whose snapshot layout
+  * projections) over a [[GraftScan]] whose snapshot layout
   * is disjoint-ordered, the scan relation is replaced by the same
   * ordered-stitch plan the view path uses, wrapped in
   * [[graft.plans.DeclareOrdered]] — whose physical twin satisfies
@@ -79,15 +79,18 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     Some((attrs, dirs.head == Descending))
   }
 
-  /** Walk down order-preserving nodes only (deterministic filters,
-    * pure-attribute projections — which also pass exprIds through
-    * unchanged, so the sort attributes trace to relation outputs by id).
+  /** Walk down order-preserving nodes only: deterministic filters and
+    * deterministic projections. A projection may COMPUTE columns — it
+    * stays order-preserving per row — but the sort attributes must trace
+    * to the relation's own outputs by exprId, which the eligibility
+    * check below enforces (an aliased or computed sort column fails the
+    * id lookup and the rewrite declines).
     */
   private def rewriteThrough(p: LogicalPlan, sortAttrs: Seq[AttributeReference],
                              reverse: Boolean): Option[LogicalPlan] = p match {
     case f @ Filter(cond, child) if cond.deterministic =>
       rewriteThrough(child, sortAttrs, reverse).map(n => f.copy(child = n))
-    case pr @ Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+    case pr @ Project(exprs, child) if exprs.forall(_.deterministic) =>
       rewriteThrough(child, sortAttrs, reverse).map(n => pr.copy(child = n))
     case rel: DataSourceV2ScanRelation => rel.scan match {
       // V2ScanRelationPushDown wraps every V1Scan before planning

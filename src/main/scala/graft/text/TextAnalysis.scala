@@ -536,6 +536,80 @@ object TextAnalysis {
       .select(col("q_id"), col("rank"), col("id").as(idCol), col("score_milli"))
       .orderBy("q_id", "rank")
   }
+
+  /** Per-document keyword extraction: each document's top-`k` terms by
+    * TF·IDF — the salient-term summary a corpus browser / topic audit
+    * wants per row. The idf is the same RATIONAL Robertson argument as
+    * [[bm25TopK]] (`(1000*(2N - 2df + 1)) div (2df + 1)`, integer `div`
+    * only — no engine-divergent `ln`), so scores hash-match an
+    * independent SQL engine exactly; the transform is monotone in the
+    * classic log idf, so the RANKING is the textbook one.
+    *
+    * Scale shape: one corpus pass to (doc, term, tf) with map-side
+    * combine; document frequencies are a second aggregate over the
+    * (vocab-bounded) tf table joined back on the term key; the corpus
+    * doc count is one scalar; per-doc top-k is a rank window that
+    * executes as WindowGroupLimit (partial top-k per partition before
+    * the doc-keyed shuffle). Ties break toward the lexicographically
+    * smaller term.
+    */
+  def keywords(df: DataFrame, k: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(k >= 1)
+    val nd = df.count()
+    val tf = df.select(col(idCol).as("id"),
+        explode(gf.ws_tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("long").as("dft"))
+    import org.apache.spark.sql.expressions.Window
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score_milli",
+        expr(s"tf * ((1000 * (2 * ${nd}L - 2 * dft + 1)) div (2 * dft + 1))"))
+      .withColumn("rank", row_number().over(Window.partitionBy("id")
+        .orderBy(col("score_milli").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank"), col("term"), col("score_milli"))
+  }
+
+  /** Collocation extraction: the corpus's top-`k` adjacent word pairs by
+    * a PMI-monotone association score — the classic "new york"/"machine
+    * learning" phrase miner. The score is the PMI ARGUMENT in exact
+    * integer milli-units, `(1000 * n_ab * N) div (n_a * n_b)` with
+    * `N` = total tokens: a per-pair monotone transform of
+    * `log(p_ab / (p_a p_b))` (no `ln`, so the whole result hash-matches
+    * an independent SQL engine). `minCount` applies the standard
+    * low-frequency guard — a hapax pair otherwise scores arbitrarily
+    * high. BIGINT headroom: `1000 * n_ab * N` caps the usable corpus at
+    * ~10^7 pair occurrences × 10^9 tokens; past that, pre-scale the
+    * milli factor down (the ordering is unchanged).
+    *
+    * Scale shape: unigram and bigram counts are two map-side-combined
+    * aggregates over one tokenized scan each; the count join shuffles on
+    * the WORD key (vocab-bounded, never corpus-bounded); the final top-k
+    * is a `TakeOrderedAndProject` — per-partition heads, k rows to one
+    * reducer.
+    */
+  def collocations(df: DataFrame, k: Int, minCount: Long = 5L,
+                   textCol: String = "text"): DataFrame = {
+    require(k >= 1 && minCount >= 1)
+    val toks = df.select(gf.ws_tokens(col(textCol)).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("cw"))
+    val total = uni.agg(sum(col("cw")).cast("long").as("nn"))
+    val bi = toks.filter(size(col("tk")) >= 2)
+      .select(posexplode(slice(col("tk"), lit(1), size(col("tk")) - 1))
+        .as(Seq("i", "w1")), col("tk"))
+      .select(col("w1"), element_at(col("tk"), col("i") + 2).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bi.join(uni.select(col("w").as("w1"), col("cw").as("ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("score_milli", expr("(1000 * n_ab * nn) div (ca * cb)"))
+      .select("w1", "w2", "n_ab", "score_milli")
+      .orderBy(col("score_milli").desc, col("n_ab").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }
 
 object Stopwords {

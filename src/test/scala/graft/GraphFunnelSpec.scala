@@ -78,4 +78,49 @@ class GraphFunnelSpec extends SparkSuite {
       .orderBy("step_no").as[(Long, String, Long, Long)].collect()
     assert(got(1)._3 == 0L)
   }
+
+  test("retention: hand-built cohorts — week-0 is always 100%, churn shows") {
+    def ts(d: String) = Timestamp.valueOf(s"2024-01-$d 10:00:00")
+    // weeks (Mondays): 2024-01-01, 01-08, 01-15. Users 1,2 cohort w0
+    // (user 2 returns in w1 and w2, user 1 only w0); user 3 cohort w1.
+    val events = Seq(
+      (1L, 10L, ts("01")), (2L, 11L, ts("03")),
+      (2L, 12L, ts("09")), (3L, 13L, ts("10")),
+      (2L, 14L, ts("16")), (2L, 15L, ts("17"))
+    ).toDF("user_id", "event_id", "ts")
+    val got = Funnel.retention(events)
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L, 1000000L),
+      ("2024-01-01", 1L, 1L, 500000L),
+      ("2024-01-01", 2L, 1L, 500000L),
+      ("2024-01-08", 0L, 1L, 1000000L)))
+  }
+
+  test("transitions: per-user chains, probabilities condition on the from state") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // user 1: a->b->a->c ; user 2: a->b. Chains never cross users.
+    val events = Seq(
+      (1L, 1L, ts(1), "a"), (1L, 2L, ts(2), "b"),
+      (1L, 3L, ts(3), "a"), (1L, 4L, ts(4), "c"),
+      (2L, 5L, ts(1), "a"), (2L, 6L, ts(2), "b")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.transitions(events)
+      .as[(String, String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // from a: b twice, c once (of 3); from b: a once (of 1)
+    assert(got == Map(
+      ("a", "b") -> ((2L, 666666L)),
+      ("a", "c") -> ((1L, 333333L)),
+      ("b", "a") -> ((1L, 1000000L))))
+    // a same-timestamp tie breaks on event_id — deterministic chains
+    val tied = Seq(
+      (9L, 1L, ts(1), "x"), (9L, 2L, ts(1), "y"), (9L, 3L, ts(1), "z")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val chain = Funnel.transitions(tied)
+      .as[(String, String, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    assert(chain == Set(("x", "y"), ("y", "z")))
+  }
 }

@@ -123,4 +123,40 @@ class KernelsSpec extends SparkSuite {
       spark.conf.set(fallback, "FALLBACK")
     }
   }
+
+  test("signProject matches an independent fmix32 reference, signs are balanced") {
+    import graft.similarity.Similarity
+    // reference fmix32 (murmur3 finalizer) on the true bit ops
+    def fmix(x0: Long): Long = {
+      var h = x0 & 0xffffffffL
+      h ^= h >>> 16; h = (h * 2246822507L) & 0xffffffffL
+      h ^= h >>> 13; h = (h * 3266489909L) & 0xffffffffL
+      h ^= h >>> 16
+      h
+    }
+    def sign(i: Int, j: Int): Long = if (fmix(i * 4096L + j) % 2 == 0) 1L else -1L
+    def milli(x: Float): Long = math.floor(x.toDouble * 1000 + 0.5).toLong
+    val inDim = 64; val outDim = 8
+    val rows = (0 until 40).map(i => (i.toLong, vec(inDim)))
+    val got = Similarity.signProject(rows.toDF("vec_id", "embedding"),
+        outDim, inDim)
+      .select("vec_id", "proj_milli")
+      .as[(Long, Seq[Long])].collect().toMap
+    rows.foreach { case (id, v) =>
+      val want = (0 until outDim).map(j =>
+        (0 until inDim).map(i => milli(v(i)) * sign(i, j)).sum)
+      assert(got(id) == want, s"vec $id")
+    }
+    // the ±1 matrix itself: every output column near-balanced and no two
+    // columns (anti-)correlated — the failure mode of a weak mixer
+    val m = Array.tabulate(inDim, outDim)((i, j) => sign(i, j).toInt)
+    (0 until outDim).foreach { j =>
+      val s = (0 until inDim).map(m(_)(j)).sum
+      assert(math.abs(s) <= 20, s"column $j unbalanced: $s")
+    }
+    for (a <- 0 until outDim; b <- a + 1 until outDim) {
+      val dot = (0 until inDim).map(i => m(i)(a) * m(i)(b)).sum
+      assert(math.abs(dot) < inDim / 2, s"columns $a,$b correlated: $dot")
+    }
+  }
 }

@@ -181,6 +181,93 @@ class ScaleProbeSpec extends SparkSuite {
       s"no concentration: top rank ${top.head.getLong(1)}")
   }
 
+  test("1M vectors: knnJoin / IVF-PQ probe stay cell-bounded; 1M docs encode; " +
+       "1M-record entity resolution with a planted hot block") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    spark.catalog.clearCache()
+    import graft.similarity.Similarity
+    // --- synthetic 1M × dim-16 corpus (deterministic, no driver loop) ---
+    val dim = 16
+    val vecs = spark.range(1000000L).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        "j -> cast(sin(id * 131 + j * 17) as float))").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+
+    // knnJoin: 5k queries against the 1M corpus, 256 cells, 8 probed.
+    // The join must move (queries × nProbe) cell rows + bounded top-k —
+    // never queries × corpus.
+    val t0 = System.nanoTime()
+    val (indexed, cents) = Similarity.ivfBuild(vecs, 256)
+    val idx = indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val queries = vecs.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val t1 = System.nanoTime()
+    val knn = Similarity.knnJoin(idx, cents, queries, k = 10, nProbe = 8,
+      excludeSelf = true).count()
+    val knnSec = (System.nanoTime() - t1) / 1e9
+    info(f"ivfBuild(256) over 1M: $buildSec%.1f s; knnJoin 5k queries: " +
+      f"$knn rows in $knnSec%.1f s")
+    assert(knn == 50000L, s"5k queries x k=10 expected, got $knn")
+
+    // IVF-PQ: codes-only probe — the scanned bytes per row are m codes,
+    // not dim floats
+    val t2 = System.nanoTime()
+    val (codes, pqCents, model) = Similarity.ivfPqBuild(vecs, nCells = 64, m = 4, k = 16)
+    val pc = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pc.count()
+    val pqBuildSec = (System.nanoTime() - t2) / 1e9
+    val q = vecs.filter(col("vec_id") === 777L).head().getSeq[Float](1).toArray
+    val t3 = System.nanoTime()
+    val top = Similarity.ivfPqTopK(pc, pqCents, model, q, k = 10, nProbe = 8).collect()
+    val probeSec = (System.nanoTime() - t3) / 1e9
+    info(f"ivfPqBuild(64,4,16) over 1M: $pqBuildSec%.1f s; probe: $probeSec%.2f s")
+    assert(top.length == 10)
+    pc.unpersist(); idx.unpersist(); vecs.unpersist()
+
+    // WordPiece: train on a 2% sample, encode ALL 1M docs (the documented
+    // 100-TB shape: sampled train, expression encode everywhere)
+    val words = "alpha beta gamma delta epsilon zeta eta theta".split(" ")
+    val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, 19), " +
+        s"j -> element_at(array(${words.map("'" + _ + "'").mkString(",")}), " +
+        "cast(pmod(id * 31 + j * 7, 8) + 1 as int))))").as("text"))
+    val t4 = System.nanoTime()
+    val vocab = graft.text.WordPiece.train(docs, numMerges = 30,
+      sampleFraction = 0.02)
+    val trainSec = (System.nanoTime() - t4) / 1e9
+    val t5 = System.nanoTime()
+    val enc = graft.text.WordPiece.encode(docs, vocab)
+      .agg(sum(col("n_pieces")), sum(col("n_unk"))).head()
+    val encSec = (System.nanoTime() - t5) / 1e9
+    info(f"wordpiece: sampled train $trainSec%.1f s (${vocab.size} pieces); " +
+      f"encode 1M docs: ${enc.getLong(0)} pieces, ${enc.getLong(1)} UNK in $encSec%.1f s")
+    assert(enc.getLong(1) == 0L, "full-alphabet vocab cannot UNK its corpus")
+
+    // entity resolution at 1M records with a DEGENERATE block: 100k rows
+    // share one placeholder key value — the hot-block cap must drop it
+    // (reported), and the clean half-million pairs still resolve
+    val recs = spark.range(1000000L).select(col("id"),
+      when(col("id") < 100000L, lit("PLACEHOLDER"))
+        .otherwise(concat(lit("blk"), (col("id") / 2).cast("long"))).as("k1"),
+      concat(lit("name"), (col("id") / 2).cast("long"),
+        when(col("id") % 2 === 0, lit("a")).otherwise(lit("b"))).as("nm"))
+    val t6 = System.nanoTime()
+    val rep = graft.dedup.EntityResolution.candidatesWithReport(
+      recs, "id", Seq(col("k1")))
+    val nPairs = rep.candidates.count()
+    val dropped = rep.droppedBlocks.collect()
+    val erSec = (System.nanoTime() - t6) / 1e9
+    info(f"1M-record blocking: $nPairs candidate pairs in $erSec%.1f s; " +
+      s"dropped blocks: ${dropped.map(r => s"${r.get(1)}(${r.get(2)})").mkString(",")}")
+    assert(dropped.length == 1 && dropped.head.getLong(2) == 100000L,
+      "the planted hot block must be dropped and reported")
+    assert(nPairs == 450000L,
+      s"clean blocks of 2 over ids 100000..999999 expected 450000 pairs, got $nPairs")
+  }
+
   test("5M-edge graph triangles + 10M-row domainCap/gapFill stay shuffle-bounded") {
     assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
     // triangles: 5M random edges over 200k nodes (avg degree 50)

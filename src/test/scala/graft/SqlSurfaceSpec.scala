@@ -155,6 +155,16 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(ranged.as[(Long, Long)].collect().toSeq ==
       (100L to 110L).map(i => (i, i * 3)))
 
+    // a COMPUTED projection (still deterministic, sort key passes
+    // through) keeps the elision — the kv_dsv2 query shape
+    val computed = load().filter($"k" > 50L)
+      .select($"k", ($"x" * 2).as("x2")).orderBy("k")
+    val p3b = computed.queryExecution.executedPlan.toString
+    assert(globalSort.findFirstIn(p3b).isEmpty && !p3b.contains("Exchange"),
+      s"computed projection must not block the elision:\n$p3b")
+    assert(computed.limit(3).as[(Long, Long)].collect().toSeq ==
+      Seq((51L, 306L), (52L, 312L), (53L, 318L)))
+
     // SQL text over the format surface gets the same treatment
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW osv_sql USING graft " +
       s"OPTIONS (root '${store.root}', path 'osv')")
