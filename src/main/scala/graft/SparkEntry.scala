@@ -2114,6 +2114,27 @@ object SparkEntry {
           array_max(col("q")).as("q_max"),
           size(filter(col("q"), x => x =!= 0L)).cast("long").as("nnz"))
         .orderBy("vec_id")),
+    // MMR diversity re-rank (Carbonell & Goldstein): greedy
+    // λ·rel − (1−λ)·max-sim over two 40-candidate shortlists, k=6 —
+    // every similarity and objective an exact integer, the oracle
+    // unrolls the greedy into k explicit SQL stages (PageRank's trick)
+    "sim_mmr" -> ((s, d) => {
+      val toMilli = "transform(embedding, x -> " +
+        "cast(floor(cast(x as double) * 1000 + 0.5) as long))"
+      val emb = t(s, d, "embeddings")
+      val cand = emb.filter(col("vec_id") < 40)
+        .select(col("vec_id"), col("embedding"), expr(toMilli).as("vm"))
+      val qs = emb.filter(col("vec_id").isin(7L, 21L))
+        .select(col("vec_id").as("q_id"), expr(toMilli).as("qm"))
+      val rel = cand.crossJoin(broadcast(qs)).withColumn("rel_nano", expr(
+        "cast(floor(1e9 * cast(aggregate(zip_with(vm, qm, (x, y) -> x * y), 0L, (a, x) -> a + x) as double) / " +
+          "(sqrt(cast(aggregate(vm, 0L, (a, x) -> a + x * x) as double)) * " +
+          "sqrt(cast(aggregate(qm, 0L, (a, x) -> a + x * x) as double))) + 0.5) as long)"))
+      Similarity.mmrRerank(
+          rel.select(col("q_id"), col("vec_id"), col("rel_nano"), col("embedding")),
+          k = 6, lambdaMilli = 600)
+        .orderBy("q_id", "rank")
+    }),
     // JL sign projection 64→8: deterministic fmix32 ±1 matrix, exact
     // milli-integer coordinates — the shrink-then-index step of the
     // 100-TB ANN path, hash-matched coordinate by coordinate
@@ -2673,6 +2694,41 @@ object SparkEntry {
     // order-independent exact sum of the 2-decimal `value` column (twin of
     // EventStreams.exactCentSum): integer-cent sum, one final division
     val centSum = "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
+    // greedy MMR unrolled into k explicit stages (the PageRank
+    // fixed-iteration trick): pick{s} = per-query argmax of
+    // λ·rel − (1−λ)·max-sim-to-picked, Pall{s} accumulates; arithmetic
+    // mirrors MmrSelect op for op (milli vectors, BIGINT dot/norm sums
+    // cast to DOUBLE in the single sim expression, floor(+0.5))
+    def mmrOracleSql(k: Int, lam: Int): String = {
+      val sim = (a: String, b: String) =>
+        s"CAST(floor(1e9 * CAST(list_sum(list_transform(range(1, 65), i -> $a.vm[i] * $b.vm[i])) AS DOUBLE) / " +
+          s"(sqrt(CAST(list_sum(list_transform($a.vm, x -> x * x)) AS DOUBLE)) * " +
+          s"sqrt(CAST(list_sum(list_transform($b.vm, x -> x * x)) AS DOUBLE))) + 0.5) AS BIGINT)"
+      val milli = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+      val sb = new StringBuilder
+      sb ++= s"WITH e AS (SELECT vec_id, $milli AS vm FROM embeddings WHERE vec_id < 40), "
+      sb ++= s"q AS (SELECT vec_id AS q_id, $milli AS vm FROM embeddings WHERE vec_id IN (7, 21)), "
+      sb ++= s"cand AS (SELECT q.q_id, e.vec_id AS id, e.vm, ${sim("e", "q")} AS rel_nano FROM e CROSS JOIN q), "
+      sb ++= s"sims AS (SELECT a.q_id, a.id AS ida, b.id AS idb, ${sim("a", "b")} AS sim_nano " +
+        "FROM cand a JOIN cand b ON a.q_id = b.q_id), "
+      sb ++= s"pall0 AS (SELECT q_id, CAST(1 AS BIGINT) AS rank, id, $lam * rel_nano AS mmr_pico FROM " +
+        s"(SELECT q_id, id, rel_nano, row_number() OVER (PARTITION BY q_id ORDER BY $lam * rel_nano DESC, id) AS rn FROM cand) WHERE rn = 1), "
+      for (s <- 1 until k) {
+        sb ++= s"c$s AS (SELECT c.q_id, c.id, c.rel_nano, max(sm.sim_nano) AS ms FROM cand c " +
+          s"JOIN pall${s - 1} p ON p.q_id = c.q_id " +
+          s"JOIN sims sm ON sm.q_id = c.q_id AND sm.ida = c.id AND sm.idb = p.id " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM pall${s - 1} x WHERE x.q_id = c.q_id AND x.id = c.id) " +
+          "GROUP BY c.q_id, c.id, c.rel_nano), "
+        sb ++= s"pick$s AS (SELECT q_id, CAST(${s + 1} AS BIGINT) AS rank, id, score AS mmr_pico FROM " +
+          s"(SELECT q_id, id, $lam * rel_nano - ${1000 - lam} * ms AS score, " +
+          s"row_number() OVER (PARTITION BY q_id ORDER BY $lam * rel_nano - ${1000 - lam} * ms DESC, id) AS rn " +
+          s"FROM c$s) WHERE rn = 1), "
+        sb ++= s"pall$s AS (SELECT * FROM pall${s - 1} UNION ALL SELECT * FROM pick$s), "
+      }
+      // strip the trailing comma-space, close with the final projection
+      val body = sb.toString.stripSuffix(", ")
+      body + s" SELECT q_id, rank, id AS vec_id, mmr_pico FROM pall${k - 1} ORDER BY q_id, rank"
+    }
     // exact all-pairs shingle-Jaccard truth set on doc_id < 500 (string
     // shingles — the SQL twin of graft's FNV hash shingles, identical
     // counts absent 64-bit collisions); shared by the near-dup recall
@@ -3503,6 +3559,7 @@ object SparkEntry {
         "ELSE list_transform(vd, v -> CAST(floor(v / ma * 127.0 + 0.5) AS BIGINT)) END AS q FROM m) " +
         "SELECT vec_id, CAST(list_sum(q) AS BIGINT) AS q_sum, list_min(q) AS q_min, list_max(q) AS q_max, " +
         "CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS nnz FROM q ORDER BY vec_id"),
+      "sim_mmr" -> mmrOracleSql(k = 6, lam = 600),
       "sim_sign_project" -> ("WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100), " +
         "js AS (SELECT unnest(range(0, 8)) AS j), " +
         "p AS (SELECT vec_id, j, CAST(list_sum(list_transform(range(0, 64), i -> " +

@@ -66,20 +66,18 @@ object Funnel {
     *         retention_micro), one row per (cohort, offset) with ≥1
     *         active user.
     *
-    * Plan shape: one groupBy(user) for first-event cohorts, one
-    * distinct over (user, week) — both map-side combined and
-    * user/user-week-sized, never event-sized — then a user-keyed join
-    * of those two small tables and a final (cohort, offset) aggregate.
-    * The raw event table is scanned exactly twice and nothing
-    * event-sized ever shuffles; at 100 TB the joined tables are
-    * user-cardinality, the cheapest possible shape.
+    * Plan shape: the raw event table is scanned ONCE, into the distinct
+    * (user, week) table (map-side combined, user-week-sized, never
+    * event-sized); cohorts are a second aggregate over THAT table
+    * (min week per user), so everything after the first exchange is
+    * user-cardinality — the cheapest possible shape at 100 TB.
     */
   def retention(events: DataFrame, userCol: String = "user_id",
                 tsCol: String = "ts"): DataFrame = {
     val week = to_date(date_trunc("week", col(tsCol)))
-    val cohorts = events.groupBy(col(userCol))
-      .agg(min(week).as("cohort_week"))
     val active = events.select(col(userCol), week.as("__w")).distinct()
+    val cohorts = active.groupBy(col(userCol))
+      .agg(min(col("__w")).as("cohort_week"))
     val sized = cohorts.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("__size"))
     active.join(cohorts, Seq(userCol))
@@ -102,12 +100,12 @@ object Funnel {
     * @return (from_type, to_type, n_transitions, prob_micro), every
     *         observed pair.
     *
-    * Plan shape: ONE shuffle (by user, for the lag window — transitions
-    * within a user are meaningless across partitions), one
-    * map-side-combined pair count, and a type-keyed totals join whose
-    * both sides are |event-type-vocabulary|-sized. The window carries
-    * only (user, ms, id, type) — raw payload columns are pruned before
-    * the exchange.
+    * Plan shape: ONE event-sized shuffle (by user, for the lag window —
+    * transitions within a user are meaningless across partitions),
+    * carrying only (user, ms, id, type) — raw payload columns are
+    * pruned before the exchange. Everything downstream is map-side
+    * combined to |event-type-vocabulary|²-sized tables: the pair count,
+    * the totals aggregate, and their join.
     */
   def transitions(events: DataFrame, userCol: String = "user_id",
                   tsCol: String = "ts", typeCol: String = "event_type",

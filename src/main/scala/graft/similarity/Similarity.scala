@@ -311,6 +311,40 @@ object Similarity {
         s"* 1000 + 0.5) as long) * ($sign)))"))
   }
 
+  /** Diversity-aware re-ranking of per-query shortlists by greedy
+    * maximal marginal relevance ([[MmrSelect]]). The shortlist must be
+    * BOUNDED per query (the output of [[knnJoin]]/[[bruteForceTopKBatchAgg]]
+    * — typically ≤ a few hundred rows); the greedy itself is one
+    * expression evaluated per query group after a single group-by-query
+    * shuffle of shortlist-sized data, so query count scales out and
+    * nothing corpus-sized moves. `relCol` is the caller's relevance in
+    * exact integer nano-units; vectors are milli-quantized inside (the
+    * [[signProject]] rounding), pairwise similarity is portable
+    * nano-cosine over those exact integers.
+    *
+    * @return (qIdCol, rank 1..k, idCol, mmr_pico) in pick order.
+    */
+  def mmrRerank(shortlist: DataFrame, k: Int, lambdaMilli: Int,
+                qIdCol: String = "q_id", idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                relCol: String = "rel_nano"): DataFrame = {
+    val vm = expr(s"transform($vecCol, x -> " +
+      "cast(floor(cast(x as double) * 1000 + 0.5) as long))")
+    val grouped = shortlist
+      .select(col(qIdCol), struct(col(idCol).cast("long").as("id"),
+        col(relCol).cast("long").as("rel_nano"), vm.as("vm")).as("__it"))
+      .groupBy(col(qIdCol))
+      // sort_array makes the collected order deterministic; the greedy
+      // itself is order-insensitive (exact argmax, id tie-break)
+      .agg(sort_array(collect_list(col("__it"))).as("__items"))
+    grouped
+      .withColumn("__picks", org.apache.spark.sql.graft.Shim.col(
+        MmrSelect(org.apache.spark.sql.graft.Shim.expr(col("__items")), k, lambdaMilli)))
+      .select(col(qIdCol), posexplode(col("__picks")).as(Seq("__p", "__s")))
+      .select(col(qIdCol), (col("__p") + 1).cast("long").as("rank"),
+        col("__s.id").as(idCol), col("__s.mmr_pico").as("mmr_pico"))
+  }
+
   /** murmur3 fmix32 over a non-negative 32-bit value, emitted as SQL text
     * using only `*`, `%`, integer division, and xor — portable across
     * engines (pass each engine's xor spelling and integer-div keyword).
@@ -862,5 +896,115 @@ case class ProbeCells(child: org.apache.spark.sql.catalyst.expressions.Expressio
 
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): ProbeCells =
+    copy(child = c)
+}
+
+/** Greedy maximal-marginal-relevance selection over ONE query's bounded
+  * shortlist (Carbonell & Goldstein 1998): picks `k` items maximizing
+  * `λ·relevance − (1−λ)·max-similarity-to-already-picked` — the
+  * diversity-aware re-rank used to de-redundify retrieval shortlists
+  * and to pick varied training examples.
+  *
+  * Input: `array<struct<id:long, rel_nano:long, vm:array<long>>>` (one
+  * query's shortlist; `vm` = milli-quantized embedding). Output: the
+  * picked `struct<id:long, mmr_pico:long>`s in pick order. All
+  * arithmetic is engine-portable: pairwise similarity is
+  * `floor(1e9·dot/(sqrt(na)·sqrt(nb)) + 0.5)` over EXACT integer
+  * dots/norms (sqrt and one divide are IEEE-correctly rounded — the
+  * Rocchio recipe), the objective is exact pico-unit integers, ties
+  * break toward the lower id. The whole greedy is O(k·n·dim) per query
+  * over a BOUNDED n, so the expression runs inside whatever
+  * distributed shape groups the shortlists — no driver loop.
+  */
+case class MmrSelect(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                     k: Int, lambdaMilli: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types._
+
+  require(k >= 1 && lambdaMilli >= 0 && lambdaMilli <= 1000)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("mmr_pico", LongType, nullable = false))), containsNull = false)
+
+  /** `floor(1e9·dot/(√na·√nb) + 0.5)`, zero-norm → 0 — written in the
+    * exact operation order the SQL oracle uses.
+    */
+  private def simNano(a: Array[Long], b: Array[Long]): Long = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0L
+    else math.floor(1.0e9 * dot / (math.sqrt(na) * math.sqrt(nb)) + 0.5).toLong
+  }
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val rel = new Array[Long](n)
+    val vms = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      rel(i) = row.getLong(1)
+      vms(i) = row.getArray(2).toLongArray()
+      i += 1
+    }
+    val taken = new Array[Boolean](n)
+    val maxSim = Array.fill(n)(Long.MinValue) // max sim to picked set; none yet
+    val picks = math.min(k, n)
+    val out = new Array[Any](picks)
+    var p = 0
+    while (p < picks) {
+      var best = -1
+      var bestScore = Long.MinValue
+      var c = 0
+      while (c < n) {
+        if (!taken(c)) {
+          val ms = if (p == 0) 0L else maxSim(c)
+          val score = lambdaMilli * rel(c) - (1000L - lambdaMilli) * ms
+          if (score > bestScore ||
+              (score == bestScore && (best == -1 || ids(c) < ids(best)))) {
+            bestScore = score; best = c
+          }
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(p) = InternalRow(ids(best), bestScore)
+      // fold the new pick into every remaining candidate's max-sim
+      var c2 = 0
+      while (c2 < n) {
+        if (!taken(c2)) {
+          val s = simNano(vms(c2), vms(best))
+          if (s > maxSim(c2) || maxSim(c2) == Long.MinValue) maxSim(c2) = s
+        }
+        c2 += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mmrSelectExpr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        ((org.apache.spark.sql.catalyst.expressions.UnaryExpression) $ref).nullSafeEval($a);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): MmrSelect =
     copy(child = c)
 }

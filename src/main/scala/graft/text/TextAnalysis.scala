@@ -548,7 +548,8 @@ object TextAnalysis {
     * Scale shape: one corpus pass to (doc, term, tf) with map-side
     * combine; document frequencies are a second aggregate over the
     * (vocab-bounded) tf table joined back on the term key; the corpus
-    * doc count is one scalar; per-doc top-k is a rank window that
+    * doc count is a broadcast 1-row aggregate riding the same plan (no
+    * separate action); per-doc top-k is a rank window that
     * executes as WindowGroupLimit (partial top-k per partition before
     * the doc-keyed shuffle). Ties break toward the lexicographically
     * smaller term.
@@ -556,15 +557,18 @@ object TextAnalysis {
   def keywords(df: DataFrame, k: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     require(k >= 1)
-    val nd = df.count()
+    // corpus doc count rides the plan as a broadcast 1-row aggregate —
+    // no separate count() action / second scan of the corpus
+    val nd = df.agg(count(lit(1)).as("__nd"))
     val tf = df.select(col(idCol).as("id"),
         explode(gf.ws_tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).cast("long").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("long").as("dft"))
     import org.apache.spark.sql.expressions.Window
     tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nd))
       .withColumn("score_milli",
-        expr(s"tf * ((1000 * (2 * ${nd}L - 2 * dft + 1)) div (2 * dft + 1))"))
+        expr("tf * ((1000 * (2 * __nd - 2 * dft + 1)) div (2 * dft + 1))"))
       .withColumn("rank", row_number().over(Window.partitionBy("id")
         .orderBy(col("score_milli").desc, col("term"))).cast("long"))
       .filter(col("rank") <= k)

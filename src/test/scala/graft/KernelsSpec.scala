@@ -124,6 +124,70 @@ class KernelsSpec extends SparkSuite {
     }
   }
 
+  test("mmrRerank matches an independent greedy reference; lambda extremes behave") {
+    import graft.similarity.Similarity
+    def milli(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+    def simNano(a: Array[Long], b: Array[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = a.map(x => x.toDouble * x).sum
+      val nb = b.map(x => x.toDouble * x).sum
+      if (na == 0 || nb == 0) 0L
+      else math.floor(1.0e9 * dot / (math.sqrt(na) * math.sqrt(nb)) + 0.5).toLong
+    }
+    def refMmr(items: Seq[(Long, Long, Array[Long])], k: Int,
+               lam: Int): Seq[(Long, Long)] = {
+      var rest = items.toList
+      var picked = List.empty[(Long, Array[Long])]
+      val out = Seq.newBuilder[(Long, Long)]
+      while (picked.size < math.min(k, items.size)) {
+        val scored = rest.map { case (id, rel, vm) =>
+          val ms = if (picked.isEmpty) 0L
+            else picked.map(p => simNano(vm, p._2)).max
+          (id, lam * rel - (1000L - lam) * ms, vm)
+        }
+        val best = scored.minBy(t => (-t._2, t._1))
+        out += ((best._1, best._2))
+        picked ::= (best._1, best._3)
+        rest = rest.filterNot(_._1 == best._1)
+      }
+      out.result()
+    }
+    val items = (0 until 3).flatMap { q =>
+      (0 until 15).map { i =>
+        (q.toLong, i.toLong, (rnd.nextInt(2000000000) - 1000000000).toLong,
+          vec(16))
+      }
+    }
+    val df = items.toDF("q_id", "vec_id", "rel_nano", "embedding")
+    Seq(0, 300, 700, 1000).foreach { lam =>
+      val got = Similarity.mmrRerank(df, k = 5, lambdaMilli = lam)
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+      (0 until 3).foreach { q =>
+        val mine = items.filter(_._1 == q)
+          .map(t => (t._2, t._3, milli(t._4)))
+        assert(got(q.toLong) == refMmr(mine, 5, lam), s"q=$q lam=$lam")
+      }
+    }
+    // lambda=1000 is pure relevance: picks == top-5 by (rel desc, id)
+    val pure = Similarity.mmrRerank(df, k = 5, lambdaMilli = 1000)
+      .filter($"q_id" === 0L).orderBy("rank")
+      .as[(Long, Long, Long, Long)].collect().map(_._3).toSeq
+    val want = items.filter(_._1 == 0).sortBy(t => (-t._3, t._2)).take(5).map(_._2)
+    assert(pure == want)
+    // diversity kicks in: an exact duplicate of the top item is never
+    // picked second at lambda=500 (its max-sim is 1e9, any other wins)
+    val dup = Seq(
+      (9L, 1L, 1000000000L, Array(1f, 0f, 0f, 0f)),
+      (9L, 2L, 999999999L, Array(1f, 0f, 0f, 0f)),
+      (9L, 3L, 400000000L, Array(0f, 1f, 0f, 0f))
+    ).toDF("q_id", "vec_id", "rel_nano", "embedding")
+    val dp = Similarity.mmrRerank(dup, k = 2, lambdaMilli = 500)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect().map(_._3).toSeq
+    assert(dp == Seq(1L, 3L), s"duplicate must lose to the diverse item: $dp")
+  }
+
   test("signProject matches an independent fmix32 reference, signs are balanced") {
     import graft.similarity.Similarity
     // reference fmix32 (murmur3 finalizer) on the true bit ops

@@ -304,5 +304,33 @@ class ScaleProbeSpec extends SparkSuite {
     }
     info(f"10M-event gapFill: $nRows bins ($nGaps filled) in ${(System.nanoTime() - t2) / 1e9}%.1f s")
     assert(nRows > 0)
+
+    // retention at 10M events / 100k users over ~26 weeks: everything
+    // after the first distinct is user-cardinality
+    val t3 = System.nanoTime()
+    val rev = spark.range(10000000L).select(
+      pmod(col("id"), lit(100000)).as("user_id"),
+      timestamp_millis(lit(1700000000000L) +
+        pmod(col("id") * 2654435761L, lit(26L * 7 * 86400000L))).as("ts"))
+    val rrows = graft.operators.Funnel.retention(rev).count()
+    info(f"10M-event retention: $rrows cohort cells in ${(System.nanoTime() - t3) / 1e9}%.1f s")
+    assert(rrows > 0)
+
+    // transitions at 10M events / 100k users / 8 types: one event-sized
+    // window shuffle, vocab^2-bounded output
+    val t4 = System.nanoTime()
+    val tev = spark.range(10000000L).select(
+      pmod(col("id"), lit(100000)).as("user_id"),
+      col("id").as("event_id"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 7L).as("ts"),
+      concat(lit("e"), pmod(hash(col("id")), lit(8))).as("event_type"))
+    val trows = graft.operators.Funnel.transitions(tev)
+    val (npairs, ntrans) = {
+      val r = trows.agg(count(lit(1)), sum(col("n_transitions"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    info(f"10M-event transitions: $npairs pairs / $ntrans transitions " +
+      f"in ${(System.nanoTime() - t4) / 1e9}%.1f s")
+    assert(npairs <= 64 && ntrans == 10000000L - 100000L)
   }
 }
