@@ -274,6 +274,35 @@ object SparkEntry {
       new KVIndex(store, v2)
     }
 
+  /** SCD2 fixture: three committed versions of a cents dimension —
+    * bootstrap, then (zero-out keys < 50 + 5 fresh inserts), then
+    * (999-overwrite of [20,30) + removal of [100,200)) — exercising
+    * added / changed / removed / no-op-upsert-cancels in one history.
+    */
+  private def scd2Store(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-scd2", s, d) { store =>
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = KVIndex.bootstrap(store, "dim", ord, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      store.recordSnapshot("dim", v1.manifest.version, ts = 1000L)
+      val m2 = v1.execute(Seq(
+        Command.Insert(ord.filter(col("o_orderkey") < 50)
+          .withColumn("cents", lit(0L)), upsert = true),
+        Command.Insert(s.range(0, 5).select(
+          (col("id") + 3000000L).as("o_orderkey"),
+          (lit(999990L) + col("id")).as("o_custkey"),
+          (lit(77L) + col("id")).as("cents")))), "tx-scd2-v2").orThrow
+      store.recordSnapshot("dim", m2.version, ts = 2000L)
+      val m3 = new KVIndex(store, m2).execute(Seq(
+        Command.Insert(ord.filter(col("o_orderkey") >= 20 && col("o_orderkey") < 30)
+          .withColumn("cents", lit(999L)), upsert = true),
+        Command.Remove(ord.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+          .select("o_orderkey"))), "tx-scd2-v3").orThrow
+      store.recordSnapshot("dim", m3.version, ts = 3000L)
+      new KVIndex(store, m3)
+    }
+
   /** Incrementally-maintained aggregate view fixture: bootstrap a cents
     * source, materialize the per-customer sum/count view, apply one mixed
     * COW batch (upsert-to-zero, range removal, fresh inserts incl. brand
@@ -2235,6 +2264,23 @@ object SparkEntry {
           round(col("new_o_totalprice"), 2).as("new_price"))
         .orderBy("o_orderkey")
     }),
+    // SCD2 materialization of the dimension's whole version history:
+    // per (key, incarnation) validity intervals from consecutive COW
+    // diffs + ONE key-partitioned window; version numbers mapped to
+    // history ordinals so the oracle can replay the mutation script
+    "kv_scd2" -> ((s, d) => {
+      val (store, _) = scd2Store(s, d)
+      val vs = store.historyLog("dim").map(_._2).distinct.sorted
+      def ordinal(c: Column): Column = vs.zipWithIndex.foldLeft(
+        lit(null).cast("long")) { case (acc, (v, i)) =>
+        when(c === v, lit((i + 1).toLong)).otherwise(acc)
+      }
+      graft.core.Scd2.scd2(store, "dim")
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          ordinal(col("valid_from")).as("valid_from"),
+          ordinal(col("valid_to")).as("valid_to"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
     // CCNet-style cross-document segment dedup: strip 10-token segments
     // shared by >= 2 documents, reassemble the survivors in order
     "dd_seg_dedup" -> ((s, d) =>
@@ -3597,6 +3643,26 @@ object SparkEntry {
       // the store's t=2000 snapshot differs from t=1000 exactly by the
       // upsert that zeroed o_totalprice for o_orderkey < 50 (none of which
       // is 0 to begin with), so the diff is those keys, all 'changed'
+      // replay of scd2Store's mutation script: v2 zeroes keys < 50 (a
+      // no-op for rows already at 0 — diff cancels those) + 5 inserts;
+      // v3 sets [20,30) to 999 (pre-v3 state there is ALWAYS 0) and
+      // removes [100,200)
+      "kv_scd2" -> ("WITH base AS (SELECT o_orderkey AS k, o_custkey, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "i1 AS (SELECT k, o_custkey, cents, CAST(1 AS BIGINT) AS valid_from, " +
+        "CAST(CASE WHEN k < 50 AND cents != 0 THEN 2 " +
+        "WHEN k >= 20 AND k < 30 AND cents = 0 THEN 3 " +
+        "WHEN k >= 100 AND k < 200 THEN 3 END AS BIGINT) AS valid_to FROM base), " +
+        "i2 AS (SELECT k, o_custkey, CAST(0 AS BIGINT) AS cents, CAST(2 AS BIGINT) AS valid_from, " +
+        "CAST(CASE WHEN k >= 20 AND k < 30 THEN 3 END AS BIGINT) AS valid_to " +
+        "FROM base WHERE k < 50 AND cents != 0), " +
+        "i2b AS (SELECT 3000000 + i AS k, 999990 + i AS o_custkey, CAST(77 + i AS BIGINT) AS cents, " +
+        "CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to FROM range(5) t(i)), " +
+        "i3 AS (SELECT k, o_custkey, CAST(999 AS BIGINT) AS cents, CAST(3 AS BIGINT) AS valid_from, " +
+        "CAST(NULL AS BIGINT) AS valid_to FROM base WHERE k >= 20 AND k < 30) " +
+        "SELECT k AS o_orderkey, o_custkey, cents, valid_from, valid_to FROM " +
+        "(SELECT * FROM i1 UNION ALL SELECT * FROM i2 UNION ALL " +
+        "SELECT * FROM i2b UNION ALL SELECT * FROM i3) ORDER BY o_orderkey, valid_from"),
       "kv_diff" -> ("SELECT o_orderkey, 'changed' AS change, round(o_totalprice, 2) AS old_price, " +
         "0.0 AS new_price FROM orders WHERE o_orderkey < 50 AND o_totalprice <> 0 ORDER BY o_orderkey"),
       // same segmentation as the Spark side: lower, \s+ split, consecutive

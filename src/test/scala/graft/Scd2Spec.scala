@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** SCD2 history materialization: validity intervals rebuilt from COW
+  * diffs must equal the intervals a per-version model derives from the
+  * literal snapshot states — pinned by hand cases and a randomized
+  * mutation-sequence differential on both backends.
+  */
+class Scd2Spec extends SparkSuite {
+  import spark.implicits._
+
+  private type Interval = (Long, Long, Long, Option[Long]) // k, v, from, to
+
+  /** Model: replay the full per-version states, derive intervals. */
+  private def modelIntervals(states: Seq[(Long, Map[Long, Long])]): Set[Interval] = {
+    val out = Seq.newBuilder[Interval]
+    val open = scala.collection.mutable.Map.empty[Long, (Long, Long)] // k -> (value, from)
+    for ((ver, state) <- states) {
+      // closes / changes
+      for ((k, (v, from)) <- open.toSeq) state.get(k) match {
+        case Some(nv) if nv == v => // unchanged
+        case Some(nv) =>
+          out += ((k, v, from, Some(ver))); open(k) = (nv, ver)
+        case None =>
+          out += ((k, v, from, Some(ver))); open.remove(k)
+      }
+      // adds
+      for ((k, v) <- state if !open.contains(k)) open(k) = (v, ver)
+    }
+    for ((k, (v, from)) <- open) out += ((k, v, from, None))
+    out.result().toSet
+  }
+
+  private def gotIntervals(store: SnapshotStore, id: String): Set[Interval] =
+    Scd2.scd2(store, id)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
+  test("hand case: add, change, no-op rewrite, remove, re-add") {
+    val store = new MemorySnapshotStore(spark)
+    def df(rows: (Long, Long)*) = rows.toDF("k", "x")
+    val v1 = KVIndex.bootstrap(store, "h", df(1L -> 10L, 2L -> 20L, 3L -> 30L), Seq("k"))
+      .fold(e => fail(e.message), identity)
+    store.recordSnapshot("h", v1.manifest.version, 100L)
+    // v2: change k=1, payload-identical rewrite of k=2 (must NOT open a
+    // new incarnation), remove k=3
+    val m2 = v1.execute(Seq(
+      Command.Insert(df(1L -> 11L, 2L -> 20L), upsert = true),
+      Command.Remove(Seq(3L).toDF("k")))).orThrow
+    store.recordSnapshot("h", m2.version, 200L)
+    // v3: re-add k=3 with a new value
+    val m3 = new KVIndex(store, m2).execute(Seq(
+      Command.Insert(df(3L -> 31L)))).orThrow
+    store.recordSnapshot("h", m3.version, 300L)
+    val (a, b, c) = (v1.manifest.version, m2.version, m3.version)
+    val got = gotIntervals(store, "h")
+    assert(got == Set[Interval](
+      (1L, 10L, a, Some(b)), (1L, 11L, b, None),
+      (2L, 20L, a, None), // the no-op rewrite cancels in diff
+      (3L, 30L, a, Some(b)), (3L, 31L, c, None)))
+  }
+
+  test("randomized mutation sequences equal the state-replay model (both backends)") {
+    val rnd = new scala.util.Random(7)
+    for (backend <- Seq("fs", "mem")) {
+      val store: SnapshotStore =
+        if (backend == "fs") new FsSnapshotStore(tmpDir("graft-scd2"), spark)
+        else new MemorySnapshotStore(spark)
+      var state = (0L until 40L).map(k => k -> (k * 100)).toMap
+      var ix = KVIndex.bootstrap(store, "r",
+        state.toSeq.toDF("k", "x"), Seq("k")).fold(e => fail(e.message), identity)
+      store.recordSnapshot("r", ix.manifest.version, 0L)
+      val states = Seq.newBuilder[(Long, Map[Long, Long])]
+      states += ((ix.manifest.version, state))
+      for (step <- 1 to 6) {
+        val ups = (0 until 10).map(_ => rnd.nextInt(50).toLong)
+          .distinct.map(k => k -> rnd.nextInt(5).toLong) // small range forces no-ops too
+        val rems = (0 until 5).map(_ => rnd.nextInt(50).toLong).distinct
+          .filter(k => state.contains(k) && !ups.exists(_._1 == k))
+        val m = ix.execute(Seq(
+          Command.Insert(ups.toDF("k", "x"), upsert = true),
+          Command.Remove(rems.toDF("k")))).orThrow
+        state = (state ++ ups.toMap) -- rems
+        ix = new KVIndex(store, m)
+        store.recordSnapshot("r", m.version, step * 100L)
+        states += ((m.version, state))
+      }
+      assert(gotIntervals(store, "r") == modelIntervals(states.result()),
+        s"[$backend]")
+    }
+  }
+}
