@@ -1660,6 +1660,31 @@ object SparkEntry {
     // so the whole profile hash-matches the DuckDB replica.
     "prof_columns" -> ((s, d) =>
       graft.pipeline.Profiler.profile(t(s, d, "lineitem"))),
+    // data-contract gate: deterministically dirtied orders checked
+    // against 5 declared rules — row rules fold into ONE aggregate over
+    // one scan, unique/ref each pay their own key-shaped job
+    "prof_expect" -> ((s, d) => {
+      import graft.pipeline.Expect
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+      val bad = s.range(0, 3).select((col("id") + 5000000L).as("o_orderkey"),
+          lit(null).cast("long").as("o_custkey"), lit(10.0).as("o_totalprice"),
+          lit("O").as("o_orderstatus"))
+        .unionByName(ord.filter(col("o_orderkey").isin(1L, 2L)))
+        .unionByName(s.range(0, 2).select((col("id") + 6000000L).as("o_orderkey"),
+          lit(1L).as("o_custkey"), lit(-5.0).as("o_totalprice"),
+          lit("F").as("o_orderstatus")))
+        .unionByName(s.range(0, 3).select((col("id") + 7000000L).as("o_orderkey"),
+          (col("id") + 888888800L).as("o_custkey"), lit(1.0).as("o_totalprice"),
+          lit("X").as("o_orderstatus")))
+      Expect.check(ord.unionByName(bad), Seq(
+          Expect.NotNull("o_custkey"),
+          Expect.Check("price_positive", "o_totalprice > 0"),
+          Expect.Check("status_domain", "o_orderstatus in ('O', 'F', 'P')"),
+          Expect.Unique(Seq("o_orderkey")),
+          Expect.Ref("o_custkey", t(s, d, "customer"), "c_custkey")))
+        .orderBy("rule")
+    }),
 
     // ---- SQL surface: custom Catalyst kernel registered and called
     //      from spark.sql, hash-verified against the DuckDB oracle ----
@@ -3260,6 +3285,21 @@ object SparkEntry {
       // column profiler: one subquery per lineitem column, rendering
       // pinned to the Profiler's rules (4-dp DECIMAL for fractionals,
       // ISO seconds for temporals, raw strings/integers)
+      "prof_expect" -> ("WITH bad AS (" +
+        "SELECT 5000000 + i AS o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, 10.0 AS o_totalprice, 'O' AS o_orderstatus FROM range(3) t(i) " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey IN (1, 2) " +
+        "UNION ALL SELECT 6000000 + i, 1, -5.0, 'F' FROM range(2) t(i) " +
+        "UNION ALL SELECT 7000000 + i, 888888800 + i, 1.0, 'X' FROM range(3) t(i)), " +
+        "dirty AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders " +
+        "UNION ALL SELECT * FROM bad) " +
+        "SELECT rule, n_violations FROM (" +
+        "SELECT 'not_null:o_custkey' AS rule, CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations FROM dirty " +
+        "UNION ALL SELECT 'price_positive', CAST(count(*) FILTER (WHERE NOT (o_totalprice > 0) OR o_totalprice IS NULL) AS BIGINT) FROM dirty " +
+        "UNION ALL SELECT 'status_domain', CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL) AS BIGINT) FROM dirty " +
+        "UNION ALL SELECT 'unique:o_orderkey', CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (SELECT count(*) AS c FROM dirty GROUP BY o_orderkey) " +
+        "UNION ALL SELECT 'ref:o_custkey', CAST(count(*) AS BIGINT) FROM dirty " +
+        "WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)" +
+        ") ORDER BY rule"),
       "prof_columns" -> {
         def row(c: String, mn: String, mx: String, al: String) =
           s"SELECT '$c' AS \"column\", count(*) AS n_rows, " +

@@ -62,4 +62,37 @@ class ProfilerSpec extends SparkSuite {
     val plan = Profiler.profile(df, exact = false).queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"approx profile should not Expand:\n$plan")
   }
+
+  test("Expect: planted violations counted exactly, null semantics pinned") {
+    import graft.pipeline.Expect
+    val dim = Seq(1L, 2L, 3L).toDF("d")
+    val df = Seq(
+      (Some(1L), Some(10L), "a"),   // clean
+      (Some(1L), Some(2L), "a"),    // duplicate key 1
+      (None, Some(3L), "b"),        // null key (counts for not_null)
+      (None, Some(99L), "c"),       // second null key -> null group dups
+      (Some(4L), None, "a"),        // null x -> x > 0 is NULL -> violation
+      (Some(5L), Some(-7L), "d")    // negative + dangling fk? x=-7 not in dim
+    ).map { case (k, x, s) => (k, x, s) }
+      .toDF("k", "x", "s")
+    val got = Expect.check(df, Seq(
+        Expect.NotNull("k"),
+        Expect.Check("x_positive", "x > 0"),
+        Expect.Check("s_domain", "s in ('a', 'b', 'c')"),
+        Expect.Unique(Seq("k")),
+        Expect.Ref("x", dim, "d")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "not_null:k" -> 2L,
+      "x_positive" -> 2L,      // the NULL predicate counts, like the -7
+      "s_domain" -> 1L,
+      "unique:k" -> 2L,        // dup key 1 excess=1, the two nulls group: excess=1
+      "ref:x" -> 3L))          // 10, 99, -7 miss the dim; the null fk does not count
+    // a clean frame reports all zeros (incl. the empty-anti-join path)
+    val clean = Seq((1L, 1L, "a"), (2L, 2L, "b")).toDF("k", "x", "s")
+    val zeros = Expect.check(clean, Seq(
+        Expect.NotNull("k"), Expect.Unique(Seq("k")), Expect.Ref("x", dim, "d")))
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(zeros == Seq(0L, 0L, 0L))
+  }
 }
