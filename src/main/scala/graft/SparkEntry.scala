@@ -2306,6 +2306,22 @@ object SparkEntry {
           ordinal(col("valid_to")).as("valid_to"))
         .orderBy("o_orderkey", "valid_from")
     }),
+    // point-in-time enrichment over the SCD2 table: probe keys × every
+    // history version, each probe left-joined to the incarnation current
+    // at that version (nulls before existence / in removal gaps /
+    // at unknown keys); the oracle replays per-version state as CASEs
+    "kv_scd2_asof" -> ((s, d) => {
+      import s.implicits._
+      val (store, _) = scd2Store(s, d)
+      val vs = store.historyLog("dim").map(_._2).distinct.sorted
+      val probes = Seq(1L, 25L, 150L, 3000001L, 9999999L)
+        .flatMap(k => vs.zipWithIndex.map { case (v, i) => (k, v, (i + 1).toLong) })
+        .toDF("o_orderkey", "__v", "at_version")
+      graft.core.Scd2.asOf(graft.core.Scd2.scd2(store, "dim"), probes,
+          Seq("o_orderkey"), "__v")
+        .select(col("o_orderkey"), col("at_version"), col("cents"))
+        .orderBy("o_orderkey", "at_version")
+    }),
     // CCNet-style cross-document segment dedup: strip 10-token segments
     // shared by >= 2 documents, reassemble the survivors in order
     "dd_seg_dedup" -> ((s, d) =>
@@ -3703,6 +3719,20 @@ object SparkEntry {
         "SELECT k AS o_orderkey, o_custkey, cents, valid_from, valid_to FROM " +
         "(SELECT * FROM i1 UNION ALL SELECT * FROM i2 UNION ALL " +
         "SELECT * FROM i2b UNION ALL SELECT * FROM i3) ORDER BY o_orderkey, valid_from"),
+      "kv_scd2_asof" -> ("WITH base AS (SELECT o_orderkey AS k, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "probes AS (SELECT k, v FROM (VALUES (1), (25), (150), (3000001), (9999999)) p(k) " +
+        "CROSS JOIN (SELECT unnest(range(1, 4)) AS v)), " +
+        "state AS (SELECT p.k, p.v, CASE WHEN p.k = 3000001 THEN " +
+        "(CASE WHEN p.v >= 2 THEN 78 END) ELSE " +
+        "(SELECT CASE WHEN p.v = 1 THEN b.cents " +
+        "WHEN p.v = 2 THEN (CASE WHEN p.k < 50 THEN 0 ELSE b.cents END) " +
+        "ELSE (CASE WHEN p.k >= 100 AND p.k < 200 THEN NULL " +
+        "WHEN p.k >= 20 AND p.k < 30 THEN 999 " +
+        "WHEN p.k < 50 THEN 0 ELSE b.cents END) END " +
+        "FROM base b WHERE b.k = p.k) END AS cents FROM probes p) " +
+        "SELECT CAST(k AS BIGINT) AS o_orderkey, CAST(v AS BIGINT) AS at_version, " +
+        "CAST(cents AS BIGINT) AS cents FROM state ORDER BY o_orderkey, at_version"),
       "kv_diff" -> ("SELECT o_orderkey, 'changed' AS change, round(o_totalprice, 2) AS old_price, " +
         "0.0 AS new_price FROM orders WHERE o_orderkey < 50 AND o_totalprice <> 0 ORDER BY o_orderkey"),
       // same segmentation as the Spark side: lower, \s+ split, consecutive

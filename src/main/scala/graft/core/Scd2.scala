@@ -67,4 +67,32 @@ object Scd2 {
       .select(kcols.map(col) ++ vals.map(col) :+
         col("__v").as("valid_from") :+ col("valid_to"): _*)
   }
+
+  /** Point-in-time enrichment: each fact row gets the dimension values
+    * that were current AT `facts(versionCol)` — a LEFT join on key
+    * equality plus interval membership (`valid_from ≤ v < valid_to`,
+    * open-ended intervals match everything from `valid_from` on).
+    * Facts probing before a key existed, inside a removal gap, or at an
+    * unknown key keep null dimension columns.
+    *
+    * Scale shape: the join key is the EQUALITY key (hash join,
+    * broadcastable dimension); the interval predicate rides along as a
+    * join residual over the handful of incarnations each key has — no
+    * band join, no per-version dimension copies.
+    */
+  def asOf(dim: DataFrame, facts: DataFrame, keyCols: Seq[String],
+           versionCol: String): DataFrame = {
+    val f = facts.alias("__f")
+    val d = dim.alias("__d")
+    val v = col(s"__f.$versionCol")
+    val cond = keyCols.map(k => col(s"__f.$k") === col(s"__d.$k"))
+      .reduce(_ && _) &&
+      col("__d.valid_from") <= v &&
+      (col("__d.valid_to").isNull || v < col("__d.valid_to"))
+    val dimVals = dim.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == "valid_from" || c == "valid_to")
+    f.join(d, cond, "left")
+      .select(facts.columns.toSeq.map(c => col(s"__f.$c")) ++
+        dimVals.map(c => col(s"__d.$c")): _*)
+  }
 }

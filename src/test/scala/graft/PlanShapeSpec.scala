@@ -125,4 +125,40 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
     assert(cached.size == 2, s"expected the gram table cached on both sides, saw ${cached.size}")
   }
+
+  test("keywords plans WindowGroupLimit; collocations plans TakeOrderedAndProject") {
+    val docs = (1 to 200).map(i => (i.toLong, s"w${i % 17} w${i % 5} common tail"))
+      .toDF("doc_id", "text")
+    // per-doc top-k must pre-truncate per partition before the doc shuffle
+    val kw = graft.text.TextAnalysis.keywords(docs, k = 2)
+    kw.collect()
+    val kwPlan = kw.queryExecution.executedPlan.toString
+    assert(kwPlan.contains("WindowGroupLimit"), kwPlan.take(2000))
+    // corpus top-k must be per-partition heads + k rows to one reducer,
+    // never a global sort
+    val co = graft.text.TextAnalysis.collocations(docs, k = 5, minCount = 2)
+    co.collect()
+    val coPlan = co.queryExecution.executedPlan.toString
+    assert(coPlan.contains("TakeOrderedAndProject"), coPlan.take(2000))
+  }
+
+  test("transitions prunes payload columns before the window exchange") {
+    val ev = (1 to 300).map(i => (i.toLong % 10, i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00"),
+        s"t${i % 4}", s"heavy-payload-$i" * 10))
+      .toDF("user_id", "event_id", "ts", "event_type", "payload")
+    val q = graft.operators.Funnel.transitions(ev)
+    q.collect()
+    val exchanges = collect(q.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    // the user-keyed window exchange must carry only (user, ms, id, type)
+    // — the payload column stays behind the projection
+    val windowEx = exchanges.filter(_.outputPartitioning.toString.contains("user_id"))
+    assert(windowEx.nonEmpty, exchanges.map(_.toString).mkString("\n").take(1000))
+    windowEx.foreach { e =>
+      val cols = e.output.map(_.name).toSet
+      assert(!cols.contains("payload"), s"payload crossed the exchange: $cols")
+    }
+  }
 }

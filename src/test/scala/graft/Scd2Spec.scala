@@ -62,6 +62,31 @@ class Scd2Spec extends SparkSuite {
       (3L, 30L, a, Some(b)), (3L, 31L, c, None)))
   }
 
+  test("asOf: point-in-time probes hit the right incarnation, gaps and unknowns are null") {
+    val store = new MemorySnapshotStore(spark)
+    def df(rows: (Long, Long)*) = rows.toDF("k", "x")
+    val v1 = KVIndex.bootstrap(store, "a", df(1L -> 10L, 3L -> 30L), Seq("k"))
+      .fold(e => fail(e.message), identity)
+    store.recordSnapshot("a", v1.manifest.version, 100L)
+    val m2 = v1.execute(Seq(
+      Command.Insert(df(1L -> 11L), upsert = true),
+      Command.Remove(Seq(3L).toDF("k")))).orThrow
+    store.recordSnapshot("a", m2.version, 200L)
+    val m3 = new KVIndex(store, m2).execute(Seq(
+      Command.Insert(df(3L -> 31L)))).orThrow
+    store.recordSnapshot("a", m3.version, 300L)
+    val vs = Seq(v1.manifest.version, m2.version, m3.version)
+    val probes = (for (k <- Seq(1L, 3L, 99L); v <- vs) yield (k, v))
+      .toDF("k", "pv")
+    val got = Scd2.asOf(Scd2.scd2(store, "a"), probes, Seq("k"), "pv")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set(
+      (1L, vs(0), Some(10L)), (1L, vs(1), Some(11L)), (1L, vs(2), Some(11L)),
+      (3L, vs(0), Some(30L)), (3L, vs(1), None), (3L, vs(2), Some(31L)),
+      (99L, vs(0), None), (99L, vs(1), None), (99L, vs(2), None)))
+  }
+
   test("randomized mutation sequences equal the state-replay model (both backends)") {
     val rnd = new scala.util.Random(7)
     for (backend <- Seq("fs", "mem")) {
