@@ -1660,6 +1660,21 @@ object SparkEntry {
     // so the whole profile hash-matches the DuckDB replica.
     "prof_columns" -> ((s, d) =>
       graft.pipeline.Profiler.profile(t(s, d, "lineitem"))),
+    // equi-width price histogram in exact integer cents: 20 bins over
+    // lineitem extendedprice, data-dependent bounds from a broadcast
+    // 1-row min/max aggregate
+    "prof_hist" -> ((s, d) =>
+      graft.pipeline.Profiler.histogram(
+          t(s, d, "lineitem").select(
+            floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+          "cents", bins = 20)
+        .orderBy("bin")),
+    // exact-size deterministic uniform sample: 25 docs by Knuth-hash
+    // rank — plans as TakeOrderedAndProject, reproducible in any engine
+    "samp_exact_k" -> ((s, d) =>
+      graft.pipeline.Sampling.exactK(t(s, d, "documents"), "doc_id", k = 25)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
     // data-contract gate: deterministically dirtied orders checked
     // against 5 declared rules — row rules fold into ONE aggregate over
     // one scan, unique/ref each pay their own key-shaped job
@@ -3301,6 +3316,15 @@ object SparkEntry {
       // column profiler: one subquery per lineitem column, rendering
       // pinned to the Profiler's rules (4-dp DECIMAL for fractionals,
       // ISO seconds for temporals, raw strings/integers)
+      "prof_hist" -> ("WITH x AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem), " +
+        "mm AS (SELECT min(c) AS mn, max(c) AS mx FROM x), " +
+        "b AS (SELECT CASE WHEN mm.mx = mm.mn THEN 0 ELSE ((x.c - mm.mn) * 20) // (mm.mx - mm.mn + 1) END AS bin, x.c " +
+        "FROM x CROSS JOIN mm) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(min(c) AS BIGINT) AS lo, CAST(max(c) AS BIGINT) AS hi " +
+        "FROM b GROUP BY bin ORDER BY bin"),
+      "samp_exact_k" -> ("SELECT doc_id, source, n_chars FROM documents " +
+        s"ORDER BY ${knuthHash("doc_id")}, doc_id LIMIT 25"),
       "prof_expect" -> ("WITH bad AS (" +
         "SELECT 5000000 + i AS o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, 10.0 AS o_totalprice, 'O' AS o_orderstatus FROM range(3) t(i) " +
         "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey IN (1, 2) " +

@@ -72,4 +72,28 @@ object Profiler {
       .select(col("p.*"))
       .orderBy("column")
   }
+
+  /** Equi-width histogram of an INTEGRAL column (quantize floats to
+    * cents/milli first — integer bin arithmetic is what makes the whole
+    * histogram engine-exact): bin `i` covers
+    * `[mn + i·w, mn + (i+1)·w)` with `w = (mx − mn + 1) / bins`
+    * conceptually; concretely `bin = ((x − mn) · bins) div (mx − mn + 1)`,
+    * always in `[0, bins)`, plus each bin's observed lo/hi/count.
+    *
+    * Scale shape: one 1-row min/max aggregate broadcast onto a second
+    * scan's bin projection + one map-side-combined count — two scans,
+    * the minimum for a data-dependent binning; no sort anywhere.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 1)
+    val mm = df.agg(min(col(valueCol)).cast("long").as("__mn"),
+      max(col(valueCol)).cast("long").as("__mx"))
+    df.select(col(valueCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .crossJoin(broadcast(mm))
+      .withColumn("bin", expr(
+        s"case when __mx = __mn then 0L else ((__x - __mn) * $bins) div (__mx - __mn + 1) end"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min(col("__x")).as("lo"), max(col("__x")).as("hi"))
+  }
 }

@@ -163,6 +163,21 @@ object Sampling {
       chain.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1))))
   }
 
+  /** Exact-SIZE deterministic uniform sample: the `k` rows with the
+    * smallest Knuth-hash ranks (id tie-break) — the reproducible
+    * "give me exactly 10k docs" draw fraction-based Bernoulli can't
+    * provide. Rank-by-hash makes it order- and partitioning-invariant,
+    * and any engine reproduces the same set from the same ids.
+    *
+    * Scale shape: plans as `TakeOrderedAndProject` — each partition
+    * keeps a k-item heap and k rows total reach one reducer; no global
+    * sort, no second pass.
+    */
+  def exactK(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    df.orderBy(hashMod(col(idCol), 1L << 32), col(idCol)).limit(k)
+  }
+
   /** Leakage-safe split: near-duplicates must never straddle train and
     * test — the standard way eval scores silently inflate. Rows are
     * assigned by the hash of their dedup CLUSTER label, not their own

@@ -63,6 +63,39 @@ class ProfilerSpec extends SparkSuite {
     assert(!plan.contains("Expand"), s"approx profile should not Expand:\n$plan")
   }
 
+  test("histogram: exact integer bins, degenerate single-value domain, TakeOrdered-free") {
+    // domain [0, 99], 10 bins of width 10: value v lands in v/10
+    val df = (0 until 100).flatMap(v => Seq.fill(v % 3 + 1)(v.toLong)).toDF("x")
+    val got = Profiler.histogram(df, "x", bins = 10)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10)
+    got.foreach { case (bin, n, lo, hi) =>
+      assert(lo / 10 == bin && hi / 10 == bin, s"bin $bin spans [$lo,$hi]")
+      assert(n == (lo to hi).map(_ % 3 + 1).sum)
+    }
+    // single-value domain: one bin 0, count = rows
+    val one = Profiler.histogram(Seq(7L, 7L, 7L).toDF("x"), "x", bins = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSeq == Seq((0L, 3L)))
+    // partitioning invariance
+    val re = Profiler.histogram(df.repartition(7), "x", bins = 10)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("exactK: deterministic, partitioning-invariant, plans TakeOrderedAndProject") {
+    import graft.pipeline.Sampling
+    val df = spark.range(0, 5000).select(col("id").as("doc_id"))
+    val a = Sampling.exactK(df, "doc_id", 40).collect().map(_.getLong(0)).toSet
+    val b = Sampling.exactK(df.repartition(13), "doc_id", 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 40)
+    val plan = Sampling.exactK(df, "doc_id", 40).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
   test("Expect: planted violations counted exactly, null semantics pinned") {
     import graft.pipeline.Expect
     val dim = Seq(1L, 2L, 3L).toDF("d")
