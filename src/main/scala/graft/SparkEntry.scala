@@ -2321,6 +2321,52 @@ object SparkEntry {
           ordinal(col("valid_to")).as("valid_to"))
         .orderBy("o_orderkey", "valid_from")
     }),
+    // the INCREMENTAL twin of kv_scd2: the history table is
+    // materialized as its own index after v1 and rolled forward by two
+    // refreshes (each reading only the new diffs + churned open rows);
+    // the oracle is the SAME full-rebuild interval replay — incremental
+    // == rebuild is the contract, like kv_agg_view
+    "kv_scd2_incr" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-scd2incr")
+      val store = new FsSnapshotStore(root.toString, s)
+      try {
+        val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val v1 = KVIndex.bootstrap(store, "dim", ord, Seq("o_orderkey"))
+          .fold(e => sys.error(e.message), identity)
+        store.recordSnapshot("dim", v1.manifest.version, ts = 1000L)
+        graft.core.Scd2.materialize(store, "dimh", "dim")
+          .fold(e => sys.error(e.message), identity)
+        val m2 = v1.execute(Seq(
+          Command.Insert(ord.filter(col("o_orderkey") < 50)
+            .withColumn("cents", lit(0L)), upsert = true),
+          Command.Insert(s.range(0, 5).select(
+            (col("id") + 3000000L).as("o_orderkey"),
+            (lit(999990L) + col("id")).as("o_custkey"),
+            (lit(77L) + col("id")).as("cents")))), "tx-scd2i-v2").orThrow
+        store.recordSnapshot("dim", m2.version, ts = 2000L)
+        graft.core.Scd2.refresh(store, "dimh").fold(e => sys.error(e.message), identity)
+        val m3 = new KVIndex(store, m2).execute(Seq(
+          Command.Insert(ord.filter(col("o_orderkey") >= 20 && col("o_orderkey") < 30)
+            .withColumn("cents", lit(999L)), upsert = true),
+          Command.Remove(ord.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+            .select("o_orderkey"))), "tx-scd2i-v3").orThrow
+        store.recordSnapshot("dim", m3.version, ts = 3000L)
+        val view = graft.core.Scd2.refresh(store, "dimh")
+          .fold(e => sys.error(e.message), identity)
+        val vs = store.historyLog("dim").map(_._2).distinct.sorted
+        val ordinal = vs.zipWithIndex.map { case (v, i) => v -> (i + 1).toLong }.toMap
+        // eager: the temp store dies in finally
+        val rows = view.df.select("o_orderkey", "o_custkey", "cents",
+            "valid_from", "valid_to").collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            ordinal(r.getLong(3)),
+            if (r.isNullAt(4)) None else Some(ordinal(r.getLong(4)))))
+          .sortBy(t => (t._1, t._4))
+        rows.toDF("o_orderkey", "o_custkey", "cents", "valid_from", "valid_to")
+      } finally { deleteRec(root) }
+    }),
     // point-in-time enrichment over the SCD2 table: probe keys × every
     // history version, each probe left-joined to the incarnation current
     // at that version (nulls before existence / in removal gaps /
@@ -2796,6 +2842,22 @@ object SparkEntry {
     // order-independent exact sum of the 2-decimal `value` column (twin of
     // EventStreams.exactCentSum): integer-cent sum, one final division
     val centSum = "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
+    val scd2IntervalsOracle: String = "WITH base AS (SELECT o_orderkey AS k, o_custkey, " +
+      "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+      "i1 AS (SELECT k, o_custkey, cents, CAST(1 AS BIGINT) AS valid_from, " +
+      "CAST(CASE WHEN k < 50 AND cents != 0 THEN 2 " +
+      "WHEN k >= 20 AND k < 30 AND cents = 0 THEN 3 " +
+      "WHEN k >= 100 AND k < 200 THEN 3 END AS BIGINT) AS valid_to FROM base), " +
+      "i2 AS (SELECT k, o_custkey, CAST(0 AS BIGINT) AS cents, CAST(2 AS BIGINT) AS valid_from, " +
+      "CAST(CASE WHEN k >= 20 AND k < 30 THEN 3 END AS BIGINT) AS valid_to " +
+      "FROM base WHERE k < 50 AND cents != 0), " +
+      "i2b AS (SELECT 3000000 + i AS k, 999990 + i AS o_custkey, CAST(77 + i AS BIGINT) AS cents, " +
+      "CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to FROM range(5) t(i)), " +
+      "i3 AS (SELECT k, o_custkey, CAST(999 AS BIGINT) AS cents, CAST(3 AS BIGINT) AS valid_from, " +
+      "CAST(NULL AS BIGINT) AS valid_to FROM base WHERE k >= 20 AND k < 30) " +
+      "SELECT k AS o_orderkey, o_custkey, cents, valid_from, valid_to FROM " +
+      "(SELECT * FROM i1 UNION ALL SELECT * FROM i2 UNION ALL " +
+      "SELECT * FROM i2b UNION ALL SELECT * FROM i3) ORDER BY o_orderkey, valid_from"
     // greedy MMR unrolled into k explicit stages (the PageRank
     // fixed-iteration trick): pick{s} = per-query argmax of
     // λ·rel − (1−λ)·max-sim-to-picked, Pall{s} accumulates; arithmetic
@@ -3726,23 +3788,11 @@ object SparkEntry {
       // replay of scd2Store's mutation script: v2 zeroes keys < 50 (a
       // no-op for rows already at 0 — diff cancels those) + 5 inserts;
       // v3 sets [20,30) to 999 (pre-v3 state there is ALWAYS 0) and
-      // removes [100,200)
-      "kv_scd2" -> ("WITH base AS (SELECT o_orderkey AS k, o_custkey, " +
-        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
-        "i1 AS (SELECT k, o_custkey, cents, CAST(1 AS BIGINT) AS valid_from, " +
-        "CAST(CASE WHEN k < 50 AND cents != 0 THEN 2 " +
-        "WHEN k >= 20 AND k < 30 AND cents = 0 THEN 3 " +
-        "WHEN k >= 100 AND k < 200 THEN 3 END AS BIGINT) AS valid_to FROM base), " +
-        "i2 AS (SELECT k, o_custkey, CAST(0 AS BIGINT) AS cents, CAST(2 AS BIGINT) AS valid_from, " +
-        "CAST(CASE WHEN k >= 20 AND k < 30 THEN 3 END AS BIGINT) AS valid_to " +
-        "FROM base WHERE k < 50 AND cents != 0), " +
-        "i2b AS (SELECT 3000000 + i AS k, 999990 + i AS o_custkey, CAST(77 + i AS BIGINT) AS cents, " +
-        "CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to FROM range(5) t(i)), " +
-        "i3 AS (SELECT k, o_custkey, CAST(999 AS BIGINT) AS cents, CAST(3 AS BIGINT) AS valid_from, " +
-        "CAST(NULL AS BIGINT) AS valid_to FROM base WHERE k >= 20 AND k < 30) " +
-        "SELECT k AS o_orderkey, o_custkey, cents, valid_from, valid_to FROM " +
-        "(SELECT * FROM i1 UNION ALL SELECT * FROM i2 UNION ALL " +
-        "SELECT * FROM i2b UNION ALL SELECT * FROM i3) ORDER BY o_orderkey, valid_from"),
+      // removes [100,200). Shared by kv_scd2 (full rebuild) and
+      // kv_scd2_incr (materialize + two incremental refreshes) — same
+      // truth, two maintenance paths
+      "kv_scd2" -> scd2IntervalsOracle,
+      "kv_scd2_incr" -> scd2IntervalsOracle,
       "kv_scd2_asof" -> ("WITH base AS (SELECT o_orderkey AS k, " +
         "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "probes AS (SELECT k, v FROM (VALUES (1), (25), (150), (3000001), (9999999)) p(k) " +

@@ -29,26 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
-  /** @param versions the committed versions to walk, oldest first;
-    *                 defaults to the store's recorded history for `id`.
-    */
-  def scd2(store: SnapshotStore, id: String,
-           versions: Seq[Long] = Nil): DataFrame = {
-    val vs =
-      if (versions.nonEmpty) versions
-      else store.historyLog(id).map(_._2).distinct.sorted
-    require(vs.nonEmpty, s"scd2: no versions recorded for '$id'")
-    require(vs == vs.distinct.sorted, "scd2: versions must be ascending")
-    def openIx(v: Long) = new KVIndex(store, store.loadVersionLazy(id, v))
-    val first = openIx(vs.head)
-    val kcols = first.manifest.keyCols
-    val vals = first.manifest.valueCols.filterNot(_ == "version")
-    // the v₀ snapshot opens every key's first incarnation
-    val init = first.df.select(
-      kcols.map(col) ++ vals.map(col) :+
-        lit(vs.head).as("__v") :+ lit("o").as("__t"): _*)
-    val steps = vs.sliding(2).collect { case Seq(a, b) =>
-      val d = openIx(a).diff(openIx(b))
+  private def openIx(store: SnapshotStore, id: String, v: Long): KVIndex =
+    new KVIndex(store, store.loadVersionLazy(id, v))
+
+  /** Per-step open/tombstone events from consecutive diffs over `vs`. */
+  private def stepEvents(store: SnapshotStore, id: String, vs: Seq[Long],
+                         kcols: Seq[String], vals: Seq[String]): Seq[DataFrame] =
+    vs.sliding(2).collect { case Seq(a, b) =>
+      val d = openIx(store, id, a).diff(openIx(store, id, b))
       val opens = d.filter(col("change").isin("added", "changed"))
         .select(kcols.map(col) ++ vals.map(c => col(s"new_$c").as(c)) :+
           lit(b).as("__v") :+ lit("o").as("__t"): _*)
@@ -59,7 +47,12 @@ object Scd2 {
           lit(b).as("__v") :+ lit("c").as("__t"): _*)
       opens.union(closes)
     }.toSeq
-    val events = (init +: steps).reduce(_ union _)
+
+  /** One key-partitioned `lead` window turns an event stream into
+    * `[valid_from, valid_to)` interval rows.
+    */
+  private def assemble(events: DataFrame, kcols: Seq[String],
+                       vals: Seq[String]): DataFrame = {
     val w = Window.partitionBy(kcols.map(col): _*).orderBy(col("__v"))
     events
       .withColumn("valid_to", lead(col("__v"), 1).over(w))
@@ -67,6 +60,90 @@ object Scd2 {
       .select(kcols.map(col) ++ vals.map(col) :+
         col("__v").as("valid_from") :+ col("valid_to"): _*)
   }
+
+  /** @param versions the committed versions to walk, oldest first;
+    *                 defaults to the store's recorded history for `id`.
+    */
+  def scd2(store: SnapshotStore, id: String,
+           versions: Seq[Long] = Nil): DataFrame = {
+    val vs =
+      if (versions.nonEmpty) versions
+      else store.historyLog(id).map(_._2).distinct.sorted
+    require(vs.nonEmpty, s"scd2: no versions recorded for '$id'")
+    require(vs == vs.distinct.sorted, "scd2: versions must be ascending")
+    val first = openIx(store, id, vs.head)
+    val kcols = first.manifest.keyCols
+    val vals = first.manifest.valueCols.filterNot(_ == "version")
+    // the v₀ snapshot opens every key's first incarnation
+    val init = first.df.select(
+      kcols.map(col) ++ vals.map(col) :+
+        lit(vs.head).as("__v") :+ lit("o").as("__t"): _*)
+    val events = (init +: stepEvents(store, id, vs, kcols, vals)).reduce(_ union _)
+    assemble(events, kcols, vals)
+  }
+
+  private def txOf(srcId: String, srcVersion: Long): String =
+    s"scd2:$srcId:v$srcVersion:${java.util.UUID.randomUUID()}"
+
+  /** (srcId, srcVersion watermark) recorded in a materialized-SCD2
+    * view's manifest tx string.
+    */
+  private[graft] def sourceOf(m: SnapshotManifest): (String, Long) =
+    m.lastChangeVersion.split(":") match {
+      case Array("scd2", id, v, _*) if v.startsWith("v") => (id, v.drop(1).toLong)
+      case _ => throw new IllegalStateException(
+        s"${m.id} is not a Scd2 view (tx='${m.lastChangeVersion}')")
+    }
+
+  /** Materialize the SCD2 table as its OWN index, keyed by
+    * `(key…, valid_from)`, with the source watermark riding the view
+    * manifest — [[refresh]] then rolls it forward from NEW versions
+    * only, the MaterializedAgg economics applied to history tracking.
+    */
+  def materialize(store: SnapshotStore, viewId: String,
+                  srcId: String): Either[GraftError, KVIndex] = {
+    val vs = store.historyLog(srcId).map(_._2).distinct.sorted
+    require(vs.nonEmpty, s"scd2: no versions recorded for '$srcId'")
+    val kcols = openIx(store, srcId, vs.head).manifest.keyCols
+    KVIndex.bootstrap(store, viewId, scd2(store, srcId),
+      kcols :+ "valid_from", txVersion = txOf(srcId, vs.last))
+  }
+
+  /** Roll a materialized SCD2 view forward over the source versions
+    * committed since the recorded watermark. Cost ∝ the CHANGED data in
+    * the new span: the new-step diffs are churn-sized, the view is read
+    * ONCE (open incarnations of churned keys via a semi-shaped join),
+    * the interval re-assembly windows only seed+churn events, and the
+    * whole replacement commits as ONE Remove+Insert batch — untouched
+    * keys' files ride COW unchanged. No-op (same index) when already
+    * current.
+    */
+  def refresh(store: SnapshotStore, viewId: String): Either[GraftError, KVIndex] =
+    KVIndex.open(store, viewId).map { view =>
+      val (srcId, v0) = sourceOf(view.manifest)
+      val newVs = store.historyLog(srcId).map(_._2).distinct.sorted.filter(_ > v0)
+      if (newVs.isEmpty) view
+      else {
+        val span = v0 +: newVs
+        val src = openIx(store, srcId, v0)
+        val kcols = src.manifest.keyCols
+        val vals = src.manifest.valueCols.filterNot(_ == "version")
+        val events = stepEvents(store, srcId, span, kcols, vals).reduce(_ union _)
+        val churnKeys = events.select(kcols.map(col): _*).distinct()
+        // the view's OPEN incarnations of churned keys seed the window —
+        // their valid_from anchors closure by the first new event
+        val seed = view.df.filter(col("valid_to").isNull)
+          .join(churnKeys, kcols)
+          .select(kcols.map(col) ++ vals.map(col) :+
+            col("valid_from").as("__v") :+ lit("o").as("__t"): _*)
+        val assembled = assemble(seed.union(events), kcols, vals)
+        val removeKeys = seed.select(kcols.map(col) :+ col("__v").as("valid_from"): _*)
+        val res = view.execute(
+          Seq(Command.Remove(removeKeys), Command.Insert(assembled)),
+          txOf(srcId, span.last))
+        new KVIndex(store, res.orThrow)
+      }
+    }
 
   /** Point-in-time enrichment: each fact row gets the dimension values
     * that were current AT `facts(versionCol)` — a LEFT join on key

@@ -87,6 +87,49 @@ class Scd2Spec extends SparkSuite {
       (99L, vs(0), None), (99L, vs(1), None), (99L, vs(2), None)))
   }
 
+  test("materialize + incremental refresh equals the full rebuild at every step") {
+    val rnd = new scala.util.Random(11)
+    val store = new MemorySnapshotStore(spark)
+    var state = (0L until 30L).map(k => k -> (k * 10)).toMap
+    var ix = KVIndex.bootstrap(store, "m", state.toSeq.toDF("k", "x"), Seq("k"))
+      .fold(e => fail(e.message), identity)
+    store.recordSnapshot("m", ix.manifest.version, 0L)
+    def mutate(step: Int): Unit = {
+      val ups = (0 until 8).map(_ => rnd.nextInt(40).toLong)
+        .distinct.map(k => k -> rnd.nextInt(4).toLong)
+      val rems = (0 until 4).map(_ => rnd.nextInt(40).toLong).distinct
+        .filter(k => state.contains(k) && !ups.exists(_._1 == k))
+      val m = ix.execute(Seq(
+        Command.Insert(ups.toDF("k", "x"), upsert = true),
+        Command.Remove(rems.toDF("k")))).orThrow
+      state = (state ++ ups.toMap) -- rems
+      ix = new KVIndex(store, m)
+      store.recordSnapshot("m", m.version, step * 10L)
+    }
+    mutate(1); mutate(2)
+    val view0 = Scd2.materialize(store, "mview", "m")
+      .fold(e => fail(e.message), identity)
+    def content(v: KVIndex): Set[(Long, Long, Long, Option[Long])] =
+      v.df.select("k", "x", "valid_from", "valid_to").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    def rebuilt(): Set[(Long, Long, Long, Option[Long])] =
+      Scd2.scd2(store, "m").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(content(view0) == rebuilt(), "materialize")
+    // a no-op refresh must return the SAME manifest (nothing committed)
+    val same = Scd2.refresh(store, "mview").fold(e => fail(e.message), identity)
+    assert(same.manifest.version == view0.manifest.version, "no-op refresh")
+    // single-version and multi-version (gap) refreshes both converge
+    mutate(3)
+    val v1 = Scd2.refresh(store, "mview").fold(e => fail(e.message), identity)
+    assert(content(v1) == rebuilt(), "refresh over one version")
+    mutate(4); mutate(5)
+    val v2 = Scd2.refresh(store, "mview").fold(e => fail(e.message), identity)
+    assert(content(v2) == rebuilt(), "refresh over a two-version gap")
+  }
+
   test("randomized mutation sequences equal the state-replay model (both backends)") {
     val rnd = new scala.util.Random(7)
     for (backend <- Seq("fs", "mem")) {
