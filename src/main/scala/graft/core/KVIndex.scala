@@ -1066,12 +1066,22 @@ object KVIndex {
         // cheap rescan for the trivial plans the pin skips).
         val statsBytes = BigDecimal(
           stamped.queryExecution.optimizedPlan.stats.sizeInBytes)
-        val nParts =
+        val nPartsEst =
           if (statsBytes < BigDecimal(Long.MaxValue) / 4) {
             val targetBytes = BigDecimal(64L) * maxRowsPerFile
             (statsBytes / targetBytes).setScale(0, BigDecimal.RoundingMode.CEILING)
               .min(100000).max(1).toInt
-          } else math.max(1,
+          } else Int.MaxValue // unknown-stats sentinel: always verify
+        // optimizer size estimates COMPOUND through joins/windows and can
+        // overshoot by orders of magnitude — observed: a 1M-row windowed
+        // plan estimated large enough to write 100,000 ten-row files
+        // (740 s of file creation, every later scan a 100k-file open).
+        // Stats may size SMALL bootstraps for free, but above a modest
+        // file count one exact count() (cheap off the pin) bounds the
+        // layout by the REAL row cardinality.
+        val nParts =
+          if (nPartsEst <= 256) nPartsEst
+          else math.max(1,
             math.ceil(stamped.count().toDouble / maxRowsPerFile).toInt)
         val files =
           try store.writeData(id, stamped, key, nParts)._2

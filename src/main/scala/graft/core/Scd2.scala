@@ -30,7 +30,15 @@ import org.apache.spark.sql.functions._
 object Scd2 {
 
   private def openIx(store: SnapshotStore, id: String, v: Long): KVIndex =
-    new KVIndex(store, store.loadVersionLazy(id, v))
+    try new KVIndex(store, store.loadVersionLazy(id, v))
+    catch {
+      case e: java.util.NoSuchElementException =>
+        // the CDC source's contract, stated the same way: history walks
+        // need vacuum retention to cover the span being rebuilt
+        throw new IllegalStateException(
+          s"scd2 on '$id': version $v is gone (vacuumed?) — keep vacuum " +
+            "retainVersions above the history span you rebuild or refresh over", e)
+    }
 
   /** Per-step open/tombstone events from consecutive diffs over `vs`. */
   private def stepEvents(store: SnapshotStore, id: String, vs: Seq[Long],
@@ -79,7 +87,13 @@ object Scd2 {
       kcols.map(col) ++ vals.map(col) :+
         lit(vs.head).as("__v") :+ lit("o").as("__t"): _*)
     val events = (init +: stepEvents(store, id, vs, kcols, vals)).reduce(_ union _)
-    assemble(events, kcols, vals)
+    // long histories build a union of many diff-joins — past a few
+    // versions CATALYST'S OWN planning of that lineage dominates (each
+    // action re-analyzes the whole DAG, measured ~55 s/version at 13
+    // versions × 1M rows). A checkpoint barrier executes the event
+    // derivation once and hands the window a leaf-sized plan.
+    val ev = if (vs.size > 4) events.localCheckpoint() else events
+    assemble(ev, kcols, vals)
   }
 
   private def txOf(srcId: String, srcVersion: Long): String =
@@ -100,13 +114,19 @@ object Scd2 {
     * manifest — [[refresh]] then rolls it forward from NEW versions
     * only, the MaterializedAgg economics applied to history tracking.
     */
-  def materialize(store: SnapshotStore, viewId: String,
-                  srcId: String): Either[GraftError, KVIndex] = {
+  /** @param maxRowsPerFile the view's COW rewrite granularity: refresh
+    *        rewrites whole files containing churned keys, so size files
+    *        for the expected churn locality (smaller files → finer
+    *        rewrites, more manifest entries — the usual LSM trade).
+    */
+  def materialize(store: SnapshotStore, viewId: String, srcId: String,
+                  maxRowsPerFile: Long = 1L << 16): Either[GraftError, KVIndex] = {
     val vs = store.historyLog(srcId).map(_._2).distinct.sorted
     require(vs.nonEmpty, s"scd2: no versions recorded for '$srcId'")
     val kcols = openIx(store, srcId, vs.head).manifest.keyCols
     KVIndex.bootstrap(store, viewId, scd2(store, srcId),
-      kcols :+ "valid_from", txVersion = txOf(srcId, vs.last))
+      kcols :+ "valid_from", txVersion = txOf(srcId, vs.last),
+      maxRowsPerFile = maxRowsPerFile)
   }
 
   /** Roll a materialized SCD2 view forward over the source versions
@@ -128,20 +148,30 @@ object Scd2 {
         val src = openIx(store, srcId, v0)
         val kcols = src.manifest.keyCols
         val vals = src.manifest.valueCols.filterNot(_ == "version")
+        // events feed BOTH the churn-key derivation and the assembly —
+        // persist so the (churn-sized) diffs compute once, not per consumer
         val events = stepEvents(store, srcId, span, kcols, vals).reduce(_ union _)
-        val churnKeys = events.select(kcols.map(col): _*).distinct()
-        // the view's OPEN incarnations of churned keys seed the window —
-        // their valid_from anchors closure by the first new event
-        val seed = view.df.filter(col("valid_to").isNull)
-          .join(churnKeys, kcols)
-          .select(kcols.map(col) ++ vals.map(col) :+
-            col("valid_from").as("__v") :+ lit("o").as("__t"): _*)
-        val assembled = assemble(seed.union(events), kcols, vals)
-        val removeKeys = seed.select(kcols.map(col) :+ col("__v").as("valid_from"): _*)
-        val res = view.execute(
-          Seq(Command.Remove(removeKeys), Command.Insert(assembled)),
-          txOf(srcId, span.last))
-        new KVIndex(store, res.orThrow)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val churnKeys = events.select(kcols.map(col): _*).distinct()
+          // the view's OPEN incarnations of churned keys seed the window —
+          // their valid_from anchors closure by the first new event
+          // seed is consumed by the assembly AND the Remove command —
+          // persisting it is what makes "the view is read ONCE" true
+          val seed = view.df.filter(col("valid_to").isNull)
+            .join(churnKeys, kcols)
+            .select(kcols.map(col) ++ vals.map(col) :+
+              col("valid_from").as("__v") :+ lit("o").as("__t"): _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val assembled = assemble(seed.union(events), kcols, vals)
+            val removeKeys = seed.select(kcols.map(col) :+ col("__v").as("valid_from"): _*)
+            val res = view.execute(
+              Seq(Command.Remove(removeKeys), Command.Insert(assembled)),
+              txOf(srcId, span.last))
+            new KVIndex(store, res.orThrow)
+          } finally seed.unpersist()
+        } finally events.unpersist()
       }
     }
 

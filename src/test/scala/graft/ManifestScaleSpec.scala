@@ -136,4 +136,28 @@ class ManifestScaleSpec extends SparkSuite {
     assert(kept.version == 3L && kept.files.size == N,
       "the surviving version must still resolve its checkpoint")
   }
+
+  test("bootstrap file count is bounded by REAL rows even when plan stats overshoot") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // a join+window lineage whose optimizer size estimate compounds far
+    // past reality — the shape that once wrote a 1M-row table as 100k
+    // ten-row files (and made every later scan a 100k-file open)
+    val a = spark.range(20000L).select(col("id").as("k"), (col("id") % 97).as("x"))
+    val b = spark.range(20000L).select(col("id").as("k"), (col("id") % 89).as("y"))
+    val heavy = a.join(b, "k")
+      .withColumn("r", row_number().over(Window.partitionBy(col("x")).orderBy(col("k"))))
+      .select(col("k"), (col("x") + col("y") + col("r")).as("v"))
+    val est = BigDecimal(heavy.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val store = new MemorySnapshotStore(spark)
+    val ix = KVIndex.bootstrap(store, "guard", heavy, Seq("k"),
+        maxRowsPerFile = 4096L)
+      .fold(e => fail(e.message), identity)
+    // 20k rows / 4096-row files -> 5 files; without the exact-count
+    // guard an inflated estimate dictates the layout instead
+    assert(ix.numFiles == 5,
+      s"expected 5 files for 20k rows at 4096/file (stats estimated $est bytes), " +
+        s"got ${ix.numFiles}")
+    assert(ix.df.count() == 20000L)
+  }
 }

@@ -333,4 +333,45 @@ class ScaleProbeSpec extends SparkSuite {
       f"in ${(System.nanoTime() - t4) / 1e9}%.1f s")
     assert(npairs <= 64 && ntrans == 10000000L - 100000L)
   }
+
+  test("1M-row SCD2 over a 12-version history: one-step refresh beats the full rebuild") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    import graft.core._
+    val store = new FsSnapshotStore(tmpDir("graft-scd2probe"), spark)
+    val base = spark.range(1000000L).select(col("id").as("k"), (col("id") % 1000).as("x"))
+    // 64k-row files: diffs and COW rewrites are file-grained, so churn
+    // locality only pays when files are sized for it
+    var ix = KVIndex.bootstrap(store, "big", base, Seq("k"),
+        maxRowsPerFile = 1L << 16)
+      .fold(e => fail(e.message), identity)
+    store.recordSnapshot("big", ix.manifest.version, 0L)
+    def mutate(step: Int): Unit = {
+      val lo = step * 3000L
+      val m = ix.execute(Seq(
+        Command.Insert(spark.range(lo, lo + 3000).select(col("id").as("k"),
+          lit(-step.toLong).as("x")), upsert = true),
+        Command.Insert(spark.range(2000000L + step * 500L, 2000000L + step * 500L + 500)
+          .select(col("id").as("k"), lit(7L).as("x"))))).orThrow
+      ix = new KVIndex(store, m)
+      store.recordSnapshot("big", m.version, step * 1000L)
+    }
+    (1 to 12).foreach(mutate)
+    // the rebuild walks ALL 13 versions' diffs — SCD2's cost without
+    // incremental maintenance
+    val t0 = System.nanoTime()
+    Scd2.materialize(store, "bigh", "big").fold(e => fail(e.message), identity)
+    val matSec = (System.nanoTime() - t0) / 1e9
+    mutate(13)
+    // the refresh walks ONE new diff + bounded view ops
+    val t1 = System.nanoTime()
+    val view1 = Scd2.refresh(store, "bigh").fold(e => fail(e.message), identity)
+    val refSec = (System.nanoTime() - t1) / 1e9
+    val n = view1.df.count()
+    info(f"1M-row scd2, 13-version history: full rebuild $matSec%.1f s; " +
+      f"one-step refresh $refSec%.1f s; $n interval rows")
+    // base 1M + 12+1 rounds x (3000 changed incarnations + 500 inserts)
+    assert(n == 1000000L + 13L * 3500L)
+    assert(refSec < matSec,
+      f"one-step refresh ($refSec%.1f s) must beat the 13-version rebuild ($matSec%.1f s)")
+  }
 }
