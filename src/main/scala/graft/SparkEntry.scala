@@ -1320,6 +1320,12 @@ object SparkEntry {
       graft.operators.Funnel.conversions(events(s, d),
           Seq("view", "click", "purchase"), windowMs = 86400000L)
         .orderBy("step_no")),
+    // funnel stall analysis: per adjacent step pair, exact median and
+    // max conversion latency under the same earliest-entry 24h window
+    "st_funnel_latency" -> ((s, d) =>
+      graft.operators.Funnel.stepLatencies(events(s, d),
+          Seq("view", "click", "purchase"), windowMs = 86400000L)
+        .orderBy("step_no")),
     // cohort retention triangle: users bucketed by first-event week,
     // per-cohort share still active k weeks on, exact micro-units
     "st_retention" -> ((s, d) =>
@@ -3206,6 +3212,23 @@ object SparkEntry {
         "fin AS (SELECT o_custkey, CASE WHEN o_orderkey < 100 THEN cents + 1 ELSE cents END AS cents FROM base) " +
         "SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS agg_sum, " +
         "CAST(count(*) AS BIGINT) AS agg_cnt FROM fin GROUP BY 1 ORDER BY 1"),
+      "st_funnel_latency" -> ("WITH s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2 FROM events e JOIN s1 USING (user_id) " +
+        "WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t1 AND epoch_ms(e.ts) <= s1.t1 + 86400000 " +
+        "GROUP BY e.user_id), " +
+        "s2o AS (SELECT s2.user_id, s2.t2, s1.t1 FROM s2 JOIN s1 USING (user_id)), " +
+        "s3 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t3 FROM events e JOIN s2o USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2o.t2 AND epoch_ms(e.ts) <= s2o.t1 + 86400000 " +
+        "GROUP BY e.user_id), " +
+        "p1 AS (SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS from_step, 'click' AS to_step, " +
+        "CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY t2 - t1) AS BIGINT) AS p50_ms, " +
+        "CAST(max(t2 - t1) AS BIGINT) AS max_ms FROM s2o), " +
+        "p2 AS (SELECT CAST(2 AS BIGINT), 'click', 'purchase', CAST(count(*) AS BIGINT), " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY t3 - t2) AS BIGINT), " +
+        "CAST(max(t3 - t2) AS BIGINT) FROM s3 JOIN s2o USING (user_id)) " +
+        "SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY step_no"),
       "st_retention" -> ("WITH c AS (SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week " +
         "FROM events GROUP BY user_id), " +
         "sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS size FROM c GROUP BY 1), " +

@@ -54,6 +54,63 @@ object Funnel {
     }.toDF("step_no", "step", "users_reached", "conversion_micro")
   }
 
+  /** Step-to-step conversion LATENCY for an ordered funnel: for each
+    * adjacent step pair, how long converting users took (count, exact
+    * median and max, in ms) — the "where does the funnel stall"
+    * companion to [[conversions]], same earliest-entry window
+    * semantics: step k's time is the user's EARLIEST qualifying step-k
+    * event inside the window their first step-1 opened.
+    *
+    * @return (step_no, from_step, to_step, n_users, p50_ms, max_ms),
+    *         one row per adjacent pair.
+    *
+    * Plan shape: the same monotonically-shrinking user-keyed reacher
+    * fold as [[conversions]] (k−1 joins of filtered event slices,
+    * user-cardinality tables), then per pair one user-keyed join of two
+    * reacher tables + a bounded aggregate; `percentile_disc` is exact
+    * and engine-portable (the pplBuckets precedent).
+    */
+  def stepLatencies(events: DataFrame, steps: Seq[String], windowMs: Long,
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ms = unix_millis(col(tsCol))
+    var reach = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(ms).as("__t"))
+      .withColumn("__open", col("__t"))
+    val reaches = Seq.newBuilder[DataFrame]
+    reaches += reach
+    steps.drop(1).foreach { step =>
+      reach = events.filter(col(typeCol) === step)
+        .select(col(userCol), ms.as("__e"))
+        .join(reach, Seq(userCol))
+        .filter(col("__e") > col("__t") &&
+          col("__e") <= col("__open") + windowMs)
+        .groupBy(col(userCol))
+        .agg(min(col("__e")).as("__t"), first(col("__open")).as("__open"))
+      reaches += reach
+    }
+    val rs = reaches.result()
+    val parts = rs.sliding(2).zipWithIndex.collect { case (Seq(a, b), i) =>
+      a.select(col(userCol), col("__t").as("__ta"))
+        .join(b.select(col(userCol), col("__t").as("__tb")), Seq(userCol))
+        .select((col("__tb") - col("__ta")).as("__d"))
+        .agg(count(lit(1)).as("n_users"),
+          // Spark's percentile_disc yields DOUBLE; ms diffs are exact
+          // integers well under 2^53, so the round-trip cast is lossless
+          expr("cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY __d) as bigint)")
+            .as("p50_ms"),
+          max(col("__d")).as("max_ms"))
+        .select(lit((i + 1).toLong).as("step_no"),
+          lit(steps(i)).as("from_step"), lit(steps(i + 1)).as("to_step"),
+          col("n_users"), col("p50_ms"), col("max_ms"))
+    }.toSeq
+    parts.reduce(_ unionByName _)
+  }
+
   /** Cohort retention matrix: users are grouped by the week of their
     * FIRST event (their cohort), and each cohort's share of users still
     * active `k` weeks later is reported — the product-analytics

@@ -79,6 +79,23 @@ class GraphFunnelSpec extends SparkSuite {
     assert(got(1)._3 == 0L)
   }
 
+  test("stepLatencies: exact medians over hand-built conversion times") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val events = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "view"), (2L, ts(5), "click"),
+      (3L, ts(1), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.stepLatencies(events, Seq("view", "click", "purchase"),
+        windowMs = 24 * 3600 * 1000L)
+      .orderBy("step_no")
+      .as[(Long, String, String, Long, Long, Long)].collect().toSeq
+    val h = 3600000L
+    assert(got == Seq(
+      (1L, "view", "click", 2L, h, 4 * h), // diffs 1h, 4h -> disc-median 1h
+      (2L, "click", "purchase", 1L, h, h)))
+  }
+
   test("retention: hand-built cohorts — week-0 is always 100%, churn shows") {
     def ts(d: String) = Timestamp.valueOf(s"2024-01-$d 10:00:00")
     // weeks (Mondays): 2024-01-01, 01-08, 01-15. Users 1,2 cohort w0
