@@ -303,6 +303,39 @@ object SparkEntry {
       new KVIndex(store, m3)
     }
 
+  /** Incremental-SCD2 fixture: the SAME mutation script as [[scd2Store]]
+    * but with the history table materialized after v1 and rolled forward
+    * by a refresh per commit — the view's final content must equal the
+    * full rebuild (kv_scd2's oracle, shared verbatim). Cached like every
+    * other store fixture: the maintenance chain runs once per session.
+    */
+  private def scd2IncrView(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-scd2i", s, d) { store =>
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = KVIndex.bootstrap(store, "dim", ord, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      store.recordSnapshot("dim", v1.manifest.version, ts = 1000L)
+      graft.core.Scd2.materialize(store, "dimh", "dim")
+        .fold(e => sys.error(e.message), identity)
+      val m2 = v1.execute(Seq(
+        Command.Insert(ord.filter(col("o_orderkey") < 50)
+          .withColumn("cents", lit(0L)), upsert = true),
+        Command.Insert(s.range(0, 5).select(
+          (col("id") + 3000000L).as("o_orderkey"),
+          (lit(999990L) + col("id")).as("o_custkey"),
+          (lit(77L) + col("id")).as("cents")))), "tx-scd2i-v2").orThrow
+      store.recordSnapshot("dim", m2.version, ts = 2000L)
+      graft.core.Scd2.refresh(store, "dimh").fold(e => sys.error(e.message), identity)
+      val m3 = new KVIndex(store, m2).execute(Seq(
+        Command.Insert(ord.filter(col("o_orderkey") >= 20 && col("o_orderkey") < 30)
+          .withColumn("cents", lit(999L)), upsert = true),
+        Command.Remove(ord.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+          .select("o_orderkey"))), "tx-scd2i-v3").orThrow
+      store.recordSnapshot("dim", m3.version, ts = 3000L)
+      graft.core.Scd2.refresh(store, "dimh").fold(e => sys.error(e.message), identity)
+    }
+
   /** Incrementally-maintained aggregate view fixture: bootstrap a cents
     * source, materialize the per-customer sum/count view, apply one mixed
     * COW batch (upsert-to-zero, range removal, fresh inserts incl. brand
@@ -2333,45 +2366,17 @@ object SparkEntry {
     // the oracle is the SAME full-rebuild interval replay — incremental
     // == rebuild is the contract, like kv_agg_view
     "kv_scd2_incr" -> ((s, d) => {
-      import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft-scd2incr")
-      val store = new FsSnapshotStore(root.toString, s)
-      try {
-        val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
-          floor(col("o_totalprice") * 100).cast("long").as("cents"))
-        val v1 = KVIndex.bootstrap(store, "dim", ord, Seq("o_orderkey"))
-          .fold(e => sys.error(e.message), identity)
-        store.recordSnapshot("dim", v1.manifest.version, ts = 1000L)
-        graft.core.Scd2.materialize(store, "dimh", "dim")
-          .fold(e => sys.error(e.message), identity)
-        val m2 = v1.execute(Seq(
-          Command.Insert(ord.filter(col("o_orderkey") < 50)
-            .withColumn("cents", lit(0L)), upsert = true),
-          Command.Insert(s.range(0, 5).select(
-            (col("id") + 3000000L).as("o_orderkey"),
-            (lit(999990L) + col("id")).as("o_custkey"),
-            (lit(77L) + col("id")).as("cents")))), "tx-scd2i-v2").orThrow
-        store.recordSnapshot("dim", m2.version, ts = 2000L)
-        graft.core.Scd2.refresh(store, "dimh").fold(e => sys.error(e.message), identity)
-        val m3 = new KVIndex(store, m2).execute(Seq(
-          Command.Insert(ord.filter(col("o_orderkey") >= 20 && col("o_orderkey") < 30)
-            .withColumn("cents", lit(999L)), upsert = true),
-          Command.Remove(ord.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
-            .select("o_orderkey"))), "tx-scd2i-v3").orThrow
-        store.recordSnapshot("dim", m3.version, ts = 3000L)
-        val view = graft.core.Scd2.refresh(store, "dimh")
-          .fold(e => sys.error(e.message), identity)
-        val vs = store.historyLog("dim").map(_._2).distinct.sorted
-        val ordinal = vs.zipWithIndex.map { case (v, i) => v -> (i + 1).toLong }.toMap
-        // eager: the temp store dies in finally
-        val rows = view.df.select("o_orderkey", "o_custkey", "cents",
-            "valid_from", "valid_to").collect().toSeq
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-            ordinal(r.getLong(3)),
-            if (r.isNullAt(4)) None else Some(ordinal(r.getLong(4)))))
-          .sortBy(t => (t._1, t._4))
-        rows.toDF("o_orderkey", "o_custkey", "cents", "valid_from", "valid_to")
-      } finally { deleteRec(root) }
+      val (store, view) = scd2IncrView(s, d)
+      val vs = store.historyLog("dim").map(_._2).distinct.sorted
+      def ordinal(c: Column): Column = vs.zipWithIndex.foldLeft(
+        lit(null).cast("long")) { case (acc, (v, i)) =>
+        when(c === v, lit((i + 1).toLong)).otherwise(acc)
+      }
+      view.df
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          ordinal(col("valid_from")).as("valid_from"),
+          ordinal(col("valid_to")).as("valid_to"))
+        .orderBy("o_orderkey", "valid_from")
     }),
     // point-in-time enrichment over the SCD2 table: probe keys × every
     // history version, each probe left-joined to the incarnation current
