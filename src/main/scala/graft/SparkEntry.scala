@@ -1699,6 +1699,18 @@ object SparkEntry {
     // so the whole profile hash-matches the DuckDB replica.
     "prof_columns" -> ((s, d) =>
       graft.pipeline.Profiler.profile(t(s, d, "lineitem"))),
+    // one-pass Pearson correlation matrix over quantized lineitem
+    // measures (6 pairs from ONE aggregate; exact integer moments,
+    // portable double only in the final quotient)
+    "prof_corr" -> ((s, d) =>
+      graft.pipeline.Profiler.corrMatrix(
+          t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+            .select(col("l_quantity").cast("long").as("qty"),
+              floor(col("l_extendedprice")).cast("long").as("price_usd"),
+              floor(col("l_discount") * 10000 + 0.5).cast("long").as("disc_bp"),
+              floor(col("l_tax") * 10000 + 0.5).cast("long").as("tax_bp")),
+          Seq("qty", "price_usd", "disc_bp", "tax_bp"))
+        .orderBy("col_a", "col_b")),
     // equi-width price histogram in exact integer cents: 20 bins over
     // lineitem extendedprice, data-dependent bounds from a broadcast
     // 1-row min/max aggregate
@@ -3406,6 +3418,32 @@ object SparkEntry {
       // column profiler: one subquery per lineitem column, rendering
       // pinned to the Profiler's rules (4-dp DECIMAL for fractionals,
       // ISO seconds for temporals, raw strings/integers)
+      "prof_corr" -> {
+        val cs = Seq("qty", "price_usd", "disc_bp", "tax_bp")
+        val prs = for (i <- cs.indices; j <- i + 1 until cs.size) yield (cs(i), cs(j))
+        def cell(a: String, b: String): String = {
+          val num = s"n * p_${a}_$b - s_$a * s_$b"
+          val d1 = s"n * ss_$a - s_$a * s_$a"
+          val d2 = s"n * ss_$b - s_$b * s_$b"
+          s"SELECT '$a' AS col_a, '$b' AS col_b, n, " +
+            s"CASE WHEN ($d1) <= 0 OR ($d2) <= 0 THEN NULL ELSE " +
+            s"CAST(floor(1e6 * CAST($num AS DOUBLE) / " +
+            s"(sqrt(CAST($d1 AS DOUBLE)) * sqrt(CAST($d2 AS DOUBLE))) + 0.5) AS BIGINT) " +
+            "END AS corr_micro FROM g"
+        }
+        "WITH s AS (SELECT CAST(l_quantity AS BIGINT) AS qty, " +
+          "CAST(floor(l_extendedprice) AS BIGINT) AS price_usd, " +
+          "CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp, " +
+          "CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tax_bp " +
+          "FROM lineitem WHERE l_orderkey < 2000), " +
+          "g AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+          cs.map(c => s"CAST(sum($c) AS BIGINT) AS s_$c, CAST(sum($c * $c) AS BIGINT) AS ss_$c")
+            .mkString(", ") + ", " +
+          prs.map { case (a, b) => s"CAST(sum($a * $b) AS BIGINT) AS p_${a}_$b" }
+            .mkString(", ") + " FROM s) " +
+          prs.map { case (a, b) => cell(a, b) }.mkString(" UNION ALL ") +
+          " ORDER BY col_a, col_b"
+      },
       "prof_hist" -> ("WITH x AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem), " +
         "mm AS (SELECT min(c) AS mn, max(c) AS mx FROM x), " +
         "b AS (SELECT CASE WHEN mm.mx = mm.mn THEN 0 ELSE ((x.c - mm.mn) * 20) // (mm.mx - mm.mn + 1) END AS bin, x.c " +

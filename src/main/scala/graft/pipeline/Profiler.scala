@@ -73,6 +73,47 @@ object Profiler {
       .orderBy("column")
   }
 
+  /** Pairwise Pearson correlation of INTEGRAL columns, every pair from
+    * ONE aggregate over ONE scan (the textbook sum-of-products
+    * identity): `corr = (n·Σxy − Σx·Σy) / √(n·Σxx − Σx²)·√(n·Σyy − Σy²)`.
+    * All sums and both numerator/denominator arguments are EXACT
+    * BIGINTs; only the final quotient runs in double (sqrt and one
+    * divide are IEEE-correctly rounded — the Rocchio recipe), half-up
+    * quantized to micro-units, so the whole matrix hash-matches an
+    * independent engine. Zero-variance columns yield null.
+    *
+    * Caller contract: columns must be integral (quantize floats to
+    * cents/basis-points first) with `n·max(|x|)²` inside BIGINT — the
+    * exactness depends on the cross-moment products not overflowing.
+    *
+    * Scale shape: `1 + 2k + k(k−1)/2` conditional sums in one map-side
+    * combined aggregate; the pair explosion happens on the single
+    * result row. One scan regardless of k.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2)
+    val pairs = for (i <- cols.indices; j <- i + 1 until cols.size)
+      yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).cast("long").as("__n")) ++
+      cols.flatMap(c => Seq(
+        sum(col(c)).cast("long").as(s"__s_$c"),
+        sum(col(c) * col(c)).cast("long").as(s"__ss_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(col(a) * col(b)).cast("long").as(s"__p_${a}_$b") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val num = s"__n * __p_${a}_$b - __s_$a * __s_$b"
+      val d1 = s"__n * __ss_$a - __s_$a * __s_$a"
+      val d2 = s"__n * __ss_$b - __s_$b * __s_$b"
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        expr(s"case when ($d1) <= 0 or ($d2) <= 0 then null else " +
+          s"cast(floor(1e6 * cast($num as double) / " +
+          s"(sqrt(cast($d1 as double)) * sqrt(cast($d2 as double))) + 0.5) " +
+          "as bigint) end").as("corr_micro"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Equi-width histogram of an INTEGRAL column (quantize floats to
     * cents/milli first — integer bin arithmetic is what makes the whole
     * histogram engine-exact): bin `i` covers

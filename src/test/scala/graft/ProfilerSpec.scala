@@ -85,6 +85,38 @@ class ProfilerSpec extends SparkSuite {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("corrMatrix: matches an independent reference; zero variance is null; one scan") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 500).map { i =>
+      val x = rnd.nextInt(100).toLong
+      (x, x * 3 - 7 + rnd.nextInt(10), rnd.nextInt(1000).toLong, 42L)
+    }
+    val df = rows.toDF("a", "b", "c", "const")
+    val got = Profiler.corrMatrix(df, Seq("a", "b", "c", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    def ref(xs: Seq[Long], ys: Seq[Long]): Option[Long] = {
+      val n = xs.size.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val (d1, d2) = (n * sxx - sx * sx, n * syy - sy * sy)
+      if (d1 <= 0 || d2 <= 0) None
+      else Some(math.floor(1e6 * (n * sxy - sx * sy).toDouble /
+        (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble)) + 0.5).toLong)
+    }
+    val series = Map("a" -> rows.map(_._1), "b" -> rows.map(_._2),
+      "c" -> rows.map(_._3), "const" -> rows.map(_._4))
+    for (((a, b), v) <- got) assert(v == ref(series(a), series(b)), s"($a,$b)")
+    // near-perfect linear dependence lands near 1e6; constants are null
+    assert(got(("a", "b")).get > 990000L)
+    assert(got(("a", "const")).isEmpty)
+    // one scan: a single aggregate, no join/union of scans
+    val plan = Profiler.corrMatrix(df, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), plan.take(1500))
+  }
+
   test("exactK: deterministic, partitioning-invariant, plans TakeOrderedAndProject") {
     import graft.pipeline.Sampling
     val df = spark.range(0, 5000).select(col("id").as("doc_id"))
