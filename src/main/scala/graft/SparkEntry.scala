@@ -1726,6 +1726,13 @@ object SparkEntry {
       graft.pipeline.Sampling.exactK(t(s, d, "documents"), "doc_id", k = 25)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
+    // exact-total stratified sample: 60 docs apportioned across sources
+    // by largest remainder, Knuth-hash picks within each stratum
+    "samp_proportional" -> ((s, d) =>
+      graft.pipeline.Sampling.proportionalK(t(s, d, "documents"),
+          "source", "doc_id", k = 60)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
     // data-contract gate: deterministically dirtied orders checked
     // against 5 declared rules — row rules fold into ONE aggregate over
     // one scan, unique/ref each pay their own key-shaped job
@@ -3453,6 +3460,14 @@ object SparkEntry {
         "FROM b GROUP BY bin ORDER BY bin"),
       "samp_exact_k" -> ("SELECT doc_id, source, n_chars FROM documents " +
         s"ORDER BY ${knuthHash("doc_id")}, doc_id LIMIT 25"),
+      "samp_proportional" -> ("WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source), " +
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM st), " +
+        "q AS (SELECT source, n, (60 * n) // nn AS q, (60 * n) % nn AS r FROM st CROSS JOIN tt), " +
+        "a AS (SELECT source, q + (CASE WHEN row_number() OVER (ORDER BY r DESC, source) " +
+        "<= 60 - (SELECT sum(q) FROM q) THEN 1 ELSE 0 END) AS alloc FROM q), " +
+        s"rk AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY ${knuthHash("doc_id")}, doc_id) AS rn FROM documents) " +
+        "SELECT rk.doc_id, rk.source FROM rk JOIN a USING (source) WHERE rk.rn <= a.alloc " +
+        "ORDER BY doc_id"),
       "prof_expect" -> ("WITH bad AS (" +
         "SELECT 5000000 + i AS o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, 10.0 AS o_totalprice, 'O' AS o_orderstatus FROM range(3) t(i) " +
         "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey IN (1, 2) " +

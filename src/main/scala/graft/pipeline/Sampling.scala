@@ -178,6 +178,52 @@ object Sampling {
     df.orderBy(hashMod(col(idCol), 1L << 32), col(idCol)).limit(k)
   }
 
+  /** Exact-TOTAL stratified sample with largest-remainder (Hamilton)
+    * apportionment: exactly `k` rows total, allocated to each stratum
+    * proportionally to its size — `⌊k·nᵢ/N⌋` each, the leftover seats
+    * going to the largest remainders (stratum-name tie-break). Within a
+    * stratum, rows are picked by Knuth-hash rank like [[exactK]] — the
+    * "exactly 100k docs, mixed like the corpus" draw. All integer
+    * arithmetic, engine-reproducible end to end.
+    *
+    * When `k ≥ N` every row survives (allocations cap at stratum
+    * sizes); over-allocation to a stratum is impossible below that.
+    *
+    * Scale shape: strata stats are one map-side-combined aggregate; the
+    * apportionment windows run over the STRATA table (stratum-count
+    * rows, the one deliberate single-partition step); the pick is one
+    * per-stratum rank window joined to the broadcast allocation — the
+    * corpus shuffles once, by stratum.
+    */
+  def proportionalK(df: DataFrame, stratumCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    // every apportionment step windows over the STRATA table — a
+    // stratum-count row set, so the unpartitioned windows are bounded
+    val strata = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val seatRank = Window.partitionBy(lit(1))
+      .orderBy(col("__r").desc, col(stratumCol))
+    val alloc = strata
+      // NB: __N would case-insensitively REPLACE __n under withColumn
+      .withColumn("__tot", sum(col("__n")).over(all))
+      .withColumn("__q", expr(s"(${k}L * __n) div __tot"))
+      .withColumn("__r", expr(s"(${k}L * __n) % __tot"))
+      .withColumn("__tq", sum(col("__q")).over(all))
+      .withColumn("__rk", row_number().over(seatRank))
+      .withColumn("__alloc", col("__q") +
+        when(col("__rk") <= lit(k.toLong) - col("__tq"), 1L).otherwise(0L))
+      .select(col(stratumCol), col("__alloc"))
+    val pick = Window.partitionBy(col(stratumCol))
+      .orderBy(hashMod(col(idCol), 1L << 32), col(idCol))
+    df.withColumn("__rn", row_number().over(pick))
+      .join(broadcast(alloc), Seq(stratumCol))
+      .filter(col("__rn") <= col("__alloc"))
+      .drop("__rn", "__alloc")
+  }
+
   /** Leakage-safe split: near-duplicates must never straddle train and
     * test — the standard way eval scores silently inflate. Rows are
     * assigned by the hash of their dedup CLUSTER label, not their own

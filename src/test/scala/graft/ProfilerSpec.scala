@@ -128,6 +128,26 @@ class ProfilerSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("proportionalK: exact total, largest-remainder seats, k >= N degeneracy") {
+    import graft.pipeline.Sampling
+    // strata 34/33/33, k=10: quotas 3/3/3, one seat to the largest
+    // remainder (s0: r=40 vs 30/30)
+    val df = spark.range(0, 100).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 3)).as("source"))
+    val got = Sampling.proportionalK(df, "source", "doc_id", 10)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s0" -> 4L, "s1" -> 3L, "s2" -> 3L), got.toString)
+    // exact total and determinism under repartitioning
+    val a = Sampling.proportionalK(df, "source", "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.proportionalK(df.repartition(7), "source", "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 10)
+    // k >= N keeps everything (allocations cap at stratum sizes)
+    assert(Sampling.proportionalK(df, "source", "doc_id", 500).count() == 100L)
+  }
+
   test("Expect: planted violations counted exactly, null semantics pinned") {
     import graft.pipeline.Expect
     val dim = Seq(1L, 2L, 3L).toDF("d")
