@@ -38,10 +38,20 @@ object Bench {
       val sorted = samples(name).sorted
       name -> sorted(sorted.size / 2)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // sorted by name so round-over-round file diffs line up
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    println(line)
+    // the driver keeps only a tail of stdout — persist the COMPLETE
+    // per-query map so round-over-round comparison covers every query
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
+      line.getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"bench_full.json not written: $e") }
     spark.stop()
   }
 }

@@ -2722,6 +2722,21 @@ object SparkEntry {
           (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).cast("double") / 100.0)
             .as("price_sum"))
     }),
+    // the SAME join class with NO export at all: two snapshot indexes
+    // key-equi-joined straight from their range layouts — shared leg
+    // boundaries cut from both manifests, one partition per leg, a
+    // partition-zipped hash join, zero exchanges on either side
+    // (KVIndex.coRangeJoin / ZipPartitionsJoinExec; the SQL twin
+    // GraftCoRangeJoin rewrites catalog `a JOIN b ON keys` the same way)
+    "kv_corange_join" -> ((s, d) => {
+      val (_, ord) = liStore(s, d) // price zeroed for orderkey < 50
+      ord.coRangeJoin(liAggStore(s, d))
+        .filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("qty").cast("long").as("qty"), col("n_lines"))
+        .orderBy("o_orderkey")
+    }),
     // top-k per group via rank filter — Spark pushes the rank bound into
     // the window sort (WindowGroupLimit): each partition keeps k rows
     // instead of sorting its whole group
@@ -4073,6 +4088,13 @@ object SparkEntry {
         "SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS qty_sum, " +
         "CAST(sum(CAST(floor((CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum " +
         "FROM orders JOIN li ON o_orderkey = l_orderkey"),
+      "kv_corange_join" -> ("WITH li AS (SELECT l_orderkey, sum(l_quantity) AS qty, " +
+        "count(*) AS n_lines FROM lineitem GROUP BY 1) " +
+        "SELECT o_orderkey, o_custkey, " +
+        "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS price, " +
+        "CAST(qty AS BIGINT) AS qty, n_lines " +
+        "FROM orders JOIN li ON o_orderkey = l_orderkey " +
+        "WHERE o_orderkey <= 200 ORDER BY o_orderkey"),
       "q_topk_group" -> ("WITH r AS (SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price, " +
         "row_number() OVER (PARTITION BY o_orderstatus ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn " +
         "FROM orders) SELECT o_orderstatus, o_orderkey, price, CAST(rn AS BIGINT) AS rn " +

@@ -893,6 +893,152 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       .sortBy(key.cols.head, key.cols.tail: _*)
       .saveAsTable(tableName)
 
+  /** ZERO-EXCHANGE key-equi-join of two snapshots from their RANGE
+    * layouts alone — no bucketed export, no shuffle on either side. The
+    * two manifests' file bounds are cut into one shared, totally ordered
+    * sequence of leg boundaries (each side batched to ≈`numElements /
+    * maxLegs` rows per leg, so BOTH per-task legs stay manifest-batch
+    * sized); each leg reads each side's covering files as ONE partition
+    * with half-open boundary predicates pushed into the scans, and
+    * partition i of the left can only ever match partition i of the
+    * right — [[graft.plans.ZipPartitionsJoinExec]] zips them with a
+    * per-leg hash join. Legs where either side has no covering files are
+    * dropped wholesale (inner join), so a join of a huge snapshot
+    * against a narrow one reads only the intersecting key ranges of the
+    * big side — manifest pruning applied to a JOIN.
+    *
+    * Design note: Spark's storage-partitioned joins
+    * (`SupportsReportPartitioning` + `KeyGroupedPartitioning`) cannot
+    * carry this — a key-grouped partition holds ONE key value, while a
+    * range leg holds an interval, and the V1Scan bridge never plans the
+    * `BatchScanExec` that consumes the report. The layout invariant is
+    * therefore built into the plan directly, the same stance as
+    * [[inOrdered]]'s manifest stitch.
+    *
+    * Join keys are positional: this index's key columns against
+    * `other`'s, which must match in arity and type. Output = all left
+    * columns, then `other`'s non-key columns (the USING-join shape);
+    * non-key column names must not collide. Falls back to a plain
+    * shuffled join when either layout cannot guarantee disjoint ranges.
+    */
+  def coRangeJoin(other: KVIndex, maxLegs: Int = 64): DataFrame = {
+    require(key.cols.length == other.key.cols.length,
+      s"coRangeJoin: key arity ${key.cols.length} != ${other.key.cols.length}")
+    val ls = store.emptyTyped(manifest).schema
+    val rs = other.store.emptyTyped(other.manifest).schema
+    require(key.cols.map(ls(_).dataType) == other.key.cols.map(rs(_).dataType),
+      "coRangeJoin: key column types must match positionally")
+    // the engine's own `version` stamp rides every snapshot: keep the
+    // LEFT side's, drop the right's (like the duplicate key columns)
+    val rightVals = rs.fieldNames.toSeq
+      .filterNot(c => other.key.cols.contains(c) || c == "version")
+    val clash = rightVals.toSet intersect ls.fieldNames.toSet
+    require(clash.isEmpty,
+      s"coRangeJoin: right value column(s) ${clash.mkString(",")} collide " +
+        "with left columns — rename before joining")
+
+    def plainJoin(): DataFrame = {
+      val l = df.alias("__cl")
+      val r = other.df.alias("__cr")
+      val cond = key.cols.zip(other.key.cols)
+        .map { case (a, b) => col(s"__cl.$a") === col(s"__cr.$b") }
+        .reduce(_ && _)
+      l.join(r, cond, "inner")
+        .select(ls.fieldNames.toSeq.map(c => col(s"__cl.$c")) ++
+          rightVals.map(c => col(s"__cr.$c")): _*)
+    }
+
+    coRangeLegPlans(other, maxLegs) match {
+      case None => plainJoin()
+      case Some((lPlan, rPlan, lKeys, rKeys)) =>
+        val zj = graft.plans.ZipPartitionsJoin(lPlan, rPlan, lKeys, rKeys)
+        val keep = lPlan.output ++ rPlan.output.filter(a =>
+          rightVals.contains(a.name) && !rKeys.exists(_.exprId == a.exprId))
+        org.apache.spark.sql.graft.Shim.ofRows(spark,
+          org.apache.spark.sql.catalyst.plans.logical.Project(keep, zj))
+    }
+  }
+
+  /** The co-range leg construction under [[coRangeJoin]] and the SQL-join
+    * rewrite ([[graft.sources.GraftCoRangeJoin]]): both sides' leg-union
+    * plans (one partition per leg, boundary predicates pushed, legs
+    * aligned 1:1) plus the key attributes, or None when either layout
+    * cannot guarantee disjoint ranges / nothing intersects. Registers the
+    * planning strategy for [[graft.plans.ZipPartitionsJoin]] on success.
+    */
+  private[graft] def coRangeLegPlans(other: KVIndex, maxLegs: Int = 64)
+      : Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                Seq[org.apache.spark.sql.catalyst.expressions.Attribute])] = {
+    if (manifest.isEmpty || other.manifest.isEmpty ||
+        files.isEmpty || other.files.isEmpty ||
+        !filesDisjoint || !other.filesDisjoint) return None
+
+    // shared boundaries from BOTH sides' file bounds: a leg never exceeds
+    // either side's batch target (+ one file — a single oversized file is
+    // the floor, as everywhere in the manifest machinery)
+    def legBounds(fs: Seq[FileEntry], total: Long): Seq[Seq[Any]] = {
+      val target = math.max(1L, total / math.max(1, maxLegs))
+      val b = Seq.newBuilder[Seq[Any]]
+      var rows = 0L; var first = true
+      fs.foreach { f =>
+        if (!first && rows + f.rows > target) { b += f.min; rows = 0L }
+        rows += f.rows; first = false
+      }
+      b.result()
+    }
+    val merged = (legBounds(files, manifest.numElements) ++
+        legBounds(other.files, other.manifest.numElements)).sorted(KeyOrd)
+    // KeyOrd-dedupe (Seq#distinct would miss binary keys' value equality)
+    val bounds = merged.foldLeft(Vector.empty[Seq[Any]]) { (acc, b) =>
+      if (acc.nonEmpty && KeyOrd.compare(acc.last, b) == 0) acc else acc :+ b
+    }
+    // leg i covers the half-open range [bounds(i-1), bounds(i)); the first
+    // and last legs are unbounded below/above, so every row of either
+    // side lands in exactly one leg
+    val ranges: Seq[(Option[Seq[Any]], Option[Seq[Any]])] =
+      (None +: bounds.map(Option(_))).zip(bounds.map(Option(_)) :+ None)
+
+    def legDf(ix: KVIndex, fs: Seq[FileEntry],
+              lo: Option[Seq[Any]], hi: Option[Seq[Any]]): DataFrame = {
+      val base = ix.store.readFiles(fs.map(_.path), ix.manifest)
+      val bounded = Seq(
+        lo.map(l => ix.key.gtKey(l, orEq = true)),
+        hi.map(h => ix.key.ltKey(h))).flatten
+        .foldLeft(base)((d, p) => d.filter(p))
+      bounded.coalesce(1)
+    }
+    val legs = ranges.flatMap { case (lo, hi) =>
+      def covering(ix: KVIndex) = ix.filesWhere(f =>
+        lo.forall(l => KeyOrd.compare(f.max, l) >= 0) &&
+          hi.forall(h => KeyOrd.compare(f.min, h) < 0))
+      val afs = covering(this)
+      // inner join: a leg empty on either side contributes nothing
+      if (afs.isEmpty) None
+      else {
+        val bfs = covering(other)
+        if (bfs.isEmpty) None
+        else Some((legDf(this, afs, lo, hi), legDf(other, bfs, lo, hi)))
+      }
+    }
+    if (legs.isEmpty) return None // no intersecting ranges
+
+    val lPlan = legs.map(_._1).reduce(_ unionByName _).queryExecution.analyzed
+    val rPlan = legs.map(_._2).reduce(_ unionByName _).queryExecution.analyzed
+    def attrsOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                names: Seq[String]) =
+      names.map(c => p.output.find(_.name == c).getOrElse(
+        sys.error(s"coRangeJoin: missing key column $c")))
+    val lKeys = attrsOf(lPlan, key.cols)
+    val rKeys = attrsOf(rPlan, other.key.cols)
+    if (!spark.experimental.extraStrategies.contains(
+        graft.plans.DeclareOrderedStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.DeclareOrderedStrategy
+    Some((lPlan, rPlan, lKeys, rKeys))
+  }
+
   /** U3 `copy` — cheap snapshot clone sharing every data file
     * (reference `QueryableIndex.scala:540-559`): zero data copy, new id.
     */

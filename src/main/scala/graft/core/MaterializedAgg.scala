@@ -48,6 +48,14 @@ object MaterializedAgg {
     require(sumCols.nonEmpty, "at least one sum column")
     require((sumCols ++ minMaxCols).forall(c => !Seq(",", "|", ":").exists(c.contains)),
       "view columns must not contain ',', '|' or ':'")
+    // fail at SPEC construction, not as an opaque AnalysisException mid-
+    // refresh after the view manifest already exists: a repeated column
+    // would produce duplicate/ambiguous view columns (sum_c twice, or
+    // min_c next to another min_c)
+    require(sumCols.distinct.size == sumCols.size,
+      s"duplicate sum columns: ${sumCols.mkString(",")}")
+    require(minMaxCols.distinct.size == minMaxCols.size,
+      s"duplicate min/max columns: ${minMaxCols.mkString(",")}")
     /** single sum, no min/max — keeps the original agg_sum/agg_cnt names */
     private[core] def legacy: Boolean = sumCols.sizeIs == 1 && minMaxCols.isEmpty
     private[core] def sumName(c: String): String = if (legacy) "agg_sum" else s"sum_$c"
@@ -106,6 +114,12 @@ object MaterializedAgg {
              groupCols: Seq[String], spec: ViewSpec): Either[GraftError, KVIndex] = {
     val df = src.df
     spec.sumCols.foreach(requireExactType(df, _))
+    // a value column whose DERIVED name (sum_c / min_c / max_c / agg_cnt)
+    // collides with a group column would only surface later as an opaque
+    // AnalysisException during refresh — reject it here, pre-manifest
+    val clash = spec.valueNames.toSet intersect groupCols.toSet
+    require(clash.isEmpty,
+      s"view value column(s) ${clash.mkString(",")} collide with group columns")
     val e = aggExprs(spec)
     val agg = df.groupBy(groupCols.map(col): _*).agg(e.head, e.tail: _*)
     KVIndex.bootstrap(store, viewId, agg, groupCols,

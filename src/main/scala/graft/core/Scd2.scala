@@ -40,11 +40,15 @@ object Scd2 {
             "retainVersions above the history span you rebuild or refresh over", e)
     }
 
-  /** Per-step open/tombstone events from consecutive diffs over `vs`. */
-  private def stepEvents(store: SnapshotStore, id: String, vs: Seq[Long],
+  /** Per-step open/tombstone events from consecutive diffs over
+    * PRE-OPENED versions: each version's manifest loads ONCE (a 100-step
+    * walk costs 100 store round trips, not 200 — each snapshot is both a
+    * step's `b` and the next step's `a`).
+    */
+  private def stepEvents(opened: Seq[(Long, KVIndex)],
                          kcols: Seq[String], vals: Seq[String]): Seq[DataFrame] =
-    vs.sliding(2).collect { case Seq(a, b) =>
-      val d = openIx(store, id, a).diff(openIx(store, id, b))
+    opened.sliding(2).collect { case Seq((_, ia), (b, ib)) =>
+      val d = ia.diff(ib)
       val opens = d.filter(col("change").isin("added", "changed"))
         .select(kcols.map(col) ++ vals.map(c => col(s"new_$c").as(c)) :+
           lit(b).as("__v") :+ lit("o").as("__t"): _*)
@@ -79,14 +83,15 @@ object Scd2 {
       else store.historyLog(id).map(_._2).distinct.sorted
     require(vs.nonEmpty, s"scd2: no versions recorded for '$id'")
     require(vs == vs.distinct.sorted, "scd2: versions must be ascending")
-    val first = openIx(store, id, vs.head)
+    val opened = vs.map(v => v -> openIx(store, id, v))
+    val first = opened.head._2
     val kcols = first.manifest.keyCols
     val vals = first.manifest.valueCols.filterNot(_ == "version")
     // the v₀ snapshot opens every key's first incarnation
     val init = first.df.select(
       kcols.map(col) ++ vals.map(col) :+
         lit(vs.head).as("__v") :+ lit("o").as("__t"): _*)
-    val events = (init +: stepEvents(store, id, vs, kcols, vals)).reduce(_ union _)
+    val events = (init +: stepEvents(opened, kcols, vals)).reduce(_ union _)
     // long histories build a union of many diff-joins — past a few
     // versions CATALYST'S OWN planning of that lineage dominates (each
     // action re-analyzes the whole DAG, measured ~55 s/version at 13
@@ -131,35 +136,51 @@ object Scd2 {
 
   /** Roll a materialized SCD2 view forward over the source versions
     * committed since the recorded watermark. Cost ∝ the CHANGED data in
-    * the new span: the new-step diffs are churn-sized, the view is read
-    * ONCE (open incarnations of churned keys via a semi-shaped join),
+    * the new span: the new-step diffs are churn-sized, the view read is
+    * PRUNED to the files covering the churned keys (their leading-key
+    * prefix of the view's own (key…, valid_from) layout — full-scan
+    * fallback only past `maxDriverChurnKeys` distinct keys),
     * the interval re-assembly windows only seed+churn events, and the
     * whole replacement commits as ONE Remove+Insert batch — untouched
     * keys' files ride COW unchanged. No-op (same index) when already
     * current.
     */
-  def refresh(store: SnapshotStore, viewId: String): Either[GraftError, KVIndex] =
+  def refresh(store: SnapshotStore, viewId: String,
+              maxDriverChurnKeys: Int = 1 << 16): Either[GraftError, KVIndex] =
     KVIndex.open(store, viewId).map { view =>
       val (srcId, v0) = sourceOf(view.manifest)
       val newVs = store.historyLog(srcId).map(_._2).distinct.sorted.filter(_ > v0)
       if (newVs.isEmpty) view
       else {
         val span = v0 +: newVs
-        val src = openIx(store, srcId, v0)
+        val opened = span.map(v => v -> openIx(store, srcId, v))
+        val src = opened.head._2
         val kcols = src.manifest.keyCols
         val vals = src.manifest.valueCols.filterNot(_ == "version")
         // events feed BOTH the churn-key derivation and the assembly —
         // persist so the (churn-sized) diffs compute once, not per consumer
-        val events = stepEvents(store, srcId, span, kcols, vals).reduce(_ union _)
+        val events = stepEvents(opened, kcols, vals).reduce(_ union _)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val churnKeys = events.select(kcols.map(col): _*).distinct()
           // the view's OPEN incarnations of churned keys seed the window —
-          // their valid_from anchors closure by the first new event
+          // their valid_from anchors closure by the first new event.
+          // The view is keyed (key…, valid_from), so the churn keys are a
+          // LEADING-KEY PREFIX of its layout: when the churn batch is
+          // driver-safe, [[KVIndex.getAllPrefix]] prunes the read to the
+          // covering view FILES — a tiny churn against a 100-TB history
+          // reads O(churn) files, never the whole view. Bigger churn
+          // (> maxDriverChurnKeys distinct keys) falls back to the full
+          // scan + semi-shaped join, which is amortized precisely when
+          // churn is corpus-scale.
+          val churnRows = churnKeys.limit(maxDriverChurnKeys + 1).collect()
+          val openRows =
+            if (churnRows.length <= maxDriverChurnKeys)
+              view.getAllPrefix(churnRows.toSeq.map(_.toSeq))
+            else view.df.join(churnKeys, kcols)
           // seed is consumed by the assembly AND the Remove command —
           // persisting it is what makes "the view is read ONCE" true
-          val seed = view.df.filter(col("valid_to").isNull)
-            .join(churnKeys, kcols)
+          val seed = openRows.filter(col("valid_to").isNull)
             .select(kcols.map(col) ++ vals.map(col) :+
               col("valid_from").as("__v") :+ lit("o").as("__t"): _*)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

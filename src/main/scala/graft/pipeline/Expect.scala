@@ -41,8 +41,18 @@ object Expect {
 
   /** Referential integrity: violation = non-null `col` value with no
     * match in `dim.dimCol` (null FKs are `NotNull`'s business).
+    *
+    * `bloomItems` opts a LARGE dimension (above the broadcast threshold)
+    * into a bloom prefilter: a ~10-bits/key sketch of the dim keys is
+    * built once ([[graft.operators.BloomJoin.keyFilterBytes]]), and the
+    * fact's distinct keys split scan-side — keys FAILING the sketch are
+    * definite violations (bloom admits no false negatives) counted with
+    * zero join, and only the sketch-passing keys reach the exact
+    * anti-join. With or without it the fact side first collapses to
+    * per-key counts, so the join input is |distinct keys|, never |rows|.
     */
-  final case class Ref(col: String, dim: DataFrame, dimCol: String) extends Rule {
+  final case class Ref(col: String, dim: DataFrame, dimCol: String,
+                       bloomItems: Option[Long] = None) extends Rule {
     def name = s"ref:$col"
   }
 
@@ -59,8 +69,10 @@ object Expect {
     }
     val parts = Seq.newBuilder[DataFrame]
     if (rowRules.nonEmpty) {
+      // coalesce: sum() over an EMPTY input is NULL, which would break
+      // the "all green ⇔ every count is 0" contract on an empty corpus
       val aggs = rowRules.zipWithIndex.map { case ((_, p), i) =>
-        sum(when(p, 0L).otherwise(1L)).as(s"__r$i")
+        coalesce(sum(when(p, 0L).otherwise(1L)), lit(0L)).as(s"__r$i")
       }
       val stacked = rowRules.zipWithIndex
         .map { case ((n, _), i) => s"'${n.replace("'", "''")}', __r$i" }
@@ -75,10 +87,29 @@ object Expect {
           .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("n_violations"))
           .select(lit(u.name).as("rule"), col("n_violations"))
       case r: Ref =>
-        parts += df.select(col(r.col).as("__fk")).filter(col("__fk").isNotNull)
-          .join(r.dim.select(col(r.dimCol).as("__fk")).distinct(),
-            Seq("__fk"), "left_anti")
-          .agg(count(lit(1)).as("n_violations"))
+        // collapse the fact side to per-key counts first: the anti-join
+        // (and the bloom probe) run over |distinct keys|, never |rows|
+        val fkCounts = df.filter(col(r.col).isNotNull)
+          .groupBy(col(r.col).as("__fk")).agg(count(lit(1)).as("__c"))
+        val dimKeys = r.dim.select(col(r.dimCol).as("__fk")).distinct()
+        val unmatched = r.bloomItems match {
+          case Some(items) =>
+            val bf = graft.operators.BloomJoin.keyFilterBytes(
+              r.dim, col(r.dimCol), items)
+            if (bf == null) fkCounts // empty dim: every key is a violation
+            else {
+              val probe = graft.operators.BloomJoin.mightContain(bf, col("__fk"))
+              // failing the sketch = definitely absent from dim (no false
+              // negatives) — definite violations, zero join; passing keys
+              // (≈ the compliant set + false positives) get the exact check
+              fkCounts.filter(!probe).unionByName(
+                fkCounts.filter(probe).join(dimKeys, Seq("__fk"), "left_anti"))
+            }
+          case None =>
+            fkCounts.join(dimKeys, Seq("__fk"), "left_anti")
+        }
+        parts += unmatched
+          .agg(coalesce(sum(col("__c")), lit(0L)).as("n_violations"))
           .select(lit(r.name).as("rule"), col("n_violations"))
       case _ => ()
     }

@@ -94,18 +94,27 @@ object Profiler {
     require(cols.size >= 2)
     val pairs = for (i <- cols.indices; j <- i + 1 until cols.size)
       yield (cols(i), cols(j))
-    val aggs = Seq(count(lit(1)).cast("long").as("__n")) ++
+    // Moments accumulate in DecimalType(38,0): a per-row product of two
+    // longs is ≤ 38 digits (9.2e18² ≈ 8.5e37), so decimal(19,0)×decimal
+    // multiplication is EXACT where a `long` accumulator would silently
+    // wrap once |x|²·n crosses 2⁶³ (cents-scaled 1e7 values at 1e9 rows).
+    // Should even 38 digits overflow, decimal arithmetic raises a typed
+    // ArithmeticException under ANSI (null under non-ANSI) instead of
+    // wrapping — exactness-or-error, never a silently wrong matrix.
+    val dec = "decimal(19,0)"
+    val aggs = Seq(count(lit(1)).cast("decimal(38,0)").as("__n")) ++
       cols.flatMap(c => Seq(
-        sum(col(c)).cast("long").as(s"__s_$c"),
-        sum(col(c) * col(c)).cast("long").as(s"__ss_$c"))) ++
+        sum(col(c).cast(dec)).as(s"__s_$c"),
+        sum(col(c).cast(dec) * col(c).cast(dec)).as(s"__ss_$c"))) ++
       pairs.map { case (a, b) =>
-        sum(col(a) * col(b)).cast("long").as(s"__p_${a}_$b") }
+        sum(col(a).cast(dec) * col(b).cast(dec)).as(s"__p_${a}_$b") }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = pairs.map { case (a, b) =>
       val num = s"__n * __p_${a}_$b - __s_$a * __s_$b"
       val d1 = s"__n * __ss_$a - __s_$a * __s_$a"
       val d2 = s"__n * __ss_$b - __s_$b * __s_$b"
-      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").cast("long").as("n"),
         expr(s"case when ($d1) <= 0 or ($d2) <= 0 then null else " +
           s"cast(floor(1e6 * cast($num as double) / " +
           s"(sqrt(cast($d1 as double)) * sqrt(cast($d2 as double))) + 0.5) " +

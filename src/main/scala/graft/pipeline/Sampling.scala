@@ -218,7 +218,14 @@ object Sampling {
       .select(col(stratumCol), col("__alloc"))
     val pick = Window.partitionBy(col(stratumCol))
       .orderBy(hashMod(col(idCol), 1L << 32), col(idCol))
+    // rank-bound the pick BEFORE the alloc join: `__alloc ≤ k` always, so
+    // `__rn ≤ k` is a semantics-free pre-truncation — and because it is a
+    // LITERAL bound sitting directly above the window, Spark rewrites it
+    // to WindowGroupLimit: each partition keeps only its local top-k per
+    // stratum before the rank shuffle (the same plan [[domainCap]] gets).
+    // Without it a billion-row stratum ships a billion rows to be ranked.
     df.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") <= lit(k))
       .join(broadcast(alloc), Seq(stratumCol))
       .filter(col("__rn") <= col("__alloc"))
       .drop("__rn", "__alloc")

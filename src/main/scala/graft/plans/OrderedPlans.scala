@@ -70,6 +70,8 @@ object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrate
     case SnapshotFilePrune(child, _, _) =>
       // unconsumed marker (no filter ever landed on it): plan the child
       planLater(child) :: Nil
+    case ZipPartitionsJoin(l, r, lk, rk) =>
+      ZipPartitionsJoinExec(planLater(l), planLater(r), lk, rk) :: Nil
     case _ => Nil
   }
 }

@@ -296,6 +296,17 @@ object Similarity {
                   vecCol: String = "embedding",
                   outCol: String = "proj_milli"): DataFrame = {
     require(outDim >= 1 && inDim >= 1)
+    // packing bound: the hash input is i*4096 + j, so outDim > 4096 makes
+    // sign(i, j+4096) == sign(i+1, j) — shifted-copy output columns, the
+    // exact correlated-columns failure the fmix note below guards against;
+    // and i*4096+j must stay inside fmix32's 32-bit domain (2^20 * 4096 =
+    // 2^32). Both are far beyond any sane JL shape (outDim ≪ inDim ≤ 2^20).
+    require(outDim <= 4096,
+      s"signProject outDim=$outDim exceeds the 4096 packing stride — " +
+        "output columns would repeat (sign(i, j+4096) == sign(i+1, j))")
+    require(inDim <= (1 << 20),
+      s"signProject inDim=$inDim exceeds 2^20 — i*4096+j would leave " +
+        "fmix32's 32-bit domain and alias sign bits")
     // the sign needs REAL avalanche: any single multiply mod 2^32 is
     // affine, so bit b of it depends on x mod 2^(b+1) only — columns come
     // out correlated (measured: perfect anti-correlation pairs). This is
@@ -321,6 +332,12 @@ object Similarity {
     * exact integer nano-units; vectors are milli-quantized inside (the
     * [[signProject]] rounding), pairwise similarity is portable
     * nano-cosine over those exact integers.
+    *
+    * Ids need not be unique within a query's shortlist: once an id is
+    * picked, every other copy of it is retired by VALUE, so the output
+    * never repeats an id (the SQL oracle's NOT EXISTS contract) and a
+    * query whose shortlist holds fewer than k DISTINCT ids returns that
+    * many picks.
     *
     * @return (qIdCol, rank 1..k, idCol, mmr_pico) in pick order.
     */
@@ -362,19 +379,15 @@ object Similarity {
     xor(h4, s"($h4) $idiv 65536")
   }
 
-  /** Query→cell ranking shared by the single and batch probes (double
-    * arithmetic, deterministic tie-break on cell id): the best `nProbe`
-    * cells by query-centroid cosine.
+  /** Query→cell ranking shared by the single and batch probes: the best
+    * `nProbe` cells by query-centroid cosine. Delegates to
+    * [[CellRank.topCells]] — the SAME kernel the compiled [[ProbeCells]]
+    * expression evaluates — so the driver-ranked and expression-ranked
+    * paths cannot drift on ties or arithmetic order.
     */
   private def rankCells(centroids: Seq[Array[Float]], query: Array[Float],
-                        nProbe: Int): Seq[Int] = {
-    val nq = math.sqrt(query.map(x => x.toDouble * x).sum)
-    centroids.zipWithIndex.map { case (c, i) =>
-      val dot = c.zip(query).map { case (a, b) => a.toDouble * b }.sum
-      val nc = math.sqrt(c.map(x => x.toDouble * x).sum)
-      (if (nc == 0 || nq == 0) 0.0 else dot / (nc * nq), i)
-    }.sortBy(p => (-p._1, p._2)).take(nProbe).map(_._2)
-  }
+                        nProbe: Int): Seq[Int] =
+    CellRank.topCells(centroids, query, nProbe).toSeq
 
   /** Probe an IVF index: rank cells by query-centroid cosine, scan only the
     * best `nProbe` cells, exact cosine inside them.
@@ -770,6 +783,83 @@ case class PqAdc(child: org.apache.spark.sql.catalyst.expressions.Expression,
     copy(child = c)
 }
 
+/** THE query→cell ranking arithmetic, defined once: every path that
+  * ranks cells — the driver-side batch probe (`rankCells`), the compiled
+  * [[ProbeCells]] expression, and [[NearestCell]]'s assign — evaluates
+  * these kernels, so the tie contract and the floating-point operation
+  * order cannot drift between implementations (they are spec-pinned to
+  * agree on tied/duplicate centroids, `CellRankParitySpec`).
+  *
+  * Cosine is [[graft.functions.expressions.CosineSim]]'s exact recipe:
+  * double accumulation in index order over min(len) elements, zero-norm
+  * → 0. Two tie rules exist BY CONTRACT: [[topCells]] breaks score ties
+  * toward the LOWER cell id (the probe ordering the SQL oracles
+  * replicate); [[nearest]] breaks toward the HIGHER id (the assign
+  * contract inherited from `array_max` over `(score, cell)` structs,
+  * which assignments must not move under).
+  */
+private[similarity] object CellRank {
+
+  /** `scores(i)` = cosine(query, centroids(i)). */
+  def scores(centroids: Seq[Array[Float]], q: Array[Float]): Array[Double] = {
+    val nc = centroids.length
+    val out = new Array[Double](nc)
+    var cell = 0
+    while (cell < nc) {
+      val c = centroids(cell)
+      val n = math.min(q.length, c.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = q(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      out(cell) = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      cell += 1
+    }
+    out
+  }
+
+  /** Argmax cell; score ties keep the HIGHER cell id (`>=` sweep). */
+  def nearest(centroids: Seq[Array[Float]], q: Array[Float]): Int = {
+    val s = scores(centroids, q)
+    var bestCell = 0
+    var bestS = Double.NegativeInfinity
+    var cell = 0
+    while (cell < s.length) {
+      if (s(cell) >= bestS) { bestS = s(cell); bestCell = cell }
+      cell += 1
+    }
+    bestCell
+  }
+
+  /** The best `min(nProbe, nCells)` cells, score descending; equal
+    * scores keep the LOWER cell id (strict `>` argmax passes).
+    */
+  def topCells(centroids: Seq[Array[Float]], q: Array[Float],
+               nProbe: Int): Array[Int] = {
+    val s = scores(centroids, q)
+    val nc = s.length
+    val picks = math.min(nProbe, nc)
+    val out = new Array[Int](picks)
+    val taken = new Array[Boolean](nc)
+    var p = 0
+    while (p < picks) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < nc) {
+        if (!taken(c2) && s(c2) > bestS) { bestS = s(c2); best = c2 }
+        c2 += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    out
+  }
+}
+
 /** Nearest-centroid assignment over the WHOLE centroid table in one
   * compiled loop — the IVF `assign` kernel. The naive formulation (an
   * `array_max` over nCells `struct(cosine_sim, cell)` subtrees) is
@@ -794,26 +884,8 @@ case class NearestCell(child: org.apache.spark.sql.catalyst.expressions.Expressi
 
   override def dataType: DataType = IntegerType
 
-  override def nullSafeEval(in: Any): Any = {
-    val v = in.asInstanceOf[ArrayData]
-    var bestCell = 0
-    var bestS = Double.NegativeInfinity
-    var cell = 0
-    while (cell < centroids.length) {
-      val c = centroids(cell)
-      val n = math.min(v.numElements(), c.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < n) {
-        val x = v.getFloat(i).toDouble; val y = c(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      val s = if (na == 0.0 || nb == 0.0) 0.0
-        else dot / (math.sqrt(na) * math.sqrt(nb))
-      if (s >= bestS) { bestS = s; bestCell = cell } // ties -> higher cell
-      cell += 1
-    }
-    bestCell
-  }
+  override def nullSafeEval(in: Any): Any =
+    CellRank.nearest(centroids, in.asInstanceOf[ArrayData].toFloatArray())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("nearestCellExpr", this)
@@ -834,10 +906,10 @@ case class NearestCell(child: org.apache.spark.sql.catalyst.expressions.Expressi
   * the per-QUERY-row twin of [[NearestCell]] for [[Similarity.knnJoin]].
   * Replaces the struct-sort expression chain whose size grew with
   * nCells (interpreted fallback + per-row literal allocation past a few
-  * dozen cells). Exactly `rankCells`' total order: score descending,
-  * ties toward the LOWER cell id ([[graft.functions.expressions.CosineSim]]
-  * arithmetic, zero-norm → 0) — so the expression path and the
-  * driver-ranked batch probe choose identical cells.
+  * dozen cells). Evaluates [[CellRank.topCells]] — the SAME kernel
+  * `rankCells` calls — so the expression path and the driver-ranked
+  * batch probe choose identical cells by construction (score
+  * descending, ties toward the LOWER cell id).
   */
 case class ProbeCells(child: org.apache.spark.sql.catalyst.expressions.Expression,
                       centroids: Seq[Array[Float]], nProbe: Int)
@@ -848,41 +920,10 @@ case class ProbeCells(child: org.apache.spark.sql.catalyst.expressions.Expressio
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-  override def nullSafeEval(in: Any): Any = {
-    val v = in.asInstanceOf[ArrayData]
-    val nc = centroids.length
-    val scores = new Array[Double](nc)
-    var cell = 0
-    while (cell < nc) {
-      val c = centroids(cell)
-      val n = math.min(v.numElements(), c.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < n) {
-        val x = v.getFloat(i).toDouble; val y = c(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      scores(cell) = if (na == 0.0 || nb == 0.0) 0.0
-        else dot / (math.sqrt(na) * math.sqrt(nb))
-      cell += 1
-    }
-    // nProbe argmax passes, strict > so equal scores keep the LOWER cell
-    val out = new Array[Int](nProbe)
-    val taken = new Array[Boolean](nc)
-    var p = 0
-    while (p < nProbe) {
-      var best = -1
-      var bestS = Double.NegativeInfinity
-      var c2 = 0
-      while (c2 < nc) {
-        if (!taken(c2) && scores(c2) > bestS) { bestS = scores(c2); best = c2 }
-        c2 += 1
-      }
-      taken(best) = true
-      out(p) = best
-      p += 1
-    }
-    new GenericArrayData(out.map(Int.box(_): Any))
-  }
+  override def nullSafeEval(in: Any): Any =
+    new GenericArrayData(
+      CellRank.topCells(centroids, in.asInstanceOf[ArrayData].toFloatArray(),
+        nProbe).map(Int.box(_): Any))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("probeCellsExpr", this)
@@ -961,9 +1002,12 @@ case class MmrSelect(child: org.apache.spark.sql.catalyst.expressions.Expression
     val taken = new Array[Boolean](n)
     val maxSim = Array.fill(n)(Long.MinValue) // max sim to picked set; none yet
     val picks = math.min(k, n)
-    val out = new Array[Any](picks)
+    // duplicate-id retirement can exhaust candidates before `picks`
+    // rounds, so collect into a growable buffer and stop when empty
+    val out = new scala.collection.mutable.ArrayBuffer[Any](picks)
     var p = 0
-    while (p < picks) {
+    var exhausted = false
+    while (p < picks && !exhausted) {
       var best = -1
       var bestScore = Long.MinValue
       var c = 0
@@ -978,20 +1022,28 @@ case class MmrSelect(child: org.apache.spark.sql.catalyst.expressions.Expression
         }
         c += 1
       }
+      if (best == -1) { exhausted = true } else {
       taken(best) = true
-      out(p) = InternalRow(ids(best), bestScore)
-      // fold the new pick into every remaining candidate's max-sim
+      out += InternalRow(ids(best), bestScore)
+      // fold the new pick into every remaining candidate's max-sim; a
+      // duplicate COPY of the picked id is retired by value too — one id
+      // can appear at most once in the output (the oracle's NOT EXISTS
+      // contract), even when the caller's shortlist carries repeats
       var c2 = 0
       while (c2 < n) {
         if (!taken(c2)) {
-          val s = simNano(vms(c2), vms(best))
-          if (s > maxSim(c2) || maxSim(c2) == Long.MinValue) maxSim(c2) = s
+          if (ids(c2) == ids(best)) taken(c2) = true
+          else {
+            val s = simNano(vms(c2), vms(best))
+            if (s > maxSim(c2) || maxSim(c2) == Long.MinValue) maxSim(c2) = s
+          }
         }
         c2 += 1
       }
       p += 1
+      }
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -49,6 +49,9 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
+    if (!spark.experimental.extraOptimizations.contains(GraftCoRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftCoRangeJoin
     if (!spark.experimental.extraOptimizations.contains(PushThroughDeclareOrdered))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations ++ Seq(PushThroughDeclareOrdered,

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.plans.ZipPartitionsJoinExec
+
+/** The snapshot-layout join: two range-laid snapshots key-equi-join with
+  * ZERO exchanges (no bucketed export), leg-aligned from their manifests.
+  * Content parity against the plain shuffled join is the correctness
+  * contract; the zero-exchange plan shape is the scale contract.
+  */
+class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def store(dir: String) = new FsSnapshotStore(s"$dir/store", spark)
+
+  test("co-range join matches the plain join exactly and plans zero exchanges") {
+    val st = store(tmpDir("graft-crj"))
+    // deliberately different file layouts: A in many small files, B in few
+    val a = (1 to 2000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+      .repartition(1)
+    val b = (500 to 2500 by 3).map(i => (i.toLong, i * 10L)).toDF("k", "bv")
+      .repartition(1)
+    val ixA = KVIndex.bootstrap(st, "crj_a", a, Seq("k"),
+      maxRowsPerFile = 128).toOption.get
+    val ixB = KVIndex.bootstrap(st, "crj_b", b, Seq("k"),
+      maxRowsPerFile = 512).toOption.get
+
+    val joined = ixA.coRangeJoin(ixB, maxLegs = 8)
+    val got = joined.select("k", "av", "bv")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val want = (500 to 2000).filter(i => (i - 500) % 3 == 0)
+      .map(i => (i.toLong, s"a$i", i * 10L))
+    assert(got.toSeq == want)
+
+    val plan = joined.queryExecution.executedPlan
+    val zip = collectFirst(plan) { case z: ZipPartitionsJoinExec => z }
+    assert(zip.isDefined, s"expected ZipPartitionsJoinExec, got:\n$plan")
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"co-range join must plan zero exchanges:\n$plan")
+  }
+
+  test("composite keys, skewed overlap, and partition-count alignment") {
+    val st = store(tmpDir("graft-crj2"))
+    val a = (1 to 900).map(i => (i % 3, i.toLong, s"a$i"))
+      .toDF("g", "k", "av").repartition(1)
+    // only g=1 overlaps, and only a narrow k range
+    val b = (100 to 200).map(i => (1, i.toLong, s"b$i"))
+      .toDF("g", "k", "bv").repartition(1)
+    val ixA = KVIndex.bootstrap(st, "crj2_a", a, Seq("g", "k"),
+      maxRowsPerFile = 64).toOption.get
+    val ixB = KVIndex.bootstrap(st, "crj2_b", b, Seq("g", "k"),
+      maxRowsPerFile = 64).toOption.get
+
+    val joined = ixA.coRangeJoin(ixB, maxLegs = 16)
+    val got = joined.select("g", "k", "av", "bv")
+      .as[(Int, Long, String, String)].collect().sortBy(r => (r._1, r._2))
+    val want = (100 to 200).filter(i => i % 3 == 1)
+      .map(i => (1, i.toLong, s"a$i", s"b$i"))
+    assert(got.toSeq == want)
+    assert(collect(joined.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty)
+  }
+
+  test("disjoint ranges produce an empty result; arity/type/name contracts enforced") {
+    val st = store(tmpDir("graft-crj3"))
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "av").repartition(1)
+    val b = (1000 to 1100).map(i => (i.toLong, s"b$i")).toDF("k", "bv").repartition(1)
+    val ixA = KVIndex.bootstrap(st, "crj3_a", a, Seq("k")).toOption.get
+    val ixB = KVIndex.bootstrap(st, "crj3_b", b, Seq("k")).toOption.get
+    assert(ixA.coRangeJoin(ixB).count() == 0L)
+
+    val c = (1 to 10).map(i => (i, s"c$i")).toDF("k", "cv").repartition(1)
+    val ixC = KVIndex.bootstrap(st, "crj3_c", c, Seq("k")).toOption.get
+    // Int vs Long key type
+    intercept[IllegalArgumentException] { ixA.coRangeJoin(ixC) }
+    // colliding value column name
+    val d = (1 to 10).map(i => (i.toLong, s"d$i")).toDF("k", "av").repartition(1)
+    val ixD = KVIndex.bootstrap(st, "crj3_d", d, Seq("k")).toOption.get
+    intercept[IllegalArgumentException] { ixA.coRangeJoin(ixD) }
+  }
+
+  test("SQL join through the catalog plans the zip join with zero exchanges") {
+    val dir = tmpDir("graft-crjsql")
+    val st = store(dir)
+    val a = (1 to 1500).map(i => (i.toLong, s"a$i")).toDF("k", "av").repartition(1)
+    val b = (700 to 2000).map(i => (i.toLong, i * 3L)).toDF("k", "bv").repartition(1)
+    KVIndex.bootstrap(st, "sa", a, Seq("k"), maxRowsPerFile = 256).toOption.get
+    KVIndex.bootstrap(st, "sb", b, Seq("k"), maxRowsPerFile = 256).toOption.get
+    spark.conf.set("spark.sql.catalog.crjcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.crjcat.root", st.root)
+
+    val q = spark.sql(
+      """SELECT a.k, a.av, b.bv FROM crjcat.sa a JOIN crjcat.sb b
+         ON a.k = b.k WHERE a.k <= 900""")
+    val got = q.as[(Long, String, Long)].collect().sortBy(_._1)
+    val want = (700 to 900).map(i => (i.toLong, s"a$i", i * 3L))
+    assert(got.toSeq == want)
+
+    val plan = q.queryExecution.executedPlan
+    assert(collectFirst(plan) { case z: ZipPartitionsJoinExec => z }.isDefined,
+      s"expected the co-range zip join in:\n$plan")
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"catalog SQL key join must plan zero exchanges:\n$plan")
+
+    // ineligible shapes keep the stock join: prefix-only equality on a
+    // composite-keyed pair must NOT rewrite
+    val c = (1 to 100).map(i => (i % 5, i.toLong, s"c$i")).toDF("g", "k", "cv")
+      .repartition(1)
+    KVIndex.bootstrap(st, "sc", c, Seq("g", "k")).toOption.get
+    val q2 = spark.sql(
+      "SELECT * FROM crjcat.sc x JOIN crjcat.sc y ON x.g = y.g")
+    assert(collectFirst(q2.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isEmpty,
+      "prefix-only key equality must not take the zip join")
+  }
+
+  test("big-side pruning: non-intersecting legs of the big side are never planned") {
+    val st = store(tmpDir("graft-crj4"))
+    val big = (1 to 10000).map(i => (i.toLong, i * 2L)).toDF("k", "av")
+      .repartition(1)
+    val narrow = (4000 to 4100).map(i => (i.toLong, s"n$i")).toDF("k", "nv")
+      .repartition(1)
+    val ixBig = KVIndex.bootstrap(st, "crj4_big", big, Seq("k"),
+      maxRowsPerFile = 500).toOption.get // 20 files
+    val ixN = KVIndex.bootstrap(st, "crj4_n", narrow, Seq("k")).toOption.get
+
+    val joined = ixBig.coRangeJoin(ixN, maxLegs = 20)
+    // the scan under the zip join must read a small file subset, not all 20:
+    // count distinct parquet paths in the left child's file scans
+    val scans = collect(joined.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val files = scans.flatMap(_.relation.location.inputFiles).distinct
+    assert(files.nonEmpty && files.length <= 6,
+      s"expected a pruned file set, planned ${files.length} files")
+    assert(joined.count() == 101L)
+  }
+}
