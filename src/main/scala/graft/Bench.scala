@@ -46,10 +46,19 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
     println(line)
     // the driver keeps only a tail of stdout — persist the COMPLETE
-    // per-query map so round-over-round comparison covers every query
-    try java.nio.file.Files.write(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
-      line.getBytes("UTF-8"))
+    // per-query map so round-over-round comparison covers every query.
+    // Resolve against the sbt PROJECT ROOT (walk up to build.sbt), not
+    // the launcher's CWD, so the artifact lands in the repo and gets
+    // committed each round no matter where the process starts.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_)).getOrElse {
+        var d = java.nio.file.Paths.get(".").toAbsolutePath.normalize
+        while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+          d = d.getParent
+        (if (d == null) java.nio.file.Paths.get(".") else d)
+          .resolve("bench_full.json")
+      }
+    try java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"bench_full.json not written: $e") }
     spark.stop()

@@ -343,10 +343,15 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       if (cur.nonEmpty) out += cur
       out.result()
     }
+    // each leg rides the union-fusion breaker: Spark 4's UnionExec would
+    // otherwise fuse the single-partition legs into ONE serial task
+    // (SQLPartitioningAwareUnionRDD), losing the one-task-per-leg scan
+    // parallelism the batching exists for
     legs.map { leg =>
-      store.readFiles(leg.map(_.path), manifest)
-        .coalesce(1)
-        .sortWithinPartitions(key.sortCols(reverse): _*)
+      graft.plans.OrderedPlans.unfused(
+        store.readFiles(leg.map(_.path), manifest)
+          .coalesce(1)
+          .sortWithinPartitions(key.sortCols(reverse): _*))
     }.reduce(_ unionByName _)
   }
 
@@ -896,16 +901,29 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   /** ZERO-EXCHANGE key-equi-join of two snapshots from their RANGE
     * layouts alone — no bucketed export, no shuffle on either side. The
     * two manifests' file bounds are cut into one shared, totally ordered
-    * sequence of leg boundaries (each side batched to ≈`numElements /
-    * maxLegs` rows per leg, so BOTH per-task legs stay manifest-batch
-    * sized); each leg reads each side's covering files as ONE partition
-    * with half-open boundary predicates pushed into the scans, and
-    * partition i of the left can only ever match partition i of the
-    * right — [[graft.plans.ZipPartitionsJoinExec]] zips them with a
-    * per-leg hash join. Legs where either side has no covering files are
-    * dropped wholesale (inner join), so a join of a huge snapshot
-    * against a narrow one reads only the intersecting key ranges of the
-    * big side — manifest pruning applied to a JOIN.
+    * sequence of leg boundaries (each side batched to ≈`rowsPerLeg` rows
+    * per leg — defaulting to the `maxRowsPerFile` batching convention, so
+    * per-TASK data stays one manifest batch at ANY snapshot size: a
+    * bigger snapshot means MORE legs, never bigger ones); each leg reads
+    * each side's covering files as ONE partition with half-open boundary
+    * predicates pushed into the scans, and partition i of the left can
+    * only ever match partition i of the right —
+    * [[graft.plans.ZipPartitionsJoinExec]] zips them with a per-leg
+    * STREAMING MERGE join (spillable local sorts, no build side — task
+    * heap is O(one duplicate-key group) even on an oversized leg). Legs
+    * where either side has no covering files are dropped wholesale
+    * (inner join), so a join of a huge snapshot against a narrow one
+    * reads only the intersecting key ranges of the big side — manifest
+    * pruning applied to a JOIN.
+    *
+    * Read amplification bound: a file whose key range spans m legs is
+    * scanned m times (once per covering leg, with disjoint boundary
+    * predicates). Adjacent legs whose covering file sets are identical
+    * on BOTH sides are merged away, and with `rowsPerLeg ≥` each side's
+    * own file batch size a side's OWN boundaries never split its files —
+    * residual re-reads come only from the OTHER side's boundaries
+    * landing inside a file's range, ≤ ceil(otherRowsInRange/rowsPerLeg)
+    * scans of that file.
     *
     * Design note: Spark's storage-partitioned joins
     * (`SupportsReportPartitioning` + `KeyGroupedPartitioning`) cannot
@@ -920,8 +938,11 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * columns, then `other`'s non-key columns (the USING-join shape);
     * non-key column names must not collide. Falls back to a plain
     * shuffled join when either layout cannot guarantee disjoint ranges.
+    *
+    * `rowsPerLeg ≤ 0` (the default) means this snapshot's
+    * `maxRowsPerFile` batch target.
     */
-  def coRangeJoin(other: KVIndex, maxLegs: Int = 64): DataFrame = {
+  def coRangeJoin(other: KVIndex, rowsPerLeg: Long = -1L): DataFrame = {
     require(key.cols.length == other.key.cols.length,
       s"coRangeJoin: key arity ${key.cols.length} != ${other.key.cols.length}")
     val ls = store.emptyTyped(manifest).schema
@@ -948,7 +969,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
           rightVals.map(c => col(s"__cr.$c")): _*)
     }
 
-    coRangeLegPlans(other, maxLegs) match {
+    coRangeLegPlans(other, rowsPerLeg) match {
       case None => plainJoin()
       case Some((lPlan, rPlan, lKeys, rKeys)) =>
         val zj = graft.plans.ZipPartitionsJoin(lPlan, rPlan, lKeys, rKeys)
@@ -965,21 +986,45 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * aligned 1:1) plus the key attributes, or None when either layout
     * cannot guarantee disjoint ranges / nothing intersects. Registers the
     * planning strategy for [[graft.plans.ZipPartitionsJoin]] on success.
+    *
+    * `pruneLo`/`pruneHi` are INCLUSIVE leading-key bounds from the
+    * caller's pushed filters (the SQL rewrite's WHERE clause): because
+    * the join equates the full key lists, a leading-key bound on EITHER
+    * side constrains BOTH — file lists are pruned to the covering subset
+    * before any boundary is cut, so a selective predicate + key join
+    * reads the pruned files exchange-free instead of the full snapshots.
+    * Bounds are a conservative over-approximation (exact predicates are
+    * re-applied above by the caller); legs are cut from the PRUNED lists.
     */
-  private[graft] def coRangeLegPlans(other: KVIndex, maxLegs: Int = 64)
+  private[graft] def coRangeLegPlans(other: KVIndex, rowsPerLeg: Long = -1L,
+      pruneLo: Option[Seq[Any]] = None, pruneHi: Option[Seq[Any]] = None)
       : Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                 org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                 Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
                 Seq[org.apache.spark.sql.catalyst.expressions.Attribute])] = {
     if (manifest.isEmpty || other.manifest.isEmpty ||
-        files.isEmpty || other.files.isEmpty ||
         !filesDisjoint || !other.filesDisjoint) return None
 
-    // shared boundaries from BOTH sides' file bounds: a leg never exceeds
-    // either side's batch target (+ one file — a single oversized file is
-    // the floor, as everywhere in the manifest machinery)
-    def legBounds(fs: Seq[FileEntry], total: Long): Seq[Seq[Any]] = {
-      val target = math.max(1L, total / math.max(1, maxLegs))
+    // leading-key file prune (compare LEADING components only — the
+    // prefix convention ranks a longer tuple above its prefix, so a
+    // full-tuple compare would drop a file whose leading key equals the
+    // bound; same stance as GraftScan's covering filter)
+    def pruned(ix: KVIndex): Seq[FileEntry] = ix.filesWhere(f =>
+      pruneLo.forall(l => KeyOrd.compare(Seq(f.max.head), l) >= 0) &&
+        pruneHi.forall(h => KeyOrd.compare(Seq(f.min.head), h) <= 0))
+    val lfs = pruned(this)
+    val rfs = pruned(other)
+    if (lfs.isEmpty || rfs.isEmpty) return None // nothing can match
+
+    // per-task row target: the maxRowsPerFile batching convention — leg
+    // count GROWS with snapshot size (more tasks), per-leg data does not
+    val target = math.max(1L, if (rowsPerLeg > 0) rowsPerLeg else maxRowsPerFile)
+
+    // shared boundaries from BOTH sides' (pruned) file bounds: a leg
+    // never exceeds either side's target (+ one file — a single
+    // oversized file is the floor, as everywhere in the manifest
+    // machinery, and the exec's spillable merge join absorbs even that)
+    def legBounds(fs: Seq[FileEntry]): Seq[Seq[Any]] = {
       val b = Seq.newBuilder[Seq[Any]]
       var rows = 0L; var first = true
       fs.foreach { f =>
@@ -988,8 +1033,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       }
       b.result()
     }
-    val merged = (legBounds(files, manifest.numElements) ++
-        legBounds(other.files, other.manifest.numElements)).sorted(KeyOrd)
+    val merged = (legBounds(lfs) ++ legBounds(rfs)).sorted(KeyOrd)
     // KeyOrd-dedupe (Seq#distinct would miss binary keys' value equality)
     val bounds = merged.foldLeft(Vector.empty[Seq[Any]]) { (acc, b) =>
       if (acc.nonEmpty && KeyOrd.compare(acc.last, b) == 0) acc else acc :+ b
@@ -1007,22 +1051,43 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
         lo.map(l => ix.key.gtKey(l, orEq = true)),
         hi.map(h => ix.key.ltKey(h))).flatten
         .foldLeft(base)((d, p) => d.filter(p))
-      bounded.coalesce(1)
+      // fusion breaker: keep one task per leg under the enclosing union
+      graft.plans.OrderedPlans.unfused(bounded.coalesce(1))
     }
-    val legs = ranges.flatMap { case (lo, hi) =>
-      def covering(ix: KVIndex) = ix.filesWhere(f =>
+    val rawLegs = ranges.flatMap { case (lo, hi) =>
+      def covering(fs: Seq[FileEntry]) = fs.filter(f =>
         lo.forall(l => KeyOrd.compare(f.max, l) >= 0) &&
           hi.forall(h => KeyOrd.compare(f.min, h) < 0))
-      val afs = covering(this)
+      val afs = covering(lfs)
       // inner join: a leg empty on either side contributes nothing
       if (afs.isEmpty) None
       else {
-        val bfs = covering(other)
+        val bfs = covering(rfs)
         if (bfs.isEmpty) None
-        else Some((legDf(this, afs, lo, hi), legDf(other, bfs, lo, hi)))
+        else Some((lo, hi, afs, bfs))
       }
     }
-    if (legs.isEmpty) return None // no intersecting ranges
+    if (rawLegs.isEmpty) return None // no intersecting ranges
+
+    // merge ADJACENT legs whose covering file sets are identical on both
+    // sides: a boundary that splits no file set only re-reads the same
+    // files with narrower predicates — collapsing it removes that read
+    // amplification without changing any leg's data volume bound
+    val mergedLegs = rawLegs.foldLeft(
+        Vector.empty[(Option[Seq[Any]], Option[Seq[Any]], Seq[FileEntry], Seq[FileEntry])]) {
+      case (acc, leg @ (lo, hi, afs, bfs)) =>
+        acc.lastOption match {
+          case Some((plo, phi, pafs, pbfs))
+              if phi.exists(b => lo.exists(KeyOrd.compare(_, b) == 0)) &&
+                pafs.map(_.path) == afs.map(_.path) &&
+                pbfs.map(_.path) == bfs.map(_.path) =>
+            acc.init :+ ((plo, hi, pafs, pbfs))
+          case _ => acc :+ leg
+        }
+    }
+    val legs = mergedLegs.map { case (lo, hi, afs, bfs) =>
+      (legDf(this, afs, lo, hi), legDf(other, bfs, lo, hi))
+    }
 
     val lPlan = legs.map(_._1).reduce(_ unionByName _).queryExecution.analyzed
     val rPlan = legs.map(_._2).reduce(_ unionByName _).queryExecution.analyzed

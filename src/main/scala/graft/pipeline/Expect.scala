@@ -101,9 +101,17 @@ object Expect {
               val probe = graft.operators.BloomJoin.mightContain(bf, col("__fk"))
               // failing the sketch = definitely absent from dim (no false
               // negatives) — definite violations, zero join; passing keys
-              // (≈ the compliant set + false positives) get the exact check
-              fkCounts.filter(!probe).unionByName(
-                fkCounts.filter(probe).join(dimKeys, Seq("__fk"), "left_anti"))
+              // (≈ the compliant set + false positives) get the exact
+              // check. The aggregate feeds BOTH union arms, so it is
+              // persisted: without the pin each arm re-runs the full fact
+              // scan + per-key shuffle — the opposite of the prefilter's
+              // point. Size is |distinct keys| rows (spills past memory);
+              // the context cleaner reclaims the block once unreferenced.
+              val probed = fkCounts.withColumn("__pass", probe)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              probed.filter(!col("__pass")).drop("__pass").unionByName(
+                probed.filter(col("__pass")).drop("__pass")
+                  .join(dimKeys, Seq("__fk"), "left_anti"))
             }
           case None =>
             fkCounts.join(dimKeys, Seq("__fk"), "left_anti")

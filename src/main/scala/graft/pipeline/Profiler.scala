@@ -76,15 +76,19 @@ object Profiler {
   /** Pairwise Pearson correlation of INTEGRAL columns, every pair from
     * ONE aggregate over ONE scan (the textbook sum-of-products
     * identity): `corr = (n·Σxy − Σx·Σy) / √(n·Σxx − Σx²)·√(n·Σyy − Σy²)`.
-    * All sums and both numerator/denominator arguments are EXACT
-    * BIGINTs; only the final quotient runs in double (sqrt and one
-    * divide are IEEE-correctly rounded — the Rocchio recipe), half-up
-    * quantized to micro-units, so the whole matrix hash-matches an
-    * independent engine. Zero-variance columns yield null.
+    * All moments accumulate as EXACT `decimal(38,0)` (a per-row product
+    * of two longs is ≤ 38 digits, so every sum short of 38 digits is
+    * exact — `n·max(|x|)²` may exceed BIGINT freely); only the final
+    * quotient runs in double (sqrt and one divide are IEEE-correctly
+    * rounded — the Rocchio recipe), half-up quantized to micro-units,
+    * so the whole matrix hash-matches an independent engine.
+    * Zero-variance columns yield null.
     *
     * Caller contract: columns must be integral (quantize floats to
-    * cents/basis-points first) with `n·max(|x|)²` inside BIGINT — the
-    * exactness depends on the cross-moment products not overflowing.
+    * cents/basis-points first). Should a moment genuinely overflow 38
+    * digits, decimal arithmetic raises a typed ArithmeticException under
+    * ANSI mode (null under non-ANSI) — exactness-or-error, never a
+    * silently wrapped matrix.
     *
     * Scale shape: `1 + 2k + k(k−1)/2` conditional sums in one map-side
     * combined aggregate; the pair explosion happens on the single

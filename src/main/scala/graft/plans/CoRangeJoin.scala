@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
@@ -16,7 +16,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * from BOTH manifests' file bounds, every row routed to exactly one leg.
   * Under that invariant a join key can only ever meet its match inside
   * the same partition index, so the join is `zipPartitions` + a per-leg
-  * in-memory hash join: ZERO exchanges on either side, the snapshot
+  * STREAMING MERGE join: ZERO exchanges on either side, the snapshot
   * range layout doing for joins what the manifest stitch does for
   * ORDER BY.
   *
@@ -27,12 +27,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * `SupportsReportPartitioning` report on the scan; see the design note
   * on [[graft.core.KVIndex.coRangeJoin]].
   *
-  * Memory: the RIGHT leg of each partition is buffered in a hash map, so
-  * per-task memory is O(right rows per leg) — the caller cuts legs from
-  * both sides' file bounds precisely so both legs stay ≈ one manifest
-  * batch (a single file larger than the batch target is the floor, as
-  * everywhere in the manifest machinery). Inner join; rows with a null
-  * key never match (SQL equality).
+  * Memory: NO build side. [[ZipPartitionsJoinExec.requiredChildOrdering]]
+  * asks for both legs sorted by their keys, so `EnsureRequirements`
+  * inserts a LOCAL `SortExec` per child (no exchange — the distribution
+  * requirement stays unspecified) whose `UnsafeExternalSorter` SPILLS to
+  * disk past its managed-memory budget; the join itself then streams both
+  * sorted iterators, buffering only the CURRENT duplicate-key group of
+  * the right leg. Per-task heap is therefore O(one key's right rows) no
+  * matter how large a leg grows — an oversized leg (or a pathological
+  * rows-per-leg setting) degrades to a disk-backed sort, never an OOM.
+  * Inner join; rows with a null key never match (SQL equality).
   */
 final case class ZipPartitionsJoin(left: LogicalPlan, right: LogicalPlan,
                                    leftKeys: Seq[Attribute],
@@ -51,6 +55,18 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  /** Sorted legs make the join a stream: `EnsureRequirements` satisfies
+    * this with a local, SPILLABLE sort per child (no exchange — the
+    * distribution requirement is unspecified), which is what bounds task
+    * memory at any leg size.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(leftKeys.map(SortOrder(_, Ascending)),
+      rightKeys.map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lrdd = left.execute()
     val rrdd = right.execute()
@@ -61,35 +77,84 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
     val rKeys = rightKeys
     val lAttrs = left.output
     val rAttrs = right.output
+    val keyTypes = leftKeys.map(_.dataType)
     lrdd.zipPartitions(rrdd, preservesPartitioning = false) { (li, ri) =>
-      val rKeyProj = UnsafeProjection.create(rKeys, rAttrs)
       val lKeyProj = UnsafeProjection.create(lKeys, lAttrs)
+      val rKeyProj = UnsafeProjection.create(rKeys, rAttrs)
       val outProj = UnsafeProjection.create(
         (lAttrs ++ rAttrs).map(_.asInstanceOf[Expression]), lAttrs ++ rAttrs)
-      // build on the right leg: rows AND projected keys must be copied —
-      // the scan reuses its row buffer across next() calls
-      val byKey = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow]]()
-      while (ri.hasNext) {
-        val r = ri.next()
-        val k = rKeyProj(r)
-        if (!k.anyNull) {
-          var bucket = byKey.get(k)
-          if (bucket == null) {
-            bucket = new scala.collection.mutable.ArrayBuffer[InternalRow](1)
-            byKey.put(k.copy(), bucket)
-          }
-          bucket += r.copy()
-        }
-      }
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val joined = new JoinedRow
-      // Iterator.flatMap exhausts each inner iterator before advancing the
-      // outer one, so `l` (the scan's reused buffer) is safe to reference
-      // lazily — it cannot be overwritten while its matches still stream
-      li.flatMap { l =>
-        val k = lKeyProj(l)
-        val bucket = if (k.anyNull) null else byKey.get(k)
-        if (bucket == null) Iterator.empty
-        else bucket.iterator.map(r => outProj(joined(l, r)))
+
+      // streaming many-to-many merge join over two key-sorted iterators.
+      // Only the right side's CURRENT duplicate-key group is buffered
+      // (copied — the scan/sort reuses its row buffer); the left row is
+      // held by reference, safe because `li.next()` is never called while
+      // its matches still stream.
+      new Iterator[InternalRow] {
+        private var lRow: InternalRow = _ // null = advance left next
+        private var lKey: UnsafeRow = _
+        private val rGroup = new scala.collection.mutable.ArrayBuffer[InternalRow](1)
+        private var rGroupKey: UnsafeRow = _ // null = no live group
+        private var rRow: InternalRow = _ // lookahead; null once exhausted
+        private var rKey: UnsafeRow = _
+        private var rStarted = false
+        private var gi = 0
+        private var done = false
+
+        private def advanceLeft(): Boolean = {
+          while (li.hasNext) {
+            val r = li.next(); val k = lKeyProj(r)
+            if (!k.anyNull) { lRow = r; lKey = k; gi = 0; return true }
+          }
+          false
+        }
+
+        private def advanceRight(): Unit = {
+          while (ri.hasNext) {
+            val r = ri.next(); val k = rKeyProj(r)
+            if (!k.anyNull) { rRow = r; rKey = k; return }
+          }
+          rRow = null; rKey = null
+        }
+
+        /** Positions (lRow, rGroup(gi)) on the next output pair. */
+        private def findMatch(): Boolean = {
+          if (!rStarted) { advanceRight(); rStarted = true }
+          while (true) {
+            if (lRow == null && !advanceLeft()) return false
+            if (rGroupKey != null) {
+              val c = keyOrd.compare(lKey, rGroupKey)
+              if (c == 0) {
+                if (gi < rGroup.length) return true
+                lRow = null // this left's matches are all emitted
+              } else {
+                // left is sorted, so c > 0: the group is permanently stale
+                rGroup.clear(); rGroupKey = null
+              }
+            } else {
+              while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
+              if (rRow == null) return false // sorted left: nothing later matches
+              if (keyOrd.compare(rKey, lKey) == 0) {
+                rGroupKey = rKey.copy()
+                do { rGroup += rRow.copy(); advanceRight() }
+                while (rRow != null && keyOrd.compare(rKey, rGroupKey) == 0)
+                gi = 0 // the c == 0 branch emits on the next pass
+              } else lRow = null // rKey > lKey: this left is unmatched
+            }
+          }
+          false
+        }
+
+        override def hasNext: Boolean =
+          !done && { val h = findMatch(); if (!h) done = true; h }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty join iterator")
+          val out = outProj(joined(lRow, rGroup(gi)))
+          gi += 1
+          out
+        }
       }
     }
   }

@@ -63,10 +63,46 @@ final case class DeclareOrderedExec(child: SparkPlan, ordering: Seq[SortOrder])
     copy(child = newChild)
 }
 
+/** Defeats Spark 4's union partition FUSION for the stitched leg unions.
+  *
+  * Since SPARK-48245, `UnionExec` whose children all report the same
+  * partitioning executes as a `SQLPartitioningAwareUnionRDD` that zips
+  * partition i ACROSS children — a union of `coalesce(1)` legs (the
+  * manifest stitch, the co-range join legs) therefore collapses to ONE
+  * task running every leg sequentially: correct (children are visited in
+  * order) but serial, the opposite of the one-task-per-leg layout the
+  * leg construction exists to produce. This passthrough reports
+  * `UnknownPartitioning`, which sends the parent union down its plain
+  * concatenating branch: partition i = leg i, one task each. Rows,
+  * ordering and columnar support pass through untouched.
+  */
+final case class UnfuseUnion(child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): UnfuseUnion =
+    copy(child = newChild)
+}
+
+final case class UnfuseUnionExec(child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputPartitioning: Partitioning =
+    org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
+      child.outputPartitioning.numPartitions)
+  override protected def doExecute(): RDD[InternalRow] = child.execute()
+  override def supportsColumnar: Boolean = child.supportsColumnar
+  override protected def doExecuteColumnar(): RDD[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    child.executeColumnar()
+  override protected def withNewChildInternal(newChild: SparkPlan): UnfuseUnionExec =
+    copy(child = newChild)
+}
+
 object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case DeclareOrdered(child, ordering) =>
       DeclareOrderedExec(planLater(child), ordering) :: Nil
+    case UnfuseUnion(child) =>
+      UnfuseUnionExec(planLater(child)) :: Nil
     case SnapshotFilePrune(child, _, _) =>
       // unconsumed marker (no filter ever landed on it): plan the child
       planLater(child) :: Nil
@@ -93,6 +129,12 @@ object PushThroughDeclareOrdered
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Filter(cond, DeclareOrdered(child, ordering)) if cond.deterministic =>
       DeclareOrdered(Filter(cond, child), ordering)
+    // a filter cannot change partitioning either, so it commutes with the
+    // per-leg union-fusion breaker the same way — without this, a view
+    // predicate pushed through the stitch Union would STOP at each leg's
+    // marker instead of reaching the parquet scans
+    case Filter(cond, UnfuseUnion(child)) if cond.deterministic =>
+      UnfuseUnion(Filter(cond, child))
   }
 }
 
@@ -180,8 +222,8 @@ object OrderedPlans {
     Shim.ofRows(df.sparkSession,
       SnapshotFilePrune(df.queryExecution.analyzed, leadingKey, prune))
 
-  def declareOrdered(df: DataFrame, keyCols: Seq[String], reverse: Boolean): DataFrame = {
-    val spark = df.sparkSession
+  /** Idempotently registers the strategy + pushdown rules on the session. */
+  private[graft] def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(DeclareOrderedStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ DeclareOrderedStrategy
@@ -190,6 +232,19 @@ object OrderedPlans {
         spark.experimental.extraOptimizations ++ Seq(PushThroughDeclareOrdered,
           org.apache.spark.sql.catalyst.optimizer.PushDownPredicates,
           PruneSnapshotFiles)
+  }
+
+  /** Wrap one stitched LEG in the union-fusion breaker (see
+    * [[UnfuseUnion]]): the enclosing union keeps one task per leg.
+    */
+  def unfused(df: DataFrame): DataFrame = {
+    register(df.sparkSession)
+    Shim.ofRows(df.sparkSession, UnfuseUnion(df.queryExecution.analyzed))
+  }
+
+  def declareOrdered(df: DataFrame, keyCols: Seq[String], reverse: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
     val child = df.queryExecution.analyzed
     val dir = if (reverse) Descending else Ascending
     val ordering = keyCols.map { c =>

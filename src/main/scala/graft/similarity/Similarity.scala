@@ -800,7 +800,12 @@ case class PqAdc(child: org.apache.spark.sql.catalyst.expressions.Expression,
   */
 private[similarity] object CellRank {
 
-  /** `scores(i)` = cosine(query, centroids(i)). */
+  /** `scores(i)` = cosine(query, centroids(i)). A NaN score (a NaN
+    * element in the query or a centroid) normalizes to 0 — the zero-norm
+    * convention — so every ranking pass below stays total: a strict `>`
+    * sweep over a NaN would otherwise never pick it and [[topCells]]
+    * would index with −1.
+    */
   def scores(centroids: Seq[Array[Float]], q: Array[Float]): Array[Double] = {
     val nc = centroids.length
     val out = new Array[Double](nc)
@@ -813,8 +818,9 @@ private[similarity] object CellRank {
         val x = q(i).toDouble; val y = c(i).toDouble
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
-      out(cell) = if (na == 0.0 || nb == 0.0) 0.0
+      val s = if (na == 0.0 || nb == 0.0) 0.0
         else dot / (math.sqrt(na) * math.sqrt(nb))
+      out(cell) = if (java.lang.Double.isNaN(s)) 0.0 else s
       cell += 1
     }
     out
@@ -852,6 +858,10 @@ private[similarity] object CellRank {
         if (!taken(c2) && s(c2) > bestS) { bestS = s(c2); best = c2 }
         c2 += 1
       }
+      // unreachable while scores() keeps every score finite (NaN → 0),
+      // but a truncated pick list beats an out-of-bounds crash if that
+      // invariant ever slips
+      if (best == -1) return java.util.Arrays.copyOf(out, p)
       taken(best) = true
       out(p) = best
       p += 1

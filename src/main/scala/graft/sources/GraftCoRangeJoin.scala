@@ -80,7 +80,19 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
 
     val lIx = new KVIndex(lg.storeRef, lg.manifestRef)
     val rIx = new KVIndex(rg.storeRef, rg.manifestRef)
-    lIx.coRangeLegPlans(rIx).map { case (lPlan, rPlan, lKeys, rKeys) =>
+    // KEEP the scans' file prune: the join equates the full key lists, so
+    // either side's pushed leading-key bounds constrain BOTH sides —
+    // intersect them and cut the legs from the covering files only
+    // (exactness is unaffected: the same predicates re-apply below)
+    val (lLo, lHi) = lg.pushedKeyBounds
+    val (rLo, rHi) = rg.pushedKeyBounds
+    val lo = (lLo ++ rLo).reduceOption(graft.core.KeyOrd.max(_, _))
+    val hi = (lHi ++ rHi).reduceOption(graft.core.KeyOrd.min(_, _))
+    // per-leg row target from session conf (e.g. for wider tasks on a
+    // scan-heavy join); ≤ 0 = the index's maxRowsPerFile convention
+    val rowsPerLeg = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.corange.rowsPerLeg", "-1").toLong
+    lIx.coRangeLegPlans(rIx, rowsPerLeg, lo, hi).map { case (lPlan, rPlan, lKeys, rKeys) =>
       val zj = ZipPartitionsJoin(lPlan, rPlan, lKeys, rKeys)
       // restore each original side's (possibly pruned) output under its
       // original exprIds, so cond consumers above keep resolving — the
@@ -93,8 +105,9 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
         aliased(lrel.output, lPlan.output) ++ aliased(rrel.output, rPlan.output),
         zj)
       // pushed-down side filters re-apply above (they were residual-kept
-      // by the scan builder, so this loses only the file prune, never
-      // correctness); the leg boundary predicates stay inside the legs
+      // by the scan builder — the file prune itself moved INTO the leg
+      // construction, so nothing is lost); leg boundary predicates stay
+      // inside the legs
       val withFilters = (lFilters ++ rFilters)
         .foldLeft(projected)((p, c) => Filter(c, p))
       withFilters

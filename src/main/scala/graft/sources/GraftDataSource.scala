@@ -533,6 +533,13 @@ final class GraftScan(store: SnapshotStore, manifest: SnapshotManifest,
   private[sources] def manifestRef: SnapshotManifest = manifest
   private[sources] def plainScan: Boolean = aggRow.isEmpty && limit.isEmpty
 
+  /** INCLUSIVE leading-key bounds of the pushed filters (None = unbounded
+    * on that side) — lets the co-range join rewrite keep this scan's file
+    * prune when it replaces the stock plan.
+    */
+  private[sources] def pushedKeyBounds: (Option[Seq[Any]], Option[Seq[Any]]) =
+    (lo, hi)
+
   override def readSchema(): StructType =
     aggRow.fold(required)(s => StructType(s.map(_._1)))
 

@@ -29,7 +29,7 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     val ixB = KVIndex.bootstrap(st, "crj_b", b, Seq("k"),
       maxRowsPerFile = 512).toOption.get
 
-    val joined = ixA.coRangeJoin(ixB, maxLegs = 8)
+    val joined = ixA.coRangeJoin(ixB, rowsPerLeg = 250)
     val got = joined.select("k", "av", "bv")
       .as[(Long, String, Long)].collect().sortBy(_._1)
     val want = (500 to 2000).filter(i => (i - 500) % 3 == 0)
@@ -55,7 +55,7 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     val ixB = KVIndex.bootstrap(st, "crj2_b", b, Seq("g", "k"),
       maxRowsPerFile = 64).toOption.get
 
-    val joined = ixA.coRangeJoin(ixB, maxLegs = 16)
+    val joined = ixA.coRangeJoin(ixB, rowsPerLeg = 64)
     val got = joined.select("g", "k", "av", "bv")
       .as[(Int, Long, String, String)].collect().sortBy(r => (r._1, r._2))
     val want = (100 to 200).filter(i => i % 3 == 1)
@@ -128,7 +128,7 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       maxRowsPerFile = 500).toOption.get // 20 files
     val ixN = KVIndex.bootstrap(st, "crj4_n", narrow, Seq("k")).toOption.get
 
-    val joined = ixBig.coRangeJoin(ixN, maxLegs = 20)
+    val joined = ixBig.coRangeJoin(ixN, rowsPerLeg = 500)
     // the scan under the zip join must read a small file subset, not all 20:
     // count distinct parquet paths in the left child's file scans
     val scans = collect(joined.queryExecution.executedPlan) {
@@ -138,5 +138,128 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(files.nonEmpty && files.length <= 6,
       s"expected a pruned file set, planned ${files.length} files")
     assert(joined.count() == 101L)
+  }
+
+  test("leg count grows with snapshot size (rows-per-leg sizing) and the join streams — local sorts, no build side, zero exchanges") {
+    val st = store(tmpDir("graft-crj5"))
+    val a = (1 to 10000).map(i => (i.toLong, i * 2L)).toDF("k", "av").repartition(1)
+    val b = (1 to 10000).map(i => (i.toLong, i * 3L)).toDF("k", "bv").repartition(1)
+    // handles carry maxRowsPerFile = 64, so the DEFAULT rows-per-leg
+    // target is 64: 10k rows must cut far more legs than the old fixed
+    // 64-leg cap — per-task data stays batch-sized at ANY snapshot size
+    val ixA = KVIndex.bootstrap(st, "crj5_a", a, Seq("k"),
+      maxRowsPerFile = 64).toOption.get
+    val ixB = KVIndex.bootstrap(st, "crj5_b", b, Seq("k"),
+      maxRowsPerFile = 64).toOption.get
+
+    val joined = ixA.coRangeJoin(ixB)
+    assert(joined.rdd.getNumPartitions > 64,
+      s"expected > 64 legs under rows-per-leg sizing, got ${joined.rdd.getNumPartitions}")
+    val plan = joined.queryExecution.executedPlan
+    val zip = collectFirst(plan) { case z: ZipPartitionsJoinExec => z }
+    assert(zip.isDefined, s"expected ZipPartitionsJoinExec in:\n$plan")
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"zero exchanges required:\n$plan")
+    // the memory contract: both legs stream through LOCAL spillable sorts
+    // into the merge join — no per-task hash build of a whole leg
+    val sorts = collect(zip.get.asInstanceOf[org.apache.spark.sql.execution.SparkPlan]) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.size == 2 && sorts.forall(!_.global),
+      s"expected a local sort on each leg under the zip join:\n${zip.get}")
+    // content parity with the stock shuffled join
+    val got = joined.agg(sum(col("av") * col("bv"))).head.getLong(0)
+    val want = (1 to 10000).map(i => i.toLong * 2 * i * 3).sum
+    assert(got == want)
+  }
+
+  test("SQL WHERE clause keeps the manifest file prune through the rewrite") {
+    val dir = tmpDir("graft-crjprune")
+    val st = store(dir)
+    val a = (1 to 10000).map(i => (i.toLong, s"a$i")).toDF("k", "av").repartition(1)
+    val b = (1 to 10000).map(i => (i.toLong, i * 3L)).toDF("k", "bv").repartition(1)
+    KVIndex.bootstrap(st, "pa", a, Seq("k"), maxRowsPerFile = 500).toOption.get
+    KVIndex.bootstrap(st, "pb", b, Seq("k"), maxRowsPerFile = 500).toOption.get
+    spark.conf.set("spark.sql.catalog.crjpcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.crjpcat.root", st.root)
+
+    val q = spark.sql(
+      """SELECT a.k, a.av, b.bv FROM crjpcat.pa a JOIN crjpcat.pb b
+         ON a.k = b.k WHERE a.k >= 4000 AND a.k <= 4400""")
+    val got = q.as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == (4000 to 4400).map(i => (i.toLong, s"a$i", i * 3L)))
+
+    val plan = q.queryExecution.executedPlan
+    assert(collectFirst(plan) { case z: ZipPartitionsJoinExec => z }.isDefined,
+      s"expected the co-range zip join in:\n$plan")
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty)
+    // a ~401-key slice of two ~40-file snapshots must NOT read every
+    // file: the pushed bound constrains BOTH sides' leg construction
+    val files = collect(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.relation.location.inputFiles).distinct
+    assert(files.nonEmpty && files.length <= 8,
+      s"expected the WHERE clause to prune both sides' files, planned ${files.length}")
+  }
+
+  test("spark.graft.corange.rowsPerLeg drives the SQL path's leg count") {
+    val dir = tmpDir("graft-crjconf")
+    val st = store(dir)
+    val a = (1 to 4000).map(i => (i.toLong, s"a$i")).toDF("k", "av").repartition(1)
+    val b = (1 to 4000).map(i => (i.toLong, i * 3L)).toDF("k", "bv").repartition(1)
+    KVIndex.bootstrap(st, "ca", a, Seq("k"), maxRowsPerFile = 200).toOption.get
+    KVIndex.bootstrap(st, "cb", b, Seq("k"), maxRowsPerFile = 200).toOption.get
+    spark.conf.set("spark.sql.catalog.crjccat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.crjccat.root", st.root)
+    val sql = "SELECT a.k, b.bv FROM crjccat.ca a JOIN crjccat.cb b ON a.k = b.k"
+
+    // default (catalog handles use the default 2^19 batch): one wide leg
+    val wide = spark.sql(sql)
+    assert(collectFirst(wide.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isDefined)
+    val wideLegs = wide.rdd.getNumPartitions
+
+    spark.conf.set("spark.graft.corange.rowsPerLeg", "250")
+    try {
+      val narrow = spark.sql(sql)
+      assert(collectFirst(narrow.queryExecution.executedPlan) {
+        case z: ZipPartitionsJoinExec => z }.isDefined)
+      val narrowLegs = narrow.rdd.getNumPartitions
+      assert(narrowLegs > wideLegs && narrowLegs >= 10,
+        s"expected the conf to cut more legs: $wideLegs -> $narrowLegs")
+      assert(narrow.count() == 4000L)
+    } finally spark.conf.unset("spark.graft.corange.rowsPerLeg")
+  }
+
+  test("overlapping file ranges (post-merge, pre-compact layout) fall back to the plain shuffled join") {
+    val st = store(tmpDir("graft-crjov"))
+    // snapshot whose second batch fully interleaves the first: the
+    // manifest CANNOT guarantee disjoint ranges, so the layout join must
+    // decline and the stock plan must still answer correctly
+    val evens = (1 to 100).map(i => (2L * i, s"e$i")).toDF("k", "v").repartition(1)
+    val ix0 = KVIndex.bootstrap(st, "ov", evens, Seq("k"),
+      maxRowsPerFile = 32).toOption.get
+    val odds = (1 to 100).map(i => (2L * i - 1, s"o$i")).toDF("k", "v")
+      .withColumn("version", lit("tx-ov2")).repartition(1)
+    val (_, extra) = st.writeData("ov", odds, KeySpec(Seq("k")), 4)
+    val m2 = ix0.manifest.copy(version = ix0.manifest.version + 1,
+      snapshotId = java.util.UUID.randomUUID().toString,
+      numElements = 200L, files = ix0.manifest.files ++ extra,
+      disjointHint = None)
+    val ov = new KVIndex(st, st.commit(m2, ix0.manifest.version))
+
+    val b = (1 to 200).map(i => (i.toLong, i * 5L)).toDF("k", "bv").repartition(1)
+    val ixB = KVIndex.bootstrap(st, "ovb", b, Seq("k")).toOption.get
+    val joined = ov.coRangeJoin(ixB)
+    assert(collectFirst(joined.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isEmpty,
+      "overlapping layout must not take the zip join")
+    val got = joined.select("k", "v", "bv")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val want = (1 to 200).map { k =>
+      val v = if (k % 2 == 0) s"e${k / 2}" else s"o${(k + 1) / 2}"
+      (k.toLong, v, k * 5L)
+    }
+    assert(got.toSeq == want)
   }
 }

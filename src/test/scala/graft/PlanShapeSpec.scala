@@ -142,6 +142,19 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(coPlan.contains("TakeOrderedAndProject"), coPlan.take(2000))
   }
 
+  test("proportionalK's pick plans WindowGroupLimit (rank bound truncates before the rank shuffle)") {
+    val df = spark.range(0, 5000).select(col("id").as("doc_id"),
+      concat(lit("s"), col("id") % 7).as("source"))
+    val picked = graft.pipeline.Sampling.proportionalK(df, "source", "doc_id", 50)
+    picked.collect()
+    // the literal `__rn <= k` filter above the pick window is the shape
+    // Spark rewrites to WindowGroupLimit: each partition keeps only its
+    // local top-k per stratum, so a billion-row stratum never ships a
+    // billion rows to be ranked
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2500))
+  }
+
   test("transitions prunes payload columns before the window exchange") {
     val ev = (1 to 300).map(i => (i.toLong % 10, i.toLong,
         java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00"),

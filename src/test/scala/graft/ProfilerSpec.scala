@@ -180,4 +180,57 @@ class ProfilerSpec extends SparkSuite {
       .collect().map(r => r.getLong(1)).toSeq
     assert(zeros == Seq(0L, 0L, 0L))
   }
+
+  test("Expect.Ref bloom prefilter: matches the exact path; empty dim routes every key to violations joinlessly") {
+    import graft.pipeline.Expect
+    val dim = (1L to 1000L).toDF("d")
+    // 500 compliant keys + dangling keys (one duplicated: per-ROW counts)
+    val facts = ((1L to 500L) ++ Seq(5000L, 5000L, 6000L, -3L)).toDF("x")
+    def run(rule: Expect.Rule): Long =
+      Expect.check(facts, Seq(rule)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.apply("ref:x")
+    val exact = run(Expect.Ref("x", dim, "d"))
+    val bloom = run(Expect.Ref("x", dim, "d", bloomItems = Some(1000L)))
+    assert(exact == 4L && bloom == exact,
+      s"bloom path drifted: exact=$exact bloom=$bloom")
+    // empty dim: keyFilterBytes returns no sketch (bf == null) and EVERY
+    // non-null key must count as a violation — with zero join
+    val empty = dim.filter(col("d") < 0L)
+    val gotEmpty = run(Expect.Ref("x", empty, "d", bloomItems = Some(10L)))
+    val exactEmpty = run(Expect.Ref("x", empty, "d"))
+    assert(gotEmpty == 504L && exactEmpty == 504L)
+  }
+
+  test("corrMatrix: magnitudes where a BIGINT moment would wrap stay exact (decimal accumulation)") {
+    val rnd = new scala.util.Random(7)
+    // ~2e9-scale values at n=500: sum(x²) ≈ 2e21 >> 2⁶³ ≈ 9.2e18 — a long
+    // accumulator silently wraps here; the decimal(38,0) moments must
+    // reproduce the BigInt reference exactly
+    val rows = (0 until 500).map { _ =>
+      val x = 1500000000L + rnd.nextInt(1000000000)
+      val y = 2L * x - 500000000L + rnd.nextInt(1000) // near-perfect linear
+      val z = 1000000000L + rnd.nextInt(2000000000)   // independent
+      (x, y, z)
+    }
+    val df = rows.toDF("x", "y", "z")
+    val got = Profiler.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    def ref(xs: Seq[Long], ys: Seq[Long]): Option[Long] = {
+      val n = BigInt(xs.size)
+      val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+      val sxx = xs.map(v => BigInt(v) * v).sum
+      val syy = ys.map(v => BigInt(v) * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+      val d1 = n * sxx - sx * sx; val d2 = n * syy - sy * sy
+      if (d1 <= 0 || d2 <= 0) None
+      else Some(math.floor(1e6 * (n * sxy - sx * sy).toDouble /
+        (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble)) + 0.5).toLong)
+    }
+    val series = Map("x" -> rows.map(_._1), "y" -> rows.map(_._2),
+      "z" -> rows.map(_._3))
+    for (((a, b), v) <- got) assert(v == ref(series(a), series(b)), s"($a,$b)")
+    assert(got(("x", "y")).get > 999000L, "near-linear pair must land near 1e6")
+    assert(math.abs(got(("x", "z")).get) < 200000L, "independent pair near 0")
+  }
 }

@@ -159,4 +159,56 @@ class Scd2Spec extends SparkSuite {
         s"[$backend]")
     }
   }
+
+  /** FS store double recording which data files each readFiles call opens. */
+  private class RecordingFsStore(root0: String) extends FsSnapshotStore(root0, spark) {
+    val reads = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    override def readFiles(paths: Seq[String],
+                           m: SnapshotManifest): org.apache.spark.sql.DataFrame = {
+      reads += paths
+      super.readFiles(paths, m)
+    }
+  }
+
+  test("refresh's seed read prunes to covering view files; the corpus-churn fallback converges identically") {
+    val store = new RecordingFsStore(tmpDir("graft-scd2-prune"))
+    val ix0 = KVIndex.bootstrap(store, "p",
+      (0L until 400L).map(k => k -> k * 10).toDF("k", "x"), Seq("k"),
+      maxRowsPerFile = 32).fold(e => fail(e.message), identity)
+    store.recordSnapshot("p", ix0.manifest.version, 0L)
+    val view0 = Scd2.materialize(store, "pview", "p", maxRowsPerFile = 32)
+      .fold(e => fail(e.message), identity)
+    val viewFiles = view0.numFiles
+    assert(viewFiles >= 8, s"need a multi-file view, got $viewFiles")
+
+    // churn TWO keys out of 400 → the open-incarnation seed read must
+    // touch only the view files covering those keys, never the whole view
+    val m2 = ix0.execute(Seq(Command.Insert(
+      Seq(7L -> 9990L, 350L -> 8880L).toDF("k", "x"), upsert = true))).orThrow
+    store.recordSnapshot("p", m2.version, 10L)
+    store.reads.clear()
+    val v1 = Scd2.refresh(store, "pview").fold(e => fail(e.message), identity)
+    val viewReads = store.reads.toSeq.flatten
+      .filter(_.contains("/pview/")).distinct
+    assert(viewReads.nonEmpty && viewReads.size < viewFiles / 2,
+      s"expected a covering-file-pruned view read, opened ${viewReads.size} of $viewFiles")
+    def rebuilt(): Set[(Long, Long, Long, Option[Long])] =
+      Scd2.scd2(store, "p").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    def content(v: KVIndex): Set[(Long, Long, Long, Option[Long])] =
+      v.df.select("k", "x", "valid_from", "valid_to").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(content(v1) == rebuilt(), "pruned refresh")
+
+    // corpus-scale churn path: maxDriverChurnKeys = 0 forces the
+    // full-scan + semi-join fallback — same converged view
+    val m3 = new KVIndex(store, m2).execute(Seq(Command.Insert(
+      Seq(9L -> 7770L, 123L -> 6660L).toDF("k", "x"), upsert = true))).orThrow
+    store.recordSnapshot("p", m3.version, 20L)
+    val v2 = Scd2.refresh(store, "pview", maxDriverChurnKeys = 0)
+      .fold(e => fail(e.message), identity)
+    assert(content(v2) == rebuilt(), "fallback refresh")
+  }
 }
