@@ -7,6 +7,92 @@ import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The dialect-specific seams of [[JdbcSnapshotStore]] — everything else
+  * in the store is portable JDBC. A networked port (PostgreSQL /
+  * YugabyteDB, reference `yugabytedb.yaml`) swaps ONLY this object plus
+  * the connection URL (and moves parquet staging to shared storage; see
+  * the store's single-JVM note).
+  *
+  *  - `ddl`: idempotent schema bootstrap, one statement per durable
+  *    table (control / control_appends / filelists / datafiles).
+  *  - `tableExists`: classifies the bootstrap's "already there" error
+  *    for engines without `CREATE TABLE IF NOT EXISTS`.
+  *  - `duplicateKey`: classifies a PRIMARY KEY violation — the commit
+  *    CAS loss, surfaced to the trait protocol as
+  *    `FileAlreadyExistsException` (the reference's un-applied LWT).
+  */
+trait SqlDialect {
+  def name: String
+  def ddl: Seq[String]
+  def tableExists(e: SQLException): Boolean
+  def duplicateKey(e: SQLException): Boolean
+}
+
+object SqlDialect {
+
+  /** Apache Derby (embedded) — the live in-sandbox backend. */
+  object Derby extends SqlDialect {
+    val name = "derby"
+    // Derby has no CREATE TABLE IF NOT EXISTS: bootstrap swallows X0Y32
+    val ddl: Seq[String] = Seq(
+      "CREATE TABLE control (rel VARCHAR(512) PRIMARY KEY, buf CLOB)",
+      "CREATE TABLE control_appends (rel VARCHAR(512) NOT NULL, " +
+        "seq BIGINT NOT NULL, line CLOB, PRIMARY KEY (rel, seq))",
+      "CREATE TABLE filelists (rel VARCHAR(512) PRIMARY KEY, buf CLOB, created_ms BIGINT)",
+      "CREATE TABLE datafiles (path VARCHAR(512) PRIMARY KEY, buf BLOB, created_ms BIGINT)")
+    def tableExists(e: SQLException): Boolean = e.getSQLState == "X0Y32"
+    def duplicateKey(e: SQLException): Boolean =
+      e.getSQLState != null && e.getSQLState.startsWith("23")
+  }
+
+  /** PostgreSQL / YugabyteDB (YSQL speaks the PostgreSQL wire protocol
+    * and SQLSTATEs — reference `yugabytedb.yaml`). DORMANT here: the
+    * zero-egress sandbox has neither a server nor the pgjdbc driver, so
+    * this dialect is compiled, spec-pinned at the string/classification
+    * level, and never opened. The same four tables land on Postgres
+    * types (TEXT for the text plane, BYTEA for parquet blobs);
+    * `IF NOT EXISTS` makes bootstrap idempotent without the
+    * exists-error dance; 23505 (`unique_violation`) is the PK CAS loss
+    * and 42P07 (`duplicate_table`) the belt-and-braces exists check.
+    */
+  object Postgres extends SqlDialect {
+    val name = "postgres"
+    val ddl: Seq[String] = Seq(
+      "CREATE TABLE IF NOT EXISTS control (rel VARCHAR(512) PRIMARY KEY, buf TEXT)",
+      "CREATE TABLE IF NOT EXISTS control_appends (rel VARCHAR(512) NOT NULL, " +
+        "seq BIGINT NOT NULL, line TEXT, PRIMARY KEY (rel, seq))",
+      "CREATE TABLE IF NOT EXISTS filelists (rel VARCHAR(512) PRIMARY KEY, buf TEXT, created_ms BIGINT)",
+      "CREATE TABLE IF NOT EXISTS datafiles (path VARCHAR(512) PRIMARY KEY, buf BYTEA, created_ms BIGINT)")
+    def tableExists(e: SQLException): Boolean = e.getSQLState == "42P07"
+    def duplicateKey(e: SQLException): Boolean = e.getSQLState == "23505"
+  }
+
+  /** Cassandra CQL twin of the reference's keyspace
+    * (reference `cassandra_keyspace.cql:1-19`, `CassandraStorage.scala:14-176`)
+    * — the DORMANT schema + statement strings a Cassandra port installs.
+    * Deliberately NOT a [[SqlDialect]]: CQL is not JDBC SQL — the port
+    * swaps the connection for a Datastax session, and the commit CAS is
+    * the LWT `INSERT ... IF NOT EXISTS` whose APPLIED flag replaces the
+    * PK-violation catch (`duplicateKey` ⇔ `applied == false`).
+    */
+  object CassandraCql {
+    val keyspace: String =
+      "CREATE KEYSPACE IF NOT EXISTS graft WITH replication = " +
+        "{'class': 'NetworkTopologyStrategy', 'replication_factor': 3}"
+    val tables: Seq[String] = Seq(
+      "CREATE TABLE IF NOT EXISTS graft.control (rel text PRIMARY KEY, buf text)",
+      "CREATE TABLE IF NOT EXISTS graft.control_appends (rel text, seq bigint, " +
+        "line text, PRIMARY KEY (rel, seq))",
+      "CREATE TABLE IF NOT EXISTS graft.filelists (rel text PRIMARY KEY, " +
+        "buf text, created_ms bigint)",
+      "CREATE TABLE IF NOT EXISTS graft.datafiles (path text PRIMARY KEY, " +
+        "buf blob, created_ms bigint)")
+    /** the commit CAS: un-applied ⇔ the FS store's FileAlreadyExists */
+    val casInsert: String =
+      "INSERT INTO graft.control (rel, buf) VALUES (?, ?) IF NOT EXISTS"
+  }
+}
+
 /** Embedded-JDBC (Apache Derby) storage backend — the IO3 analogue of the
   * reference's `CassandraStorage` (reference `CassandraStorage.scala:14-176`,
   * schema `cassandra_keyspace.cql:1-19`): every durable object lives in a
@@ -39,15 +125,19 @@ import org.apache.spark.sql.functions._
   * Scope matches the reference's Cassandra backend in spirit: prove the
   * `SnapshotStore` trait against a transactional row store. The zero-egress
   * sandbox forbids a networked Cassandra/YugabyteDB; in-process Derby
-  * (`jdbc:derby:memory:...`) exercises the identical seam — swap the URL
-  * (and the two dialect-specific DDL strings) for a networked JDBC store,
-  * AND move the parquet staging/cache onto shared storage: as shipped the
-  * data plane stages through driver-local temp files, so the store is
-  * single-JVM only (enforced below).
+  * (`jdbc:derby:memory:...`) exercises the identical seam. The
+  * engine-specific pieces are factored into [[SqlDialect]] (DDL +
+  * exists/duplicate-key classification — [[SqlDialect.Postgres]] is the
+  * dormant networked twin, [[SqlDialect.CassandraCql]] the dormant CQL
+  * schema); a networked port swaps the URL + dialect AND moves the
+  * parquet staging/cache onto shared storage: as shipped the data plane
+  * stages through driver-local temp files, so the store is single-JVM
+  * only (enforced below).
   * Bulk analytics at 100 TB stays on the FS/object-store backend; this one
   * is the control-plane-in-a-database deployment shape.
   */
-class JdbcSnapshotStore(val url: String, val spark: SparkSession)
+class JdbcSnapshotStore(val url: String, val spark: SparkSession,
+                        val dialect: SqlDialect = SqlDialect.Derby)
     extends SnapshotStore {
 
   // the data plane stages parquet through DRIVER-LOCAL temp files (write
@@ -66,20 +156,17 @@ class JdbcSnapshotStore(val url: String, val spark: SparkSession)
 
   private val cacheDir = Files.createTempDirectory("graft-jdbc-cache")
 
-  // idempotent schema bootstrap (Derby has no CREATE TABLE IF NOT EXISTS).
-  // `created_ms` dates every object IN the database, so vacuum's grace
-  // window sees one truth no matter how many store instances share the
-  // URL. `control_appends` holds appended log lines one ROW each — the
-  // temporal history log is append-only, and a read-concat-rewrite CLOB
-  // would make the log O(history²) over an index's life.
-  for (ddl <- Seq(
-    "CREATE TABLE control (rel VARCHAR(512) PRIMARY KEY, buf CLOB)",
-    "CREATE TABLE control_appends (rel VARCHAR(512) NOT NULL, " +
-      "seq BIGINT NOT NULL, line CLOB, PRIMARY KEY (rel, seq))",
-    "CREATE TABLE filelists (rel VARCHAR(512) PRIMARY KEY, buf CLOB, created_ms BIGINT)",
-    "CREATE TABLE datafiles (path VARCHAR(512) PRIMARY KEY, buf BLOB, created_ms BIGINT)")) {
+  // idempotent schema bootstrap — DDL and the exists/duplicate error
+  // classification come from the DIALECT (the only engine-specific
+  // seams; see [[SqlDialect]]). `created_ms` dates every object IN the
+  // database, so vacuum's grace window sees one truth no matter how
+  // many store instances share the URL. `control_appends` holds
+  // appended log lines one ROW each — the temporal history log is
+  // append-only, and a read-concat-rewrite CLOB would make the log
+  // O(history²) over an index's life.
+  for (ddl <- dialect.ddl) {
     try { val st = conn.createStatement(); try st.execute(ddl) finally st.close() }
-    catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists
+    catch { case e: SQLException if dialect.tableExists(e) => () } // exists
   }
   // migrate pre-created_ms databases opened from a directory URL (undated
   // rows read as NULL -> swept-as-old, same as before the column existed)
@@ -137,7 +224,7 @@ class JdbcSnapshotStore(val url: String, val spark: SparkSession)
       ps.setString(1, rel); ps.setString(2, s)
       ps.executeUpdate()
     } catch {
-      case e: SQLException if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+      case e: SQLException if dialect.duplicateKey(e) =>
         throw new java.nio.file.FileAlreadyExistsException(rel) // PK violation = CAS loss
     } finally ps.close()
   }
