@@ -2737,6 +2737,26 @@ object SparkEntry {
           col("qty").cast("long").as("qty"), col("n_lines"))
         .orderBy("o_orderkey")
     }),
+    // the SQL twin under a selective WHERE: GraftCoRangeJoin rewrites the
+    // catalog key join into the zip join AND keeps the scans' pushed
+    // leading-key file prune — the legs are cut from the files covering
+    // [100, 300] only, so the exchange-free plan also reads the pruned
+    // subset instead of both full snapshots
+    "kv_corange_where" -> ((s, d) => {
+      val (ordStore, _) = liStore(s, d) // price zeroed for orderkey < 50
+      val liIx = liAggStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_crw_a", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_crw_a.root", ordStore.root)
+      s.conf.set("spark.sql.catalog.graft_crw_b", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_crw_b.root", liIx.store.root)
+      s.sql("""
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price,
+               CAST(l.qty AS BIGINT) AS qty, l.n_lines
+        FROM graft_crw_a.ord o JOIN graft_crw_b.liagg l
+          ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey >= 100 AND o.o_orderkey <= 300
+        ORDER BY o.o_orderkey""")
+    }),
     // top-k per group via rank filter — Spark pushes the rank bound into
     // the window sort (WindowGroupLimit): each partition keeps k rows
     // instead of sorting its whole group
@@ -4095,6 +4115,12 @@ object SparkEntry {
         "CAST(qty AS BIGINT) AS qty, n_lines " +
         "FROM orders JOIN li ON o_orderkey = l_orderkey " +
         "WHERE o_orderkey <= 200 ORDER BY o_orderkey"),
+      "kv_corange_where" -> ("WITH li AS (SELECT l_orderkey, sum(l_quantity) AS qty, " +
+        "count(*) AS n_lines FROM lineitem GROUP BY 1) " +
+        "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, " +
+        "CAST(qty AS BIGINT) AS qty, n_lines " +
+        "FROM orders JOIN li ON o_orderkey = l_orderkey " +
+        "WHERE o_orderkey >= 100 AND o_orderkey <= 300 ORDER BY o_orderkey"),
       "q_topk_group" -> ("WITH r AS (SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price, " +
         "row_number() OVER (PARTITION BY o_orderstatus ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn " +
         "FROM orders) SELECT o_orderstatus, o_orderkey, price, CAST(rn AS BIGINT) AS rn " +

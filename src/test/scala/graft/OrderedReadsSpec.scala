@@ -95,6 +95,13 @@ class OrderedReadsSpec extends SparkSuite {
     assert(pairs(df) == pairs(ix.table.inOrder()))
     assert(pairs(ix.inOrdered(reverse = true)) == pairs(ix.table.reverseScan()))
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    // one TASK per leg: Spark 4.1's UnionExec fuses same-partitioning
+    // children into a single serial task unless each leg breaks the
+    // fusion (UnfuseUnion) — partition count, not just plan shape,
+    // carries the stitch's scan parallelism
+    assert(df.rdd.getNumPartitions == scans.size,
+      s"stitch must run one task per leg: ${df.rdd.getNumPartitions} " +
+        s"partitions for ${scans.size} legs")
     // pruned stitched reads (range) agree too
     assert(pairs(ix.range(Seq("b01"), Seq("b03"), incFrom = true, incTo = false)) ==
       pairs(ix.table.range(Seq("b01"), Seq("b03"), incFrom = true, incTo = false)))

@@ -374,4 +374,34 @@ class ScaleProbeSpec extends SparkSuite {
     assert(refSec < matSec,
       f"one-step refresh ($refSec%.1f s) must beat the 13-version rebuild ($matSec%.1f s)")
   }
+
+  test("5M x 5M co-range join: leg count scales, tasks stay batch-sized, zero exchanges") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    val store = new FsSnapshotStore(tmpDir("graft-probe-crj"), spark)
+    val n = 5000000L
+    val a = spark.range(1, n + 1).select(col("id").as("k"), (col("id") * 3).as("av"))
+    val b = spark.range(1, n + 1, 2).select(col("id").as("k"), (col("id") * 7).as("bv"))
+    val t0 = System.nanoTime()
+    val ixA = KVIndex.bootstrap(store, "crj_a", a, Seq("k"),
+      maxRowsPerFile = 1L << 17).fold(e => fail(e.message), identity)
+    val ixB = KVIndex.bootstrap(store, "crj_b", b, Seq("k"),
+      maxRowsPerFile = 1L << 17).fold(e => fail(e.message), identity)
+    info(f"bootstrap 2 x ~5M rows: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+      s"${ixA.numFiles}+${ixB.numFiles} files")
+    val t1 = System.nanoTime()
+    val joined = ixA.coRangeJoin(ixB)
+    val legs = joined.rdd.getNumPartitions
+    // rows-per-leg sizing: every file here exceeds the 2^17-row target,
+    // so a boundary lands at each file bound — leg count tracks file
+    // count ∝ volume (the old numElements/64 sizing capped legs at 64
+    // with ever-growing per-task builds; with the streaming merge there
+    // is NO build side at any leg size)
+    assert(legs >= ixA.numFiles,
+      s"expected ~one leg per big-side file (${ixA.numFiles}), got $legs")
+    val cnt = joined.count()
+    val sec = (System.nanoTime() - t1) / 1e9
+    info(f"co-range join: $cnt rows across $legs legs in $sec%.1f s")
+    assert(cnt == (n + 1) / 2)
+    assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
