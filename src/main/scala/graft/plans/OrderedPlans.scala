@@ -125,7 +125,8 @@ object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrate
   */
 object PushThroughDeclareOrdered
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Filter(cond, DeclareOrdered(child, ordering)) if cond.deterministic =>
       DeclareOrdered(Filter(cond, child), ordering)
@@ -135,6 +136,28 @@ object PushThroughDeclareOrdered
     // marker instead of reaching the parquet scans
     case Filter(cond, UnfuseUnion(child)) if cond.deterministic =>
       UnfuseUnion(Filter(cond, child))
+    // PROJECTIONS commute too — the column-pruning twin of the filter
+    // cases. The stock ColumnPruning stops at every custom node, so a
+    // `SELECT two, cols FROM <snapshot view>` would otherwise read every
+    // column of every leg's parquet scan; pushing the Project below the
+    // markers lets the stock rules carry the narrow schema into the
+    // scans (`ReadSchema`). Neither marker computes anything, so the
+    // rewrite is behavior-free; for the ordering declaration the marker
+    // only survives when every ordering attribute is still projected —
+    // otherwise no downstream ORDER BY on the key can resolve anyway,
+    // and the declaration is dropped with nothing to elide.
+    case Project(ps, UnfuseUnion(child)) if ps.forall(_.deterministic) =>
+      UnfuseUnion(Project(ps, child))
+    case Project(ps, SnapshotFilePrune(child, k, pr)) if ps.forall(_.deterministic) =>
+      SnapshotFilePrune(Project(ps, child), k, pr)
+    case Project(ps, DeclareOrdered(child, ordering)) if ps.forall(_.deterministic) =>
+      val kept = ps.collect { case a: Attribute => a.exprId }.toSet
+      val orderingSurvives = ordering.forall(_.child match {
+        case a: Attribute => kept.contains(a.exprId)
+        case _ => false
+      })
+      if (orderingSurvives) DeclareOrdered(Project(ps, child), ordering)
+      else Project(ps, child)
   }
 }
 
@@ -230,7 +253,13 @@ object OrderedPlans {
     if (!spark.experimental.extraOptimizations.contains(PushThroughDeclareOrdered))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations ++ Seq(PushThroughDeclareOrdered,
+          // stock rules re-instantiated in the same fixed-point batch:
+          // the marker commutes above only EXPOSE pushdown opportunities
+          // — these carry the predicate / narrow schema the rest of the
+          // way down the stitch into the parquet scans
           org.apache.spark.sql.catalyst.optimizer.PushDownPredicates,
+          org.apache.spark.sql.catalyst.optimizer.ColumnPruning,
+          org.apache.spark.sql.catalyst.optimizer.CollapseProject,
           PruneSnapshotFiles)
   }
 
