@@ -67,6 +67,20 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     leftKeys.map(SortOrder(_, Ascending))
 
+  /** The output is GLOBALLY ordered by the left keys, not just
+    * per-partition: leg i covers a key range strictly below leg i+1 (the
+    * shared boundary cut), and within a leg the merge streams in left-key
+    * order. Declaring [[ManifestOrderedPartitioning]] lets a downstream
+    * ORDER BY on the join key elide its global sort AND its range
+    * exchange — the stitch's sort-elision contract carried through the
+    * join. (It still satisfies nothing else — a further join replans its
+    * own exchanges.)
+    */
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    ManifestOrderedPartitioning(outputOrdering,
+      left.outputPartitioning.numPartitions)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lrdd = left.execute()
     val rrdd = right.execute()

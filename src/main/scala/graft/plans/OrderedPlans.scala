@@ -148,7 +148,15 @@ object PushThroughDeclareOrdered
     // and the declaration is dropped with nothing to elide.
     case Project(ps, UnfuseUnion(child)) if ps.forall(_.deterministic) =>
       UnfuseUnion(Project(ps, child))
-    case Project(ps, SnapshotFilePrune(child, k, pr)) if ps.forall(_.deterministic) =>
+    // attribute-ONLY through the prune marker: PruneSnapshotFiles swaps
+    // the marker's child for a re-stitched plan and restores output
+    // exprIds BY NAME from the replacement's (full) schema — a computed
+    // or renamed projection below the marker would make that lookup miss.
+    // Attribute-only covers the case that matters (the pruning Projects
+    // ColumnPruning inserts); computed projections stay above, where the
+    // stock rules still prune the columns they need below.
+    case Project(ps, SnapshotFilePrune(child, k, pr))
+        if ps.forall(_.isInstanceOf[Attribute]) =>
       SnapshotFilePrune(Project(ps, child), k, pr)
     case Project(ps, DeclareOrdered(child, ordering)) if ps.forall(_.deterministic) =>
       val kept = ps.collect { case a: Attribute => a.exprId }.toSet
@@ -158,6 +166,51 @@ object PushThroughDeclareOrdered
       })
       if (orderingSurvives) DeclareOrdered(Project(ps, child), ordering)
       else Project(ps, child)
+    // through the co-range ZIP JOIN as well: the node is custom, so the
+    // stock rules stop at it — `SELECT a.k, b.v FROM a JOIN b` would read
+    // every column of BOTH snapshots' legs. A projection narrows each leg
+    // to its referenced columns plus its join keys (the per-leg merge
+    // needs them); the stock rules below then carry the narrow schema
+    // through each leg's markers into the scans. Only fires while it
+    // still narrows a side, so the fixed point terminates.
+    case p @ Project(ps, ZipPartitionsJoin(l, r, lk, rk))
+        if ps.forall(_.deterministic) =>
+      val refs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        ps.flatMap(_.references))
+      def needed(side: LogicalPlan, keys: Seq[Attribute]): Seq[Attribute] =
+        side.output.filter(a => refs.contains(a) || keys.exists(_.exprId == a.exprId))
+      val ln = needed(l, lk)
+      val rn = needed(r, rk)
+      if (ln.length < l.output.length || rn.length < r.output.length)
+        Project(ps, ZipPartitionsJoin(Project(ln, l), Project(rn, r), lk, rk))
+      else p
+    // a deterministic conjunct referencing ONE side slides into that leg
+    // (inner join — filtering an input row can only remove output rows
+    // that conjunct would have removed above), restoring scan-level
+    // evaluation (parquet PushedFilters / row-group pruning) for the
+    // residual predicates the SQL rewrite re-applies over the join
+    case f @ Filter(cond, ZipPartitionsJoin(l, r, lk, rk)) =>
+      def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+          conjuncts(a) ++ conjuncts(b)
+        case other => Seq(other)
+      }
+      val lset = org.apache.spark.sql.catalyst.expressions.AttributeSet(l.output)
+      val rset = org.apache.spark.sql.catalyst.expressions.AttributeSet(r.output)
+      val cs = conjuncts(cond)
+      val (lPush, rest1) = cs.partition(c =>
+        c.deterministic && c.references.nonEmpty && c.references.subsetOf(lset))
+      val (rPush, rest) = rest1.partition(c =>
+        c.deterministic && c.references.nonEmpty && c.references.subsetOf(rset))
+      if (lPush.isEmpty && rPush.isEmpty) f
+      else {
+        import org.apache.spark.sql.catalyst.expressions.And
+        val nl = lPush.reduceOption(And).map(Filter(_, l)).getOrElse(l)
+        val nr = rPush.reduceOption(And).map(Filter(_, r)).getOrElse(r)
+        val nzj = ZipPartitionsJoin(nl, nr, lk, rk)
+        rest.reduceOption(And).map(Filter(_, nzj)).getOrElse(nzj)
+      }
   }
 }
 

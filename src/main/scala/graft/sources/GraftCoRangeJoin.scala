@@ -36,17 +36,27 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
   }
 
   /** A child is eligible when it is a plain GraftScan relation under zero
-    * or more deterministic Filters; returns (relation, scan, filters
-    * outermost-first).
+    * or more deterministic Filters/Projects; returns (relation, scan,
+    * rebuild) where `rebuild` replays the side's exact operator stack over
+    * a replacement plan exposing the relation's output exprIds — so the
+    * stack (including column-pruning Projects the optimizer inserted under
+    * the join, and any computed aliases) lands BELOW the zip join, per
+    * side, exactly as the stock plan evaluated it.
     */
   private def side(p: LogicalPlan)
-      : Option[(DataSourceV2ScanRelation, GraftScan, Seq[Expression])] = p match {
-    case f @ Filter(c, child) if c.deterministic =>
-      side(child).map { case (rel, g, fs) => (rel, g, c +: fs) }
+      : Option[(DataSourceV2ScanRelation, GraftScan, LogicalPlan => LogicalPlan)] = p match {
+    case Filter(c, child) if c.deterministic =>
+      side(child).map { case (rel, g, rb) =>
+        (rel, g, (nl: LogicalPlan) => Filter(c, rb(nl)))
+      }
+    case Project(ps, child) if ps.forall(_.deterministic) =>
+      side(child).map { case (rel, g, rb) =>
+        (rel, g, (nl: LogicalPlan) => Project(ps, rb(nl)))
+      }
     case rel: DataSourceV2ScanRelation => rel.scan match {
       case org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(g: GraftScan, _, _)
-          if g.plainScan => Some((rel, g, Nil))
-      case g: GraftScan if g.plainScan => Some((rel, g, Nil))
+          if g.plainScan => Some((rel, g, identity[LogicalPlan] _))
+      case g: GraftScan if g.plainScan => Some((rel, g, identity[LogicalPlan] _))
       case _ => None
     }
     case _ => None
@@ -54,10 +64,13 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
                       cond: Expression): Option[LogicalPlan] = {
-    val (lrel, lg, lFilters) = side(l).getOrElse(return None)
-    val (rrel, rg, rFilters) = side(r).getOrElse(return None)
+    val (lrel, lg, lRebuild) = side(l).getOrElse(return None)
+    val (rrel, rg, rRebuild) = side(r).getOrElse(return None)
 
-    // the condition must be exactly the full positional key equalities
+    // the condition must be exactly the full positional key equalities,
+    // over the RELATIONS' own attributes (a computed/aliased key declines:
+    // its exprId is not the relation's, and leg boundaries were cut on the
+    // stored key, not the computed one)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
         conjuncts(a) ++ conjuncts(b)
@@ -65,18 +78,20 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     }
     val lIds = lrel.output.map(_.exprId).toSet
     val rIds = rrel.output.map(_.exprId).toSet
-    val pairs = conjuncts(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if lIds.contains(a.exprId) && rIds.contains(b.exprId) => (a.name, b.name)
-      case EqualTo(b: AttributeReference, a: AttributeReference)
-          if lIds.contains(a.exprId) && rIds.contains(b.exprId) => (a.name, b.name)
-      case _ => return None
-    }
+    val pairs: Seq[(AttributeReference, AttributeReference)] =
+      conjuncts(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if lIds.contains(a.exprId) && rIds.contains(b.exprId) => (a, b)
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+            if lIds.contains(a.exprId) && rIds.contains(b.exprId) => (a, b)
+        case _ => return None
+      }
     val lKeyCols = lg.manifestRef.keyCols
     val rKeyCols = rg.manifestRef.keyCols
     if (lKeyCols.size != rKeyCols.size) return None
+    val names = pairs.map { case (a, b) => (a.name, b.name) }
     val wanted = lKeyCols.zip(rKeyCols)
-    if (pairs.toSet != wanted.toSet || pairs.size < wanted.size) return None
+    if (names.toSet != wanted.toSet || names.size < wanted.size) return None
 
     val lIx = new KVIndex(lg.storeRef, lg.manifestRef)
     val rIx = new KVIndex(rg.storeRef, rg.manifestRef)
@@ -92,25 +107,25 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     // scan-heavy join); ≤ 0 = the index's maxRowsPerFile convention
     val rowsPerLeg = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.corange.rowsPerLeg", "-1").toLong
-    lIx.coRangeLegPlans(rIx, rowsPerLeg, lo, hi).map { case (lPlan, rPlan, lKeys, rKeys) =>
-      val zj = ZipPartitionsJoin(lPlan, rPlan, lKeys, rKeys)
-      // restore each original side's (possibly pruned) output under its
-      // original exprIds, so cond consumers above keep resolving — the
-      // GraftOrderedScan pattern, once per side
-      def aliased(out: Seq[Attribute], src: Seq[Attribute]) = {
-        val byName = src.map(a => a.name -> a).toMap
-        out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId))
+    lIx.coRangeLegPlans(rIx, rowsPerLeg, lo, hi).map { case (lPlan, rPlan, _, _) =>
+      // restore the relation's output exprIds over the legs, then replay
+      // each side's ORIGINAL Filter/Project stack BELOW the zip join — so
+      // pushed predicates evaluate per leg at the scans and a narrow
+      // projection narrows the leg reads (a Filter/Project per side
+      // preserves the leg-per-partition alignment; filtering an inner
+      // join's input below the join is the stock pushdown direction)
+      def aliasTo(out: Seq[Attribute], legs: LogicalPlan): LogicalPlan = {
+        val byName = legs.output.map(a => a.name -> a).toMap
+        Project(out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), legs)
       }
-      val projected: LogicalPlan = Project(
-        aliased(lrel.output, lPlan.output) ++ aliased(rrel.output, rPlan.output),
-        zj)
-      // pushed-down side filters re-apply above (they were residual-kept
-      // by the scan builder — the file prune itself moved INTO the leg
-      // construction, so nothing is lost); leg boundary predicates stay
-      // inside the legs
-      val withFilters = (lFilters ++ rFilters)
-        .foldLeft(projected)((p, c) => Filter(c, p))
-      withFilters
+      val lSide = lRebuild(aliasTo(lrel.output, lPlan))
+      val rSide = rRebuild(aliasTo(rrel.output, rPlan))
+      // join keys = the cond's own attributes in key-column order; they
+      // survive the stacks (cond resolved ABOVE them in the original plan)
+      val byLName = names.zip(pairs).map { case ((ln, _), p) => ln -> p }.toMap
+      val lKeys: Seq[Attribute] = lKeyCols.map(c => byLName(c)._1)
+      val rKeys: Seq[Attribute] = lKeyCols.map(c => byLName(c)._2)
+      ZipPartitionsJoin(lSide, rSide, lKeys, rKeys)
     }
   }
 }

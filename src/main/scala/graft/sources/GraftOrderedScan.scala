@@ -2,13 +2,12 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, SortOrder}
-import org.apache.spark.sql.catalyst.optimizer.PushDownPredicates
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
 import graft.core.KVIndex
-import graft.plans.{DeclareOrdered, DeclareOrderedStrategy, PruneSnapshotFiles, PushThroughDeclareOrdered}
+import graft.plans.{DeclareOrdered, DeclareOrderedStrategy}
 
 /** Ordering through the DSV2 path: `SELECT ... FROM cat.indexId ORDER BY
   * key` plans the exchange-free manifest stitch instead of a global sort.
@@ -52,10 +51,9 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     if (!spark.experimental.extraOptimizations.contains(GraftCoRangeJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GraftCoRangeJoin
-    if (!spark.experimental.extraOptimizations.contains(PushThroughDeclareOrdered))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations ++ Seq(PushThroughDeclareOrdered,
-          PushDownPredicates, PruneSnapshotFiles)
+    // the filter/column-push companions are shared with the view path —
+    // ONE registration source of truth, so the rule sets cannot drift
+    graft.plans.OrderedPlans.register(spark)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

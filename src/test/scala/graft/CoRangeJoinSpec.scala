@@ -262,4 +262,89 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
     assert(got.toSeq == want)
   }
+
+  test("column pruning and one-sided filters push through the zip join into the leg scans") {
+    val dir = tmpDir("graft-crjcols")
+    val st = store(dir)
+    val a = (1 to 3000).map(i => (i.toLong, s"a$i", s"x${i % 100}", s"pad$i"))
+      .toDF("k", "av1", "av2", "av3").repartition(1)
+    val b = (1 to 3000).map(i => (i.toLong, i * 3L, s"bpad$i"))
+      .toDF("k", "bv1", "bv2").repartition(1)
+    val ixA = KVIndex.bootstrap(st, "wa", a, Seq("k"),
+      maxRowsPerFile = 512).toOption.get
+    val ixB = KVIndex.bootstrap(st, "wb", b, Seq("k"),
+      maxRowsPerFile = 512).toOption.get
+    spark.conf.set("spark.sql.catalog.crjcolcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.crjcolcat.root", st.root)
+
+    // SQL path: a two-column SELECT with a one-sided residual predicate —
+    // the legs must read ONLY the referenced columns (+ join keys), and
+    // the av2 predicate must evaluate at the left leg's scans, not above
+    // the join
+    val q = spark.sql(
+      """SELECT a.k, b.bv1 FROM crjcolcat.wa a JOIN crjcolcat.wb b
+         ON a.k = b.k WHERE a.av2 = 'x7'""")
+    val got = q.as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == (1 to 3000).filter(_ % 100 == 7)
+      .map(i => (i.toLong, i * 3L)))
+    val plan = q.queryExecution.executedPlan
+    assert(collectFirst(plan) { case z: ZipPartitionsJoinExec => z }.isDefined,
+      s"expected the co-range zip join in:\n$plan")
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty)
+    val scans = collect(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert((read intersect Set("av1", "av3", "bv2")).isEmpty,
+        s"leg scan must not read unreferenced columns, got ${read.mkString(",")}")
+      if (read.contains("av2")) // left legs: the residual predicate landed
+        assert(s.dataFilters.exists(_.references.exists(_.name == "av2")),
+          s"av2 predicate must reach the left leg scans: ${s.dataFilters}")
+    }
+
+    // DataFrame path: a narrow select over the full-width join prunes too
+    val dfq = ixA.coRangeJoin(ixB).select("k", "bv1")
+    assert(dfq.agg(sum("bv1")).head.getLong(0) ==
+      (1 to 3000).map(i => i.toLong * 3).sum)
+    collect(dfq.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert((read intersect Set("av1", "av2", "av3", "bv2")).isEmpty,
+        s"DataFrame-path leg scan must prune, got ${read.mkString(",")}")
+    }
+  }
+
+  test("ORDER BY the join key above the co-range join elides the global sort") {
+    val dir = tmpDir("graft-crjord")
+    val st = store(dir)
+    val a = (1 to 5000).map(i => (i.toLong, s"a$i")).toDF("k", "av").repartition(1)
+    val b = (1 to 5000).map(i => (i.toLong, i * 3L)).toDF("k", "bv").repartition(1)
+    KVIndex.bootstrap(st, "oa", a, Seq("k"), maxRowsPerFile = 512).toOption.get
+    KVIndex.bootstrap(st, "ob", b, Seq("k"), maxRowsPerFile = 512).toOption.get
+    spark.conf.set("spark.sql.catalog.crjocat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.crjocat.root", st.root)
+
+    // the join output IS globally ordered by the left key (legs are
+    // range-cut in key order, the merge streams in key order), so the
+    // ORDER BY must plan neither a sort nor an exchange — the stitch's
+    // sort-elision contract carried through the join
+    val q = spark.sql(
+      """SELECT a.k, b.bv FROM crjocat.oa a JOIN crjocat.ob b
+         ON a.k = b.k ORDER BY a.k""")
+    assert(q.as[(Long, Long)].collect().toSeq ==
+      (1 to 5000).map(i => (i.toLong, i * 3L)))
+    val plan = q.queryExecution.executedPlan
+    assert(collectFirst(plan) { case z: ZipPartitionsJoinExec => z }.isDefined,
+      s"expected the co-range zip join in:\n$plan")
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"ordered join must stay exchange-free:\n$plan")
+    val globalSorts = collect(plan) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty,
+      s"ORDER BY on the join key must elide the global sort:\n$plan")
+  }
 }

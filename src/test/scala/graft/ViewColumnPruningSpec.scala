@@ -53,5 +53,21 @@ class ViewColumnPruningSpec extends SparkSuite {
     // ordering declaration is dropped, never dangles)
     val noKey = spark.sql("SELECT v1 FROM vp_view WHERE k = 1500")
     assert(noKey.collect().map(_.getString(0)).toSeq == Seq("a1500"))
+
+    // COMPUTED projections must not break the prune-marker swap: the
+    // marker's exprId restoration is name-based over the replacement's
+    // schema, so only attribute-only Projects commute below it — a
+    // computed/renamed SELECT above a key filter must still prune files
+    // and answer correctly (regression: unrestricted commute made
+    // PruneSnapshotFiles miss the computed name)
+    val computed = spark.sql(
+      "SELECT concat(v1, '!') AS bang, k + 1 AS k2 FROM vp_view WHERE k >= 100 AND k <= 110")
+    assert(computed.as[(String, Long)].collect().sortBy(_._2).toSeq ==
+      (100L to 110L).map(k => (s"a$k!", k + 1)))
+    val cScans = computed.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(cScans.nonEmpty && cScans.size < ix.numFiles,
+      s"file prune must survive a computed projection: ${cScans.size} of ${ix.numFiles}")
   }
 }
