@@ -1054,15 +1054,42 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       // fusion breaker: keep one task per leg under the enclosing union
       graft.plans.OrderedPlans.unfused(bounded.coalesce(1))
     }
+    // covering files per leg by a MONOTONIC SWEEP, not a filter-per-leg:
+    // the lists are manifest-ordered with disjoint ranges, legs' lower
+    // bounds are non-decreasing, and a file spanning several legs stays
+    // current across them — driver work is O(files + legs + Σ|covering|)
+    // where the quadratic filter would stall the driver at manifest scale
+    // (millions of files × hundreds of thousands of legs)
+    def coveringSweep(fs: Seq[FileEntry])
+        : (Option[Seq[Any]], Option[Seq[Any]]) => Seq[FileEntry] = {
+      val arr = fs.toIndexedSeq
+      var i = 0
+      (lo, hi) => {
+        // drop files wholly below this leg — they can never cover a later
+        // leg either (lower bounds only grow)
+        lo.foreach { l =>
+          while (i < arr.length && KeyOrd.compare(arr(i).max, l) < 0) i += 1
+        }
+        // the covering run: every file from i has max >= lo; take while
+        // it still starts below the leg's upper bound
+        var j = i
+        val b = Seq.newBuilder[FileEntry]
+        while (j < arr.length && hi.forall(h => KeyOrd.compare(arr(j).min, h) < 0)) {
+          b += arr(j); j += 1
+        }
+        b.result()
+      }
+    }
+    val coverL = coveringSweep(lfs)
+    val coverR = coveringSweep(rfs)
     val rawLegs = ranges.flatMap { case (lo, hi) =>
-      def covering(fs: Seq[FileEntry]) = fs.filter(f =>
-        lo.forall(l => KeyOrd.compare(f.max, l) >= 0) &&
-          hi.forall(h => KeyOrd.compare(f.min, h) < 0))
-      val afs = covering(lfs)
-      // inner join: a leg empty on either side contributes nothing
+      val afs = coverL(lo, hi)
+      // inner join: a leg empty on either side contributes nothing (the
+      // skipped side's sweep self-corrects on its next call — its advance
+      // is driven by the monotone lower bound alone)
       if (afs.isEmpty) None
       else {
-        val bfs = covering(rfs)
+        val bfs = coverR(lo, hi)
         if (bfs.isEmpty) None
         else Some((lo, hi, afs, bfs))
       }

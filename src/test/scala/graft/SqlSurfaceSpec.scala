@@ -154,6 +154,14 @@ class SqlSurfaceSpec extends SparkSuite {
       s"range predicate should prune stitch files ($nScans of ${ix.numFiles}):\n$p3")
     assert(ranged.as[(Long, Long)].collect().toSeq ==
       (100L to 110L).map(i => (i, i * 3)))
+    // ... and the narrow projection reaches the leg scans' ReadSchema
+    // (the stitch swap must not widen the read back to every column)
+    ranged.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet.subsetOf(Set("k", "x")),
+        s"stitch leg must read only k,x: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
 
     // a COMPUTED projection (still deterministic, sort key passes
     // through) keeps the elision — the kv_dsv2 query shape
