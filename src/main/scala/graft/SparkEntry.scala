@@ -2757,6 +2757,22 @@ object SparkEntry {
         WHERE o.o_orderkey >= 100 AND o.o_orderkey <= 300
         ORDER BY o.o_orderkey""")
     }),
+    // join → aggregate on the join key, END-TO-END exchange-free: the zip
+    // join reports Spark's own RangePartitioning (legs are cut on
+    // full-key boundaries, so equal keys share a leg), which satisfies
+    // the aggregation's ClusteredDistribution — GROUP BY the key plans
+    // no shuffle above the zero-shuffle join (ZipPartitionsJoinExec
+    // .outputPartitioning; CoRangeJoinSpec pins the plan shape)
+    "kv_corange_agg" -> ((s, d) => {
+      val (_, ord) = liStore(s, d) // price zeroed for orderkey < 50
+      ord.coRangeJoin(liAggStore(s, d))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("qty")).cast("long").as("qty_sum"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("price_cents"),
+          count(lit(1)).as("n"))
+        .filter(col("o_orderkey") <= 500)
+        .orderBy("o_orderkey")
+    }),
     // top-k per group via rank filter — Spark pushes the rank bound into
     // the window sort (WindowGroupLimit): each partition keeps k rows
     // instead of sorting its whole group
@@ -4121,6 +4137,13 @@ object SparkEntry {
         "CAST(qty AS BIGINT) AS qty, n_lines " +
         "FROM orders JOIN li ON o_orderkey = l_orderkey " +
         "WHERE o_orderkey >= 100 AND o_orderkey <= 300 ORDER BY o_orderkey"),
+      "kv_corange_agg" -> ("WITH li AS (SELECT l_orderkey, sum(l_quantity) AS qty " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT o_orderkey, CAST(sum(qty) AS BIGINT) AS qty_sum, " +
+        "CAST(sum(CAST(floor((CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents, " +
+        "count(*) AS n " +
+        "FROM orders JOIN li ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderkey HAVING o_orderkey <= 500 ORDER BY o_orderkey"),
       "q_topk_group" -> ("WITH r AS (SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price, " +
         "row_number() OVER (PARTITION BY o_orderstatus ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn " +
         "FROM orders) SELECT o_orderstatus, o_orderkey, price, CAST(rn AS BIGINT) AS rn " +

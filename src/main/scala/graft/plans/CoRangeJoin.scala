@@ -67,19 +67,25 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     leftKeys.map(SortOrder(_, Ascending))
 
-  /** The output is GLOBALLY ordered by the left keys, not just
-    * per-partition: leg i covers a key range strictly below leg i+1 (the
-    * shared boundary cut), and within a leg the merge streams in left-key
-    * order. Declaring [[ManifestOrderedPartitioning]] lets a downstream
-    * ORDER BY on the join key elide its global sort AND its range
-    * exchange — the stitch's sort-elision contract carried through the
-    * join. (It still satisfies nothing else — a further join replans its
-    * own exchanges.)
+  /** The output is range-partitioned by the FULL left key list in the
+    * exact sense of Spark's own [[RangePartitioning]]: leg i covers a key
+    * range strictly below leg i+1 (the shared boundary cut is a sequence
+    * of full-key values with half-open leg predicates, so rows equal on
+    * the whole key tuple always share a leg), and within a leg the merge
+    * streams in key order. Reporting the stock partitioning buys, with
+    * stock semantics and zero custom rules: ORDER BY the join key elides
+    * its global sort and range exchange; GROUP BY / PARTITION BY any
+    * superset of the keys elides its hash exchange (`satisfies0` demands
+    * every ordering expression in the clustering, so a key PREFIX —
+    * which a boundary CAN split — correctly keeps its shuffle); and a
+    * further join above replans its own exchanges (`RangeShuffleSpec` is
+    * compatible with nothing and cannot create a partitioning, so
+    * EnsureRequirements never zips two of these against each other).
     */
   override def outputPartitioning
       : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
-    ManifestOrderedPartitioning(outputOrdering,
-      left.outputPartitioning.numPartitions)
+    org.apache.spark.sql.catalyst.plans.physical.RangePartitioning(
+      outputOrdering, left.outputPartitioning.numPartitions)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lrdd = left.execute()

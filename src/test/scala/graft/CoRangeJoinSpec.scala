@@ -347,4 +347,66 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(globalSorts.isEmpty,
       s"ORDER BY on the join key must elide the global sort:\n$plan")
   }
+
+  test("GROUP BY / PARTITION BY the full join key above the co-range join elides the exchange; a key prefix keeps it") {
+    val st = store(tmpDir("graft-crjagg"))
+    val a = (1 to 5000).map(i => (i.toLong, i * 2L)).toDF("k", "av").repartition(1)
+    val b = (1 to 5000).map(i => (i.toLong, i * 3L)).toDF("k", "bv").repartition(1)
+    val ixA = KVIndex.bootstrap(st, "ga", a, Seq("k"),
+      maxRowsPerFile = 512).toOption.get
+    val ixB = KVIndex.bootstrap(st, "gb", b, Seq("k"),
+      maxRowsPerFile = 512).toOption.get
+
+    // the legs are cut on FULL-key boundaries, so rows equal on the whole
+    // key share a leg — RangePartitioning lets the aggregation skip its
+    // hash exchange entirely
+    val agg = ixA.coRangeJoin(ixB).groupBy("k")
+      .agg(sum(col("av") + col("bv")).as("s"))
+    assert(collect(agg.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty,
+      s"GROUP BY the join key must elide the exchange:\n${agg.queryExecution.executedPlan}")
+    assert(agg.agg(sum("s")).head.getLong(0) ==
+      (1 to 5000).map(i => i.toLong * 5).sum)
+
+    // window over the key: no exchange, no extra sort needed
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("k")
+    val win = ixA.coRangeJoin(ixB)
+      .withColumn("rn", row_number().over(w))
+    assert(collect(win.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty,
+      s"PARTITION BY the join key must elide the exchange:\n${win.queryExecution.executedPlan}")
+    assert(win.filter(col("rn") =!= 1).count() == 0L)
+
+    // composite keys: a boundary CAN split a prefix group, so grouping by
+    // the prefix must keep its shuffle (the RangePartitioning claim only
+    // covers clusterings containing EVERY key)
+    val ca = (1 to 2000).map(i => (i % 7, i.toLong, i * 2L))
+      .toDF("g", "k", "av").repartition(1)
+    val cb = (1 to 2000).map(i => (i % 7, i.toLong, i * 3L))
+      .toDF("g", "k", "bv").repartition(1)
+    val ixCa = KVIndex.bootstrap(st, "gca", ca, Seq("g", "k"),
+      maxRowsPerFile = 128).toOption.get
+    val ixCb = KVIndex.bootstrap(st, "gcb", cb, Seq("g", "k"),
+      maxRowsPerFile = 128).toOption.get
+    val prefixAgg = ixCa.coRangeJoin(ixCb).groupBy("g")
+      .agg(count(lit(1)).as("n"))
+    assert(collect(prefixAgg.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.nonEmpty,
+      "grouping by a key PREFIX must keep its exchange (boundaries split prefix groups)")
+    assert(prefixAgg.orderBy("g").as[(Int, Long)].collect().toSeq ==
+      (0 to 6).map(g => (g, (1 to 2000).count(_ % 7 == g).toLong)))
+
+    // and a further join above the zip join still plans its own
+    // exchanges — RangeShuffleSpec is join-compatible with nothing
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val other = spark.range(1, 5001).select(col("id").as("k"), (col("id") * 7).as("cv"))
+      val jj = ixA.coRangeJoin(ixB).join(other, "k")
+      assert(collect(jj.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e }.nonEmpty,
+        "a join above the zip join must plan real exchanges")
+      assert(jj.count() == 5000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
 }
