@@ -589,6 +589,19 @@ object SparkEntry {
         .fold(e => sys.error(e.message), identity)
     }._2
 
+  /** liagg restricted to ODD order keys — a key SUBSET of the orders
+    * index, so the left-preserving co-range joins (kv_corange_left/anti)
+    * have real unmatched keys to preserve.
+    */
+  private def liAggOddStore(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-liagg-odd", s, d) { store =>
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 2 === 1)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n_lines"))
+      KVIndex.bootstrap(store, "liaggodd", li, Seq("l_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+    }._2
+
   /** Bucketed-export cache: catalog table names per (kind, sfDir), built
     * once per JVM — repeat bench iterations time the co-located JOIN, not
     * a re-export, no orphan temp dirs accumulate, and the UUID-suffixed
@@ -2773,6 +2786,26 @@ object SparkEntry {
         .filter(col("o_orderkey") <= 500)
         .orderBy("o_orderkey")
     }),
+    // the LEFT-preserving snapshot-diff family, still zero-exchange: keys
+    // only the left covers ride a separate pass-through/null-extension
+    // union branch (KVIndex.coRangeJoin joinType; the SQL twin rewrites
+    // LEFT JOIN and [NOT] EXISTS the same way)
+    "kv_corange_left" -> ((s, d) => {
+      val (_, ord) = liStore(s, d) // price zeroed for orderkey < 50
+      ord.coRangeJoin(liAggOddStore(s, d), joinType = "left_outer")
+        .filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("qty").cast("long").as("qty"), col("n_lines"))
+        .orderBy("o_orderkey")
+    }),
+    "kv_corange_anti" -> ((s, d) => {
+      val (_, ord) = liStore(s, d)
+      ord.coRangeJoin(liAggOddStore(s, d), joinType = "left_anti")
+        .filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
     // top-k per group via rank filter — Spark pushes the rank bound into
     // the window sort (WindowGroupLimit): each partition keeps k rows
     // instead of sorting its whole group
@@ -4144,6 +4177,19 @@ object SparkEntry {
         "count(*) AS n " +
         "FROM orders JOIN li ON o_orderkey = l_orderkey " +
         "GROUP BY o_orderkey HAVING o_orderkey <= 500 ORDER BY o_orderkey"),
+      "kv_corange_left" -> ("WITH li AS (SELECT l_orderkey, sum(l_quantity) AS qty, " +
+        "count(*) AS n_lines FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1) " +
+        "SELECT o_orderkey, " +
+        "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS price, " +
+        "CAST(qty AS BIGINT) AS qty, n_lines " +
+        "FROM orders LEFT JOIN li ON o_orderkey = l_orderkey " +
+        "WHERE o_orderkey <= 300 ORDER BY o_orderkey"),
+      "kv_corange_anti" -> ("WITH li AS (SELECT l_orderkey FROM lineitem " +
+        "WHERE l_orderkey % 2 = 1 GROUP BY 1) " +
+        "SELECT o_orderkey, o_custkey, " +
+        "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS price " +
+        "FROM orders WHERE NOT EXISTS (SELECT 1 FROM li WHERE li.l_orderkey = orders.o_orderkey) " +
+        "AND o_orderkey <= 300 ORDER BY o_orderkey"),
       "q_topk_group" -> ("WITH r AS (SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price, " +
         "row_number() OVER (PARTITION BY o_orderstatus ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn " +
         "FROM orders) SELECT o_orderstatus, o_orderkey, price, CAST(rn AS BIGINT) AS rn " +

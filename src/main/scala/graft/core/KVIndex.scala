@@ -68,6 +68,23 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     if (resolved && fullFiles.nonEmpty) df.limit(0)
     else store.emptyTyped(manifest)
 
+  /** Caps the PLAN LEAVES (legs) any stitched union or co-range join
+    * materializes: beyond the cap, legs hold more rows instead of the
+    * plan holding more children (greedy batching can overshoot by one:
+    * ≤ cap+1 stitch legs, ≤ 2·(cap+1)+1 merged join legs). Per-task MEMORY stays bounded at any
+    * leg size — stitch legs sort within partitions and the zip join
+    * merges through spillable local sorts — so what grows is task
+    * duration, the right trade against a 100k-child union Catalyst
+    * cannot plan (rule application and codegen are per-node). Override
+    * with `spark.graft.maxPlanLegs` (e.g. up on a wide cluster whose
+    * scheduler wants more concurrent tasks).
+    */
+  private def maxPlanLegs: Int = math.max(1,
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.maxPlanLegs", "4096").toInt)
+
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
   /** reads of this frozen snapshot */
   def df: DataFrame = store.read(manifest)
   def table: OrderedTable = OrderedTable(df, key)
@@ -331,11 +348,16 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     */
   private def orderedUnion(filesInScanOrder: Seq[FileEntry],
                            reverse: Boolean): DataFrame = {
+    // leg target: the maxRowsPerFile batching convention, floor-bounded so
+    // the union never exceeds maxPlanLegs children (legs grow instead —
+    // the per-leg sort spills, the plan does not)
+    val legRows = math.max(maxRowsPerFile,
+      ceilDiv(filesInScanOrder.iterator.map(_.rows).sum, maxPlanLegs.toLong))
     val legs = {
       val out = Seq.newBuilder[Seq[FileEntry]]
       var cur = Vector.empty[FileEntry]; var rows = 0L
       filesInScanOrder.foreach { f =>
-        if (cur.nonEmpty && rows + f.rows > maxRowsPerFile) {
+        if (cur.nonEmpty && rows + f.rows > legRows) {
           out += cur; cur = Vector.empty; rows = 0L
         }
         cur :+= f; rows += f.rows
@@ -934,29 +956,45 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * [[inOrdered]]'s manifest stitch.
     *
     * Join keys are positional: this index's key columns against
-    * `other`'s, which must match in arity and type. Output = all left
-    * columns, then `other`'s non-key columns (the USING-join shape);
-    * non-key column names must not collide. Falls back to a plain
+    * `other`'s, which must match in arity and type. Join types: `inner`
+    * (default), plus the LEFT-preserving snapshot-diff family —
+    * `left_outer`, `left_semi`, `left_anti` ("which keys are missing /
+    * present on the right", still with zero exchanges; legs whose range
+    * only the left covers ride a separate union branch). Output for
+    * inner/left_outer = all left columns, then `other`'s non-key columns
+    * (the USING-join shape; non-key column names must not collide);
+    * semi/anti output = the left columns alone. Falls back to a plain
     * shuffled join when either layout cannot guarantee disjoint ranges.
     *
     * `rowsPerLeg ≤ 0` (the default) means this snapshot's
     * `maxRowsPerFile` batch target.
     */
-  def coRangeJoin(other: KVIndex, rowsPerLeg: Long = -1L): DataFrame = {
+  def coRangeJoin(other: KVIndex, rowsPerLeg: Long = -1L,
+                  joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.{JoinType, LeftAnti, LeftOuter}
+    val jt = JoinType(joinType)
+    require(graft.plans.ZipPartitionsJoin.supports(jt),
+      s"coRangeJoin: unsupported join type '$joinType' " +
+        "(inner, left_outer, left_semi, left_anti)")
     require(key.cols.length == other.key.cols.length,
       s"coRangeJoin: key arity ${key.cols.length} != ${other.key.cols.length}")
     val ls = store.emptyTyped(manifest).schema
     val rs = other.store.emptyTyped(other.manifest).schema
     require(key.cols.map(ls(_).dataType) == other.key.cols.map(rs(_).dataType),
       "coRangeJoin: key column types must match positionally")
+    val rightInOutput = jt == org.apache.spark.sql.catalyst.plans.Inner ||
+      jt == LeftOuter
     // the engine's own `version` stamp rides every snapshot: keep the
     // LEFT side's, drop the right's (like the duplicate key columns)
     val rightVals = rs.fieldNames.toSeq
       .filterNot(c => other.key.cols.contains(c) || c == "version")
-    val clash = rightVals.toSet intersect ls.fieldNames.toSet
-    require(clash.isEmpty,
-      s"coRangeJoin: right value column(s) ${clash.mkString(",")} collide " +
-        "with left columns — rename before joining")
+    if (rightInOutput) {
+      val clash = rightVals.toSet intersect ls.fieldNames.toSet
+      require(clash.isEmpty,
+        s"coRangeJoin: right value column(s) ${clash.mkString(",")} collide " +
+          "with left columns — rename before joining")
+    }
+    val outCols = ls.fieldNames.toSeq ++ (if (rightInOutput) rightVals else Nil)
 
     def plainJoin(): DataFrame = {
       val l = df.alias("__cl")
@@ -964,19 +1002,39 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       val cond = key.cols.zip(other.key.cols)
         .map { case (a, b) => col(s"__cl.$a") === col(s"__cr.$b") }
         .reduce(_ && _)
-      l.join(r, cond, "inner")
-        .select(ls.fieldNames.toSeq.map(c => col(s"__cl.$c")) ++
-          rightVals.map(c => col(s"__cr.$c")): _*)
+      val j = l.join(r, cond, joinType)
+      j.select(ls.fieldNames.toSeq.map(c => col(s"__cl.$c")) ++
+        (if (rightInOutput) rightVals.map(c => col(s"__cr.$c")) else Nil): _*)
     }
 
-    coRangeLegPlans(other, rowsPerLeg) match {
+    coRangeLegPlans(other, rowsPerLeg, joinType = jt) match {
       case None => plainJoin()
-      case Some((lPlan, rPlan, lKeys, rKeys)) =>
-        val zj = graft.plans.ZipPartitionsJoin(lPlan, rPlan, lKeys, rKeys)
-        val keep = lPlan.output ++ rPlan.output.filter(a =>
-          rightVals.contains(a.name) && !rKeys.exists(_.exprId == a.exprId))
-        org.apache.spark.sql.graft.Shim.ofRows(spark,
-          org.apache.spark.sql.catalyst.plans.logical.Project(keep, zj))
+      case Some((zipOpt, leftOnlyOpt)) =>
+        val zipDf = zipOpt.map { case (lPlan, rPlan, lKeys, rKeys) =>
+          val zj = graft.plans.ZipPartitionsJoin(lPlan, rPlan, lKeys, rKeys, jt)
+          val keep = zj.output.filter(a =>
+            lPlan.output.exists(_.exprId == a.exprId) ||
+              (rightVals.contains(a.name) && !rKeys.exists(_.exprId == a.exprId)))
+          org.apache.spark.sql.graft.Shim.ofRows(spark,
+            org.apache.spark.sql.catalyst.plans.logical.Project(keep, zj))
+            .select(outCols.map(col): _*)
+        }
+        // legs only the left side covers: the left rows pass through as-is
+        // (anti) or null-extended (outer) — no join work at all
+        val leftOnlyDf = leftOnlyOpt.map { lp =>
+          val base = org.apache.spark.sql.graft.Shim.ofRows(spark, lp)
+          if (jt == LeftOuter)
+            base.select(ls.fieldNames.toSeq.map(col) ++
+              rightVals.map(c => lit(null).cast(rs(c).dataType).as(c)): _*)
+          else base.select(ls.fieldNames.toSeq.map(col): _*) // LeftAnti
+        }
+        (zipDf, leftOnlyDf) match {
+          case (Some(a), Some(b)) => a.union(b)
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          // nothing intersects and nothing is left-preserved: typed empty
+          case (None, None) => plainJoin().limit(0)
+        }
     }
   }
 
@@ -987,38 +1045,68 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * cannot guarantee disjoint ranges / nothing intersects. Registers the
     * planning strategy for [[graft.plans.ZipPartitionsJoin]] on success.
     *
-    * `pruneLo`/`pruneHi` are INCLUSIVE leading-key bounds from the
-    * caller's pushed filters (the SQL rewrite's WHERE clause): because
-    * the join equates the full key lists, a leading-key bound on EITHER
-    * side constrains BOTH — file lists are pruned to the covering subset
-    * before any boundary is cut, so a selective predicate + key join
-    * reads the pruned files exchange-free instead of the full snapshots.
-    * Bounds are a conservative over-approximation (exact predicates are
-    * re-applied above by the caller); legs are cut from the PRUNED lists.
+    * `lPrune`/`rPrune` are INCLUSIVE leading-key bounds from each side's
+    * pushed filters (the SQL rewrite's WHERE clause). The RIGHT side is
+    * always pruned by the intersection — a right row outside EITHER
+    * side's bounds can never be matched, and unmatched right rows are
+    * never emitted by any supported type. The LEFT side is pruned by the
+    * intersection only for the types that drop unmatched left rows
+    * (inner, left_semi); left_outer/left_anti preserve unmatched left
+    * rows, so only the LEFT side's own bounds may prune it. Bounds are a
+    * conservative over-approximation (exact predicates are re-applied in
+    * the side stacks by the caller); legs are cut from the PRUNED lists.
+    *
+    * Returns None when either layout cannot guarantee disjoint ranges
+    * (caller falls back to the stock join); otherwise
+    * `Some((zipLegs, leftOnly))` where `zipLegs` holds both sides'
+    * leg-union plans + key attributes for the ranges BOTH sides cover,
+    * and `leftOnly` (left_outer/left_anti only) the left legs whose range
+    * the right never intersects — those rows skip the join entirely.
+    * Both None = provably empty result (inner/semi with no intersection).
     */
   private[graft] def coRangeLegPlans(other: KVIndex, rowsPerLeg: Long = -1L,
-      pruneLo: Option[Seq[Any]] = None, pruneHi: Option[Seq[Any]] = None)
-      : Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
-                Seq[org.apache.spark.sql.catalyst.expressions.Attribute])] = {
+      lPrune: (Option[Seq[Any]], Option[Seq[Any]]) = (None, None),
+      rPrune: (Option[Seq[Any]], Option[Seq[Any]]) = (None, None),
+      joinType: org.apache.spark.sql.catalyst.plans.JoinType =
+        org.apache.spark.sql.catalyst.plans.Inner)
+      : Option[(Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                        Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                        Seq[org.apache.spark.sql.catalyst.expressions.Attribute])],
+                Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])] = {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
     if (manifest.isEmpty || other.manifest.isEmpty ||
         !filesDisjoint || !other.filesDisjoint) return None
+    val leftPreserving = joinType == LeftOuter || joinType == LeftAnti
 
     // leading-key file prune (compare LEADING components only — the
     // prefix convention ranks a longer tuple above its prefix, so a
     // full-tuple compare would drop a file whose leading key equals the
     // bound; same stance as GraftScan's covering filter)
-    def pruned(ix: KVIndex): Seq[FileEntry] = ix.filesWhere(f =>
-      pruneLo.forall(l => KeyOrd.compare(Seq(f.max.head), l) >= 0) &&
-        pruneHi.forall(h => KeyOrd.compare(Seq(f.min.head), h) <= 0))
-    val lfs = pruned(this)
-    val rfs = pruned(other)
-    if (lfs.isEmpty || rfs.isEmpty) return None // nothing can match
+    val bothLo = (lPrune._1 ++ rPrune._1).reduceOption(KeyOrd.max(_, _))
+    val bothHi = (lPrune._2 ++ rPrune._2).reduceOption(KeyOrd.min(_, _))
+    def pruned(ix: KVIndex, lo: Option[Seq[Any]], hi: Option[Seq[Any]]): Seq[FileEntry] =
+      ix.filesWhere(f =>
+        lo.forall(l => KeyOrd.compare(Seq(f.max.head), l) >= 0) &&
+          hi.forall(h => KeyOrd.compare(Seq(f.min.head), h) <= 0))
+    val lfs =
+      if (leftPreserving) pruned(this, lPrune._1, lPrune._2)
+      else pruned(this, bothLo, bothHi)
+    val rfs = pruned(other, bothLo, bothHi)
+    if (lfs.isEmpty) return Some((None, None)) // no left rows: empty for all types
+    if (rfs.isEmpty && !leftPreserving) return Some((None, None))
 
     // per-task row target: the maxRowsPerFile batching convention — leg
-    // count GROWS with snapshot size (more tasks), per-leg data does not
-    val target = math.max(1L, if (rowsPerLeg > 0) rowsPerLeg else maxRowsPerFile)
+    // count GROWS with snapshot size (more tasks), per-leg data does not —
+    // floor-bounded so NEITHER side cuts more than maxPlanLegs boundaries
+    // (the merged sequence is then ≤ 2·maxPlanLegs+1 legs): past the cap,
+    // legs grow instead, which the exec's spillable streaming merge
+    // absorbs with O(one duplicate-key group) task heap
+    val bigger = math.max(
+      lfs.iterator.map(_.rows).sum, rfs.iterator.map(_.rows).sum)
+    val target = math.max(1L, math.max(
+      if (rowsPerLeg > 0) rowsPerLeg else maxRowsPerFile,
+      ceilDiv(bigger, maxPlanLegs.toLong)))
 
     // shared boundaries from BOTH sides' (pruned) file bounds: a leg
     // never exceeds either side's target (+ one file — a single
@@ -1082,24 +1170,29 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     }
     val coverL = coveringSweep(lfs)
     val coverR = coveringSweep(rfs)
+    // a leg empty on the LEFT contributes nothing for every supported
+    // type (unmatched right rows are never emitted); a leg empty on the
+    // RIGHT is dropped for inner/semi but preserved — with an empty right
+    // file set — for the left-preserving types. (A skipped side's sweep
+    // self-corrects on its next call: its advance is driven by the
+    // monotone lower bound alone.)
     val rawLegs = ranges.flatMap { case (lo, hi) =>
       val afs = coverL(lo, hi)
-      // inner join: a leg empty on either side contributes nothing (the
-      // skipped side's sweep self-corrects on its next call — its advance
-      // is driven by the monotone lower bound alone)
       if (afs.isEmpty) None
       else {
         val bfs = coverR(lo, hi)
-        if (bfs.isEmpty) None
-        else Some((lo, hi, afs, bfs))
+        if (bfs.nonEmpty) Some((lo, hi, afs, bfs))
+        else if (leftPreserving) Some((lo, hi, afs, Seq.empty[FileEntry]))
+        else None
       }
     }
-    if (rawLegs.isEmpty) return None // no intersecting ranges
+    if (rawLegs.isEmpty) return Some((None, None)) // no contributing ranges
 
     // merge ADJACENT legs whose covering file sets are identical on both
     // sides: a boundary that splits no file set only re-reads the same
     // files with narrower predicates — collapsing it removes that read
-    // amplification without changing any leg's data volume bound
+    // amplification without changing any leg's data volume bound (a zip
+    // leg never merges with a left-only neighbor: their right sets differ)
     val mergedLegs = rawLegs.foldLeft(
         Vector.empty[(Option[Seq[Any]], Option[Seq[Any]], Seq[FileEntry], Seq[FileEntry])]) {
       case (acc, leg @ (lo, hi, afs, bfs)) =>
@@ -1112,23 +1205,28 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
           case _ => acc :+ leg
         }
     }
-    val legs = mergedLegs.map { case (lo, hi, afs, bfs) =>
-      (legDf(this, afs, lo, hi), legDf(other, bfs, lo, hi))
-    }
+    val (zipLegs, loLegs) = mergedLegs.partition(_._4.nonEmpty)
 
-    val lPlan = legs.map(_._1).reduce(_ unionByName _).queryExecution.analyzed
-    val rPlan = legs.map(_._2).reduce(_ unionByName _).queryExecution.analyzed
-    def attrsOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                names: Seq[String]) =
-      names.map(c => p.output.find(_.name == c).getOrElse(
-        sys.error(s"coRangeJoin: missing key column $c")))
-    val lKeys = attrsOf(lPlan, key.cols)
-    val rKeys = attrsOf(rPlan, other.key.cols)
+    val zipPart = if (zipLegs.isEmpty) None else {
+      val legs = zipLegs.map { case (lo, hi, afs, bfs) =>
+        (legDf(this, afs, lo, hi), legDf(other, bfs, lo, hi))
+      }
+      val lPlan = legs.map(_._1).reduce(_ unionByName _).queryExecution.analyzed
+      val rPlan = legs.map(_._2).reduce(_ unionByName _).queryExecution.analyzed
+      def attrsOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                  names: Seq[String]) =
+        names.map(c => p.output.find(_.name == c).getOrElse(
+          sys.error(s"coRangeJoin: missing key column $c")))
+      Some((lPlan, rPlan, attrsOf(lPlan, key.cols), attrsOf(rPlan, other.key.cols)))
+    }
+    val loPart = if (loLegs.isEmpty) None else Some(
+      loLegs.map { case (lo, hi, afs, _) => legDf(this, afs, lo, hi) }
+        .reduce(_ unionByName _).queryExecution.analyzed)
     if (!spark.experimental.extraStrategies.contains(
         graft.plans.DeclareOrderedStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.DeclareOrderedStrategy
-    Some((lPlan, rPlan, lKeys, rKeys))
+    Some((zipPart, loPart))
   }
 
   /** U3 `copy` — cheap snapshot clone sharing every data file

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
@@ -20,7 +21,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * range layout doing for joins what the manifest stitch does for
   * ORDER BY.
   *
-  * Spark's own vocabulary cannot express this invariant —
+  * Join types: INNER plus the LEFT-preserving family (LeftOuter,
+  * LeftSemi, LeftAnti) — the snapshot-diff primitives ("which keys are
+  * missing / present on the right") with no shuffle. For the left family
+  * the caller must route EVERY left row into some leg (legs whose range
+  * only the left covers included — see `coRangeLegPlans`'
+  * `leftOnly` branch). Null join keys follow SQL equality: never matched,
+  * so inner/semi drop them, outer null-extends them, anti keeps them.
+  *
+  * Spark's own vocabulary cannot express the leg invariant —
   * `KeyGroupedPartitioning` (storage-partitioned joins) requires each
   * partition to hold ONE partition-key value, while a range leg holds an
   * interval of keys — which is why this is a custom node rather than a
@@ -36,24 +45,42 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * the right leg. Per-task heap is therefore O(one key's right rows) no
   * matter how large a leg grows — an oversized leg (or a pathological
   * rows-per-leg setting) degrades to a disk-backed sort, never an OOM.
-  * Inner join; rows with a null key never match (SQL equality).
   */
 final case class ZipPartitionsJoin(left: LogicalPlan, right: LogicalPlan,
                                    leftKeys: Seq[Attribute],
-                                   rightKeys: Seq[Attribute]) extends BinaryNode {
+                                   rightKeys: Seq[Attribute],
+                                   joinType: JoinType = Inner) extends BinaryNode {
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty)
-  override def output: Seq[Attribute] = left.output ++ right.output
+  require(ZipPartitionsJoin.supports(joinType),
+    s"ZipPartitionsJoin: unsupported join type $joinType")
+  override def output: Seq[Attribute] = joinType match {
+    case LeftSemi | LeftAnti => left.output
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): ZipPartitionsJoin =
     copy(left = newLeft, right = newRight)
 }
 
+object ZipPartitionsJoin {
+  def supports(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | LeftSemi | LeftAnti => true
+    case _ => false
+  }
+}
+
 final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
                                        leftKeys: Seq[Expression],
-                                       rightKeys: Seq[Expression])
+                                       rightKeys: Seq[Expression],
+                                       joinType: JoinType)
     extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case LeftSemi | LeftAnti => left.output
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
 
   /** Sorted legs make the join a stream: `EnsureRequirements` satisfies
     * this with a local, SPILLABLE sort per child (no exchange — the
@@ -81,6 +108,8 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
     * further join above replans its own exchanges (`RangeShuffleSpec` is
     * compatible with nothing and cannot create a partitioning, so
     * EnsureRequirements never zips two of these against each other).
+    * Rests on the engine's non-null key contract (a null-keyed row has no
+    * place in a range layout to begin with).
     */
   override def outputPartitioning
       : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
@@ -93,6 +122,7 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
     require(lrdd.getNumPartitions == rrdd.getNumPartitions,
       s"co-range join children must have identical partitioning: " +
         s"${lrdd.getNumPartitions} vs ${rrdd.getNumPartitions} partitions")
+    val jt = joinType
     val lKeys = leftKeys
     val rKeys = rightKeys
     val lAttrs = left.output
@@ -101,18 +131,21 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
     lrdd.zipPartitions(rrdd, preservesPartitioning = false) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lAttrs)
       val rKeyProj = UnsafeProjection.create(rKeys, rAttrs)
-      val outProj = UnsafeProjection.create(
+      val outPair = UnsafeProjection.create(
         (lAttrs ++ rAttrs).map(_.asInstanceOf[Expression]), lAttrs ++ rAttrs)
+      val outLeft = UnsafeProjection.create(
+        lAttrs.map(_.asInstanceOf[Expression]), lAttrs)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rAttrs.size) // all-null row
 
       // streaming many-to-many merge join over two key-sorted iterators.
       // Only the right side's CURRENT duplicate-key group is buffered
       // (copied — the scan/sort reuses its row buffer); the left row is
       // held by reference, safe because `li.next()` is never called while
-      // its matches still stream.
+      // its emissions still stream.
       new Iterator[InternalRow] {
-        private var lRow: InternalRow = _ // null = advance left next
+        private var lRow: InternalRow = _
         private var lKey: UnsafeRow = _
         private val rGroup = new scala.collection.mutable.ArrayBuffer[InternalRow](1)
         private var rGroupKey: UnsafeRow = _ // null = no live group
@@ -120,15 +153,9 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
         private var rKey: UnsafeRow = _
         private var rStarted = false
         private var gi = 0
+        private var emitGroup = false // emit (lRow, rGroup(gi)) while gi < len
+        private var emitLeftOnly = false // emit lRow alone / null-extended
         private var done = false
-
-        private def advanceLeft(): Boolean = {
-          while (li.hasNext) {
-            val r = li.next(); val k = lKeyProj(r)
-            if (!k.anyNull) { lRow = r; lKey = k; gi = 0; return true }
-          }
-          false
-        }
 
         private def advanceRight(): Unit = {
           while (ri.hasNext) {
@@ -138,42 +165,66 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
           rRow = null; rKey = null
         }
 
-        /** Positions (lRow, rGroup(gi)) on the next output pair. */
-        private def findMatch(): Boolean = {
-          if (!rStarted) { advanceRight(); rStarted = true }
+        /** Loads/checks the right duplicate-key group for the CURRENT
+          * left key; false for a null left key (SQL equality).
+          */
+        private def matched(): Boolean = {
+          if (lKey.anyNull) return false
+          if (rGroupKey != null) {
+            val c = keyOrd.compare(lKey, rGroupKey)
+            if (c == 0) return true
+            if (c < 0) return false // left below the buffered group
+            rGroup.clear(); rGroupKey = null // permanently stale
+          }
+          while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
+          if (rRow != null && keyOrd.compare(rKey, lKey) == 0) {
+            rGroupKey = rKey.copy()
+            do { rGroup += rRow.copy(); advanceRight() }
+            while (rRow != null && keyOrd.compare(rKey, rGroupKey) == 0)
+            true
+          } else false
+        }
+
+        /** Positions the iterator on the next emission. */
+        private def prepare(): Boolean = {
           while (true) {
-            if (lRow == null && !advanceLeft()) return false
-            if (rGroupKey != null) {
-              val c = keyOrd.compare(lKey, rGroupKey)
-              if (c == 0) {
-                if (gi < rGroup.length) return true
-                lRow = null // this left's matches are all emitted
-              } else {
-                // left is sorted, so c > 0: the group is permanently stale
-                rGroup.clear(); rGroupKey = null
-              }
-            } else {
-              while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
-              if (rRow == null) return false // sorted left: nothing later matches
-              if (keyOrd.compare(rKey, lKey) == 0) {
-                rGroupKey = rKey.copy()
-                do { rGroup += rRow.copy(); advanceRight() }
-                while (rRow != null && keyOrd.compare(rKey, rGroupKey) == 0)
-                gi = 0 // the c == 0 branch emits on the next pass
-              } else lRow = null // rKey > lKey: this left is unmatched
+            if (emitGroup) {
+              if (gi < rGroup.length) return true
+              emitGroup = false
+            }
+            if (emitLeftOnly) return true
+            if (!rStarted) { advanceRight(); rStarted = true }
+            if (!li.hasNext) return false
+            lRow = li.next(); lKey = lKeyProj(lRow); gi = 0
+            val m = matched()
+            jt match {
+              case Inner => if (m) emitGroup = true
+              case LeftSemi => if (m) emitLeftOnly = true
+              case LeftAnti => if (!m) emitLeftOnly = true
+              case LeftOuter =>
+                if (m) emitGroup = true else emitLeftOnly = true
+              case t => throw new IllegalStateException(s"unsupported: $t")
             }
           }
           false
         }
 
         override def hasNext: Boolean =
-          !done && { val h = findMatch(); if (!h) done = true; h }
+          !done && { val h = prepare(); if (!h) done = true; h }
 
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException("empty join iterator")
-          val out = outProj(joined(lRow, rGroup(gi)))
-          gi += 1
-          out
+          if (emitLeftOnly) {
+            emitLeftOnly = false
+            jt match {
+              case LeftOuter => outPair(joined(lRow, nullRight))
+              case _ => outLeft(lRow)
+            }
+          } else {
+            val out = outPair(joined(lRow, rGroup(gi)))
+            gi += 1
+            out
+          }
         }
       }
     }

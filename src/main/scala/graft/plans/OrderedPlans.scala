@@ -106,8 +106,8 @@ object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrate
     case SnapshotFilePrune(child, _, _) =>
       // unconsumed marker (no filter ever landed on it): plan the child
       planLater(child) :: Nil
-    case ZipPartitionsJoin(l, r, lk, rk) =>
-      ZipPartitionsJoinExec(planLater(l), planLater(r), lk, rk) :: Nil
+    case ZipPartitionsJoin(l, r, lk, rk, jt) =>
+      ZipPartitionsJoinExec(planLater(l), planLater(r), lk, rk, jt) :: Nil
     case _ => Nil
   }
 }
@@ -173,7 +173,7 @@ object PushThroughDeclareOrdered
     // needs them); the stock rules below then carry the narrow schema
     // through each leg's markers into the scans. Only fires while it
     // still narrows a side, so the fixed point terminates.
-    case p @ Project(ps, ZipPartitionsJoin(l, r, lk, rk))
+    case p @ Project(ps, ZipPartitionsJoin(l, r, lk, rk, jt))
         if ps.forall(_.deterministic) =>
       val refs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
         ps.flatMap(_.references))
@@ -182,14 +182,17 @@ object PushThroughDeclareOrdered
       val ln = needed(l, lk)
       val rn = needed(r, rk)
       if (ln.length < l.output.length || rn.length < r.output.length)
-        Project(ps, ZipPartitionsJoin(Project(ln, l), Project(rn, r), lk, rk))
+        Project(ps, ZipPartitionsJoin(Project(ln, l), Project(rn, r), lk, rk, jt))
       else p
-    // a deterministic conjunct referencing ONE side slides into that leg
-    // (inner join — filtering an input row can only remove output rows
-    // that conjunct would have removed above), restoring scan-level
-    // evaluation (parquet PushedFilters / row-group pruning) for the
-    // residual predicates the SQL rewrite re-applies over the join
-    case f @ Filter(cond, ZipPartitionsJoin(l, r, lk, rk)) =>
+    // a deterministic conjunct referencing ONE side slides into that leg,
+    // restoring scan-level evaluation (parquet PushedFilters / row-group
+    // pruning) for the residual predicates above the join. Left conjuncts
+    // push for every supported type (the output's left rows are a subset
+    // of the input's, and a left-only conjunct evaluates identically on a
+    // null-extended row); right conjuncts ONLY for INNER — filtering the
+    // right input of a left-outer join turns matches into null-extensions
+    // (and semi/anti outputs carry no right columns to reference).
+    case f @ Filter(cond, ZipPartitionsJoin(l, r, lk, rk, jt)) =>
       def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
           : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
         case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
@@ -201,14 +204,17 @@ object PushThroughDeclareOrdered
       val cs = conjuncts(cond)
       val (lPush, rest1) = cs.partition(c =>
         c.deterministic && c.references.nonEmpty && c.references.subsetOf(lset))
-      val (rPush, rest) = rest1.partition(c =>
-        c.deterministic && c.references.nonEmpty && c.references.subsetOf(rset))
+      val (rPush, rest) =
+        if (jt == org.apache.spark.sql.catalyst.plans.Inner)
+          rest1.partition(c =>
+            c.deterministic && c.references.nonEmpty && c.references.subsetOf(rset))
+        else (Nil, rest1)
       if (lPush.isEmpty && rPush.isEmpty) f
       else {
         import org.apache.spark.sql.catalyst.expressions.And
         val nl = lPush.reduceOption(And).map(Filter(_, l)).getOrElse(l)
         val nr = rPush.reduceOption(And).map(Filter(_, r)).getOrElse(r)
-        val nzj = ZipPartitionsJoin(nl, nr, lk, rk)
+        val nzj = ZipPartitionsJoin(nl, nr, lk, rk, jt)
         rest.reduceOption(And).map(Filter(_, nzj)).getOrElse(nzj)
       }
   }

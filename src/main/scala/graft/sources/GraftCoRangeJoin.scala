@@ -1,8 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.{JoinType, LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
@@ -18,8 +18,14 @@ import graft.plans.ZipPartitionsJoin
   * value each; a range leg holds an interval — see the design note on
   * `coRangeJoin`).
   *
+  * Join types: INNER plus the LEFT-preserving snapshot-diff family
+  * (LEFT OUTER / LEFT SEMI / LEFT ANTI — `WHERE [NOT] EXISTS` on the key
+  * plans as semi/anti). Key ranges only the left side covers ride a
+  * separate union branch (pass-through for anti, null-extension for
+  * outer) so they skip the join entirely.
+  *
   * Eligibility is strict — the stock join stays whenever:
-  *  - the join is not INNER, or its condition is anything but a
+  *  - the join type is anything else, or its condition is anything but a
   *    conjunction of plain attribute equalities covering BOTH indexes'
   *    FULL key column lists positionally (a leading-key-prefix equality
   *    is NOT leg-aligned: a boundary can split rows sharing the prefix);
@@ -31,8 +37,8 @@ import graft.plans.ZipPartitionsJoin
 object GraftCoRangeJoin extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(l, r, Inner, Some(cond), _) =>
-      rewrite(j, l, r, cond).getOrElse(j)
+    case j @ Join(l, r, jt, Some(cond), _) if ZipPartitionsJoin.supports(jt) =>
+      rewrite(j, l, r, cond, jt).getOrElse(j)
   }
 
   /** A child is eligible when it is a plain GraftScan relation under zero
@@ -63,7 +69,7 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
   }
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
-                      cond: Expression): Option[LogicalPlan] = {
+                      cond: Expression, jt: JoinType): Option[LogicalPlan] = {
     val (lrel, lg, lRebuild) = side(l).getOrElse(return None)
     val (rrel, rg, rRebuild) = side(r).getOrElse(return None)
 
@@ -95,37 +101,57 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
 
     val lIx = new KVIndex(lg.storeRef, lg.manifestRef)
     val rIx = new KVIndex(rg.storeRef, rg.manifestRef)
-    // KEEP the scans' file prune: the join equates the full key lists, so
-    // either side's pushed leading-key bounds constrain BOTH sides —
-    // intersect them and cut the legs from the covering files only
-    // (exactness is unaffected: the same predicates re-apply below)
-    val (lLo, lHi) = lg.pushedKeyBounds
-    val (rLo, rHi) = rg.pushedKeyBounds
-    val lo = (lLo ++ rLo).reduceOption(graft.core.KeyOrd.max(_, _))
-    val hi = (lHi ++ rHi).reduceOption(graft.core.KeyOrd.min(_, _))
+    // KEEP the scans' file prune: each side's pushed leading-key bounds
+    // go in separately — coRangeLegPlans applies the intersection to the
+    // sides the join type allows (a left-preserving join must not let a
+    // RIGHT bound prune LEFT files: those rows survive unmatched).
+    // Exactness is unaffected: the same predicates replay in the stacks.
     // per-leg row target from session conf (e.g. for wider tasks on a
     // scan-heavy join); ≤ 0 = the index's maxRowsPerFile convention
     val rowsPerLeg = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.corange.rowsPerLeg", "-1").toLong
-    lIx.coRangeLegPlans(rIx, rowsPerLeg, lo, hi).map { case (lPlan, rPlan, _, _) =>
-      // restore the relation's output exprIds over the legs, then replay
-      // each side's ORIGINAL Filter/Project stack BELOW the zip join — so
-      // pushed predicates evaluate per leg at the scans and a narrow
-      // projection narrows the leg reads (a Filter/Project per side
-      // preserves the leg-per-partition alignment; filtering an inner
-      // join's input below the join is the stock pushdown direction)
-      def aliasTo(out: Seq[Attribute], legs: LogicalPlan): LogicalPlan = {
-        val byName = legs.output.map(a => a.name -> a).toMap
-        Project(out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), legs)
-      }
-      val lSide = lRebuild(aliasTo(lrel.output, lPlan))
-      val rSide = rRebuild(aliasTo(rrel.output, rPlan))
-      // join keys = the cond's own attributes in key-column order; they
-      // survive the stacks (cond resolved ABOVE them in the original plan)
-      val byLName = names.zip(pairs).map { case ((ln, _), p) => ln -> p }.toMap
-      val lKeys: Seq[Attribute] = lKeyCols.map(c => byLName(c)._1)
-      val rKeys: Seq[Attribute] = lKeyCols.map(c => byLName(c)._2)
-      ZipPartitionsJoin(lSide, rSide, lKeys, rKeys)
+    lIx.coRangeLegPlans(rIx, rowsPerLeg,
+        lg.pushedKeyBounds, rg.pushedKeyBounds, jt).map {
+      case (zipOpt, leftOnlyOpt) =>
+        // restore the relation's output exprIds over the legs, then replay
+        // each side's ORIGINAL Filter/Project stack BELOW the zip join — so
+        // pushed predicates evaluate per leg at the scans and a narrow
+        // projection narrows the leg reads (a Filter/Project per side
+        // preserves the leg-per-partition alignment; one-sided filters
+        // below their own input is the stock pushdown direction for every
+        // supported type)
+        def aliasTo(out: Seq[Attribute], legs: LogicalPlan): LogicalPlan = {
+          val byName = legs.output.map(a => a.name -> a).toMap
+          Project(out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), legs)
+        }
+        // join keys = the cond's own attributes in key-column order; they
+        // survive the stacks (cond resolved ABOVE them in the original plan)
+        val byLName = names.zip(pairs).map { case ((ln, _), p) => ln -> p }.toMap
+        val lKeys: Seq[Attribute] = lKeyCols.map(c => byLName(c)._1)
+        val rKeys: Seq[Attribute] = lKeyCols.map(c => byLName(c)._2)
+        val zip = zipOpt.map { case (lPlan, rPlan, _, _) =>
+          ZipPartitionsJoin(lRebuild(aliasTo(lrel.output, lPlan)),
+            rRebuild(aliasTo(rrel.output, rPlan)), lKeys, rKeys, jt)
+        }
+        // ranges only the left covers: pass-through (anti) / null-extend
+        // (outer) through the SAME left stack — reusing its exprIds across
+        // union branches is the self-union shape, which Spark permits
+        val leftOnly = leftOnlyOpt.map { lp =>
+          val stack = lRebuild(aliasTo(lrel.output, lp))
+          jt match {
+            case LeftOuter => Project(stack.output ++ r.output.map(a =>
+              Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)), stack)
+            case _ => stack // LeftAnti: every left row in range survives
+          }
+        }
+        (zip, leftOnly) match {
+          case (Some(z), Some(lo)) => Union(Seq(z, lo))
+          case (Some(z), None) => z
+          case (None, Some(lo)) => lo
+          // provably empty (inner/semi, nothing intersects): an empty
+          // relation with the join's own output
+          case (None, None) => LocalRelation(j.output)
+        }
     }
   }
 }

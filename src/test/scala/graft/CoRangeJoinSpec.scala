@@ -409,4 +409,100 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       assert(jj.count() == 5000L)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
+
+  test("left_outer / left_semi / left_anti match the stock joins with zero exchanges, incl. left-only ranges") {
+    val st = store(tmpDir("graft-crjleft"))
+    val a = (1 to 3000).map(i => (i.toLong, s"a$i")).toDF("k", "av").repartition(1)
+    // right covers only a middle slice, every second key: the join has
+    // matched legs, unmatched-in-leg keys AND whole left-only ranges
+    val b = (1000 to 2000 by 2).map(i => (i.toLong, i * 3L)).toDF("k", "bv")
+      .repartition(1)
+    val ixA = KVIndex.bootstrap(st, "lj_a", a, Seq("k"),
+      maxRowsPerFile = 256).toOption.get
+    val ixB = KVIndex.bootstrap(st, "lj_b", b, Seq("k"),
+      maxRowsPerFile = 128).toOption.get
+    val matchedKeys = (1000 to 2000 by 2).map(_.toLong).toSet
+
+    def zeroExchanges(df: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(collect(df.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+        s"$what must plan zero exchanges:\n${df.queryExecution.executedPlan}")
+
+    val outer = ixA.coRangeJoin(ixB, joinType = "left_outer")
+    zeroExchanges(outer, "left_outer")
+    val gotOuter = outer.select("k", "av", "bv")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+    assert(gotOuter.toSeq == (1 to 3000).map { i =>
+      (i.toLong, s"a$i", if (matchedKeys(i.toLong)) Some(i * 3L) else None)
+    })
+
+    val semi = ixA.coRangeJoin(ixB, joinType = "left_semi")
+    zeroExchanges(semi, "left_semi")
+    assert(semi.columns.toSeq == ixA.df.columns.toSeq, "semi output = left columns")
+    assert(semi.select("k").as[Long].collect().sorted.toSeq ==
+      matchedKeys.toSeq.sorted)
+
+    val anti = ixA.coRangeJoin(ixB, joinType = "left_anti")
+    zeroExchanges(anti, "left_anti")
+    assert(anti.select("k").as[Long].collect().sorted.toSeq ==
+      (1 to 3000).map(_.toLong).filterNot(matchedKeys))
+
+    // SQL path: LEFT JOIN and [NOT] EXISTS plan the zip join
+    spark.conf.set("spark.sql.catalog.crjlcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.crjlcat.root", st.root)
+    val sqlOuter = spark.sql(
+      """SELECT a.k, b.bv FROM crjlcat.lj_a a LEFT JOIN crjlcat.lj_b b
+         ON a.k = b.k WHERE a.k >= 1995 AND a.k <= 2005""")
+    assert(collectFirst(sqlOuter.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isDefined,
+      s"LEFT JOIN must plan the zip join:\n${sqlOuter.queryExecution.executedPlan}")
+    zeroExchanges(sqlOuter, "SQL LEFT JOIN")
+    assert(sqlOuter.as[(Long, Option[Long])].collect().sortBy(_._1).toSeq ==
+      (1995 to 2005).map(i =>
+        (i.toLong, if (matchedKeys(i.toLong)) Some(i * 3L) else None)))
+    val sqlAnti = spark.sql(
+      """SELECT a.k FROM crjlcat.lj_a a WHERE NOT EXISTS
+         (SELECT 1 FROM crjlcat.lj_b b WHERE b.k = a.k) AND a.k <= 1010""")
+    assert(collectFirst(sqlAnti.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isDefined
+      || collect(sqlAnti.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+      s"NOT EXISTS must stay exchange-free:\n${sqlAnti.queryExecution.executedPlan}")
+    assert(sqlAnti.as[Long].collect().sorted.toSeq ==
+      (1 to 1010).map(_.toLong).filterNot(matchedKeys))
+    val sqlSemi = spark.sql(
+      """SELECT a.k FROM crjlcat.lj_a a WHERE EXISTS
+         (SELECT 1 FROM crjlcat.lj_b b WHERE b.k = a.k)""")
+    zeroExchanges(sqlSemi, "SQL EXISTS")
+    assert(sqlSemi.count() == matchedKeys.size.toLong)
+  }
+
+  test("spark.graft.maxPlanLegs caps plan leaves for the stitch and the join; legs grow instead") {
+    val st = store(tmpDir("graft-crjcap"))
+    val a = (1 to 4000).map(i => (i.toLong, i * 2L)).toDF("k", "av").repartition(1)
+    val b = (1 to 4000).map(i => (i.toLong, i * 3L)).toDF("k", "bv").repartition(1)
+    val ixA = KVIndex.bootstrap(st, "cap_a", a, Seq("k"),
+      maxRowsPerFile = 64).toOption.get
+    val ixB = KVIndex.bootstrap(st, "cap_b", b, Seq("k"),
+      maxRowsPerFile = 64).toOption.get
+    // uncapped default: legs track the file batching (~4000/64)
+    assert(ixA.coRangeJoin(ixB).rdd.getNumPartitions > 17)
+
+    spark.conf.set("spark.graft.maxPlanLegs", "8")
+    try {
+      // each side's greedy batching cuts ≤ cap+1 legs → the merged
+      // sequence is ≤ 2·(cap+1)+1; per-leg data grows, the plan does not,
+      // and the streaming merge keeps task memory bounded regardless
+      val joined = ixA.coRangeJoin(ixB)
+      assert(joined.rdd.getNumPartitions <= 19,
+        s"capped join planned ${joined.rdd.getNumPartitions} legs")
+      assert(joined.agg(sum(col("av") * col("bv"))).head.getLong(0) ==
+        (1 to 4000).map(i => i.toLong * 2 * i * 3).sum)
+      // the ordered stitch honors the same cap, order intact
+      val stitched = ixA.inOrdered()
+      assert(stitched.rdd.getNumPartitions <= 9,
+        s"capped stitch planned ${stitched.rdd.getNumPartitions} legs")
+      assert(stitched.select("k").as[Long].collect().toSeq == (1L to 4000L))
+    } finally spark.conf.unset("spark.graft.maxPlanLegs")
+  }
 }
