@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** Randomized DIFFERENTIAL for the co-range join family: random layouts
+  * (file sizes, densities, overlap windows, composite keys, leg targets,
+  * plan-leaf caps) × random join types, each compared row-for-row against
+  * Spark's stock shuffled join on the same inputs. The fixed-seed rerun
+  * convention follows `RandomizedWriteSpec` (reference
+  * `Repeatable.scala:6-22`). This is the net for the cases a
+  * hand-written spec misses: boundaries landing ON duplicate-ish keys,
+  * single-file sides, empty intersection windows, left-only ranges at
+  * both ends, capped legs forcing multi-file legs.
+  */
+class CoRangeJoinRandomSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def store(dir: String) = new FsSnapshotStore(s"$dir/store", spark)
+
+  for (seed <- Seq(41, 97))
+  test(s"random layouts × join types match the stock join — seed $seed") {
+    val rnd = new scala.util.Random(seed)
+    val st = store(tmpDir(s"graft-crjrand$seed"))
+
+    for (round <- 1 to 6) {
+      val composite = rnd.nextBoolean()
+      val keys = if (composite) Seq("g", "k") else Seq("k")
+      // random sparse key populations over overlapping-or-not windows
+      def keysOf(lo: Int, hi: Int, step: Int): Seq[Int] =
+        (lo to hi by step).filter(_ => rnd.nextDouble() < 0.8)
+      val aLo = rnd.nextInt(500); val aHi = aLo + 500 + rnd.nextInt(2500)
+      val bLo = rnd.nextInt(3000); val bHi = bLo + 200 + rnd.nextInt(2500)
+      val aKeys = keysOf(aLo, aHi, 1 + rnd.nextInt(3))
+      val bKeys = keysOf(bLo, bHi, 1 + rnd.nextInt(3))
+
+      def frame(ks: Seq[Int], tag: String) = {
+        val rows = ks.map(i => (i % (if (composite) 4 else 1), i.toLong, s"$tag$i"))
+        if (composite) rows.toDF("g", "k", s"${tag}v").repartition(1)
+        else rows.map(r => (r._2, r._3)).toDF("k", s"${tag}v").repartition(1)
+      }
+      val ixA = KVIndex.bootstrap(st, s"ra_${seed}_$round", frame(aKeys, "a"),
+        keys, maxRowsPerFile = 16 << rnd.nextInt(5)).toOption.get
+      val ixB = KVIndex.bootstrap(st, s"rb_${seed}_$round", frame(bKeys, "b"),
+        keys, maxRowsPerFile = 16 << rnd.nextInt(5)).toOption.get
+
+      val jt = Seq("inner", "left_outer", "left_semi", "left_anti")(rnd.nextInt(4))
+      val rowsPerLeg = if (rnd.nextBoolean()) -1L else (8L << rnd.nextInt(6))
+      val cap = if (rnd.nextBoolean()) None else Some(1 + rnd.nextInt(12))
+      cap.foreach(c => spark.conf.set("spark.graft.maxPlanLegs", c.toString))
+      try {
+        val got = ixA.coRangeJoin(ixB, rowsPerLeg, jt)
+
+        // the stock-join twin on the same snapshot contents
+        val l = ixA.df.alias("__l")
+        val r = ixB.df.alias("__r")
+        val cond = keys.map(c => col(s"__l.$c") === col(s"__r.$c")).reduce(_ && _)
+        val rightVals = ixB.df.columns.toSeq
+          .filterNot(c => keys.contains(c) || c == "version")
+        val rightInOut = jt == "inner" || jt == "left_outer"
+        val want = l.join(r, cond, jt).select(
+          ixA.df.columns.toSeq.map(c => col(s"__l.$c")) ++
+            (if (rightInOut) rightVals.map(c => col(s"__r.$c")) else Nil): _*)
+
+        val gc = got.columns.toSeq
+        assert(gc == want.columns.toSeq,
+          s"round $round jt=$jt: column mismatch $gc vs ${want.columns.toSeq}")
+        val gotRows = got.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        val wantRows = want.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        assert(gotRows.length == wantRows.length,
+          s"round $round jt=$jt cap=$cap rpl=$rowsPerLeg: " +
+            s"${gotRows.length} rows vs ${wantRows.length}")
+        assert(gotRows.toSeq == wantRows.toSeq,
+          s"round $round jt=$jt cap=$cap rpl=$rowsPerLeg: content diverged")
+      } finally cap.foreach(_ => spark.conf.unset("spark.graft.maxPlanLegs"))
+    }
+  }
+}
