@@ -589,6 +589,19 @@ object SparkEntry {
         .fold(e => sys.error(e.message), identity)
     }._2
 
+  /** orders restricted to keys NOT divisible by 3 — overlaps
+    * [[liAggOddStore]] partially in BOTH directions (odd non-multiples of
+    * 3 match; even non-multiples are left-only; odd multiples of 3 are
+    * right-only), so kv_corange_full exercises every full-outer row class.
+    */
+  private def ordMod3Store(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-ord-mod3", s, d) { store =>
+      val ord = t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      KVIndex.bootstrap(store, "ordmod3", ord, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+    }._2
+
   /** liagg restricted to ODD order keys — a key SUBSET of the orders
     * index, so the left-preserving co-range joins (kv_corange_left/anti)
     * have real unmatched keys to preserve.
@@ -2806,6 +2819,18 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // FULL OUTER = the two-snapshot diff in one exchange-free pass: the
+    // key column COALESCEs the sides (USING-join shape), left-only /
+    // matched / right-only row classes all present by fixture design
+    "kv_corange_full" -> ((s, d) => {
+      ordMod3Store(s, d).coRangeJoin(liAggOddStore(s, d),
+          joinType = "full_outer")
+        .filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("qty").cast("long").as("qty"), col("n_lines"))
+        .orderBy("o_orderkey")
+    }),
     // top-k per group via rank filter — Spark pushes the rank bound into
     // the window sort (WindowGroupLimit): each partition keeps k rows
     // instead of sorting its whole group
@@ -4190,6 +4215,16 @@ object SparkEntry {
         "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS price " +
         "FROM orders WHERE NOT EXISTS (SELECT 1 FROM li WHERE li.l_orderkey = orders.o_orderkey) " +
         "AND o_orderkey <= 300 ORDER BY o_orderkey"),
+      "kv_corange_full" -> ("WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 3 <> 0), " +
+        "li AS (SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS n_lines " +
+        "FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1) " +
+        "SELECT coalesce(o.o_orderkey, li.l_orderkey) AS o_orderkey, o.o_custkey, " +
+        "round(o.o_totalprice, 2) AS price, " +
+        "CAST(li.qty AS BIGINT) AS qty, li.n_lines " +
+        "FROM o FULL JOIN li ON o.o_orderkey = li.l_orderkey " +
+        "WHERE coalesce(o.o_orderkey, li.l_orderkey) <= 300 " +
+        "ORDER BY coalesce(o.o_orderkey, li.l_orderkey)"),
       "q_topk_group" -> ("WITH r AS (SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price, " +
         "row_number() OVER (PARTITION BY o_orderstatus ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn " +
         "FROM orders) SELECT o_orderstatus, o_orderkey, price, CAST(rn AS BIGINT) AS rn " +

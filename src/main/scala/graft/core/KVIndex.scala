@@ -957,14 +957,17 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     *
     * Join keys are positional: this index's key columns against
     * `other`'s, which must match in arity and type. Join types: `inner`
-    * (default), plus the LEFT-preserving snapshot-diff family —
+    * (default), the LEFT-preserving snapshot-diff family —
     * `left_outer`, `left_semi`, `left_anti` ("which keys are missing /
-    * present on the right", still with zero exchanges; legs whose range
-    * only the left covers ride a separate union branch). Output for
-    * inner/left_outer = all left columns, then `other`'s non-key columns
-    * (the USING-join shape; non-key column names must not collide);
-    * semi/anti output = the left columns alone. Falls back to a plain
-    * shuffled join when either layout cannot guarantee disjoint ranges.
+    * present on the right") — and `full_outer` (the two-snapshot diff:
+    * added / removed / changed in one pass), all with zero exchanges;
+    * ranges only one side covers ride separate union branches. Output
+    * for inner/left_outer/full_outer = all left columns, then `other`'s
+    * non-key columns (the USING-join shape: full outer COALESCEs the key
+    * and version columns so right-only rows keep their key; non-key
+    * column names must not collide); semi/anti output = the left columns
+    * alone. Falls back to a plain shuffled join when either layout
+    * cannot guarantee disjoint ranges.
     *
     * `rowsPerLeg ≤ 0` (the default) means this snapshot's
     * `maxRowsPerFile` batch target.
@@ -982,10 +985,12 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val rs = other.store.emptyTyped(other.manifest).schema
     require(key.cols.map(ls(_).dataType) == other.key.cols.map(rs(_).dataType),
       "coRangeJoin: key column types must match positionally")
+    val fullOuter = jt == org.apache.spark.sql.catalyst.plans.FullOuter
     val rightInOutput = jt == org.apache.spark.sql.catalyst.plans.Inner ||
-      jt == LeftOuter
+      jt == LeftOuter || fullOuter
     // the engine's own `version` stamp rides every snapshot: keep the
-    // LEFT side's, drop the right's (like the duplicate key columns)
+    // LEFT side's (COALESCEd with the right's for full outer, like the
+    // key columns), drop the right's otherwise
     val rightVals = rs.fieldNames.toSeq
       .filterNot(c => other.key.cols.contains(c) || c == "version")
     if (rightInOutput) {
@@ -994,7 +999,21 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
         s"coRangeJoin: right value column(s) ${clash.mkString(",")} collide " +
           "with left columns — rename before joining")
     }
-    val outCols = ls.fieldNames.toSeq ++ (if (rightInOutput) rightVals else Nil)
+    val rKeyOf = key.cols.zip(other.key.cols).toMap
+
+    // the USING-join output shape: for full outer the key (and version)
+    // columns COALESCE the two sides, so right-only rows keep their key
+    def shape(lc: String => Column, rc: Option[String => Column]): Seq[Column] =
+      ls.fieldNames.toSeq.map { c =>
+        if (fullOuter && key.cols.contains(c))
+          coalesce(lc(c), rc.map(f => f(rKeyOf(c))).getOrElse(lit(null))).as(c)
+        else if (fullOuter && c == "version" && rs.fieldNames.contains("version"))
+          coalesce(lc(c), rc.map(f => f("version")).getOrElse(lit(null))).as(c)
+        else if (fullOuter) lc(c).as(c)
+        else lc(c)
+      } ++ (if (rightInOutput)
+        rightVals.map(c => rc.map(f => f(c)).getOrElse(lit(null).cast(rs(c).dataType)).as(c))
+      else Nil)
 
     def plainJoin(): DataFrame = {
       val l = df.alias("__cl")
@@ -1002,39 +1021,49 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       val cond = key.cols.zip(other.key.cols)
         .map { case (a, b) => col(s"__cl.$a") === col(s"__cr.$b") }
         .reduce(_ && _)
-      val j = l.join(r, cond, joinType)
-      j.select(ls.fieldNames.toSeq.map(c => col(s"__cl.$c")) ++
-        (if (rightInOutput) rightVals.map(c => col(s"__cr.$c")) else Nil): _*)
+      l.join(r, cond, joinType)
+        .select(shape(c => col(s"__cl.$c"), Some(c => col(s"__cr.$c"))): _*)
     }
 
     coRangeLegPlans(other, rowsPerLeg, joinType = jt) match {
       case None => plainJoin()
-      case Some((zipOpt, leftOnlyOpt)) =>
+      case Some((zipOpt, leftOnlyOpt, rightOnlyOpt)) =>
         val zipDf = zipOpt.map { case (lPlan, rPlan, lKeys, rKeys) =>
           val zj = graft.plans.ZipPartitionsJoin(lPlan, rPlan, lKeys, rKeys, jt)
-          val keep = zj.output.filter(a =>
-            lPlan.output.exists(_.exprId == a.exprId) ||
-              (rightVals.contains(a.name) && !rKeys.exists(_.exprId == a.exprId)))
-          org.apache.spark.sql.graft.Shim.ofRows(spark,
-            org.apache.spark.sql.catalyst.plans.logical.Project(keep, zj))
-            .select(outCols.map(col): _*)
+          // resolve by the two sides' own attributes — key NAMES may
+          // repeat across sides, so name-based selection would be
+          // ambiguous for full outer
+          val lByName = zj.output.filter(a =>
+            lPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
+          val rByName = zj.output.filter(a =>
+            rPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
+          org.apache.spark.sql.graft.Shim.ofRows(spark, zj)
+            .select(shape(c => org.apache.spark.sql.graft.Shim.col(lByName(c)),
+              if (rightInOutput)
+                Some(c => org.apache.spark.sql.graft.Shim.col(rByName(c)))
+              else None): _*)
         }
-        // legs only the left side covers: the left rows pass through as-is
-        // (anti) or null-extended (outer) — no join work at all
-        val leftOnlyDf = leftOnlyOpt.map { lp =>
+        // legs only ONE side covers: rows pass through (anti), or
+        // null-extend the other side (outer types) — no join work at all
+        val leftOnlyShaped = leftOnlyOpt.map { lp =>
           val base = org.apache.spark.sql.graft.Shim.ofRows(spark, lp)
-          if (jt == LeftOuter)
-            base.select(ls.fieldNames.toSeq.map(col) ++
-              rightVals.map(c => lit(null).cast(rs(c).dataType).as(c)): _*)
+          if (jt == LeftOuter || fullOuter) base.select(shape(col, None): _*)
           else base.select(ls.fieldNames.toSeq.map(col): _*) // LeftAnti
         }
-        (zipDf, leftOnlyDf) match {
-          case (Some(a), Some(b)) => a.union(b)
-          case (Some(a), None) => a
-          case (None, Some(b)) => b
-          // nothing intersects and nothing is left-preserved: typed empty
-          case (None, None) => plainJoin().limit(0)
+        val rightOnlyShaped = rightOnlyOpt.map { rp =>
+          val base = org.apache.spark.sql.graft.Shim.ofRows(spark, rp)
+          // left columns null except the coalesced key/version slots
+          base.select(ls.fieldNames.toSeq.map { c =>
+            if (key.cols.contains(c)) col(rKeyOf(c)).as(c)
+            else if (c == "version" && rs.fieldNames.contains("version"))
+              col("version").as(c)
+            else lit(null).cast(ls(c).dataType).as(c)
+          } ++ rightVals.map(col): _*)
         }
+        Seq(zipDf, leftOnlyShaped, rightOnlyShaped).flatten
+          .reduceOption(_ union _)
+          // nothing intersects and nothing is preserved: typed empty
+          .getOrElse(plainJoin().limit(0))
     }
   }
 
@@ -1056,13 +1085,18 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * conservative over-approximation (exact predicates are re-applied in
     * the side stacks by the caller); legs are cut from the PRUNED lists.
     *
+    * FULL OUTER preserves BOTH sides: each side is pruned only by its
+    * OWN bounds, and ranges only one side covers ride that side's bypass
+    * branch.
+    *
     * Returns None when either layout cannot guarantee disjoint ranges
     * (caller falls back to the stock join); otherwise
-    * `Some((zipLegs, leftOnly))` where `zipLegs` holds both sides'
-    * leg-union plans + key attributes for the ranges BOTH sides cover,
-    * and `leftOnly` (left_outer/left_anti only) the left legs whose range
-    * the right never intersects — those rows skip the join entirely.
-    * Both None = provably empty result (inner/semi with no intersection).
+    * `Some((zipLegs, leftOnly, rightOnly))` where `zipLegs` holds both
+    * sides' leg-union plans + key attributes for the ranges BOTH sides
+    * cover, `leftOnly` (left_outer/left_anti/full_outer) the left legs
+    * whose range the right never intersects, and `rightOnly` (full_outer)
+    * the mirror — bypass rows that skip the join entirely. All None =
+    * provably empty result (inner/semi with no intersection).
     */
   private[graft] def coRangeLegPlans(other: KVIndex, rowsPerLeg: Long = -1L,
       lPrune: (Option[Seq[Any]], Option[Seq[Any]]) = (None, None),
@@ -1073,11 +1107,16 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
                         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                         Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
                         Seq[org.apache.spark.sql.catalyst.expressions.Attribute])],
+                Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
                 Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])] = {
-    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
-    if (manifest.isEmpty || other.manifest.isEmpty ||
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftAnti, LeftOuter}
+    if ((manifest.isEmpty && other.manifest.isEmpty) ||
         !filesDisjoint || !other.filesDisjoint) return None
-    val leftPreserving = joinType == LeftOuter || joinType == LeftAnti
+    val rightPreserving = joinType == FullOuter
+    val leftPreserving = joinType == LeftOuter || joinType == LeftAnti ||
+      joinType == FullOuter
+    if (manifest.isEmpty && !rightPreserving) return Some((None, None, None))
+    if (other.manifest.isEmpty && !leftPreserving) return Some((None, None, None))
 
     // leading-key file prune (compare LEADING components only — the
     // prefix convention ranks a longer tuple above its prefix, so a
@@ -1092,9 +1131,11 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val lfs =
       if (leftPreserving) pruned(this, lPrune._1, lPrune._2)
       else pruned(this, bothLo, bothHi)
-    val rfs = pruned(other, bothLo, bothHi)
-    if (lfs.isEmpty) return Some((None, None)) // no left rows: empty for all types
-    if (rfs.isEmpty && !leftPreserving) return Some((None, None))
+    val rfs =
+      if (rightPreserving) pruned(other, rPrune._1, rPrune._2)
+      else pruned(other, bothLo, bothHi)
+    if (lfs.isEmpty && !rightPreserving) return Some((None, None, None))
+    if (rfs.isEmpty && !leftPreserving) return Some((None, None, None))
 
     // per-task row target: the maxRowsPerFile batching convention — leg
     // count GROWS with snapshot size (more tasks), per-leg data does not —
@@ -1170,23 +1211,22 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     }
     val coverL = coveringSweep(lfs)
     val coverR = coveringSweep(rfs)
-    // a leg empty on the LEFT contributes nothing for every supported
-    // type (unmatched right rows are never emitted); a leg empty on the
-    // RIGHT is dropped for inner/semi but preserved — with an empty right
-    // file set — for the left-preserving types. (A skipped side's sweep
-    // self-corrects on its next call: its advance is driven by the
+    // a leg empty on one side is dropped unless that side's opposite is
+    // PRESERVED: left-only legs survive for left_outer/left_anti/
+    // full_outer, right-only legs for full_outer. (A skipped side's
+    // sweep self-corrects on its next call: its advance is driven by the
     // monotone lower bound alone.)
     val rawLegs = ranges.flatMap { case (lo, hi) =>
       val afs = coverL(lo, hi)
-      if (afs.isEmpty) None
-      else {
-        val bfs = coverR(lo, hi)
-        if (bfs.nonEmpty) Some((lo, hi, afs, bfs))
-        else if (leftPreserving) Some((lo, hi, afs, Seq.empty[FileEntry]))
-        else None
-      }
+      val bfs = coverR(lo, hi)
+      if (afs.nonEmpty && bfs.nonEmpty) Some((lo, hi, afs, bfs))
+      else if (afs.nonEmpty && leftPreserving)
+        Some((lo, hi, afs, Seq.empty[FileEntry]))
+      else if (bfs.nonEmpty && rightPreserving)
+        Some((lo, hi, Seq.empty[FileEntry], bfs))
+      else None
     }
-    if (rawLegs.isEmpty) return Some((None, None)) // no contributing ranges
+    if (rawLegs.isEmpty) return Some((None, None, None)) // nothing contributes
 
     // merge ADJACENT legs whose covering file sets are identical on both
     // sides: a boundary that splits no file set only re-reads the same
@@ -1205,7 +1245,10 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
           case _ => acc :+ leg
         }
     }
-    val (zipLegs, loLegs) = mergedLegs.partition(_._4.nonEmpty)
+    val (zipLegs, loLegs, roLegs) = (
+      mergedLegs.filter(l => l._3.nonEmpty && l._4.nonEmpty),
+      mergedLegs.filter(l => l._3.nonEmpty && l._4.isEmpty),
+      mergedLegs.filter(l => l._3.isEmpty && l._4.nonEmpty))
 
     val zipPart = if (zipLegs.isEmpty) None else {
       val legs = zipLegs.map { case (lo, hi, afs, bfs) =>
@@ -1222,11 +1265,14 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val loPart = if (loLegs.isEmpty) None else Some(
       loLegs.map { case (lo, hi, afs, _) => legDf(this, afs, lo, hi) }
         .reduce(_ unionByName _).queryExecution.analyzed)
+    val roPart = if (roLegs.isEmpty) None else Some(
+      roLegs.map { case (lo, hi, _, bfs) => legDf(other, bfs, lo, hi) }
+        .reduce(_ unionByName _).queryExecution.analyzed)
     if (!spark.experimental.extraStrategies.contains(
         graft.plans.DeclareOrderedStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.DeclareOrderedStrategy
-    Some((zipPart, loPart))
+    Some((zipPart, loPart, roPart))
   }
 
   /** U3 `copy` — cheap snapshot clone sharing every data file

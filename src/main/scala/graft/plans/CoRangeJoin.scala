@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
@@ -21,13 +21,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * range layout doing for joins what the manifest stitch does for
   * ORDER BY.
   *
-  * Join types: INNER plus the LEFT-preserving family (LeftOuter,
-  * LeftSemi, LeftAnti) — the snapshot-diff primitives ("which keys are
-  * missing / present on the right") with no shuffle. For the left family
-  * the caller must route EVERY left row into some leg (legs whose range
-  * only the left covers included — see `coRangeLegPlans`'
-  * `leftOnly` branch). Null join keys follow SQL equality: never matched,
-  * so inner/semi drop them, outer null-extends them, anti keeps them.
+  * Join types: INNER, the LEFT-preserving family (LeftOuter, LeftSemi,
+  * LeftAnti) and FULL OUTER — the snapshot-diff primitives ("which keys
+  * are missing / present / changed on either side") with no shuffle. For
+  * the preserving types the caller must route EVERY preserved row into
+  * some leg (ranges only one side covers ride the `leftOnly`/`rightOnly`
+  * branches of `coRangeLegPlans`). Null join keys follow SQL equality:
+  * never matched, so inner/semi drop them, outer types null-extend them,
+  * anti keeps them.
   *
   * Spark's own vocabulary cannot express the leg invariant —
   * `KeyGroupedPartitioning` (storage-partitioned joins) requires each
@@ -56,6 +57,8 @@ final case class ZipPartitionsJoin(left: LogicalPlan, right: LogicalPlan,
   override def output: Seq[Attribute] = joinType match {
     case LeftSemi | LeftAnti => left.output
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case FullOuter => left.output.map(_.withNullability(true)) ++
+      right.output.map(_.withNullability(true))
     case _ => left.output ++ right.output
   }
   override protected def withNewChildrenInternal(
@@ -65,7 +68,7 @@ final case class ZipPartitionsJoin(left: LogicalPlan, right: LogicalPlan,
 
 object ZipPartitionsJoin {
   def supports(jt: JoinType): Boolean = jt match {
-    case Inner | LeftOuter | LeftSemi | LeftAnti => true
+    case Inner | LeftOuter | LeftSemi | LeftAnti | FullOuter => true
     case _ => false
   }
 }
@@ -79,6 +82,8 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] = joinType match {
     case LeftSemi | LeftAnti => left.output
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case FullOuter => left.output.map(_.withNullability(true)) ++
+      right.output.map(_.withNullability(true))
     case _ => left.output ++ right.output
   }
 
@@ -91,8 +96,12 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
     Seq(leftKeys.map(SortOrder(_, Ascending)),
       rightKeys.map(SortOrder(_, Ascending)))
 
+  /** FULL OUTER interleaves right-only rows whose LEFT attributes are
+    * null, so neither the left-key ordering nor the range partitioning
+    * survives — both claims are dropped for it.
+    */
   override def outputOrdering: Seq[SortOrder] =
-    leftKeys.map(SortOrder(_, Ascending))
+    if (joinType == FullOuter) Nil else leftKeys.map(SortOrder(_, Ascending))
 
   /** The output is range-partitioned by the FULL left key list in the
     * exact sense of Spark's own [[RangePartitioning]]: leg i covers a key
@@ -113,8 +122,12 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
     */
   override def outputPartitioning
       : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
-    org.apache.spark.sql.catalyst.plans.physical.RangePartitioning(
-      outputOrdering, left.outputPartitioning.numPartitions)
+    if (joinType == FullOuter)
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
+        left.outputPartitioning.numPartitions)
+    else
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning(
+        outputOrdering, left.outputPartitioning.numPartitions)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lrdd = left.execute()
@@ -139,12 +152,91 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rAttrs.size) // all-null row
 
+      // FULL OUTER: a symmetric merge that also emits unmatched RIGHT
+      // rows (null-extended on the left). Lookahead on both sides; a
+      // staged emission advances its source only AFTER the row is
+      // consumed, so the scan/sort row-buffer reuse never corrupts it.
+      if (jt == FullOuter) new Iterator[InternalRow] {
+        private val nullLeft = new GenericInternalRow(lAttrs.size)
+        private var lRow: InternalRow = _; private var lKey: UnsafeRow = _
+        private var lLoaded = false
+        private var rRow: InternalRow = _; private var rKey: UnsafeRow = _
+        private var rLoaded = false
+        private val rGroup = new scala.collection.mutable.ArrayBuffer[InternalRow](1)
+        private var rGroupKey: UnsafeRow = _
+        private var gi = 0
+        private var emitKind = 0 // 1 = pair, 2 = left-only, 3 = right-only
+        private var started = false
+        private var done = false
+
+        private def loadLeft(): Unit =
+          if (li.hasNext) { lRow = li.next(); lKey = lKeyProj(lRow); lLoaded = true }
+          else { lRow = null; lLoaded = false }
+        private def loadRight(): Unit =
+          if (ri.hasNext) { rRow = ri.next(); rKey = rKeyProj(rRow); rLoaded = true }
+          else { rRow = null; rLoaded = false }
+
+        private def prepare(): Boolean = {
+          if (!started) { loadLeft(); loadRight(); started = true }
+          while (true) {
+            if (emitKind != 0) return true
+            if (lLoaded && rGroupKey != null) {
+              if (!lKey.anyNull && keyOrd.compare(lKey, rGroupKey) == 0) {
+                if (gi < rGroup.length) { emitKind = 1; return true }
+                gi = 0; loadLeft() // this left's pairs are all emitted
+              } else if (lKey.anyNull || keyOrd.compare(lKey, rGroupKey) > 0) {
+                rGroup.clear(); rGroupKey = null // permanently stale
+              } else { emitKind = 2; return true } // defensively unmatched
+            }
+            else if (!lLoaded && !rLoaded) return false
+            else if (!lLoaded) emitKind = 3 // drain unmatched right
+            else if (lKey.anyNull) emitKind = 2 // null key never matches
+            else if (!rLoaded) emitKind = 2 // drain unmatched left
+            else if (rKey.anyNull) emitKind = 3
+            else {
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) emitKind = 3
+              else if (c > 0) emitKind = 2
+              else { // buffer the duplicate-key group, then pair
+                rGroupKey = rKey.copy(); rGroup.clear(); gi = 0
+                do { rGroup += rRow.copy(); loadRight() }
+                while (rLoaded && !rKey.anyNull &&
+                  keyOrd.compare(rKey, rGroupKey) == 0)
+              }
+            }
+          }
+          false
+        }
+
+        override def hasNext: Boolean =
+          !done && { val h = prepare(); if (!h) done = true; h }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty join iterator")
+          emitKind match {
+            case 1 =>
+              val out = outPair(joined(lRow, rGroup(gi)))
+              gi += 1
+              if (gi >= rGroup.length) emitKind = 0 // prepare() advances left
+              else emitKind = 1
+              out
+            case 2 =>
+              val out = outPair(joined(lRow, nullRight))
+              emitKind = 0; loadLeft()
+              out
+            case _ =>
+              val out = outPair(joined(nullLeft, rRow))
+              emitKind = 0; loadRight()
+              out
+          }
+        }
+      }
       // streaming many-to-many merge join over two key-sorted iterators.
       // Only the right side's CURRENT duplicate-key group is buffered
       // (copied — the scan/sort reuses its row buffer); the left row is
       // held by reference, safe because `li.next()` is never called while
       // its emissions still stream.
-      new Iterator[InternalRow] {
+      else new Iterator[InternalRow] {
         private var lRow: InternalRow = _
         private var lKey: UnsafeRow = _
         private val rGroup = new scala.collection.mutable.ArrayBuffer[InternalRow](1)

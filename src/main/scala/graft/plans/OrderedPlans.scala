@@ -202,8 +202,12 @@ object PushThroughDeclareOrdered
       val lset = org.apache.spark.sql.catalyst.expressions.AttributeSet(l.output)
       val rset = org.apache.spark.sql.catalyst.expressions.AttributeSet(r.output)
       val cs = conjuncts(cond)
-      val (lPush, rest1) = cs.partition(c =>
-        c.deterministic && c.references.nonEmpty && c.references.subsetOf(lset))
+      // full outer preserves BOTH sides' unmatched rows: a one-sided
+      // conjunct above it is not equivalent to filtering that input
+      val (lPush, rest1) =
+        if (jt == org.apache.spark.sql.catalyst.plans.FullOuter) (Nil, cs)
+        else cs.partition(c =>
+          c.deterministic && c.references.nonEmpty && c.references.subsetOf(lset))
       val (rPush, rest) =
         if (jt == org.apache.spark.sql.catalyst.plans.Inner)
           rest1.partition(c =>

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.{JoinType, LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, JoinType, LeftAnti, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
@@ -18,11 +18,12 @@ import graft.plans.ZipPartitionsJoin
   * value each; a range leg holds an interval — see the design note on
   * `coRangeJoin`).
   *
-  * Join types: INNER plus the LEFT-preserving snapshot-diff family
+  * Join types: INNER, the LEFT-preserving snapshot-diff family
   * (LEFT OUTER / LEFT SEMI / LEFT ANTI — `WHERE [NOT] EXISTS` on the key
-  * plans as semi/anti). Key ranges only the left side covers ride a
-  * separate union branch (pass-through for anti, null-extension for
-  * outer) so they skip the join entirely.
+  * plans as semi/anti), and FULL OUTER (the two-snapshot diff). Key
+  * ranges only one side covers ride separate union branches
+  * (pass-through for anti, null-extension for the outer types) so they
+  * skip the join entirely.
   *
   * Eligibility is strict — the stock join stays whenever:
   *  - the join type is anything else, or its condition is anything but a
@@ -112,7 +113,7 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
       .getConfString("spark.graft.corange.rowsPerLeg", "-1").toLong
     lIx.coRangeLegPlans(rIx, rowsPerLeg,
         lg.pushedKeyBounds, rg.pushedKeyBounds, jt).map {
-      case (zipOpt, leftOnlyOpt) =>
+      case (zipOpt, leftOnlyOpt, rightOnlyOpt) =>
         // restore the relation's output exprIds over the legs, then replay
         // each side's ORIGINAL Filter/Project stack BELOW the zip join — so
         // pushed predicates evaluate per leg at the scans and a narrow
@@ -133,24 +134,30 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
           ZipPartitionsJoin(lRebuild(aliasTo(lrel.output, lPlan)),
             rRebuild(aliasTo(rrel.output, rPlan)), lKeys, rKeys, jt)
         }
-        // ranges only the left covers: pass-through (anti) / null-extend
-        // (outer) through the SAME left stack — reusing its exprIds across
-        // union branches is the self-union shape, which Spark permits
+        // ranges only ONE side covers: pass-through (anti) / null-extend
+        // the other side (outer types), through the SAME side stack —
+        // reusing its exprIds across union branches is the self-union
+        // shape, which Spark permits
         val leftOnly = leftOnlyOpt.map { lp =>
           val stack = lRebuild(aliasTo(lrel.output, lp))
           jt match {
-            case LeftOuter => Project(stack.output ++ r.output.map(a =>
-              Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)), stack)
+            case LeftOuter | FullOuter =>
+              Project(stack.output ++ r.output.map(a =>
+                Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)), stack)
             case _ => stack // LeftAnti: every left row in range survives
           }
         }
-        (zip, leftOnly) match {
-          case (Some(z), Some(lo)) => Union(Seq(z, lo))
-          case (Some(z), None) => z
-          case (None, Some(lo)) => lo
-          // provably empty (inner/semi, nothing intersects): an empty
-          // relation with the join's own output
-          case (None, None) => LocalRelation(j.output)
+        val rightOnly = rightOnlyOpt.map { rp => // FullOuter only
+          val stack = rRebuild(aliasTo(rrel.output, rp))
+          Project(l.output.map(a =>
+            Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)) ++
+            stack.output, stack)
+        }
+        val branches: Seq[LogicalPlan] = Seq(zip, leftOnly, rightOnly).flatten
+        branches match {
+          case Seq() => LocalRelation(j.output) // provably empty
+          case Seq(only) => only
+          case many => Union(many)
         }
     }
   }

@@ -45,7 +45,8 @@ class CoRangeJoinRandomSpec extends SparkSuite {
       val ixB = KVIndex.bootstrap(st, s"rb_${seed}_$round", frame(bKeys, "b"),
         keys, maxRowsPerFile = 16 << rnd.nextInt(5)).toOption.get
 
-      val jt = Seq("inner", "left_outer", "left_semi", "left_anti")(rnd.nextInt(4))
+      val jt = Seq("inner", "left_outer", "left_semi", "left_anti",
+        "full_outer")(rnd.nextInt(5))
       val rowsPerLeg = if (rnd.nextBoolean()) -1L else (8L << rnd.nextInt(6))
       val cap = if (rnd.nextBoolean()) None else Some(1 + rnd.nextInt(12))
       cap.foreach(c => spark.conf.set("spark.graft.maxPlanLegs", c.toString))
@@ -58,9 +59,14 @@ class CoRangeJoinRandomSpec extends SparkSuite {
         val cond = keys.map(c => col(s"__l.$c") === col(s"__r.$c")).reduce(_ && _)
         val rightVals = ixB.df.columns.toSeq
           .filterNot(c => keys.contains(c) || c == "version")
-        val rightInOut = jt == "inner" || jt == "left_outer"
+        val rightInOut = jt == "inner" || jt == "left_outer" || jt == "full_outer"
+        // full outer COALESCEs key/version (the USING-join shape)
+        def lc(c: String) =
+          if (jt == "full_outer" && (keys.contains(c) || c == "version"))
+            coalesce(col(s"__l.$c"), col(s"__r.$c")).as(c)
+          else col(s"__l.$c")
         val want = l.join(r, cond, jt).select(
-          ixA.df.columns.toSeq.map(c => col(s"__l.$c")) ++
+          ixA.df.columns.toSeq.map(lc) ++
             (if (rightInOut) rightVals.map(c => col(s"__r.$c")) else Nil): _*)
 
         val gc = got.columns.toSeq

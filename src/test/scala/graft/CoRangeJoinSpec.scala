@@ -477,6 +477,55 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(sqlSemi.count() == matchedKeys.size.toLong)
   }
 
+  test("full_outer joins both directions of unmatched keys with zero exchanges (the two-snapshot diff)") {
+    val st = store(tmpDir("graft-crjfull"))
+    // left covers [1,2000] sparse evens gap; right covers [1500,3500] odds
+    val a = (1 to 2000).filter(i => i % 4 != 0)
+      .map(i => (i.toLong, s"a$i")).toDF("k", "av").repartition(1)
+    val b = (1500 to 3500).filter(_ % 2 == 1)
+      .map(i => (i.toLong, i * 3L)).toDF("k", "bv").repartition(1)
+    val ixA = KVIndex.bootstrap(st, "fj_a", a, Seq("k"),
+      maxRowsPerFile = 256).toOption.get
+    val ixB = KVIndex.bootstrap(st, "fj_b", b, Seq("k"),
+      maxRowsPerFile = 128).toOption.get
+
+    val full = ixA.coRangeJoin(ixB, joinType = "full_outer")
+    assert(collect(full.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty,
+      s"full_outer must plan zero exchanges:\n${full.queryExecution.executedPlan}")
+    // the key column COALESCEs the two sides (USING-join shape): right-only
+    // rows keep their key
+    val got = full.select("k", "av", "bv")
+      .as[(Long, Option[String], Option[Long])].collect().sortBy(_._1)
+    val aKeys = (1 to 2000).filter(i => i % 4 != 0).map(_.toLong).toSet
+    val bKeys = (1500 to 3500).filter(_ % 2 == 1).map(_.toLong).toSet
+    val want = (aKeys ++ bKeys).toSeq.sorted.map { k =>
+      (k, if (aKeys(k)) Some(s"a$k") else None,
+        if (bKeys(k)) Some(k * 3L) else None)
+    }
+    assert(got.toSeq == want)
+
+    // SQL FULL JOIN through the catalog: both sides' attrs, zip join planned
+    spark.conf.set("spark.sql.catalog.crjfcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.crjfcat.root", st.root)
+    val q = spark.sql(
+      """SELECT a.k, a.av, b.k AS bk, b.bv FROM crjfcat.fj_a a
+         FULL JOIN crjfcat.fj_b b ON a.k = b.k""")
+    assert(collectFirst(q.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isDefined,
+      s"FULL JOIN must plan the zip join:\n${q.queryExecution.executedPlan}")
+    assert(collect(q.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty)
+    val sqlGot = q.as[(Option[Long], Option[String], Option[Long], Option[Long])]
+      .collect().sortBy(r => r._1.orElse(r._3))
+    assert(sqlGot.length == (aKeys ++ bKeys).size)
+    sqlGot.foreach { case (ak, av, bk, bv) =>
+      val k = ak.orElse(bk).get
+      assert(ak.isDefined == aKeys(k) && av.isDefined == aKeys(k))
+      assert(bk.isDefined == bKeys(k) && bv == (if (bKeys(k)) Some(k * 3L) else None))
+    }
+  }
+
   test("spark.graft.maxPlanLegs caps plan leaves for the stitch and the join; legs grow instead") {
     val st = store(tmpDir("graft-crjcap"))
     val a = (1 to 4000).map(i => (i.toLong, i * 2L)).toDF("k", "av").repartition(1)
