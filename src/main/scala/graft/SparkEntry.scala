@@ -2819,6 +2819,18 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // RIGHT OUTER mirrors left: the preserved side is the right one, the
+    // key column COALESCEs (right-only rows keep their key), the ordering
+    // claim moves to the right keys
+    "kv_corange_right" -> ((s, d) => {
+      liAggOddStore(s, d).coRangeJoin(ordMod3Store(s, d),
+          joinType = "right_outer")
+        .filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("qty").cast("long").as("qty"),
+          col("n_lines"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("l_orderkey")
+    }),
     // FULL OUTER = the two-snapshot diff in one exchange-free pass: the
     // key column COALESCEs the sides (USING-join shape), left-only /
     // matched / right-only row classes all present by fixture design
@@ -4215,6 +4227,16 @@ object SparkEntry {
         "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS price " +
         "FROM orders WHERE NOT EXISTS (SELECT 1 FROM li WHERE li.l_orderkey = orders.o_orderkey) " +
         "AND o_orderkey <= 300 ORDER BY o_orderkey"),
+      "kv_corange_right" -> ("WITH li AS (SELECT l_orderkey, sum(l_quantity) AS qty, " +
+        "count(*) AS n_lines FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1), " +
+        "o AS (SELECT o_orderkey, o_custkey, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 3 <> 0) " +
+        "SELECT coalesce(li.l_orderkey, o.o_orderkey) AS l_orderkey, " +
+        "CAST(li.qty AS BIGINT) AS qty, li.n_lines, o.o_custkey, " +
+        "round(o.o_totalprice, 2) AS price " +
+        "FROM li RIGHT JOIN o ON li.l_orderkey = o.o_orderkey " +
+        "WHERE coalesce(li.l_orderkey, o.o_orderkey) <= 300 " +
+        "ORDER BY coalesce(li.l_orderkey, o.o_orderkey)"),
       "kv_corange_full" -> ("WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice " +
         "FROM orders WHERE o_orderkey % 3 <> 0), " +
         "li AS (SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS n_lines " +

@@ -985,7 +985,10 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val rs = other.store.emptyTyped(other.manifest).schema
     require(key.cols.map(ls(_).dataType) == other.key.cols.map(rs(_).dataType),
       "coRangeJoin: key column types must match positionally")
-    val fullOuter = jt == org.apache.spark.sql.catalyst.plans.FullOuter
+    // full and right outer COALESCE the key/version columns: their
+    // right-only rows carry no left-side values
+    val fullOuter = jt == org.apache.spark.sql.catalyst.plans.FullOuter ||
+      jt == org.apache.spark.sql.catalyst.plans.RightOuter
     val rightInOutput = jt == org.apache.spark.sql.catalyst.plans.Inner ||
       jt == LeftOuter || fullOuter
     // the engine's own `version` stamp rides every snapshot: keep the
@@ -1109,10 +1112,10 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
                         Seq[org.apache.spark.sql.catalyst.expressions.Attribute])],
                 Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
                 Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])] = {
-    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftAnti, LeftOuter}
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftAnti, LeftOuter, RightOuter}
     if ((manifest.isEmpty && other.manifest.isEmpty) ||
         !filesDisjoint || !other.filesDisjoint) return None
-    val rightPreserving = joinType == FullOuter
+    val rightPreserving = joinType == FullOuter || joinType == RightOuter
     val leftPreserving = joinType == LeftOuter || joinType == LeftAnti ||
       joinType == FullOuter
     if (manifest.isEmpty && !rightPreserving) return Some((None, None, None))

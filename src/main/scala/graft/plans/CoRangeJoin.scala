@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
@@ -22,13 +22,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * ORDER BY.
   *
   * Join types: INNER, the LEFT-preserving family (LeftOuter, LeftSemi,
-  * LeftAnti) and FULL OUTER — the snapshot-diff primitives ("which keys
-  * are missing / present / changed on either side") with no shuffle. For
-  * the preserving types the caller must route EVERY preserved row into
-  * some leg (ranges only one side covers ride the `leftOnly`/`rightOnly`
-  * branches of `coRangeLegPlans`). Null join keys follow SQL equality:
-  * never matched, so inner/semi drop them, outer types null-extend them,
-  * anti keeps them.
+  * LeftAnti), RIGHT OUTER and FULL OUTER — the snapshot-diff primitives
+  * ("which keys are missing / present / changed on either side") with no
+  * shuffle. For the preserving types the caller must route EVERY
+  * preserved row into some leg (ranges only one side covers ride the
+  * `leftOnly`/`rightOnly` branches of `coRangeLegPlans`). Null join keys
+  * follow SQL equality: never matched, so inner/semi drop them, outer
+  * types null-extend them, anti keeps them.
   *
   * Spark's own vocabulary cannot express the leg invariant —
   * `KeyGroupedPartitioning` (storage-partitioned joins) requires each
@@ -57,6 +57,7 @@ final case class ZipPartitionsJoin(left: LogicalPlan, right: LogicalPlan,
   override def output: Seq[Attribute] = joinType match {
     case LeftSemi | LeftAnti => left.output
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case RightOuter => left.output.map(_.withNullability(true)) ++ right.output
     case FullOuter => left.output.map(_.withNullability(true)) ++
       right.output.map(_.withNullability(true))
     case _ => left.output ++ right.output
@@ -68,7 +69,7 @@ final case class ZipPartitionsJoin(left: LogicalPlan, right: LogicalPlan,
 
 object ZipPartitionsJoin {
   def supports(jt: JoinType): Boolean = jt match {
-    case Inner | LeftOuter | LeftSemi | LeftAnti | FullOuter => true
+    case Inner | LeftOuter | LeftSemi | LeftAnti | RightOuter | FullOuter => true
     case _ => false
   }
 }
@@ -82,6 +83,7 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] = joinType match {
     case LeftSemi | LeftAnti => left.output
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case RightOuter => left.output.map(_.withNullability(true)) ++ right.output
     case FullOuter => left.output.map(_.withNullability(true)) ++
       right.output.map(_.withNullability(true))
     case _ => left.output ++ right.output
@@ -98,10 +100,16 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
 
   /** FULL OUTER interleaves right-only rows whose LEFT attributes are
     * null, so neither the left-key ordering nor the range partitioning
-    * survives — both claims are dropped for it.
+    * survives — both claims are dropped for it. RIGHT OUTER claims them
+    * on the RIGHT keys instead (its preserved, never-null side: the
+    * merge emits in key order and right-only rows carry their own key).
     */
   override def outputOrdering: Seq[SortOrder] =
-    if (joinType == FullOuter) Nil else leftKeys.map(SortOrder(_, Ascending))
+    joinType match {
+      case FullOuter => Nil
+      case RightOuter => rightKeys.map(SortOrder(_, Ascending))
+      case _ => leftKeys.map(SortOrder(_, Ascending))
+    }
 
   /** The output is range-partitioned by the FULL left key list in the
     * exact sense of Spark's own [[RangePartitioning]]: leg i covers a key
@@ -152,11 +160,12 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rAttrs.size) // all-null row
 
-      // FULL OUTER: a symmetric merge that also emits unmatched RIGHT
-      // rows (null-extended on the left). Lookahead on both sides; a
-      // staged emission advances its source only AFTER the row is
-      // consumed, so the scan/sort row-buffer reuse never corrupts it.
-      if (jt == FullOuter) new Iterator[InternalRow] {
+      // FULL / RIGHT OUTER: a symmetric merge that also emits unmatched
+      // RIGHT rows (null-extended on the left); right outer SKIPS
+      // unmatched-left emissions. Lookahead on both sides; a staged
+      // emission advances its source only AFTER the row is consumed, so
+      // the scan/sort row-buffer reuse never corrupts it.
+      if (jt == FullOuter || jt == RightOuter) new Iterator[InternalRow] {
         private val nullLeft = new GenericInternalRow(lAttrs.size)
         private var lRow: InternalRow = _; private var lKey: UnsafeRow = _
         private var lLoaded = false
@@ -176,6 +185,11 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
           if (ri.hasNext) { rRow = ri.next(); rKey = rKeyProj(rRow); rLoaded = true }
           else { rRow = null; rLoaded = false }
 
+        // RIGHT OUTER shares this merge but SKIPS unmatched-left
+        // emissions: the left row just advances
+        private def stageLeftOnly(): Unit =
+          if (jt == RightOuter) loadLeft() else emitKind = 2
+
         private def prepare(): Boolean = {
           if (!started) { loadLeft(); loadRight(); started = true }
           while (true) {
@@ -186,17 +200,17 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
                 gi = 0; loadLeft() // this left's pairs are all emitted
               } else if (lKey.anyNull || keyOrd.compare(lKey, rGroupKey) > 0) {
                 rGroup.clear(); rGroupKey = null // permanently stale
-              } else { emitKind = 2; return true } // defensively unmatched
+              } else stageLeftOnly() // defensively unmatched
             }
             else if (!lLoaded && !rLoaded) return false
             else if (!lLoaded) emitKind = 3 // drain unmatched right
-            else if (lKey.anyNull) emitKind = 2 // null key never matches
-            else if (!rLoaded) emitKind = 2 // drain unmatched left
+            else if (lKey.anyNull) stageLeftOnly() // null key never matches
+            else if (!rLoaded) stageLeftOnly() // drain unmatched left
             else if (rKey.anyNull) emitKind = 3
             else {
               val c = keyOrd.compare(rKey, lKey)
               if (c < 0) emitKind = 3
-              else if (c > 0) emitKind = 2
+              else if (c > 0) stageLeftOnly()
               else { // buffer the duplicate-key group, then pair
                 rGroupKey = rKey.copy(); rGroup.clear(); gi = 0
                 do { rGroup += rRow.copy(); loadRight() }

