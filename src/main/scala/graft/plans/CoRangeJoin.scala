@@ -80,6 +80,10 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
                                        joinType: JoinType)
     extends BinaryExecNode {
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override def output: Seq[Attribute] = joinType match {
     case LeftSemi | LeftAnti => left.output
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
@@ -143,6 +147,7 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
     require(lrdd.getNumPartitions == rrdd.getNumPartitions,
       s"co-range join children must have identical partitioning: " +
         s"${lrdd.getNumPartitions} vs ${rrdd.getNumPartitions} partitions")
+    val numOutputRows = longMetric("numOutputRows")
     val jt = joinType
     val lKeys = leftKeys
     val rKeys = rightKeys
@@ -227,6 +232,7 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
 
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException("empty join iterator")
+          numOutputRows += 1
           emitKind match {
             case 1 =>
               val out = outPair(joined(lRow, rGroup(gi)))
@@ -320,6 +326,7 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
 
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException("empty join iterator")
+          numOutputRows += 1
           if (emitLeftOnly) {
             emitLeftOnly = false
             jt match {
