@@ -403,5 +403,32 @@ class ScaleProbeSpec extends SparkSuite {
     info(f"co-range join: $cnt rows across $legs legs in $sec%.1f s")
     assert(cnt == (n + 1) / 2)
     assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    // the diff family at the same scale: full_outer emits matched +
+    // left-only + right-only (evens are left-only, odds match) through
+    // the symmetric merge, still exchange-free
+    val t2 = System.nanoTime()
+    val full = ixA.coRangeJoin(ixB, joinType = "full_outer")
+    val fullCnt = full.count()
+    info(f"full_outer: $fullCnt rows in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    assert(fullCnt == n) // every left key appears once; right ⊆ left
+    assert(!full.queryExecution.executedPlan.toString.contains("Exchange"))
+    val t3 = System.nanoTime()
+    val anti = ixA.coRangeJoin(ixB, joinType = "left_anti")
+    val antiCnt = anti.count()
+    info(f"left_anti: $antiCnt rows in ${(System.nanoTime() - t3) / 1e9}%.1f s")
+    assert(antiCnt == n / 2)
+    assert(!anti.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    // join → aggregate on the key: RangePartitioning satisfies the
+    // aggregation's distribution, so the WHOLE pipeline plans no shuffle
+    val t4 = System.nanoTime()
+    val agg = ixA.coRangeJoin(ixB).groupBy("k")
+      .agg(sum(col("av") + col("bv")).as("s"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "join->aggregate on the key must stay exchange-free")
+    val aggCnt = agg.count()
+    info(f"join->groupBy(key): $aggCnt groups in ${(System.nanoTime() - t4) / 1e9}%.1f s, zero exchanges")
+    assert(aggCnt == (n + 1) / 2)
   }
 }
