@@ -959,8 +959,9 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * `other`'s, which must match in arity and type. Join types: `inner`
     * (default), the LEFT-preserving snapshot-diff family —
     * `left_outer`, `left_semi`, `left_anti` ("which keys are missing /
-    * present on the right") — and `full_outer` (the two-snapshot diff:
-    * added / removed / changed in one pass), all with zero exchanges;
+    * present on the right") — plus `right_outer` and `full_outer` (the
+    * two-snapshot diff: added / removed / changed in one pass), all with
+    * zero exchanges;
     * ranges only one side covers ride separate union branches. Output
     * for inner/left_outer/full_outer = all left columns, then `other`'s
     * non-key columns (the USING-join shape: full outer COALESCEs the key

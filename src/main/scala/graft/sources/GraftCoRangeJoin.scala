@@ -20,8 +20,8 @@ import graft.plans.ZipPartitionsJoin
   *
   * Join types: INNER, the LEFT-preserving snapshot-diff family
   * (LEFT OUTER / LEFT SEMI / LEFT ANTI — `WHERE [NOT] EXISTS` on the key
-  * plans as semi/anti), and FULL OUTER (the two-snapshot diff). Key
-  * ranges only one side covers ride separate union branches
+  * plans as semi/anti), RIGHT OUTER, and FULL OUTER (the two-snapshot
+  * diff). Key ranges only one side covers ride separate union branches
   * (pass-through for anti, null-extension for the outer types) so they
   * skip the join entirely.
   *

@@ -261,6 +261,22 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       (k.toLong, v, k * 5L)
     }
     assert(got.toSeq == want)
+
+    // the preserved types decline too and fall back to the stock join
+    // per type: anti of the overlapping-layout snapshot against a key
+    // subset keeps exactly the uncovered keys
+    val sub = (1 to 100).map(i => (i.toLong, i * 9L)).toDF("k", "sv").repartition(1)
+    val ixSub = KVIndex.bootstrap(st, "ovsub", sub, Seq("k")).toOption.get
+    val anti = ov.coRangeJoin(ixSub, joinType = "left_anti")
+    assert(collectFirst(anti.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isEmpty,
+      "overlapping left layout must decline the zip join for anti too")
+    assert(anti.select("k").as[Long].collect().sorted.toSeq ==
+      (101 to 200).map(_.toLong))
+    val fullFb = ov.coRangeJoin(ixSub, joinType = "full_outer")
+    assert(collectFirst(fullFb.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isEmpty)
+    assert(fullFb.count() == 200L)
   }
 
   test("column pruning and one-sided filters push through the zip join into the leg scans") {
