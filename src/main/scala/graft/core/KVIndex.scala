@@ -979,7 +979,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val jt = JoinType(joinType)
     require(graft.plans.ZipPartitionsJoin.supports(jt),
       s"coRangeJoin: unsupported join type '$joinType' " +
-        "(inner, left_outer, left_semi, left_anti)")
+        "(inner, left_outer, left_semi, left_anti, right_outer, full_outer)")
     require(key.cols.length == other.key.cols.length,
       s"coRangeJoin: key arity ${key.cols.length} != ${other.key.cols.length}")
     val ls = store.emptyTyped(manifest).schema
@@ -988,10 +988,10 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       "coRangeJoin: key column types must match positionally")
     // full and right outer COALESCE the key/version columns: their
     // right-only rows carry no left-side values
-    val fullOuter = jt == org.apache.spark.sql.catalyst.plans.FullOuter ||
+    val coalescedKeys = jt == org.apache.spark.sql.catalyst.plans.FullOuter ||
       jt == org.apache.spark.sql.catalyst.plans.RightOuter
     val rightInOutput = jt == org.apache.spark.sql.catalyst.plans.Inner ||
-      jt == LeftOuter || fullOuter
+      jt == LeftOuter || coalescedKeys
     // the engine's own `version` stamp rides every snapshot: keep the
     // LEFT side's (COALESCEd with the right's for full outer, like the
     // key columns), drop the right's otherwise
@@ -1009,11 +1009,11 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     // columns COALESCE the two sides, so right-only rows keep their key
     def shape(lc: String => Column, rc: Option[String => Column]): Seq[Column] =
       ls.fieldNames.toSeq.map { c =>
-        if (fullOuter && key.cols.contains(c))
+        if (coalescedKeys && key.cols.contains(c))
           coalesce(lc(c), rc.map(f => f(rKeyOf(c))).getOrElse(lit(null))).as(c)
-        else if (fullOuter && c == "version" && rs.fieldNames.contains("version"))
+        else if (coalescedKeys && c == "version" && rs.fieldNames.contains("version"))
           coalesce(lc(c), rc.map(f => f("version")).getOrElse(lit(null))).as(c)
-        else if (fullOuter) lc(c).as(c)
+        else if (coalescedKeys) lc(c).as(c)
         else lc(c)
       } ++ (if (rightInOutput)
         rightVals.map(c => rc.map(f => f(c)).getOrElse(lit(null).cast(rs(c).dataType)).as(c))
@@ -1051,7 +1051,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
         // null-extend the other side (outer types) — no join work at all
         val leftOnlyShaped = leftOnlyOpt.map { lp =>
           val base = org.apache.spark.sql.graft.Shim.ofRows(spark, lp)
-          if (jt == LeftOuter || fullOuter) base.select(shape(col, None): _*)
+          if (jt == LeftOuter || coalescedKeys) base.select(shape(col, None): _*)
           else base.select(ls.fieldNames.toSeq.map(col): _*) // LeftAnti
         }
         val rightOnlyShaped = rightOnlyOpt.map { rp =>
