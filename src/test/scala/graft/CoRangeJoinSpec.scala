@@ -106,6 +106,18 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
       s"catalog SQL key join must plan zero exchanges:\n$plan")
 
+    // USING and NATURAL key joins desugar to the same ON-equalities and
+    // rewrite too (the analyzer's coalescing Project sits above the Join)
+    val qUsing = spark.sql(
+      "SELECT k, av, bv FROM crjcat.sa JOIN crjcat.sb USING (k) WHERE k <= 800")
+    assert(collectFirst(qUsing.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isDefined,
+      s"USING join must plan the zip join:\n${qUsing.queryExecution.executedPlan}")
+    assert(collect(qUsing.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty)
+    assert(qUsing.as[(Long, String, Long)].collect().sortBy(_._1).toSeq ==
+      (700 to 800).map(i => (i.toLong, s"a$i", i * 3L)))
+
     // ineligible shapes keep the stock join: prefix-only equality on a
     // composite-keyed pair must NOT rewrite
     val c = (1 to 100).map(i => (i % 5, i.toLong, s"c$i")).toDF("g", "k", "cv")
