@@ -19,9 +19,9 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     SparkEntry.warmup(spark, sfDir)
-    // median-of-N per query (default 3): one-directional machine-load noise
+    // min-of-N per query (default 3): one-directional machine-load noise
     // swung identical code ±50% run to run under single-shot timing — the
-    // median makes a real regression attributable. Reps interleave by
+    // min makes a real regression attributable. Reps interleave by
     // whole suite passes so a transient load spike degrades one PASS, not
     // one query's entire sample.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -34,16 +34,21 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       samples(name) = sec :: samples.getOrElse(name, Nil)
     }
-    val results = names.map { name =>
-      val sorted = samples(name).sorted
-      name -> sorted(sorted.size / 2)
-    }.toMap
+    // per-query MINIMUM across the passes: machine-load noise only ever
+    // ADDS time, so the min is the noise-robust estimator — phantom
+    // regressions from one loaded pass stop re-litigating every round.
+    // The artifact also carries EVERY sample (chronological pass order)
+    // so a flagged query's stability across back-to-back runs is visible.
+    val results = names.map(name => name -> samples(name).min).toMap
     // sorted by name so round-over-round file diffs line up
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val all = names.sorted
+      .map(k => "\"" + k + "\":" + samples(k).reverse.mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"samples":$all}"""
     println(line)
     // the driver keeps only a tail of stdout — persist the COMPLETE
     // per-query map so round-over-round comparison covers every query.

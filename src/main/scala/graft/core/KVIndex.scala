@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * touched files only.
   */
 final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
-                    maxRowsPerFile: Long = 1L << 19) {
+                    private val maxRowsPerFile: Long = 1L << 19) {
 
   def spark: SparkSession = store.spark
   val key: KeySpec = manifest.keySpec
@@ -79,9 +79,15 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * with `spark.graft.maxPlanLegs` (e.g. up on a wide cluster whose
     * scheduler wants more concurrent tasks).
     */
-  private def maxPlanLegs: Int = math.max(1,
-    org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.maxPlanLegs", "4096").toInt)
+  private def maxPlanLegs: Int = {
+    val raw = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.maxPlanLegs", "4096")
+    val parsed =
+      try raw.trim.toInt
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.maxPlanLegs must be an integer, got '$raw'") }
+    math.max(1, parsed)
+  }
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
@@ -1149,8 +1155,12 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     // absorbs with O(one duplicate-key group) task heap
     val bigger = math.max(
       lfs.iterator.map(_.rows).sum, rfs.iterator.map(_.rows).sum)
+    // default leg size honors the LARGER of the two sides' batching
+    // conventions — a right side built with a bigger file target would
+    // otherwise have every file split by left-convention boundaries
     val target = math.max(1L, math.max(
-      if (rowsPerLeg > 0) rowsPerLeg else maxRowsPerFile,
+      if (rowsPerLeg > 0) rowsPerLeg
+      else math.max(maxRowsPerFile, other.maxRowsPerFile),
       ceilDiv(bigger, maxPlanLegs.toLong)))
 
     // shared boundaries from BOTH sides' (pruned) file bounds: a leg

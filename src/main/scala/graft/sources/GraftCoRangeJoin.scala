@@ -109,8 +109,12 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     // Exactness is unaffected: the same predicates replay in the stacks.
     // per-leg row target from session conf (e.g. for wider tasks on a
     // scan-heavy join); ≤ 0 = the index's maxRowsPerFile convention
-    val rowsPerLeg = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.corange.rowsPerLeg", "-1").toLong
+    val rowsPerLegRaw = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.corange.rowsPerLeg", "-1")
+    val rowsPerLeg =
+      try rowsPerLegRaw.trim.toLong
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.corange.rowsPerLeg must be an integer, got '$rowsPerLegRaw'") }
     lIx.coRangeLegPlans(rIx, rowsPerLeg,
         lg.pushedKeyBounds, rg.pushedKeyBounds, jt).map {
       case (zipOpt, leftOnlyOpt, rightOnlyOpt) =>
@@ -147,7 +151,7 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
             case _ => stack // LeftAnti: every left row in range survives
           }
         }
-        val rightOnly = rightOnlyOpt.map { rp => // FullOuter only
+        val rightOnly = rightOnlyOpt.map { rp => // FullOuter / RightOuter
           val stack = rRebuild(aliasTo(rrel.output, rp))
           Project(l.output.map(a =>
             Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)) ++
