@@ -578,6 +578,22 @@ object SparkEntry {
       KVIndex.open(store, "mord").fold(e => sys.error(e.message), identity)
     }
 
+  /** lineitem at LINE grain keyed (l_orderkey, l_linenumber) — the
+    * composite-keyed fact of the PREFIX co-range join demo
+    * (kv_corange_prefix): the SQL join binds only the leading key
+    * component, and legs are cut at prefix-group boundaries.
+    */
+  private def liLinesStore(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-lilines", s, d) { store =>
+      // the synthetic lineitem is NOT unique on (orderkey, linenumber):
+      // aggregate to that grain so the composite key honors the engine's
+      // key-unique contract (bootstrap validates it)
+      val li = t(s, d, "lineitem").groupBy("l_orderkey", "l_linenumber")
+        .agg(sum(col("l_quantity")).as("qty"))
+      KVIndex.bootstrap(store, "lilines", li, Seq("l_orderkey", "l_linenumber"))
+        .fold(e => sys.error(e.message), identity)
+    }._2
+
   /** lineitem aggregated to order grain, keyed l_orderkey — the second
     * fact index of the co-located join demo (kv_colocated_join).
     */
@@ -2831,6 +2847,26 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("l_orderkey")
     }),
+    // leading-key-PREFIX join through SQL: the fact is keyed
+    // (l_orderkey, l_linenumber), the dimension (o_orderkey) — the join
+    // binds only the leading component, so legs are cut at PREFIX-group
+    // boundaries (a boundary can never split an order's lines) and the
+    // plan is still exchange-free with the WHERE bound pruning files
+    "kv_corange_prefix" -> ((s, d) => {
+      val liIx = liLinesStore(s, d)
+      val ordIx = ordMod3Store(s, d)
+      s.conf.set("spark.sql.catalog.graft_crp_a", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_crp_a.root", liIx.store.root)
+      s.conf.set("spark.sql.catalog.graft_crp_b", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_crp_b.root", ordIx.store.root)
+      s.sql("""
+        SELECT l.l_orderkey, l.l_linenumber, CAST(l.qty AS BIGINT) AS qty,
+               o.o_custkey
+        FROM graft_crp_a.lilines l JOIN graft_crp_b.ordmod3 o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey <= 500
+        ORDER BY l.l_orderkey, l.l_linenumber""")
+    }),
     // FULL OUTER = the two-snapshot diff in one exchange-free pass: the
     // key column COALESCEs the sides (USING-join shape), left-only /
     // matched / right-only row classes all present by fixture design
@@ -4237,6 +4273,13 @@ object SparkEntry {
         "FROM li RIGHT JOIN o ON li.l_orderkey = o.o_orderkey " +
         "WHERE coalesce(li.l_orderkey, o.o_orderkey) <= 300 " +
         "ORDER BY coalesce(li.l_orderkey, o.o_orderkey)"),
+      "kv_corange_prefix" -> ("WITH li AS (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l.l_orderkey, l.l_linenumber, CAST(l.qty AS BIGINT) AS qty, " +
+        "o.o_custkey " +
+        "FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE l.l_orderkey <= 500 AND o.o_orderkey % 3 <> 0 " +
+        "ORDER BY l.l_orderkey, l.l_linenumber"),
       "kv_corange_full" -> ("WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice " +
         "FROM orders WHERE o_orderkey % 3 <> 0), " +
         "li AS (SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS n_lines " +

@@ -1011,14 +1011,24 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     }
     val rKeyOf = key.cols.zip(other.key.cols).toMap
 
-    // the USING-join output shape: for full outer the key (and version)
-    // columns COALESCE the two sides, so right-only rows keep their key
-    def shape(lc: String => Column, rc: Option[String => Column]): Seq[Column] =
+    // the USING-join output shape: for full/right outer the key (and
+    // version) columns COALESCE the two sides, so right-only rows keep
+    // their key. `preCoalesced` = the zip exec already folded the
+    // coalesce into its output (the layout-claims path): the left slots
+    // carry the coalesced values and a plain aliased select keeps the
+    // exec's RangePartitioning/ordering alive through Spark's
+    // alias-aware propagation — a Project re-computing coalesce(l, r)
+    // would orphan the claims (the partitioning expression would no
+    // longer appear in the output).
+    def shape(lc: String => Column, rc: Option[String => Column],
+              preCoalesced: Boolean = false): Seq[Column] =
       ls.fieldNames.toSeq.map { c =>
         if (coalescedKeys && key.cols.contains(c))
-          coalesce(lc(c), rc.map(f => f(rKeyOf(c))).getOrElse(lit(null))).as(c)
+          (if (preCoalesced) lc(c)
+           else coalesce(lc(c), rc.map(f => f(rKeyOf(c))).getOrElse(lit(null)))).as(c)
         else if (coalescedKeys && c == "version" && rs.fieldNames.contains("version"))
-          coalesce(lc(c), rc.map(f => f("version")).getOrElse(lit(null))).as(c)
+          (if (preCoalesced) lc(c)
+           else coalesce(lc(c), rc.map(f => f("version")).getOrElse(lit(null)))).as(c)
         else if (coalescedKeys) lc(c).as(c)
         else lc(c)
       } ++ (if (rightInOutput)
@@ -1039,7 +1049,18 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       case None => plainJoin()
       case Some((zipOpt, leftOnlyOpt, rightOnlyOpt)) =>
         val zipDf = zipOpt.map { case (lPlan, rPlan, lKeys, rKeys) =>
-          val zj = graft.plans.ZipPartitionsJoin(lPlan, rPlan, lKeys, rKeys, jt)
+          // full/right outer: the key (and version) coalesce folds INTO
+          // the exec's output, so the merge's key-ordered emission is a
+          // live RangePartitioning/ordering claim — a GROUP BY / ORDER BY
+          // on the key above a two-snapshot diff plans no exchange
+          val pairs: Seq[(org.apache.spark.sql.catalyst.expressions.Attribute,
+                          org.apache.spark.sql.catalyst.expressions.Attribute)] =
+            if (!coalescedKeys) Nil
+            else lKeys.zip(rKeys) ++ (for {
+              lv <- lPlan.output.find(_.name == "version")
+              rv <- rPlan.output.find(_.name == "version")
+            } yield (lv, rv))
+          val zj = graft.plans.ZipPartitionsJoin(lPlan, rPlan, lKeys, rKeys, jt, pairs)
           // resolve by the two sides' own attributes — key NAMES may
           // repeat across sides, so name-based selection would be
           // ambiguous for full outer
@@ -1051,7 +1072,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
             .select(shape(c => org.apache.spark.sql.graft.Shim.col(lByName(c)),
               if (rightInOutput)
                 Some(c => org.apache.spark.sql.graft.Shim.col(rByName(c)))
-              else None): _*)
+              else None, preCoalesced = coalescedKeys): _*)
         }
         // legs only ONE side covers: rows pass through (anti), or
         // null-extend the other side (outer types) — no join work at all
@@ -1112,7 +1133,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       lPrune: (Option[Seq[Any]], Option[Seq[Any]]) = (None, None),
       rPrune: (Option[Seq[Any]], Option[Seq[Any]]) = (None, None),
       joinType: org.apache.spark.sql.catalyst.plans.JoinType =
-        org.apache.spark.sql.catalyst.plans.Inner)
+        org.apache.spark.sql.catalyst.plans.Inner,
+      keyLen: Int = -1)
       : Option[(Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                         Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
@@ -1120,6 +1142,15 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
                 Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
                 Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])] = {
     import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftAnti, LeftOuter, RightOuter}
+    // `keyLen` joins on the LEADING keyLen key components of both sides
+    // (the SQL rewrite's key-PREFIX joins): every leg boundary is cut as
+    // a length-keyLen prefix tuple, so rows sharing the join key can
+    // never be split across legs — a file whose range straddles a prefix
+    // boundary is simply covered by both legs (the same read-amplification
+    // rule as full-key boundaries). -1 = the full key.
+    val kl = if (keyLen > 0) keyLen else key.cols.length
+    require(kl <= key.cols.length && kl <= other.key.cols.length,
+      s"coRangeLegPlans: keyLen $kl exceeds a side's key arity")
     if ((manifest.isEmpty && other.manifest.isEmpty) ||
         !filesDisjoint || !other.filesDisjoint) return None
     val rightPreserving = joinType == FullOuter || joinType == RightOuter
@@ -1171,7 +1202,10 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       val b = Seq.newBuilder[Seq[Any]]
       var rows = 0L; var first = true
       fs.foreach { f =>
-        if (!first && rows + f.rows > target) { b += f.min; rows = 0L }
+        // prefix joins truncate every boundary to the join-key length, so
+        // a boundary can never split a join-key group (KeyOrd's prefix
+        // convention then routes the whole group above the boundary)
+        if (!first && rows + f.rows > target) { b += f.min.take(kl); rows = 0L }
         rows += f.rows; first = false
       }
       b.result()
@@ -1274,7 +1308,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
                   names: Seq[String]) =
         names.map(c => p.output.find(_.name == c).getOrElse(
           sys.error(s"coRangeJoin: missing key column $c")))
-      Some((lPlan, rPlan, attrsOf(lPlan, key.cols), attrsOf(rPlan, other.key.cols)))
+      Some((lPlan, rPlan, attrsOf(lPlan, key.cols.take(kl)),
+        attrsOf(rPlan, other.key.cols.take(kl))))
     }
     val loPart = if (loLegs.isEmpty) None else Some(
       loLegs.map { case (lo, hi, afs, _) => legDf(this, afs, lo, hi) }
@@ -1429,15 +1464,35 @@ object KVIndex {
   /** Build the first snapshot of a new index from a bulk DataFrame —
     * SURVEY §7's `KVSnapshot.fromBatch`. Stamps every tuple with the insert
     * version (reference `Index.scala:281-320` stamps `insertVersion`).
+    *
+    * `validateKeys` (default ON) enforces the engine's key-unique contract
+    * at the OTHER entry point writes can't guard: W1 rejects duplicate keys
+    * per batch (`DUPLICATED_KEYS`), but a bulk bootstrap used to accept
+    * them silently — and every read/join primitive (point get, nextKey,
+    * the zip join's group buffer sizing claim) assumes uniqueness. The
+    * probe is the W1 dup probe's shape — ONE key-only aggregate
+    * (map-side-combined count over the key columns; values never shuffle)
+    * before any file is written, typed `DuplicatedKeys` on failure with
+    * the index NOT created. Pass `validateKeys = false` for trusted
+    * pre-deduplicated inputs to skip the pass.
     */
   def bootstrap(store: SnapshotStore, id: String, df: DataFrame, keyCols: Seq[String],
                 maxNItems: Long = -1L,
                 txVersion: String = UUID.randomUUID().toString,
                 maxRowsPerFile: Long = 1L << 19,
-                recordHistory: Boolean = false): Either[GraftError, KVIndex] = {
+                recordHistory: Boolean = false,
+                validateKeys: Boolean = true): Either[GraftError, KVIndex] = {
     val valueColNames = df.columns.filterNot(c => keyCols.contains(c) || c == "version").toSeq
     // record per-column DDL types so an empty snapshot still reads typed
     val colTypes = (keyCols ++ valueColNames).map(c => df.schema(c).dataType.sql)
+    if (validateKeys) {
+      // BEFORE createIndex: a rejected bootstrap must leave no index record
+      val dupS = df.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1)
+        .select(concat_ws("/", keyCols.map(c => col(c).cast("string")): _*).as("key"))
+        .limit(5).collect().map(_.getString(0))
+      if (dupS.nonEmpty) return Left(GraftError.DuplicatedKeys(dupS.toSeq))
+    }
     store.createIndex(id, keyCols, valueColNames, maxNItems, colTypes) match {
       case Left(e) => Left(e)
       case Right(m0) =>

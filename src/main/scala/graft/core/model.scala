@@ -43,9 +43,16 @@ final case class KeySpec(cols: Seq[String]) {
   def ltKey(k: Seq[Any], orEq: Boolean = false): Column =
     cmpKey(k, (c, v) => if (v == null) lit(false) else c.isNull || c < lit(v), orEq)
 
+  /** `k` may bind only a LEADING PREFIX of the key columns (the prefix
+    * convention: a longer tuple ranks above its prefix, so `gtKey(p,
+    * orEq = true)` ⇔ row's first `p.length` components ≥ p, and
+    * `ltKey(p)` ⇔ strictly below p — exactly the half-open leg
+    * predicates the prefix co-range join cuts).
+    */
   private def cmpKey(k: Seq[Any], op: (Column, Any) => Column,
                      orEq: Boolean): Column = {
-    require(k.length == cols.length, s"key arity ${k.length} != ${cols.length}")
+    require(k.nonEmpty && k.length <= cols.length,
+      s"key arity ${k.length} not in 1..${cols.length}")
     val strict = cols.zip(k).zipWithIndex.map { case ((c, v), i) =>
       val eqPrefix = cols.take(i).zip(k).map { case (pc, pv) => col(pc) <=> lit(pv) }
       (eqPrefix :+ op(col(c), v)).reduce(_ && _)

@@ -43,25 +43,54 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * requirement stays unspecified) whose `UnsafeExternalSorter` SPILLS to
   * disk past its managed-memory budget; the join itself then streams both
   * sorted iterators, buffering only the CURRENT duplicate-key group of
-  * the right leg. Per-task heap is therefore O(one key's right rows) no
-  * matter how large a leg grows — an oversized leg (or a pathological
-  * rows-per-leg setting) degrades to a disk-backed sort, never an OOM.
+  * the right leg — and that buffer is ITSELF spillable
+  * ([[org.apache.spark.sql.graft.SpillableRowBuffer]], the structure
+  * Spark's own SMJ buffers matched groups in, same threshold confs).
+  * Per-task heap is therefore bounded no matter how large a leg grows OR
+  * how hot one key is: an oversized leg (or a pathological rows-per-leg
+  * setting) degrades to a disk-backed sort, and a duplicate-heavy key
+  * (a key-prefix join's group, or a snapshot built with `validateKeys =
+  * false` that breaks the engine's key-unique contract) degrades to a
+  * disk-backed group — never an OOM.
+  */
+/** `coalesced` (FULL/RIGHT OUTER only): (left, right) attribute pairs the
+  * join COALESCEs INSIDE the exec — the pair's value lands in the LEFT
+  * attribute's output slot and the right partner is dropped from the
+  * output. This is the USING-join shape (key and version columns of a
+  * two-snapshot diff) folded into the operator, and it is what lets these
+  * types KEEP their layout claims: with the key slots coalesced, every
+  * output row — matched, left-only, right-only — carries its key in the
+  * left key attributes, so the merge's key-ordered emission is an honest
+  * `outputOrdering`/`RangePartitioning` and a GROUP BY / ORDER BY on the
+  * key above a snapshot diff plans NO exchange. Must cover all key pairs
+  * (claims on a partially-coalesced key would be unsound); empty = the
+  * SQL ON-join shape (both sides' columns in the output, FULL OUTER
+  * claims nothing).
   */
 final case class ZipPartitionsJoin(left: LogicalPlan, right: LogicalPlan,
                                    leftKeys: Seq[Attribute],
                                    rightKeys: Seq[Attribute],
-                                   joinType: JoinType = Inner) extends BinaryNode {
+                                   joinType: JoinType = Inner,
+                                   coalesced: Seq[(Attribute, Attribute)] = Nil)
+    extends BinaryNode {
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty)
   require(ZipPartitionsJoin.supports(joinType),
     s"ZipPartitionsJoin: unsupported join type $joinType")
-  override def output: Seq[Attribute] = joinType match {
-    case LeftSemi | LeftAnti => left.output
-    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
-    case RightOuter => left.output.map(_.withNullability(true)) ++ right.output
-    case FullOuter => left.output.map(_.withNullability(true)) ++
-      right.output.map(_.withNullability(true))
-    case _ => left.output ++ right.output
-  }
+  require(coalesced.isEmpty ||
+    ((joinType == FullOuter || joinType == RightOuter) &&
+      leftKeys.zip(rightKeys).forall { case (l, r) =>
+        coalesced.exists(p => p._1.exprId == l.exprId && p._2.exprId == r.exprId) }),
+    "ZipPartitionsJoin: coalesced output requires full/right outer and must cover every key pair")
+  override def output: Seq[Attribute] =
+    ZipPartitionsJoin.outputFor(joinType, left.output, right.output, coalesced)
+  /** `coalesced` lives in tuples, which TreeNode's expression discovery
+    * does not traverse — without this override the stock ColumnPruning
+    * would see no reference to the right-side partners and prune them
+    * out of the legs from under the exec's output projection.
+    */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      leftKeys ++ rightKeys ++ coalesced.flatMap(p => Seq(p._1, p._2)))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): ZipPartitionsJoin =
     copy(left = newLeft, right = newRight)
@@ -72,26 +101,56 @@ object ZipPartitionsJoin {
     case Inner | LeftOuter | LeftSemi | LeftAnti | RightOuter | FullOuter => true
     case _ => false
   }
+
+  /** Shared logical/physical output derivation. Coalesced slots are
+    * non-null when NEITHER partner is nullable (matched rows take the
+    * left value, one-sided rows the surviving side's — there is always
+    * one); all other slots of a null-extending type go nullable.
+    */
+  private[plans] def outputFor(jt: JoinType, lOut: Seq[Attribute],
+                               rOut: Seq[Attribute],
+                               coalesced: Seq[(Attribute, Attribute)]): Seq[Attribute] =
+    jt match {
+      case LeftSemi | LeftAnti => lOut
+      case LeftOuter => lOut ++ rOut.map(_.withNullability(true))
+      case (RightOuter | FullOuter) if coalesced.nonEmpty =>
+        val byL = coalesced.map { case (l, r) => l.exprId -> r }.toMap
+        val rDrop = coalesced.map(_._2.exprId).toSet
+        lOut.map { a =>
+          byL.get(a.exprId) match {
+            case Some(r) => a.withNullability(a.nullable && r.nullable)
+            case None => a.withNullability(true)
+          }
+        } ++ rOut.filterNot(a => rDrop.contains(a.exprId)).map(a =>
+          if (jt == RightOuter) a else a.withNullability(true))
+      case RightOuter => lOut.map(_.withNullability(true)) ++ rOut
+      case FullOuter => lOut.map(_.withNullability(true)) ++
+        rOut.map(_.withNullability(true))
+      case _ => lOut ++ rOut
+    }
 }
 
 final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
                                        leftKeys: Seq[Expression],
                                        rightKeys: Seq[Expression],
-                                       joinType: JoinType)
+                                       joinType: JoinType,
+                                       coalesced: Seq[(Attribute, Attribute)] = Nil)
     extends BinaryExecNode {
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"))
 
-  override def output: Seq[Attribute] = joinType match {
-    case LeftSemi | LeftAnti => left.output
-    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
-    case RightOuter => left.output.map(_.withNullability(true)) ++ right.output
-    case FullOuter => left.output.map(_.withNullability(true)) ++
-      right.output.map(_.withNullability(true))
-    case _ => left.output ++ right.output
-  }
+  override def output: Seq[Attribute] =
+    ZipPartitionsJoin.outputFor(joinType, left.output, right.output, coalesced)
+
+  /** See the logical node: tuple fields are invisible to expression
+    * discovery, and the output projection reads the coalesced partners.
+    */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      (leftKeys ++ rightKeys).flatMap(_.references) ++
+        coalesced.flatMap(p => Seq(p._1, p._2)))
 
   /** Sorted legs make the join a stream: `EnsureRequirements` satisfies
     * this with a local, SPILLABLE sort per child (no exchange — the
@@ -102,16 +161,21 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
     Seq(leftKeys.map(SortOrder(_, Ascending)),
       rightKeys.map(SortOrder(_, Ascending)))
 
-  /** FULL OUTER interleaves right-only rows whose LEFT attributes are
+  /** With a COALESCED output (API full/right outer — the USING/diff
+    * shape), every row carries its key in the left key slots, matched or
+    * not, and the merge emits in global key order across both sides — so
+    * the left-key ordering claim is honest for BOTH types. Without it,
+    * FULL OUTER interleaves right-only rows whose LEFT attributes are
     * null, so neither the left-key ordering nor the range partitioning
-    * survives — both claims are dropped for it. RIGHT OUTER claims them
-    * on the RIGHT keys instead (its preserved, never-null side: the
-    * merge emits in key order and right-only rows carry their own key).
+    * survives — both claims are dropped; RIGHT OUTER claims them on the
+    * RIGHT keys instead (its preserved, never-null side: the merge emits
+    * in key order and right-only rows carry their own key).
     */
   override def outputOrdering: Seq[SortOrder] =
     joinType match {
-      case FullOuter => Nil
-      case RightOuter => rightKeys.map(SortOrder(_, Ascending))
+      case FullOuter if coalesced.isEmpty => Nil
+      case RightOuter if coalesced.isEmpty =>
+        rightKeys.map(SortOrder(_, Ascending))
       case _ => leftKeys.map(SortOrder(_, Ascending))
     }
 
@@ -134,7 +198,7 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
     */
   override def outputPartitioning
       : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
-    if (joinType == FullOuter)
+    if (joinType == FullOuter && coalesced.isEmpty)
       org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
         left.outputPartitioning.numPartitions)
     else
@@ -154,13 +218,56 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
     val lAttrs = left.output
     val rAttrs = right.output
     val keyTypes = leftKeys.map(_.dataType)
+    // duplicate-key group buffer thresholds: the stock SMJ spill confs,
+    // read DRIVER-side and captured (SQLConf.get is empty on executors)
+    val (memThreshold, spillThreshold, spillSizeThreshold) =
+      org.apache.spark.sql.graft.SpillableRowBuffer.thresholds()
     lrdd.zipPartitions(rrdd, preservesPartitioning = false) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lAttrs)
       val rKeyProj = UnsafeProjection.create(rKeys, rAttrs)
-      val outPair = UnsafeProjection.create(
-        (lAttrs ++ rAttrs).map(_.asInstanceOf[Expression]), lAttrs ++ rAttrs)
+      // the output projection must bind with the OUTPUT's nullability,
+      // not the children's: a null-extending type feeds all-null rows
+      // through the absent side's slots, and a reference bound
+      // non-nullable (e.g. a child column that is a non-null literal
+      // alias) would skip the null check and emit a spurious value
+      val lA: Seq[Attribute] =
+        if (jt == RightOuter || jt == FullOuter) lAttrs.map(_.withNullability(true))
+        else lAttrs
+      val rA: Seq[Attribute] =
+        if (jt == LeftOuter || jt == FullOuter) rAttrs.map(_.withNullability(true))
+        else rAttrs
+      // coalesced mode folds the USING-shape key/version coalesce into
+      // the output projection itself — ONE projection serves matched,
+      // left-only and right-only emissions (the absent side is the
+      // all-null row, so Coalesce picks the surviving side's value)
+      val outExprs: Seq[Expression] =
+        if (coalesced.isEmpty) (lA ++ rA).map(_.asInstanceOf[Expression])
+        else {
+          val byL = coalesced.map { case (a, b) => a.exprId -> b }.toMap
+          val rDrop = coalesced.map(_._2.exprId).toSet
+          val rByIdA = rA.map(a => a.exprId -> a).toMap
+          lA.map(a => byL.get(a.exprId)
+            .map(r => org.apache.spark.sql.catalyst.expressions.Coalesce(
+                Seq(a, rByIdA(r.exprId)))
+              .asInstanceOf[Expression])
+            .getOrElse(a)) ++
+            rA.filterNot(a => rDrop.contains(a.exprId))
+        }
+      // bind against the nullable-adjusted input: BindReferences takes a
+      // reference's nullability from the INPUT schema attr, so the
+      // adjusted copies must be the schema, not just the expressions
+      val outPair = UnsafeProjection.create(outExprs, lA ++ rA)
       val outLeft = UnsafeProjection.create(
         lAttrs.map(_.asInstanceOf[Expression]), lAttrs)
+      // rows are UnsafeRow off the enforced local sorts; the projection is
+      // the defensive fallback for any other child shape (add() copies, so
+      // handing it a reused buffer is safe)
+      val rToUnsafe = UnsafeProjection.create(
+        rAttrs.map(_.asInstanceOf[Expression]), rAttrs)
+      def asUnsafe(r: InternalRow): UnsafeRow = r match {
+        case u: UnsafeRow => u
+        case other => rToUnsafe(other)
+      }
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rAttrs.size) // all-null row
@@ -176,9 +283,12 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
         private var lLoaded = false
         private var rRow: InternalRow = _; private var rKey: UnsafeRow = _
         private var rLoaded = false
-        private val rGroup = new scala.collection.mutable.ArrayBuffer[InternalRow](1)
+        // SPILLABLE duplicate-key group: a hot key's rows degrade to a
+        // disk-backed array (SMJ's own structure), never an executor OOM
+        private val rGroup = new org.apache.spark.sql.graft.SpillableRowBuffer(
+          memThreshold, spillThreshold, spillSizeThreshold)
         private var rGroupKey: UnsafeRow = _
-        private var gi = 0
+        private var grpIter: Iterator[UnsafeRow] = _ // current left's pairs
         private var emitKind = 0 // 1 = pair, 2 = left-only, 3 = right-only
         private var started = false
         private var done = false
@@ -201,10 +311,11 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
             if (emitKind != 0) return true
             if (lLoaded && rGroupKey != null) {
               if (!lKey.anyNull && keyOrd.compare(lKey, rGroupKey) == 0) {
-                if (gi < rGroup.length) { emitKind = 1; return true }
-                gi = 0; loadLeft() // this left's pairs are all emitted
+                if (grpIter == null) grpIter = rGroup.iterator // fresh left row
+                if (grpIter.hasNext) { emitKind = 1; return true }
+                grpIter = null; loadLeft() // this left's pairs are all emitted
               } else if (lKey.anyNull || keyOrd.compare(lKey, rGroupKey) > 0) {
-                rGroup.clear(); rGroupKey = null // permanently stale
+                rGroup.clear(); rGroupKey = null; grpIter = null // permanently stale
               } else stageLeftOnly() // defensively unmatched
             }
             else if (!lLoaded && !rLoaded) return false
@@ -217,8 +328,8 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
               if (c < 0) emitKind = 3
               else if (c > 0) stageLeftOnly()
               else { // buffer the duplicate-key group, then pair
-                rGroupKey = rKey.copy(); rGroup.clear(); gi = 0
-                do { rGroup += rRow.copy(); loadRight() }
+                rGroupKey = rKey.copy(); rGroup.clear(); grpIter = null
+                do { rGroup.add(asUnsafe(rRow)); loadRight() }
                 while (rLoaded && !rKey.anyNull &&
                   keyOrd.compare(rKey, rGroupKey) == 0)
               }
@@ -235,10 +346,9 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
           numOutputRows += 1
           emitKind match {
             case 1 =>
-              val out = outPair(joined(lRow, rGroup(gi)))
-              gi += 1
-              if (gi >= rGroup.length) emitKind = 0 // prepare() advances left
-              else emitKind = 1
+              val out = outPair(joined(lRow, grpIter.next()))
+              // exhausted → emitKind 0; prepare() then advances left
+              if (!grpIter.hasNext) emitKind = 0
               out
             case 2 =>
               val out = outPair(joined(lRow, nullRight))
@@ -252,20 +362,26 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
         }
       }
       // streaming many-to-many merge join over two key-sorted iterators.
-      // Only the right side's CURRENT duplicate-key group is buffered
-      // (copied — the scan/sort reuses its row buffer); the left row is
-      // held by reference, safe because `li.next()` is never called while
-      // its emissions still stream.
+      // Only the right side's CURRENT duplicate-key group is buffered —
+      // in a SPILLABLE array (SMJ's own structure), so a hot key degrades
+      // to disk instead of an executor OOM; semi/anti never read group
+      // rows and skip buffering entirely. The left row is held by
+      // reference, safe because `li.next()` is never called while its
+      // emissions still stream.
       else new Iterator[InternalRow] {
         private var lRow: InternalRow = _
         private var lKey: UnsafeRow = _
-        private val rGroup = new scala.collection.mutable.ArrayBuffer[InternalRow](1)
+        // only the pair-emitting types need the group's ROWS; semi/anti
+        // need just the key-existence test
+        private val buffers = jt == Inner || jt == LeftOuter
+        private val rGroup = new org.apache.spark.sql.graft.SpillableRowBuffer(
+          memThreshold, spillThreshold, spillSizeThreshold)
         private var rGroupKey: UnsafeRow = _ // null = no live group
+        private var grpIter: Iterator[UnsafeRow] = _ // current left's pairs
         private var rRow: InternalRow = _ // lookahead; null once exhausted
         private var rKey: UnsafeRow = _
         private var rStarted = false
-        private var gi = 0
-        private var emitGroup = false // emit (lRow, rGroup(gi)) while gi < len
+        private var emitGroup = false // emit (lRow, grpIter.next) while it has rows
         private var emitLeftOnly = false // emit lRow alone / null-extended
         private var done = false
 
@@ -286,12 +402,12 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
             val c = keyOrd.compare(lKey, rGroupKey)
             if (c == 0) return true
             if (c < 0) return false // left below the buffered group
-            rGroup.clear(); rGroupKey = null // permanently stale
+            rGroup.clear(); rGroupKey = null; grpIter = null // permanently stale
           }
           while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
           if (rRow != null && keyOrd.compare(rKey, lKey) == 0) {
-            rGroupKey = rKey.copy()
-            do { rGroup += rRow.copy(); advanceRight() }
+            rGroupKey = rKey.copy(); grpIter = null
+            do { if (buffers) rGroup.add(asUnsafe(rRow)); advanceRight() }
             while (rRow != null && keyOrd.compare(rKey, rGroupKey) == 0)
             true
           } else false
@@ -301,20 +417,21 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
         private def prepare(): Boolean = {
           while (true) {
             if (emitGroup) {
-              if (gi < rGroup.length) return true
-              emitGroup = false
+              if (grpIter.hasNext) return true
+              emitGroup = false; grpIter = null
             }
             if (emitLeftOnly) return true
             if (!rStarted) { advanceRight(); rStarted = true }
             if (!li.hasNext) return false
-            lRow = li.next(); lKey = lKeyProj(lRow); gi = 0
+            lRow = li.next(); lKey = lKeyProj(lRow)
             val m = matched()
             jt match {
-              case Inner => if (m) emitGroup = true
+              case Inner => if (m) { emitGroup = true; grpIter = rGroup.iterator }
               case LeftSemi => if (m) emitLeftOnly = true
               case LeftAnti => if (!m) emitLeftOnly = true
               case LeftOuter =>
-                if (m) emitGroup = true else emitLeftOnly = true
+                if (m) { emitGroup = true; grpIter = rGroup.iterator }
+                else emitLeftOnly = true
               case t => throw new IllegalStateException(s"unsupported: $t")
             }
           }
@@ -333,11 +450,7 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
               case LeftOuter => outPair(joined(lRow, nullRight))
               case _ => outLeft(lRow)
             }
-          } else {
-            val out = outPair(joined(lRow, rGroup(gi)))
-            gi += 1
-            out
-          }
+          } else outPair(joined(lRow, grpIter.next()))
         }
       }
     }

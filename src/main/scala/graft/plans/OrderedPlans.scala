@@ -106,8 +106,8 @@ object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrate
     case SnapshotFilePrune(child, _, _) =>
       // unconsumed marker (no filter ever landed on it): plan the child
       planLater(child) :: Nil
-    case ZipPartitionsJoin(l, r, lk, rk, jt) =>
-      ZipPartitionsJoinExec(planLater(l), planLater(r), lk, rk, jt) :: Nil
+    case ZipPartitionsJoin(l, r, lk, rk, jt, coal) =>
+      ZipPartitionsJoinExec(planLater(l), planLater(r), lk, rk, jt, coal) :: Nil
     case _ => Nil
   }
 }
@@ -173,16 +173,25 @@ object PushThroughDeclareOrdered
     // needs them); the stock rules below then carry the narrow schema
     // through each leg's markers into the scans. Only fires while it
     // still narrows a side, so the fixed point terminates.
-    case p @ Project(ps, ZipPartitionsJoin(l, r, lk, rk, jt))
+    case p @ Project(ps, ZipPartitionsJoin(l, r, lk, rk, jt, coal))
         if ps.forall(_.deterministic) =>
       val refs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
         ps.flatMap(_.references))
+      // a coalesced pair whose output slot is unreferenced drops entirely
+      // (keeping it would pin an unread column in BOTH legs' scans); key
+      // pairs always stay — the merge and the layout claims need them
+      val keepCoal = coal.filter { case (a, _) =>
+        refs.contains(a) || lk.exists(_.exprId == a.exprId) }
       def needed(side: LogicalPlan, keys: Seq[Attribute]): Seq[Attribute] =
         side.output.filter(a => refs.contains(a) || keys.exists(_.exprId == a.exprId))
-      val ln = needed(l, lk)
-      val rn = needed(r, rk)
-      if (ln.length < l.output.length || rn.length < r.output.length)
-        Project(ps, ZipPartitionsJoin(Project(ln, l), Project(rn, r), lk, rk, jt))
+      val ln = needed(l, lk ++ keepCoal.map(_._1))
+      // the right partners of surviving coalesced pairs are read by the
+      // join's output projection even though they are not join output
+      val rn = needed(r, rk ++ keepCoal.map(_._2))
+      if (ln.length < l.output.length || rn.length < r.output.length ||
+          keepCoal.length < coal.length)
+        Project(ps,
+          ZipPartitionsJoin(Project(ln, l), Project(rn, r), lk, rk, jt, keepCoal))
       else p
     // a deterministic conjunct referencing ONE side slides into that leg,
     // restoring scan-level evaluation (parquet PushedFilters / row-group
@@ -192,7 +201,7 @@ object PushThroughDeclareOrdered
     // null-extended row); right conjuncts ONLY for INNER — filtering the
     // right input of a left-outer join turns matches into null-extensions
     // (and semi/anti outputs carry no right columns to reference).
-    case f @ Filter(cond, ZipPartitionsJoin(l, r, lk, rk, jt)) =>
+    case f @ Filter(cond, ZipPartitionsJoin(l, r, lk, rk, jt, coal)) =>
       def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
           : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
         case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
@@ -202,6 +211,23 @@ object PushThroughDeclareOrdered
       val lset = org.apache.spark.sql.catalyst.expressions.AttributeSet(l.output)
       val rset = org.apache.spark.sql.catalyst.expressions.AttributeSet(r.output)
       val cs = conjuncts(cond)
+      // a conjunct referencing ONLY coalesced KEY slots pushes to BOTH
+      // sides (the partner substituted on the right): pair rows carry
+      // equal keys, one-sided rows exactly the surviving side's — so
+      // filtering both inputs drops precisely the output rows the
+      // predicate drops, and the diff-then-filter pattern evaluates its
+      // key bound at the leg scans (parquet pushdown) instead of over
+      // the whole join
+      val coalKeySlots = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        coal.map(_._1).filter(a => lk.exists(_.exprId == a.exprId)))
+      val (bothPush, cs1) =
+        if (coal.isEmpty) (Nil, cs)
+        else cs.partition(c => c.deterministic && c.references.nonEmpty &&
+          c.references.subsetOf(coalKeySlots))
+      val partner = coal.map { case (a, b) => a.exprId -> b }.toMap
+      val bothPushR = bothPush.map(_.transform {
+        case a: Attribute if partner.contains(a.exprId) => partner(a.exprId)
+      })
       // a conjunct may slide into a side only when that side's input rows
       // are NOT null-extended into the output: filtering the preserved
       // side commutes, filtering the other side turns matches into
@@ -209,8 +235,8 @@ object PushThroughDeclareOrdered
       // pushes for inner and right outer.
       val (lPush, rest1) =
         if (jt == org.apache.spark.sql.catalyst.plans.FullOuter ||
-            jt == org.apache.spark.sql.catalyst.plans.RightOuter) (Nil, cs)
-        else cs.partition(c =>
+            jt == org.apache.spark.sql.catalyst.plans.RightOuter) (Nil, cs1)
+        else cs1.partition(c =>
           c.deterministic && c.references.nonEmpty && c.references.subsetOf(lset))
       val (rPush, rest) =
         if (jt == org.apache.spark.sql.catalyst.plans.Inner ||
@@ -218,12 +244,12 @@ object PushThroughDeclareOrdered
           rest1.partition(c =>
             c.deterministic && c.references.nonEmpty && c.references.subsetOf(rset))
         else (Nil, rest1)
-      if (lPush.isEmpty && rPush.isEmpty) f
+      if (lPush.isEmpty && rPush.isEmpty && bothPush.isEmpty) f
       else {
         import org.apache.spark.sql.catalyst.expressions.And
-        val nl = lPush.reduceOption(And).map(Filter(_, l)).getOrElse(l)
-        val nr = rPush.reduceOption(And).map(Filter(_, r)).getOrElse(r)
-        val nzj = ZipPartitionsJoin(nl, nr, lk, rk, jt)
+        val nl = (lPush ++ bothPush).reduceOption(And).map(Filter(_, l)).getOrElse(l)
+        val nr = (rPush ++ bothPushR).reduceOption(And).map(Filter(_, r)).getOrElse(r)
+        val nzj = ZipPartitionsJoin(nl, nr, lk, rk, jt, coal)
         rest.reduceOption(And).map(Filter(_, nzj)).getOrElse(nzj)
       }
   }

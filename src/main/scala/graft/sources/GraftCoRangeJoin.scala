@@ -27,9 +27,12 @@ import graft.plans.ZipPartitionsJoin
   *
   * Eligibility is strict — the stock join stays whenever:
   *  - the join type is anything else, or its condition is anything but a
-  *    conjunction of plain attribute equalities covering BOTH indexes'
-  *    FULL key column lists positionally (a leading-key-prefix equality
-  *    is NOT leg-aligned: a boundary can split rows sharing the prefix);
+  *    conjunction of plain attribute equalities covering a LEADING PREFIX
+  *    (possibly all) of BOTH indexes' key column lists positionally. A
+  *    prefix join cuts every leg boundary as a prefix tuple, so rows
+  *    sharing the join key never split across legs — `a JOIN b ON
+  *    a.k1 = b.k1` over composite-keyed snapshots plans exchange-free;
+  *    a non-key / gapped / tail-only equality declines;
   *  - either side is not a plain [[GraftScan]] relation (aggregate/limit
   *    pushdown collapsed it), possibly under deterministic Filters —
   *    which are kept, re-applied above the replaced side;
@@ -93,12 +96,18 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
             if lIds.contains(a.exprId) && rIds.contains(b.exprId) => (a, b)
         case _ => return None
       }
+    // the equalities must cover a LEADING PREFIX of both sides' key
+    // column lists positionally (possibly the full lists): legs are then
+    // cut at prefix-group boundaries, so `a JOIN b ON a.k1 = b.k1` over
+    // composite-keyed snapshots plans exchange-free too. Anything else
+    // (a non-key column, a gap, a tail-only equality) declines.
     val lKeyCols = lg.manifestRef.keyCols
     val rKeyCols = rg.manifestRef.keyCols
-    if (lKeyCols.size != rKeyCols.size) return None
-    val names = pairs.map { case (a, b) => (a.name, b.name) }
-    val wanted = lKeyCols.zip(rKeyCols)
-    if (names.toSet != wanted.toSet || names.size < wanted.size) return None
+    val names = pairs.map { case (a, b) => (a.name, b.name) }.distinct
+    val m = names.size
+    if (m == 0 || m > math.min(lKeyCols.size, rKeyCols.size)) return None
+    val wanted = lKeyCols.take(m).zip(rKeyCols.take(m))
+    if (names.toSet != wanted.toSet) return None
 
     val lIx = new KVIndex(lg.storeRef, lg.manifestRef)
     val rIx = new KVIndex(rg.storeRef, rg.manifestRef)
@@ -116,7 +125,7 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
       catch { case _: NumberFormatException => throw new IllegalArgumentException(
         s"spark.graft.corange.rowsPerLeg must be an integer, got '$rowsPerLegRaw'") }
     lIx.coRangeLegPlans(rIx, rowsPerLeg,
-        lg.pushedKeyBounds, rg.pushedKeyBounds, jt).map {
+        lg.pushedKeyBounds, rg.pushedKeyBounds, jt, keyLen = m).map {
       case (zipOpt, leftOnlyOpt, rightOnlyOpt) =>
         // restore the relation's output exprIds over the legs, then replay
         // each side's ORIGINAL Filter/Project stack BELOW the zip join — so
@@ -131,9 +140,9 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
         }
         // join keys = the cond's own attributes in key-column order; they
         // survive the stacks (cond resolved ABOVE them in the original plan)
-        val byLName = names.zip(pairs).map { case ((ln, _), p) => ln -> p }.toMap
-        val lKeys: Seq[Attribute] = lKeyCols.map(c => byLName(c)._1)
-        val rKeys: Seq[Attribute] = lKeyCols.map(c => byLName(c)._2)
+        val byLName = pairs.map(p => p._1.name -> p).toMap
+        val lKeys: Seq[Attribute] = lKeyCols.take(m).map(c => byLName(c)._1)
+        val rKeys: Seq[Attribute] = lKeyCols.take(m).map(c => byLName(c)._2)
         val zip = zipOpt.map { case (lPlan, rPlan, _, _) =>
           ZipPartitionsJoin(lRebuild(aliasTo(lrel.output, lPlan)),
             rRebuild(aliasTo(rrel.output, rPlan)), lKeys, rKeys, jt)

@@ -103,7 +103,7 @@ final case class GraftDmlExec(label: String, run: () => Unit)
   override def simpleString(maxFields: Int): String = label
 }
 
-private[sources] object GraftDml {
+private[graft] object GraftDml {
 
   def runUpdate(tbl: GraftTable, out: Seq[Attribute],
                 assignments: Seq[Assignment], condition: Option[Expression]): Unit = {
@@ -130,13 +130,17 @@ private[sources] object GraftDml {
       // so name-based resolution would be ambiguous
       val keyAttrs = out.filter(a => ix.manifest.keyCols.contains(a.name))
       // markers survive the full outer join: a side that did not match is
-      // all-NULL including its marker
-      val tdf = Shim.ofRows(spark, targetPlan(spark, ix, out))
-        .withColumn("__graft_t", lit(true))
-      val sdf = Shim.ofRows(spark, m.sourceTable)
-        .withColumn("__graft_s", lit(true))
-      val joined = tdf.join(sdf, Shim.col(m.mergeCondition), "full_outer")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // all-NULL including its marker. When the SOURCE is itself a plain
+      // graft snapshot scan on the same keys, the full outer compiles to
+      // the co-range ZIP join — the whole transactional upsert reads both
+      // snapshots with zero exchanges; anything else takes the stock join.
+      val joined = coRangeMergeJoin(spark, ix, out, m).getOrElse {
+        val tdf = Shim.ofRows(spark, targetPlan(spark, ix, out))
+          .withColumn("__graft_t", lit(true))
+        val sdf = Shim.ofRows(spark, m.sourceTable)
+          .withColumn("__graft_s", lit(true))
+        tdf.join(sdf, Shim.col(m.mergeCondition), "full_outer")
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val matched = joined.filter(col("__graft_t").isNotNull && col("__graft_s").isNotNull)
         if (m.matchedActions.nonEmpty) {
@@ -202,6 +206,133 @@ private[sources] object GraftDml {
             inserts.result().filterNot(_.isEmpty).map(Command.Insert(_))
         if (cmds.isEmpty) None else Some(ix.execute(cmds))
       } finally joined.unpersist()
+    }
+  }
+
+  // ---- the exchange-free MERGE join ----
+
+  /** MERGE-source matcher: the source is a plain graft snapshot scan under
+    * zero or more deterministic Filters/Projects (and SubqueryAliases —
+    * attribute-preserving, so they are simply stripped). Returns (the
+    * RELATION's output attributes — the ids the merge condition must bind
+    * for the leg keys to be the stored keys —, the snapshot pieces, and a
+    * stack rebuild that replays the source's exact operators over the leg
+    * plans). Commands reach the planner either scan-converted or not, so
+    * both relation shapes are accepted; a scan that absorbed pushdown
+    * (non-plain) declines — its filters are no longer in the stack to
+    * replay.
+    */
+  private def graftSide(p: LogicalPlan)
+      : Option[(Seq[Attribute], SnapshotStore, graft.core.SnapshotManifest,
+                LogicalPlan => LogicalPlan)] = p match {
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      graftSide(s.child)
+    case Filter(c, child) if c.deterministic =>
+      graftSide(child).map { case (o, st, mf, rb) =>
+        (o, st, mf, (nl: LogicalPlan) => Filter(c, rb(nl))) }
+    case Project(ps, child) if ps.forall(_.deterministic) =>
+      graftSide(child).map { case (o, st, mf, rb) =>
+        (o, st, mf, (nl: LogicalPlan) => Project(ps, rb(nl))) }
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+      val t = r.table.asInstanceOf[GraftTable]
+      Some((r.output, t.storeRef, t.manifestRef, identity[LogicalPlan] _))
+    case s: DataSourceV2ScanRelation => s.scan match {
+      case org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(g: GraftScan, _, _)
+          if g.plainScan =>
+        Some((s.output, g.storeRef, g.manifestRef, identity[LogicalPlan] _))
+      case g: GraftScan if g.plainScan =>
+        Some((s.output, g.storeRef, g.manifestRef, identity[LogicalPlan] _))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Compiles the MERGE's target×source full outer to the co-range ZIP
+    * join + bypass branches (zero exchanges on either side) when the
+    * source is a plain graft snapshot scan on positionally matching keys
+    * and the merge condition is exactly the full key equality — the
+    * transactional-upsert twin of [[GraftCoRangeJoin]]'s SELECT rewrite.
+    * Output shape matches the stock path exactly: target columns (bound
+    * to `out`'s ids) + `__graft_t`, then source columns (the source
+    * plan's own ids) + `__graft_s`; an absent side is all-NULL including
+    * its marker. Returns None (→ stock shuffled join) for any other
+    * condition shape, a non-graft source, an overlapping layout, or a
+    * provably empty pairing.
+    */
+  private[graft] def coRangeMergeJoin(spark: SparkSession, ix: KVIndex,
+      out: Seq[Attribute],
+      m: MergeIntoTable): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    val (srcRelOut, srcStore, srcManifest, srcRebuild) =
+      graftSide(m.sourceTable).getOrElse(return None)
+    val srcIx = new KVIndex(srcStore, srcManifest)
+    val tKeys = ix.manifest.keyCols
+    val sKeys = srcIx.manifest.keyCols
+    if (tKeys.size != sKeys.size) return None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+        conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val outIds = out.map(_.exprId).toSet
+    val srcIds = srcRelOut.map(_.exprId).toSet
+    val pairs: Seq[(AttributeReference, AttributeReference)] =
+      conjuncts(m.mergeCondition).map {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference)
+            if outIds.contains(a.exprId) && srcIds.contains(b.exprId) => (a, b)
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            b: AttributeReference, a: AttributeReference)
+            if outIds.contains(a.exprId) && srcIds.contains(b.exprId) => (a, b)
+        case _ => return None
+      }
+    val names = pairs.map(p => (p._1.name, p._2.name)).distinct
+    // full positional key equality only: MERGE semantics pair one target
+    // row per source key (the cardinality rule), which is the full key
+    if (names.size != tKeys.size || names.toSet != tKeys.zip(sKeys).toSet)
+      return None
+    val byLName = pairs.map(p => p._1.name -> p).toMap
+
+    ix.coRangeLegPlans(srcIx, joinType = FullOuter).flatMap {
+      case (zipOpt, leftOnlyOpt, rightOnlyOpt) =>
+        def aliasTo(outAttrs: Seq[Attribute], legs: LogicalPlan): LogicalPlan = {
+          val byName = legs.output.map(a => a.name -> a).toMap
+          Project(outAttrs.map(o =>
+            Alias(byName(o.name), o.name)(exprId = o.exprId)), legs)
+        }
+        def mark(p: LogicalPlan, name: String): LogicalPlan =
+          Project(p.output :+ Alias(Literal(true), name)(), p)
+        val srcOut = m.sourceTable.output
+        val nullBool = Literal(null, org.apache.spark.sql.types.BooleanType)
+        val zip = zipOpt.map { case (lp, rp, _, _) =>
+          val lSide = mark(aliasTo(out, lp), "__graft_t")
+          val rSide = mark(srcRebuild(aliasTo(srcRelOut, rp)), "__graft_s")
+          graft.plans.ZipPartitionsJoin(lSide, rSide,
+            tKeys.map(c => byLName(c)._1), tKeys.map(c => byLName(c)._2),
+            FullOuter)
+        }
+        // target-only key ranges: rows that can only hit NOT MATCHED BY
+        // SOURCE clauses — no join work, the source side is null-extended
+        val leftOnly = leftOnlyOpt.map { lp =>
+          val stack = mark(aliasTo(out, lp), "__graft_t")
+          Project(stack.output ++
+            (srcOut.map(a => Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)) :+
+              Alias(nullBool, "__graft_s")()), stack)
+        }
+        // source-only key ranges: rows that can only hit NOT MATCHED
+        // (insert) clauses
+        val rightOnly = rightOnlyOpt.map { rp =>
+          val stack = mark(srcRebuild(aliasTo(srcRelOut, rp)), "__graft_s")
+          Project((out.map(a => Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)) :+
+            Alias(nullBool, "__graft_t")()) ++ stack.output, stack)
+        }
+        val branches: Seq[LogicalPlan] = Seq(zip, leftOnly, rightOnly).flatten
+        branches match {
+          case Seq() => None // provably empty: let the stock path degrade
+          case Seq(only) => Some(Shim.ofRows(spark, only))
+          case many => Some(Shim.ofRows(spark, Union(many)))
+        }
     }
   }
 

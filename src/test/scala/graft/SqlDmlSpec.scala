@@ -145,4 +145,62 @@ class SqlDmlSpec extends SparkSuite {
     spark.sql(s"UPDATE $tbl SET price = -1.0 WHERE k = 50")
     assert(content(tbl).find(_._1 == 50L).map(_._3).contains(-1.0))
   }
+
+  test("MERGE with a graft snapshot source compiles to the co-range zip join (zero-exchange upsert)") {
+    import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val store = new FsSnapshotStore(tmpDir("graft-dml-zip"), spark)
+    val tgt = (1 to 2000).map(i => (i.toLong, s"n$i", i * 1.0))
+      .toDF("k", "name", "price").repartition(1)
+    KVIndex.bootstrap(store, "t", tgt, Seq("k"), maxRowsPerFile = 256)
+      .fold(e => sys.error(e.message), identity)
+    val src = (1500 to 2500).map(i => (i.toLong, i * 0.5)).toDF("k", "p2")
+      .repartition(1)
+    KVIndex.bootstrap(store, "s", src, Seq("k"), maxRowsPerFile = 256)
+      .fold(e => sys.error(e.message), identity)
+    spark.conf.set("spark.sql.catalog.gdmlzip", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdmlzip.root", store.root)
+    val mergeSql =
+      """MERGE INTO gdmlzip.t t USING gdmlzip.s s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET price = s.p2
+        |WHEN NOT MATCHED THEN INSERT (k, name, price) VALUES (s.k, 'new', s.p2)
+        |WHEN NOT MATCHED BY SOURCE AND t.k < 10 THEN DELETE
+        |""".stripMargin
+
+    // plan pin: the MERGE's target×source full outer compiles to the zip
+    // join with ZERO exchanges in its stage (r14 verdict item #2)
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val analyzed = ss.sessionState.executePlan(
+      ss.sessionState.sqlParser.parsePlan(mergeSql)).analyzed
+    val mit = analyzed.collectFirst { case mm: MergeIntoTable => mm }.get
+    val out = mit.targetTable.collectFirst {
+      case r: DataSourceV2Relation => r.output }.get
+    val ix = KVIndex.open(store, "t").fold(e => sys.error(e.message), identity)
+    val joined = graft.sources.GraftDml.coRangeMergeJoin(spark, ix, out, mit)
+    assert(joined.isDefined, "graft-source MERGE must take the co-range join")
+    val plan = joined.get.queryExecution.executedPlan
+    assert(plan.collectFirst {
+      case z: graft.plans.ZipPartitionsJoinExec => z }.isDefined,
+      s"expected the zip join in the MERGE's join stage:\n$plan")
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"graft-source MERGE join must plan zero exchanges:\n$plan")
+    // both markers ride the join: matched / source-only / target-only
+    import org.apache.spark.sql.functions.col
+    val kinds = joined.get.groupBy(
+      col("__graft_t").isNotNull, col("__graft_s").isNotNull).count()
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(kinds((true, true)) == 501L && kinds((true, false)) == 1499L &&
+      kinds((false, true)) == 500L, s"unexpected row classes: $kinds")
+
+    // end to end through the real statement: one version, exact contents
+    spark.sql(mergeSql)
+    val got = spark.sql("SELECT k, name, price FROM gdmlzip.t ORDER BY k")
+      .as[(Long, String, Double)].collect()
+    assert(got.length == 1991 + 500)
+    assert(got.head == ((10L, "n10", 10.0))) // 1..9 deleted by-source
+    assert(got.find(_._1 == 1500L).contains((1500L, "n1500", 750.0)))
+    assert(got.find(_._1 == 2500L).contains((2500L, "new", 1250.0)))
+    assert(got.count(_._2 == "new") == 500)
+  }
 }
