@@ -84,4 +84,80 @@ class CoRangeJoinRandomSpec extends SparkSuite {
       } finally cap.foreach(_ => spark.conf.unset("spark.graft.maxPlanLegs"))
     }
   }
+
+  // The SQL-TEXT differential: the same randomized layouts driven through
+  // spark.sql over the catalog (the GraftCoRangeJoin rewrite path — ON /
+  // USING / [NOT] EXISTS / WHERE-bound / prefix GROUP BY) against the
+  // SAME SQL over plain temp views of the snapshot reads (stock plans).
+  // This exercises the rewrite's ELIGIBILITY logic and side-stack replay
+  // with the same coverage the API fuzz gives coRangeJoin.
+  for (seed <- Seq(53, 131))
+  test(s"random layouts through SQL text match the stock plans — seed $seed") {
+    val rnd = new scala.util.Random(seed)
+    val st = store(tmpDir(s"graft-crjrsql$seed"))
+    val cat = s"crjrsql$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", st.root)
+
+    for (round <- 1 to 5) {
+      val composite = rnd.nextBoolean()
+      val keys = if (composite) Seq("g", "k") else Seq("k")
+      def keysOf(lo: Int, hi: Int, step: Int): Seq[Int] =
+        (lo to hi by step).filter(_ => rnd.nextDouble() < 0.8)
+      val aLo = rnd.nextInt(500); val aHi = aLo + 500 + rnd.nextInt(2000)
+      val bLo = rnd.nextInt(2500); val bHi = bLo + 200 + rnd.nextInt(2000)
+      val aKeys = keysOf(aLo, aHi, 1 + rnd.nextInt(3))
+      val bKeys = keysOf(bLo, bHi, 1 + rnd.nextInt(3))
+      def frame(ks: Seq[Int], tag: String) = {
+        val rows = ks.map(i => (i % (if (composite) 4 else 1), i.toLong, s"$tag$i"))
+        if (composite) rows.toDF("g", "k", s"${tag}v").repartition(1)
+        else rows.map(r => (r._2, r._3)).toDF("k", s"${tag}v").repartition(1)
+      }
+      val ixA = KVIndex.bootstrap(st, s"sqa_${seed}_$round", frame(aKeys, "a"),
+        keys, maxRowsPerFile = 16 << rnd.nextInt(5)).toOption.get
+      val ixB = KVIndex.bootstrap(st, s"sqb_${seed}_$round", frame(bKeys, "b"),
+        keys, maxRowsPerFile = 16 << rnd.nextInt(5)).toOption.get
+      ixA.df.createOrReplaceTempView(s"v_sqa_${seed}_$round")
+      ixB.df.createOrReplaceTempView(s"v_sqb_${seed}_$round")
+      val (ga, gb) = (s"$cat.sqa_${seed}_$round", s"$cat.sqb_${seed}_$round")
+      val (va, vb) = (s"v_sqa_${seed}_$round", s"v_sqb_${seed}_$round")
+
+      val on = keys.map(c => s"x.$c = y.$c").mkString(" AND ")
+      val exOn = keys.map(c => s"y.$c = x.$c").mkString(" AND ")
+      val bound = aLo + rnd.nextInt(math.max(aHi - aLo, 1))
+      val usingCols = keys.mkString(", ")
+      val variants = Seq(
+        s"SELECT x.k AS k, x.av AS av, y.bv AS bv FROM %A x JOIN %B y ON $on WHERE x.k <= $bound",
+        s"SELECT $usingCols, av, bv FROM %A JOIN %B USING ($usingCols)",
+        s"SELECT x.k AS k, x.av AS av, y.bv AS bv FROM %A x LEFT JOIN %B y ON $on",
+        s"SELECT x.k AS xk, y.k AS yk, y.bv AS bv FROM %A x RIGHT JOIN %B y ON $on",
+        s"SELECT x.k AS xk, y.k AS yk, x.av AS av, y.bv AS bv FROM %A x FULL JOIN %B y ON $on",
+        s"SELECT x.k AS k FROM %A x WHERE EXISTS (SELECT 1 FROM %B y WHERE $exOn)",
+        s"SELECT x.k AS k FROM %A x WHERE NOT EXISTS (SELECT 1 FROM %B y WHERE $exOn)") ++
+        (if (composite) Seq( // leading-key-PREFIX join + prefix aggregate
+          s"SELECT x.g AS g, count(*) AS n FROM %A x JOIN %B y ON x.g = y.g GROUP BY x.g")
+         else Nil)
+      // 3 random variants per round keeps runtime bounded while the two
+      // seeds × rounds sweep the whole list over time
+      for (v <- rnd.shuffle(variants).take(3)) {
+        val gq = spark.sql(v.replace("%A", ga).replace("%B", gb))
+        val sq = spark.sql(v.replace("%A", va).replace("%B", vb))
+        val got = gq.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        val want = sq.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        assert(got.length == want.length && got.toSeq == want.toSeq,
+          s"seed $seed round $round diverged for: $v")
+        // eligibility: every variant here is a key (or leading-prefix)
+        // equality over plain scans — the rewrite must have fired, i.e.
+        // NO stock Join survives (the result may be the zip join, a
+        // bypass-only union, or the provably-empty LocalRelation). Check
+        // the OPTIMIZED plan: AQE wraps the physical plan for queries
+        // with exchanges and TreeNode.collectFirst does not descend into
+        // AdaptiveSparkPlanExec.
+        assert(gq.queryExecution.optimizedPlan.collectFirst {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty,
+          s"seed $seed round $round kept the stock join: $v\n" +
+            gq.queryExecution.optimizedPlan)
+      }
+    }
+  }
 }
