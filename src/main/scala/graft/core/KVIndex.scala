@@ -1060,7 +1060,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
               lv <- lPlan.output.find(_.name == "version")
               rv <- rPlan.output.find(_.name == "version")
             } yield (lv, rv))
-          val zj = graft.plans.ZipPartitionsJoin(lPlan, rPlan, lKeys, rKeys, jt, pairs)
+          val zj = graft.plans.ZipPartitionsJoin(lPlan, rPlan, lKeys, rKeys, jt,
+            pairs.map(_._1), pairs.map(_._2))
           // resolve by the two sides' own attributes — key NAMES may
           // repeat across sides, so name-based selection would be
           // ambiguous for full outer
@@ -1134,7 +1135,9 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       rPrune: (Option[Seq[Any]], Option[Seq[Any]]) = (None, None),
       joinType: org.apache.spark.sql.catalyst.plans.JoinType =
         org.apache.spark.sql.catalyst.plans.Inner,
-      keyLen: Int = -1)
+      keyLen: Int = -1,
+      lKeep: FileEntry => Boolean = _ => true,
+      rKeep: FileEntry => Boolean = _ => true)
       : Option[(Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                         Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
@@ -1165,16 +1168,21 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     // bound; same stance as GraftScan's covering filter)
     val bothLo = (lPrune._1 ++ rPrune._1).reduceOption(KeyOrd.max(_, _))
     val bothHi = (lPrune._2 ++ rPrune._2).reduceOption(KeyOrd.min(_, _))
-    def pruned(ix: KVIndex, lo: Option[Seq[Any]], hi: Option[Seq[Any]]): Seq[FileEntry] =
-      ix.filesWhere(f =>
+    // `lKeep`/`rKeep` restrict each side to a FILE SUBSET before legs are
+    // cut (the snapshot diff passes "not shared with the other manifest":
+    // COW-shared files are byte-identical and cancel, so legs cover only
+    // the CHANGED ranges and the diff's cost stays ∝ the change volume)
+    def pruned(ix: KVIndex, keep: FileEntry => Boolean,
+               lo: Option[Seq[Any]], hi: Option[Seq[Any]]): Seq[FileEntry] =
+      ix.filesWhere(f => keep(f) &&
         lo.forall(l => KeyOrd.compare(Seq(f.max.head), l) >= 0) &&
           hi.forall(h => KeyOrd.compare(Seq(f.min.head), h) <= 0))
     val lfs =
-      if (leftPreserving) pruned(this, lPrune._1, lPrune._2)
-      else pruned(this, bothLo, bothHi)
+      if (leftPreserving) pruned(this, lKeep, lPrune._1, lPrune._2)
+      else pruned(this, lKeep, bothLo, bothHi)
     val rfs =
-      if (rightPreserving) pruned(other, rPrune._1, rPrune._2)
-      else pruned(other, bothLo, bothHi)
+      if (rightPreserving) pruned(other, rKeep, rPrune._1, rPrune._2)
+      else pruned(other, rKeep, bothLo, bothHi)
     if (lfs.isEmpty && !rightPreserving) return Some((None, None, None))
     if (rfs.isEmpty && !leftPreserving) return Some((None, None, None))
 
@@ -1420,26 +1428,81 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val vals = manifest.valueCols.filterNot(_ == "version")
     val oldPaths = files.map(_.path).toSet
     val newPaths = newer.files.map(_.path).toSet
-    def side(m: SnapshotManifest, sideFiles: Seq[FileEntry], keep: Set[String],
-             tag: String): DataFrame = {
-      val fs = sideFiles.filterNot(f => keep.contains(f.path))
-      val base =
-        if (fs.isEmpty) store.emptyTyped(m) // typed empty, no scan
-        else store.readFiles(fs.map(_.path), m)
-      base.select(kcols.map(col) ++ vals.map(c => col(c).as(s"${tag}_$c")) :+
-        lit(true).as(s"__$tag"): _*)
+
+    def classify(joined: DataFrame): DataFrame = {
+      val valueChanged = vals.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      joined.withColumn("change",
+          when(col("__old").isNull, lit("added"))
+            .when(col("__new").isNull, lit("removed"))
+            .when(valueChanged, lit("changed")))
+        .filter(col("change").isNotNull)
+        .drop("__old", "__new")
     }
-    val o = side(manifest, files, newPaths, "old")
-    val n = side(newer.manifest, newer.files, oldPaths, "new")
-    val valueChanged = vals.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    o.join(n, kcols, "full_outer")
-      .withColumn("change",
-        when(col("__old").isNull, lit("added"))
-          .when(col("__new").isNull, lit("removed"))
-          .when(valueChanged, lit("changed")))
-      .filter(col("change").isNotNull)
-      .drop("__old", "__new")
+
+    // stock shuffled diff: the fallback for overlapping layouts (and the
+    // trivially-empty all-shared case, where it reads zero bytes anyway)
+    def stock(): DataFrame = {
+      def side(m: SnapshotManifest, sideFiles: Seq[FileEntry], keep: Set[String],
+               tag: String): DataFrame = {
+        val fs = sideFiles.filterNot(f => keep.contains(f.path))
+        val base =
+          if (fs.isEmpty) store.emptyTyped(m) // typed empty, no scan
+          else store.readFiles(fs.map(_.path), m)
+        base.select(kcols.map(col) ++ vals.map(c => col(c).as(s"${tag}_$c")) :+
+          lit(true).as(s"__$tag"): _*)
+      }
+      classify(side(manifest, files, newPaths, "old")
+        .join(side(newer.manifest, newer.files, oldPaths, "new"), kcols, "full_outer"))
+    }
+
+    // the zip-join diff: legs are cut over the NON-SHARED file subsets
+    // only (COW-shared files are byte-identical and cancel), joined by
+    // the exchange-free full-outer merge with coalesced keys — the diff
+    // reads and shuffles NOTHING beyond the changed ranges, and an
+    // aggregate on the key above a bypass-free diff plans no exchange
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    coRangeLegPlans(newer, joinType = FullOuter,
+        lKeep = f => !newPaths.contains(f.path),
+        rKeep = f => !oldPaths.contains(f.path)) match {
+      case Some((zipOpt, loOpt, roOpt))
+          if zipOpt.nonEmpty || loOpt.nonEmpty || roOpt.nonEmpty =>
+        import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+        import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Union}
+        val ls = store.emptyTyped(manifest).schema
+        val rs = newer.store.emptyTyped(newer.manifest).schema
+        val boolT = org.apache.spark.sql.types.BooleanType
+        // per-side tagging BELOW the join (keys pass through untouched,
+        // so the leg alignment and the key attrs survive)
+        def tag(p: LogicalPlan, t: String): LogicalPlan = {
+          val byName = p.output.map(a => a.name -> a).toMap
+          Project(kcols.map(byName) ++
+            vals.map(c => Alias(byName(c), s"${t}_$c")()) :+
+            Alias(Literal(true), s"__$t")(), p)
+        }
+        def nullsOf(schema: org.apache.spark.sql.types.StructType, t: String) =
+          vals.map(c => Alias(Literal(null, schema(c).dataType), s"${t}_$c")()) :+
+            Alias(Literal(null, boolT), s"__$t")()
+        val zip = zipOpt.map { case (lp, rp, lKeys, rKeys) =>
+          graft.plans.ZipPartitionsJoin(tag(lp, "old"), tag(rp, "new"),
+            lKeys, rKeys, FullOuter, lKeys, rKeys)
+        }
+        val removedOnly = loOpt.map { lp => // ranges only the OLD side covers
+          val s = tag(lp, "old")
+          Project(s.output ++ nullsOf(rs, "new"), s)
+        }
+        val addedOnly = roOpt.map { rp => // ranges only the NEW side covers
+          val s = tag(rp, "new")
+          Project(s.output.take(kcols.size) ++ nullsOf(ls, "old") ++
+            s.output.drop(kcols.size), s)
+        }
+        val branches: Seq[LogicalPlan] = Seq(zip, removedOnly, addedOnly).flatten
+        classify(org.apache.spark.sql.graft.Shim.ofRows(spark, branches match {
+          case Seq(only) => only
+          case many => Union(many)
+        }))
+      case _ => stock()
+    }
   }
 }
 

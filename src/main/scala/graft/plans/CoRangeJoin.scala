@@ -71,26 +71,24 @@ final case class ZipPartitionsJoin(left: LogicalPlan, right: LogicalPlan,
                                    leftKeys: Seq[Attribute],
                                    rightKeys: Seq[Attribute],
                                    joinType: JoinType = Inner,
-                                   coalesced: Seq[(Attribute, Attribute)] = Nil)
+                                   coalescedLeft: Seq[Attribute] = Nil,
+                                   coalescedRight: Seq[Attribute] = Nil)
     extends BinaryNode {
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty)
   require(ZipPartitionsJoin.supports(joinType),
     s"ZipPartitionsJoin: unsupported join type $joinType")
-  require(coalesced.isEmpty ||
-    ((joinType == FullOuter || joinType == RightOuter) &&
-      leftKeys.zip(rightKeys).forall { case (l, r) =>
-        coalesced.exists(p => p._1.exprId == l.exprId && p._2.exprId == r.exprId) }),
-    "ZipPartitionsJoin: coalesced output requires full/right outer and must cover every key pair")
-  override def output: Seq[Attribute] =
-    ZipPartitionsJoin.outputFor(joinType, left.output, right.output, coalesced)
-  /** `coalesced` lives in tuples, which TreeNode's expression discovery
-    * does not traverse — without this override the stock ColumnPruning
-    * would see no reference to the right-side partners and prune them
-    * out of the legs from under the exec's output projection.
-    */
-  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(
-      leftKeys ++ rightKeys ++ coalesced.flatMap(p => Seq(p._1, p._2)))
+  // NOTE: the pairs live as two parallel Seq[Attribute] FIELDS (not a
+  // Seq of tuples) deliberately: attribute containers are traversed by
+  // TreeNode's expression discovery, so attr-rewriting rules
+  // (DeduplicateRelations, makeCopy-driven transforms) rewrite them in
+  // lockstep with leftKeys/rightKeys, and QueryPlan.references sees the
+  // right-side partners (tuple fields would be invisible and stock
+  // ColumnPruning would prune them out from under the exec).
+  require(coalescedLeft.size == coalescedRight.size &&
+    (coalescedLeft.isEmpty || joinType == FullOuter || joinType == RightOuter),
+    "ZipPartitionsJoin: coalesced output requires full/right outer")
+  override def output: Seq[Attribute] = ZipPartitionsJoin.outputFor(
+    joinType, left.output, right.output, coalescedLeft.zip(coalescedRight))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): ZipPartitionsJoin =
     copy(left = newLeft, right = newRight)
@@ -134,8 +132,12 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
                                        leftKeys: Seq[Expression],
                                        rightKeys: Seq[Expression],
                                        joinType: JoinType,
-                                       coalesced: Seq[(Attribute, Attribute)] = Nil)
+                                       coalescedLeft: Seq[Attribute] = Nil,
+                                       coalescedRight: Seq[Attribute] = Nil)
     extends BinaryExecNode {
+
+  private def coalesced: Seq[(Attribute, Attribute)] =
+    coalescedLeft.zip(coalescedRight)
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
@@ -143,14 +145,6 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def output: Seq[Attribute] =
     ZipPartitionsJoin.outputFor(joinType, left.output, right.output, coalesced)
-
-  /** See the logical node: tuple fields are invisible to expression
-    * discovery, and the output projection reads the coalesced partners.
-    */
-  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(
-      (leftKeys ++ rightKeys).flatMap(_.references) ++
-        coalesced.flatMap(p => Seq(p._1, p._2)))
 
   /** Sorted legs make the join a stream: `EnsureRequirements` satisfies
     * this with a local, SPILLABLE sort per child (no exchange — the

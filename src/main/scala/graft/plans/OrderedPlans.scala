@@ -106,8 +106,8 @@ object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrate
     case SnapshotFilePrune(child, _, _) =>
       // unconsumed marker (no filter ever landed on it): plan the child
       planLater(child) :: Nil
-    case ZipPartitionsJoin(l, r, lk, rk, jt, coal) =>
-      ZipPartitionsJoinExec(planLater(l), planLater(r), lk, rk, jt, coal) :: Nil
+    case ZipPartitionsJoin(l, r, lk, rk, jt, cl, cr) =>
+      ZipPartitionsJoinExec(planLater(l), planLater(r), lk, rk, jt, cl, cr) :: Nil
     case _ => Nil
   }
 }
@@ -173,14 +173,14 @@ object PushThroughDeclareOrdered
     // needs them); the stock rules below then carry the narrow schema
     // through each leg's markers into the scans. Only fires while it
     // still narrows a side, so the fixed point terminates.
-    case p @ Project(ps, ZipPartitionsJoin(l, r, lk, rk, jt, coal))
+    case p @ Project(ps, ZipPartitionsJoin(l, r, lk, rk, jt, cl, cr))
         if ps.forall(_.deterministic) =>
       val refs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
         ps.flatMap(_.references))
       // a coalesced pair whose output slot is unreferenced drops entirely
       // (keeping it would pin an unread column in BOTH legs' scans); key
       // pairs always stay — the merge and the layout claims need them
-      val keepCoal = coal.filter { case (a, _) =>
+      val keepCoal = cl.zip(cr).filter { case (a, _) =>
         refs.contains(a) || lk.exists(_.exprId == a.exprId) }
       def needed(side: LogicalPlan, keys: Seq[Attribute]): Seq[Attribute] =
         side.output.filter(a => refs.contains(a) || keys.exists(_.exprId == a.exprId))
@@ -189,9 +189,9 @@ object PushThroughDeclareOrdered
       // join's output projection even though they are not join output
       val rn = needed(r, rk ++ keepCoal.map(_._2))
       if (ln.length < l.output.length || rn.length < r.output.length ||
-          keepCoal.length < coal.length)
-        Project(ps,
-          ZipPartitionsJoin(Project(ln, l), Project(rn, r), lk, rk, jt, keepCoal))
+          keepCoal.length < cl.length)
+        Project(ps, ZipPartitionsJoin(Project(ln, l), Project(rn, r), lk, rk, jt,
+          keepCoal.map(_._1), keepCoal.map(_._2)))
       else p
     // a deterministic conjunct referencing ONE side slides into that leg,
     // restoring scan-level evaluation (parquet PushedFilters / row-group
@@ -201,7 +201,8 @@ object PushThroughDeclareOrdered
     // null-extended row); right conjuncts ONLY for INNER — filtering the
     // right input of a left-outer join turns matches into null-extensions
     // (and semi/anti outputs carry no right columns to reference).
-    case f @ Filter(cond, ZipPartitionsJoin(l, r, lk, rk, jt, coal)) =>
+    case f @ Filter(cond, ZipPartitionsJoin(l, r, lk, rk, jt, cl, cr)) =>
+      val coal = cl.zip(cr)
       def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
           : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
         case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
@@ -249,7 +250,7 @@ object PushThroughDeclareOrdered
         import org.apache.spark.sql.catalyst.expressions.And
         val nl = (lPush ++ bothPush).reduceOption(And).map(Filter(_, l)).getOrElse(l)
         val nr = (rPush ++ bothPushR).reduceOption(And).map(Filter(_, r)).getOrElse(r)
-        val nzj = ZipPartitionsJoin(nl, nr, lk, rk, jt, coal)
+        val nzj = ZipPartitionsJoin(nl, nr, lk, rk, jt, cl, cr)
         rest.reduceOption(And).map(Filter(_, nzj)).getOrElse(nzj)
       }
   }

@@ -716,6 +716,45 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(ro.count() == b.count())
   }
 
+  test("snapshot diff rides the zip join: only changed ranges read, zero exchanges") {
+    val st = store(tmpDir("graft-crjdiff"))
+    val base = (1 to 2000).map(i => (i.toLong, i * 10L)).toDF("k", "v").repartition(1)
+    val v1 = KVIndex.bootstrap(st, "dz", base, Seq("k"),
+      maxRowsPerFile = 128).toOption.get // ~16 files
+    // COW-touch a narrow range: upsert new values for [500, 620]
+    val batch = (500 to 620).map(i => (i.toLong, -i.toLong)).toDF("k", "v")
+    val v2 = new KVIndex(st,
+      v1.execute(Seq(Command.Insert(batch, upsert = true)), "tx-dz2").orThrow,
+      maxRowsPerFile = 128)
+
+    val d = v1.diff(v2)
+    val got = d.select("k", "old_v", "new_v", "change")
+      .as[(Long, Option[Long], Option[Long], String)].collect().sortBy(_._1)
+    assert(got.forall(_._4 == "changed") && got.length == 121)
+    assert(got.head == ((500L, Some(5000L), Some(-500L), "changed")))
+
+    val plan = d.queryExecution.executedPlan
+    assert(collectFirst(plan) { case z: ZipPartitionsJoinExec => z }.isDefined,
+      s"diff must ride the zip join:\n$plan")
+    assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"diff must plan zero exchanges:\n$plan")
+    // COW economics: only the non-shared (rewritten) files are scanned,
+    // not the 16-file snapshot
+    val files = collect(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.relation.location.inputFiles).distinct
+    assert(files.nonEmpty && files.length <= 6,
+      s"diff read ${files.length} files — expected only the changed ranges")
+
+    // aggregate above a bypass-free diff: the coalesced key slots keep
+    // the RangePartitioning claim, so the GROUP BY plans no exchange
+    val agg = d.groupBy("k").agg(count(lit(1)).as("n"))
+    assert(collect(agg.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e }.isEmpty,
+      s"diff + GROUP BY key must plan no exchange:\n${agg.queryExecution.executedPlan}")
+    assert(agg.count() == 121)
+  }
+
   test("bootstrap enforces the key-unique contract; validateKeys=false is the trusted-input escape hatch") {
     val st = store(tmpDir("graft-crjboot"))
     val dup = Seq((1L, "x"), (2L, "y"), (1L, "z")).toDF("k", "v").repartition(1)
