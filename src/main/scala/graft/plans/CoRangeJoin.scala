@@ -277,19 +277,25 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
         private var lLoaded = false
         private var rRow: InternalRow = _; private var rKey: UnsafeRow = _
         private var rLoaded = false
-        // SPILLABLE duplicate-key group: a hot key's rows degrade to a
-        // disk-backed array (SMJ's own structure), never an executor OOM
-        private val rGroup = new org.apache.spark.sql.graft.SpillableRowBuffer(
-          memThreshold, spillThreshold, spillSizeThreshold)
+        // duplicate-key group = FIRST row (plain field — the key-unique
+        // fast path) + a lazily-created SPILLABLE buffer for rows 2..n
+        // (SMJ's own structure): a hot key degrades to disk, never an
+        // executor OOM, while the common single-row group costs one copy
         private var rGroupKey: UnsafeRow = _
-        private var grpIter: Iterator[UnsafeRow] = _ // current left's pairs
+        private var rFirst: UnsafeRow = _
+        private var rRest: org.apache.spark.sql.graft.SpillableRowBuffer = _
+        private var rRestN = 0
+        private var pairFirst = true // current left row still owes (lRow, rFirst)
+        private var restIter: Iterator[UnsafeRow] = _
         private var emitKind = 0 // 1 = pair, 2 = left-only, 3 = right-only
         private var started = false
         private var done = false
 
-        private def loadLeft(): Unit =
+        private def loadLeft(): Unit = {
+          pairFirst = true; restIter = null // fresh left row re-pairs the group
           if (li.hasNext) { lRow = li.next(); lKey = lKeyProj(lRow); lLoaded = true }
           else { lRow = null; lLoaded = false }
+        }
         private def loadRight(): Unit =
           if (ri.hasNext) { rRow = ri.next(); rKey = rKeyProj(rRow); rLoaded = true }
           else { rRow = null; rLoaded = false }
@@ -305,11 +311,15 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
             if (emitKind != 0) return true
             if (lLoaded && rGroupKey != null) {
               if (!lKey.anyNull && keyOrd.compare(lKey, rGroupKey) == 0) {
-                if (grpIter == null) grpIter = rGroup.iterator // fresh left row
-                if (grpIter.hasNext) { emitKind = 1; return true }
-                grpIter = null; loadLeft() // this left's pairs are all emitted
+                if (pairFirst) { emitKind = 1; return true }
+                if (rRestN > 0) {
+                  if (restIter == null) restIter = rRest.iterator
+                  if (restIter.hasNext) { emitKind = 1; return true }
+                }
+                loadLeft() // this left's pairs are all emitted
               } else if (lKey.anyNull || keyOrd.compare(lKey, rGroupKey) > 0) {
-                rGroup.clear(); rGroupKey = null; grpIter = null // permanently stale
+                rGroupKey = null; rFirst = null; restIter = null // permanently stale
+                if (rRestN > 0) { rRest.clear(); rRestN = 0 }
               } else stageLeftOnly() // defensively unmatched
             }
             else if (!lLoaded && !rLoaded) return false
@@ -322,10 +332,18 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
               if (c < 0) emitKind = 3
               else if (c > 0) stageLeftOnly()
               else { // buffer the duplicate-key group, then pair
-                rGroupKey = rKey.copy(); rGroup.clear(); grpIter = null
-                do { rGroup.add(asUnsafe(rRow)); loadRight() }
+                rGroupKey = rKey.copy()
+                rFirst = asUnsafe(rRow).copy()
+                if (rRestN > 0) { rRest.clear(); rRestN = 0 }
+                pairFirst = true; restIter = null
+                loadRight()
                 while (rLoaded && !rKey.anyNull &&
-                  keyOrd.compare(rKey, rGroupKey) == 0)
+                    keyOrd.compare(rKey, rGroupKey) == 0) {
+                  if (rRest == null) rRest = new org.apache.spark.sql.graft
+                    .SpillableRowBuffer(memThreshold, spillThreshold, spillSizeThreshold)
+                  rRest.add(asUnsafe(rRow)); rRestN += 1
+                  loadRight()
+                }
               }
             }
           }
@@ -340,9 +358,10 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
           numOutputRows += 1
           emitKind match {
             case 1 =>
-              val out = outPair(joined(lRow, grpIter.next()))
-              // exhausted → emitKind 0; prepare() then advances left
-              if (!grpIter.hasNext) emitKind = 0
+              val r = if (pairFirst) { pairFirst = false; rFirst }
+                      else restIter.next()
+              val out = outPair(joined(lRow, r))
+              emitKind = 0 // prepare() stages the next pair or advances left
               out
             case 2 =>
               val out = outPair(joined(lRow, nullRight))
@@ -366,16 +385,22 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
         private var lRow: InternalRow = _
         private var lKey: UnsafeRow = _
         // only the pair-emitting types need the group's ROWS; semi/anti
-        // need just the key-existence test
+        // need just the key-existence test. The group splits into its
+        // FIRST row (a plain field) and a lazily-created spillable buffer
+        // for rows 2..n: under the engine's key-unique contract nearly
+        // every group is a single row, and the fast path costs one copy —
+        // no buffer machinery, no per-left-row iterator allocation.
         private val buffers = jt == Inner || jt == LeftOuter
-        private val rGroup = new org.apache.spark.sql.graft.SpillableRowBuffer(
-          memThreshold, spillThreshold, spillSizeThreshold)
         private var rGroupKey: UnsafeRow = _ // null = no live group
-        private var grpIter: Iterator[UnsafeRow] = _ // current left's pairs
+        private var rFirst: UnsafeRow = _
+        private var rRest: org.apache.spark.sql.graft.SpillableRowBuffer = _
+        private var rRestN = 0
+        private var emitFirst = false // current left row still owes (lRow, rFirst)
+        private var restIter: Iterator[UnsafeRow] = _ // current left's rows 2..n
         private var rRow: InternalRow = _ // lookahead; null once exhausted
         private var rKey: UnsafeRow = _
         private var rStarted = false
-        private var emitGroup = false // emit (lRow, grpIter.next) while it has rows
+        private var emitGroup = false
         private var emitLeftOnly = false // emit lRow alone / null-extended
         private var done = false
 
@@ -396,13 +421,22 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
             val c = keyOrd.compare(lKey, rGroupKey)
             if (c == 0) return true
             if (c < 0) return false // left below the buffered group
-            rGroup.clear(); rGroupKey = null; grpIter = null // permanently stale
+            rGroupKey = null; rFirst = null // permanently stale
+            if (rRestN > 0) { rRest.clear(); rRestN = 0 }
           }
           while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
           if (rRow != null && keyOrd.compare(rKey, lKey) == 0) {
-            rGroupKey = rKey.copy(); grpIter = null
-            do { if (buffers) rGroup.add(asUnsafe(rRow)); advanceRight() }
-            while (rRow != null && keyOrd.compare(rKey, rGroupKey) == 0)
+            rGroupKey = rKey.copy()
+            if (buffers) rFirst = asUnsafe(rRow).copy()
+            advanceRight()
+            while (rRow != null && keyOrd.compare(rKey, rGroupKey) == 0) {
+              if (buffers) {
+                if (rRest == null) rRest = new org.apache.spark.sql.graft
+                  .SpillableRowBuffer(memThreshold, spillThreshold, spillSizeThreshold)
+                rRest.add(asUnsafe(rRow)); rRestN += 1
+              }
+              advanceRight()
+            }
             true
           } else false
         }
@@ -411,8 +445,12 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
         private def prepare(): Boolean = {
           while (true) {
             if (emitGroup) {
-              if (grpIter.hasNext) return true
-              emitGroup = false; grpIter = null
+              if (emitFirst) return true
+              if (rRestN > 0) {
+                if (restIter == null) restIter = rRest.iterator
+                if (restIter.hasNext) return true
+              }
+              emitGroup = false; restIter = null
             }
             if (emitLeftOnly) return true
             if (!rStarted) { advanceRight(); rStarted = true }
@@ -420,11 +458,11 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
             lRow = li.next(); lKey = lKeyProj(lRow)
             val m = matched()
             jt match {
-              case Inner => if (m) { emitGroup = true; grpIter = rGroup.iterator }
+              case Inner => if (m) { emitGroup = true; emitFirst = true; restIter = null }
               case LeftSemi => if (m) emitLeftOnly = true
               case LeftAnti => if (!m) emitLeftOnly = true
               case LeftOuter =>
-                if (m) { emitGroup = true; grpIter = rGroup.iterator }
+                if (m) { emitGroup = true; emitFirst = true; restIter = null }
                 else emitLeftOnly = true
               case t => throw new IllegalStateException(s"unsupported: $t")
             }
@@ -444,7 +482,10 @@ final case class ZipPartitionsJoinExec(left: SparkPlan, right: SparkPlan,
               case LeftOuter => outPair(joined(lRow, nullRight))
               case _ => outLeft(lRow)
             }
-          } else outPair(joined(lRow, grpIter.next()))
+          } else if (emitFirst) {
+            emitFirst = false
+            outPair(joined(lRow, rFirst))
+          } else outPair(joined(lRow, restIter.next()))
         }
       }
     }
