@@ -2835,6 +2835,14 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    "kv_corange_semi" -> ((s, d) => {
+      val (_, ord) = liStore(s, d)
+      ord.coRangeJoin(liAggOddStore(s, d), joinType = "left_semi")
+        .filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
     // RIGHT OUTER mirrors left: the preserved side is the right one, the
     // key column COALESCEs (right-only rows keep their key), the ordering
     // claim moves to the right keys
@@ -4262,6 +4270,12 @@ object SparkEntry {
         "SELECT o_orderkey, o_custkey, " +
         "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS price " +
         "FROM orders WHERE NOT EXISTS (SELECT 1 FROM li WHERE li.l_orderkey = orders.o_orderkey) " +
+        "AND o_orderkey <= 300 ORDER BY o_orderkey"),
+      "kv_corange_semi" -> ("WITH li AS (SELECT l_orderkey FROM lineitem " +
+        "WHERE l_orderkey % 2 = 1 GROUP BY 1) " +
+        "SELECT o_orderkey, o_custkey, " +
+        "round(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END, 2) AS price " +
+        "FROM orders WHERE EXISTS (SELECT 1 FROM li WHERE li.l_orderkey = orders.o_orderkey) " +
         "AND o_orderkey <= 300 ORDER BY o_orderkey"),
       "kv_corange_right" -> ("WITH li AS (SELECT l_orderkey, sum(l_quantity) AS qty, " +
         "count(*) AS n_lines FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1), " +

@@ -98,8 +98,15 @@ class CoRangeJoinRandomSpec extends SparkSuite {
     val cat = s"crjrsql$seed"
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.root", st.root)
-
-    for (round <- 1 to 5) {
+    // small spill thresholds drive the LARGE duplicate-key groups (the
+    // prefix variant's per-g groups run to hundreds of rows) through the
+    // spillable rows-2..n path — the fuzz differentials cover the spill
+    // machinery too, not just the in-memory fast path. Kept moderate: a
+    // sorter PER tiny group across 32 concurrent tasks OOMs the forked
+    // test JVM (each UnsafeExternalSorter acquires a memory page).
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "64")
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "512")
+    try for (round <- 1 to 5) {
       val composite = rnd.nextBoolean()
       val keys = if (composite) Seq("g", "k") else Seq("k")
       def keysOf(lo: Int, hi: Int, step: Int): Seq[Int] =
@@ -158,6 +165,55 @@ class CoRangeJoinRandomSpec extends SparkSuite {
           s"seed $seed round $round kept the stock join: $v\n" +
             gq.queryExecution.optimizedPlan)
       }
+    } finally {
+      spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold")
+      spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+    }
+  }
+
+  // Randomized DIFFERENTIAL for the zip-join snapshot diff: random
+  // upsert/remove batches build a version chain, each adjacent diff is
+  // compared against a brute-force full-outer recomputation of the two
+  // snapshot frames.
+  test("randomized snapshot diff matches the brute-force diff — seed 71") {
+    val rnd = new scala.util.Random(71)
+    val st = store(tmpDir("graft-crjdiffrand"))
+    val base = (1 to 3000).map(i => (i.toLong, (i * 10).toLong)).toDF("k", "v")
+      .repartition(1)
+    var cur = KVIndex.bootstrap(st, "dfz", base, Seq("k"),
+      maxRowsPerFile = 256).toOption.get
+    for (round <- 1 to 4) {
+      val prev = cur
+      val present = prev.df.select("k").as[Long].collect().toSet
+      val lo = 1 + rnd.nextInt(2500)
+      val hi = math.min(3000, lo + 50 + rnd.nextInt(400))
+      val ups = (lo to hi).filter(_ => rnd.nextDouble() < 0.7)
+        .map(i => (i.toLong, -(i.toLong * round)))
+      val rmLo = 1 + rnd.nextInt(2800)
+      val rmKeys = (rmLo to math.min(3000, rmLo + 30)).map(_.toLong)
+        .filter(k => present.contains(k) && !ups.exists(_._1 == k))
+      val cmds = Seq(Command.Insert(ups.toDF("k", "v"), upsert = true)) ++
+        (if (rmKeys.nonEmpty) Seq(Command.Remove(rmKeys.toDF("k"))) else Nil)
+      cur = new KVIndex(st,
+        prev.execute(cmds, s"tx-dfz$round").orThrow, 256)
+
+      val got = prev.diff(cur).select("k", "old_v", "new_v", "change")
+        .as[(Long, Option[Long], Option[Long], String)].collect().sortBy(_._1)
+      // brute force over the two full snapshot frames (v is non-null in
+      // this fixture, so value-nullness identifies the sides)
+      val o = prev.df.select(col("k"), col("v").as("old_v"))
+      val n = cur.df.select(col("k"), col("v").as("new_v"))
+      val want = o.join(n, Seq("k"), "full_outer")
+        .withColumn("change",
+          when(col("old_v").isNull, lit("added"))
+            .when(col("new_v").isNull, lit("removed"))
+            .when(col("old_v") =!= col("new_v"), lit("changed")))
+        .filter(col("change").isNotNull)
+        .select("k", "old_v", "new_v", "change")
+        .as[(Long, Option[Long], Option[Long], String)].collect().sortBy(_._1)
+      assert(got.toSeq == want.toSeq,
+        s"round $round: diff diverged (${got.length} vs ${want.length} rows)")
+      assert(got.nonEmpty, s"round $round produced an empty mutation")
     }
   }
 }
