@@ -365,6 +365,38 @@ object SparkEntry {
         .fold(e => sys.error(e.message), identity)
     }._2
 
+  /** Materialized JOIN view fixture (`core/MaterializedJoin.scala`):
+    * orders ⋈ per-order line aggregates as an incrementally-maintained
+    * view. Create at v1 of BOTH sources (the create is the exchange-free
+    * co-range zip join), then mutate both (zero prices under 50 on the
+    * orders side, +100 qty on multiples of 5 on the lines side) and
+    * refresh — the refresh reads only the two COW diffs plus the
+    * changed-key envelope's files, and the oracle recomputes the join
+    * from scratch over the mutated tables (incremental == recompute).
+    */
+  private def joinViewStore(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-joinview", s, d) { store =>
+      val ord = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val a1 = KVIndex.bootstrap(store, "jva", ord, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      val li = t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n_lines"))
+      val b1 = KVIndex.bootstrap(store, "jvb", li, Seq("l_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      graft.core.MaterializedJoin.create(store, "jview", a1, b1)
+        .fold(e => sys.error(e.message), identity)
+      val a2 = new KVIndex(store, a1.execute(Seq(Command.Insert(
+        ord.filter(col("o_orderkey") < 50).withColumn("o_totalprice", lit(0.0)),
+        upsert = true)), "tx-jv-a2").orThrow)
+      val b2 = new KVIndex(store, b1.execute(Seq(Command.Insert(
+        b1.df.filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey"), (col("qty") + 100).as("qty"), col("n_lines")),
+        upsert = true)), "tx-jv-b2").orThrow)
+      graft.core.MaterializedJoin.refresh(store, "jview", a2, b2)
+        .fold(e => sys.error(e.message), identity)
+    }._2
+
   /** Multi-column + min/max view fixture: same mutation protocol as
     * [[maggView]] but the view maintains TWO sums in one ± pass and
     * min/max of cents via the touched-group recompute (the mutations
@@ -759,6 +791,17 @@ object SparkEntry {
       maggView(s, d).df
         .select(col("o_custkey"), col("agg_sum"), col("agg_cnt"))
         .orderBy("o_custkey")),
+    // incrementally-maintained JOIN view: created by the zip join,
+    // refreshed from BOTH sources' COW diffs (changed keys only, sliced
+    // by the changed-key envelope) — the oracle recomputes the join from
+    // scratch over the mutated tables
+    "kv_join_view" -> ((s, d) =>
+      joinViewStore(s, d).df
+        .filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("qty").cast("long").as("qty"), col("n_lines"))
+        .orderBy("o_orderkey")),
     // multi-column + min/max view: two sums ride one ± pass, min/max of
     // cents recomputes from the source for TOUCHED groups only; the
     // oracle is again the from-scratch recompute of the mutated table
@@ -3162,6 +3205,14 @@ object SparkEntry {
         "FROM fin GROUP BY 1 ORDER BY 1"),
       "kv_cow_upsert" -> ("SELECT count(*) AS n, round(sum(CASE WHEN o_orderkey < 50 THEN 0.0 ELSE o_totalprice END), 2) AS price_sum " +
         "FROM orders"),
+      "kv_join_view" -> ("WITH li AS (SELECT l_orderkey, sum(l_quantity) AS qty, " +
+        "count(*) AS n_lines FROM lineitem GROUP BY 1) " +
+        "SELECT o.o_orderkey, o.o_custkey, " +
+        "round(CASE WHEN o.o_orderkey < 50 THEN 0.0 ELSE o.o_totalprice END, 2) AS price, " +
+        "CAST(CASE WHEN l.l_orderkey % 5 = 0 THEN l.qty + 100 ELSE l.qty END AS BIGINT) AS qty, " +
+        "l.n_lines " +
+        "FROM orders o JOIN li l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE o.o_orderkey <= 400 ORDER BY o.o_orderkey"),
       "kv_agg_view" -> ("WITH base AS (SELECT o_orderkey, o_custkey, " +
         "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "mutated AS (SELECT o_orderkey, o_custkey, " +

@@ -152,6 +152,23 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     OrderedTable(df0, key)
   }
 
+  /** Manifest-pruned read bounded on the LEADING key component only —
+    * the prefix-safe variant of [[tableForRange]]: file bounds compare by
+    * their head, so a composite-keyed file whose range STARTS at `hi`
+    * (min = (hi, ...)) stays covered where the full-tuple compare would
+    * drop it under the prefix convention (a longer tuple ranks above its
+    * prefix). Used by the changed-key-envelope reads of the materialized
+    * view refreshes.
+    */
+  def tableForHeadRange(lo: Any, hi: Any): OrderedTable = {
+    val covering = filesWhere(f =>
+      KeyOrd.compare(Seq(f.min.head), Seq(hi)) <= 0 &&
+        KeyOrd.compare(Seq(f.max.head), Seq(lo)) >= 0)
+    OrderedTable(
+      if (covering.isEmpty) emptyScan()
+      else store.readFiles(covering.map(_.path), manifest), key)
+  }
+
   /** Point lookup through the pruned read path. */
   def get(k: Seq[Any]): DataFrame = tableForRange(k, k).get(k)
 
