@@ -432,6 +432,63 @@ class ScaleProbeSpec extends SparkSuite {
     assert(aggCnt == (n + 1) / 2)
   }
 
+  /** Materialized JOIN view at 5M rows: refresh after a narrow mutation
+    * must cost a small fraction of the full recompute — in bytes (the
+    * changed-key envelope bounds every read) and in wall time.
+    */
+  test("5M-row materialized join view: refresh ∝ changed keys, not the corpora") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    val store = new FsSnapshotStore(tmpDir("graft-probe-mjoin"), spark)
+    val n = 5000000L
+    val a = spark.range(1, n + 1).select(col("id").as("k"), (col("id") * 3).as("av"))
+    val b = spark.range(1, n + 1, 2).select(col("id").as("k"), (col("id") * 7).as("bv"))
+    val a1 = KVIndex.bootstrap(store, "mjp_a", a, Seq("k"),
+      maxRowsPerFile = 1L << 17).fold(e => fail(e.message), identity)
+    val b1 = KVIndex.bootstrap(store, "mjp_b", b, Seq("k"),
+      maxRowsPerFile = 1L << 17).fold(e => fail(e.message), identity)
+
+    val readBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        readBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    })
+    def settle(): Long = {
+      var last = -1L
+      while (last != readBytes.get()) { last = readBytes.get(); Thread.sleep(300) }
+      last
+    }
+
+    val t0 = System.nanoTime()
+    val v1 = graft.core.MaterializedJoin.create(store, "mjp_v", a1, b1,
+      maxRowsPerFile = 1L << 17).fold(e => fail(e.message), identity)
+    settle()
+    val createSec = (System.nanoTime() - t0) / 1e9
+    val createBytes = readBytes.getAndSet(0L)
+    assert(v1.count == (n + 1) / 2)
+
+    // touch 1000 keys in one window of A — ~0.02% of the corpus
+    val a2 = new KVIndex(store, a1.execute(Seq(Command.Insert(
+      spark.range(2000000, 2001000).select(col("id").as("k"), lit(-1L).as("av")),
+      upsert = true)), "tx-mjp").orThrow, 1L << 17)
+    settle(); readBytes.set(0L)
+
+    val t1 = System.nanoTime()
+    val v2 = graft.core.MaterializedJoin.refresh(store, "mjp_v", a2, b1)
+      .fold(e => fail(e.message), identity)
+    settle()
+    val refreshSec = (System.nanoTime() - t1) / 1e9
+    val refreshBytes = readBytes.get()
+    info(f"create: $createSec%.1f s / $createBytes bytes; " +
+      f"refresh(1k keys): $refreshSec%.1f s / $refreshBytes bytes " +
+      f"(${100.0 * refreshBytes / math.max(createBytes, 1L)}%.1f%% of create)")
+    assert(v2.count == (n + 1) / 2)
+    assert(v2.get(Seq(2000001L)).select("av").collect().head.getLong(0) == -1L)
+    assert(refreshBytes < createBytes / 4,
+      s"refresh read $refreshBytes vs create $createBytes — not change-bounded")
+    assert(refreshSec < createSec,
+      f"refresh $refreshSec%.1f s slower than the full recompute $createSec%.1f s")
+  }
+
   /** r14 verdict #7: `ZipPartitionsJoinExec` does not implement
     * `CodegenSupport`, so the join is a whole-stage-codegen FENCE — the
     * stages above and below fuse among themselves but hand rows across
