@@ -626,6 +626,20 @@ object SparkEntry {
         .fold(e => sys.error(e.message), identity)
     }._2
 
+  /** Per-order as-of PROBES keyed (l_orderkey, probe_ln) where probe_ln =
+    * max(l_linenumber) - 1 — the left side of the as-of co-range join
+    * demos (kv_corange_asof*): single-line orders probe below every line
+    * (unmatched), multi-line orders match their second-highest line.
+    */
+  private def liProbeStore(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-liprobe", s, d) { store =>
+      val probe = t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg((max(col("l_linenumber")) - lit(1)).cast("int").as("probe_ln"),
+          count(lit(1)).as("n_lines"))
+      KVIndex.bootstrap(store, "liprobe", probe, Seq("l_orderkey", "probe_ln"))
+        .fold(e => sys.error(e.message), identity)
+    }._2
+
   /** lineitem aggregated to order grain, keyed l_orderkey — the second
     * fact index of the co-located join demo (kv_colocated_join).
     */
@@ -2918,6 +2932,28 @@ object SparkEntry {
         WHERE l.l_orderkey <= 500
         ORDER BY l.l_orderkey, l.l_linenumber""")
     }),
+    // AS-OF co-range join: latest line at-or-before each order's probe,
+    // exchange-free (prefix-cut legs + per-leg ordered merge). left_outer:
+    // single-line orders probe below every line and null-extend.
+    "kv_corange_asof" -> ((s, d) => {
+      liProbeStore(s, d).asOfJoin(liLinesStore(s, d), equiLen = 1,
+          joinType = "left_outer")
+        .filter(col("l_orderkey") <= 400)
+        .select(col("l_orderkey"), col("probe_ln"), col("n_lines"),
+          col("asof_ts").as("asof_ln"), col("qty").cast("long").as("qty"))
+        .orderBy("l_orderkey")
+    }),
+    // strict + tolerance variant, inner: match the latest line STRICTLY
+    // below the probe and within 2 line numbers; orders whose best match
+    // falls outside the band drop entirely
+    "kv_corange_asof_tol" -> ((s, d) => {
+      liProbeStore(s, d).asOfJoin(liLinesStore(s, d), equiLen = 1,
+          joinType = "inner", strict = true, tolerance = 2L)
+        .filter(col("l_orderkey") <= 400)
+        .select(col("l_orderkey"), col("probe_ln"), col("n_lines"),
+          col("asof_ts").as("asof_ln"), col("qty").cast("long").as("qty"))
+        .orderBy("l_orderkey")
+    }),
     // FULL OUTER = the two-snapshot diff in one exchange-free pass: the
     // key column COALESCEs the sides (USING-join shape), left-only /
     // matched / right-only row classes all present by fixture design
@@ -4345,6 +4381,29 @@ object SparkEntry {
         "FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
         "WHERE l.l_orderkey <= 500 AND o.o_orderkey % 3 <> 0 " +
         "ORDER BY l.l_orderkey, l.l_linenumber"),
+      "kv_corange_asof" -> ("WITH lines AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2), " +
+        "probe AS MATERIALIZED (SELECT l_orderkey, CAST(max(l_linenumber) - 1 AS INT) AS probe_ln, " +
+        "count(*) AS n_lines FROM lineitem GROUP BY 1), " +
+        "j AS (SELECT p.l_orderkey, p.probe_ln, p.n_lines, x.l_linenumber AS asof_ln, " +
+        "CAST(x.qty AS BIGINT) AS qty, " +
+        "row_number() OVER (PARTITION BY p.l_orderkey ORDER BY x.l_linenumber DESC NULLS LAST) AS rn " +
+        "FROM probe p LEFT JOIN lines x ON x.l_orderkey = p.l_orderkey " +
+        "AND x.l_linenumber <= p.probe_ln WHERE p.l_orderkey <= 400) " +
+        "SELECT l_orderkey, probe_ln, n_lines, asof_ln, qty FROM j WHERE rn = 1 " +
+        "ORDER BY l_orderkey"),
+      "kv_corange_asof_tol" -> ("WITH lines AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2), " +
+        "probe AS MATERIALIZED (SELECT l_orderkey, CAST(max(l_linenumber) - 1 AS INT) AS probe_ln, " +
+        "count(*) AS n_lines FROM lineitem GROUP BY 1), " +
+        "j AS (SELECT p.l_orderkey, p.probe_ln, p.n_lines, x.l_linenumber AS asof_ln, " +
+        "CAST(x.qty AS BIGINT) AS qty, " +
+        "row_number() OVER (PARTITION BY p.l_orderkey ORDER BY x.l_linenumber DESC) AS rn " +
+        "FROM probe p JOIN lines x ON x.l_orderkey = p.l_orderkey " +
+        "AND x.l_linenumber < p.probe_ln AND p.probe_ln - x.l_linenumber <= 2 " +
+        "WHERE p.l_orderkey <= 400) " +
+        "SELECT l_orderkey, probe_ln, n_lines, asof_ln, qty FROM j WHERE rn = 1 " +
+        "ORDER BY l_orderkey"),
       "kv_corange_full" -> ("WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice " +
         "FROM orders WHERE o_orderkey % 3 <> 0), " +
         "li AS (SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS n_lines " +

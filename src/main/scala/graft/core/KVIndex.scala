@@ -1116,6 +1116,159 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     }
   }
 
+  /** AS-OF join of two range-laid snapshots with ZERO exchanges — for each
+    * row of THIS index, attach the single row of `other` with the greatest
+    * ts at-or-before (`strict` = strictly-before) the left row's ts within
+    * the same equi-key group. The temporal-lookup generalization of
+    * [[coRangeJoin]]: prices-at-trade-time, config-active-at-event,
+    * latest-reading-before-probe — the query every event pipeline runs,
+    * normally as a shuffled join + window ([[graft.operators.AsOfJoin]]).
+    * Here both snapshots' manifests cut shared leg boundaries at
+    * EQUI-KEY-PREFIX grain (the key-prefix join's leg rule, so an equi
+    * group is never split across legs) and each leg runs an ordered merge
+    * holding ONE candidate row: no shuffle, no join explosion on
+    * many-versions keys, O(1) task heap beyond the local leg sorts.
+    *
+    * Keys are positional: the leading `equiLen` key columns of both sides
+    * are the equi key (types must match; default = all but the last of
+    * `other`'s key). The ts column defaults to each side's NEXT key column
+    * (`key.cols(equiLen)`); pass `leftTsCol`/`rightTsCol` to use any other
+    * column — non-key ts columns are fine, the per-leg local sort orders
+    * them (ties on (equi, ts) break by the side's remaining key columns,
+    * so the pick is deterministic under the engine's key-unique contract).
+    *
+    * `tolerance >= 0` additionally requires `leftTs - rightTs <= tolerance`
+    * in the ts type's native units (integral value, days for DATE,
+    * microseconds for TIMESTAMP). Join types: `inner` (unmatched left rows
+    * drop) and `left_outer` (null-extended). Output: every left column,
+    * then the matched right ts as `asof_ts`, then `other`'s value columns
+    * (non-key, non-version, non-ts; names must not collide). Falls back to
+    * the equivalent shuffled join + window pick when either layout cannot
+    * guarantee disjoint ranges.
+    */
+  def asOfJoin(other: KVIndex, equiLen: Int = -1,
+               leftTsCol: String = null, rightTsCol: String = null,
+               joinType: String = "inner", strict: Boolean = false,
+               tolerance: Long = -1L, rowsPerLeg: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+    require(joinType == "inner" || joinType == "left_outer",
+      s"asOfJoin: unsupported join type '$joinType' (inner, left_outer)")
+    val leftOuter = joinType == "left_outer"
+    val el = if (equiLen > 0) equiLen else other.key.cols.length - 1
+    require(el >= 1 && el <= key.cols.length && el <= other.key.cols.length,
+      s"asOfJoin: equiLen $el out of range for key arities " +
+        s"${key.cols.length}/${other.key.cols.length}")
+    val lTsName = Option(leftTsCol).getOrElse {
+      require(el < key.cols.length,
+        "asOfJoin: no left key column beyond the equi prefix — pass leftTsCol")
+      key.cols(el)
+    }
+    val rTsName = Option(rightTsCol).getOrElse {
+      require(el < other.key.cols.length,
+        "asOfJoin: no right key column beyond the equi prefix — pass rightTsCol")
+      other.key.cols(el)
+    }
+    val ls = store.emptyTyped(manifest).schema
+    val rs = other.store.emptyTyped(other.manifest).schema
+    require(!key.cols.take(el).contains(lTsName) &&
+      !other.key.cols.take(el).contains(rTsName),
+      "asOfJoin: the ts column cannot be part of the equi prefix")
+    require(key.cols.take(el).map(ls(_).dataType) ==
+      other.key.cols.take(el).map(rs(_).dataType),
+      "asOfJoin: equi-key column types must match positionally")
+    require(ls.fieldNames.contains(lTsName) && rs.fieldNames.contains(rTsName),
+      s"asOfJoin: ts column missing ($lTsName / $rTsName)")
+    val tsType = ls(lTsName).dataType
+    require(tsType == rs(rTsName).dataType,
+      s"asOfJoin: ts types must match ($tsType vs ${rs(rTsName).dataType})")
+    require(tolerance < 0 || graft.plans.AsOfZipJoin.toleranceSupported(tsType),
+      s"asOfJoin: tolerance unsupported for ts type $tsType")
+    val rightVals = rs.fieldNames.toSeq.filterNot(c =>
+      other.key.cols.take(el).contains(c) || c == "version" || c == rTsName)
+    val clash = (rightVals :+ "asof_ts").toSet intersect ls.fieldNames.toSet
+    require(clash.isEmpty,
+      s"asOfJoin: output column(s) ${clash.mkString(",")} collide " +
+        "with left columns — rename before joining")
+    val rRestNames = other.key.cols.drop(el).filterNot(_ == rTsName)
+
+    // ts in its native integral units for the tolerance bound — must agree
+    // with the exec's raw-value semantics (days for DATE, micros for
+    // TIMESTAMP, the value itself for integrals)
+    def tsUnits(c: Column): Column = tsType match {
+      case org.apache.spark.sql.types.DateType =>
+        datediff(c, to_date(lit("1970-01-01")))
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+
+    /** Stock fallback: shuffled join on the equi prefix + ts bound, then
+      * one window picks the latest match per left row (left full key is
+      * unique, so the partition is exact).
+      */
+    def stockAsOf(): DataFrame = {
+      val l = df.alias("__al")
+      val r = other.df.alias("__ar")
+      val equiCond = key.cols.take(el).zip(other.key.cols.take(el))
+        .map { case (a, b) => col(s"__al.$a") === col(s"__ar.$b") }
+        .reduce(_ && _)
+      val lT = col(s"__al.$lTsName"); val rT = col(s"__ar.$rTsName")
+      val tsCond0 = if (strict) rT < lT else rT <= lT
+      val tsCond = if (tolerance >= 0)
+        tsCond0 && (tsUnits(lT) - tsUnits(rT) <= tolerance)
+      else tsCond0
+      val j = l.join(r, equiCond && tsCond, if (leftOuter) "left" else "inner")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key.cols.map(c => col(s"__al.$c")): _*)
+        .orderBy((rT.desc_nulls_last +:
+          rRestNames.map(c => col(s"__ar.$c").desc_nulls_last)): _*)
+      j.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(ls.fieldNames.toSeq.map(c => col(s"__al.$c")) ++
+          (rT.as("asof_ts") +: rightVals.map(c => col(s"__ar.$c").as(c))): _*)
+    }
+
+    coRangeLegPlans(other, rowsPerLeg,
+        joinType = if (leftOuter) LeftOuter else Inner, keyLen = el) match {
+      case None => stockAsOf()
+      case Some((zipOpt, leftOnlyOpt, _)) =>
+        val zipDf = zipOpt.map { case (lPlan, rPlan, _, _) =>
+          def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                     n: String) =
+            p.output.find(_.name == n).getOrElse(
+              sys.error(s"asOfJoin: missing column $n"))
+          val node = graft.plans.AsOfZipJoin(lPlan, rPlan,
+            key.cols.take(el).map(attrOf(lPlan, _)),
+            other.key.cols.take(el).map(attrOf(rPlan, _)),
+            attrOf(lPlan, lTsName), attrOf(rPlan, rTsName),
+            key.cols.drop(el).filterNot(_ == lTsName).map(attrOf(lPlan, _)),
+            rRestNames.map(attrOf(rPlan, _)),
+            leftOuter, strict, tolerance)
+          // resolve by each side's own attributes — ts/value NAMES may
+          // repeat across sides
+          val lByName = node.output.filter(a =>
+            lPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
+          val rByName = node.output.filter(a =>
+            rPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
+          org.apache.spark.sql.graft.Shim.ofRows(spark, node).select(
+            ls.fieldNames.toSeq.map(c =>
+              org.apache.spark.sql.graft.Shim.col(lByName(c))) ++
+            (org.apache.spark.sql.graft.Shim.col(rByName(rTsName)).as("asof_ts") +:
+              rightVals.map(c =>
+                org.apache.spark.sql.graft.Shim.col(rByName(c)).as(c))): _*)
+        }
+        // equi-prefix ranges only the left covers: no match exists — rows
+        // null-extend (left_outer reaches here; inner drops these legs in
+        // the construction)
+        val leftOnlyShaped = leftOnlyOpt.map { lp =>
+          org.apache.spark.sql.graft.Shim.ofRows(spark, lp).select(
+            ls.fieldNames.toSeq.map(col) ++
+            (lit(null).cast(tsType).as("asof_ts") +:
+              rightVals.map(c => lit(null).cast(rs(c).dataType).as(c))): _*)
+        }
+        Seq(zipDf, leftOnlyShaped).flatten.reduceOption(_ union _)
+          .getOrElse(stockAsOf().limit(0)) // provably empty, typed
+    }
+  }
+
   /** The co-range leg construction under [[coRangeJoin]] and the SQL-join
     * rewrite ([[graft.sources.GraftCoRangeJoin]]): both sides' leg-union
     * plans (one partition per leg, boundary predicates pushed, legs

@@ -108,6 +108,9 @@ object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrate
       planLater(child) :: Nil
     case ZipPartitionsJoin(l, r, lk, rk, jt, cl, cr) =>
       ZipPartitionsJoinExec(planLater(l), planLater(r), lk, rk, jt, cl, cr) :: Nil
+    case AsOfZipJoin(l, r, le, re, lt, rt, lrs, rrs, lo, st, tol) =>
+      AsOfZipJoinExec(planLater(l), planLater(r), le, re, lt, rt, lrs, rrs,
+        lo, st, tol) :: Nil
     case _ => Nil
   }
 }
@@ -193,6 +196,44 @@ object PushThroughDeclareOrdered
         Project(ps, ZipPartitionsJoin(Project(ln, l), Project(rn, r), lk, rk, jt,
           keepCoal.map(_._1), keepCoal.map(_._2)))
       else p
+    // the AS-OF zip join gets the same treatment: narrow each leg to its
+    // referenced columns plus the merge's key columns (equi + ts + rest)
+    case p @ Project(ps, j @ AsOfZipJoin(l, r, le, re, lt, rt, lrs, rrs, lo, st, tol))
+        if ps.forall(_.deterministic) =>
+      val refs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        ps.flatMap(_.references))
+      def needed(side: LogicalPlan, keep: Seq[Attribute]): Seq[Attribute] =
+        side.output.filter(a => refs.contains(a) || keep.exists(_.exprId == a.exprId))
+      val ln = needed(l, (le :+ lt) ++ lrs)
+      val rn = needed(r, (re :+ rt) ++ rrs)
+      if (ln.length < l.output.length || rn.length < r.output.length)
+        Project(ps, AsOfZipJoin(Project(ln, l), Project(rn, r), le, re, lt, rt,
+          lrs, rrs, lo, st, tol))
+      else p
+    // LEFT conjuncts slide into the left leg for both as-of types (the
+    // output's left rows are a subset of the input's, and each left row's
+    // match is derived from the RIGHT side alone, so dropping left rows
+    // early changes nothing else). RIGHT conjuncts NEVER push: unlike an
+    // equi join, filtering the right input can PROMOTE an earlier right
+    // row to "latest match" — a right filter above the join removes rows,
+    // below the join it rewrites matches.
+    case f @ Filter(cond, AsOfZipJoin(l, r, le, re, lt, rt, lrs, rrs, lo, st, tol)) =>
+      def conjs(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+          conjs(a) ++ conjs(b)
+        case other => Seq(other)
+      }
+      val lset = org.apache.spark.sql.catalyst.expressions.AttributeSet(l.output)
+      val (lPush, rest) = conjs(cond).partition(c =>
+        c.deterministic && c.references.nonEmpty && c.references.subsetOf(lset))
+      if (lPush.isEmpty) f
+      else {
+        import org.apache.spark.sql.catalyst.expressions.And
+        val nl = Filter(lPush.reduce(And), l)
+        val nj = AsOfZipJoin(nl, r, le, re, lt, rt, lrs, rrs, lo, st, tol)
+        rest.reduceOption(And).map(Filter(_, nj)).getOrElse(nj)
+      }
     // a deterministic conjunct referencing ONE side slides into that leg,
     // restoring scan-level evaluation (parquet PushedFilters / row-group
     // pruning) for the residual predicates above the join. Left conjuncts
