@@ -640,6 +640,29 @@ object SparkEntry {
         .fold(e => sys.error(e.message), identity)
     }._2
 
+  /** Event readings keyed (user_id, ts) — the TIMESTAMP-keyed right side
+    * of the as-of join demo (kv_corange_asof_ts).
+    */
+  private def evReadStore(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-evread", s, d) { store =>
+      val rd = events(s, d).groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      KVIndex.bootstrap(store, "evread", rd, Seq("user_id", "ts"))
+        .fold(e => sys.error(e.message), identity)
+    }._2
+
+  /** Per-user probe instants (last event minus 30 min) keyed
+    * (user_id, pts) — the left side of kv_corange_asof_ts.
+    */
+  private def evProbeStore(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-evprobe", s, d) { store =>
+      val pr = events(s, d).groupBy(col("user_id"))
+        .agg((max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("pts"))
+      KVIndex.bootstrap(store, "evprobe", pr, Seq("user_id", "pts"))
+        .fold(e => sys.error(e.message), identity)
+    }._2
+
   /** lineitem aggregated to order grain, keyed l_orderkey — the second
     * fact index of the co-located join demo (kv_colocated_join).
     */
@@ -2954,6 +2977,17 @@ object SparkEntry {
           col("asof_ts").as("asof_ln"), col("qty").cast("long").as("qty"))
         .orderBy("l_orderkey")
     }),
+    // TIMESTAMP-keyed as-of with an interval tolerance: per-user probe
+    // instants floor to the latest event reading within 10 minutes —
+    // exchange-free over two (user_id, ts)-keyed snapshots; timestamps
+    // leave as epoch millis (the repo's DuckDB parity convention)
+    "kv_corange_asof_ts" -> ((s, d) => {
+      evProbeStore(s, d).asOfJoin(evReadStore(s, d), equiLen = 1,
+          joinType = "left_outer", tolerance = 600000000L) // 10 min in micros
+        .select(col("user_id"), unix_millis(col("pts")).as("probe_ms"),
+          unix_millis(col("asof_ts")).as("asof_ms"), col("cnt"), col("cents"))
+        .orderBy("user_id")
+    }),
     // FULL OUTER = the two-snapshot diff in one exchange-free pass: the
     // key column COALESCEs the sides (USING-join shape), left-only /
     // matched / right-only row classes all present by fixture design
@@ -4404,6 +4438,18 @@ object SparkEntry {
         "WHERE p.l_orderkey <= 400) " +
         "SELECT l_orderkey, probe_ln, n_lines, asof_ln, qty FROM j WHERE rn = 1 " +
         "ORDER BY l_orderkey"),
+      "kv_corange_asof_ts" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "pr AS MATERIALIZED (SELECT user_id, max(ts) - INTERVAL 30 MINUTE AS pts " +
+        "FROM events GROUP BY 1), " +
+        "j AS (SELECT p.user_id, epoch_ms(p.pts) AS probe_ms, epoch_ms(x.ts) AS asof_ms, " +
+        "x.cnt, x.cents, " +
+        "row_number() OVER (PARTITION BY p.user_id ORDER BY x.ts DESC NULLS LAST) AS rn " +
+        "FROM pr p LEFT JOIN rd x ON x.user_id = p.user_id AND x.ts <= p.pts " +
+        "AND x.ts >= p.pts - INTERVAL 10 MINUTE) " +
+        "SELECT user_id, probe_ms, asof_ms, cnt, cents FROM j WHERE rn = 1 " +
+        "ORDER BY user_id"),
       "kv_corange_full" -> ("WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice " +
         "FROM orders WHERE o_orderkey % 3 <> 0), " +
         "li AS (SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS n_lines " +

@@ -217,6 +217,59 @@ class AsOfCoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("timestamp ts with a micros tolerance: exec and fallback paths agree exactly") {
+    val st = store(tmpDir("graft-asof-tsty"))
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    // readings at 99s/150s (k=1) and 10s (k=2); probes at 100s/200s/50s
+    val left = withTs(Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L))
+      .toDF("k", "sec", "v")).withColumnRenamed("v", "lv")
+    val right = withTs(Seq((1L, 99L, 10L), (1L, 150L, 20L), (2L, 10L, 30L))
+      .toDF("k", "sec", "v")).withColumnRenamed("v", "rv")
+    val ixL = KVIndex.bootstrap(st, "tsl", left.repartition(1),
+      Seq("k", "ts")).toOption.get
+    val ixR = KVIndex.bootstrap(st, "tsr", right.repartition(1),
+      Seq("k", "ts")).toOption.get
+    // 5-second tolerance in MICROSECONDS (the TIMESTAMP native unit)
+    def shaped(j: org.apache.spark.sql.DataFrame) =
+      j.select(col("k"), unix_seconds(col("ts")).as("t"),
+          unix_seconds(col("asof_ts")).as("m"), col("rv"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).sorted
+    val zipped = ixL.asOfJoin(ixR, equiLen = 1, joinType = "left_outer",
+      tolerance = 5000000L)
+    assert(collectFirst(zipped.queryExecution.executedPlan) {
+      case z: AsOfZipJoinExec => z }.isDefined)
+    val want = Seq(
+      (1L, 100L, Some(99L), Some(10L)), // 1 s inside the band
+      (1L, 200L, None, None),           // floor is 50 s back — outside
+      (2L, 50L, None, None))            // floor is 40 s back — outside
+    assert(shaped(zipped) == want)
+
+    // force the stock fallback by breaking the right layout's disjointness
+    // with an interleaved second batch; semantics must not move
+    val extraRows = withTs(Seq((1L, 120L, 40L), (2L, 45L, 50L))
+      .toDF("k", "sec", "v")).withColumnRenamed("v", "rv")
+      .withColumn("version", lit("tx-asof-tsty")).repartition(1)
+    val (_, extra) = st.writeData("tsr", extraRows, KeySpec(Seq("k", "ts")), 2)
+    val m2 = ixR.manifest.copy(version = ixR.manifest.version + 1,
+      snapshotId = java.util.UUID.randomUUID().toString,
+      numElements = 5L, files = ixR.manifest.files ++ extra,
+      disjointHint = None)
+    val ovR = new KVIndex(st, st.commit(m2, ixR.manifest.version))
+    val fb = ixL.asOfJoin(ovR, equiLen = 1, joinType = "left_outer",
+      tolerance = 5000000L)
+    assert(collectFirst(fb.queryExecution.executedPlan) {
+      case z: AsOfZipJoinExec => z }.isEmpty, "overlapping right must fall back")
+    // the 120 s reading is now k=1/200 s's floor, 80 s outside the band;
+    // 45 s is k=2/50 s's floor and INSIDE it — identical rule, stock plan
+    assert(shaped(fb) == Seq(
+      (1L, 100L, Some(99L), Some(10L)),
+      (1L, 200L, None, None),
+      (2L, 50L, Some(45L), Some(50L))))
+  }
+
   test("column pruning reaches the leg scans; left filters push below the join") {
     val st = store(tmpDir("graft-asof-prune"))
     val left = (1L to 400L).map(k => (k, 5L, s"l$k", s"wide-l$k"))

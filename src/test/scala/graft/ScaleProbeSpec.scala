@@ -432,6 +432,62 @@ class ScaleProbeSpec extends SparkSuite {
     assert(aggCnt == (n + 1) / 2)
   }
 
+  /** As-of co-range join at 5M probes x 6M versions: the per-leg merge
+    * holds ONE candidate row (no group buffer at all), so wall time is
+    * scan + local sorts + a linear merge — and the shuffled twin (join on
+    * the equi key + window pick) pays a 30x row explosion before its
+    * window even starts.
+    */
+  test("5M x 6M as-of join: exchange-free merge vs the shuffled join+window twin") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    val store = new FsSnapshotStore(tmpDir("graft-probe-asof"), spark)
+    val nKeys = 200000L
+    // right: 30 versioned readings per key at ts = 0, 10, ..., 290
+    val right = spark.range(0, nKeys * 30).select(
+      (col("id") % nKeys).as("k"),
+      (floor(col("id") / nKeys).cast("long") * 10).as("ts"),
+      (col("id") * 7).as("rv"))
+    // left: 25 probes per key at ts = 3, 15, 27, ... (floor = a mid column)
+    val left = spark.range(0, nKeys * 25).select(
+      (col("id") % nKeys).as("k"),
+      (floor(col("id") / nKeys).cast("long") * 12 + 3).as("ts"),
+      (col("id") * 3).as("lv"))
+    val t0 = System.nanoTime()
+    val ixL = KVIndex.bootstrap(store, "asof_l", left, Seq("k", "ts"),
+      maxRowsPerFile = 1L << 17).fold(e => fail(e.message), identity)
+    val ixR = KVIndex.bootstrap(store, "asof_r", right, Seq("k", "ts"),
+      maxRowsPerFile = 1L << 17).fold(e => fail(e.message), identity)
+    info(f"bootstrap 5M + 6M rows: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+      s"${ixL.numFiles}+${ixR.numFiles} files")
+
+    val t1 = System.nanoTime()
+    val j = ixL.asOfJoin(ixR, equiLen = 1)
+    val cnt = j.count()
+    val zipSec = (System.nanoTime() - t1) / 1e9
+    info(f"as-of zip join: $cnt rows across ${j.rdd.getNumPartitions} legs in $zipSec%.1f s")
+    assert(cnt == nKeys * 25) // every probe has a floor reading (ts >= 3 > 0)
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    // every probe's floor: ts = 12i+3 floors to 10*floor((12i+3)/10)
+    val wrong = j.filter(col("asof_ts") =!= (col("ts") - col("ts") % 10)).count()
+    assert(wrong == 0L, s"$wrong probes picked a non-floor reading")
+
+    // the shuffled twin: equi join (30x explosion) + window pick
+    val t2 = System.nanoTime()
+    val l = ixL.df.alias("__l"); val r = ixR.df.alias("__r")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__l.k"), col("__l.ts"))
+      .orderBy(col("__r.ts").desc)
+    val stock = l.join(r, col("__l.k") === col("__r.k") &&
+        col("__r.ts") <= col("__l.ts"), "inner")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val stockCnt = stock.count()
+    val stockSec = (System.nanoTime() - t2) / 1e9
+    info(f"shuffled join+window twin: $stockCnt rows in $stockSec%.1f s " +
+      f"(zip = ${zipSec / stockSec * 100}%.0f%% of stock wall)")
+    assert(stockCnt == cnt)
+  }
+
   /** Materialized JOIN view at 5M rows: refresh after a narrow mutation
     * must cost a small fraction of the full recompute — in bytes (the
     * changed-key envelope bounds every read) and in wall time.
