@@ -2988,6 +2988,20 @@ object SparkEntry {
           unix_millis(col("asof_ts")).as("asof_ms"), col("cnt"), col("cents"))
         .orderBy("user_id")
     }),
+    // AS-OF PROBE join: an arbitrary DataFrame of probe rows (every 7th
+    // event) enriched against the snapshot — probes route onto the
+    // snapshot's leg boundaries (the ONLY shuffle is the probe side; the
+    // snapshot never moves), strictly-before with a 30-minute tolerance
+    "kv_asof_probe" -> ((s, d) => {
+      val probes = events(s, d).filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      evReadStore(s, d).asOfProbe(probes, Seq("user_id"), "ts",
+          joinType = "left_outer", strict = true, tolerance = 1800000000L)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("probe_ms"),
+          unix_millis(col("asof_ts")).as("asof_ms"), col("cnt"), col("cents"))
+        .orderBy("event_id")
+    }),
     // FULL OUTER = the two-snapshot diff in one exchange-free pass: the
     // key column COALESCEs the sides (USING-join shape), left-only /
     // matched / right-only row classes all present by fixture design
@@ -4450,6 +4464,17 @@ object SparkEntry {
         "AND x.ts >= p.pts - INTERVAL 10 MINUTE) " +
         "SELECT user_id, probe_ms, asof_ms, cnt, cents FROM j WHERE rn = 1 " +
         "ORDER BY user_id"),
+      "kv_asof_probe" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "pr AS MATERIALIZED (SELECT event_id, user_id, ts FROM events WHERE event_id % 7 = 0), " +
+        "j AS (SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS probe_ms, " +
+        "epoch_ms(x.ts) AS asof_ms, x.cnt, x.cents, " +
+        "row_number() OVER (PARTITION BY p.event_id ORDER BY x.ts DESC NULLS LAST) AS rn " +
+        "FROM pr p LEFT JOIN rd x ON x.user_id = p.user_id AND x.ts < p.ts " +
+        "AND x.ts >= p.ts - INTERVAL 30 MINUTE) " +
+        "SELECT event_id, user_id, probe_ms, asof_ms, cnt, cents FROM j WHERE rn = 1 " +
+        "ORDER BY event_id"),
       "kv_corange_full" -> ("WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice " +
         "FROM orders WHERE o_orderkey % 3 <> 0), " +
         "li AS (SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS n_lines " +

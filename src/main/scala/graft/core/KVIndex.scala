@@ -1376,18 +1376,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     // never exceeds either side's target (+ one file — a single
     // oversized file is the floor, as everywhere in the manifest
     // machinery, and the exec's spillable merge join absorbs even that)
-    def legBounds(fs: Seq[FileEntry]): Seq[Seq[Any]] = {
-      val b = Seq.newBuilder[Seq[Any]]
-      var rows = 0L; var first = true
-      fs.foreach { f =>
-        // prefix joins truncate every boundary to the join-key length, so
-        // a boundary can never split a join-key group (KeyOrd's prefix
-        // convention then routes the whole group above the boundary)
-        if (!first && rows + f.rows > target) { b += f.min.take(kl); rows = 0L }
-        rows += f.rows; first = false
-      }
-      b.result()
-    }
+    def legBounds(fs: Seq[FileEntry]): Seq[Seq[Any]] = legBoundaryCut(fs, kl, target)
     val merged = (legBounds(lfs) ++ legBounds(rfs)).sorted(KeyOrd)
     // KeyOrd-dedupe (Seq#distinct would miss binary keys' value equality)
     val bounds = merged.foldLeft(Vector.empty[Seq[Any]]) { (acc, b) =>
@@ -1400,43 +1389,10 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       (None +: bounds.map(Option(_))).zip(bounds.map(Option(_)) :+ None)
 
     def legDf(ix: KVIndex, fs: Seq[FileEntry],
-              lo: Option[Seq[Any]], hi: Option[Seq[Any]]): DataFrame = {
-      val base = ix.store.readFiles(fs.map(_.path), ix.manifest)
-      val bounded = Seq(
-        lo.map(l => ix.key.gtKey(l, orEq = true)),
-        hi.map(h => ix.key.ltKey(h))).flatten
-        .foldLeft(base)((d, p) => d.filter(p))
-      // fusion breaker: keep one task per leg under the enclosing union
-      graft.plans.OrderedPlans.unfused(bounded.coalesce(1))
-    }
-    // covering files per leg by a MONOTONIC SWEEP, not a filter-per-leg:
-    // the lists are manifest-ordered with disjoint ranges, legs' lower
-    // bounds are non-decreasing, and a file spanning several legs stays
-    // current across them — driver work is O(files + legs + Σ|covering|)
-    // where the quadratic filter would stall the driver at manifest scale
-    // (millions of files × hundreds of thousands of legs)
-    def coveringSweep(fs: Seq[FileEntry])
-        : (Option[Seq[Any]], Option[Seq[Any]]) => Seq[FileEntry] = {
-      val arr = fs.toIndexedSeq
-      var i = 0
-      (lo, hi) => {
-        // drop files wholly below this leg — they can never cover a later
-        // leg either (lower bounds only grow)
-        lo.foreach { l =>
-          while (i < arr.length && KeyOrd.compare(arr(i).max, l) < 0) i += 1
-        }
-        // the covering run: every file from i has max >= lo; take while
-        // it still starts below the leg's upper bound
-        var j = i
-        val b = Seq.newBuilder[FileEntry]
-        while (j < arr.length && hi.forall(h => KeyOrd.compare(arr(j).min, h) < 0)) {
-          b += arr(j); j += 1
-        }
-        b.result()
-      }
-    }
-    val coverL = coveringSweep(lfs)
-    val coverR = coveringSweep(rfs)
+              lo: Option[Seq[Any]], hi: Option[Seq[Any]]): DataFrame =
+      legSlice(ix, fs, lo, hi)
+    val coverL = legCoveringSweep(lfs)
+    val coverR = legCoveringSweep(rfs)
     // a leg empty on one side is dropped unless that side's opposite is
     // PRESERVED: left-only legs survive for left_outer/left_anti/
     // full_outer, right-only legs for full_outer. (A skipped side's
@@ -1500,6 +1456,261 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.DeclareOrderedStrategy
     Some((zipPart, loPart, roPart))
+  }
+
+  /** One leg boundary per ~`target` rows of `fs`, each truncated to `kl`
+    * leading key components — a prefix boundary can never split a
+    * join/equi group (KeyOrd's prefix convention routes the whole group
+    * above it). A single oversized file is the floor, as everywhere in
+    * the manifest machinery; the execs' spillable merges absorb it.
+    */
+  private def legBoundaryCut(fs: Seq[FileEntry], kl: Int,
+                             target: Long): Seq[Seq[Any]] = {
+    val b = Seq.newBuilder[Seq[Any]]
+    var rows = 0L; var first = true
+    fs.foreach { f =>
+      if (!first && rows + f.rows > target) { b += f.min.take(kl); rows = 0L }
+      rows += f.rows; first = false
+    }
+    b.result()
+  }
+
+  /** One leg: the covering files' scan, bounded to the half-open
+    * [lo, hi) key range, coalesced to a single partition behind the
+    * union-fusion breaker (one task per leg under the enclosing union).
+    */
+  private def legSlice(ix: KVIndex, fs: Seq[FileEntry],
+                       lo: Option[Seq[Any]], hi: Option[Seq[Any]]): DataFrame = {
+    val base = ix.store.readFiles(fs.map(_.path), ix.manifest)
+    val bounded = Seq(
+      lo.map(l => ix.key.gtKey(l, orEq = true)),
+      hi.map(h => ix.key.ltKey(h))).flatten
+      .foldLeft(base)((d, p) => d.filter(p))
+    graft.plans.OrderedPlans.unfused(bounded.coalesce(1))
+  }
+
+  /** Covering files per leg by a MONOTONIC SWEEP, not a filter-per-leg:
+    * the lists are manifest-ordered with disjoint ranges, legs' lower
+    * bounds are non-decreasing, and a file spanning several legs stays
+    * current across them — driver work is O(files + legs + Σ|covering|)
+    * where the quadratic filter would stall the driver at manifest scale
+    * (millions of files × hundreds of thousands of legs). A skipped
+    * leg's sweep self-corrects on its next call: the advance is driven
+    * by the monotone lower bound alone.
+    */
+  private def legCoveringSweep(fs: Seq[FileEntry])
+      : (Option[Seq[Any]], Option[Seq[Any]]) => Seq[FileEntry] = {
+    val arr = fs.toIndexedSeq
+    var i = 0
+    (lo, hi) => {
+      // drop files wholly below this leg — they can never cover a later
+      // leg either (lower bounds only grow)
+      lo.foreach { l =>
+        while (i < arr.length && KeyOrd.compare(arr(i).max, l) < 0) i += 1
+      }
+      // the covering run: every file from i has max >= lo; take while
+      // it still starts below the leg's upper bound
+      var j = i
+      val b = Seq.newBuilder[FileEntry]
+      while (j < arr.length && hi.forall(h => KeyOrd.compare(arr(j).min, h) < 0)) {
+        b += arr(j); j += 1
+      }
+      b.result()
+    }
+  }
+
+  /** Single-side leg construction for the PROBE joins ([[asOfProbe]]):
+    * boundaries cut from THIS manifest alone at `kl`-prefix grain, one
+    * plan partition per half-open range. The ranges cover (-inf, +inf),
+    * so a caller can route EVERY probe row to exactly one leg index and
+    * zip against the returned plan. Returns the boundary list + the
+    * leg-union plan (bounds.length + 1 partitions); None when the layout
+    * cannot guarantee disjoint ranges (caller falls back).
+    */
+  private[graft] def probeLegPlans(kl: Int, rowsPerLeg: Long = -1L)
+      : Option[(Vector[Seq[Any]],
+                org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    if (manifest.isEmpty || !filesDisjoint) return None
+    val fs = filesWhere(_ => true)
+    if (fs.isEmpty) return None
+    val target = math.max(1L, math.max(
+      if (rowsPerLeg > 0) rowsPerLeg else maxRowsPerFile,
+      ceilDiv(fs.iterator.map(_.rows).sum, maxPlanLegs.toLong)))
+    val bounds = legBoundaryCut(fs, kl, target)
+      // KeyOrd-dedupe (prefix truncation can repeat a boundary; Seq#distinct
+      // would miss binary keys' value equality)
+      .foldLeft(Vector.empty[Seq[Any]]) { (acc, b) =>
+        if (acc.nonEmpty && KeyOrd.compare(acc.last, b) == 0) acc else acc :+ b
+      }
+    val ranges = (None +: bounds.map(Option(_))).zip(bounds.map(Option(_)) :+ None)
+    val cover = legCoveringSweep(fs)
+    val legs = ranges.map { case (lo, hi) =>
+      val afs = cover(lo, hi)
+      // every range contains at least the file whose min cut its lower
+      // bound (boundaries come from this list), so this cannot fire — it
+      // guards the routing alignment, which must never drop a leg index
+      require(afs.nonEmpty, s"probeLegPlans: uncovered leg range [$lo, $hi)")
+      legSlice(this, afs, lo, hi)
+    }
+    val plan = legs.reduce(_ unionByName _).queryExecution.analyzed
+    if (!spark.experimental.extraStrategies.contains(
+        graft.plans.DeclareOrderedStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.DeclareOrderedStrategy
+    Some((bounds, plan))
+  }
+
+  /** AS-OF PROBE join: enrich an ARBITRARY DataFrame of probe rows with
+    * this snapshot's latest row at-or-before each probe's ts within the
+    * probe's equi-key group — [[asOfJoin]] for a non-snapshot left side.
+    * The probe side is ROUTED onto this snapshot's leg boundaries (one
+    * binary search per probe row against the broadcast boundary list,
+    * then a partitioner shuffle of the PROBES ALONE) and each leg runs
+    * the same one-candidate ordered merge. At 100 TB this is the shape
+    * that matters: the snapshot — the big side — never moves; the only
+    * exchange in the whole plan is the (typically tiny) probe side, the
+    * join analogue of [[getAll]]'s route-the-batch-to-the-data stance.
+    *
+    * `probeKeyCols` map positionally onto this snapshot's leading key
+    * columns (the equi prefix); `probeTsCol` is the probe instant. The
+    * snapshot's ts defaults to its next key column (`rightTsCol` for any
+    * other). Semantics — strictness, native-unit tolerance, inner /
+    * left_outer, deterministic tie-break by the snapshot's remaining key
+    * — are exactly [[asOfJoin]]'s. Output: every probe column, then
+    * `asof_ts`, then the snapshot's value columns. Duplicate probe rows
+    * are fine (each is matched independently). Falls back to the
+    * shuffled join + window pick when the layout cannot guarantee
+    * disjoint ranges.
+    */
+  def asOfProbe(probes: DataFrame, probeKeyCols: Seq[String], probeTsCol: String,
+                rightTsCol: String = null, joinType: String = "inner",
+                strict: Boolean = false, tolerance: Long = -1L,
+                rowsPerLeg: Long = -1L): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"asOfProbe: unsupported join type '$joinType' (inner, left_outer)")
+    val leftOuter = joinType == "left_outer"
+    val el = probeKeyCols.length
+    require(el >= 1 && el <= key.cols.length,
+      s"asOfProbe: ${el} probe key column(s) vs key arity ${key.cols.length}")
+    val rTsName = Option(rightTsCol).getOrElse {
+      require(el < key.cols.length,
+        "asOfProbe: no key column beyond the equi prefix — pass rightTsCol")
+      key.cols(el)
+    }
+    require(!key.cols.take(el).contains(rTsName),
+      "asOfProbe: the ts column cannot be part of the equi prefix")
+    val ps = probes.schema
+    val rs = store.emptyTyped(manifest).schema
+    (probeKeyCols :+ probeTsCol).foreach(c => require(ps.fieldNames.contains(c),
+      s"asOfProbe: probe column $c missing"))
+    require(probeKeyCols.map(ps(_).dataType) ==
+      key.cols.take(el).map(rs(_).dataType),
+      "asOfProbe: equi-key column types must match positionally")
+    val tsType = ps(probeTsCol).dataType
+    require(tsType == rs(rTsName).dataType,
+      s"asOfProbe: ts types must match ($tsType vs ${rs(rTsName).dataType})")
+    require(tolerance < 0 || graft.plans.AsOfZipJoin.toleranceSupported(tsType),
+      s"asOfProbe: tolerance unsupported for ts type $tsType")
+    val rightVals = rs.fieldNames.toSeq.filterNot(c =>
+      key.cols.take(el).contains(c) || c == "version" || c == rTsName)
+    val clash = (rightVals :+ "asof_ts").toSet intersect ps.fieldNames.toSet
+    require(clash.isEmpty,
+      s"asOfProbe: output column(s) ${clash.mkString(",")} collide " +
+        "with probe columns — rename before joining")
+    val rRestNames = key.cols.drop(el).filterNot(_ == rTsName)
+
+    def tsUnits(c: Column): Column = tsType match {
+      case org.apache.spark.sql.types.DateType =>
+        datediff(c, to_date(lit("1970-01-01")))
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+
+    /** Stock fallback: probes get a per-row id, shuffled join on the equi
+      * prefix + ts bound, one window picks the latest match per probe.
+      */
+    def stockProbe(): DataFrame = {
+      val l = probes.withColumn("__pid", monotonically_increasing_id())
+        .alias("__al")
+      val r = df.alias("__ar")
+      val equiCond = probeKeyCols.zip(key.cols.take(el))
+        .map { case (a, b) => col(s"__al.$a") === col(s"__ar.$b") }
+        .reduce(_ && _)
+      val lT = col(s"__al.$probeTsCol"); val rT = col(s"__ar.$rTsName")
+      val tsCond0 = if (strict) rT < lT else rT <= lT
+      val tsCond = if (tolerance >= 0)
+        tsCond0 && (tsUnits(lT) - tsUnits(rT) <= tolerance)
+      else tsCond0
+      val j = l.join(r, equiCond && tsCond, if (leftOuter) "left" else "inner")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__al.__pid"))
+        .orderBy((rT.desc_nulls_last +:
+          rRestNames.map(c => col(s"__ar.$c").desc_nulls_last)): _*)
+      j.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(ps.fieldNames.toSeq.map(c => col(s"__al.$c")) ++
+          (rT.as("asof_ts") +: rightVals.map(c => col(s"__ar.$c").as(c))): _*)
+    }
+
+    probeLegPlans(el, rowsPerLeg) match {
+      case None => stockProbe()
+      case Some((bounds, rPlan)) =>
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, RowOrdering, UnsafeProjection}
+        // route each probe row to its leg: binary search of the row's
+        // equi prefix against the boundary list (internal representation,
+        // compared with Spark's own row ordering — the exact dual of the
+        // legs' gtKey/ltKey predicates, prefix convention included), then
+        // ONE partitioner shuffle of the probe side alone
+        val prefixTypes = probeKeyCols.map(c => ps(c).dataType)
+        val convs = prefixTypes.map(t =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(t))
+        val boundRows: Array[InternalRow] = bounds.map(b =>
+          new GenericInternalRow(b.zip(convs).map { case (v, f) => f(v) }
+            .toArray[Any]): InternalRow).toArray
+        val keyExprs = probeKeyCols.map(c => BoundReference(
+          ps.fieldIndex(c), ps(c).dataType, nullable = true))
+        val nLegs = boundRows.length + 1
+        val routed = probes.queryExecution.toRdd.mapPartitions { it =>
+          val proj = UnsafeProjection.create(keyExprs)
+          val ord = RowOrdering.createNaturalAscendingOrdering(prefixTypes)
+          it.map { r =>
+            val k = proj(r)
+            // leg index = count of boundaries <= key (a probe equal to a
+            // boundary goes ABOVE it, like the legs' half-open ranges)
+            var lo = 0; var hi = boundRows.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ord.compare(boundRows(mid), k) <= 0) lo = mid + 1 else hi = mid
+            }
+            (lo, r.copy())
+          }
+        }.partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = nLegs
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        }).map(_._2)
+        val lPlan = org.apache.spark.sql.graft.Shim
+          .fromInternalRows(spark, routed, ps).queryExecution.analyzed
+        def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                   n: String) =
+          p.output.find(_.name == n).getOrElse(
+            sys.error(s"asOfProbe: missing column $n"))
+        val node = graft.plans.AsOfZipJoin(lPlan, rPlan,
+          probeKeyCols.map(attrOf(lPlan, _)),
+          key.cols.take(el).map(attrOf(rPlan, _)),
+          attrOf(lPlan, probeTsCol), attrOf(rPlan, rTsName),
+          Nil, rRestNames.map(attrOf(rPlan, _)),
+          leftOuter, strict, tolerance)
+        val lByName = node.output.filter(a =>
+          lPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
+        val rByName = node.output.filter(a =>
+          rPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
+        org.apache.spark.sql.graft.Shim.ofRows(spark, node).select(
+          ps.fieldNames.toSeq.map(c =>
+            org.apache.spark.sql.graft.Shim.col(lByName(c))) ++
+          (org.apache.spark.sql.graft.Shim.col(rByName(rTsName)).as("asof_ts") +:
+            rightVals.map(c =>
+              org.apache.spark.sql.graft.Shim.col(rByName(c)).as(c))): _*)
+    }
   }
 
   /** U3 `copy` — cheap snapshot clone sharing every data file

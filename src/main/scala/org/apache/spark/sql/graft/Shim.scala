@@ -59,6 +59,16 @@ object Shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** DataFrame over a pre-partitioned InternalRow RDD (the probe-routing
+    * path of `KVIndex.asOfProbe`: rows already shuffled onto a snapshot's
+    * leg boundaries, so the plan must see the RDD's partitioning as-is).
+    */
+  def fromInternalRows(spark: org.apache.spark.sql.SparkSession,
+                       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                       schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Rebuild a V1 streaming Sink's `addBatch` frame as a plain BATCH
     * DataFrame: the incoming frame's plan still carries the streaming
     * source (any new query over it fails analysis), so the sink executes

@@ -1,0 +1,167 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.plans.AsOfZipJoinExec
+
+/** The as-of PROBE join: an arbitrary DataFrame of probe rows enriched
+  * against a range-laid snapshot — probes are routed onto the snapshot's
+  * leg boundaries (one partitioner shuffle of the probe side ALONE), the
+  * snapshot never moves. Content parity against a driver-side reference
+  * is the correctness contract; the no-SQL-exchange plan, the leg-count
+  * alignment and the routing/leg boundary agreement are the scale
+  * contract.
+  */
+class AsOfProbeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def store(dir: String) = new FsSnapshotStore(s"$dir/store", spark)
+
+  private def ref(probes: Seq[(Long, Long, String)], right: Seq[(Long, Long, Long)],
+                  strict: Boolean, tol: Long, outer: Boolean)
+      : Seq[(Long, Long, String, Option[Long], Option[Long])] =
+    probes.sorted.flatMap { case (k, ts, lv) =>
+      val cands = right.filter { case (rk, rts, _) =>
+        rk == k && (if (strict) rts < ts else rts <= ts) &&
+          (tol < 0 || ts - rts <= tol) }
+      if (cands.nonEmpty) {
+        val m = cands.maxBy(c => (c._2, c._3))
+        Some((k, ts, lv, Some(m._2), Some(m._3)))
+      } else if (outer) Some((k, ts, lv, None, None))
+      else None
+    }
+
+  private def collected(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Long, String, Option[Long], Option[Long])] =
+    df.select(col("k"), col("ts"), col("lv"), col("asof_ts"), col("rv"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).sorted
+
+  test("probe join matches the reference; the SQL plan has zero exchanges; legs align") {
+    val st = store(tmpDir("graft-aprobe"))
+    val right = (1L to 40L).flatMap(k => (0L to 90L by 10L).map(ts =>
+      (k, ts, k * 1000 + ts)))
+    val ixR = KVIndex.bootstrap(st, "apr", right.toDF("k", "ts", "rv")
+      .repartition(1), Seq("k", "ts"), maxRowsPerFile = 32).toOption.get
+    // probes: unsorted, duplicated, keys beyond the snapshot, null-free
+    val probes = Seq((7L, 35L, "a"), (2L, 5L, "b"), (7L, 35L, "a2"),
+      (99L, 50L, "miss"), (1L, 0L, "edge"), (40L, 95L, "hi"))
+    val pdf = probes.toDF("k", "ts", "lv").repartition(3)
+
+    for (outer <- Seq(false, true)) {
+      val jt = if (outer) "left_outer" else "inner"
+      val j = ixR.asOfProbe(pdf, Seq("k"), "ts", joinType = jt)
+      assert(collected(j) == ref(probes, right, strict = false, tol = -1, outer),
+        s"content mismatch for $jt")
+      val plan = j.queryExecution.executedPlan
+      assert(collectFirst(plan) { case z: AsOfZipJoinExec => z }.isDefined,
+        s"expected AsOfZipJoinExec for $jt:\n$plan")
+      // the probe routing is an RDD-level partitioner shuffle (probe side
+      // only); the SQL plan itself must stay exchange-free
+      assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"no SQL exchange expected ($jt):\n$plan")
+    }
+
+    // leg alignment: output partitions == boundary count + 1
+    val (bounds, _) = ixR.probeLegPlans(1).get
+    val j = ixR.asOfProbe(pdf, Seq("k"), "ts")
+    assert(j.rdd.getNumPartitions == bounds.length + 1,
+      s"probe partitions must align with the snapshot's legs")
+  }
+
+  test("probe join agrees with the snapshot-to-snapshot asOfJoin on identical data") {
+    val st = store(tmpDir("graft-aprobe-eq"))
+    val right = (1L to 30L).flatMap(k => Seq(0L, 7L, 20L).map(ts =>
+      (k, ts, k * 10 + ts)))
+    val left = (1L to 35L).map(k => (k, (k % 25) + 1, s"p$k"))
+    val ixR = KVIndex.bootstrap(st, "eqr", right.toDF("k", "ts", "rv")
+      .repartition(1), Seq("k", "ts"), maxRowsPerFile = 16).toOption.get
+    val ixL = KVIndex.bootstrap(st, "eql", left.toDF("k", "ts", "lv")
+      .repartition(1), Seq("k", "ts"), maxRowsPerFile = 64).toOption.get
+    for (jt <- Seq("inner", "left_outer"); strict <- Seq(false, true)) {
+      val viaProbe = collected(ixR.asOfProbe(ixL.df.select("k", "ts", "lv"),
+        Seq("k"), "ts", joinType = jt, strict = strict))
+      val viaJoin = collected(ixL.asOfJoin(ixR, equiLen = 1,
+        joinType = jt, strict = strict))
+      assert(viaProbe == viaJoin, s"probe vs join divergence at $jt strict=$strict")
+    }
+  }
+
+  test("null probe keys never match; left_outer keeps them; inner drops them") {
+    val st = store(tmpDir("graft-aprobe-null"))
+    val ixR = KVIndex.bootstrap(st, "nr", (1L to 10L).map(k => (k, 1L, k))
+      .toDF("k", "ts", "rv").repartition(1), Seq("k", "ts")).toOption.get
+    val pdf = Seq((Some(1L), Some(5L), "ok"), (None, Some(5L), "nullk"),
+      (Some(2L), None, "nullts")).toDF("k", "ts", "lv")
+    val outer = ixR.asOfProbe(pdf, Seq("k"), "ts", joinType = "left_outer")
+      .select(col("lv"), col("rv")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq.sortBy(_._1)
+    assert(outer == Seq(("nullk", None), ("nullts", None), ("ok", Some(1L))))
+    assert(ixR.asOfProbe(pdf, Seq("k"), "ts").count() == 1L)
+  }
+
+  test("randomized differential incl. tolerance, layouts, duplicate probes") {
+    val st = store(tmpDir("graft-aprobe-rand"))
+    val rnd = new Random(816L)
+    for (round <- 1 to 5) {
+      val nK = 1 + rnd.nextInt(10)
+      val right = rnd.shuffle((1L to nK.toLong).flatMap(k =>
+        (0 until rnd.nextInt(6)).map(_ => (k, rnd.nextInt(40).toLong)))
+        .distinct.toList).map { case (k, ts) => (k, ts, k * 100 + ts) }
+      // probes are NOT deduped — duplicates must each match independently
+      val probes = (0 until rnd.nextInt(60)).map { i =>
+        val k = 1L + rnd.nextInt(nK + 2) // some keys miss the snapshot
+        val ts = rnd.nextInt(45).toLong
+        (k, ts, s"p$i-$k-$ts")
+      }
+      if (right.nonEmpty && probes.nonEmpty) {
+        val ixR = KVIndex.bootstrap(st, s"rr$round", right.toDF("k", "ts", "rv")
+          .repartition(1), Seq("k", "ts"),
+          maxRowsPerFile = Seq(4, 16, 64)(rnd.nextInt(3))).toOption.get
+        val pdf = probes.toDF("k", "ts", "lv").repartition(1 + rnd.nextInt(4))
+        for (outer <- Seq(false, true)) {
+          val strict = rnd.nextBoolean()
+          val tol = Seq(-1L, 0L, 6L)(rnd.nextInt(3))
+          val got = collected(ixR.asOfProbe(pdf, Seq("k"), "ts",
+            joinType = if (outer) "left_outer" else "inner",
+            strict = strict, tolerance = tol,
+            rowsPerLeg = Seq(-1L, 8L)(rnd.nextInt(2))))
+          assert(got == ref(probes, right, strict, tol, outer),
+            s"round=$round outer=$outer strict=$strict tol=$tol")
+        }
+      }
+    }
+  }
+
+  test("overlapping snapshot layout falls back to the stock probe plan") {
+    val st = store(tmpDir("graft-aprobe-ov"))
+    val evens = (1 to 50).map(i => (2L * i, 5L, 2L * i)).toDF("k", "ts", "rv")
+      .repartition(1)
+    val ix0 = KVIndex.bootstrap(st, "povl", evens, Seq("k", "ts"),
+      maxRowsPerFile = 16).toOption.get
+    val odds = (1 to 50).map(i => (2L * i - 1, 5L, 2L * i - 1))
+      .toDF("k", "ts", "rv").withColumn("version", lit("tx-aprobe-ov"))
+      .repartition(1)
+    val (_, extra) = st.writeData("povl", odds, KeySpec(Seq("k", "ts")), 4)
+    val m2 = ix0.manifest.copy(version = ix0.manifest.version + 1,
+      snapshotId = java.util.UUID.randomUUID().toString,
+      numElements = 100L, files = ix0.manifest.files ++ extra,
+      disjointHint = None)
+    val ov = new KVIndex(st, st.commit(m2, ix0.manifest.version))
+    val right = (1 to 100).map(i => (i.toLong, 5L, i.toLong))
+    val probes = (1L to 100L).map(k => (k, 9L, s"p$k"))
+    val j = ov.asOfProbe(probes.toDF("k", "ts", "lv"), Seq("k"), "ts",
+      joinType = "left_outer")
+    assert(collectFirst(j.queryExecution.executedPlan) {
+      case z: AsOfZipJoinExec => z }.isEmpty,
+      "overlapping layout must not take the probe zip join")
+    assert(collected(j) == ref(probes, right, strict = false, tol = -1, outer = true))
+  }
+}
