@@ -2988,6 +2988,18 @@ object SparkEntry {
           unix_millis(col("asof_ts")).as("asof_ms"), col("cnt"), col("cents"))
         .orderBy("user_id")
     }),
+    // EQUI PROBE join: an arbitrary fact frame (every 5th order) joins the
+    // composite-keyed snapshot on its leading key — probes route onto the
+    // snapshot's legs (probe-side-only shuffle), each probe emits its
+    // whole (orderkey, linenumber) group
+    "kv_probe_join" -> ((s, d) => {
+      val probes = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey"))
+      liLinesStore(s, d).probeJoin(probes, Seq("k"), joinType = "left_outer")
+        .select(col("k"), col("o_custkey"), col("l_linenumber"),
+          col("qty").cast("long").as("qty"))
+        .orderBy("k", "l_linenumber")
+    }),
     // AS-OF PROBE join: an arbitrary DataFrame of probe rows (every 7th
     // event) enriched against the snapshot — probes route onto the
     // snapshot's leg boundaries (the ONLY shuffle is the probe side; the
@@ -4464,6 +4476,12 @@ object SparkEntry {
         "AND x.ts >= p.pts - INTERVAL 10 MINUTE) " +
         "SELECT user_id, probe_ms, asof_ms, cnt, cents FROM j WHERE rn = 1 " +
         "ORDER BY user_id"),
+      "kv_probe_join" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2), " +
+        "p AS (SELECT o_orderkey AS k, o_custkey FROM orders WHERE o_orderkey % 5 = 0) " +
+        "SELECT p.k, p.o_custkey, li.l_linenumber, CAST(li.qty AS BIGINT) AS qty " +
+        "FROM p LEFT JOIN li ON li.l_orderkey = p.k " +
+        "ORDER BY p.k, li.l_linenumber NULLS FIRST"),
       "kv_asof_probe" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
         "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM events GROUP BY 1, 2), " +

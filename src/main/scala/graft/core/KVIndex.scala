@@ -1560,6 +1560,138 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     Some((bounds, plan))
   }
 
+  /** Routes each probe row to its leg index — a binary search of the
+    * row's equi prefix against the boundary list (internal representation,
+    * compared with Spark's own row ordering — the exact dual of the legs'
+    * gtKey/ltKey predicates, prefix convention included: leg index =
+    * count of boundaries <= key, so a probe equal to a boundary goes
+    * ABOVE it like the legs' half-open ranges) — then ONE partitioner
+    * shuffle of the probe side alone. Returns the routed frame's analyzed
+    * plan, partition i = leg i.
+    */
+  private def routeProbes(probes: DataFrame, probeKeyCols: Seq[String],
+                          bounds: Vector[Seq[Any]])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, RowOrdering, UnsafeProjection}
+    val ps = probes.schema
+    val prefixTypes = probeKeyCols.map(c => ps(c).dataType)
+    val convs = prefixTypes.map(t =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(t))
+    val boundRows: Array[InternalRow] = bounds.map(b =>
+      new GenericInternalRow(b.zip(convs).map { case (v, f) => f(v) }
+        .toArray[Any]): InternalRow).toArray
+    val keyExprs = probeKeyCols.map(c => BoundReference(
+      ps.fieldIndex(c), ps(c).dataType, nullable = true))
+    val nLegs = boundRows.length + 1
+    val routed = probes.queryExecution.toRdd.mapPartitions { it =>
+      val proj = UnsafeProjection.create(keyExprs)
+      val ord = RowOrdering.createNaturalAscendingOrdering(prefixTypes)
+      it.map { r =>
+        val k = proj(r)
+        var lo = 0; var hi = boundRows.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ord.compare(boundRows(mid), k) <= 0) lo = mid + 1 else hi = mid
+        }
+        (lo, r.copy())
+      }
+    }.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nLegs
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }).map(_._2)
+    org.apache.spark.sql.graft.Shim
+      .fromInternalRows(spark, routed, ps).queryExecution.analyzed
+  }
+
+  /** EQUI PROBE join: join an ARBITRARY DataFrame of probe rows against
+    * this snapshot on its leading key column(s) — [[coRangeJoin]] for a
+    * non-snapshot left side, the general "enrich facts against a
+    * snapshot dimension" shape. Probes are routed onto the snapshot's
+    * leg boundaries ([[routeProbes]] — ONE partitioner shuffle of the
+    * probes alone; the snapshot never moves and the SQL plan stays
+    * exchange-free) and each leg runs the equi streaming merge, so a
+    * key-PREFIX join (fewer probe key columns than the snapshot's key
+    * arity) emits every matching group row, spillable like the
+    * snapshot-to-snapshot join.
+    *
+    * `probeKeyCols` map positionally onto this snapshot's leading key
+    * columns. Join types: `inner`, `left_outer` (probe columns then the
+    * snapshot's non-equi-key, non-version columns — names must not
+    * collide), `left_semi` / `left_anti` (probe columns alone — EXISTS /
+    * NOT EXISTS against the snapshot). Duplicate probe rows each match
+    * independently; null probe keys follow SQL equality (inner/semi
+    * drop, outer null-extends, anti keeps). Falls back to the stock
+    * shuffled join when the layout cannot guarantee disjoint ranges.
+    */
+  def probeJoin(probes: DataFrame, probeKeyCols: Seq[String],
+                joinType: String = "inner", rowsPerLeg: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.{JoinType, LeftAnti, LeftOuter, LeftSemi, Inner => CInner}
+    val jt = JoinType(joinType)
+    require(jt == CInner || jt == LeftOuter || jt == LeftSemi || jt == LeftAnti,
+      s"probeJoin: unsupported join type '$joinType' " +
+        "(inner, left_outer, left_semi, left_anti)")
+    val el = probeKeyCols.length
+    require(el >= 1 && el <= key.cols.length,
+      s"probeJoin: ${el} probe key column(s) vs key arity ${key.cols.length}")
+    val ps = probes.schema
+    val rs = store.emptyTyped(manifest).schema
+    probeKeyCols.foreach(c => require(ps.fieldNames.contains(c),
+      s"probeJoin: probe column $c missing"))
+    require(probeKeyCols.map(ps(_).dataType) ==
+      key.cols.take(el).map(rs(_).dataType),
+      "probeJoin: key column types must match positionally")
+    val rightInOutput = jt == CInner || jt == LeftOuter
+    // keep key columns BEYOND the equi prefix (a prefix join's match
+    // detail), drop the equi keys (equal to the probe's) + version stamp
+    val rightVals = rs.fieldNames.toSeq.filterNot(c =>
+      key.cols.take(el).contains(c) || c == "version")
+    if (rightInOutput) {
+      val clash = rightVals.toSet intersect ps.fieldNames.toSet
+      require(clash.isEmpty,
+        s"probeJoin: snapshot column(s) ${clash.mkString(",")} collide " +
+          "with probe columns — rename before joining")
+    }
+
+    def stockJoin(): DataFrame = {
+      val l = probes.alias("__al")
+      val r = df.alias("__ar")
+      val cond = probeKeyCols.zip(key.cols.take(el))
+        .map { case (a, b) => col(s"__al.$a") === col(s"__ar.$b") }
+        .reduce(_ && _)
+      val j = l.join(r, cond, joinType)
+      if (rightInOutput)
+        j.select(ps.fieldNames.toSeq.map(c => col(s"__al.$c")) ++
+          rightVals.map(c => col(s"__ar.$c")): _*)
+      else j.select(ps.fieldNames.toSeq.map(c => col(s"__al.$c")): _*)
+    }
+
+    probeLegPlans(el, rowsPerLeg) match {
+      case None => stockJoin()
+      case Some((bounds, rPlan)) =>
+        val lPlan = routeProbes(probes, probeKeyCols, bounds)
+        def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                   n: String) =
+          p.output.find(_.name == n).getOrElse(
+            sys.error(s"probeJoin: missing column $n"))
+        val node = graft.plans.ZipPartitionsJoin(lPlan, rPlan,
+          probeKeyCols.map(attrOf(lPlan, _)),
+          key.cols.take(el).map(attrOf(rPlan, _)), jt)
+        val lByName = node.output.filter(a =>
+          lPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
+        val rByName = node.output.filter(a =>
+          rPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
+        val out = org.apache.spark.sql.graft.Shim.ofRows(spark, node)
+        if (rightInOutput)
+          out.select(ps.fieldNames.toSeq.map(c =>
+            org.apache.spark.sql.graft.Shim.col(lByName(c))) ++
+            rightVals.map(c =>
+              org.apache.spark.sql.graft.Shim.col(rByName(c))): _*)
+        else out.select(ps.fieldNames.toSeq.map(c =>
+          org.apache.spark.sql.graft.Shim.col(lByName(c))): _*)
+    }
+  }
+
   /** AS-OF PROBE join: enrich an ARBITRARY DataFrame of probe rows with
     * this snapshot's latest row at-or-before each probe's ts within the
     * probe's equi-key group — [[asOfJoin]] for a non-snapshot left side.
@@ -1654,42 +1786,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     probeLegPlans(el, rowsPerLeg) match {
       case None => stockProbe()
       case Some((bounds, rPlan)) =>
-        import org.apache.spark.sql.catalyst.InternalRow
-        import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, RowOrdering, UnsafeProjection}
-        // route each probe row to its leg: binary search of the row's
-        // equi prefix against the boundary list (internal representation,
-        // compared with Spark's own row ordering — the exact dual of the
-        // legs' gtKey/ltKey predicates, prefix convention included), then
-        // ONE partitioner shuffle of the probe side alone
-        val prefixTypes = probeKeyCols.map(c => ps(c).dataType)
-        val convs = prefixTypes.map(t =>
-          org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(t))
-        val boundRows: Array[InternalRow] = bounds.map(b =>
-          new GenericInternalRow(b.zip(convs).map { case (v, f) => f(v) }
-            .toArray[Any]): InternalRow).toArray
-        val keyExprs = probeKeyCols.map(c => BoundReference(
-          ps.fieldIndex(c), ps(c).dataType, nullable = true))
-        val nLegs = boundRows.length + 1
-        val routed = probes.queryExecution.toRdd.mapPartitions { it =>
-          val proj = UnsafeProjection.create(keyExprs)
-          val ord = RowOrdering.createNaturalAscendingOrdering(prefixTypes)
-          it.map { r =>
-            val k = proj(r)
-            // leg index = count of boundaries <= key (a probe equal to a
-            // boundary goes ABOVE it, like the legs' half-open ranges)
-            var lo = 0; var hi = boundRows.length
-            while (lo < hi) {
-              val mid = (lo + hi) >>> 1
-              if (ord.compare(boundRows(mid), k) <= 0) lo = mid + 1 else hi = mid
-            }
-            (lo, r.copy())
-          }
-        }.partitionBy(new org.apache.spark.Partitioner {
-          override def numPartitions: Int = nLegs
-          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-        }).map(_._2)
-        val lPlan = org.apache.spark.sql.graft.Shim
-          .fromInternalRows(spark, routed, ps).queryExecution.analyzed
+        val lPlan = routeProbes(probes, probeKeyCols, bounds)
         def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                    n: String) =
           p.output.find(_.name == n).getOrElse(

@@ -140,6 +140,74 @@ class AsOfProbeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("equi probeJoin: all four types match the stock join; prefix groups emit every row") {
+    val st = store(tmpDir("graft-pjoin"))
+    // composite-keyed snapshot: a PREFIX probe join must emit the whole
+    // (k, sub) group per matching probe
+    val right = (1L to 20L).flatMap(k => (1L to (k % 3 + 1)).map(sub =>
+      (k, sub, k * 100 + sub)))
+    val ixR = KVIndex.bootstrap(st, "pj", right.toDF("k", "sub", "rv")
+      .repartition(1), Seq("k", "sub"), maxRowsPerFile = 8).toOption.get
+    val probes = Seq((Some(3L), "a"), (Some(3L), "dup"), (Some(19L), "b"),
+      (Some(99L), "miss"), (None: Option[Long], "nullk"))
+    val pdf = probes.toDF("k", "tag").repartition(2)
+
+    val stockBase = pdf.alias("p").join(ixR.df.alias("r"),
+      col("p.k") === col("r.k"), _: String)
+    for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+      val got = ixR.probeJoin(pdf, Seq("k"), joinType = jt)
+      val want = jt match {
+        case "inner" | "left_outer" =>
+          stockBase(jt).select(col("p.k"), col("tag"), col("sub"), col("rv"))
+        case _ => stockBase(jt).select(col("p.k"), col("tag"))
+      }
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().toSeq.map(_.toSeq.map(v => Option(v).map(_.toString)))
+          .sortBy(_.toString)
+      assert(norm(got) == norm(want), s"content mismatch for $jt")
+      val plan = got.queryExecution.executedPlan
+      assert(collectFirst(plan) {
+        case z: graft.plans.ZipPartitionsJoinExec => z }.isDefined,
+        s"expected the zip join for $jt:\n$plan")
+      assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"no SQL exchange expected for $jt:\n$plan")
+    }
+    // spot-check prefix-group emission: probe k=3 (twice) x its 1-sub
+    // group, k=19 x its 2-sub group
+    assert(ixR.probeJoin(pdf, Seq("k")).count() ==
+      2L * right.count(_._1 == 3L) + right.count(_._1 == 19L))
+  }
+
+  test("equi probeJoin randomized differential vs the stock join") {
+    val st = store(tmpDir("graft-pjoin-rand"))
+    val rnd = new Random(4242L)
+    for (round <- 1 to 4) {
+      val right = (1L to (5L + rnd.nextInt(15))).flatMap(k =>
+        (1L to (1L + rnd.nextInt(3))).map(sub => (k, sub, k * 10 + sub)))
+      val ixR = KVIndex.bootstrap(st, s"pr$round", right.toDF("k", "sub", "rv")
+        .repartition(1), Seq("k", "sub"),
+        maxRowsPerFile = Seq(4, 16)(rnd.nextInt(2))).toOption.get
+      val probes = (0 until 30).map(i => (rnd.nextInt(25).toLong, s"t$i"))
+      val pdf = probes.toDF("k", "tag").repartition(1 + rnd.nextInt(3))
+      for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+        val got = ixR.probeJoin(pdf, Seq("k"), joinType = jt,
+          rowsPerLeg = Seq(-1L, 6L)(rnd.nextInt(2)))
+        val want = jt match {
+          case "inner" | "left_outer" =>
+            pdf.alias("p").join(ixR.df.alias("r"), col("p.k") === col("r.k"), jt)
+              .select(col("p.k"), col("tag"), col("sub"), col("rv"))
+          case _ =>
+            pdf.alias("p").join(ixR.df.alias("r"), col("p.k") === col("r.k"), jt)
+              .select(col("p.k"), col("tag"))
+        }
+        def norm(df: org.apache.spark.sql.DataFrame) =
+          df.collect().toSeq.map(_.toSeq.map(v => Option(v).map(_.toString)))
+            .sortBy(_.toString)
+        assert(norm(got) == norm(want), s"round=$round jt=$jt")
+      }
+    }
+  }
+
   test("overlapping snapshot layout falls back to the stock probe plan") {
     val st = store(tmpDir("graft-aprobe-ov"))
     val evens = (1 to 50).map(i => (2L * i, 5L, 2L * i)).toDF("k", "ts", "rv")
