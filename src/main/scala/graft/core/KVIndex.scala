@@ -1527,11 +1527,21 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * leg-union plan (bounds.length + 1 partitions); None when the layout
     * cannot guarantee disjoint ranges (caller falls back).
     */
-  private[graft] def probeLegPlans(kl: Int, rowsPerLeg: Long = -1L)
+  private[graft] def probeLegPlans(kl: Int, rowsPerLeg: Long = -1L,
+      lo: Option[Any] = None, hi: Option[Any] = None)
       : Option[(Vector[Seq[Any]],
                 org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
     if (manifest.isEmpty || !filesDisjoint) return None
-    val fs = filesWhere(_ => true)
+    // leading-key prune from the probe set's [min, max] bounds: a file
+    // whose leading-key range misses every probe's leading key can never
+    // contribute a match for ANY probe-preserving type (matches require
+    // exact equality on the equi prefix), so legs are cut from the
+    // covering files only — manifest pruning applied to the probe joins.
+    // Compared at LEADING-component grain (head only), conservative for
+    // longer prefixes; same stance as coRangeLegPlans' pruned().
+    val fs = filesWhere(f =>
+      lo.forall(l => KeyOrd.compare(Seq(f.max.head), Seq(l)) >= 0) &&
+        hi.forall(h => KeyOrd.compare(Seq(f.min.head), Seq(h)) <= 0))
     if (fs.isEmpty) return None
     val target = math.max(1L, math.max(
       if (rowsPerLeg > 0) rowsPerLeg else maxRowsPerFile,
@@ -1559,6 +1569,21 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
         spark.experimental.extraStrategies :+ graft.plans.DeclareOrderedStrategy
     Some((bounds, plan))
   }
+
+  /** The probe set's [min, max] LEADING-key bounds for file pruning —
+    * one cheap aggregate over the (small) probe side. Costs the probe
+    * plan one extra execution; persist an expensive probe frame first,
+    * or pass `pruneFiles = false`. Null keys are ignored by min/max
+    * (they never match anything); an all-null/empty probe set prunes
+    * nothing and the join result is empty/unmatched anyway.
+    */
+  private def probeBounds(probes: DataFrame, leadingCol: String,
+                          enabled: Boolean): (Option[Any], Option[Any]) =
+    if (!enabled) (None, None)
+    else {
+      val r = probes.agg(min(col(leadingCol)), max(col(leadingCol))).head()
+      if (r.isNullAt(0)) (None, None) else (Some(r.get(0)), Some(r.get(1)))
+    }
 
   /** Routes each probe row to its leg index — a binary search of the
     * row's equi prefix against the boundary list (internal representation,
@@ -1625,7 +1650,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * shuffled join when the layout cannot guarantee disjoint ranges.
     */
   def probeJoin(probes: DataFrame, probeKeyCols: Seq[String],
-                joinType: String = "inner", rowsPerLeg: Long = -1L): DataFrame = {
+                joinType: String = "inner", rowsPerLeg: Long = -1L,
+                pruneFiles: Boolean = true): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.{JoinType, LeftAnti, LeftOuter, LeftSemi, Inner => CInner}
     val jt = JoinType(joinType)
     require(jt == CInner || jt == LeftOuter || jt == LeftSemi || jt == LeftAnti,
@@ -1666,7 +1692,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       else j.select(ps.fieldNames.toSeq.map(c => col(s"__al.$c")): _*)
     }
 
-    probeLegPlans(el, rowsPerLeg) match {
+    val pb = probeBounds(probes, probeKeyCols.head, pruneFiles)
+    probeLegPlans(el, rowsPerLeg, pb._1, pb._2) match {
       case None => stockJoin()
       case Some((bounds, rPlan)) =>
         val lPlan = routeProbes(probes, probeKeyCols, bounds)
@@ -1717,7 +1744,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   def asOfProbe(probes: DataFrame, probeKeyCols: Seq[String], probeTsCol: String,
                 rightTsCol: String = null, joinType: String = "inner",
                 strict: Boolean = false, tolerance: Long = -1L,
-                rowsPerLeg: Long = -1L): DataFrame = {
+                rowsPerLeg: Long = -1L, pruneFiles: Boolean = true): DataFrame = {
     require(joinType == "inner" || joinType == "left_outer",
       s"asOfProbe: unsupported join type '$joinType' (inner, left_outer)")
     val leftOuter = joinType == "left_outer"
@@ -1783,7 +1810,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
           (rT.as("asof_ts") +: rightVals.map(c => col(s"__ar.$c").as(c))): _*)
     }
 
-    probeLegPlans(el, rowsPerLeg) match {
+    val pb = probeBounds(probes, probeKeyCols.head, pruneFiles)
+    probeLegPlans(el, rowsPerLeg, pb._1, pb._2) match {
       case None => stockProbe()
       case Some((bounds, rPlan)) =>
         val lPlan = routeProbes(probes, probeKeyCols, bounds)

@@ -208,6 +208,35 @@ class AsOfProbeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("probe bounds prune the snapshot files: selective probes scan covering files only") {
+    val st = store(tmpDir("graft-pjoin-prune"))
+    val right = (1L to 4000L).map(k => (k, 1L, k * 3))
+    val ixR = KVIndex.bootstrap(st, "pp", right.toDF("k", "ts", "rv")
+      .repartition(1), Seq("k", "ts"), maxRowsPerFile = 200).toOption.get
+    assert(ixR.numFiles >= 15, s"fixture needs many files, got ${ixR.numFiles}")
+    val probes = (1000L to 1100L).map(k => (k, s"p$k")).toDF("k", "tag")
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      collect(df.queryExecution.executedPlan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.flatMap(_.relation.location.inputFiles).distinct.length
+
+    val pruned = ixR.probeJoin(probes, Seq("k"))
+    val unpruned = ixR.probeJoin(probes, Seq("k"), pruneFiles = false)
+    assert(scannedFiles(pruned) <= 3,
+      s"101-key probe slice must scan ~1 covering file, planned ${scannedFiles(pruned)}")
+    assert(scannedFiles(unpruned) >= 15)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq.map(String.valueOf)).sortBy(_.toString)
+    assert(norm(pruned) == norm(unpruned))
+    assert(pruned.count() == 101L)
+
+    // the as-of probe prunes the same way (equi-prefix grain)
+    val asof = ixR.asOfProbe(probes.withColumn("ts", lit(5L)), Seq("k"), "ts")
+    assert(scannedFiles(asof) <= 3)
+    assert(asof.count() == 101L)
+  }
+
   test("overlapping snapshot layout falls back to the stock probe plan") {
     val st = store(tmpDir("graft-aprobe-ov"))
     val evens = (1 to 50).map(i => (2L * i, 5L, 2L * i)).toDF("k", "ts", "rv")
