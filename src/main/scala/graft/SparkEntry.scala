@@ -2988,6 +2988,25 @@ object SparkEntry {
           unix_millis(col("asof_ts")).as("asof_ms"), col("cnt"), col("cents"))
         .orderBy("user_id")
     }),
+    // STREAMING as-of enrichment: the LIVE event stream's micro-batches
+    // route onto the snapshot's legs (per-batch file prune + probe-side
+    // shuffle only) and append enriched rows to a parquet sink — same
+    // semantics and oracle as kv_asof_probe, exercised through a real
+    // streaming query
+    "st_asof_enrich" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-asof-enrich").toString
+      val probes = EventStreams.readEventStream(s, s"$d/events.parquet")
+        .filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      EventStreams.asOfEnrichStream(probes, evReadStore(s, d), Seq("user_id"),
+        "ts", out, joinType = "left_outer", strict = true,
+        tolerance = 1800000000L)
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("probe_ms"),
+          unix_millis(col("asof_ts")).as("asof_ms"), col("cnt"), col("cents"))
+        .orderBy("event_id")
+    }),
     // EQUI PROBE join: an arbitrary fact frame (every 5th order) joins the
     // composite-keyed snapshot on its leading key — probes route onto the
     // snapshot's legs (probe-side-only shuffle), each probe emits its
@@ -4476,6 +4495,17 @@ object SparkEntry {
         "AND x.ts >= p.pts - INTERVAL 10 MINUTE) " +
         "SELECT user_id, probe_ms, asof_ms, cnt, cents FROM j WHERE rn = 1 " +
         "ORDER BY user_id"),
+      "st_asof_enrich" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "pr AS MATERIALIZED (SELECT event_id, user_id, ts FROM events WHERE event_id % 7 = 0), " +
+        "j AS (SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS probe_ms, " +
+        "epoch_ms(x.ts) AS asof_ms, x.cnt, x.cents, " +
+        "row_number() OVER (PARTITION BY p.event_id ORDER BY x.ts DESC NULLS LAST) AS rn " +
+        "FROM pr p LEFT JOIN rd x ON x.user_id = p.user_id AND x.ts < p.ts " +
+        "AND x.ts >= p.ts - INTERVAL 30 MINUTE) " +
+        "SELECT event_id, user_id, probe_ms, asof_ms, cnt, cents FROM j WHERE rn = 1 " +
+        "ORDER BY event_id"),
       "kv_probe_join" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
         "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2), " +
         "p AS (SELECT o_orderkey AS k, o_custkey FROM orders WHERE o_orderkey % 5 = 0) " +

@@ -501,6 +501,32 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming AS-OF enrichment: each micro-batch of `stream` is joined
+    * against the snapshot via [[graft.core.KVIndex.asOfProbe]] — the
+    * batch's key bounds prune the snapshot's files and the batch routes
+    * onto the covering legs (probe-side-only shuffle), so every
+    * micro-batch costs the BATCH's covering files, never the snapshot:
+    * the streaming lookup join follows the stream's rate. Enriched rows
+    * append to `outDir` as parquet (synchronous run, like the other Live
+    * helpers); transactional sinks go through the graft streaming sink
+    * instead.
+    */
+  def asOfEnrichStream(stream: DataFrame, readings: graft.core.KVIndex,
+                       keyCols: Seq[String], tsCol: String, outDir: String,
+                       joinType: String = "left_outer", strict: Boolean = false,
+                       tolerance: Long = -1L,
+                       queryName: String = "graft_asof_enrich"): Unit = {
+    val q = stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      // pin: asOfProbe reads its probe side twice (bounds pass + routing)
+      val pinned = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try readings.asOfProbe(pinned, keyCols, tsCol, joinType = joinType,
+          strict = strict, tolerance = tolerance)
+        .write.mode("append").parquet(outDir)
+      finally { pinned.unpersist(); () }
+    }.queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   def topEventTypesLive(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = windowedCountsLive(spark, dir, "graft_stream_topk")

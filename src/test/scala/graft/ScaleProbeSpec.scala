@@ -488,6 +488,41 @@ class ScaleProbeSpec extends SparkSuite {
     assert(stockCnt == cnt)
   }
 
+  /** Probe joins at 5M rows: a selective probe slice must cost the
+    * slice's covering files (probe-bounds prune) plus one probe-side
+    * shuffle — never a snapshot scan. The stock plan broadcasts the
+    * probes but still scans all 5M rows.
+    */
+  test("5M-row snapshot x 100k selective probes: covering files only, probe-side shuffle only") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    val store = new FsSnapshotStore(tmpDir("graft-probe-pjoin"), spark)
+    val right = spark.range(1, 5000001).select(col("id").as("k"), (col("id") * 7).as("rv"))
+    val ixR = KVIndex.bootstrap(store, "pj5", right, Seq("k"),
+      maxRowsPerFile = 1L << 17).fold(e => fail(e.message), identity)
+    info(s"snapshot: ${ixR.numFiles} files")
+    val probes = spark.range(2000000, 2100000)
+      .select(col("id").as("k"), (col("id") % 97).as("tag"))
+
+    val t0 = System.nanoTime()
+    val j = ixR.probeJoin(probes, Seq("k"))
+    val cnt = j.count()
+    val zipSec = (System.nanoTime() - t0) / 1e9
+    assert(cnt == 100000L)
+    val scanned = j.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.relation.location.inputFiles).distinct.length
+    info(f"probeJoin: $cnt rows in $zipSec%.1f s, $scanned of ${ixR.numFiles} files scanned")
+    assert(scanned <= 3,
+      s"100k-key slice must scan ~1-2 covering files, planned $scanned")
+
+    val t1 = System.nanoTime()
+    val stock = probes.alias("p").join(ixR.df.alias("r"), col("p.k") === col("r.k"))
+    val stockCnt = stock.count()
+    val stockSec = (System.nanoTime() - t1) / 1e9
+    info(f"stock join twin: $stockCnt rows in $stockSec%.1f s (scans the snapshot)")
+    assert(stockCnt == cnt)
+  }
+
   /** Materialized JOIN view at 5M rows: refresh after a narrow mutation
     * must cost a small fraction of the full recompute — in bytes (the
     * changed-key envelope bounds every read) and in wall time.
