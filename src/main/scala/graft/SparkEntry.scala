@@ -2535,6 +2535,21 @@ object SparkEntry {
         .select(col("o_orderkey"), col("at_version"), col("cents"))
         .orderBy("o_orderkey", "at_version")
     }),
+    // the SAME point-in-time probes against the MATERIALIZED SCD2 view:
+    // Scd2.asOfIndex routes the probes onto the view's (key, valid_from)
+    // legs (exchange-free floor lookup + interval residual) — shares
+    // kv_scd2_asof's oracle verbatim
+    "kv_scd2_asof_ix" -> ((s, d) => {
+      import s.implicits._
+      val (store, view) = scd2IncrView(s, d)
+      val vs = store.historyLog("dim").map(_._2).distinct.sorted
+      val probes = Seq(1L, 25L, 150L, 3000001L, 9999999L)
+        .flatMap(k => vs.zipWithIndex.map { case (v, i) => (k, v, (i + 1).toLong) })
+        .toDF("o_orderkey", "__v", "at_version")
+      graft.core.Scd2.asOfIndex(view, probes, Seq("o_orderkey"), "__v")
+        .select(col("o_orderkey"), col("at_version"), col("cents"))
+        .orderBy("o_orderkey", "at_version")
+    }),
     // CCNet-style cross-document segment dedup: strip 10-token segments
     // shared by >= 2 documents, reassemble the survivors in order
     "dd_seg_dedup" -> ((s, d) =>
@@ -4206,6 +4221,20 @@ object SparkEntry {
       "kv_scd2" -> scd2IntervalsOracle,
       "kv_scd2_incr" -> scd2IntervalsOracle,
       "kv_scd2_asof" -> ("WITH base AS (SELECT o_orderkey AS k, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "probes AS (SELECT k, v FROM (VALUES (1), (25), (150), (3000001), (9999999)) p(k) " +
+        "CROSS JOIN (SELECT unnest(range(1, 4)) AS v)), " +
+        "state AS (SELECT p.k, p.v, CASE WHEN p.k = 3000001 THEN " +
+        "(CASE WHEN p.v >= 2 THEN 78 END) ELSE " +
+        "(SELECT CASE WHEN p.v = 1 THEN b.cents " +
+        "WHEN p.v = 2 THEN (CASE WHEN p.k < 50 THEN 0 ELSE b.cents END) " +
+        "ELSE (CASE WHEN p.k >= 100 AND p.k < 200 THEN NULL " +
+        "WHEN p.k >= 20 AND p.k < 30 THEN 999 " +
+        "WHEN p.k < 50 THEN 0 ELSE b.cents END) END " +
+        "FROM base b WHERE b.k = p.k) END AS cents FROM probes p) " +
+        "SELECT CAST(k AS BIGINT) AS o_orderkey, CAST(v AS BIGINT) AS at_version, " +
+        "CAST(cents AS BIGINT) AS cents FROM state ORDER BY o_orderkey, at_version"),
+      "kv_scd2_asof_ix" -> ("WITH base AS (SELECT o_orderkey AS k, " +
         "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "probes AS (SELECT k, v FROM (VALUES (1), (25), (150), (3000001), (9999999)) p(k) " +
         "CROSS JOIN (SELECT unnest(range(1, 4)) AS v)), " +

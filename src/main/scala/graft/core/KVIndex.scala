@@ -1573,9 +1573,13 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   /** The probe set's [min, max] LEADING-key bounds for file pruning —
     * one cheap aggregate over the (small) probe side. Costs the probe
     * plan one extra execution; persist an expensive probe frame first,
-    * or pass `pruneFiles = false`. Null keys are ignored by min/max
-    * (they never match anything); an all-null/empty probe set prunes
-    * nothing and the join result is empty/unmatched anyway.
+    * or pass `pruneFiles = false`. A NONDETERMINISTIC probe frame (rand,
+    * uncheckpointed sampling) MUST be persisted by the caller: the
+    * bounds pass and the routing pass would otherwise see different
+    * rows, and stale bounds could prune a live match's file. Null keys
+    * are ignored by min/max (they never match anything); an
+    * all-null/empty probe set prunes nothing and the join result is
+    * empty/unmatched anyway.
     */
   private def probeBounds(probes: DataFrame, leadingCol: String,
                           enabled: Boolean): (Option[Any], Option[Any]) =

@@ -208,6 +208,35 @@ object Scd2 {
     * join residual over the handful of incarnations each key has — no
     * band join, no per-version dimension copies.
     */
+  /** Point-in-time enrichment against a MATERIALIZED SCD2 view
+    * ([[materialize]]'s `(key…, valid_from)`-keyed index): each fact row
+    * left-joins the incarnation current at its version. SCD2 intervals
+    * are disjoint per key, so "the interval containing v" is exactly the
+    * FLOOR incarnation by `valid_from` — an exchange-free probe-routed
+    * as-of ([[graft.core.KVIndex.asOfProbe]]: the view never moves, the
+    * facts' key bounds prune its files) — unless that incarnation closed
+    * at or before v (removal gap / before first existence → nulls, same
+    * as [[asOf]]). Output shape matches [[asOf]]: every fact column,
+    * then the view's value columns (nulled when no incarnation is
+    * current).
+    */
+  def asOfIndex(view: KVIndex, facts: DataFrame, keyCols: Seq[String],
+                versionCol: String): DataFrame = {
+    val vs = view.df.schema.fieldNames.toSeq
+    require(vs.contains("valid_from") && vs.contains("valid_to"),
+      "asOfIndex expects a materialized SCD2 view with [valid_from, valid_to)")
+    val dimVals = vs.filterNot(c => keyCols.contains(c) ||
+      c == "valid_from" || c == "valid_to" || c == "version")
+    val joined = view.asOfProbe(facts, keyCols, versionCol,
+      rightTsCol = "valid_from", joinType = "left_outer")
+    // the floor incarnation matches only while still OPEN at v: a closed
+    // floor (valid_to <= v) means v falls in a removal gap
+    val live = col("asof_ts").isNotNull &&
+      (col("valid_to").isNull || col(versionCol) < col("valid_to"))
+    joined.select(facts.columns.toSeq.map(col) ++
+      dimVals.map(c => when(live, col(c)).otherwise(lit(null)).as(c)): _*)
+  }
+
   def asOf(dim: DataFrame, facts: DataFrame, keyCols: Seq[String],
            versionCol: String): DataFrame = {
     val f = facts.alias("__f")

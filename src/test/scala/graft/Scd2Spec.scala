@@ -87,6 +87,36 @@ class Scd2Spec extends SparkSuite {
       (99L, vs(0), None), (99L, vs(1), None), (99L, vs(2), None)))
   }
 
+  test("asOfIndex over the materialized view == asOf over the assembled frame") {
+    val store = new MemorySnapshotStore(spark)
+    def df(rows: (Long, Long)*) = rows.toDF("k", "x")
+    val v1 = KVIndex.bootstrap(store, "ai", df(1L -> 10L, 3L -> 30L), Seq("k"))
+      .fold(e => fail(e.message), identity)
+    store.recordSnapshot("ai", v1.manifest.version, 100L)
+    val m2 = v1.execute(Seq(
+      Command.Insert(df(1L -> 11L), upsert = true),
+      Command.Remove(Seq(3L).toDF("k")))).orThrow
+    store.recordSnapshot("ai", m2.version, 200L)
+    val m3 = new KVIndex(store, m2).execute(Seq(
+      Command.Insert(df(3L -> 31L)))).orThrow
+    store.recordSnapshot("ai", m3.version, 300L)
+    val view = Scd2.materialize(store, "aih", "ai").fold(e => fail(e.message), identity)
+    val vs = Seq(v1.manifest.version, m2.version, m3.version)
+    // duplicate probes and unknown keys included; the removal gap (k=3
+    // at v2) must null through the floor's CLOSED valid_to
+    val probes = ((for (k <- Seq(1L, 3L, 99L); v <- vs) yield (k, v)) ++
+      Seq((1L, vs(2)))).toDF("k", "pv")
+    def shaped(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+        .sortBy(t => (t._1, t._2, t._3.getOrElse(-1L)))
+    val viaIndex = shaped(Scd2.asOfIndex(view, probes, Seq("k"), "pv"))
+    val viaFrame = shaped(Scd2.asOf(Scd2.scd2(store, "ai"), probes, Seq("k"), "pv"))
+    assert(viaIndex == viaFrame)
+    assert(viaIndex.contains((3L, vs(1), None)), "removal gap must null")
+    assert(viaIndex.count(_ == ((1L, vs(2), Some(11L)))) == 2, "duplicate probes")
+  }
+
   test("materialize + incremental refresh equals the full rebuild at every step") {
     val rnd = new scala.util.Random(11)
     val store = new MemorySnapshotStore(spark)
