@@ -2992,6 +2992,18 @@ object SparkEntry {
           col("asof_ts").as("asof_ln"), col("qty").cast("long").as("qty"))
         .orderBy("l_orderkey")
     }),
+    // the API twin of kv_corange_prefix: coRangeJoin(equiLen = 1) joins
+    // the composite-keyed lines to the single-keyed orders on the leading
+    // component, exchange-free, whole groups emitted
+    "kv_corange_prefix_api" -> ((s, d) => {
+      liLinesStore(s, d).coRangeJoin(ordMod3Store(s, d),
+          joinType = "inner", equiLen = 1)
+        .filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("qty").cast("long").as("qty"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // TIMESTAMP-keyed as-of with an interval tolerance: per-user probe
     // instants floor to the latest event reading within 10 minutes —
     // exchange-free over two (user_id, ts)-keyed snapshots; timestamps
@@ -4512,6 +4524,13 @@ object SparkEntry {
         "WHERE p.l_orderkey <= 400) " +
         "SELECT l_orderkey, probe_ln, n_lines, asof_ln, qty FROM j WHERE rn = 1 " +
         "ORDER BY l_orderkey"),
+      "kv_corange_prefix_api" -> ("WITH li AS (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l.l_orderkey, l.l_linenumber, CAST(l.qty AS BIGINT) AS qty, " +
+        "o.o_custkey, round(o.o_totalprice, 2) AS price " +
+        "FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE l.l_orderkey <= 500 AND o.o_orderkey % 3 <> 0 " +
+        "ORDER BY l.l_orderkey, l.l_linenumber"),
       "kv_corange_asof_ts" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
         "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM events GROUP BY 1, 2), " +

@@ -979,7 +979,13 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * [[inOrdered]]'s manifest stitch.
     *
     * Join keys are positional: this index's key columns against
-    * `other`'s, which must match in arity and type. Join types: `inner`
+    * `other`'s, which must match in arity and type — or pass `equiLen`
+    * to join on the leading `equiLen` components of both keys (the
+    * key-PREFIX join: legs are cut at prefix-group boundaries, every
+    * matching group row is emitted through the spillable merge, and the
+    * right side's tail key columns ride the output as match detail;
+    * inner/left_outer/left_semi/left_anti only — the coalescing outer
+    * types need the full key). Join types: `inner`
     * (default), the LEFT-preserving snapshot-diff family —
     * `left_outer`, `left_semi`, `left_anti` ("which keys are missing /
     * present on the right") — plus `right_outer` and `full_outer` (the
@@ -997,17 +1003,34 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * `maxRowsPerFile` batch target.
     */
   def coRangeJoin(other: KVIndex, rowsPerLeg: Long = -1L,
-                  joinType: String = "inner"): DataFrame = {
+                  joinType: String = "inner", equiLen: Int = -1): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.{JoinType, LeftAnti, LeftOuter}
     val jt = JoinType(joinType)
     require(graft.plans.ZipPartitionsJoin.supports(jt),
       s"coRangeJoin: unsupported join type '$joinType' " +
         "(inner, left_outer, left_semi, left_anti, right_outer, full_outer)")
-    require(key.cols.length == other.key.cols.length,
-      s"coRangeJoin: key arity ${key.cols.length} != ${other.key.cols.length}")
+    // `equiLen` joins on the leading equiLen key components of both sides
+    // (the API twin of the SQL rewrite's key-PREFIX joins; legs are cut
+    // at prefix-group boundaries, each left row emits its whole matching
+    // group). Only the types whose output carries each side's own keys
+    // support it — full/right outer COALESCE the key columns, which is
+    // unsound on a partial key (right-only rows would lose their tail).
+    val el = if (equiLen > 0) equiLen else {
+      require(key.cols.length == other.key.cols.length,
+        s"coRangeJoin: key arity ${key.cols.length} != ${other.key.cols.length}" +
+          " (pass equiLen for a leading-prefix join)")
+      key.cols.length
+    }
+    require(el <= key.cols.length && el <= other.key.cols.length,
+      s"coRangeJoin: equiLen $el exceeds a side's key arity")
+    require(el == key.cols.length && el == other.key.cols.length ||
+      jt == org.apache.spark.sql.catalyst.plans.Inner || jt == LeftOuter ||
+      jt == org.apache.spark.sql.catalyst.plans.LeftSemi || jt == LeftAnti,
+      "coRangeJoin: prefix equiLen supports inner/left_outer/left_semi/left_anti only")
     val ls = store.emptyTyped(manifest).schema
     val rs = other.store.emptyTyped(other.manifest).schema
-    require(key.cols.map(ls(_).dataType) == other.key.cols.map(rs(_).dataType),
+    require(key.cols.take(el).map(ls(_).dataType) ==
+      other.key.cols.take(el).map(rs(_).dataType),
       "coRangeJoin: key column types must match positionally")
     // full and right outer COALESCE the key/version columns: their
     // right-only rows carry no left-side values
@@ -1018,8 +1041,10 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     // the engine's own `version` stamp rides every snapshot: keep the
     // LEFT side's (COALESCEd with the right's for full outer, like the
     // key columns), drop the right's otherwise
+    // prefix joins keep the right side's TAIL key columns (the match
+    // detail, like probeJoin); the equi prefix itself is redundant
     val rightVals = rs.fieldNames.toSeq
-      .filterNot(c => other.key.cols.contains(c) || c == "version")
+      .filterNot(c => other.key.cols.take(el).contains(c) || c == "version")
     if (rightInOutput) {
       val clash = rightVals.toSet intersect ls.fieldNames.toSet
       require(clash.isEmpty,
@@ -1055,14 +1080,14 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     def plainJoin(): DataFrame = {
       val l = df.alias("__cl")
       val r = other.df.alias("__cr")
-      val cond = key.cols.zip(other.key.cols)
+      val cond = key.cols.take(el).zip(other.key.cols.take(el))
         .map { case (a, b) => col(s"__cl.$a") === col(s"__cr.$b") }
         .reduce(_ && _)
       l.join(r, cond, joinType)
         .select(shape(c => col(s"__cl.$c"), Some(c => col(s"__cr.$c"))): _*)
     }
 
-    coRangeLegPlans(other, rowsPerLeg, joinType = jt) match {
+    coRangeLegPlans(other, rowsPerLeg, joinType = jt, keyLen = el) match {
       case None => plainJoin()
       case Some((zipOpt, leftOnlyOpt, rightOnlyOpt)) =>
         val zipDf = zipOpt.map { case (lPlan, rPlan, lKeys, rKeys) =>

@@ -296,6 +296,45 @@ class CoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     } finally spark.conf.unset("spark.graft.corange.rowsPerLeg")
   }
 
+  test("API prefix join (equiLen): whole groups emit, zero exchanges, stock-join parity") {
+    val st = store(tmpDir("graft-crj-pfx"))
+    // left: composite (k, sub) — 1-3 subs per k; right: single-key dims
+    val a = (1L to 300L).flatMap(k => (1L to (k % 3 + 1)).map(sub =>
+      (k, sub, k * 100 + sub))).toDF("k", "sub", "av").repartition(1)
+    val b = (1L to 400L by 2L).map(k => (k, k * 7)).toDF("bk", "bv").repartition(1)
+    val ixA = KVIndex.bootstrap(st, "pfa", a, Seq("k", "sub"),
+      maxRowsPerFile = 32).toOption.get
+    val ixB = KVIndex.bootstrap(st, "pfb", b, Seq("bk"),
+      maxRowsPerFile = 64).toOption.get
+
+    // mismatched arity without equiLen keeps the existing contract
+    intercept[IllegalArgumentException] { ixA.coRangeJoin(ixB) }
+    // coalescing types reject a partial key
+    intercept[IllegalArgumentException] {
+      ixA.coRangeJoin(ixB, joinType = "full_outer", equiLen = 1) }
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq.map(v => Option(v).map(_.toString)))
+        .sortBy(_.toString)
+    for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+      val got = ixA.coRangeJoin(ixB, joinType = jt, equiLen = 1)
+      val stock = ixA.df.alias("l").join(ixB.df.alias("r"),
+        col("l.k") === col("r.bk"), jt)
+      val want = jt match {
+        case "inner" | "left_outer" =>
+          stock.select(col("l.k"), col("l.sub"), col("l.av"), col("l.version"),
+            col("r.bv"))
+        case _ => stock.select(col("l.k"), col("l.sub"), col("l.av"), col("l.version"))
+      }
+      assert(norm(got) == norm(want), s"content mismatch for $jt")
+      val plan = got.queryExecution.executedPlan
+      assert(collectFirst(plan) { case z: ZipPartitionsJoinExec => z }.isDefined,
+        s"expected the zip join for prefix $jt:\n$plan")
+      assert(collect(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"prefix API join must plan zero exchanges ($jt):\n$plan")
+    }
+  }
+
   test("overlapping file ranges (post-merge, pre-compact layout) fall back to the plain shuffled join") {
     val st = store(tmpDir("graft-crjov"))
     // snapshot whose second batch fully interleaves the first: the
