@@ -1216,15 +1216,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
         "with left columns — rename before joining")
     val rRestNames = other.key.cols.drop(el).filterNot(_ == rTsName)
 
-    // ts in its native integral units for the tolerance bound — must agree
-    // with the exec's raw-value semantics (days for DATE, micros for
-    // TIMESTAMP, the value itself for integrals)
-    def tsUnits(c: Column): Column = tsType match {
-      case org.apache.spark.sql.types.DateType =>
-        datediff(c, to_date(lit("1970-01-01")))
-      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
-      case _ => c.cast("long")
-    }
+    def tsUnits(c: Column): Column = tsUnitsCol(tsType, c)
 
     /** Stock fallback: shuffled join on the equi prefix + ts bound, then
       * one window picks the latest match per left row (left full key is
@@ -1257,9 +1249,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       case Some((zipOpt, leftOnlyOpt, _)) =>
         val zipDf = zipOpt.map { case (lPlan, rPlan, _, _) =>
           def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                     n: String) =
-            p.output.find(_.name == n).getOrElse(
-              sys.error(s"asOfJoin: missing column $n"))
+                     n: String) = planAttr(p, n, "asOfJoin")
           val node = graft.plans.AsOfZipJoin(lPlan, rPlan,
             key.cols.take(el).map(attrOf(lPlan, _)),
             other.key.cols.take(el).map(attrOf(rPlan, _)),
@@ -1267,12 +1257,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
             key.cols.drop(el).filterNot(_ == lTsName).map(attrOf(lPlan, _)),
             rRestNames.map(attrOf(rPlan, _)),
             leftOuter, strict, tolerance)
-          // resolve by each side's own attributes — ts/value NAMES may
-          // repeat across sides
-          val lByName = node.output.filter(a =>
-            lPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
-          val rByName = node.output.filter(a =>
-            rPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
+          val lByName = sideByName(node.output, lPlan)
+          val rByName = sideByName(node.output, rPlan)
           org.apache.spark.sql.graft.Shim.ofRows(spark, node).select(
             ls.fieldNames.toSeq.map(c =>
               org.apache.spark.sql.graft.Shim.col(lByName(c))) ++
@@ -1579,21 +1565,67 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       }
     val ranges = (None +: bounds.map(Option(_))).zip(bounds.map(Option(_)) :+ None)
     val cover = legCoveringSweep(fs)
-    val legs = ranges.map { case (lo, hi) =>
-      val afs = cover(lo, hi)
-      // every range contains at least the file whose min cut its lower
-      // bound (boundaries come from this list), so this cannot fire — it
-      // guards the routing alignment, which must never drop a leg index
-      require(afs.nonEmpty, s"probeLegPlans: uncovered leg range [$lo, $hi)")
-      legSlice(this, afs, lo, hi)
+    // a PREFIX boundary can legitimately empty leg 0: the boundary is the
+    // prefix of the lowest group's straddling file, and every full key of
+    // that group sorts ABOVE its own prefix (KeyOrd's convention), so no
+    // file starts below it. An empty leg cannot be planned (empty
+    // relation -> 0-partition RDD, the r14 outer-join lesson), so empty
+    // legs MERGE into a neighbor — the boundary between them is dropped,
+    // keeping the returned boundary list and the leg plan aligned 1:1.
+    // (Interior/last legs always contain the file whose min cut their
+    // lower bound; only leading legs can be empty, but the fold handles
+    // any position defensively.)
+    val mergedLegs = ranges.foldLeft(
+        Vector.empty[(Option[Seq[Any]], Option[Seq[Any]], Seq[FileEntry])]) {
+      case (acc, (lo, hi)) =>
+        val afs = cover(lo, hi)
+        acc.lastOption match {
+          case Some((plo, _, pfs)) if afs.isEmpty =>
+            acc.init :+ ((plo, hi, pfs)) // absorb the empty leg rightward
+          case Some((plo, _, pfs)) if pfs.isEmpty =>
+            acc.init :+ ((plo, hi, afs)) // leading empties absorb into the first covered leg
+          case _ => acc :+ ((lo, hi, afs))
+        }
     }
+    require(mergedLegs.forall(_._3.nonEmpty),
+      "probeLegPlans: uncovered leg after merging (cannot happen: fs is non-empty)")
+    val legBounds = mergedLegs.tail.map(_._1.get).toVector
+    val legs = mergedLegs.map { case (lo, hi, afs) => legSlice(this, afs, lo, hi) }
     val plan = legs.reduce(_ unionByName _).queryExecution.analyzed
     if (!spark.experimental.extraStrategies.contains(
         graft.plans.DeclareOrderedStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.DeclareOrderedStrategy
-    Some((bounds, plan))
+    Some((legBounds, plan))
   }
+
+  /** ts column in its native integral units — the tolerance contract,
+    * which MUST agree with [[graft.plans.AsOfZipJoinExec]]'s raw-value
+    * semantics (days for DATE, microseconds for TIMESTAMP, the value
+    * itself for integrals). One definition serves both as-of fallbacks.
+    */
+  private def tsUnitsCol(tsType: org.apache.spark.sql.types.DataType,
+                         c: Column): Column = tsType match {
+    case org.apache.spark.sql.types.DateType =>
+      datediff(c, to_date(lit("1970-01-01")))
+    case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+    case _ => c.cast("long")
+  }
+
+  /** Resolve a named column on a leg plan (fail loudly with context). */
+  private def planAttr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                       n: String, ctx: String)
+      : org.apache.spark.sql.catalyst.expressions.Attribute =
+    p.output.find(_.name == n).getOrElse(sys.error(s"$ctx: missing column $n"))
+
+  /** A join node's output attrs that originate from ONE side, by name —
+    * names may repeat across sides, so selection must resolve per side.
+    */
+  private def sideByName(nodeOut: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                         side: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Map[String, org.apache.spark.sql.catalyst.expressions.Attribute] =
+    nodeOut.filter(a => side.output.exists(_.exprId == a.exprId))
+      .map(a => a.name -> a).toMap
 
   /** The probe set's [min, max] LEADING-key bounds for file pruning —
     * one cheap aggregate over the (small) probe side. Costs the probe
@@ -1630,10 +1662,25 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, RowOrdering, UnsafeProjection}
     val ps = probes.schema
     val prefixTypes = probeKeyCols.map(c => ps(c).dataType)
+    // manifest JSON round-trips WIDEN numeric key literals (Int/Short/Byte
+    // -> Long, Float -> Double): narrow them back to the schema type
+    // before the catalyst conversion, or the routing ordering's typed
+    // getters would ClassCastException on a reopened Int-keyed snapshot
+    def coerce(v: Any, dt: org.apache.spark.sql.types.DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (n: java.lang.Number, org.apache.spark.sql.types.IntegerType) => Int.box(n.intValue())
+      case (n: java.lang.Number, org.apache.spark.sql.types.ShortType) => Short.box(n.shortValue())
+      case (n: java.lang.Number, org.apache.spark.sql.types.ByteType) => Byte.box(n.byteValue())
+      case (n: java.lang.Number, org.apache.spark.sql.types.LongType) => Long.box(n.longValue())
+      case (n: java.lang.Number, org.apache.spark.sql.types.FloatType) => Float.box(n.floatValue())
+      case (n: java.lang.Number, org.apache.spark.sql.types.DoubleType) => Double.box(n.doubleValue())
+      case _ => v
+    }
     val convs = prefixTypes.map(t =>
       org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(t))
     val boundRows: Array[InternalRow] = bounds.map(b =>
-      new GenericInternalRow(b.zip(convs).map { case (v, f) => f(v) }
+      new GenericInternalRow(b.zip(prefixTypes.zip(convs)).map {
+        case (v, (dt, f)) => f(coerce(v, dt)) }
         .toArray[Any]): InternalRow).toArray
     val keyExprs = probeKeyCols.map(c => BoundReference(
       ps.fieldIndex(c), ps(c).dataType, nullable = true))
@@ -1721,22 +1768,21 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       else j.select(ps.fieldNames.toSeq.map(c => col(s"__al.$c")): _*)
     }
 
+    // layout checks are free; the bounds pass is a probe-side JOB — never
+    // pay it when the zip path is impossible
+    if (manifest.isEmpty || !filesDisjoint) return stockJoin()
     val pb = probeBounds(probes, probeKeyCols.head, pruneFiles)
     probeLegPlans(el, rowsPerLeg, pb._1, pb._2) match {
       case None => stockJoin()
       case Some((bounds, rPlan)) =>
         val lPlan = routeProbes(probes, probeKeyCols, bounds)
         def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                   n: String) =
-          p.output.find(_.name == n).getOrElse(
-            sys.error(s"probeJoin: missing column $n"))
+                   n: String) = planAttr(p, n, "probeJoin")
         val node = graft.plans.ZipPartitionsJoin(lPlan, rPlan,
           probeKeyCols.map(attrOf(lPlan, _)),
           key.cols.take(el).map(attrOf(rPlan, _)), jt)
-        val lByName = node.output.filter(a =>
-          lPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
-        val rByName = node.output.filter(a =>
-          rPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
+        val lByName = sideByName(node.output, lPlan)
+        val rByName = sideByName(node.output, rPlan)
         val out = org.apache.spark.sql.graft.Shim.ofRows(spark, node)
         if (rightInOutput)
           out.select(ps.fieldNames.toSeq.map(c =>
@@ -1791,6 +1837,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val rs = store.emptyTyped(manifest).schema
     (probeKeyCols :+ probeTsCol).foreach(c => require(ps.fieldNames.contains(c),
       s"asOfProbe: probe column $c missing"))
+    require(!probeKeyCols.contains(probeTsCol),
+      "asOfProbe: the probe ts column cannot be part of the equi key")
     require(probeKeyCols.map(ps(_).dataType) ==
       key.cols.take(el).map(rs(_).dataType),
       "asOfProbe: equi-key column types must match positionally")
@@ -1807,12 +1855,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
         "with probe columns — rename before joining")
     val rRestNames = key.cols.drop(el).filterNot(_ == rTsName)
 
-    def tsUnits(c: Column): Column = tsType match {
-      case org.apache.spark.sql.types.DateType =>
-        datediff(c, to_date(lit("1970-01-01")))
-      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
-      case _ => c.cast("long")
-    }
+    def tsUnits(c: Column): Column = tsUnitsCol(tsType, c)
 
     /** Stock fallback: probes get a per-row id, shuffled join on the equi
       * prefix + ts bound, one window picks the latest match per probe.
@@ -1839,25 +1882,22 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
           (rT.as("asof_ts") +: rightVals.map(c => col(s"__ar.$c").as(c))): _*)
     }
 
+    if (manifest.isEmpty || !filesDisjoint) return stockProbe()
     val pb = probeBounds(probes, probeKeyCols.head, pruneFiles)
     probeLegPlans(el, rowsPerLeg, pb._1, pb._2) match {
       case None => stockProbe()
       case Some((bounds, rPlan)) =>
         val lPlan = routeProbes(probes, probeKeyCols, bounds)
         def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                   n: String) =
-          p.output.find(_.name == n).getOrElse(
-            sys.error(s"asOfProbe: missing column $n"))
+                   n: String) = planAttr(p, n, "asOfProbe")
         val node = graft.plans.AsOfZipJoin(lPlan, rPlan,
           probeKeyCols.map(attrOf(lPlan, _)),
           key.cols.take(el).map(attrOf(rPlan, _)),
           attrOf(lPlan, probeTsCol), attrOf(rPlan, rTsName),
           Nil, rRestNames.map(attrOf(rPlan, _)),
           leftOuter, strict, tolerance)
-        val lByName = node.output.filter(a =>
-          lPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
-        val rByName = node.output.filter(a =>
-          rPlan.output.exists(_.exprId == a.exprId)).map(a => a.name -> a).toMap
+        val lByName = sideByName(node.output, lPlan)
+        val rByName = sideByName(node.output, rPlan)
         org.apache.spark.sql.graft.Shim.ofRows(spark, node).select(
           ps.fieldNames.toSeq.map(c =>
             org.apache.spark.sql.graft.Shim.col(lByName(c))) ++

@@ -196,18 +196,6 @@ object Scd2 {
       }
     }
 
-  /** Point-in-time enrichment: each fact row gets the dimension values
-    * that were current AT `facts(versionCol)` — a LEFT join on key
-    * equality plus interval membership (`valid_from ≤ v < valid_to`,
-    * open-ended intervals match everything from `valid_from` on).
-    * Facts probing before a key existed, inside a removal gap, or at an
-    * unknown key keep null dimension columns.
-    *
-    * Scale shape: the join key is the EQUALITY key (hash join,
-    * broadcastable dimension); the interval predicate rides along as a
-    * join residual over the handful of incarnations each key has — no
-    * band join, no per-version dimension copies.
-    */
   /** Point-in-time enrichment against a MATERIALIZED SCD2 view
     * ([[materialize]]'s `(key…, valid_from)`-keyed index): each fact row
     * left-joins the incarnation current at its version. SCD2 intervals
@@ -237,6 +225,18 @@ object Scd2 {
       dimVals.map(c => when(live, col(c)).otherwise(lit(null)).as(c)): _*)
   }
 
+  /** Point-in-time enrichment: each fact row gets the dimension values
+    * that were current AT `facts(versionCol)` — a LEFT join on key
+    * equality plus interval membership (`valid_from ≤ v < valid_to`,
+    * open-ended intervals match everything from `valid_from` on).
+    * Facts probing before a key existed, inside a removal gap, or at an
+    * unknown key keep null dimension columns.
+    *
+    * Scale shape: the join key is the EQUALITY key (hash join,
+    * broadcastable dimension); the interval predicate rides along as a
+    * join residual over the handful of incarnations each key has — no
+    * band join, no per-version dimension copies.
+    */
   def asOf(dim: DataFrame, facts: DataFrame, keyCols: Seq[String],
            versionCol: String): DataFrame = {
     val f = facts.alias("__f")

@@ -237,6 +237,42 @@ class AsOfProbeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(asof.count() == 101L)
   }
 
+  test("lowest equi group spanning the first file boundary: empty leg 0 merges away") {
+    val st = store(tmpDir("graft-aprobe-leg0"))
+    // k=1 has 20 readings across several 8-row files: the first prefix
+    // boundary is (1), and every full key (1, ts) sorts ABOVE its own
+    // prefix — leg 0 would cover no files and must merge into leg 1
+    val right = (0L until 20L).map(ts => (1L, ts, ts * 10)) ++
+      (2L to 30L).map(k => (k, 0L, k * 100))
+    val ixR = KVIndex.bootstrap(st, "lg", right.toDF("k", "ts", "rv")
+      .repartition(1), Seq("k", "ts"), maxRowsPerFile = 8).toOption.get
+    val probes = Seq((1L, 7L, "a"), (1L, 50L, "b"), (2L, 3L, "c"), (0L, 9L, "below"))
+    val got = collected(ixR.asOfProbe(probes.toDF("k", "ts", "lv"),
+      Seq("k"), "ts", joinType = "left_outer"))
+    assert(got == ref(probes, right, strict = false, tol = -1, outer = true))
+    // the equi probe join takes the same leg construction (probe ts
+    // renamed: the prefix join's output carries the snapshot's tail key)
+    assert(ixR.probeJoin(probes.toDF("k", "pts", "lv"), Seq("k")).count() ==
+      2 * 20L + 1L) // k=1 probes match all 20 group rows; k=2 one; 0 none
+  }
+
+  test("Int-keyed snapshot reopened from disk: JSON-widened bounds still route") {
+    val dir = tmpDir("graft-aprobe-int")
+    val right = (1 to 400).map(k => (k, k.toLong * 3))
+    KVIndex.bootstrap(new FsSnapshotStore(s"$dir/store", spark), "ik",
+      right.toDF("k", "rv").repartition(1), Seq("k"),
+      maxRowsPerFile = 50).toOption.get
+    // a FRESH store instance reads the manifest from JSON, which widens
+    // Int bounds to Long — routing must narrow them back to the schema
+    val reopened = KVIndex.open(new FsSnapshotStore(s"$dir/store", spark), "ik")
+      .toOption.get
+    val probes = (100 to 140).map(k => (k, s"p$k")).toDF("k", "tag")
+    val j = reopened.probeJoin(probes, Seq("k"))
+    assert(j.count() == 41L)
+    assert(j.select(sum(col("rv"))).head.getLong(0) ==
+      (100 to 140).map(_ * 3L).sum)
+  }
+
   test("overlapping snapshot layout falls back to the stock probe plan") {
     val st = store(tmpDir("graft-aprobe-ov"))
     val evens = (1 to 50).map(i => (2L * i, 5L, 2L * i)).toDF("k", "ts", "rv")
