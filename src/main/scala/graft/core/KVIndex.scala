@@ -1639,12 +1639,43 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * empty/unmatched anyway.
     */
   private def probeBounds(probes: DataFrame, leadingCol: String,
-                          enabled: Boolean): (Option[Any], Option[Any]) =
-    if (!enabled) (None, None)
+                          enabled: Boolean): (Option[Any], Option[Any], Long) =
+    if (!enabled) (None, None, -1L)
     else {
-      val r = probes.agg(min(col(leadingCol)), max(col(leadingCol))).head()
-      if (r.isNullAt(0)) (None, None) else (Some(r.get(0)), Some(r.get(1)))
+      val r = probes.agg(min(col(leadingCol)), max(col(leadingCol)),
+        org.apache.spark.sql.functions.count(lit(1))).head()
+      if (r.isNullAt(0)) (None, None, r.getLong(2))
+      else (Some(r.get(0)), Some(r.get(1)), r.getLong(2))
     }
+
+  /** Bloom-prefilter the snapshot-side leg plan by the probe set's
+    * equi-prefix keys (>= 256 probes, the [[getAll]] threshold): a
+    * ~10-bits/key sketch predicate drops snapshot rows that cannot match
+    * ANY probe inside the leg scans' codegen stage, BEFORE the per-leg
+    * sort — for sparse probe sets the sort input collapses from the
+    * covering files' rows to the might-match rows. Sound for every
+    * probe-preserving type (a right row whose equi prefix matches no
+    * probe is never emitted: inner/semi drop it, outer/anti never emit
+    * unmatched right rows) and for the as-of merge (a floor candidate
+    * must share the probe's equi prefix). One extra pass over the
+    * (small) probe side; skipped below the threshold.
+    */
+  private def bloomFilteredLegs(probes: DataFrame, probeKeyCols: Seq[String],
+      nProbes: Long,
+      rPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    if (nProbes < 256) return rPlan
+    val el = probeKeyCols.length
+    val pKey = if (el == 1) col(probeKeyCols.head)
+               else struct(probeKeyCols.map(col): _*)
+    val bf = graft.operators.BloomJoin.keyFilterBytes(probes, pKey, nProbes)
+    if (bf == null) return rPlan
+    val rdf = org.apache.spark.sql.graft.Shim.ofRows(spark, rPlan)
+    val rKey = if (el == 1) col(key.cols.head)
+               else struct(key.cols.take(el).map(col): _*)
+    rdf.filter(graft.operators.BloomJoin.mightContain(bf, rKey))
+      .queryExecution.analyzed
+  }
 
   /** Routes each probe row to its leg index — a binary search of the
     * row's equi prefix against the boundary list (internal representation,
@@ -1774,7 +1805,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val pb = probeBounds(probes, probeKeyCols.head, pruneFiles)
     probeLegPlans(el, rowsPerLeg, pb._1, pb._2) match {
       case None => stockJoin()
-      case Some((bounds, rPlan)) =>
+      case Some((bounds, rPlan0)) =>
+        val rPlan = bloomFilteredLegs(probes, probeKeyCols, pb._3, rPlan0)
         val lPlan = routeProbes(probes, probeKeyCols, bounds)
         def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                    n: String) = planAttr(p, n, "probeJoin")
@@ -1886,7 +1918,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val pb = probeBounds(probes, probeKeyCols.head, pruneFiles)
     probeLegPlans(el, rowsPerLeg, pb._1, pb._2) match {
       case None => stockProbe()
-      case Some((bounds, rPlan)) =>
+      case Some((bounds, rPlan0)) =>
+        val rPlan = bloomFilteredLegs(probes, probeKeyCols, pb._3, rPlan0)
         val lPlan = routeProbes(probes, probeKeyCols, bounds)
         def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                    n: String) = planAttr(p, n, "asOfProbe")

@@ -273,6 +273,71 @@ class AsOfProbeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       (100 to 140).map(_ * 3L).sum)
   }
 
+  test("big probe sets bloom-prefilter the leg scans; small ones skip the sketch") {
+    val st = store(tmpDir("graft-aprobe-bloom"))
+    val right = (1L to 5000L).map(k => (k, 1L, k * 3))
+    val ixR = KVIndex.bootstrap(st, "bl", right.toDF("k", "ts", "rv")
+      .repartition(1), Seq("k", "ts"), maxRowsPerFile = 2000).toOption.get
+    // 400 sparse probes (every 11th key) spread over the whole key range:
+    // the bounds prune keeps all files, the bloom drops non-matching rows
+    // inside the scans before the per-leg sort
+    val big = (1L to 4400L by 11L).map(k => (k, s"p$k")).toDF("k", "tag")
+    val j = ixR.probeJoin(big, Seq("k"))
+    assert(j.queryExecution.executedPlan.toString.contains("might_contain"),
+      "expected the bloom prefilter in the leg scans")
+    assert(j.count() == 400L)
+    // parity with the unfiltered stock join
+    assert(j.select(sum(col("rv"))).head.getLong(0) ==
+      (1L to 4400L by 11L).map(_ * 3L).sum)
+    // below the threshold: no sketch job, no predicate
+    val small = Seq((5L, "a"), (17L, "b")).toDF("k", "tag")
+    val js = ixR.probeJoin(small, Seq("k"))
+    assert(!js.queryExecution.executedPlan.toString.contains("might_contain"))
+    assert(js.count() == 2L)
+    // the as-of probe takes the same prefilter (equi-prefix grain)
+    val asof = ixR.asOfProbe(big.withColumn("ts", lit(9L)), Seq("k"), "ts")
+    assert(asof.queryExecution.executedPlan.toString.contains("might_contain"))
+    assert(asof.count() == 400L)
+  }
+
+  test("key types x REOPENED snapshots: routing agrees with the merge for Int/Long/String/Timestamp keys") {
+    // manifest JSON round-trips rewrite key bounds (Int->Long widening,
+    // Timestamp->ms truncation): the router and the leg slices must stay
+    // consistent with each other AND with full-precision merge equality
+    val dir = tmpDir("graft-aprobe-types")
+    val rnd = new Random(1606L)
+
+    def check[T](tag: String, df: org.apache.spark.sql.DataFrame,
+                 probes: org.apache.spark.sql.DataFrame, expectInner: Long): Unit = {
+      KVIndex.bootstrap(new FsSnapshotStore(s"$dir/$tag", spark), tag,
+        df.repartition(1), Seq("k", "ts"), maxRowsPerFile = 16).toOption.get
+      val re = KVIndex.open(new FsSnapshotStore(s"$dir/$tag", spark), tag)
+        .toOption.get
+      val inner = re.probeJoin(probes, Seq("k"))
+      assert(inner.count() == expectInner, s"$tag inner count")
+      // stock parity on the reopened handle
+      val want = probes.alias("p").join(re.df.alias("r"),
+        col("p.k") === col("r.k")).count()
+      assert(inner.count() == want, s"$tag stock parity")
+    }
+
+    // Int keys (widen to Long in JSON)
+    check("ti",
+      (1 to 300).map(i => (i, 1L, i * 2L)).toDF("k", "ts", "rv"),
+      (50 to 80).map(i => (i, s"p$i")).toDF("k", "tag"), 31L)
+    // String keys (lexicographic boundaries)
+    check("ts",
+      (1 to 300).map(i => (f"k$i%04d", 1L, i.toLong)).toDF("k", "ts", "rv"),
+      (50 to 80).map(i => (f"k$i%04d", s"p$i")).toDF("k", "tag"), 31L)
+    // Timestamp keys (ms-truncated bounds; values carry micros)
+    val tsRows = (1 to 300).map(i => (i.toLong * 1000 + rnd.nextInt(999), 1L, i.toLong))
+    val tsDf = tsRows.toDF("us", "ts", "rv")
+      .select(timestamp_micros(col("us")).as("k"), col("ts"), col("rv"))
+    val tsProbes = tsRows.slice(49, 80).map(_._1).toDF("us")
+      .select(timestamp_micros(col("us")).as("k"), lit("p").as("tag"))
+    check("tt", tsDf, tsProbes, 31L)
+  }
+
   test("overlapping snapshot layout falls back to the stock probe plan") {
     val st = store(tmpDir("graft-aprobe-ov"))
     val evens = (1 to 50).map(i => (2L * i, 5L, 2L * i)).toDF("k", "ts", "rv")
