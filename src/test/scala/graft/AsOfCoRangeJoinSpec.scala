@@ -270,6 +270,47 @@ class AsOfCoRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       (2L, 50L, Some(45L), Some(50L))))
   }
 
+  test("two-column equi prefix (equiLen = 2): tuple boundaries never split a group") {
+    val st = store(tmpDir("graft-asof-el2"))
+    // keys (region, device, ts): the equi group is the (region, device)
+    // PAIR — boundary tuples are length 2 and a group must never split
+    val right = for (r <- 1L to 4L; d <- 1L to 12L; ts <- Seq(0L, 10L, 20L))
+      yield (r, d, ts, r * 1000 + d * 10 + ts)
+    val left = for (r <- 1L to 5L; d <- 1L to 14L; ts <- Seq(5L, 25L))
+      yield (r, d, ts, s"p$r-$d-$ts")
+    val ixR = KVIndex.bootstrap(st, "e2r", right.toDF("r", "d", "ts", "rv")
+      .repartition(1), Seq("r", "d", "ts"), maxRowsPerFile = 8).toOption.get
+    val ixL = KVIndex.bootstrap(st, "e2l", left.toDF("r", "d", "ts", "lv")
+      .repartition(1), Seq("r", "d", "ts"), maxRowsPerFile = 16).toOption.get
+
+    def reference(outer: Boolean) = left.toSeq.sorted.flatMap { case (r, d, ts, lv) =>
+      val cands = right.filter(x => x._1 == r && x._2 == d && x._3 <= ts)
+      if (cands.nonEmpty) { val m = cands.maxBy(x => (x._3, x._4))
+        Some((r, d, ts, lv, Some(m._3), Some(m._4))) }
+      else if (outer) Some((r, d, ts, lv, None, None)) else None
+    }
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("r"), col("d"), col("ts"), col("lv"), col("asof_ts"), col("rv"))
+        .collect().toSeq.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getString(3),
+          if (x.isNullAt(4)) None else Some(x.getLong(4)),
+          if (x.isNullAt(5)) None else Some(x.getLong(5)))).sorted
+
+    for (outer <- Seq(false, true)) {
+      val j = ixL.asOfJoin(ixR, equiLen = 2,
+        joinType = if (outer) "left_outer" else "inner")
+      assert(shaped(j) == reference(outer), s"asOfJoin el=2 outer=$outer")
+      assert(collect(j.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e }.isEmpty)
+    }
+    // the probe join with a 2-column prefix routes on the tuple
+    val probes = left.toSeq.map { case (r, d, ts, lv) => (r, d, ts, lv) }
+      .toDF("r", "d", "ts", "lv").repartition(3)
+    val viaProbe = shaped(ixR.asOfProbe(probes, Seq("r", "d"), "ts",
+      joinType = "left_outer"))
+    assert(viaProbe == reference(outer = true))
+  }
+
   test("column pruning reaches the leg scans; left filters push below the join") {
     val st = store(tmpDir("graft-asof-prune"))
     val left = (1L to 400L).map(k => (k, 5L, s"l$k", s"wide-l$k"))
