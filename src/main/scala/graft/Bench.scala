@@ -27,10 +27,18 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // a throwing query must NOT record a near-zero (flattering) time and
+    // a clean exit — per-query errors are carried in the artifact and the
+    // process exits non-zero so the bench gate sees the breakage
+    val errors = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        errors(name) = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").take(200))
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       samples(name) = sec :: samples.getOrElse(name, Nil)
     }
@@ -48,7 +56,10 @@ object Bench {
       .map(k => "\"" + k + "\":" + samples(k).reverse.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"samples":$all}"""
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errs,"samples":$all}"""
     println(line)
     // the driver keeps only a tail of stdout — persist the COMPLETE
     // per-query map so round-over-round comparison covers every query.
@@ -67,5 +78,10 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"bench_full.json not written: $e") }
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"bench: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} failed: " +
+        errors.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -1534,15 +1534,18 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * boundaries cut from THIS manifest alone at `kl`-prefix grain, one
     * plan partition per half-open range. The ranges cover (-inf, +inf),
     * so a caller can route EVERY probe row to exactly one leg index and
-    * zip against the returned plan. Returns the boundary list + the
-    * leg-union plan (bounds.length + 1 partitions); None when the layout
-    * cannot guarantee disjoint ranges (caller falls back).
+    * zip against the returned plan. Returns [[ProbeLegs.Legs]] (boundary
+    * list + the leg-union plan, bounds.length + 1 partitions);
+    * [[ProbeLegs.Unzippable]] when the layout cannot guarantee disjoint
+    * ranges (caller falls back to the stock join); [[ProbeLegs.AllPruned]]
+    * when the probe bounds pruned EVERY file — no snapshot row can match
+    * any probe, so the caller answers without touching the snapshot at
+    * all (empty for inner/semi, null-extended/pass-through for
+    * outer/anti) instead of paying a full stock-join scan.
     */
   private[graft] def probeLegPlans(kl: Int, rowsPerLeg: Long = -1L,
-      lo: Option[Any] = None, hi: Option[Any] = None)
-      : Option[(Vector[Seq[Any]],
-                org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
-    if (manifest.isEmpty || !filesDisjoint) return None
+      lo: Option[Any] = None, hi: Option[Any] = None): ProbeLegs = {
+    if (manifest.isEmpty || !filesDisjoint) return ProbeLegs.Unzippable
     // leading-key prune from the probe set's [min, max] bounds: a file
     // whose leading-key range misses every probe's leading key can never
     // contribute a match for ANY probe-preserving type (matches require
@@ -1553,7 +1556,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val fs = filesWhere(f =>
       lo.forall(l => KeyOrd.compare(Seq(f.max.head), Seq(l)) >= 0) &&
         hi.forall(h => KeyOrd.compare(Seq(f.min.head), Seq(h)) <= 0))
-    if (fs.isEmpty) return None
+    if (fs.isEmpty) return ProbeLegs.AllPruned
     val target = math.max(1L, math.max(
       if (rowsPerLeg > 0) rowsPerLeg else maxRowsPerFile,
       ceilDiv(fs.iterator.map(_.rows).sum, maxPlanLegs.toLong)))
@@ -1596,7 +1599,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
         graft.plans.DeclareOrderedStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.DeclareOrderedStrategy
-    Some((legBounds, plan))
+    ProbeLegs.Legs(legBounds, plan)
   }
 
   /** ts column in its native integral units — the tolerance contract,
@@ -1635,8 +1638,15 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * bounds pass and the routing pass would otherwise see different
     * rows, and stale bounds could prune a live match's file. Null keys
     * are ignored by min/max (they never match anything); an
-    * all-null/empty probe set prunes nothing and the join result is
-    * empty/unmatched anyway.
+    * all-null probe set prunes nothing and the join result is
+    * empty/unmatched anyway (an EMPTY probe set is answered without
+    * touching the snapshot — the callers short-circuit on count 0).
+    *
+    * `enabled = false` ALSO disables the ≥256-probe bloom prefilter
+    * (nProbes comes back -1, below its threshold) — deliberately: the
+    * bloom build is the same kind of extra probe-side pass, with the
+    * same unsoundness on an unpersisted nondeterministic frame, so the
+    * one opt-out covers both.
     */
   private def probeBounds(probes: DataFrame, leadingCol: String,
                           enabled: Boolean): (Option[Any], Option[Any], Long) =
@@ -1644,8 +1654,13 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     else {
       val r = probes.agg(min(col(leadingCol)), max(col(leadingCol)),
         org.apache.spark.sql.functions.count(lit(1))).head()
+      // collected under datetime.java8API these are Instant/LocalDate;
+      // canonicalize to the manifest's literal types before KeyOrd sees
+      // them in the file prune (KeyOrd also self-normalizes — belt and
+      // braces for a silent-row-drop class of bug)
       if (r.isNullAt(0)) (None, None, r.getLong(2))
-      else (Some(r.get(0)), Some(r.get(1)), r.getLong(2))
+      else (Some(KeyOrd.normLiteral(r.get(0))),
+            Some(KeyOrd.normLiteral(r.get(1))), r.getLong(2))
     }
 
   /** Bloom-prefilter the snapshot-side leg plan by the probe set's
@@ -1755,6 +1770,10 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * independently; null probe keys follow SQL equality (inner/semi
     * drop, outer null-extends, anti keeps). Falls back to the stock
     * shuffled join when the layout cannot guarantee disjoint ranges.
+    * `pruneFiles = false` skips BOTH extra probe-side passes — the
+    * [min,max] file-prune aggregate AND the ≥256-probe bloom prefilter
+    * (they share the unsoundness on unpersisted nondeterministic probe
+    * frames, so one opt-out covers both; see [[probeBounds]]).
     */
   def probeJoin(probes: DataFrame, probeKeyCols: Seq[String],
                 joinType: String = "inner", rowsPerLeg: Long = -1L,
@@ -1799,13 +1818,32 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       else j.select(ps.fieldNames.toSeq.map(c => col(s"__al.$c")): _*)
     }
 
+    /** The zero-possible-matches answer, no snapshot scan: inner/semi →
+      * empty, left_outer → every probe null-extended, anti → every probe.
+      */
+    def noMatch(p: DataFrame): DataFrame = jt match {
+      case LeftAnti => p
+      case LeftOuter => p.select(col("*") +: rightVals.map(c =>
+        lit(null).cast(rs(c).dataType).as(c)): _*)
+      case _ =>
+        val base = p.limit(0)
+        if (rightInOutput) base.select(col("*") +: rightVals.map(c =>
+          lit(null).cast(rs(c).dataType).as(c)): _*)
+        else base
+    }
+
     // layout checks are free; the bounds pass is a probe-side JOB — never
     // pay it when the zip path is impossible
     if (manifest.isEmpty || !filesDisjoint) return stockJoin()
     val pb = probeBounds(probes, probeKeyCols.head, pruneFiles)
+    // empty probe set (common idle-stream micro-batch): the result is
+    // empty for every probe-preserving type — never build leg plans that
+    // would scan + sort the whole snapshot against zero probes
+    if (pb._3 == 0L) return noMatch(probes.limit(0))
     probeLegPlans(el, rowsPerLeg, pb._1, pb._2) match {
-      case None => stockJoin()
-      case Some((bounds, rPlan0)) =>
+      case ProbeLegs.Unzippable => stockJoin()
+      case ProbeLegs.AllPruned => noMatch(probes)
+      case ProbeLegs.Legs(bounds, rPlan0) =>
         val rPlan = bloomFilteredLegs(probes, probeKeyCols, pb._3, rPlan0)
         val lPlan = routeProbes(probes, probeKeyCols, bounds)
         def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -1846,7 +1884,9 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * `asof_ts`, then the snapshot's value columns. Duplicate probe rows
     * are fine (each is matched independently). Falls back to the
     * shuffled join + window pick when the layout cannot guarantee
-    * disjoint ranges.
+    * disjoint ranges. `pruneFiles = false` skips BOTH extra probe-side
+    * passes — the [min,max] file-prune aggregate AND the ≥256-probe
+    * bloom prefilter (see [[probeBounds]]).
     */
   def asOfProbe(probes: DataFrame, probeKeyCols: Seq[String], probeTsCol: String,
                 rightTsCol: String = null, joinType: String = "inner",
@@ -1914,11 +1954,25 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
           (rT.as("asof_ts") +: rightVals.map(c => col(s"__ar.$c").as(c))): _*)
     }
 
+    /** Zero-possible-matches answer, no snapshot scan: inner → empty,
+      * left_outer → every probe with null asof_ts + value columns.
+      */
+    def noMatch(p: DataFrame): DataFrame = {
+      val base = if (leftOuter) p else p.limit(0)
+      base.select(col("*") +: (lit(null).cast(tsType).as("asof_ts") +:
+        rightVals.map(c => lit(null).cast(rs(c).dataType).as(c))): _*)
+    }
+
     if (manifest.isEmpty || !filesDisjoint) return stockProbe()
     val pb = probeBounds(probes, probeKeyCols.head, pruneFiles)
+    // empty probe batch (idle stream): answer without leg plans — an idle
+    // micro-batch must not pay a full-snapshot scan+sort ("cost follows
+    // the stream's rate")
+    if (pb._3 == 0L) return noMatch(probes.limit(0))
     probeLegPlans(el, rowsPerLeg, pb._1, pb._2) match {
-      case None => stockProbe()
-      case Some((bounds, rPlan0)) =>
+      case ProbeLegs.Unzippable => stockProbe()
+      case ProbeLegs.AllPruned => noMatch(probes)
+      case ProbeLegs.Legs(bounds, rPlan0) =>
         val rPlan = bloomFilteredLegs(probes, probeKeyCols, pb._3, rPlan0)
         val lPlan = routeProbes(probes, probeKeyCols, bounds)
         def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -2112,6 +2166,26 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       case _ => stock()
     }
   }
+}
+
+/** Result of [[KVIndex.probeLegPlans]] — three-way so callers can tell a
+  * layout that cannot zip (fall back to the stock shuffled join) from
+  * probe bounds that pruned every file (the join outcome is already
+  * determined: no snapshot row can match, answer without any snapshot
+  * scan). Collapsing both into `None` made every out-of-range probe
+  * batch — e.g. a stream of strictly-newer keys against an old snapshot
+  * — pay a full stock-join pass over the entire snapshot for a provably
+  * match-free result.
+  */
+private[graft] sealed trait ProbeLegs
+private[graft] object ProbeLegs {
+  /** layout cannot guarantee disjoint leg ranges — stock join */
+  case object Unzippable extends ProbeLegs
+  /** probe [min,max] bounds pruned every file — zero possible matches */
+  case object AllPruned extends ProbeLegs
+  final case class Legs(bounds: Vector[Seq[Any]],
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    extends ProbeLegs
 }
 
 object KVIndex {

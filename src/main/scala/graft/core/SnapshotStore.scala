@@ -197,7 +197,21 @@ object SnapshotManifest {
   * per-type orderings for the types we store in manifests.
   */
 object KeyOrd extends Ordering[Seq[Any]] {
-  private def cmp1(a: Any, b: Any): Int = (a, b) match {
+  /** Canonicalize one key-literal value to the manifest's literal types.
+    * Rows collected under `spark.sql.datetime.java8API.enabled=true` carry
+    * `java.time.Instant`/`LocalDate` where manifests store
+    * `java.sql.Timestamp`/`Date` — left unnormalized they'd fall through
+    * to cmp1's toString catch-all (ISO-8601 `T` vs JDBC-escape space sorts
+    * WRONG) and to the JSON codec's string fallback. Every site that feeds
+    * collected Row values into manifests or KeyOrd must pass through here.
+    */
+  def normLiteral(v: Any): Any = v match {
+    case i: java.time.Instant => java.sql.Timestamp.from(i)
+    case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+    case other => other
+  }
+  def normKey(k: Seq[Any]): Seq[Any] = k.map(normLiteral)
+  private def cmp1(a0: Any, b0: Any): Int = (KeyOrd.normLiteral(a0), KeyOrd.normLiteral(b0)) match {
     case (null, null) => 0
     case (null, _) => -1
     case (_, null) => 1
@@ -325,8 +339,10 @@ trait SnapshotStore {
       .collect()
     rows.map { r =>
       val mn = r.getStruct(2); val mx = r.getStruct(3)
+      // normKey: under datetime.java8API the collected structs carry
+      // Instant/LocalDate — canonicalize before they reach the JSON codec
       FileEntry(r.getString(0), r.getLong(1),
-        mn.toSeq, mx.toSeq)
+        KeyOrd.normKey(mn.toSeq), KeyOrd.normKey(mx.toSeq))
     }.sortBy(f => f.min)(KeyOrd)
   }
 
@@ -1036,7 +1052,8 @@ final class MemorySnapshotStore(val spark: SparkSession,
       val path = s"$dirKey/part-$fileNo"
       dataFiles(path) = pinned.filter(col("__file") === fileNo).drop("__file")
       createdMs(path) = System.currentTimeMillis()
-      FileEntry(path, r.getLong(1), r.getStruct(2).toSeq, r.getStruct(3).toSeq)
+      FileEntry(path, r.getLong(1), KeyOrd.normKey(r.getStruct(2).toSeq),
+        KeyOrd.normKey(r.getStruct(3).toSeq))
     }.toSeq.sortBy(_.min)(KeyOrd)
     (snapshotId, entries)
   }

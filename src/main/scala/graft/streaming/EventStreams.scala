@@ -517,7 +517,9 @@ object EventStreams {
                        tolerance: Long = -1L,
                        queryName: String = "graft_asof_enrich"): Unit = {
     val q = stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
-      // pin: asOfProbe reads its probe side twice (bounds pass + routing)
+      // pin: asOfProbe reads its probe side up to THREE times (bounds
+      // aggregate, ≥256-probe bloom sketch build, routing) — the persist
+      // is what makes those passes see identical rows, do not drop it
       val pinned = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try readings.asOfProbe(pinned, keyCols, tsCol, joinType = joinType,
           strict = strict, tolerance = tolerance)

@@ -69,10 +69,57 @@ class AsOfProbeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
 
     // leg alignment: output partitions == boundary count + 1
-    val (bounds, _) = ixR.probeLegPlans(1).get
+    val bounds = ixR.probeLegPlans(1) match {
+      case graft.core.ProbeLegs.Legs(b, _) => b
+      case other => fail(s"expected Legs, got $other")
+    }
     val j = ixR.asOfProbe(pdf, Seq("k"), "ts")
     assert(j.rdd.getNumPartitions == bounds.length + 1,
       s"probe partitions must align with the snapshot's legs")
+  }
+
+  test("empty and out-of-range probe batches answer without any snapshot scan") {
+    val st = store(tmpDir("graft-aprobe-empty"))
+    val right = (1L to 40L).flatMap(k => (0L to 90L by 10L).map(ts =>
+      (k, ts, k * 1000 + ts)))
+    val ixR = KVIndex.bootstrap(st, "apre", right.toDF("k", "ts", "rv")
+      .repartition(1), Seq("k", "ts"), maxRowsPerFile = 32).toOption.get
+
+    def snapshotScanned(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("apre")
+
+    // EMPTY probe batch (the idle-stream micro-batch): result empty,
+    // schema intact, zero snapshot files touched — "cost follows the
+    // stream's rate"
+    val empty = Seq.empty[(Long, Long, String)].toDF("k", "ts", "lv")
+    for (jt <- Seq("inner", "left_outer")) {
+      val j = ixR.asOfProbe(empty, Seq("k"), "ts", joinType = jt)
+      assert(j.columns.toSeq == Seq("k", "ts", "lv", "asof_ts", "rv"), jt)
+      assert(j.count() == 0L, jt)
+      assert(!snapshotScanned(j), s"empty probe batch must not scan the snapshot ($jt)")
+    }
+    for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+      val j = ixR.probeJoin(empty.drop("ts"), Seq("k"), jt)
+      assert(j.count() == 0L, jt)
+      assert(!snapshotScanned(j), s"empty probe batch must not scan the snapshot ($jt)")
+    }
+
+    // probes wholly OUTSIDE the snapshot's key range: bounds prune every
+    // file → the provably match-free answer, not a full stock-join pass
+    val out = Seq((900L, 5L, "x"), (901L, 7L, "y")).toDF("k", "ts", "lv")
+    val inner = ixR.asOfProbe(out, Seq("k"), "ts", joinType = "inner")
+    assert(inner.count() == 0L)
+    assert(!snapshotScanned(inner), "all-pruned inner must not scan the snapshot")
+    val outer = ixR.asOfProbe(out, Seq("k"), "ts", joinType = "left_outer")
+    assert(collected(outer) == Seq(
+      (900L, 5L, "x", None, None), (901L, 7L, "y", None, None)))
+    assert(!snapshotScanned(outer), "all-pruned outer must not scan the snapshot")
+    val anti = ixR.probeJoin(out.drop("ts"), Seq("k"), "left_anti")
+    assert(anti.orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(900L, 901L))
+    assert(!snapshotScanned(anti), "all-pruned anti must not scan the snapshot")
+    val po = ixR.probeJoin(out.drop("ts"), Seq("k"), "left_outer")
+    assert(po.count() == 2L && po.filter(col("rv").isNotNull).count() == 0L)
+    assert(!snapshotScanned(po), "all-pruned left_outer must not scan the snapshot")
   }
 
   test("probe join agrees with the snapshot-to-snapshot asOfJoin on identical data") {

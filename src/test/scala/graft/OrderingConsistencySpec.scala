@@ -59,6 +59,29 @@ class OrderingConsistencySpec extends SparkSuite {
       _.toDF("v", "i"))
   }
 
+  test("KeyOrd normalizes java.time literals against manifest java.sql types") {
+    // rows collected under spark.sql.datetime.java8API.enabled=true hand
+    // back Instant/LocalDate; the toString catch-all would order ISO-8601
+    // ('T' separator) vs JDBC-escape (' ') text WRONG — e.g. an Instant
+    // above any same-day Timestamp — silently over-pruning probe files
+    val ts = java.sql.Timestamp.valueOf("2024-03-15 10:30:00")
+    val instEq = ts.toInstant
+    val instLt = ts.toInstant.minusSeconds(3600)
+    val instGt = ts.toInstant.plusSeconds(3600)
+    assert(KeyOrd.compare(Seq(instEq), Seq(ts)) == 0)
+    assert(KeyOrd.compare(Seq(instLt), Seq(ts)) < 0)
+    assert(KeyOrd.compare(Seq(instGt), Seq(ts)) > 0)
+    assert(KeyOrd.compare(Seq(ts), Seq(instGt)) < 0)
+    val d = java.sql.Date.valueOf("2024-03-15")
+    assert(KeyOrd.compare(Seq(java.time.LocalDate.of(2024, 3, 15)), Seq(d)) == 0)
+    assert(KeyOrd.compare(Seq(java.time.LocalDate.of(2024, 3, 14)), Seq(d)) < 0)
+    assert(KeyOrd.compare(Seq(java.time.LocalDate.of(2024, 3, 16)), Seq(d)) > 0)
+    // normKey canonicalizes to the manifest codec's literal types — a
+    // java.time value must never reach anyToJson's toString fallback
+    val nk = KeyOrd.normKey(Seq(instEq, java.time.LocalDate.of(2024, 3, 15)))
+    assert(nk == Seq(ts, d), s"normKey must yield java.sql literals: $nk")
+  }
+
   test("KeyOrd composite comparison is lexicographic like Spark struct ordering") {
     val pairs = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.alphanumeric.take(3).mkString))
     val indexed = pairs.zipWithIndex.map { case ((a, b), i) => (a, b, i) }
