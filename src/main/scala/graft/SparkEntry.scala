@@ -3046,6 +3046,36 @@ object SparkEntry {
           col("qty").cast("long").as("qty"))
         .orderBy("k", "l_linenumber")
     }),
+    // SQL PROBE join: the same facts-vs-snapshot shape as kv_probe_join
+    // expressed in PLAIN SQL TEXT — `facts LEFT JOIN cat.snap ON key` with
+    // exactly one graft side plans the probe-routed zip join (snapshot =
+    // exchange-free leg union, facts routed by one RDD partitioner
+    // shuffle; zero SQL exchanges). The broadcast guard is lifted for the
+    // small test snapshot and the plan shape is asserted, so this row
+    // pins the rewrite in the correctness gate; the result materializes
+    // under the modified conf (the st_asof_enrich temp-sink convention).
+    "kv_sql_probe_join" -> ((s, d) => {
+      val liIx = liLinesStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_spj", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_spj.root", liIx.store.root)
+      t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey"))
+        .createOrReplaceTempView("graft_spj_facts")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = s.sql("""
+          SELECT f.k, f.o_custkey, li.l_linenumber, CAST(li.qty AS BIGINT) AS qty
+          FROM graft_spj_facts f LEFT JOIN graft_spj.lilines li
+            ON f.k = li.l_orderkey""")
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("ZipPartitionsJoin"),
+          s"kv_sql_probe_join: expected the probe-routed zip join, got:\n$plan")
+        val out = java.nio.file.Files.createTempDirectory("graft-sqlprobe").toString
+        q.write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy("k", "l_linenumber")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
     // AS-OF PROBE join: an arbitrary DataFrame of probe rows (every 7th
     // event) enriched against the snapshot — probes route onto the
     // snapshot's leg boundaries (the ONLY shuffle is the probe side; the
@@ -4555,6 +4585,12 @@ object SparkEntry {
         "SELECT event_id, user_id, probe_ms, asof_ms, cnt, cents FROM j WHERE rn = 1 " +
         "ORDER BY event_id"),
       "kv_probe_join" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2), " +
+        "p AS (SELECT o_orderkey AS k, o_custkey FROM orders WHERE o_orderkey % 5 = 0) " +
+        "SELECT p.k, p.o_custkey, li.l_linenumber, CAST(li.qty AS BIGINT) AS qty " +
+        "FROM p LEFT JOIN li ON li.l_orderkey = p.k " +
+        "ORDER BY p.k, li.l_linenumber NULLS FIRST"),
+      "kv_sql_probe_join" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
         "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2), " +
         "p AS (SELECT o_orderkey AS k, o_custkey FROM orders WHERE o_orderkey % 5 = 0) " +
         "SELECT p.k, p.o_custkey, li.l_linenumber, CAST(li.qty AS BIGINT) AS qty " +

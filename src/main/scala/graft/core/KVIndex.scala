@@ -1704,10 +1704,28 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   private def routeProbes(probes: DataFrame, probeKeyCols: Seq[String],
                           bounds: Vector[Seq[Any]])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val p = probes.queryExecution.analyzed
+    routeProbePlan(p, probeKeyCols.map(c => p.output.find(_.name == c)
+      .getOrElse(sys.error(s"routeProbes: missing probe column $c"))), bounds)
+  }
+
+  /** Plan-level [[routeProbes]] — the SQL rewrite's entry
+    * ([[graft.sources.GraftCoRangeJoin]]): key columns arrive as
+    * ATTRIBUTES of the probe plan (an arbitrary SQL join side may repeat
+    * names across relations, so name lookup is unsafe there). Output
+    * attributes are FRESH (a LogicalRDD over the routed rows) and align
+    * POSITIONALLY with `probe.output` — the caller restores its exprIds
+    * with a positional alias Project.
+    */
+  private[graft] def routeProbePlan(
+      probe: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      keyAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      bounds: Vector[Seq[Any]])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, RowOrdering, UnsafeProjection}
-    val ps = probes.schema
-    val prefixTypes = probeKeyCols.map(c => ps(c).dataType)
+    val out = probe.output
+    val prefixTypes = keyAttrs.map(_.dataType)
     // manifest JSON round-trips WIDEN numeric key literals (Int/Short/Byte
     // -> Long, Float -> Double): narrow them back to the schema type
     // before the catalyst conversion, or the routing ordering's typed
@@ -1728,10 +1746,14 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       new GenericInternalRow(b.zip(prefixTypes.zip(convs)).map {
         case (v, (dt, f)) => f(coerce(v, dt)) }
         .toArray[Any]): InternalRow).toArray
-    val keyExprs = probeKeyCols.map(c => BoundReference(
-      ps.fieldIndex(c), ps(c).dataType, nullable = true))
+    val keyExprs = keyAttrs.map { a =>
+      val i = out.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"routeProbePlan: key attribute $a not in probe output")
+      BoundReference(i, a.dataType, nullable = true)
+    }
     val nLegs = boundRows.length + 1
-    val routed = probes.queryExecution.toRdd.mapPartitions { it =>
+    val probeDf = org.apache.spark.sql.graft.Shim.ofRows(spark, probe)
+    val routed = probeDf.queryExecution.toRdd.mapPartitions { it =>
       val proj = UnsafeProjection.create(keyExprs)
       val ord = RowOrdering.createNaturalAscendingOrdering(prefixTypes)
       it.map { r =>
@@ -1748,7 +1770,7 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       override def getPartition(key: Any): Int = key.asInstanceOf[Int]
     }).map(_._2)
     org.apache.spark.sql.graft.Shim
-      .fromInternalRows(spark, routed, ps).queryExecution.analyzed
+      .fromInternalRows(spark, routed, probeDf.schema).queryExecution.analyzed
   }
 
   /** EQUI PROBE join: join an ARBITRARY DataFrame of probe rows against

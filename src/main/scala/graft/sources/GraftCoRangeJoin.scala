@@ -42,8 +42,32 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(l, r, jt, Some(cond), _) if ZipPartitionsJoin.supports(jt) =>
-      rewrite(j, l, r, cond, jt).getOrElse(j)
+      dispatch(j, l, r, cond, jt).getOrElse(j)
   }
+
+  /** Two-graft-side zip join first (both sides exchange-free); when that
+    * declines (or only ONE side is a graft scan), the PROBE join: the
+    * non-graft side is routed onto the snapshot's leg boundaries — one
+    * RDD-level partitioner shuffle of the probe side alone, the snapshot
+    * never moves and the SQL plan stays exchange-free. This is the most
+    * common real-user join shape (facts vs snapshot dimension), which
+    * previously paid a both-sides shuffle in SQL while only the Scala
+    * API ([[graft.core.KVIndex.probeJoin]]) did it right. The dimension
+    * side is tried right-first (the conventional `facts JOIN dim` order).
+    */
+  private def dispatch(j: Join, l: LogicalPlan, r: LogicalPlan,
+                       cond: Expression, jt: JoinType): Option[LogicalPlan] =
+    (side(l), side(r)) match {
+      case (Some(_), Some(_)) =>
+        rewrite(j, l, r, cond, jt)
+          .orElse(probeRewrite(j, l, r, cond, jt, graftOnLeft = false))
+          .orElse(probeRewrite(j, l, r, cond, jt, graftOnLeft = true))
+      case (Some(_), None) =>
+        probeRewrite(j, l, r, cond, jt, graftOnLeft = true)
+      case (None, Some(_)) =>
+        probeRewrite(j, l, r, cond, jt, graftOnLeft = false)
+      case _ => None
+    }
 
   /** A child is eligible when it is a plain GraftScan relation under zero
     * or more deterministic Filters/Projects; returns (relation, scan,
@@ -72,6 +96,31 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Restore `out`'s exprIds over a replacement plan by NAME (snapshot
+    * schemas have unique names) — the stacks replay above this.
+    */
+  private def aliasTo(out: Seq[Attribute], legs: LogicalPlan): LogicalPlan = {
+    val byName = legs.output.map(a => a.name -> a).toMap
+    Project(out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), legs)
+  }
+
+  /** per-leg row target from session conf (e.g. for wider tasks on a
+    * scan-heavy join); ≤ 0 = the index's maxRowsPerFile convention
+    */
+  private def rowsPerLegConf(): Long = {
+    val raw = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.corange.rowsPerLeg", "-1")
+    try raw.trim.toLong
+    catch { case _: NumberFormatException => throw new IllegalArgumentException(
+      s"spark.graft.corange.rowsPerLeg must be an integer, got '$raw'") }
+  }
+
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
                       cond: Expression, jt: JoinType): Option[LogicalPlan] = {
     val (lrel, lg, lRebuild) = side(l).getOrElse(return None)
@@ -81,11 +130,6 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     // over the RELATIONS' own attributes (a computed/aliased key declines:
     // its exprId is not the relation's, and leg boundaries were cut on the
     // stored key, not the computed one)
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
-        conjuncts(a) ++ conjuncts(b)
-      case other => Seq(other)
-    }
     val lIds = lrel.output.map(_.exprId).toSet
     val rIds = rrel.output.map(_.exprId).toSet
     val pairs: Seq[(AttributeReference, AttributeReference)] =
@@ -116,14 +160,7 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     // sides the join type allows (a left-preserving join must not let a
     // RIGHT bound prune LEFT files: those rows survive unmatched).
     // Exactness is unaffected: the same predicates replay in the stacks.
-    // per-leg row target from session conf (e.g. for wider tasks on a
-    // scan-heavy join); ≤ 0 = the index's maxRowsPerFile convention
-    val rowsPerLegRaw = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.corange.rowsPerLeg", "-1")
-    val rowsPerLeg =
-      try rowsPerLegRaw.trim.toLong
-      catch { case _: NumberFormatException => throw new IllegalArgumentException(
-        s"spark.graft.corange.rowsPerLeg must be an integer, got '$rowsPerLegRaw'") }
+    val rowsPerLeg = rowsPerLegConf()
     lIx.coRangeLegPlans(rIx, rowsPerLeg,
         lg.pushedKeyBounds, rg.pushedKeyBounds, jt, keyLen = m).map {
       case (zipOpt, leftOnlyOpt, rightOnlyOpt) =>
@@ -134,10 +171,6 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
         // preserves the leg-per-partition alignment; one-sided filters
         // below their own input is the stock pushdown direction for every
         // supported type)
-        def aliasTo(out: Seq[Attribute], legs: LogicalPlan): LogicalPlan = {
-          val byName = legs.output.map(a => a.name -> a).toMap
-          Project(out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), legs)
-        }
         // join keys = the cond's own attributes in key-column order; they
         // survive the stacks (cond resolved ABOVE them in the original plan)
         val byLName = pairs.map(p => p._1.name -> p).toMap
@@ -172,6 +205,92 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
           case Seq(only) => only
           case many => Union(many)
         }
+    }
+  }
+
+  /** PROBE rewrite: exactly one join side is a plain graft snapshot scan
+    * (under deterministic Filters/Projects) and the condition is a
+    * conjunction of plain attribute equalities covering a LEADING PREFIX
+    * of the snapshot's key columns against attributes of the OTHER
+    * (arbitrary) side. Plans the probe-join shape
+    * ([[graft.core.KVIndex.probeJoin]]'s internals at plan level): the
+    * snapshot becomes its leg-union plan (exchange-free, one ordered
+    * partition per leg), the probe side is routed onto the leg
+    * boundaries by an RDD-level partitioner shuffle (the ONLY data
+    * movement in the whole join — the snapshot, the big side, never
+    * moves), and the zip join streams each aligned pair.
+    *
+    * Every [[ZipPartitionsJoin]]-supported type works: the legs cover
+    * (-inf, +inf) and every probe row routes into exactly one leg, so
+    * both sides are fully preserved within their legs (outer/anti
+    * semantics included) with no extra branches.
+    *
+    * Declines (stock join stays) when:
+    *  - the snapshot is small enough to broadcast — a stock
+    *    BroadcastHashJoin moves NEITHER side's bulk, strictly better
+    *    than routing the probe side;
+    *  - the condition is anything but leading-prefix key equalities, or
+    *    maps two different probe attributes onto one key column;
+    *  - the snapshot layout cannot guarantee disjoint ranges, or its own
+    *    pushed bounds prune every file (the stock plan then scans zero
+    *    files anyway);
+    *  - the probe side is streaming (micro-batch plans route per batch
+    *    through [[graft.core.KVIndex.asOfProbe]]/probeJoin instead).
+    */
+  private def probeRewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
+                           cond: Expression, jt: JoinType,
+                           graftOnLeft: Boolean): Option[LogicalPlan] = {
+    val (grel, gg, gRebuild) = side(if (graftOnLeft) l else r).getOrElse(return None)
+    val probe = if (graftOnLeft) r else l
+    if (probe.isStreaming) return None
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    // ask the SCAN for its manifest-stat size — the relation's own stats
+    // don't see through the V1ScanWrapper and default to "huge"
+    val gSize = gg.estimateStatistics().sizeInBytes
+    if (thr >= 0 && gSize.isPresent && gSize.getAsLong <= thr) return None
+
+    val gIds = grel.output.map(_.exprId).toSet
+    val pIds = probe.outputSet
+    // (probeAttr, graftAttr) pairs; anything else in the condition declines
+    val pairs: Seq[(AttributeReference, AttributeReference)] =
+      conjuncts(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if pIds.contains(a) && gIds.contains(b.exprId) => (a, b)
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+            if pIds.contains(a) && gIds.contains(b.exprId) => (a, b)
+        case _ => return None
+      }.distinct
+    val gKeyCols = gg.manifestRef.keyCols
+    val byKey = pairs.groupBy(_._2.name)
+    // two DIFFERENT probe attributes equated to one key column cannot be
+    // expressed as a single routing key — decline
+    if (byKey.valuesIterator.exists(_.map(_._1.exprId).distinct.size > 1)) return None
+    val m = byKey.size
+    if (m == 0 || m > gKeyCols.size) return None
+    if (byKey.keySet != gKeyCols.take(m).toSet) return None
+    val probeKeys: Seq[Attribute] = gKeyCols.take(m).map(c => byKey(c).head._1)
+    val graftKeys: Seq[Attribute] = gKeyCols.take(m).map(c => byKey(c).head._2)
+
+    val ix = new KVIndex(gg.storeRef, gg.manifestRef)
+    // the snapshot's OWN pushed leading-key bounds prune its legs — always
+    // sound (rows outside them are dropped by the replayed stack anyway,
+    // for every join type)
+    val (bLo, bHi) = gg.pushedKeyBounds
+    ix.probeLegPlans(m, rowsPerLegConf(),
+        bLo.filter(_.nonEmpty).map(_.head), bHi.filter(_.nonEmpty).map(_.head)) match {
+      case graft.core.ProbeLegs.Legs(bounds, legPlan) =>
+        val gStack = gRebuild(aliasTo(grel.output, legPlan))
+        // route the WHOLE probe side (filters and all, evaluated once at
+        // execution), then restore its output exprIds POSITIONALLY — an
+        // arbitrary SQL side may repeat names across relations
+        val routed = ix.routeProbePlan(probe, probeKeys, bounds)
+        val pStack = Project(probe.output.zip(routed.output).map {
+          case (o, n) => Alias(n, o.name)(exprId = o.exprId) }, routed)
+        Some(if (graftOnLeft)
+          ZipPartitionsJoin(gStack, pStack, graftKeys, probeKeys, jt)
+        else
+          ZipPartitionsJoin(pStack, gStack, probeKeys, graftKeys, jt))
+      case _ => None // Unzippable or all files pruned: the stock plan is right
     }
   }
 }
