@@ -3046,6 +3046,33 @@ object SparkEntry {
           col("qty").cast("long").as("qty"))
         .orderBy("k", "l_linenumber")
     }),
+    // The AS-OF SQL IDIOM: the classic ts-bounded equi-join + row_number()
+    // pick expressed in PLAIN SQL TEXT over two graft snapshots plans the
+    // exchange-free AsOfZipJoin — no shuffle, NO WINDOW (GraftAsOfIdiom).
+    // Same semantics as kv_corange_asof; the plan shape is asserted, so
+    // this row pins the rewrite in the correctness gate.
+    "kv_sql_asof" -> ((s, d) => {
+      val liIx = liLinesStore(s, d)
+      val prIx = liProbeStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_sqa_p", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sqa_p.root", prIx.store.root)
+      s.conf.set("spark.sql.catalog.graft_sqa_r", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sqa_r.root", liIx.store.root)
+      val q = s.sql("""
+        SELECT l_orderkey, probe_ln, n_lines, asof_ln, qty FROM (
+          SELECT p.l_orderkey, p.probe_ln, p.n_lines,
+                 r.l_linenumber AS asof_ln, CAST(r.qty AS BIGINT) AS qty,
+                 row_number() OVER (PARTITION BY p.l_orderkey, p.probe_ln
+                                    ORDER BY r.l_linenumber DESC) AS rn
+          FROM graft_sqa_p.liprobe p LEFT JOIN graft_sqa_r.lilines r
+            ON p.l_orderkey = r.l_orderkey AND r.l_linenumber <= p.probe_ln
+        ) WHERE rn = 1 AND l_orderkey <= 400
+        ORDER BY l_orderkey""")
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("AsOfZipJoin") && !plan.contains("Window"),
+        s"kv_sql_asof: expected the as-of merge with no window, got:\n$plan")
+      q
+    }),
     // SQL PROBE join: the same facts-vs-snapshot shape as kv_probe_join
     // expressed in PLAIN SQL TEXT — `facts LEFT JOIN cat.snap ON key` with
     // exactly one graft side plans the probe-routed zip join (snapshot =
@@ -4590,6 +4617,18 @@ object SparkEntry {
         "SELECT p.k, p.o_custkey, li.l_linenumber, CAST(li.qty AS BIGINT) AS qty " +
         "FROM p LEFT JOIN li ON li.l_orderkey = p.k " +
         "ORDER BY p.k, li.l_linenumber NULLS FIRST"),
+      "kv_sql_asof" -> ("WITH lines AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2), " +
+        "probe AS MATERIALIZED (SELECT l_orderkey, CAST(max(l_linenumber) - 1 AS INT) AS probe_ln, " +
+        "count(*) AS n_lines FROM lineitem GROUP BY 1), " +
+        "j AS (SELECT p.l_orderkey, p.probe_ln, p.n_lines, x.l_linenumber AS asof_ln, " +
+        "CAST(x.qty AS BIGINT) AS qty, " +
+        "row_number() OVER (PARTITION BY p.l_orderkey, p.probe_ln " +
+        "ORDER BY x.l_linenumber DESC NULLS LAST) AS rn " +
+        "FROM probe p LEFT JOIN lines x ON x.l_orderkey = p.l_orderkey " +
+        "AND x.l_linenumber <= p.probe_ln) " +
+        "SELECT l_orderkey, probe_ln, n_lines, asof_ln, qty FROM j " +
+        "WHERE rn = 1 AND l_orderkey <= 400 ORDER BY l_orderkey"),
       "kv_sql_probe_join" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
         "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2), " +
         "p AS (SELECT o_orderkey AS k, o_custkey FROM orders WHERE o_orderkey % 5 = 0) " +

@@ -77,7 +77,7 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     * the join, and any computed aliases) lands BELOW the zip join, per
     * side, exactly as the stock plan evaluated it.
     */
-  private def side(p: LogicalPlan)
+  private[sources] def side(p: LogicalPlan)
       : Option[(DataSourceV2ScanRelation, GraftScan, LogicalPlan => LogicalPlan)] = p match {
     case Filter(c, child) if c.deterministic =>
       side(child).map { case (rel, g, rb) =>
@@ -96,7 +96,7 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
+  private[sources] def conjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
       conjuncts(a) ++ conjuncts(b)
     case other => Seq(other)
@@ -105,7 +105,7 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
   /** Restore `out`'s exprIds over a replacement plan by NAME (snapshot
     * schemas have unique names) — the stacks replay above this.
     */
-  private def aliasTo(out: Seq[Attribute], legs: LogicalPlan): LogicalPlan = {
+  private[sources] def aliasTo(out: Seq[Attribute], legs: LogicalPlan): LogicalPlan = {
     val byName = legs.output.map(a => a.name -> a).toMap
     Project(out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), legs)
   }
@@ -113,7 +113,7 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
   /** per-leg row target from session conf (e.g. for wider tasks on a
     * scan-heavy join); ≤ 0 = the index's maxRowsPerFile convention
     */
-  private def rowsPerLegConf(): Long = {
+  private[sources] def rowsPerLegConf(): Long = {
     val raw = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.corange.rowsPerLeg", "-1")
     try raw.trim.toLong

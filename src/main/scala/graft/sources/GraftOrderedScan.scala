@@ -51,6 +51,11 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     if (!spark.experimental.extraOptimizations.contains(GraftCoRangeJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GraftCoRangeJoin
+    // the AS-OF idiom must see Filter(rn=1, Window(join)) BEFORE the join
+    // rule touches anything — it matches a strictly larger fragment
+    if (!spark.experimental.extraOptimizations.contains(GraftAsOfIdiom))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftAsOfIdiom
     // the filter/column-push companions are shared with the view path —
     // ONE registration source of truth, so the rule sets cannot drift
     graft.plans.OrderedPlans.register(spark)

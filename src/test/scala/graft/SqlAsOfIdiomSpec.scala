@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.plans.AsOfZipJoinExec
+
+/** The AS-OF SQL idiom: `JOIN ... ON k AND rts <= ts` + `row_number()
+  * OVER (PARTITION BY left key ORDER BY rts DESC) = 1` over two graft
+  * snapshots plans [[graft.plans.AsOfZipJoinExec]] — zero exchanges, NO
+  * window — instead of the shuffle + window the text spells. Content
+  * parity against a driver-side reference is the correctness contract;
+  * the no-window/no-exchange plan and the strict decline rules are the
+  * scale contract.
+  */
+class SqlAsOfIdiomSpec extends SparkSuite with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def store(dir: String) = new FsSnapshotStore(s"$dir/store", spark)
+
+  private def ref(left: Seq[(Long, Long, String)], right: Seq[(Long, Long, Long)],
+                  strict: Boolean, outer: Boolean)
+      : Seq[(Long, Long, String, Option[Long], Option[Long])] =
+    left.sorted.flatMap { case (k, ts, lv) =>
+      val cands = right.filter { case (rk, rts, _) =>
+        rk == k && (if (strict) rts < ts else rts <= ts) }
+      if (cands.nonEmpty) {
+        val m = cands.maxBy(c => (c._2, c._3))
+        Some((k, ts, lv, Some(m._2), Some(m._3)))
+      } else if (outer) Some((k, ts, lv, None, None))
+      else None
+    }
+
+  private def collected(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Long, String, Option[Long], Option[Long])] =
+    df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))).sorted
+
+  private def asofCount(df: org.apache.spark.sql.DataFrame): Int =
+    collect(df.queryExecution.executedPlan) { case z: AsOfZipJoinExec => z }.size
+
+  private def windowCount(df: org.apache.spark.sql.DataFrame): Int =
+    collect(df.queryExecution.executedPlan) { case w: WindowExec => w }.size
+
+  private def exchangeCount(df: org.apache.spark.sql.DataFrame): Int =
+    collect(df.queryExecution.executedPlan) { case e: ShuffleExchangeExec => e }.size
+
+  // shared fixture: probes keyed (k, ts), readings keyed (k, rts) —
+  // key ranges overlap partially so left_outer has unmatched probes
+  private lazy val (leftRows, rightRows, cat) = {
+    val st = store(tmpDir("graft-asofsql"))
+    val left = (1L to 50L).flatMap(k => Seq(3L, 17L, 40L).map(ts =>
+      (k, ts, s"l$k-$ts")))
+    val right = (1L to 60L by 2L).flatMap(k => (0L to 40L by 10L).map(ts =>
+      (k, ts, k * 1000 + ts)))
+    KVIndex.bootstrap(st, "pr", left.toDF("k", "ts", "lv").repartition(1),
+      Seq("k", "ts"), maxRowsPerFile = 16).toOption.get
+    KVIndex.bootstrap(st, "rd", right.toDF("k", "rts", "rv").repartition(1),
+      Seq("k", "rts"), maxRowsPerFile = 16).toOption.get
+    spark.conf.set("spark.sql.catalog.asofsql", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.asofsql.root", st.root)
+    (left, right, "asofsql")
+  }
+
+  private def idiom(join: String, bound: String): String =
+    s"""SELECT k, ts, lv, asof_ts, rv FROM (
+        SELECT p.k, p.ts, p.lv, r.rts AS asof_ts, r.rv,
+               row_number() OVER (PARTITION BY p.k, p.ts ORDER BY r.rts DESC) AS rn
+        FROM $cat.pr p $join $cat.rd r
+          ON p.k = r.k AND r.rts $bound p.ts
+      ) WHERE rn = 1"""
+
+  test("the idiom plans the as-of merge: no window, zero exchanges, content parity") {
+    for ((join, outer) <- Seq(("JOIN", false), ("LEFT JOIN", true));
+         (bound, strict) <- Seq(("<=", false), ("<", true))) {
+      val q = spark.sql(idiom(join, bound))
+      assert(asofCount(q) == 1,
+        s"$join/$bound must plan AsOfZipJoin:\n${q.queryExecution.executedPlan}")
+      assert(windowCount(q) == 0, s"$join/$bound must drop the window")
+      assert(exchangeCount(q) == 0, s"$join/$bound must plan zero exchanges")
+      assert(collected(q) == ref(leftRows, rightRows, strict, outer),
+        s"$join/$bound content mismatch")
+    }
+  }
+
+  test("rn <= 1 and extra WHERE conjuncts rewrite too; rn survives as literal 1") {
+    val q = spark.sql(
+      s"""SELECT k, ts, rn, rv FROM (
+          SELECT p.k, p.ts, r.rv,
+                 row_number() OVER (PARTITION BY p.k, p.ts ORDER BY r.rts DESC) AS rn
+          FROM $cat.pr p JOIN $cat.rd r ON p.k = r.k AND r.rts <= p.ts
+        ) WHERE rn <= 1 AND rv % 2 = 0""")
+    assert(asofCount(q) == 1, s"rn <= 1 must rewrite:\n${q.queryExecution.executedPlan}")
+    assert(windowCount(q) == 0)
+    val want = ref(leftRows, rightRows, strict = false, outer = false)
+      .filter(_._5.exists(_ % 2 == 0))
+      .map(r => (r._1, r._2, 1, r._5.get)).sorted
+    val got = q.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted
+    assert(got == want, "content mismatch with extra conjunct")
+  }
+
+  test("a single-side ON predicate becomes a pushed filter and still rewrites") {
+    // `AND r.rv > 5000` leaves the ON via stock predicate pushdown and
+    // lands as a right-side Filter, which replays BELOW the merge —
+    // candidates are filtered before the pick, exactly the stock pick
+    val q = spark.sql(
+      s"""SELECT k, ts, rv FROM (
+          SELECT p.k, p.ts, r.rv,
+                 row_number() OVER (PARTITION BY p.k, p.ts ORDER BY r.rts DESC) AS rn
+          FROM $cat.pr p JOIN $cat.rd r
+            ON p.k = r.k AND r.rts <= p.ts AND r.rv > 5000
+        ) WHERE rn = 1""")
+    assert(asofCount(q) == 1, s"pushed right filter must still rewrite:\n${q.queryExecution.executedPlan}")
+    val want = leftRows.sorted.flatMap { case (k, ts, _) =>
+      val cands = rightRows.filter(c => c._1 == k && c._2 <= ts && c._3 > 5000)
+      if (cands.nonEmpty) Some((k, ts, cands.maxBy(c => (c._2, c._3))._3)) else None
+    }.sorted
+    val got = q.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got == want, "pushed-filter content mismatch")
+  }
+
+  test("declines: tolerance conjunct, partial partition key, ASC order, non-graft side") {
+    // a TWO-SIDED extra conjunct (the tolerance band) stays in the ON —
+    // stock plan (window survives)
+    val extra = spark.sql(
+      s"""SELECT * FROM (
+          SELECT p.k, p.ts, r.rv,
+                 row_number() OVER (PARTITION BY p.k, p.ts ORDER BY r.rts DESC) AS rn
+          FROM $cat.pr p JOIN $cat.rd r
+            ON p.k = r.k AND r.rts <= p.ts AND r.rts >= p.ts - 10
+        ) WHERE rn = 1""")
+    assert(asofCount(extra) == 0, "two-sided extra ON conjunct must decline")
+    assert(windowCount(extra) == 1)
+
+    // PARTITION BY only k (left key is (k, ts)): per-key pick, NOT an
+    // as-of join — must decline
+    val partial = spark.sql(
+      s"""SELECT * FROM (
+          SELECT p.k, p.ts, r.rv,
+                 row_number() OVER (PARTITION BY p.k ORDER BY r.rts DESC) AS rn
+          FROM $cat.pr p JOIN $cat.rd r ON p.k = r.k AND r.rts <= p.ts
+        ) WHERE rn = 1""")
+    assert(asofCount(partial) == 0, "partial partition key must decline")
+
+    // ASC order = EARLIEST match, not the as-of floor — must decline
+    val asc = spark.sql(
+      s"""SELECT * FROM (
+          SELECT p.k, p.ts, r.rv,
+                 row_number() OVER (PARTITION BY p.k, p.ts ORDER BY r.rts ASC) AS rn
+          FROM $cat.pr p JOIN $cat.rd r ON p.k = r.k AND r.rts <= p.ts
+        ) WHERE rn = 1""")
+    assert(asofCount(asc) == 0, "ASC order must decline")
+
+    // non-graft probe side: declines (stock window plan)
+    leftRows.toDF("k", "ts", "lv").createOrReplaceTempView("asof_plain")
+    val plainSide = spark.sql(
+      s"""SELECT * FROM (
+          SELECT p.k, p.ts, r.rv,
+                 row_number() OVER (PARTITION BY p.k, p.ts ORDER BY r.rts DESC) AS rn
+          FROM asof_plain p JOIN $cat.rd r ON p.k = r.k AND r.rts <= p.ts
+        ) WHERE rn = 1""")
+    assert(asofCount(plainSide) == 0, "non-graft side must decline (for now)")
+    // correctness of the declined plans is Spark's own guarantee; spot-check one
+    assert(partial.count() > 0)
+  }
+}
