@@ -811,6 +811,24 @@ object SparkEntry {
       s.sql(s"SELECT count(*) AS n, min(o_orderkey) AS mn, " +
         s"max(o_orderkey) AS mx FROM $cat.ord")
     }),
+    // count(*) under a leading-key range WHERE answers at MANIFEST cost
+    // (GraftCountRange): interior files from stats, only the ≤2 boundary
+    // files scanned — the SQL twin of kv_count_range. The plan shape is
+    // asserted (the boundary telemetry must show ≤2 planned files), so
+    // this row pins the rewrite in the correctness gate.
+    "kv_sql_count_range" -> ((s, d) => {
+      val (store, _) = liStore(s, d)
+      val cat = regCatalog(s, "kvcntr", d, store.root)
+      graft.sources.GraftScan.lastPlannedFiles = -1
+      val q = s.sql(s"SELECT count(*) AS n FROM $cat.ord " +
+        "WHERE o_orderkey >= 100 AND o_orderkey < 5000")
+      q.queryExecution.executedPlan
+      val planned = graft.sources.GraftScan.lastPlannedFiles
+      require(planned >= 0 && planned <= 2,
+        s"kv_sql_count_range: expected a manifest-served count with at most " +
+          s"2 boundary files, planned $planned")
+      q
+    }),
     "kv_range" -> ((s, d) => {
       val (_, ix) = liStore(s, d)
       ix.range(Seq(100L), Seq(200L), incFrom = true, incTo = false)
@@ -3380,6 +3398,7 @@ object SparkEntry {
         "FROM orders WHERE NOT (o_orderkey >= 200 AND o_orderkey < 900) " +
         "AND o_orderkey <> 32 AND o_orderkey <= 1200"),
       "kv_sql_stats" -> "SELECT count(*) AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders",
+      "kv_sql_count_range" -> "SELECT count(*) AS n FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 5000",
       // the three UPDATE statements replayed as CASE expressions (their
       // ranges are disjoint, so application order is immaterial)
       "kv_sql_update" -> ("WITH fin AS (SELECT " +

@@ -43,6 +43,12 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     fs
   }
 
+  /** Manifest file entries (resolved through the lazy checkpoint) — the
+    * SQL count-range rewrite's coverage input
+    * ([[graft.sources.GraftCountRange]]).
+    */
+  private[graft] def manifestFiles: Seq[FileEntry] = files
+
   private def filesWhere(pred: FileEntry => Boolean): Seq[FileEntry] = {
     val fs = fullFiles
     if (fs != null) fs.filter(pred) else store.resolveFilesWhere(manifest, pred)

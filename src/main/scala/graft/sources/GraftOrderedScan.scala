@@ -56,6 +56,9 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     if (!spark.experimental.extraOptimizations.contains(GraftAsOfIdiom))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GraftAsOfIdiom
+    if (!spark.experimental.extraOptimizations.contains(GraftCountRange))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftCountRange
     // the filter/column-push companions are shared with the view path —
     // ONE registration source of truth, so the rule sets cannot drift
     graft.plans.OrderedPlans.register(spark)

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+import graft.core._
+import graft.sources.GraftScan
+
+/** `SELECT count(*) FROM cat.t WHERE <leading-key range>` answers at
+  * manifest cost: interior files contribute their manifest row counts
+  * with zero IO, only the (≤2) boundary files are scanned, and a range
+  * aligned to file edges — or pruned to nothing — reads ZERO files
+  * (LocalRelation answer). Value parity against a driver-side count is
+  * the correctness contract; the boundary-file telemetry is the scale
+  * contract.
+  */
+class SqlCountRangeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private lazy val keys: Seq[Long] = (1L to 4000L).filter(_ % 3 != 0)
+
+  private lazy val cat: String = {
+    val st = new FsSnapshotStore(tmpDir("graft-cntrange") + "/store", spark)
+    KVIndex.bootstrap(st, "cr", keys.map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(1), Seq("k"), maxRowsPerFile = 256).toOption.get
+    spark.conf.set("spark.sql.catalog.cntr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cntr.root", st.root)
+    "cntr"
+  }
+
+  private def q(where: String): (Long, Int) = {
+    GraftScan.lastPlannedFiles = -1
+    val df = spark.sql(s"SELECT count(*) AS c FROM $cat.cr WHERE $where")
+    df.queryExecution.executedPlan // force planning before reading telemetry
+    val planned = GraftScan.lastPlannedFiles
+    (df.head().getLong(0), planned)
+  }
+
+  test("range counts match, scanning at most the two boundary files") {
+    for ((where, pred) <- Seq[(String, Long => Boolean)](
+      ("k >= 700 AND k < 2900", k => k >= 700 && k < 2900),
+      ("k > 700 AND k <= 2900", k => k > 700 && k <= 2900),
+      ("k = 1000", _ == 1000L),
+      ("k = 999", _ == 999L), // 999 % 3 == 0: absent key
+      ("k <= 50", _ <= 50L),
+      ("k > 3500", _ > 3500L),
+      ("k IS NOT NULL", _ => true),
+      ("k >= 100 AND k >= 200 AND k < 900 AND k <= 2000", k => k >= 200 && k < 900)
+    )) {
+      val (got, planned) = q(where)
+      assert(got == keys.count(pred), s"count mismatch for WHERE $where")
+      assert(planned >= 0 && planned <= 2,
+        s"WHERE $where must scan at most 2 boundary files, planned $planned")
+    }
+  }
+
+  test("edge-aligned and out-of-range counts read ZERO files") {
+    // the whole key space: every file interior
+    val (all, p1) = q("k >= 1 AND k <= 4000")
+    assert(all == keys.size && p1 == 0, s"full-range count must read zero files (planned $p1)")
+    // beyond the key space: bounds prune everything
+    val (none, p2) = q("k > 100000")
+    assert(none == 0L && p2 == 0, s"out-of-range count must read zero files (planned $p2)")
+    val (none2, p3) = q("k < -5")
+    assert(none2 == 0L && p3 == 0)
+  }
+
+  test("declines keep the stock plan: non-key predicate, grouping, count(col), disjunction") {
+    for (sql <- Seq(
+      s"SELECT count(*) AS c FROM $cat.cr WHERE v = 'v10'",
+      s"SELECT k % 2 AS g, count(*) AS c FROM $cat.cr WHERE k >= 10 GROUP BY k % 2",
+      s"SELECT count(v) AS c FROM $cat.cr WHERE k >= 10",
+      s"SELECT count(*) AS c FROM $cat.cr WHERE k < 10 OR k > 3990")) {
+      GraftScan.lastPlannedFiles = -1
+      val df = spark.sql(sql)
+      df.queryExecution.executedPlan
+      // stock path: either no telemetry write at all or the scan's own
+      // covering-file count (> 2 for these shapes); just check values
+      val dfRef = df.collect()
+      assert(dfRef.nonEmpty, sql)
+    }
+    // value spot-checks for the declined shapes
+    assert(spark.sql(s"SELECT count(*) FROM $cat.cr WHERE v = 'v10'").head().getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(v) FROM $cat.cr WHERE k >= 10").head().getLong(0) ==
+      keys.count(_ >= 10L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.cr WHERE k < 10 OR k > 3990").head().getLong(0) ==
+      keys.count(k => k < 10 || k > 3990))
+  }
+
+  test("composite keys: the rewrite serves head-column ranges") {
+    val st = new FsSnapshotStore(tmpDir("graft-cntrange2") + "/store", spark)
+    val rows = (1L to 900L).map(i => (i / 3, i, s"x$i"))
+    KVIndex.bootstrap(st, "crc", rows.toDF("g", "k", "v").repartition(1),
+      Seq("g", "k"), maxRowsPerFile = 64).toOption.get
+    spark.conf.set("spark.sql.catalog.cntr2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cntr2.root", st.root)
+    GraftScan.lastPlannedFiles = -1
+    val df = spark.sql(s"SELECT count(*) AS c FROM cntr2.crc WHERE g >= 50 AND g < 200")
+    df.queryExecution.executedPlan
+    val planned = GraftScan.lastPlannedFiles
+    assert(df.head().getLong(0) == rows.count(r => r._1 >= 50 && r._1 < 200))
+    assert(planned >= 0 && planned <= 2, s"composite head range must be boundary-bounded ($planned)")
+  }
+}
