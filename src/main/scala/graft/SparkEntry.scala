@@ -820,7 +820,8 @@ object SparkEntry {
       val (store, _) = liStore(s, d)
       val cat = regCatalog(s, "kvcntr", d, store.root)
       graft.sources.GraftScan.lastPlannedFiles = -1
-      val q = s.sql(s"SELECT count(*) AS n FROM $cat.ord " +
+      val q = s.sql(s"SELECT count(*) AS n, min(o_orderkey) AS mn, " +
+        s"max(o_orderkey) AS mx FROM $cat.ord " +
         "WHERE o_orderkey >= 100 AND o_orderkey < 5000")
       q.queryExecution.executedPlan
       val planned = graft.sources.GraftScan.lastPlannedFiles
@@ -3398,7 +3399,8 @@ object SparkEntry {
         "FROM orders WHERE NOT (o_orderkey >= 200 AND o_orderkey < 900) " +
         "AND o_orderkey <> 32 AND o_orderkey <= 1200"),
       "kv_sql_stats" -> "SELECT count(*) AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders",
-      "kv_sql_count_range" -> "SELECT count(*) AS n FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 5000",
+      "kv_sql_count_range" -> ("SELECT count(*) AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx " +
+        "FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 5000"),
       // the three UPDATE statements replayed as CASE expressions (their
       // ranges are disjoint, so application order is immaterial)
       "kv_sql_update" -> ("WITH fin AS (SELECT " +

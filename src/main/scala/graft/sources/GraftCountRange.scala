@@ -1,39 +1,41 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, Union}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
 import graft.core.{KeyOrd, KVIndex}
 
-/** Serves `SELECT count(*) FROM cat.t WHERE <leading-key range>` at
-  * MANIFEST cost — the SQL twin of [[graft.core.KVIndex.countRange]] and
-  * the filtered complement of the scan's unfiltered `count(*)` aggregate
-  * pushdown (`GraftScanBuilder.translateAgg`, which a pushed filter
-  * correctly declines: DSV2 only pushes aggregates when no post-scan
-  * filter remains, and the scan's residual-filter protocol keeps exact
-  * predicates above the scan by design).
+/** Serves `SELECT count(*) / min(k) / max(k) FROM cat.t WHERE
+  * <leading-key range>` at MANIFEST cost — the SQL twin of
+  * [[graft.core.KVIndex.countRange]] and the filtered complement of the
+  * scan's unfiltered aggregate pushdown (`GraftScanBuilder.translateAgg`,
+  * which a pushed filter correctly declines: DSV2 only pushes aggregates
+  * when no post-scan filter remains, and the scan's residual-filter
+  * protocol keeps exact predicates above the scan by design).
   *
-  * Rewrite: `Aggregate(count(*), Filter(range, graftScan))` becomes
+  * Rewrite: `Aggregate(count/min/max, Filter(range, graftScan))` becomes
+  * the same aggregate over a UNION of (k, cnt) rows:
   *
   * {{{
-  *   Project [interiorRows + boundaryCount]
-  *     Aggregate [count(1) AS boundaryCount]
-  *       Filter <the original predicate>
-  *         <scan of ONLY the boundary files>
+  *   Aggregate [coalesce(sum(cnt),0) / min(k) / max(k)]
+  *     Union
+  *       LocalRelation [(min covered head, interior rows), (max covered head, 0)]
+  *       Project [(k, 1)] Filter <original predicate> <boundary files scan>
   * }}}
   *
-  * where `interiorRows` is the manifest row-count sum of every file whose
-  * leading-key range lies ENTIRELY inside the predicate (counted with
-  * ZERO io), and the boundary files — the ones the predicate cuts
-  * through, at most two on a disjoint layout — are the only files
-  * scanned. A range spanning terabytes of interior files answers by
-  * reading at most two. When the bounds prune everything or no boundary
-  * file remains, the answer is a LocalRelation — zero files scanned.
+  * The covered files — every file whose leading-key range lies ENTIRELY
+  * inside the predicate — collapse driver-side to TWO rows (min/max/sum
+  * are associative; the heads are real in-range key values), counted and
+  * bounded with ZERO io; the boundary files the predicate cuts through —
+  * at most two on a disjoint layout — are the only files scanned. A
+  * range spanning terabytes of interior files answers by reading at most
+  * two; an edge-aligned or all-pruned range reads none.
   *
   * Sound for ANY file layout (overlapping included): each row lives in
   * exactly one file, coverage is judged per file, and a file containing
@@ -55,9 +57,22 @@ object GraftCountRange extends Rule[LogicalPlan] {
       rewrite(agg, aggExprs, child).getOrElse(agg)
   }
 
-  private def isCountStar(e: NamedExpression): Boolean = e match {
-    case Alias(AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _), _) => true
-    case _ => false
+  /** The aggregate shapes served from the manifest: count-star (count
+    * over a literal), and min/max of the given attribute.
+    */
+  private sealed trait Served
+  private case object CountStar extends Served
+  private case object MinKey extends Served
+  private case object MaxKey extends Served
+
+  private def served(e: NamedExpression, key: Attribute): Option[Served] = e match {
+    case Alias(AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _), _) =>
+      Some(CountStar)
+    case Alias(AggregateExpression(Min(a: AttributeReference), Complete, false, None, _), _)
+        if a.exprId == key.exprId => Some(MinKey)
+    case Alias(AggregateExpression(Max(a: AttributeReference), Complete, false, None, _), _)
+        if a.exprId == key.exprId => Some(MaxKey)
+    case _ => None
   }
 
   /** Inclusive-flagged bound: (value in EXTERNAL form, inclusive). */
@@ -65,7 +80,7 @@ object GraftCountRange extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
                       child0: LogicalPlan): Option[LogicalPlan] = {
-    if (aggExprs.isEmpty || !aggExprs.forall(isCountStar)) return None
+    if (aggExprs.isEmpty) return None
     // peel attribute-only Projects (column pruning for count(*))
     var child = child0
     while (child match {
@@ -84,6 +99,7 @@ object GraftCountRange extends Rule[LogicalPlan] {
     }
     val keyCol = g.manifestRef.keyCols.head
     val keyAttr = rel.output.find(_.name == keyCol).getOrElse(return None)
+    val shapes = aggExprs.map(e => served(e, keyAttr).getOrElse(return None))
 
     // every conjunct must be a leading-key range shape; fold into
     // (lo, hi) bounds with inclusivity, values in external form
@@ -158,21 +174,70 @@ object GraftCountRange extends Rule[LogicalPlan] {
     val interior = covered.map(_.rows).sum
     GraftScan.lastPlannedFiles = boundary.size
 
-    if (boundary.isEmpty) {
-      // ZERO files scanned: the whole count from manifest stats
-      return Some(LocalRelation(aggExprs.map(_.toAttribute),
-        Seq(InternalRow(aggExprs.map(_ => interior: Any): _*))))
+    // The replacement aggregates over a UNION of two row sources shaped
+    // (k, cnt):
+    //  - the covered files collapse DRIVER-SIDE to at most TWO rows —
+    //    (min covered head, interior row sum) and (max covered head, 0):
+    //    min/max/sum are associative, heads are real in-range key values,
+    //    so the partials are exact and the LocalRelation stays O(1) no
+    //    matter how many million files the range spans;
+    //  - the boundary files (≤2 on a disjoint layout) scanned with the
+    //    ORIGINAL predicate, each row as (k, 1).
+    // count(*) = coalesce(sum(cnt), 0); min/max(k) = min/max(k).
+    val keyType = keyAttr.dataType
+    val kOut = AttributeReference("graft_k", keyType, nullable = true)()
+    val cOut = AttributeReference("graft_cnt", LongType, nullable = false)()
+    def narrow(v: Any): Any = (v, keyType) match {
+      // manifest JSON round-trips widen numerics (Int -> Long, Float ->
+      // Double): narrow back before the catalyst conversion
+      case (n: java.lang.Number, org.apache.spark.sql.types.IntegerType) => Int.box(n.intValue())
+      case (n: java.lang.Number, org.apache.spark.sql.types.ShortType) => Short.box(n.shortValue())
+      case (n: java.lang.Number, org.apache.spark.sql.types.ByteType) => Byte.box(n.byteValue())
+      case (n: java.lang.Number, org.apache.spark.sql.types.LongType) => Long.box(n.longValue())
+      case (n: java.lang.Number, org.apache.spark.sql.types.FloatType) => Float.box(n.floatValue())
+      case (n: java.lang.Number, org.apache.spark.sql.types.DoubleType) => Double.box(n.doubleValue())
+      case _ => v
     }
-    // scan ONLY the boundary files, re-apply the ORIGINAL predicate
-    // exactly (its attr exprIds restored over the bounded read)
-    val bScan = g.storeRef.readFiles(boundary.map(_.path), g.manifestRef)
-      .queryExecution.analyzed
-    val bAliased = GraftCoRangeJoin.aliasTo(rel.output, bScan)
-    val cnt = Alias(AggregateExpression(Count(Seq(Literal(1L))), Complete,
-      isDistinct = false), "graft_boundary_count")()
-    val bAgg = Aggregate(Nil, Seq(cnt), Filter(cond, bAliased), None)
-    Some(Project(aggExprs.map(a =>
-      Alias(Add(Literal(interior), cnt.toAttribute), a.name)(exprId = a.exprId)),
-      bAgg))
+    val toInternal = CatalystTypeConverters.createToCatalystConverter(keyType)
+    val statRows: Seq[InternalRow] =
+      if (covered.isEmpty) Nil
+      else {
+        val minHead = covered.map(_.min.head)
+          .reduce((a, b) => if (KeyOrd.compare(Seq(a), Seq(b)) <= 0) a else b)
+        val maxHead = covered.map(_.max.head)
+          .reduce((a, b) => if (KeyOrd.compare(Seq(a), Seq(b)) >= 0) a else b)
+        Seq(InternalRow(toInternal(narrow(minHead)), interior),
+          InternalRow(toInternal(narrow(maxHead)), 0L))
+      }
+    val statsRel = LocalRelation(Seq(kOut, cOut), statRows)
+    val branches: Seq[LogicalPlan] =
+      if (boundary.isEmpty) Seq(statsRel)
+      else {
+        // scan ONLY the boundary files, re-apply the ORIGINAL predicate
+        // exactly (its attr exprIds restored over the bounded read)
+        val bScan = g.storeRef.readFiles(boundary.map(_.path), g.manifestRef)
+          .queryExecution.analyzed
+        val bAliased = GraftCoRangeJoin.aliasTo(rel.output, bScan)
+        val bRows = Project(Seq(
+          Alias(keyAttr, kOut.name)(exprId = kOut.exprId),
+          Alias(Literal(1L), cOut.name)(exprId = cOut.exprId)),
+          Filter(cond, bAliased))
+        Seq(statsRel, bRows)
+      }
+    val src: LogicalPlan = branches match {
+      case Seq(only) => only
+      case many => Union(many)
+    }
+    def ae(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
+      AggregateExpression(f, Complete, isDistinct = false)
+    val outExprs: Seq[NamedExpression] = aggExprs.zip(shapes).map { case (a, sh) =>
+      val expr: Expression = sh match {
+        case CountStar => Coalesce(Seq(ae(Sum(cOut)), Literal(0L)))
+        case MinKey => ae(Min(kOut))
+        case MaxKey => ae(Max(kOut))
+      }
+      Alias(expr, a.name)(exprId = a.exprId)
+    }
+    Some(Aggregate(Nil, outExprs, src, None))
   }
 }

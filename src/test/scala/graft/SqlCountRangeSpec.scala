@@ -64,6 +64,36 @@ class SqlCountRangeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(none2 == 0L && p3 == 0)
   }
 
+  test("min/max(k) under a range answer from covered-file head bounds + boundary scans") {
+    for ((where, pred) <- Seq[(String, Long => Boolean)](
+      ("k >= 700 AND k < 2900", k => k >= 700 && k < 2900),
+      ("k > 3500", _ > 3500L),
+      ("k <= 50", _ <= 50L))) {
+      GraftScan.lastPlannedFiles = -1
+      val df = spark.sql(
+        s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx FROM $cat.cr WHERE $where")
+      df.queryExecution.executedPlan
+      val planned = GraftScan.lastPlannedFiles
+      val r = df.head()
+      val want = keys.filter(pred)
+      assert(r.getLong(0) == want.size, s"count for $where")
+      assert(r.getLong(1) == want.min && r.getLong(2) == want.max, s"min/max for $where")
+      assert(planned >= 0 && planned <= 2, s"$where planned $planned files")
+    }
+    // empty range: count 0, min/max NULL, zero files
+    GraftScan.lastPlannedFiles = -1
+    val e = spark.sql(s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx " +
+      s"FROM $cat.cr WHERE k > 100000")
+    e.queryExecution.executedPlan
+    val er = e.head()
+    assert(er.getLong(0) == 0L && er.isNullAt(1) && er.isNullAt(2))
+    assert(GraftScan.lastPlannedFiles == 0)
+    // min/max of a NON-key column under a range declines to the stock plan
+    val d = spark.sql(s"SELECT min(v) AS mn FROM $cat.cr WHERE k >= 10 AND k < 20")
+    assert(d.head().getString(0) == keys.filter(k => k >= 10 && k < 20)
+      .map(k => s"v$k").min)
+  }
+
   test("declines keep the stock plan: non-key predicate, grouping, count(col), disjunction") {
     for (sql <- Seq(
       s"SELECT count(*) AS c FROM $cat.cr WHERE v = 'v10'",
