@@ -37,6 +37,10 @@ import graft.core.{KeyOrd, KVIndex}
   * range spanning terabytes of interior files answers by reading at most
   * two; an edge-aligned or all-pruned range reads none.
   *
+  * Reference analogue: subtree cardinalities served from node metadata
+  * (reference `Meta.scala` counters, surfaced as A4 in SURVEY §2.3) —
+  * this is the same stats-not-scan answer lifted to SQL text.
+  *
   * Sound for ANY file layout (overlapping included): each row lives in
   * exactly one file, coverage is judged per file, and a file containing
   * null leading keys is never "covered" (null sorts first, so its
