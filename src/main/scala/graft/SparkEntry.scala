@@ -610,6 +610,42 @@ object SparkEntry {
       KVIndex.open(store, "mord").fold(e => sys.error(e.message), identity)
     }
 
+  /** [[sqlMrgStore]]'s probe-path twin (kv_probe_merge): the same
+    * four-clause MERGE executed with broadcast disabled, so the
+    * target×source full outer takes the PROBE-routed zip join
+    * ([[graft.sources.GraftDml.probeMergeJoin]] — the arbitrary batch is
+    * routed onto the snapshot's legs; the snapshot never shuffles). The
+    * taken path is asserted, pinning the rewrite in the gate.
+    */
+  private def probeMrgStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-probemrg", s, d) { store =>
+      val ord = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      KVIndex.bootstrap(store, "pmord", ord, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      val cat = regCatalog(s, "probemrg", d, store.root)
+      val v = s"pmrg_src_${math.abs(d.hashCode)}"
+      t(s, d, "orders").filter(col("o_orderkey") % 4 === 1)
+        .select((col("o_orderkey") + 2).as("k"), (col("o_custkey") + 7).as("c"),
+          col("o_totalprice").as("p"))
+        .createOrReplaceTempView(v)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        s.sql(
+          s"""MERGE INTO $cat.pmord t USING $v s ON t.o_orderkey = s.k
+             |WHEN MATCHED AND s.c % 5 = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET o_custkey = s.c, o_orderstatus = 'M', o_totalprice = s.p
+             |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice) VALUES (s.k, s.c, 'N', s.p)
+             |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey < 10 THEN DELETE
+             |""".stripMargin)
+        require(graft.sources.GraftDml.lastMergeJoinPath == "probe",
+          s"kv_probe_merge: expected the probe merge join, took " +
+            s"'${graft.sources.GraftDml.lastMergeJoinPath}'")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      KVIndex.open(store, "pmord").fold(e => sys.error(e.message), identity)
+    }
+
   /** lineitem at LINE grain keyed (l_orderkey, l_linenumber) — the
     * composite-keyed fact of the PREFIX co-range join demo
     * (kv_corange_prefix): the SQL join binds only the leading key
@@ -802,6 +838,18 @@ object SparkEntry {
       s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS cust_sum, " +
         s"sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents " +
         s"FROM $cat.mord GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    }),
+    // the SAME four-clause MERGE but with the snapshot too big to
+    // broadcast: the target×source full outer takes the PROBE-routed zip
+    // join — the batch moves, the table never does (the 100 TB ingest
+    // shape; GraftDml.probeMergeJoin). Path telemetry is asserted, so
+    // this row pins the probe merge in the correctness gate.
+    "kv_probe_merge" -> ((s, d) => {
+      val (store, _) = probeMrgStore(s, d)
+      val cat = regCatalog(s, "probemrg", d, store.root)
+      s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS cust_sum, " +
+        s"sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents " +
+        s"FROM $cat.pmord GROUP BY o_orderstatus ORDER BY o_orderstatus")
     }),
     // A1/A2 served to SQL: count(*)/min/max over an untouched catalog
     // table answer from manifest stats alone (complete agg pushdown)
@@ -3413,6 +3461,17 @@ object SparkEntry {
       // MERGE replayed as set algebra: survivors-not-matched + updated
       // matches (minus conditional deletes) + source-only inserts
       "kv_sql_merge" -> ("WITH src AS (SELECT o_orderkey + 2 AS k, o_custkey + 7 AS c, o_totalprice AS p " +
+        "FROM orders WHERE o_orderkey % 4 = 1), " +
+        "tgt AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS st, o_totalprice AS p FROM orders), " +
+        "matched AS (SELECT t.k, s.c AS sc, s.p AS sp FROM tgt t JOIN src s ON t.k = s.k), " +
+        "fin AS (" +
+        "SELECT t.k, t.c, t.st, t.p FROM tgt t WHERE t.k NOT IN (SELECT k FROM src) AND t.k >= 10 " +
+        "UNION ALL SELECT k, sc, 'M', sp FROM matched WHERE sc % 5 <> 0 " +
+        "UNION ALL SELECT s.k, s.c, 'N', s.p FROM src s WHERE s.k NOT IN (SELECT k FROM tgt)) " +
+        "SELECT st AS o_orderstatus, count(*) AS n, CAST(sum(c) AS BIGINT) AS cust_sum, " +
+        "CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM fin GROUP BY 1 ORDER BY 1"),
+      "kv_probe_merge" -> ("WITH src AS (SELECT o_orderkey + 2 AS k, o_custkey + 7 AS c, o_totalprice AS p " +
         "FROM orders WHERE o_orderkey % 4 = 1), " +
         "tgt AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS st, o_totalprice AS p FROM orders), " +
         "matched AS (SELECT t.k, s.c AS sc, s.p AS sp FROM tgt t JOIN src s ON t.k = s.k), " +

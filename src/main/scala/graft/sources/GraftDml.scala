@@ -134,13 +134,18 @@ private[graft] object GraftDml {
       // graft snapshot scan on the same keys, the full outer compiles to
       // the co-range ZIP join — the whole transactional upsert reads both
       // snapshots with zero exchanges; anything else takes the stock join.
-      val joined = coRangeMergeJoin(spark, ix, out, m).getOrElse {
-        val tdf = Shim.ofRows(spark, targetPlan(spark, ix, out))
-          .withColumn("__graft_t", lit(true))
-        val sdf = Shim.ofRows(spark, m.sourceTable)
-          .withColumn("__graft_s", lit(true))
-        tdf.join(sdf, Shim.col(m.mergeCondition), "full_outer")
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val joined = coRangeMergeJoin(spark, ix, out, m)
+        .map { df => lastMergeJoinPath = "corange"; df }
+        .orElse(probeMergeJoin(spark, ix, out, m)
+          .map { df => lastMergeJoinPath = "probe"; df })
+        .getOrElse {
+          lastMergeJoinPath = "stock"
+          val tdf = Shim.ofRows(spark, targetPlan(spark, ix, out))
+            .withColumn("__graft_t", lit(true))
+          val sdf = Shim.ofRows(spark, m.sourceTable)
+            .withColumn("__graft_s", lit(true))
+          tdf.join(sdf, Shim.col(m.mergeCondition), "full_outer")
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val matched = joined.filter(col("__graft_t").isNotNull && col("__graft_s").isNotNull)
         if (m.matchedActions.nonEmpty) {
@@ -333,6 +338,79 @@ private[graft] object GraftDml {
           case Seq(only) => Some(Shim.ofRows(spark, only))
           case many => Some(Shim.ofRows(spark, Union(many)))
         }
+    }
+  }
+
+  /** Join path the most recent [[runMerge]] took ("corange" | "probe" |
+    * "stock") — plan-shape telemetry, the `lastPlannedFiles` convention
+    * (MERGE is imperative, so there is no post-hoc plan to inspect).
+    */
+  @volatile private[graft] var lastMergeJoinPath: String = ""
+
+  /** Compiles the MERGE's target×source full outer to the PROBE-routed
+    * zip join when the source is an ARBITRARY (non-graft) plan and the
+    * condition is the full positional key equality — the ingest shape
+    * (`MERGE INTO snap USING incoming_batch`), which previously shuffled
+    * the whole SNAPSHOT against every batch. The snapshot becomes its
+    * exchange-free leg-union plan; the batch is routed onto the leg
+    * boundaries by one RDD-level partitioner shuffle (the ONLY data
+    * movement — at 100 TB the transactional upsert's read side moves the
+    * batch, never the table). Legs cover (-inf, +inf) and every source
+    * row routes into exactly one leg, so the FULL OUTER preserves both
+    * sides with no extra branches; output shape (markers included)
+    * matches the stock path exactly.
+    *
+    * Declines (None → stock shuffled join) when the snapshot is small
+    * enough to broadcast, the condition is not the full key equality,
+    * the source is streaming, or the layout cannot guarantee disjoint
+    * ranges. `spark.graft.corange.rowsPerLeg` tunes leg width when a
+    * huge batch needs more routing parallelism than the snapshot's file
+    * count provides.
+    */
+  private[graft] def probeMergeJoin(spark: SparkSession, ix: KVIndex,
+      out: Seq[Attribute], m: MergeIntoTable): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    val src = m.sourceTable
+    if (src.isStreaming) return None
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val schema = ix.store.emptyTyped(ix.manifest).schema
+    val estBytes = math.max(1L, ix.manifest.numElements) *
+      math.max(8, schema.defaultSize)
+    if (thr >= 0 && estBytes <= thr) return None
+    val tKeys = ix.manifest.keyCols
+    val outIds = out.map(_.exprId).toSet
+    val srcOut = src.outputSet
+    val pairs: Seq[(AttributeReference, AttributeReference)] =
+      GraftCoRangeJoin.conjuncts(m.mergeCondition).map {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference)
+            if outIds.contains(a.exprId) && srcOut.contains(b) => (a, b)
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            b: AttributeReference, a: AttributeReference)
+            if outIds.contains(a.exprId) && srcOut.contains(b) => (a, b)
+        case _ => return None
+      }.distinct
+    // full positional key equality only (MERGE's cardinality unit), one
+    // source attribute per key column
+    val byKey = pairs.groupBy(_._1.name)
+    if (byKey.size != tKeys.size || byKey.keySet != tKeys.toSet) return None
+    if (byKey.valuesIterator.exists(_.map(_._2.exprId).distinct.size > 1))
+      return None
+    val tKeyAttrs: Seq[Attribute] = tKeys.map(c => byKey(c).head._1)
+    val sKeyAttrs: Seq[Attribute] = tKeys.map(c => byKey(c).head._2)
+
+    ix.probeLegPlans(tKeys.size, GraftCoRangeJoin.rowsPerLegConf()) match {
+      case graft.core.ProbeLegs.Legs(bounds, legPlan) =>
+        def mark(p: LogicalPlan, name: String): LogicalPlan =
+          Project(p.output :+ Alias(Literal(true), name)(), p)
+        val tSide = mark(GraftCoRangeJoin.aliasTo(out, legPlan), "__graft_t")
+        val routed = ix.routeProbePlan(src, sKeyAttrs, bounds)
+        val sAliased = Project(src.output.zip(routed.output).map {
+          case (o, n) => Alias(n, o.name)(exprId = o.exprId) }, routed)
+        val sSide = mark(sAliased, "__graft_s")
+        Some(Shim.ofRows(spark, graft.plans.ZipPartitionsJoin(
+          tSide, sSide, tKeyAttrs, sKeyAttrs, FullOuter)))
+      case _ => None
     }
   }
 

@@ -92,6 +92,46 @@ class SqlDmlSpec extends SparkSuite {
       "a MERGE with update+delete+insert is ONE atomic snapshot version")
   }
 
+  test("MERGE with an arbitrary source takes the probe-routed zip join (snapshot never shuffles)") {
+    val store = new FsSnapshotStore(tmpDir("graft-dml-pm"), spark)
+    val rows = (1L to 3000L).map(k => (k, s"n$k", k * 1.5))
+      .toDF("k", "name", "price").repartition(1)
+    KVIndex.bootstrap(store, "t", rows, Seq("k"), maxRowsPerFile = 256)
+      .fold(e => sys.error(e.message), identity)
+    spark.conf.set("spark.sql.catalog.gdmlpm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdmlpm.root", store.root)
+    // source: a plain local frame — matches, an unmatched insert, a delete
+    Seq((5L, "UP5", 500.0), (2999L, "DEL", 0.0), (9999L, "NEW", 9.0))
+      .toDF("k", "name", "price").createOrReplaceTempView("dml_pm_src")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql(
+        s"""MERGE INTO gdmlpm.t t USING dml_pm_src s ON t.k = s.k
+           |WHEN MATCHED AND s.name = 'DEL' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET name = s.name, price = s.price
+           |WHEN NOT MATCHED THEN INSERT (k, name, price) VALUES (s.k, s.name, s.price)
+           |""".stripMargin)
+      assert(graft.sources.GraftDml.lastMergeJoinPath == "probe",
+        s"expected the probe merge join, took '${graft.sources.GraftDml.lastMergeJoinPath}'")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val got = spark.sql("SELECT k, name, price FROM gdmlpm.t ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq
+    val want = ((1L to 3000L).filterNot(_ == 2999L).map {
+      case 5L => (5L, "UP5", 500.0)
+      case k => (k, s"n$k", k * 1.5)
+    } :+ (9999L, "NEW", 9.0)).sortBy(_._1)
+    assert(got == want, "probe merge content mismatch")
+    // small snapshot (default threshold): stock/broadcast path keeps MERGE
+    val (_, tbl2) = freshTable("gdmlpm2")
+    Seq((2L, "x", 1.0)).toDF("k", "name", "price")
+      .createOrReplaceTempView("dml_pm_src2")
+    spark.sql(s"MERGE INTO $tbl2 t USING dml_pm_src2 s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET name = s.name")
+    assert(graft.sources.GraftDml.lastMergeJoinPath == "stock",
+      "a broadcastable snapshot must keep the stock merge join")
+  }
+
   test("MERGE: NOT MATCHED BY SOURCE update/delete, first-matching-clause-wins") {
     val (_, tbl) = freshTable("gdml6")
     Seq((1L, "x", 1.0)).toDF("k", "name", "price").createOrReplaceTempView("dml_src2")
