@@ -3140,6 +3140,32 @@ object SparkEntry {
         s"kv_sql_asof: expected the as-of merge with no window, got:\n$plan")
       q
     }),
+    // The as-of idiom with a GROUP BY probe side ("latest reading per
+    // user at their last event"): the Aggregate's exposed grouping set
+    // proves per-row uniqueness, so GraftAsOfIdiom routes the probes onto
+    // the snapshot's legs — no window, no snapshot movement; the only
+    // exchanges are the GROUP BY's own.
+    "kv_sql_asof_probe" -> ((s, d) => {
+      val rdIx = evReadStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_sqap", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sqap.root", rdIx.store.root)
+      events(s, d).select(col("user_id"), col("ts"))
+        .createOrReplaceTempView("graft_sqap_events")
+      val q = s.sql("""
+        SELECT user_id, unix_millis(pts) AS pts_ms, unix_millis(asof_ts) AS asof_ms,
+               cnt, cents FROM (
+          SELECT p.user_id, p.pts, r.ts AS asof_ts, r.cnt, r.cents,
+                 row_number() OVER (PARTITION BY p.user_id ORDER BY r.ts DESC) AS rn
+          FROM (SELECT user_id, max(ts) AS pts FROM graft_sqap_events GROUP BY user_id) p
+          LEFT JOIN graft_sqap.evread r
+            ON p.user_id = r.user_id AND r.ts <= p.pts
+        ) WHERE rn = 1
+        ORDER BY user_id""")
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("AsOfZipJoin") && !plan.contains("Window"),
+        s"kv_sql_asof_probe: expected the probe-routed as-of merge, got:\n$plan")
+      q
+    }),
     // SQL PROBE join: the same facts-vs-snapshot shape as kv_probe_join
     // expressed in PLAIN SQL TEXT — `facts LEFT JOIN cat.snap ON key` with
     // exactly one graft side plans the probe-routed zip join (snapshot =
@@ -4709,6 +4735,16 @@ object SparkEntry {
         "AND x.l_linenumber <= p.probe_ln) " +
         "SELECT l_orderkey, probe_ln, n_lines, asof_ln, qty FROM j " +
         "WHERE rn = 1 AND l_orderkey <= 400 ORDER BY l_orderkey"),
+      "kv_sql_asof_probe" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "pr AS (SELECT user_id, max(ts) AS pts FROM events GROUP BY 1), " +
+        "j AS (SELECT p.user_id, epoch_ms(p.pts) AS pts_ms, epoch_ms(r.ts) AS asof_ms, " +
+        "r.cnt, r.cents, " +
+        "row_number() OVER (PARTITION BY p.user_id ORDER BY r.ts DESC NULLS LAST) AS rn " +
+        "FROM pr p LEFT JOIN rd r ON r.user_id = p.user_id AND r.ts <= p.pts) " +
+        "SELECT user_id, pts_ms, asof_ms, cnt, cents FROM j WHERE rn = 1 " +
+        "ORDER BY user_id"),
       "kv_sql_probe_join" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
         "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2), " +
         "p AS (SELECT o_orderkey AS k, o_custkey FROM orders WHERE o_orderkey % 5 = 0) " +

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NullsLast, RowNumber, SortOrder, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, Union, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Union, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -30,18 +30,29 @@ import graft.plans.AsOfZipJoin
   * optimizer-inserted). The replacement emits `rn` as the literal 1 (it
   * is 1 for every surviving row), so enclosing operators are untouched.
   *
+  * Two constructions, preferred order:
+  *  - BOTH sides graft with the equi attrs a leading prefix of both key
+  *    lists → the co-range ordered merge (neither side moves);
+  *  - otherwise, when the LEFT side is provably unique on the partition
+  *    key (a graft scan partitioned by its full key, or an Aggregate
+  *    whose full grouping set is exposed and covered — the
+  *    `GROUP BY user_id` probes pattern) → the PROBE-routed merge
+  *    ([[graft.core.KVIndex.asOfProbe]]'s shape at plan level): the left
+  *    side routes onto the snapshot's leg boundaries by one RDD-level
+  *    partitioner shuffle, the snapshot never moves.
+  *
   * Eligibility — the stock plan stays unless ALL hold:
-  *  - join type INNER or LEFT OUTER; both sides plain graft scans under
-  *    deterministic Filters/Projects (replayed below the merge, exactly
-  *    where the stock plan evaluated them);
-  *  - the condition is leading-prefix key equalities on BOTH snapshots
-  *    plus EXACTLY ONE ts bound `r.rts <= l.lts` (`<` = strict) between
-  *    plain attributes — any extra conjunct (tolerance arithmetic,
-  *    value predicates) declines;
-  *  - PARTITION BY covers the LEFT snapshot's full key (keys are unique
-  *    under the engine's contract, so partitions are per-left-row — the
-  *    exact requirement for window-pick == as-of semantics); extra
-  *    left-side attrs are harmless and allowed;
+  *  - join type INNER or LEFT OUTER; the RIGHT side a plain graft scan
+  *    under deterministic Filters/Projects (replayed below the merge,
+  *    exactly where the stock plan evaluated them);
+  *  - the condition is leading-prefix key equalities on the RIGHT
+  *    snapshot plus EXACTLY ONE ts bound `r.rts <= l.lts` (`<` = strict)
+  *    between plain attributes — any extra conjunct (tolerance
+  *    arithmetic, value predicates) declines;
+  *  - PARTITION BY covers a PROVABLY UNIQUE left key (see above), so
+  *    partitions are per-left-row — the exact requirement for
+  *    window-pick == as-of semantics; extra left-side attrs are
+  *    harmless and allowed;
   *  - ORDER BY is `rts DESC [NULLS LAST]` followed positionally by the
   *    right snapshot's remaining key columns DESC — exactly the merge's
   *    deterministic greatest-(ts, rest) pick. A bare `rts DESC` with
@@ -99,21 +110,21 @@ object GraftAsOfIdiom extends Rule[LogicalPlan] {
       case _ => return None
     }
     val cond = j.condition.getOrElse(return None)
-    val (lrel, lg, lRebuild) = GraftCoRangeJoin.side(j.left).getOrElse(return None)
+    val leftGraft = GraftCoRangeJoin.side(j.left)
     val (rrel, rg, rRebuild) = GraftCoRangeJoin.side(j.right).getOrElse(return None)
-    val lIds = lrel.output.map(_.exprId).toSet
     val rIds = rrel.output.map(_.exprId).toSet
     val lOut = j.left.outputSet
     val rOut = j.right.outputSet
 
-    // split the condition: equi pairs on relation attrs + ONE ts bound
+    // split the condition: equi pairs (left attr = right RELATION attr)
+    // + ONE ts bound
     var equi = Vector.empty[(AttributeReference, AttributeReference)]
     var ts: Option[(AttributeReference, AttributeReference, Boolean)] = None // (lTs, rTs, strict)
     GraftCoRangeJoin.conjuncts(cond).foreach {
       case EqualTo(a: AttributeReference, b: AttributeReference)
-          if lIds.contains(a.exprId) && rIds.contains(b.exprId) => equi :+= ((a, b))
+          if lOut.contains(a) && rIds.contains(b.exprId) => equi :+= ((a, b))
       case EqualTo(b: AttributeReference, a: AttributeReference)
-          if lIds.contains(a.exprId) && rIds.contains(b.exprId) => equi :+= ((a, b))
+          if lOut.contains(a) && rIds.contains(b.exprId) => equi :+= ((a, b))
       case LessThanOrEqual(r: AttributeReference, l: AttributeReference)
           if rOut.contains(r) && lOut.contains(l) && ts.isEmpty => ts = Some((l, r, false))
       case GreaterThanOrEqual(l: AttributeReference, r: AttributeReference)
@@ -127,27 +138,62 @@ object GraftAsOfIdiom extends Rule[LogicalPlan] {
     val (lTs, rTs, strict) = ts.getOrElse(return None)
     if (lTs.dataType != rTs.dataType) return None
 
-    // equi pairs must cover a leading prefix of BOTH key lists; the ts
-    // attrs must sit outside the equi prefix
-    val lKeyCols = lg.manifestRef.keyCols
+    // equi pairs must cover a leading prefix of the RIGHT snapshot's key
+    // list, one left attribute per key column; the right ts must sit
+    // outside the equi prefix
     val rKeyCols = rg.manifestRef.keyCols
-    val names = equi.map { case (a, b) => (a.name, b.name) }.distinct
-    val m = names.size
-    if (m == 0 || m > math.min(lKeyCols.size, rKeyCols.size)) return None
-    if (names.toSet != lKeyCols.take(m).zip(rKeyCols.take(m)).toSet) return None
-    if (lKeyCols.take(m).contains(lTs.name) && lIds.contains(lTs.exprId)) return None
+    val byRKey = equi.distinct.groupBy(_._2.name)
+    val m = byRKey.size
+    if (m == 0 || m > rKeyCols.size) return None
+    if (byRKey.keySet != rKeyCols.take(m).toSet) return None
+    if (byRKey.valuesIterator.exists(_.map(_._1.exprId).distinct.size > 1)) return None
+    val lEqui: Seq[Attribute] = rKeyCols.take(m).map(c => byRKey(c).head._1)
+    val rEqui: Seq[Attribute] = rKeyCols.take(m).map(c => byRKey(c).head._2)
     if (rKeyCols.take(m).contains(rTs.name) && rIds.contains(rTs.exprId)) return None
 
-    // PARTITION BY: left-side attrs only, covering the left snapshot's
-    // FULL key (unique => one partition per left row)
-    val lByName = lrel.output.map(a => a.name -> a).toMap
+    // PARTITION BY: left-side attrs only, covering a PROVABLY UNIQUE key
+    // of the left side (=> one partition per left row, the requirement
+    // for window-pick == as-of semantics):
+    //  - a graft left: its full snapshot key (unique by engine contract);
+    //  - an arbitrary left: the full exposed grouping set of an Aggregate
+    //    (GROUP BY output is unique on its grouping tuple), under
+    //    attribute-only Projects.
     if (!w.partitionSpec.forall {
       case a: AttributeReference => lOut.contains(a)
       case _ => false
     }) return None
     val psIds = w.partitionSpec.collect { case a: AttributeReference => a.exprId }.toSet
-    if (!lKeyCols.forall(c => lByName.get(c).exists(a => psIds.contains(a.exprId))))
-      return None
+    def aggUnique(p: LogicalPlan): Option[Set[org.apache.spark.sql.catalyst.expressions.ExprId]] =
+      p match {
+        case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+          aggUnique(child)
+        case Filter(_, child) => // removing rows cannot break uniqueness
+          aggUnique(child)
+        case a: Aggregate if a.groupingExpressions.nonEmpty =>
+          val ge = a.groupingExpressions
+          // every grouping expression must be EXPOSED in the output —
+          // uniqueness on a subset of the grouping tuple is not provable
+          val exposed = ge.forall(g => a.aggregateExpressions.exists {
+            case ar: AttributeReference => g.semanticEquals(ar)
+            case al: Alias => g.semanticEquals(al.child)
+            case _ => false
+          })
+          if (!exposed) None
+          else Some(a.aggregateExpressions.collect {
+            case ar: AttributeReference if ge.exists(_.semanticEquals(ar)) => ar.exprId
+            case al @ Alias(c, _) if ge.exists(_.semanticEquals(c)) => al.exprId
+          }.toSet)
+        case _ => None
+      }
+    val uniqueCovered: Boolean = leftGraft match {
+      case Some((lrel, lg, _)) =>
+        val lByName = lrel.output.map(a => a.name -> a).toMap
+        lg.manifestRef.keyCols.forall(c =>
+          lByName.get(c).exists(a => psIds.contains(a.exprId)))
+      case None =>
+        aggUnique(j.left).exists(ids => ids.nonEmpty && ids.subsetOf(psIds))
+    }
+    if (!uniqueCovered) return None
 
     // ORDER BY: rts DESC, then the right snapshot's remaining key columns
     // DESC, positionally — the merge's greatest-(ts, rest) pick. NULLS
@@ -165,47 +211,83 @@ object GraftAsOfIdiom extends Rule[LogicalPlan] {
       case _ => return None
     }
 
-    // build the co-range legs at equi-prefix grain (both manifests), the
-    // API asOfJoin's construction — zero exchanges, probe-side included
-    val lIx = new KVIndex(lg.storeRef, lg.manifestRef)
     val rIx = new KVIndex(rg.storeRef, rg.manifestRef)
     val rRestAttrs = rRestNames.map(rByName)
-    lIx.coRangeLegPlans(rIx, GraftCoRangeJoin.rowsPerLegConf(),
-        lg.pushedKeyBounds, rg.pushedKeyBounds, jt, keyLen = m).map {
-      case (zipOpt, leftOnlyOpt, _) =>
-        val lEqui = lKeyCols.take(m).map(c => equi.find(_._1.name == c).get._1)
-        val rEqui = lKeyCols.take(m).map(c => equi.find(_._1.name == c).get._2)
-        val zip = zipOpt.map { case (lPlan, rPlan, _, _) =>
-          AsOfZipJoin(
-            lRebuild(GraftCoRangeJoin.aliasTo(lrel.output, lPlan)),
-            rRebuild(GraftCoRangeJoin.aliasTo(rrel.output, rPlan)),
-            lEqui, rEqui, lTs, rTs,
-            Nil, rRestAttrs, leftOuter, strict, tolerance = -1L)
-        }
-        // equi ranges only the left covers: null-extend (left_outer only;
-        // inner construction returns no left-only branch)
-        val leftOnly = leftOnlyOpt.map { lp =>
-          val stack = lRebuild(GraftCoRangeJoin.aliasTo(lrel.output, lp))
-          Project(stack.output ++ j.right.output.map(a =>
-            Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)), stack)
-        }
-        val merged: LogicalPlan = Seq(zip, leftOnly).flatten match {
-          case Seq(only) => only
-          case many => Union(many)
-        }
-        // replay the interposed Project (its inputs are join outputs,
-        // which `merged` provides under the same exprIds), then reproduce
-        // the Window's output: its child's columns + rn == literal 1
-        val withProj: LogicalPlan = interposed match {
-          case Some(p) => Project(p.projectList, merged)
-          case None => merged
-        }
-        val base = Project(withProj.output :+
-          Alias(Literal(1, IntegerType), rnAttr.name)(exprId = rnAttr.exprId),
-          withProj)
-        if (restConj.isEmpty) base
-        else Filter(restConj.reduce(
-          org.apache.spark.sql.catalyst.expressions.And(_, _)), base)
+
+    // shared tail: replay the interposed Project (its inputs are join
+    // outputs, which `merged` provides under the same exprIds), then
+    // reproduce the Window's output: its child's columns + rn == literal 1
+    def finish(merged: LogicalPlan): LogicalPlan = {
+      val withProj: LogicalPlan = interposed match {
+        case Some(p) => Project(p.projectList, merged)
+        case None => merged
+      }
+      val base = Project(withProj.output :+
+        Alias(Literal(1, IntegerType), rnAttr.name)(exprId = rnAttr.exprId),
+        withProj)
+      if (restConj.isEmpty) base
+      else Filter(restConj.reduce(
+        org.apache.spark.sql.catalyst.expressions.And(_, _)), base)
     }
+
+    // TWO-GRAFT construction (preferred: neither side moves) — the left
+    // equi attrs must be the LEFT snapshot's leading key prefix too, so
+    // legs cut from both manifests never split a group
+    val coRange: Option[LogicalPlan] = leftGraft.flatMap { case (lrel, lg, lRebuild) =>
+      val lIds = lrel.output.map(_.exprId).toSet
+      val lKeyCols = lg.manifestRef.keyCols
+      if (m > lKeyCols.size || lEqui.map(_.name) != lKeyCols.take(m) ||
+          !lEqui.forall(a => lIds.contains(a.exprId))) None
+      else {
+        val lIx = new KVIndex(lg.storeRef, lg.manifestRef)
+        lIx.coRangeLegPlans(rIx, GraftCoRangeJoin.rowsPerLegConf(),
+            lg.pushedKeyBounds, rg.pushedKeyBounds, jt, keyLen = m).map {
+          case (zipOpt, leftOnlyOpt, _) =>
+            val zip = zipOpt.map { case (lPlan, rPlan, _, _) =>
+              AsOfZipJoin(
+                lRebuild(GraftCoRangeJoin.aliasTo(lrel.output, lPlan)),
+                rRebuild(GraftCoRangeJoin.aliasTo(rrel.output, rPlan)),
+                lEqui, rEqui, lTs, rTs,
+                Nil, rRestAttrs, leftOuter, strict, tolerance = -1L)
+            }
+            // equi ranges only the left covers: null-extend (left_outer
+            // only; inner construction returns no left-only branch)
+            val leftOnly = leftOnlyOpt.map { lp =>
+              val stack = lRebuild(GraftCoRangeJoin.aliasTo(lrel.output, lp))
+              Project(stack.output ++ j.right.output.map(a =>
+                Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)), stack)
+            }
+            val merged: LogicalPlan = Seq(zip, leftOnly).flatten match {
+              case Seq(only) => only
+              case many => Union(many)
+            }
+            finish(merged)
+        }
+      }
+    }
+
+    // PROBE construction (arbitrary or non-prefix-aligned left, provably
+    // unique on the partition key): route the left side onto the
+    // snapshot's leg boundaries — one RDD-level partitioner shuffle of
+    // the probes alone, the snapshot never moves. Legs span (-inf, +inf),
+    // so left_outer needs no extra branch.
+    def probe(): Option[LogicalPlan] = {
+      if (j.left.isStreaming) return None
+      val (bLo, bHi) = rg.pushedKeyBounds
+      rIx.probeLegPlans(m, GraftCoRangeJoin.rowsPerLegConf(),
+          bLo.filter(_.nonEmpty).map(_.head),
+          bHi.filter(_.nonEmpty).map(_.head)) match {
+        case graft.core.ProbeLegs.Legs(bounds, legPlan) =>
+          val routed = rIx.routeProbePlan(j.left, lEqui, bounds)
+          val pStack = Project(j.left.output.zip(routed.output).map {
+            case (o, n) => Alias(n, o.name)(exprId = o.exprId) }, routed)
+          val rStack = rRebuild(GraftCoRangeJoin.aliasTo(rrel.output, legPlan))
+          Some(finish(AsOfZipJoin(pStack, rStack, lEqui, rEqui, lTs, rTs,
+            Nil, rRestAttrs, leftOuter, strict, tolerance = -1L)))
+        case _ => None // Unzippable or all files pruned: stock plan
+      }
+    }
+
+    coRange.orElse(probe())
   }
 }

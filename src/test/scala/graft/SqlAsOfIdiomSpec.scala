@@ -125,6 +125,38 @@ class SqlAsOfIdiomSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(got == want, "pushed-filter content mismatch")
   }
 
+  test("a GROUP BY probe side (provably unique) routes onto the snapshot's legs") {
+    // the classic "latest reading per user at their last event" shape:
+    // the probe side is an Aggregate exposing its full grouping set —
+    // unique per group, so the window pick IS the as-of pick; the probe
+    // side routes (one RDD shuffle), the snapshot never moves
+    leftRows.toDF("k", "ts", "lv").createOrReplaceTempView("asof_agg_src")
+    for ((join, outer) <- Seq(("JOIN", false), ("LEFT JOIN", true))) {
+      val q = spark.sql(
+        s"""SELECT k, pts, asof_ts, rv FROM (
+            SELECT p.k, p.pts, r.rts AS asof_ts, r.rv,
+                   row_number() OVER (PARTITION BY p.k ORDER BY r.rts DESC) AS rn
+            FROM (SELECT k, max(ts) AS pts FROM asof_agg_src GROUP BY k) p
+            $join $cat.rd r ON p.k = r.k AND r.rts <= p.pts
+          ) WHERE rn = 1""")
+      assert(asofCount(q) == 1,
+        s"aggregate probe side must route ($join):\n${q.queryExecution.executedPlan}")
+      assert(windowCount(q) == 0, s"no window expected ($join)")
+      assert(exchangeCount(q) <= 1, // the GROUP BY's own exchange only
+        s"at most the aggregate's exchange expected ($join)")
+      val probes = leftRows.groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).max) }
+      val want = probes.toSeq.sorted.flatMap { case (k, pts) =>
+        val cands = rightRows.filter(c => c._1 == k && c._2 <= pts)
+        if (cands.nonEmpty) { val mx = cands.maxBy(c => (c._2, c._3)); Some((k, pts, Some(mx._2), Some(mx._3))) }
+        else if (outer) Some((k, pts, None, None)) else None
+      }
+      val got = q.collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).sorted
+      assert(got == want, s"aggregate-probe content mismatch ($join)")
+    }
+  }
+
   test("declines: tolerance conjunct, partial partition key, ASC order, non-graft side") {
     // a TWO-SIDED extra conjunct (the tolerance band) stays in the ON —
     // stock plan (window survives)
