@@ -3101,6 +3101,22 @@ object SparkEntry {
           unix_millis(col("asof_ts")).as("asof_ms"), col("cnt"), col("cents"))
         .orderBy("event_id")
     }),
+    // STREAMING EQUI enrichment: the live event stream's micro-batches
+    // join the snapshot on its FULL key (exact point lookups) via the
+    // probe join — per-batch file prune, probe-side-only shuffle, empty
+    // batches never touch the snapshot
+    "st_probe_enrich" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-probe-enrich").toString
+      val probes = EventStreams.readEventStream(s, s"$d/events.parquet")
+        .filter(col("event_id") % 23 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      EventStreams.probeEnrichStream(probes, evReadStore(s, d),
+        Seq("user_id", "ts"), out, joinType = "left_outer")
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("cnt"), col("cents"))
+        .orderBy("event_id")
+    }),
     // EQUI PROBE join: an arbitrary fact frame (every 5th order) joins the
     // composite-keyed snapshot on its leading key — probes route onto the
     // snapshot's legs (probe-side-only shuffle), each probe emits its
@@ -4735,6 +4751,13 @@ object SparkEntry {
         "AND x.l_linenumber <= p.probe_ln) " +
         "SELECT l_orderkey, probe_ln, n_lines, asof_ln, qty FROM j " +
         "WHERE rn = 1 AND l_orderkey <= 400 ORDER BY l_orderkey"),
+      "st_probe_enrich" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "pr AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 23 = 0) " +
+        "SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, r.cnt, r.cents " +
+        "FROM pr p LEFT JOIN rd r ON r.user_id = p.user_id AND r.ts = p.ts " +
+        "ORDER BY p.event_id"),
       "kv_sql_asof_probe" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
         "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM events GROUP BY 1, 2), " +

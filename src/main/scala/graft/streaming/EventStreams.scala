@@ -529,6 +529,30 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming EQUI enrichment — [[asOfEnrichStream]]'s twin over
+    * [[graft.core.KVIndex.probeJoin]]: each micro-batch joins the
+    * snapshot on its leading key column(s), the batch's key bounds prune
+    * the snapshot's files, the batch routes onto the covering legs
+    * (probe-side-only shuffle), and an EMPTY batch answers without any
+    * snapshot scan — the lookup join's cost follows the stream's rate.
+    * Enriched rows append to `outDir` as parquet.
+    */
+  def probeEnrichStream(stream: DataFrame, dim: graft.core.KVIndex,
+                        keyCols: Seq[String], outDir: String,
+                        joinType: String = "left_outer",
+                        queryName: String = "graft_probe_enrich"): Unit = {
+    val q = stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      // pin: probeJoin reads its probe side up to three times (bounds
+      // aggregate, ≥256-probe bloom sketch build, routing) — the persist
+      // makes those passes see identical rows, do not drop it
+      val pinned = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try dim.probeJoin(pinned, keyCols, joinType = joinType)
+        .write.mode("append").parquet(outDir)
+      finally { pinned.unpersist(); () }
+    }.queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   def topEventTypesLive(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = windowedCountsLive(spark, dir, "graft_stream_topk")
