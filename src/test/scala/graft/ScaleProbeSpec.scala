@@ -523,6 +523,66 @@ class ScaleProbeSpec extends SparkSuite {
     assert(stockCnt == cnt)
   }
 
+  test("5M-row snapshot: SQL probe join, manifest count-range, probe MERGE at scale") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    val store = new FsSnapshotStore(tmpDir("graft-probe-sqlp"), spark)
+    val right = spark.range(1, 5000001).select(col("id").as("k"), (col("id") * 7).as("rv"))
+    val ix = KVIndex.bootstrap(store, "sqlp5", right, Seq("k"),
+      maxRowsPerFile = 1L << 17).fold(e => fail(e.message), identity)
+    spark.conf.set("spark.sql.catalog.sqlp5c", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sqlp5c.root", store.root)
+    spark.range(2000000, 2200000)
+      .select(col("id").as("k"), (col("id") % 97).as("tag"))
+      .createOrReplaceTempView("sqlp5_facts")
+
+    // SQL probe join: zip plan, zero SQL exchanges, snapshot stays put
+    // (5M x 8B+8B ≈ 80MB > the 10MB broadcast threshold, so no conf
+    // fiddling needed — the production shape)
+    val t0 = System.nanoTime()
+    val q = spark.sql(
+      "SELECT f.k, f.tag, r.rv FROM sqlp5_facts f JOIN sqlp5c.sqlp5 r ON f.k = r.k")
+    val cnt = q.count()
+    val sqlSec = (System.nanoTime() - t0) / 1e9
+    assert(cnt == 200000L)
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("ZipPartitionsJoin"),
+      s"SQL probe join expected at scale:\n$plan")
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "zero SQL exchanges expected")
+    info(f"SQL probe join: $cnt rows in $sqlSec%.1f s")
+
+    // manifest count-range: interior files from stats, <=2 boundary reads
+    graft.sources.GraftScan.lastPlannedFiles = -1
+    val t1 = System.nanoTime()
+    val c = spark.sql("SELECT count(*) AS n, min(k) AS mn, max(k) AS mx " +
+      "FROM sqlp5c.sqlp5 WHERE k >= 1000000 AND k < 4000000").head()
+    val cntSec = (System.nanoTime() - t1) / 1e9
+    assert(c.getLong(0) == 3000000L && c.getLong(1) == 1000000L && c.getLong(2) == 3999999L)
+    assert(graft.sources.GraftScan.lastPlannedFiles >= 0 &&
+      graft.sources.GraftScan.lastPlannedFiles <= 2,
+      s"count-range planned ${graft.sources.GraftScan.lastPlannedFiles} files")
+    info(f"count-range over 3M keys: ${graft.sources.GraftScan.lastPlannedFiles} boundary files, $cntSec%.2f s")
+
+    // probe MERGE: a 100k batch upserts into the 5M snapshot — the batch
+    // routes, the table never shuffles
+    spark.range(4950000, 5050000)
+      .select(col("id").as("mk"), (col("id") * 11).as("mv"))
+      .createOrReplaceTempView("sqlp5_batch")
+    val t2 = System.nanoTime()
+    spark.sql(
+      """MERGE INTO sqlp5c.sqlp5 t USING sqlp5_batch s ON t.k = s.mk
+        |WHEN MATCHED THEN UPDATE SET rv = s.mv
+        |WHEN NOT MATCHED THEN INSERT (k, rv) VALUES (s.mk, s.mv)
+        |""".stripMargin)
+    val mrgSec = (System.nanoTime() - t2) / 1e9
+    assert(graft.sources.GraftDml.lastMergeJoinPath == "probe",
+      s"expected the probe merge at scale, took '${graft.sources.GraftDml.lastMergeJoinPath}'")
+    val after = KVIndex.open(store, "sqlp5").fold(e => fail(e.message), identity)
+    assert(after.count == 5050000L - 1)
+    info(f"probe MERGE of 100k batch into 5M rows: $mrgSec%.1f s, v${after.manifest.version}")
+  }
+
   /** Materialized JOIN view at 5M rows: refresh after a narrow mutation
     * must cost a small fraction of the full recompute — in bytes (the
     * changed-key envelope bounds every read) and in wall time.
