@@ -37,6 +37,11 @@ import graft.plans.ZipPartitionsJoin
   *    pushdown collapsed it), possibly under deterministic Filters —
   *    which are kept, re-applied above the replaced side;
   *  - either snapshot's layout cannot guarantee disjoint file ranges.
+  *
+  * When the two-graft rewrite declines but ONE side is a graft scan, the
+  * PROBE rewrite ([[probeRewrite]]) takes over: the arbitrary side is
+  * routed onto the snapshot's leg boundaries and the snapshot never
+  * moves — see [[dispatch]].
   */
 object GraftCoRangeJoin extends Rule[LogicalPlan] {
 
