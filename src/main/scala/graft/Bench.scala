@@ -34,25 +34,37 @@ object Bench {
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        errors(name) = (e.getClass.getSimpleName + ": " +
-          Option(e.getMessage).getOrElse("").take(200))
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          // strip EVERY control character (codec errors echo binary) so
+          // the artifact stays valid JSON when the detail matters most
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200))
+              .replaceAll("[\\p{Cntrl}\"\\\\]", " ")
+          false
+        }
+      // a failed rep records NO sample: its near-instant throw must not
+      // become the per-query min and flatter the total
+      if (ok) {
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples(name) = sec :: samples.getOrElse(name, Nil)
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      samples(name) = sec :: samples.getOrElse(name, Nil)
     }
     // per-query MINIMUM across the passes: machine-load noise only ever
     // ADDS time, so the min is the noise-robust estimator — phantom
     // regressions from one loaded pass stop re-litigating every round.
     // The artifact also carries EVERY sample (chronological pass order)
     // so a flagged query's stability across back-to-back runs is visible.
-    val results = names.map(name => name -> samples(name).min).toMap
+    // queries with zero successful reps carry no time at all (they live
+    // in `errors`); a partially-failed query's min is over its SUCCESSFUL
+    // reps only
+    val results = names.filter(samples.contains)
+      .map(name => name -> samples(name).min).toMap
     // sorted by name so round-over-round file diffs line up
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val all = names.sorted
+    val all = names.sorted.filter(samples.contains)
       .map(k => "\"" + k + "\":" + samples(k).reverse.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

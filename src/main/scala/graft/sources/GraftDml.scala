@@ -275,15 +275,10 @@ private[graft] object GraftDml {
     val tKeys = ix.manifest.keyCols
     val sKeys = srcIx.manifest.keyCols
     if (tKeys.size != sKeys.size) return None
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
-        conjuncts(a) ++ conjuncts(b)
-      case other => Seq(other)
-    }
     val outIds = out.map(_.exprId).toSet
     val srcIds = srcRelOut.map(_.exprId).toSet
     val pairs: Seq[(AttributeReference, AttributeReference)] =
-      conjuncts(m.mergeCondition).map {
+      GraftCoRangeJoin.conjuncts(m.mergeCondition).map {
         case org.apache.spark.sql.catalyst.expressions.EqualTo(
             a: AttributeReference, b: AttributeReference)
             if outIds.contains(a.exprId) && srcIds.contains(b.exprId) => (a, b)
@@ -301,11 +296,7 @@ private[graft] object GraftDml {
 
     ix.coRangeLegPlans(srcIx, joinType = FullOuter).flatMap {
       case (zipOpt, leftOnlyOpt, rightOnlyOpt) =>
-        def aliasTo(outAttrs: Seq[Attribute], legs: LogicalPlan): LogicalPlan = {
-          val byName = legs.output.map(a => a.name -> a).toMap
-          Project(outAttrs.map(o =>
-            Alias(byName(o.name), o.name)(exprId = o.exprId)), legs)
-        }
+        import GraftCoRangeJoin.aliasTo
         def mark(p: LogicalPlan, name: String): LogicalPlan =
           Project(p.output :+ Alias(Literal(true), name)(), p)
         val srcOut = m.sourceTable.output

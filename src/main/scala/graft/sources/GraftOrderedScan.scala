@@ -48,14 +48,17 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
-    if (!spark.experimental.extraOptimizations.contains(GraftCoRangeJoin))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ GraftCoRangeJoin
-    // the AS-OF idiom must see Filter(rn=1, Window(join)) BEFORE the join
-    // rule touches anything — it matches a strictly larger fragment
+    // the AS-OF idiom registers BEFORE the join rule: it matches the
+    // strictly larger Filter(rn=1, Window(join)) fragment, and must see
+    // it before any future loosening of the join rule could consume the
+    // join underneath (today the join rule declines the ts conjunct, but
+    // the ordering makes that independence structural, not accidental)
     if (!spark.experimental.extraOptimizations.contains(GraftAsOfIdiom))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GraftAsOfIdiom
+    if (!spark.experimental.extraOptimizations.contains(GraftCoRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftCoRangeJoin
     if (!spark.experimental.extraOptimizations.contains(GraftCountRange))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GraftCountRange
