@@ -25,6 +25,9 @@ object Bench {
     // whole suite passes so a transient load spike degrades one PASS, not
     // one query's entire sample.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // fault-injection knob for the gate's own plumbing: break the named
+    // query so the rc!=0 + errors-in-artifact path is demonstrable
+    val break = sys.env.get("SPARK_GRAFT_BENCH_BREAK")
     val names = SparkEntry.queries.keys.toSeq
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     // a throwing query must NOT record a near-zero (flattering) time and
@@ -35,7 +38,11 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        try {
+          if (break.contains(name))
+            sys.error(s"SPARK_GRAFT_BENCH_BREAK fault injection for $name")
+          fn(spark, sfDir).count(); true
+        } catch { case e: Throwable =>
           // strip EVERY control character (codec errors echo binary) so
           // the artifact stays valid JSON when the detail matters most
           errors(name) = (e.getClass.getSimpleName + ": " +
