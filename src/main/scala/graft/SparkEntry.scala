@@ -3156,6 +3156,34 @@ object SparkEntry {
         s"kv_sql_asof: expected the as-of merge with no window, got:\n$plan")
       q
     }),
+    // The as-of idiom WITH A TOLERANCE BAND in plain SQL — the exact text
+    // of the engine's own fallback (`x.ts >= p.pts - INTERVAL 10 MINUTE`)
+    // maps to the merge's native-unit tolerance and plans the exchange-
+    // free AsOfZipJoin over the two TIMESTAMP-keyed snapshots; same
+    // semantics as kv_corange_asof_ts, reached from SQL text
+    "kv_sql_asof_tol" -> ((s, d) => {
+      val pIx = evProbeStore(s, d)
+      val rIx = evReadStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_sqt_p", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sqt_p.root", pIx.store.root)
+      s.conf.set("spark.sql.catalog.graft_sqt_r", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sqt_r.root", rIx.store.root)
+      val q = s.sql("""
+        SELECT user_id, probe_ms, asof_ms, cnt, cents FROM (
+          SELECT p.user_id, unix_millis(p.pts) AS probe_ms,
+                 unix_millis(r.ts) AS asof_ms, r.cnt, r.cents,
+                 row_number() OVER (PARTITION BY p.user_id, p.pts
+                                    ORDER BY r.ts DESC) AS rn
+          FROM graft_sqt_p.evprobe p LEFT JOIN graft_sqt_r.evread r
+            ON p.user_id = r.user_id AND r.ts <= p.pts
+               AND r.ts >= p.pts - INTERVAL 10 MINUTE
+        ) WHERE rn = 1
+        ORDER BY user_id""")
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("AsOfZipJoin") && !plan.contains("Window"),
+        s"kv_sql_asof_tol: expected the tolerance as-of merge, got:\n$plan")
+      q
+    }),
     // The as-of idiom with a GROUP BY probe side ("latest reading per
     // user at their last event"): the Aggregate's exposed grouping set
     // proves per-row uniqueness, so GraftAsOfIdiom routes the probes onto
@@ -4751,6 +4779,18 @@ object SparkEntry {
         "AND x.l_linenumber <= p.probe_ln) " +
         "SELECT l_orderkey, probe_ln, n_lines, asof_ln, qty FROM j " +
         "WHERE rn = 1 AND l_orderkey <= 400 ORDER BY l_orderkey"),
+      "kv_sql_asof_tol" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "pr AS MATERIALIZED (SELECT user_id, max(ts) - INTERVAL 30 MINUTE AS pts " +
+        "FROM events GROUP BY 1), " +
+        "j AS (SELECT p.user_id, epoch_ms(p.pts) AS probe_ms, epoch_ms(x.ts) AS asof_ms, " +
+        "x.cnt, x.cents, " +
+        "row_number() OVER (PARTITION BY p.user_id ORDER BY x.ts DESC NULLS LAST) AS rn " +
+        "FROM pr p LEFT JOIN rd x ON x.user_id = p.user_id AND x.ts <= p.pts " +
+        "AND x.ts >= p.pts - INTERVAL 10 MINUTE) " +
+        "SELECT user_id, probe_ms, asof_ms, cnt, cents FROM j WHERE rn = 1 " +
+        "ORDER BY user_id"),
       "st_probe_enrich" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
         "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM events GROUP BY 1, 2), " +

@@ -47,8 +47,11 @@ import graft.plans.AsOfZipJoin
   *    exactly where the stock plan evaluated them);
   *  - the condition is leading-prefix key equalities on the RIGHT
   *    snapshot plus EXACTLY ONE ts bound `r.rts <= l.lts` (`<` = strict)
-  *    between plain attributes — any extra conjunct (tolerance
-  *    arithmetic, value predicates) declines;
+  *    between plain attributes, optionally with ONE tolerance band
+  *    `r.rts >= l.lts - K` on the same pair (a sub-day negative INTERVAL
+  *    for timestamps, a positive literal for integrals — the engine's
+  *    own fallback spelling), which maps to the merge's native-unit
+  *    tolerance; any other conjunct declines;
   *  - PARTITION BY covers a PROVABLY UNIQUE left key (see above), so
   *    partitions are per-left-row — the exact requirement for
   *    window-pick == as-of semantics; extra left-side attrs are
@@ -117,9 +120,40 @@ object GraftAsOfIdiom extends Rule[LogicalPlan] {
     val rOut = j.right.outputSet
 
     // split the condition: equi pairs (left attr = right RELATION attr)
-    // + ONE ts bound
+    // + ONE ts bound + an OPTIONAL tolerance band `rTs >= lTs - K`
+    // (spelled `lTs - INTERVAL ...` for timestamps, `lTs - n` for
+    // integrals — exactly the engine's own fallback SQL). K maps to the
+    // merge's native-unit tolerance (micros for TIMESTAMP, the value for
+    // integrals). Month/day intervals decline: months are variable and a
+    // day crosses DST in session-local arithmetic, while the merge
+    // compares raw units.
+    def tolOf(e: Expression): Option[(AttributeReference, Long)] = e match {
+      // ANSI interval literal: DayTimeIntervalType carries raw micros
+      case org.apache.spark.sql.catalyst.expressions.TimestampAddInterval(
+          l: AttributeReference,
+          Literal(us: java.lang.Long, _: org.apache.spark.sql.types.DayTimeIntervalType), _)
+          if lOut.contains(l) && us < 0 => Some((l, -us))
+      // legacy CalendarInterval literal (sub-day only: day arithmetic is
+      // session-tz-dependent while the merge compares raw micros)
+      case org.apache.spark.sql.catalyst.expressions.TimestampAddInterval(
+          l: AttributeReference, Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _), _)
+          if lOut.contains(l) && iv.months == 0 && iv.days == 0 &&
+            iv.microseconds < 0 => Some((l, -iv.microseconds))
+      case org.apache.spark.sql.catalyst.expressions.Subtract(
+          l: AttributeReference, Literal(n, t), _)
+          if lOut.contains(l) && n != null && (t match {
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.ByteType => true
+            case _ => false
+          }) && n.asInstanceOf[Number].longValue() > 0 =>
+        Some((l, n.asInstanceOf[Number].longValue()))
+      case _ => None
+    }
     var equi = Vector.empty[(AttributeReference, AttributeReference)]
     var ts: Option[(AttributeReference, AttributeReference, Boolean)] = None // (lTs, rTs, strict)
+    var tolCand: Option[(AttributeReference, AttributeReference, Long)] = None
     GraftCoRangeJoin.conjuncts(cond).foreach {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if lOut.contains(a) && rIds.contains(b.exprId) => equi :+= ((a, b))
@@ -133,10 +167,25 @@ object GraftAsOfIdiom extends Rule[LogicalPlan] {
           if rOut.contains(r) && lOut.contains(l) && ts.isEmpty => ts = Some((l, r, true))
       case GreaterThan(l: AttributeReference, r: AttributeReference)
           if rOut.contains(r) && lOut.contains(l) && ts.isEmpty => ts = Some((l, r, true))
+      case GreaterThanOrEqual(r: AttributeReference, e)
+          if rOut.contains(r) && tolCand.isEmpty && tolOf(e).isDefined =>
+        val (l, t) = tolOf(e).get; tolCand = Some((l, r, t))
+      case LessThanOrEqual(e, r: AttributeReference)
+          if rOut.contains(r) && tolCand.isEmpty && tolOf(e).isDefined =>
+        val (l, t) = tolOf(e).get; tolCand = Some((l, r, t))
       case _ => return None
     }
     val (lTs, rTs, strict) = ts.getOrElse(return None)
     if (lTs.dataType != rTs.dataType) return None
+    val tolerance: Long = tolCand match {
+      case None => -1L
+      case Some((l, r, t)) =>
+        // the band must bind the SAME (lTs, rTs) pair as the main bound,
+        // and the type must support native-unit arithmetic
+        if (l.exprId != lTs.exprId || r.exprId != rTs.exprId) return None
+        if (!AsOfZipJoin.toleranceSupported(lTs.dataType)) return None
+        t
+    }
 
     // equi pairs must cover a leading prefix of the RIGHT snapshot's key
     // list, one left attribute per key column; the right ts must sit
@@ -248,7 +297,7 @@ object GraftAsOfIdiom extends Rule[LogicalPlan] {
                 lRebuild(GraftCoRangeJoin.aliasTo(lrel.output, lPlan)),
                 rRebuild(GraftCoRangeJoin.aliasTo(rrel.output, rPlan)),
                 lEqui, rEqui, lTs, rTs,
-                Nil, rRestAttrs, leftOuter, strict, tolerance = -1L)
+                Nil, rRestAttrs, leftOuter, strict, tolerance)
             }
             // equi ranges only the left covers: null-extend (left_outer
             // only; inner construction returns no left-only branch)
@@ -283,7 +332,7 @@ object GraftAsOfIdiom extends Rule[LogicalPlan] {
             case (o, n) => Alias(n, o.name)(exprId = o.exprId) }, routed)
           val rStack = rRebuild(GraftCoRangeJoin.aliasTo(rrel.output, legPlan))
           Some(finish(AsOfZipJoin(pStack, rStack, lEqui, rEqui, lTs, rTs,
-            Nil, rRestAttrs, leftOuter, strict, tolerance = -1L)))
+            Nil, rRestAttrs, leftOuter, strict, tolerance)))
         case _ => None // Unzippable or all files pruned: stock plan
       }
     }

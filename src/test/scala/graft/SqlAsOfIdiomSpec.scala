@@ -157,17 +157,40 @@ class SqlAsOfIdiomSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("declines: tolerance conjunct, partial partition key, ASC order, non-graft side") {
-    // a TWO-SIDED extra conjunct (the tolerance band) stays in the ON —
-    // stock plan (window survives)
+  test("a tolerance band (rts >= ts - K) maps to the merge's native-unit tolerance") {
+    for ((join, outer) <- Seq(("JOIN", false), ("LEFT JOIN", true))) {
+      val q = spark.sql(
+        s"""SELECT k, ts, lv, asof_ts, rv FROM (
+            SELECT p.k, p.ts, p.lv, r.rts AS asof_ts, r.rv,
+                   row_number() OVER (PARTITION BY p.k, p.ts ORDER BY r.rts DESC) AS rn
+            FROM $cat.pr p $join $cat.rd r
+              ON p.k = r.k AND r.rts <= p.ts AND r.rts >= p.ts - 10
+          ) WHERE rn = 1""")
+      assert(asofCount(q) == 1,
+        s"tolerance idiom must rewrite ($join):\n${q.queryExecution.executedPlan}")
+      assert(windowCount(q) == 0 && exchangeCount(q) == 0, join)
+      val want = leftRows.sorted.flatMap { case (k, ts, lv) =>
+        val cands = rightRows.filter(c => c._1 == k && c._2 <= ts && ts - c._2 <= 10)
+        if (cands.nonEmpty) {
+          val m = cands.maxBy(c => (c._2, c._3))
+          Some((k, ts, lv, Some(m._2), Some(m._3)))
+        } else if (outer) Some((k, ts, lv, None, None)) else None
+      }
+      assert(collected(q) == want, s"tolerance content mismatch ($join)")
+    }
+  }
+
+  test("declines: extra plain bound, partial partition key, ASC order, non-graft side") {
+    // a SECOND plain ts-like bound (not a tolerance shape) stays in the
+    // ON — stock plan (window survives)
     val extra = spark.sql(
       s"""SELECT * FROM (
           SELECT p.k, p.ts, r.rv,
                  row_number() OVER (PARTITION BY p.k, p.ts ORDER BY r.rts DESC) AS rn
           FROM $cat.pr p JOIN $cat.rd r
-            ON p.k = r.k AND r.rts <= p.ts AND r.rts >= p.ts - 10
+            ON p.k = r.k AND r.rts <= p.ts AND r.rv <= p.ts
         ) WHERE rn = 1""")
-    assert(asofCount(extra) == 0, "two-sided extra ON conjunct must decline")
+    assert(asofCount(extra) == 0, "a second plain bound must decline")
     assert(windowCount(extra) == 1)
 
     // PARTITION BY only k (left key is (k, ts)): per-key pick, NOT an
