@@ -676,6 +676,42 @@ object SparkEntry {
         .fold(e => sys.error(e.message), identity)
     }._2
 
+  /** lineitem at LINE grain with DELIBERATELY FINE files (2048 rows) so
+    * the eager-bounds demo (kv_sql_probe_prune) has a multi-file manifest
+    * to prune even at small scale factors.
+    */
+  private def liLinesFineStore(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-lilines-fine", s, d) { store =>
+      val li = t(s, d, "lineitem").groupBy("l_orderkey", "l_linenumber")
+        .agg(sum(col("l_quantity")).as("qty"))
+      KVIndex.bootstrap(store, "lilines", li, Seq("l_orderkey", "l_linenumber"),
+        maxRowsPerFile = 2048).fold(e => sys.error(e.message), identity)
+    }._2
+
+  /** Orders at (o_custkey, order DATE) grain — the DATE-keyed right side
+    * of the DATE-tolerance as-of idiom demo (kv_sql_asof_date).
+    */
+  private def ordDateStore(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-orddate", s, d) { store =>
+      val rd = t(s, d, "orders")
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("rd"))
+        .agg(count(lit(1)).as("n_ord"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      KVIndex.bootstrap(store, "orddate", rd, Seq("o_custkey", "rd"))
+        .fold(e => sys.error(e.message), identity)
+    }._2
+
+  /** Per-customer DATE probes (last order date minus 7 days) keyed
+    * (o_custkey, pd) — the left side of kv_sql_asof_date.
+    */
+  private def ordDateProbeStore(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-orddateprobe", s, d) { store =>
+      val pr = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(date_sub(max(to_date(col("o_orderdate"))), 7).as("pd"))
+      KVIndex.bootstrap(store, "ordprobe", pr, Seq("o_custkey", "pd"))
+        .fold(e => sys.error(e.message), identity)
+    }._2
+
   /** Event readings keyed (user_id, ts) — the TIMESTAMP-keyed right side
     * of the as-of join demo (kv_corange_asof_ts).
     */
@@ -3240,6 +3276,72 @@ object SparkEntry {
         s.read.parquet(out).orderBy("k", "l_linenumber")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }),
+    // SQL probe join under the conf-gated EAGER BOUNDS path
+    // (spark.graft.probe.sqlEagerBounds): one optimizer-time min/max/count
+    // job over the (selective) fact side prunes the snapshot's files to
+    // the probes' key range before legs are cut — the SQL path gains the
+    // API path's file prune. The prune is pinned (fewer input files than
+    // the conf-off run over a multi-file manifest) plus the plan shape.
+    "kv_sql_probe_prune" -> ((s, d) => {
+      val liIx = liLinesFineStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_spp", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_spp.root", liIx.store.root)
+      t(s, d, "orders")
+        .filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") <= 200)
+        .select(col("o_orderkey").as("k"), col("o_custkey"))
+        .createOrReplaceTempView("graft_spp_facts")
+      val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val sqlText = """
+          SELECT f.k, f.o_custkey, li.l_linenumber, CAST(li.qty AS BIGINT) AS qty
+          FROM graft_spp_facts f LEFT JOIN graft_spp.lilines li
+            ON f.k = li.l_orderkey"""
+        val all = s.sql(sqlText).inputFiles.length
+        s.conf.set("spark.graft.probe.sqlEagerBounds", "true")
+        try {
+          val q = s.sql(sqlText)
+          val plan = q.queryExecution.executedPlan.toString
+          require(plan.contains("ZipPartitionsJoin"),
+            s"kv_sql_probe_prune: expected the probe-routed zip join, got:\n$plan")
+          val pruned = q.inputFiles.length
+          require(all <= 1 || pruned < all,
+            s"kv_sql_probe_prune: eager bounds must prune ($pruned of $all files)")
+          val out = java.nio.file.Files.createTempDirectory("graft-sqlprune").toString
+          q.write.mode("overwrite").parquet(out)
+          s.read.parquet(out).orderBy("k", "l_linenumber")
+        } finally s.conf.set("spark.graft.probe.sqlEagerBounds", "false")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }),
+    // The as-of SQL idiom over DATE-keyed snapshots WITH a day-grain
+    // tolerance band: `r.rd >= date_sub(p.pd, 30)` is pure day arithmetic
+    // (DateType carries no zone), mapping to the merge's native-unit
+    // (raw day) tolerance — latest order per customer within 30 days
+    // at-or-before the probe date, exchange-free, no window.
+    "kv_sql_asof_date" -> ((s, d) => {
+      val pIx = ordDateProbeStore(s, d)
+      val rIx = ordDateStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_sqd_p", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sqd_p.root", pIx.store.root)
+      s.conf.set("spark.sql.catalog.graft_sqd_r", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sqd_r.root", rIx.store.root)
+      val q = s.sql("""
+        SELECT o_custkey, CAST(datediff(pd, DATE '1970-01-01') AS BIGINT) AS pd_day,
+               CAST(datediff(asof_d, DATE '1970-01-01') AS BIGINT) AS asof_day,
+               n_ord, cents FROM (
+          SELECT p.o_custkey, p.pd, r.rd AS asof_d, r.n_ord, r.cents,
+                 row_number() OVER (PARTITION BY p.o_custkey, p.pd
+                                    ORDER BY r.rd DESC) AS rn
+          FROM graft_sqd_p.ordprobe p LEFT JOIN graft_sqd_r.orddate r
+            ON p.o_custkey = r.o_custkey AND r.rd <= p.pd
+               AND r.rd >= date_sub(p.pd, 30)
+        ) WHERE rn = 1
+        ORDER BY o_custkey""")
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("AsOfZipJoin") && !plan.contains("Window"),
+        s"kv_sql_asof_date: expected the DATE-tolerance as-of merge, got:\n$plan")
+      q
+    }),
     // AS-OF PROBE join: an arbitrary DataFrame of probe rows (every 7th
     // event) enriched against the snapshot — probes route onto the
     // snapshot's leg boundaries (the ONLY shuffle is the probe side; the
@@ -4814,6 +4916,27 @@ object SparkEntry {
         "SELECT p.k, p.o_custkey, li.l_linenumber, CAST(li.qty AS BIGINT) AS qty " +
         "FROM p LEFT JOIN li ON li.l_orderkey = p.k " +
         "ORDER BY p.k, li.l_linenumber NULLS FIRST"),
+      "kv_sql_probe_prune" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2), " +
+        "p AS (SELECT o_orderkey AS k, o_custkey FROM orders " +
+        "WHERE o_orderkey % 5 = 0 AND o_orderkey <= 200) " +
+        "SELECT p.k, p.o_custkey, li.l_linenumber, CAST(li.qty AS BIGINT) AS qty " +
+        "FROM p LEFT JOIN li ON li.l_orderkey = p.k " +
+        "ORDER BY p.k, li.l_linenumber NULLS FIRST"),
+      "kv_sql_asof_date" -> ("WITH rd AS MATERIALIZED (SELECT o_custkey, " +
+        "CAST(o_orderdate AS DATE) AS rd, count(*) AS n_ord, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "pr AS MATERIALIZED (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) - 7 AS pd " +
+        "FROM orders GROUP BY 1), " +
+        "j AS (SELECT p.o_custkey, p.pd, x.rd AS asof_d, x.n_ord, x.cents, " +
+        "row_number() OVER (PARTITION BY p.o_custkey, p.pd " +
+        "ORDER BY x.rd DESC NULLS LAST) AS rn " +
+        "FROM pr p LEFT JOIN rd x ON x.o_custkey = p.o_custkey " +
+        "AND x.rd <= p.pd AND x.rd >= p.pd - 30) " +
+        "SELECT o_custkey, datediff('day', DATE '1970-01-01', pd) AS pd_day, " +
+        "datediff('day', DATE '1970-01-01', asof_d) AS asof_day, n_ord, cents " +
+        "FROM j WHERE rn = 1 ORDER BY o_custkey"),
       "kv_asof_probe" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
         "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
         "FROM events GROUP BY 1, 2), " +

@@ -1689,6 +1689,32 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     val el = probeKeyCols.length
     val pKey = if (el == 1) col(probeKeyCols.head)
                else struct(probeKeyCols.map(col): _*)
+    bloomFilteredLegsKey(probes, pKey, el, nProbes, rPlan)
+  }
+
+  /** Plan-level [[bloomFilteredLegs]] for the SQL rewrites
+    * ([[graft.sources.GraftCoRangeJoin]]'s conf-gated eager-bounds path):
+    * the probe side arrives as a LogicalPlan whose key columns are
+    * ATTRIBUTES (names may repeat across an arbitrary SQL side). Same
+    * semantics and soundness (probe-non-preserved snapshot rows only).
+    */
+  private[graft] def bloomFilteredLegsPlan(
+      probe: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      keyAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      nProbes: Long,
+      rPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    if (nProbes < 256) return rPlan
+    val pdf = org.apache.spark.sql.graft.Shim.ofRows(spark, probe)
+    val cols = keyAttrs.map(org.apache.spark.sql.graft.Shim.col)
+    val pKey = if (cols.length == 1) cols.head else struct(cols: _*)
+    bloomFilteredLegsKey(pdf, pKey, keyAttrs.length, nProbes, rPlan)
+  }
+
+  private def bloomFilteredLegsKey(probes: DataFrame, pKey: Column, el: Int,
+      nProbes: Long,
+      rPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     val bf = graft.operators.BloomJoin.keyFilterBytes(probes, pKey, nProbes)
     if (bf == null) return rPlan
     val rdf = org.apache.spark.sql.graft.Shim.ofRows(spark, rPlan)
@@ -1696,6 +1722,34 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
                else struct(key.cols.take(el).map(col): _*)
     rdf.filter(graft.operators.BloomJoin.mightContain(bf, rKey))
       .queryExecution.analyzed
+  }
+
+  /** Layout precondition of every probe-leg construction — cheap (no job);
+    * the SQL rewrites check it BEFORE paying the eager bounds job so a
+    * fixed-point optimizer pass over an unzippable layout never runs one.
+    */
+  private[graft] def zipLayoutOk: Boolean = !manifest.isEmpty && filesDisjoint
+
+  /** Plan-level [[probeBounds]] for the SQL rewrites' conf-gated eager
+    * bounds job (`spark.graft.probe.sqlEagerBounds`): one min/max/count
+    * aggregate over the probe side's LogicalPlan, keyed by the leading
+    * equi ATTRIBUTE. Returns manifest-normalized bounds + the probe count.
+    * The caller owns the soundness gates: the probe subtree must be
+    * deterministic (the bounds pass and the routed execution must see the
+    * same rows) and the join type must not preserve the snapshot side
+    * (pruned files drop snapshot rows).
+    */
+  private[graft] def probeBoundsPlan(
+      probe: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      leadingKey: org.apache.spark.sql.catalyst.expressions.Attribute)
+      : (Option[Any], Option[Any], Long) = {
+    val pdf = org.apache.spark.sql.graft.Shim.ofRows(spark, probe)
+    val c = org.apache.spark.sql.graft.Shim.col(leadingKey)
+    val r = pdf.agg(min(c), max(c),
+      org.apache.spark.sql.functions.count(lit(1))).head()
+    if (r.isNullAt(0)) (None, None, r.getLong(2))
+    else (Some(KeyOrd.normLiteral(r.get(0))),
+          Some(KeyOrd.normLiteral(r.get(1))), r.getLong(2))
   }
 
   /** Routes each probe row to its leg index — a binary search of the

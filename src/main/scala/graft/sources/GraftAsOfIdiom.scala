@@ -139,6 +139,25 @@ object GraftAsOfIdiom extends Rule[LogicalPlan] {
           l: AttributeReference, Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _), _)
           if lOut.contains(l) && iv.months == 0 && iv.days == 0 &&
             iv.microseconds < 0 => Some((l, -iv.microseconds))
+      // DATE bands: `date_sub(lts, K)` / `date_add(lts, -K)` / a legacy
+      // days-only interval — all PURE day arithmetic on the raw day count
+      // (DateType carries no time-of-day and no zone), exactly the merge's
+      // native unit for DATE. `lts - INTERVAL 'K' DAY` (whole days) is
+      // covered too: Spark resolves it to DateAdd(lts, -K) before this
+      // rule runs. Only SUB-DAY interval components cast the arithmetic
+      // through TIMESTAMP (session-tz-dependent) — those change the
+      // operand type and decline above, by design.
+      case org.apache.spark.sql.catalyst.expressions.DateSub(
+          l: AttributeReference, Literal(n: Integer, IntegerType))
+          if lOut.contains(l) && n > 0 => Some((l, n.longValue()))
+      case org.apache.spark.sql.catalyst.expressions.DateAdd(
+          l: AttributeReference, Literal(n: Integer, IntegerType))
+          if lOut.contains(l) && n < 0 => Some((l, -n.longValue()))
+      case org.apache.spark.sql.catalyst.expressions.DateAddInterval(
+          l: AttributeReference,
+          Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _), _, _)
+          if lOut.contains(l) && iv.months == 0 && iv.microseconds == 0 &&
+            iv.days < 0 => Some((l, -iv.days.toLong))
       case org.apache.spark.sql.catalyst.expressions.Subtract(
           l: AttributeReference, Literal(n, t), _)
           if lOut.contains(l) && n != null && (t match {
@@ -323,17 +342,51 @@ object GraftAsOfIdiom extends Rule[LogicalPlan] {
     def probe(): Option[LogicalPlan] = {
       if (j.left.isStreaming) return None
       val (bLo, bHi) = rg.pushedKeyBounds
+      val sLo = bLo.filter(_.nonEmpty).map(_.head)
+      val sHi = bHi.filter(_.nonEmpty).map(_.head)
+      // EAGER probe bounds (conf-gated, `spark.graft.probe.sqlEagerBounds`)
+      // — ALWAYS type-sound here: the snapshot is the right side of an
+      // inner/left_outer as-of, never preserved, so pruning its files /
+      // bloom-filtering its leg scans by the probe set drops only rows
+      // that could never be a floor candidate. Determinism of the probe
+      // subtree still required (it runs up to three times).
+      val eager = GraftCoRangeJoin.eagerBoundsConf() && rIx.zipLayoutOk &&
+        GraftCoRangeJoin.deterministicTree(j.left)
+      val (pLo, pHi, nProbes): (Option[Any], Option[Any], Long) =
+        if (eager) rIx.probeBoundsPlan(j.left, lEqui.head)
+        else (None, None, -1L)
+      /** Zero possible matches: inner → empty; left_outer → every probe
+        * row with the right side null-extended (the empty-probe case is
+        * empty for both — the left side IS the probe side).
+        */
+      def noMatch(left: LogicalPlan): LogicalPlan = finish(
+        if (leftOuter && nProbes > 0L)
+          Project(left.output ++ j.right.output.map(a =>
+            Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)), left)
+        else org.apache.spark.sql.catalyst.plans.logical.LocalRelation(j.output))
+      if (nProbes == 0L) return Some(noMatch(j.left))
+      def tighter(a: Option[Any], b: Option[Any], takeMax: Boolean): Option[Any] =
+        (a, b) match {
+          case (Some(x), Some(y)) =>
+            val c = graft.core.KeyOrd.compare(Seq(x), Seq(y))
+            Some(if ((c >= 0) == takeMax) x else y)
+          case _ => a.orElse(b)
+        }
       rIx.probeLegPlans(m, GraftCoRangeJoin.rowsPerLegConf(),
-          bLo.filter(_.nonEmpty).map(_.head),
-          bHi.filter(_.nonEmpty).map(_.head)) match {
-        case graft.core.ProbeLegs.Legs(bounds, legPlan) =>
+          tighter(sLo, pLo, takeMax = true),
+          tighter(sHi, pHi, takeMax = false)) match {
+        case graft.core.ProbeLegs.Legs(bounds, legPlan0) =>
+          val legPlan =
+            if (eager) rIx.bloomFilteredLegsPlan(j.left, lEqui, nProbes, legPlan0)
+            else legPlan0
           val routed = rIx.routeProbePlan(j.left, lEqui, bounds)
           val pStack = Project(j.left.output.zip(routed.output).map {
             case (o, n) => Alias(n, o.name)(exprId = o.exprId) }, routed)
           val rStack = rRebuild(GraftCoRangeJoin.aliasTo(rrel.output, legPlan))
           Some(finish(AsOfZipJoin(pStack, rStack, lEqui, rEqui, lTs, rTs,
             Nil, rRestAttrs, leftOuter, strict, tolerance)))
-        case _ => None // Unzippable or all files pruned: stock plan
+        case graft.core.ProbeLegs.AllPruned if eager => Some(noMatch(j.left))
+        case _ => None // Unzippable, or the snapshot's own WHERE pruned all
       }
     }
 

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.{FullOuter, JoinType, LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
@@ -114,6 +114,33 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     val byName = legs.output.map(a => a.name -> a).toMap
     Project(out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), legs)
   }
+
+  /** `spark.graft.probe.sqlEagerBounds` (default false): allow the SQL
+    * probe rewrites to run ONE eager probe-side job at optimization time —
+    * a min/max/count aggregate of the leading equi key (plus, at ≥256
+    * probes, a bloom-sketch build) — buying the API path's file prune,
+    * typed empty answers, and leg-scan prefilter for SQL text. Off by
+    * default: the job re-executes the probe subtree (the optimizer must
+    * not silently triple a subquery's cost), and it is only sound when
+    * the probe plan is DETERMINISTIC — both gated here. Enable it for the
+    * facts-vs-snapshot sessions where probe sides are cheap scans and the
+    * snapshot is big enough that leg pruning pays for the extra pass.
+    */
+  private[sources] def eagerBoundsConf(): Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.probe.sqlEagerBounds", "false").toBoolean
+
+  /** The eager bounds job executes the probe subtree twice (bounds, then
+    * the routed run; three times with the bloom sketch) — every expression
+    * in it must be deterministic or the passes could see different rows
+    * and stale bounds could prune a live match's file. Subquery
+    * expressions decline too (their cost should never be silently
+    * multiplied by an optimizer rule).
+    */
+  private[sources] def deterministicTree(p: LogicalPlan): Boolean =
+    p.find(q => q.expressions.exists(e =>
+      !e.deterministic || e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))).isEmpty
 
   /** per-leg row target from session conf (e.g. for wider tasks on a
     * scan-heavy join); ≤ 0 = the index's maxRowsPerFile convention
@@ -281,9 +308,65 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     // sound (rows outside them are dropped by the replayed stack anyway,
     // for every join type)
     val (bLo, bHi) = gg.pushedKeyBounds
-    ix.probeLegPlans(m, rowsPerLegConf(),
-        bLo.filter(_.nonEmpty).map(_.head), bHi.filter(_.nonEmpty).map(_.head)) match {
-      case graft.core.ProbeLegs.Legs(bounds, legPlan) =>
+    val sLo = bLo.filter(_.nonEmpty).map(_.head)
+    val sHi = bHi.filter(_.nonEmpty).map(_.head)
+
+    // EAGER probe bounds (conf-gated): buy the API path's probe-derived
+    // file prune + typed empty answers + ≥256-probe bloom prefilter for
+    // SQL text. Sound ONLY when the join type never emits an UNMATCHED
+    // snapshot row (pruning/bloom drop snapshot rows outside the probe
+    // set) and the probe subtree is deterministic (it runs up to three
+    // times). The layout pre-check keeps a fixed-point optimizer pass
+    // from paying the job on a plan that then declines to stock.
+    val graftNeedsUnmatched = jt match {
+      case FullOuter => true
+      case LeftOuter | LeftAnti => graftOnLeft
+      case RightOuter => !graftOnLeft
+      case _ => false // Inner, LeftSemi: unmatched snapshot rows never emit
+    }
+    val eager = !graftNeedsUnmatched && eagerBoundsConf() &&
+      ix.zipLayoutOk && deterministicTree(probe)
+    val (pLo, pHi, nProbes): (Option[Any], Option[Any], Long) =
+      if (eager) ix.probeBoundsPlan(probe, probeKeys.head)
+      else (None, None, -1L)
+    // empty probe set: the result is empty for every graft-non-preserving
+    // type (probe-preserving sides are empty too)
+    if (nProbes == 0L) return Some(LocalRelation(j.output))
+    import graft.core.KeyOrd
+    def tighter(a: Option[Any], b: Option[Any], takeMax: Boolean): Option[Any] =
+      (a, b) match {
+        case (Some(x), Some(y)) =>
+          val c = KeyOrd.compare(Seq(x), Seq(y))
+          Some(if ((c >= 0) == takeMax) x else y)
+        case _ => a.orElse(b)
+      }
+    val legLo = tighter(sLo, pLo, takeMax = true)
+    val legHi = tighter(sHi, pHi, takeMax = false)
+
+    /** All files pruned under the probe bounds: no snapshot row can match
+      * any probe, so answer without touching the snapshot — empty for
+      * inner/semi, pass-through for anti (probe is the left side there),
+      * null-extension for the probe-preserving outer types. Only reached
+      * when `eager` (the non-eager AllPruned means the snapshot's own
+      * WHERE pruned everything — the stock plan scans zero files anyway).
+      */
+    def prunedAnswer(): LogicalPlan = jt match {
+      case LeftAnti => probe // sound set => probe IS the left side
+      case LeftOuter => // probe left, graft right
+        Project(probe.output ++ r.output.map(a =>
+          Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)), probe)
+      case RightOuter => // probe right, graft left
+        Project(l.output.map(a =>
+          Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)) ++
+          probe.output, probe)
+      case _ => LocalRelation(j.output) // Inner, LeftSemi
+    }
+
+    ix.probeLegPlans(m, rowsPerLegConf(), legLo, legHi) match {
+      case graft.core.ProbeLegs.Legs(bounds, legPlan0) =>
+        val legPlan =
+          if (eager) ix.bloomFilteredLegsPlan(probe, probeKeys, nProbes, legPlan0)
+          else legPlan0
         val gStack = gRebuild(aliasTo(grel.output, legPlan))
         // route the WHOLE probe side (filters and all, evaluated once at
         // execution), then restore its output exprIds POSITIONALLY — an
@@ -295,7 +378,8 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
           ZipPartitionsJoin(gStack, pStack, graftKeys, probeKeys, jt)
         else
           ZipPartitionsJoin(pStack, gStack, probeKeys, graftKeys, jt))
-      case _ => None // Unzippable or all files pruned: the stock plan is right
+      case graft.core.ProbeLegs.AllPruned if eager => Some(prunedAnswer())
+      case _ => None // Unzippable, or the snapshot's own WHERE pruned all
     }
   }
 }

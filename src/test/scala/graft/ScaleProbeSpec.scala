@@ -552,6 +552,27 @@ class ScaleProbeSpec extends SparkSuite {
     }.isEmpty, "zero SQL exchanges expected")
     info(f"SQL probe join: $cnt rows in $sqlSec%.1f s")
 
+    // EAGER bounds (conf-gated): the same join reads only the files
+    // covering the probes' [2.0M, 2.2M) slice instead of all ~39, and the
+    // 200k-probe bloom sketch prefilters the leg scans — the API path's
+    // economics from SQL text, at the price of one bounds job
+    val nAllFiles = q.inputFiles.length
+    spark.conf.set("spark.graft.probe.sqlEagerBounds", "true")
+    val tE = System.nanoTime()
+    val qe = spark.sql(
+      "SELECT f.k, f.tag, r.rv FROM sqlp5_facts f JOIN sqlp5c.sqlp5 r ON f.k = r.k")
+    val cntE = qe.count()
+    val eagerSec = (System.nanoTime() - tE) / 1e9
+    spark.conf.set("spark.graft.probe.sqlEagerBounds", "false")
+    assert(cntE == 200000L)
+    val nEagerFiles = qe.inputFiles.length
+    assert(nEagerFiles * 4 <= nAllFiles,
+      s"eager bounds must prune the legs: read $nEagerFiles of $nAllFiles files")
+    assert(qe.queryExecution.executedPlan.toString.contains("might_contain"),
+      "200k probes must bloom-prefilter the leg scans")
+    info(f"EAGER SQL probe join: $cntE rows in $eagerSec%.1f s, " +
+      f"$nEagerFiles of $nAllFiles files read")
+
     // manifest count-range: interior files from stats, <=2 boundary reads
     graft.sources.GraftScan.lastPlannedFiles = -1
     val t1 = System.nanoTime()

@@ -180,6 +180,71 @@ class SqlAsOfIdiomSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("DATE tolerance bands: date_sub/date_add spell raw-day tolerances") {
+    // DATE's native unit is the raw day count — no time-of-day, no zone —
+    // so date_sub(p.d, K) is the exact band the merge's tolerance compares
+    val st = store(tmpDir("graft-asofdate"))
+    def d(day: Int): java.sql.Date = java.sql.Date.valueOf(f"2024-03-${day}%02d")
+    val left = (1L to 20L).flatMap(k => Seq(5, 15, 25).map(dd => (k, d(dd), s"l$k-$dd")))
+    val right = (1L to 24L by 2L).flatMap(k => Seq(1, 8, 14, 22).map(dd =>
+      (k, d(dd), k * 100 + dd)))
+    KVIndex.bootstrap(st, "prd", left.toDF("k", "d", "lv").repartition(1),
+      Seq("k", "d"), maxRowsPerFile = 16).toOption.get
+    KVIndex.bootstrap(st, "rdd", right.toDF("k", "rd", "rv").repartition(1),
+      Seq("k", "rd"), maxRowsPerFile = 16).toOption.get
+    spark.conf.set("spark.sql.catalog.asofdate", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.asofdate.root", st.root)
+
+    def want(tolDays: Int, outer: Boolean) = left.sortBy(r => (r._1, r._2.toString))
+      .flatMap { case (k, pd, lv) =>
+        val cands = right.filter { case (rk, rd, _) =>
+          rk == k && !rd.after(pd) &&
+            (pd.toLocalDate.toEpochDay - rd.toLocalDate.toEpochDay) <= tolDays }
+        if (cands.nonEmpty) {
+          val m = cands.maxBy(c => (c._2.toString, c._3))
+          Some((k, pd.toString, lv, Some(m._2.toString), Some(m._3)))
+        } else if (outer) Some((k, pd.toString, lv, None, None)) else None
+      }
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.map(r =>
+      (r.getLong(0), String.valueOf(r.getDate(1)), r.getString(2),
+        if (r.isNullAt(3)) None else Some(String.valueOf(r.getDate(3))),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(t => (t._1, t._2))
+
+    for ((band, join, outer) <- Seq(
+        ("r.rd >= date_sub(p.d, 10)", "JOIN", false),
+        ("r.rd >= date_sub(p.d, 10)", "LEFT JOIN", true),
+        ("date_add(p.d, -10) <= r.rd", "LEFT JOIN", true),
+        // a whole-day ANSI interval on DATE is day arithmetic too: Spark
+        // resolves it to DateAdd(d, -extract_days), never touching a zone
+        ("r.rd >= p.d - INTERVAL '10' DAY", "LEFT JOIN", true))) {
+      val q = spark.sql(
+        s"""SELECT k, d, lv, asof_d, rv FROM (
+            SELECT p.k, p.d, p.lv, r.rd AS asof_d, r.rv,
+                   row_number() OVER (PARTITION BY p.k, p.d ORDER BY r.rd DESC) AS rn
+            FROM asofdate.prd p $join asofdate.rdd r
+              ON p.k = r.k AND r.rd <= p.d AND $band
+          ) WHERE rn = 1""")
+      assert(asofCount(q) == 1,
+        s"DATE band '$band' must rewrite ($join):\n${q.queryExecution.executedPlan}")
+      assert(windowCount(q) == 0 && exchangeCount(q) == 0, band)
+      assert(got(q) == want(10, outer), s"DATE tolerance content mismatch ($band, $join)")
+    }
+
+    // a SUB-DAY interval component on DATE casts the arithmetic through
+    // TIMESTAMP (session-tz-dependent) — the band is no longer a plain
+    // DATE attribute shape and the idiom declines to the stock window plan
+    val tzDep = spark.sql(
+      s"""SELECT * FROM (
+          SELECT p.k, p.d, r.rv,
+                 row_number() OVER (PARTITION BY p.k, p.d ORDER BY r.rd DESC) AS rn
+          FROM asofdate.prd p JOIN asofdate.rdd r
+            ON p.k = r.k AND r.rd <= p.d
+               AND r.rd >= p.d - INTERVAL '10 01' DAY TO HOUR
+        ) WHERE rn = 1""")
+    assert(asofCount(tzDep) == 0, "sub-day interval DATE band must decline")
+  }
+
   test("declines: extra plain bound, partial partition key, ASC order, non-graft side") {
     // a SECOND plain ts-like bound (not a tolerance shape) stays in the
     // ON — stock plan (window survives)

@@ -74,12 +74,22 @@ class SqlProbeRandomSpec extends SparkSuite
         ("FULL JOIN", "f.pk, f.fv, d.dv"))(rnd.nextInt(6))
       val sql = s"SELECT $sel FROM spr_facts$seed f $jt sprc$seed.$id d ON f.pk = d.k"
 
+      // half the rounds run the conf-gated EAGER path too: probe-derived
+      // file prune + typed answers + bloom — the differential then fuzzes
+      // its soundness across join types, nulls, dups, out-of-range probes
+      val eager = rnd.nextBoolean()
       val (got, zipped) = withThreshold("-1") {
-        val q = spark.sql(sql)
-        (q.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq,
-          zipCount(q))
+        if (eager) spark.conf.set("spark.graft.probe.sqlEagerBounds", "true")
+        try {
+          val q = spark.sql(sql)
+          (q.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq,
+            zipCount(q))
+        } finally spark.conf.set("spark.graft.probe.sqlEagerBounds", "false")
       }
-      assert(zipped == 1, s"round $round $jt: probe rewrite must fire under -1 threshold")
+      if (eager) assert(zipped <= 1, // a fully-out-of-range probe set short-circuits
+        s"round $round $jt: eager rewrite planned $zipped zips")
+      else assert(zipped == 1,
+        s"round $round $jt: probe rewrite must fire under -1 threshold")
       val (want, stockZipped) = {
         val q = spark.sql(sql)
         (q.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq,
