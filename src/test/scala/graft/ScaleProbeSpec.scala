@@ -563,12 +563,15 @@ class ScaleProbeSpec extends SparkSuite {
       "SELECT f.k, f.tag, r.rv FROM sqlp5_facts f JOIN sqlp5c.sqlp5 r ON f.k = r.k")
     val cntE = qe.count()
     val eagerSec = (System.nanoTime() - tE) / 1e9
+    // materialize qe's own plan BEFORE restoring the conf — count() builds
+    // a separate plan tree, so qe.queryExecution is still unoptimized here
+    val nEagerFiles = qe.inputFiles.length
+    val eagerPlan = qe.queryExecution.executedPlan.toString
     spark.conf.set("spark.graft.probe.sqlEagerBounds", "false")
     assert(cntE == 200000L)
-    val nEagerFiles = qe.inputFiles.length
     assert(nEagerFiles * 4 <= nAllFiles,
       s"eager bounds must prune the legs: read $nEagerFiles of $nAllFiles files")
-    assert(qe.queryExecution.executedPlan.toString.contains("might_contain"),
+    assert(eagerPlan.contains("might_contain"),
       "200k probes must bloom-prefilter the leg scans")
     info(f"EAGER SQL probe join: $cntE rows in $eagerSec%.1f s, " +
       f"$nEagerFiles of $nAllFiles files read")
