@@ -163,6 +163,26 @@ class SqlEagerBoundsSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("graft on the LEFT: inner and semi prune by the right-side probe bounds") {
+    (200L to 260L).map(k => (k, s"g$k")).toDF("k", "fv")
+      .createOrReplaceTempView("egb_left_narrow")
+    withEager {
+      val inner = spark.sql(
+        "SELECT d.k, d.dv, f.fv FROM egb.dim d JOIN egb_left_narrow f ON d.k = f.k")
+      assert(zipCount(inner) == 1)
+      assert(inner.inputFiles.length <= 3,
+        s"graft-left inner must prune, read ${inner.inputFiles.length} of $nFilesAll")
+      assert(sorted(inner) == (200L to 260L).map(k =>
+        Seq(s"$k", s"d$k", s"g$k")).sortBy(_.mkString("|")))
+
+      val semi = spark.sql(
+        "SELECT d.k, d.dv FROM egb.dim d LEFT SEMI JOIN egb_left_narrow f ON d.k = f.k")
+      assert(semi.inputFiles.length <= 3,
+        s"graft-left semi must prune, read ${semi.inputFiles.length} of $nFilesAll")
+      assert(semi.count() == 61)
+    }
+  }
+
   test("graft-preserving types never prune (unmatched snapshot rows survive)") {
     val nAll = nFilesAll
     Seq((5L, "a"), (7L, "b")).toDF("k", "fv").createOrReplaceTempView("egb_two")
