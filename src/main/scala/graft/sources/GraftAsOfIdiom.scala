@@ -344,17 +344,17 @@ object GraftAsOfIdiom extends Rule[LogicalPlan] {
       val (bLo, bHi) = rg.pushedKeyBounds
       val sLo = bLo.filter(_.nonEmpty).map(_.head)
       val sHi = bHi.filter(_.nonEmpty).map(_.head)
-      // EAGER probe bounds (conf-gated, `spark.graft.probe.sqlEagerBounds`)
-      // — ALWAYS type-sound here: the snapshot is the right side of an
+      // EAGER probe bounds (conf-gated, `spark.graft.probe.sqlEagerBounds`,
+      // shared gate+job in [[GraftCoRangeJoin.eagerProbeBounds]]) — ALWAYS
+      // type-sound here: the snapshot is the right side of an
       // inner/left_outer as-of, never preserved, so pruning its files /
       // bloom-filtering its leg scans by the probe set drops only rows
-      // that could never be a floor candidate. Determinism of the probe
-      // subtree still required (it runs up to three times).
-      val eager = GraftCoRangeJoin.eagerBoundsConf() && rIx.zipLayoutOk &&
-        GraftCoRangeJoin.deterministicTree(j.left)
+      // that could never be a floor candidate. Rerun-stability and probe
+      // size are gated in the helper (the job runs up to three times).
+      val eagerPb = GraftCoRangeJoin.eagerProbeBounds(rIx, j.left, lEqui.head)
+      val eager = eagerPb.isDefined
       val (pLo, pHi, nProbes): (Option[Any], Option[Any], Long) =
-        if (eager) rIx.probeBoundsPlan(j.left, lEqui.head)
-        else (None, None, -1L)
+        eagerPb.getOrElse((None, None, -1L))
       /** Zero possible matches: inner → empty; left_outer → every probe
         * row with the right side null-extended (the empty-probe case is
         * empty for both — the left side IS the probe side).
@@ -365,16 +365,9 @@ object GraftAsOfIdiom extends Rule[LogicalPlan] {
             Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId)), left)
         else org.apache.spark.sql.catalyst.plans.logical.LocalRelation(j.output))
       if (nProbes == 0L) return Some(noMatch(j.left))
-      def tighter(a: Option[Any], b: Option[Any], takeMax: Boolean): Option[Any] =
-        (a, b) match {
-          case (Some(x), Some(y)) =>
-            val c = graft.core.KeyOrd.compare(Seq(x), Seq(y))
-            Some(if ((c >= 0) == takeMax) x else y)
-          case _ => a.orElse(b)
-        }
       rIx.probeLegPlans(m, GraftCoRangeJoin.rowsPerLegConf(),
-          tighter(sLo, pLo, takeMax = true),
-          tighter(sHi, pHi, takeMax = false)) match {
+          GraftCoRangeJoin.tighterBound(sLo, pLo, takeMax = true),
+          GraftCoRangeJoin.tighterBound(sHi, pHi, takeMax = false)) match {
         case graft.core.ProbeLegs.Legs(bounds, legPlan0) =>
           val legPlan =
             if (eager) rIx.bloomFilteredLegsPlan(j.left, lEqui, nProbes, legPlan0)

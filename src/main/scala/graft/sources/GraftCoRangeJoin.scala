@@ -126,21 +126,82 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     * facts-vs-snapshot sessions where probe sides are cheap scans and the
     * snapshot is big enough that leg pruning pays for the extra pass.
     */
-  private[sources] def eagerBoundsConf(): Boolean =
-    org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.probe.sqlEagerBounds", "false").toBoolean
+  private[sources] def eagerBoundsConf(): Boolean = {
+    val raw = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.probe.sqlEagerBounds", "false")
+    raw.trim.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.probe.sqlEagerBounds must be true or false, got '$other'")
+    }
+  }
+
+  /** `spark.graft.probe.eagerMaxBytes` (default 256 MB): ceiling on the
+    * probe side's ESTIMATED size for the eager job. Re-executing a cheap
+    * fact slice up to three times is the point of the conf; re-executing
+    * a snapshot-sized side is the cost explosion it promises to avoid —
+    * notably the both-graft dispatch fallback, where a non-prefix-aligned
+    * snapshot pair lands in the probe rewrite with a whole SNAPSHOT as
+    * the probe side (its DSV2 stats default to "huge", so it declines
+    * here without a special case).
+    */
+  private[sources] def eagerMaxBytesConf(): Long = {
+    val raw = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.probe.eagerMaxBytes", (256L << 20).toString)
+    try raw.trim.toLong
+    catch { case _: NumberFormatException => throw new IllegalArgumentException(
+      s"spark.graft.probe.eagerMaxBytes must be a byte count, got '$raw'") }
+  }
 
   /** The eager bounds job executes the probe subtree twice (bounds, then
-    * the routed run; three times with the bloom sketch) — every expression
-    * in it must be deterministic or the passes could see different rows
-    * and stale bounds could prune a live match's file. Subquery
-    * expressions decline too (their cost should never be silently
-    * multiplied by an optimizer rule).
+    * the routed run; three times with the bloom sketch) — all passes must
+    * see the SAME rows. Declines when:
+    *  - any expression is nondeterministic, or a subquery expression is
+    *    present (its cost should never be silently multiplied);
+    *  - the plan contains a rerun-UNSTABLE operator — LIMIT / OFFSET /
+    *    TABLESAMPLE / TAIL pick rows dependent on partition arrival
+    *    order, so two executions can return different row sets even
+    *    with every expression deterministic (stale bounds would then
+    *    prune files holding live matches).
     */
-  private[sources] def deterministicTree(p: LogicalPlan): Boolean =
-    p.find(q => q.expressions.exists(e =>
-      !e.deterministic || e.exists(_.isInstanceOf[
-        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))).isEmpty
+  private[sources] def eagerSafePlan(p: LogicalPlan): Boolean =
+    p.find {
+      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Offset => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Tail => true
+      case q => q.expressions.exists(e =>
+        !e.deterministic || e.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    }.isEmpty
+
+  /** The shared eager-bounds gate + job for the SQL probe rewrites:
+    * Some(bounds + probe count) when the conf is on, the snapshot layout
+    * can zip, the probe subtree is rerun-stable, and its estimated size
+    * sits under the ceiling; None = run the unpruned rewrite. The CALLER
+    * owns join-type soundness (only graft-non-preserving types may use
+    * the result to prune). The layout pre-check keeps a fixed-point
+    * optimizer pass from paying the job on a plan that then declines.
+    */
+  private[sources] def eagerProbeBounds(ix: KVIndex, probe: LogicalPlan,
+      leadingKey: Attribute): Option[(Option[Any], Option[Any], Long)] =
+    if (!eagerBoundsConf() || !ix.zipLayoutOk || !eagerSafePlan(probe) ||
+        probe.stats.sizeInBytes > BigInt(eagerMaxBytesConf())) None
+    else Some(ix.probeBoundsPlan(probe, leadingKey))
+
+  /** Intersect two optional single-component key bounds (takeMax = lower
+    * bounds, !takeMax = upper bounds) under the engine's literal ordering.
+    */
+  private[sources] def tighterBound(a: Option[Any], b: Option[Any],
+                                    takeMax: Boolean): Option[Any] =
+    (a, b) match {
+      case (Some(x), Some(y)) =>
+        val c = graft.core.KeyOrd.compare(Seq(x), Seq(y))
+        Some(if ((c >= 0) == takeMax) x else y)
+      case _ => a.orElse(b)
+    }
 
   /** per-leg row target from session conf (e.g. for wider tasks on a
     * scan-heavy join); ≤ 0 = the index's maxRowsPerFile convention
@@ -311,37 +372,29 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     val sLo = bLo.filter(_.nonEmpty).map(_.head)
     val sHi = bHi.filter(_.nonEmpty).map(_.head)
 
-    // EAGER probe bounds (conf-gated): buy the API path's probe-derived
-    // file prune + typed empty answers + ≥256-probe bloom prefilter for
-    // SQL text. Sound ONLY when the join type never emits an UNMATCHED
-    // snapshot row (pruning/bloom drop snapshot rows outside the probe
-    // set) and the probe subtree is deterministic (it runs up to three
-    // times). The layout pre-check keeps a fixed-point optimizer pass
-    // from paying the job on a plan that then declines to stock.
+    // EAGER probe bounds (conf-gated, [[eagerProbeBounds]]): buy the API
+    // path's probe-derived file prune + typed empty answers + ≥256-probe
+    // bloom prefilter for SQL text. Sound ONLY when the join type never
+    // emits an UNMATCHED snapshot row (pruning/bloom drop snapshot rows
+    // outside the probe set) — the rerun-stability and size gates live in
+    // the shared helper.
     val graftNeedsUnmatched = jt match {
       case FullOuter => true
       case LeftOuter | LeftAnti => graftOnLeft
       case RightOuter => !graftOnLeft
       case _ => false // Inner, LeftSemi: unmatched snapshot rows never emit
     }
-    val eager = !graftNeedsUnmatched && eagerBoundsConf() &&
-      ix.zipLayoutOk && deterministicTree(probe)
+    val eagerPb =
+      if (graftNeedsUnmatched) None
+      else eagerProbeBounds(ix, probe, probeKeys.head)
+    val eager = eagerPb.isDefined
     val (pLo, pHi, nProbes): (Option[Any], Option[Any], Long) =
-      if (eager) ix.probeBoundsPlan(probe, probeKeys.head)
-      else (None, None, -1L)
+      eagerPb.getOrElse((None, None, -1L))
     // empty probe set: the result is empty for every graft-non-preserving
     // type (probe-preserving sides are empty too)
     if (nProbes == 0L) return Some(LocalRelation(j.output))
-    import graft.core.KeyOrd
-    def tighter(a: Option[Any], b: Option[Any], takeMax: Boolean): Option[Any] =
-      (a, b) match {
-        case (Some(x), Some(y)) =>
-          val c = KeyOrd.compare(Seq(x), Seq(y))
-          Some(if ((c >= 0) == takeMax) x else y)
-        case _ => a.orElse(b)
-      }
-    val legLo = tighter(sLo, pLo, takeMax = true)
-    val legHi = tighter(sHi, pHi, takeMax = false)
+    val legLo = tighterBound(sLo, pLo, takeMax = true)
+    val legHi = tighterBound(sHi, pHi, takeMax = false)
 
     /** All files pruned under the probe bounds: no snapshot row can match
       * any probe, so answer without touching the snapshot — empty for

@@ -558,16 +558,17 @@ class ScaleProbeSpec extends SparkSuite {
     // economics from SQL text, at the price of one bounds job
     val nAllFiles = q.inputFiles.length
     spark.conf.set("spark.graft.probe.sqlEagerBounds", "true")
-    val tE = System.nanoTime()
-    val qe = spark.sql(
-      "SELECT f.k, f.tag, r.rv FROM sqlp5_facts f JOIN sqlp5c.sqlp5 r ON f.k = r.k")
-    val cntE = qe.count()
-    val eagerSec = (System.nanoTime() - tE) / 1e9
-    // materialize qe's own plan BEFORE restoring the conf — count() builds
-    // a separate plan tree, so qe.queryExecution is still unoptimized here
-    val nEagerFiles = qe.inputFiles.length
-    val eagerPlan = qe.queryExecution.executedPlan.toString
-    spark.conf.set("spark.graft.probe.sqlEagerBounds", "false")
+    val (cntE, eagerSec, nEagerFiles, eagerPlan) = try {
+      val tE = System.nanoTime()
+      val qe = spark.sql(
+        "SELECT f.k, f.tag, r.rv FROM sqlp5_facts f JOIN sqlp5c.sqlp5 r ON f.k = r.k")
+      val c = qe.count()
+      val sec = (System.nanoTime() - tE) / 1e9
+      // materialize qe's own plan BEFORE restoring the conf — count()
+      // builds a separate plan tree, so qe.queryExecution is still
+      // unoptimized here
+      (c, sec, qe.inputFiles.length, qe.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.graft.probe.sqlEagerBounds", "false")
     assert(cntE == 200000L)
     assert(nEagerFiles * 4 <= nAllFiles,
       s"eager bounds must prune the legs: read $nEagerFiles of $nAllFiles files")

@@ -90,8 +90,6 @@ class SqlEagerBoundsSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     (1L to 2000L).map(k => (k, s"f$k")).toDF("k", "fv")
       .createOrReplaceTempView("egb_wide")
     withEager {
-      // probe bounds [1,2000] are wide; the WHERE narrows to [2900,...) —
-      // the intersection keeps the WHERE's prune
       // probes end at 2000, the WHERE starts at 2900: the intersection is
       // empty, so the rewrite answers with zero files and zero rows
       val q = spark.sql(
@@ -223,6 +221,23 @@ class SqlEagerBoundsSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       assert(q.inputFiles.length == nAll,
         "a nondeterministic probe side must not run the bounds job")
       assert(q.count() == 20)
+    }
+  }
+
+  test("rerun-unstable probe plans (LIMIT) decline the eager pass") {
+    val nAll = nFilesAll
+    withEager {
+      // an unordered LIMIT picks rows by partition arrival order — two
+      // executions can return DIFFERENT key sets, so stale bounds could
+      // prune files holding the routed pass's matches; must decline
+      val q = spark.sql(
+        """SELECT f.k, d.dv FROM
+             (SELECT id AS k FROM range(100, 1000) LIMIT 50) f
+           JOIN egb.dim d ON f.k = d.k""")
+      assert(zipCount(q) == 1, s"must still zip:\n${q.queryExecution.executedPlan}")
+      assert(q.inputFiles.length == nAll,
+        "a LIMIT probe side must not run the bounds job")
+      assert(q.count() == 50)
     }
   }
 

@@ -78,16 +78,24 @@ class SqlProbeRandomSpec extends SparkSuite
       // file prune + typed answers + bloom — the differential then fuzzes
       // its soundness across join types, nulls, dups, out-of-range probes
       val eager = rnd.nextBoolean()
-      val (got, zipped) = withThreshold("-1") {
+      val (got, zipped, stockJoins) = withThreshold("-1") {
         if (eager) spark.conf.set("spark.graft.probe.sqlEagerBounds", "true")
         try {
           val q = spark.sql(sql)
+          val sj = collect(q.queryExecution.executedPlan) {
+            case b: org.apache.spark.sql.execution.joins.BaseJoinExec => b
+          }.size
           (q.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq,
-            zipCount(q))
+            zipCount(q), sj)
         } finally spark.conf.set("spark.graft.probe.sqlEagerBounds", "false")
       }
-      if (eager) assert(zipped <= 1, // a fully-out-of-range probe set short-circuits
-        s"round $round $jt: eager rewrite planned $zipped zips")
+      if (eager)
+        // zipped == 0 is legitimate ONLY for the typed short-circuits
+        // (empty / fully-out-of-range probe sets), which plan NO join at
+        // all — a silent decline to a stock join must fail, or the
+        // differential would compare stock against stock
+        assert(zipped == 1 || (zipped == 0 && stockJoins == 0),
+          s"round $round $jt: eager planned $zipped zips, $stockJoins stock joins")
       else assert(zipped == 1,
         s"round $round $jt: probe rewrite must fire under -1 threshold")
       val (want, stockZipped) = {
