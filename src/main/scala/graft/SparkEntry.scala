@@ -3313,6 +3313,27 @@ object SparkEntry {
         } finally s.conf.set("spark.graft.probe.sqlEagerBounds", "false")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
     }),
+    // COMPOSITE-PREFIX count-range (r17, GraftCountRange): `WHERE k1 = a
+    // AND k2 BETWEEN x AND y` — the temporal-KV stats shape — answers
+    // count/min/max from manifest prefix-tuple coverage, scanning at most
+    // the two boundary files the interval cuts through (pinned here).
+    "kv_sql_count_prefix" -> ((s, d) => {
+      val liIx = liLinesFineStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_scp", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_scp.root", liIx.store.root)
+      graft.sources.GraftScan.lastPlannedFiles = -1
+      val q = s.sql("""
+        SELECT count(*) AS n, min(l_linenumber) AS mn, max(l_linenumber) AS mx,
+               min(l_orderkey) AS okmn
+        FROM graft_scp.lilines
+        WHERE l_orderkey = 34 AND l_linenumber >= 2 AND l_linenumber <= 5""")
+      q.queryExecution.executedPlan
+      val planned = graft.sources.GraftScan.lastPlannedFiles
+      require(planned >= 0 && planned <= 2,
+        s"kv_sql_count_prefix: expected a manifest-served prefix count with " +
+          s"at most 2 boundary files, planned $planned")
+      q
+    }),
     // The as-of SQL idiom over DATE-keyed snapshots WITH a day-grain
     // tolerance band: `r.rd >= date_sub(p.pd, 30)` is pure day arithmetic
     // (DateType carries no zone), mapping to the merge's native-unit
@@ -4923,6 +4944,11 @@ object SparkEntry {
         "SELECT p.k, p.o_custkey, li.l_linenumber, CAST(li.qty AS BIGINT) AS qty " +
         "FROM p LEFT JOIN li ON li.l_orderkey = p.k " +
         "ORDER BY p.k, li.l_linenumber NULLS FIRST"),
+      "kv_sql_count_prefix" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2) " +
+        "SELECT count(*) AS n, min(l_linenumber) AS mn, max(l_linenumber) AS mx, " +
+        "min(l_orderkey) AS okmn FROM li " +
+        "WHERE l_orderkey = 34 AND l_linenumber >= 2 AND l_linenumber <= 5"),
       "kv_sql_asof_date" -> ("WITH rd AS MATERIALIZED (SELECT o_custkey, " +
         "CAST(o_orderdate AS DATE) AS rd, count(*) AS n_ord, " +
         "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +

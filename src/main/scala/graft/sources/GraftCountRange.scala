@@ -50,9 +50,26 @@ import graft.core.{KeyOrd, KVIndex}
   *
   * Eligibility: group-less count-star/count-literal aggregates only (no DISTINCT, no
   * FILTER clause), over zero or more attribute-only Projects and ONE
-  * Filter whose conjuncts are all =, <, <=, >, >=, IsNotNull on the
-  * snapshot's leading key column against foldable literals, over a plain
-  * graft scan. Anything else keeps the stock plan.
+  * Filter whose conjuncts are all =, <, <=, >, >=, IsNotNull against
+  * foldable literals over a CONTIGUOUS LEADING PREFIX of the snapshot's
+  * key columns — every prefix column but the last pinned to a point
+  * (equality), the last free to carry range bounds — over a plain graft
+  * scan. Anything else keeps the stock plan.
+  *
+  * COMPOSITE prefixes (r17): `WHERE k1 = a AND k2 BETWEEN x AND y` — the
+  * temporal-KV stats shape (`user_id = ? AND ts in range`) — compares
+  * file bounds as PREFIX TUPLES: the predicate region is the order
+  * interval [(a,x), (a,y)] of the key ordering, so a file whose full
+  * (min, max) keys sit inside it (truncated-tuple compare, inclusivity
+  * honored at the cut) holds ONLY matching rows and is counted from the
+  * manifest. `min`/`max` are served for ANY constrained position: pinned
+  * positions carry their point value, and the last (ranged) position's
+  * component of the covered tuple-min/max IS the column min/max there,
+  * because every earlier position is single-valued across the interval.
+  * A file whose truncated min/max carries a null at a constrained
+  * position is demoted to a boundary scan (null-keyed rows never satisfy
+  * the null-rejecting predicate, and null sorts first — so a non-null
+  * truncated min proves the whole file non-null at those positions).
   */
 object GraftCountRange extends Rule[LogicalPlan] {
 
@@ -62,20 +79,22 @@ object GraftCountRange extends Rule[LogicalPlan] {
   }
 
   /** The aggregate shapes served from the manifest: count-star (count
-    * over a literal), and min/max of the given attribute.
+    * over a literal), and min/max of a constrained key position.
     */
   private sealed trait Served
   private case object CountStar extends Served
-  private case object MinKey extends Served
-  private case object MaxKey extends Served
+  private final case class MinKey(pos: Int) extends Served
+  private final case class MaxKey(pos: Int) extends Served
 
-  private def served(e: NamedExpression, key: Attribute): Option[Served] = e match {
+  private def served(e: NamedExpression,
+                     posOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int])
+      : Option[Served] = e match {
     case Alias(AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _), _) =>
       Some(CountStar)
-    case Alias(AggregateExpression(Min(a: AttributeReference), Complete, false, None, _), _)
-        if a.exprId == key.exprId => Some(MinKey)
-    case Alias(AggregateExpression(Max(a: AttributeReference), Complete, false, None, _), _)
-        if a.exprId == key.exprId => Some(MaxKey)
+    case Alias(AggregateExpression(Min(a: AttributeReference), Complete, false, None, _), _) =>
+      posOf.get(a.exprId).map(MinKey)
+    case Alias(AggregateExpression(Max(a: AttributeReference), Complete, false, None, _), _) =>
+      posOf.get(a.exprId).map(MaxKey)
     case _ => None
   }
 
@@ -101,97 +120,140 @@ object GraftCountRange extends Rule[LogicalPlan] {
       }
       case _ => return None
     }
-    val keyCol = g.manifestRef.keyCols.head
-    val keyAttr = rel.output.find(_.name == keyCol).getOrElse(return None)
-    val shapes = aggExprs.map(e => served(e, keyAttr).getOrElse(return None))
+    val keyCols = g.manifestRef.keyCols
 
-    // every conjunct must be a leading-key range shape; fold into
-    // (lo, hi) bounds with inclusivity, values in external form
+    // fold every conjunct into PER-COLUMN (lo, hi) bounds with
+    // inclusivity, values in external form; non-key / non-literal /
+    // null-literal conjuncts decline
     def ext(l: Literal): Any =
       KeyOrd.normLiteral(CatalystTypeConverters.convertToScala(l.value, l.dataType))
-    var lo: Option[Bound] = None
-    var hi: Option[Bound] = None
-    def tightenLo(v: Any, inc: Boolean): Unit = lo match {
-      case None => lo = Some((v, inc))
-      case Some((v0, inc0)) =>
+    // column pruning may have dropped UNCONSTRAINED key columns from the
+    // scan output — only positions the predicate (or a served aggregate)
+    // references are guaranteed present, and only those are looked up
+    val keyAttrOpts: Seq[Option[Attribute]] =
+      keyCols.map(c => rel.output.find(_.name == c))
+    def keyAttrAt(p: Int): Attribute = keyAttrOpts(p).get // constrained => present
+    val posOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int] =
+      keyAttrOpts.zipWithIndex.collect { case (Some(a), i) => a.exprId -> i }.toMap
+    val lo = Array.fill[Option[Bound]](keyCols.size)(None)
+    val hi = Array.fill[Option[Bound]](keyCols.size)(None)
+    val notNull = Array.fill(keyCols.size)(false)
+    def tightenLo(p: Int, v: Any, inc: Boolean): Unit = lo(p) match {
+      case None => lo(p) = Some((v, inc))
+      case Some((v0, _)) =>
         val c = KeyOrd.compare(Seq(v), Seq(v0))
-        if (c > 0) lo = Some((v, inc))
-        else if (c == 0 && !inc) lo = Some((v, false))
+        if (c > 0) lo(p) = Some((v, inc))
+        else if (c == 0 && !inc) lo(p) = Some((v, false))
     }
-    def tightenHi(v: Any, inc: Boolean): Unit = hi match {
-      case None => hi = Some((v, inc))
-      case Some((v0, inc0)) =>
+    def tightenHi(p: Int, v: Any, inc: Boolean): Unit = hi(p) match {
+      case None => hi(p) = Some((v, inc))
+      case Some((v0, _)) =>
         val c = KeyOrd.compare(Seq(v), Seq(v0))
-        if (c < 0) hi = Some((v, inc))
-        else if (c == 0 && !inc) hi = Some((v, false))
+        if (c < 0) hi(p) = Some((v, inc))
+        else if (c == 0 && !inc) hi(p) = Some((v, false))
     }
-    def isKey(a: Expression): Boolean = a match {
-      case ar: AttributeReference => ar.exprId == keyAttr.exprId
-      case _ => false
+    def posKey(a: Expression): Option[Int] = a match {
+      case ar: AttributeReference => posOf.get(ar.exprId)
+      case _ => None
     }
     GraftCoRangeJoin.conjuncts(cond).foreach {
-      case EqualTo(a, l: Literal) if isKey(a) && l.value != null =>
-        tightenLo(ext(l), inc = true); tightenHi(ext(l), inc = true)
-      case EqualTo(l: Literal, a) if isKey(a) && l.value != null =>
-        tightenLo(ext(l), inc = true); tightenHi(ext(l), inc = true)
-      case GreaterThanOrEqual(a, l: Literal) if isKey(a) && l.value != null =>
-        tightenLo(ext(l), inc = true)
-      case LessThanOrEqual(l: Literal, a) if isKey(a) && l.value != null =>
-        tightenLo(ext(l), inc = true)
-      case GreaterThan(a, l: Literal) if isKey(a) && l.value != null =>
-        tightenLo(ext(l), inc = false)
-      case LessThan(l: Literal, a) if isKey(a) && l.value != null =>
-        tightenLo(ext(l), inc = false)
-      case LessThanOrEqual(a, l: Literal) if isKey(a) && l.value != null =>
-        tightenHi(ext(l), inc = true)
-      case GreaterThanOrEqual(l: Literal, a) if isKey(a) && l.value != null =>
-        tightenHi(ext(l), inc = true)
-      case LessThan(a, l: Literal) if isKey(a) && l.value != null =>
-        tightenHi(ext(l), inc = false)
-      case GreaterThan(l: Literal, a) if isKey(a) && l.value != null =>
-        tightenHi(ext(l), inc = false)
-      case IsNotNull(a) if isKey(a) => () // implied by any range bound
+      case EqualTo(a, l: Literal) if posKey(a).isDefined && l.value != null =>
+        val p = posKey(a).get; tightenLo(p, ext(l), inc = true); tightenHi(p, ext(l), inc = true)
+      case EqualTo(l: Literal, a) if posKey(a).isDefined && l.value != null =>
+        val p = posKey(a).get; tightenLo(p, ext(l), inc = true); tightenHi(p, ext(l), inc = true)
+      case GreaterThanOrEqual(a, l: Literal) if posKey(a).isDefined && l.value != null =>
+        tightenLo(posKey(a).get, ext(l), inc = true)
+      case LessThanOrEqual(l: Literal, a) if posKey(a).isDefined && l.value != null =>
+        tightenLo(posKey(a).get, ext(l), inc = true)
+      case GreaterThan(a, l: Literal) if posKey(a).isDefined && l.value != null =>
+        tightenLo(posKey(a).get, ext(l), inc = false)
+      case LessThan(l: Literal, a) if posKey(a).isDefined && l.value != null =>
+        tightenLo(posKey(a).get, ext(l), inc = false)
+      case LessThanOrEqual(a, l: Literal) if posKey(a).isDefined && l.value != null =>
+        tightenHi(posKey(a).get, ext(l), inc = true)
+      case GreaterThanOrEqual(l: Literal, a) if posKey(a).isDefined && l.value != null =>
+        tightenHi(posKey(a).get, ext(l), inc = true)
+      case LessThan(a, l: Literal) if posKey(a).isDefined && l.value != null =>
+        tightenHi(posKey(a).get, ext(l), inc = false)
+      case GreaterThan(l: Literal, a) if posKey(a).isDefined && l.value != null =>
+        tightenHi(posKey(a).get, ext(l), inc = false)
+      case IsNotNull(a) if posKey(a).isDefined => notNull(posKey(a).get) = true
       case _ => return None
     }
 
+    // constrained columns (a bound, or a bare IS NOT NULL — the covered
+    // guard's non-null proof makes it exact) must form a CONTIGUOUS
+    // LEADING PREFIX, with every column but the last pinned to a single
+    // point (lo == hi, both inclusive) — the predicate region is then one
+    // order interval of the key ordering
+    def constrained(p: Int): Boolean = lo(p).isDefined || hi(p).isDefined || notNull(p)
+    val m = (0 until keyCols.size).takeWhile(constrained).size
+    if (m == 0) return None
+    if ((m until keyCols.size).exists(constrained)) return None
+    val points: Seq[Any] = (0 until m - 1).map { p =>
+      (lo(p), hi(p)) match {
+        case (Some((lv, true)), Some((hv, true))) if KeyOrd.compare(Seq(lv), Seq(hv)) == 0 => lv
+        case _ => return None // a genuine range on a non-last position
+      }
+    }
+    // tuple bounds: points ++ the last column's own bound (absent bound =
+    // the points alone, inclusive — every longer key sorts above/below)
+    val loT: Option[(Seq[Any], Boolean)] = lo(m - 1) match {
+      case Some((v, inc)) => Some((points :+ v, inc))
+      case None => if (m == 1) None else Some((points, true))
+    }
+    val hiT: Option[(Seq[Any], Boolean)] = hi(m - 1) match {
+      case Some((v, inc)) => Some((points :+ v, inc))
+      case None => if (m == 1) None else Some((points, true))
+    }
+    val shapes = aggExprs.map(e =>
+      served(e, posOf.filter(_._2 < m)).getOrElse(return None))
+
     val ix = new KVIndex(g.storeRef, g.manifestRef)
     val files = ix.manifestFiles
-    def headIn(h: Any, b: Option[Bound], isLo: Boolean): Boolean =
-      h != null && b.forall { case (v, inc) =>
-        val c = KeyOrd.compare(Seq(h), Seq(v))
-        if (isLo) c > 0 || (inc && c == 0) else c < 0 || (inc && c == 0)
-      }
-    // a file can hold a match only if some head in [min.head, max.head]
-    // satisfies the bounds; conservative (nulls sort first, so a null max
-    // means an all-null file — provably matchless, the predicate is
-    // null-rejecting)
-    val overlap = files.filter { f =>
-      f.max.head != null &&
-        lo.forall { case (v, inc) =>
-          val c = KeyOrd.compare(Seq(f.max.head), Seq(v)); c > 0 || (inc && c == 0) } &&
-        hi.forall { case (v, inc) =>
-          val c = KeyOrd.compare(Seq(f.min.head), Seq(v)); c < 0 || (inc && c == 0) ||
-            f.min.head == null }
-    }
+    // order-interval membership at TRUNCATED-TUPLE grain: a full key k is
+    // inside iff its first |bound| components clear each bound (ties at
+    // the cut honor inclusivity — a longer key prefix-equal to the bound
+    // shares the bound's last column value, so strict bounds exclude it)
+    def aboveLo(k: Seq[Any]): Boolean = loT.forall { case (vs, inc) =>
+      val c = KeyOrd.compare(k.take(vs.length), vs); c > 0 || (inc && c == 0) }
+    def belowHi(k: Seq[Any]): Boolean = hiT.forall { case (vs, inc) =>
+      val c = KeyOrd.compare(k.take(vs.length), vs); c < 0 || (inc && c == 0) }
+    // predicate rows always lie INSIDE the interval, so a file whose
+    // bounds miss it holds no match (null-keyed rows sort below every
+    // non-null bound literal and prune with it)
+    val overlap = files.filter(f => aboveLo(f.max) && belowHi(f.min))
+    // covered = the file's bounds sit inside the interval AND its
+    // truncated min/max carry no null at a constrained position (null
+    // sorts first: a non-null truncated min proves every row non-null
+    // there, so every row satisfies the null-rejecting predicate exactly)
     val (covered, boundary) = overlap.partition(f =>
-      headIn(f.min.head, lo, isLo = true) && headIn(f.max.head, hi, isLo = false))
+      aboveLo(f.min) && belowHi(f.max) &&
+        f.min.take(m).forall(_ != null) && f.max.take(m).forall(_ != null))
     val interior = covered.map(_.rows).sum
     GraftScan.lastPlannedFiles = boundary.size
 
     // The replacement aggregates over a UNION of two row sources shaped
-    // (k, cnt):
+    // (served key positions..., cnt):
     //  - the covered files collapse DRIVER-SIDE to at most TWO rows —
-    //    (min covered head, interior row sum) and (max covered head, 0):
-    //    min/max/sum are associative, heads are real in-range key values,
+    //    (components of the covered tuple-min, interior row sum) and
+    //    (components of the covered tuple-max, 0): min/max/sum are
+    //    associative, the components are real in-range column values
+    //    (pinned positions are single-valued; the last position's
+    //    component of the tuple extremes IS the column extreme there),
     //    so the partials are exact and the LocalRelation stays O(1) no
     //    matter how many million files the range spans;
     //  - the boundary files (≤2 on a disjoint layout) scanned with the
-    //    ORIGINAL predicate, each row as (k, 1).
-    // count(*) = coalesce(sum(cnt), 0); min/max(k) = min/max(k).
-    val keyType = keyAttr.dataType
-    val kOut = AttributeReference("graft_k", keyType, nullable = true)()
+    //    ORIGINAL predicate, each row as (cols..., 1).
+    // count(*) = coalesce(sum(cnt), 0); min/max(k_p) = min/max over col p.
+    val servedPos: Seq[Int] = shapes.collect {
+      case MinKey(p) => p
+      case MaxKey(p) => p
+    }.distinct.sorted
+    val outAttrs: Map[Int, AttributeReference] = servedPos.map(p =>
+      p -> AttributeReference(s"graft_k$p", keyAttrAt(p).dataType, nullable = true)()).toMap
     val cOut = AttributeReference("graft_cnt", LongType, nullable = false)()
-    def narrow(v: Any): Any = (v, keyType) match {
+    def narrow(v: Any, keyType: org.apache.spark.sql.types.DataType): Any = (v, keyType) match {
       // manifest JSON round-trips widen numerics (Int -> Long, Float ->
       // Double): narrow back before the catalyst conversion
       case (n: java.lang.Number, org.apache.spark.sql.types.IntegerType) => Int.box(n.intValue())
@@ -202,18 +264,21 @@ object GraftCountRange extends Rule[LogicalPlan] {
       case (n: java.lang.Number, org.apache.spark.sql.types.DoubleType) => Double.box(n.doubleValue())
       case _ => v
     }
-    val toInternal = CatalystTypeConverters.createToCatalystConverter(keyType)
+    val toInternal: Map[Int, Any => Any] = servedPos.map(p =>
+      p -> CatalystTypeConverters.createToCatalystConverter(keyAttrAt(p).dataType)).toMap
     val statRows: Seq[InternalRow] =
       if (covered.isEmpty) Nil
       else {
-        val minHead = covered.map(_.min.head)
-          .reduce((a, b) => if (KeyOrd.compare(Seq(a), Seq(b)) <= 0) a else b)
-        val maxHead = covered.map(_.max.head)
-          .reduce((a, b) => if (KeyOrd.compare(Seq(a), Seq(b)) >= 0) a else b)
-        Seq(InternalRow(toInternal(narrow(minHead)), interior),
-          InternalRow(toInternal(narrow(maxHead)), 0L))
+        val minTuple = covered.map(_.min)
+          .reduce((a, b) => if (KeyOrd.compare(a, b) <= 0) a else b)
+        val maxTuple = covered.map(_.max)
+          .reduce((a, b) => if (KeyOrd.compare(a, b) >= 0) a else b)
+        def row(t: Seq[Any], cnt: Long) = InternalRow.fromSeq(
+          servedPos.map(p =>
+            toInternal(p)(narrow(t(p), keyAttrAt(p).dataType))) :+ (cnt: Any))
+        Seq(row(minTuple, interior), row(maxTuple, 0L))
       }
-    val statsRel = LocalRelation(Seq(kOut, cOut), statRows)
+    val statsRel = LocalRelation(servedPos.map(outAttrs) :+ cOut, statRows)
     val branches: Seq[LogicalPlan] =
       if (boundary.isEmpty) Seq(statsRel)
       else {
@@ -222,9 +287,10 @@ object GraftCountRange extends Rule[LogicalPlan] {
         val bScan = g.storeRef.readFiles(boundary.map(_.path), g.manifestRef)
           .queryExecution.analyzed
         val bAliased = GraftCoRangeJoin.aliasTo(rel.output, bScan)
-        val bRows = Project(Seq(
-          Alias(keyAttr, kOut.name)(exprId = kOut.exprId),
-          Alias(Literal(1L), cOut.name)(exprId = cOut.exprId)),
+        val bRows = Project(
+          servedPos.map(p => Alias(keyAttrAt(p), outAttrs(p).name)(
+            exprId = outAttrs(p).exprId): NamedExpression) :+
+            Alias(Literal(1L), cOut.name)(exprId = cOut.exprId),
           Filter(cond, bAliased))
         Seq(statsRel, bRows)
       }
@@ -237,8 +303,8 @@ object GraftCountRange extends Rule[LogicalPlan] {
     val outExprs: Seq[NamedExpression] = aggExprs.zip(shapes).map { case (a, sh) =>
       val expr: Expression = sh match {
         case CountStar => Coalesce(Seq(ae(Sum(cOut)), Literal(0L)))
-        case MinKey => ae(Min(kOut))
-        case MaxKey => ae(Max(kOut))
+        case MinKey(p) => ae(Min(outAttrs(p)))
+        case MaxKey(p) => ae(Max(outAttrs(p)))
       }
       Alias(expr, a.name)(exprId = a.exprId)
     }

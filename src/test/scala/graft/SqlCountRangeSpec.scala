@@ -130,4 +130,86 @@ class SqlCountRangeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(df.head().getLong(0) == rows.count(r => r._1 >= 50 && r._1 < 200))
     assert(planned >= 0 && planned <= 2, s"composite head range must be boundary-bounded ($planned)")
   }
+
+  // composite PREFIX fixture: g = i/200 spans ~200 rows ≈ 3 files each,
+  // so an eq-pinned g with a wide k range has genuine INTERIOR files
+  private lazy val (pRows, pCat) = {
+    val st = new FsSnapshotStore(tmpDir("graft-cntprefix") + "/store", spark)
+    val rows = (1L to 900L).map(i => (i / 200, i, s"x$i"))
+    KVIndex.bootstrap(st, "crp", rows.toDF("g", "k", "v").repartition(1),
+      Seq("g", "k"), maxRowsPerFile = 64).toOption.get
+    spark.conf.set("spark.sql.catalog.cntrp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cntrp.root", st.root)
+    (rows, "cntrp")
+  }
+
+  test("composite PREFIX: eq-pinned head + ranged second column at manifest cost") {
+    for ((where, pred) <- Seq[(String, ((Long, Long, String)) => Boolean)](
+      ("g = 2 AND k >= 400 AND k < 600", r => r._1 == 2 && r._2 >= 400 && r._2 < 600),
+      ("g = 2 AND k > 450 AND k <= 500", r => r._1 == 2 && r._2 > 450 && r._2 <= 500),
+      ("g = 2 AND k <= 550", r => r._1 == 2 && r._2 <= 550),
+      ("g = 2 AND k >= 410", r => r._1 == 2 && r._2 >= 410),
+      ("g = 2 AND k = 457", r => r._1 == 2 && r._2 == 457),
+      ("g = 7 AND k >= 1", _ => false) // absent group
+    )) {
+      GraftScan.lastPlannedFiles = -1
+      val df = spark.sql(s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx, " +
+        s"min(g) AS gmn, max(g) AS gmx FROM $pCat.crp WHERE $where")
+      df.queryExecution.executedPlan
+      val planned = GraftScan.lastPlannedFiles
+      val want = pRows.filter(pred)
+      val r = df.head()
+      assert(r.getLong(0) == want.size, s"count for $where")
+      if (want.nonEmpty) {
+        assert(r.getLong(1) == want.map(_._2).min && r.getLong(2) == want.map(_._2).max,
+          s"min/max(k) for $where")
+        assert(r.getLong(3) == 2L && r.getLong(4) == 2L, s"min/max(g) for $where")
+      } else assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+      assert(planned >= 0 && planned <= 2,
+        s"$where must scan at most 2 boundary files, planned $planned")
+    }
+    // the wide pinned range really has interior files: whole-group count
+    // reads fewer files than the group covers
+    GraftScan.lastPlannedFiles = -1
+    val whole = spark.sql(s"SELECT count(*) AS c FROM $pCat.crp WHERE g = 2")
+    whole.queryExecution.executedPlan
+    assert(whole.head().getLong(0) == pRows.count(_._1 == 2))
+    assert(GraftScan.lastPlannedFiles <= 2,
+      s"~200-row group over 3+ files must count interiors from the manifest")
+  }
+
+  test("composite PREFIX: two pinned positions + a ranged third") {
+    val st = new FsSnapshotStore(tmpDir("graft-cntprefix3") + "/store", spark)
+    val rows = (0L until 900L).map(i => (i / 300, (i / 100) % 3, i, s"x$i"))
+    KVIndex.bootstrap(st, "crp3", rows.toDF("g1", "g2", "k", "v").repartition(1),
+      Seq("g1", "g2", "k"), maxRowsPerFile = 32).toOption.get
+    spark.conf.set("spark.sql.catalog.cntrp3", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cntrp3.root", st.root)
+    GraftScan.lastPlannedFiles = -1
+    val df = spark.sql(
+      "SELECT count(*) AS c, min(k) AS mn, max(k) AS mx FROM cntrp3.crp3 " +
+      "WHERE g1 = 1 AND g2 = 2 AND k >= 550 AND k < 590")
+    df.queryExecution.executedPlan
+    val planned = GraftScan.lastPlannedFiles
+    val want = rows.filter(r => r._1 == 1 && r._2 == 2 && r._3 >= 550 && r._3 < 590)
+    val r = df.head()
+    assert(r.getLong(0) == want.size && want.nonEmpty)
+    assert(r.getLong(1) == want.map(_._3).min && r.getLong(2) == want.map(_._3).max)
+    assert(planned >= 0 && planned <= 2, s"two-pin prefix planned $planned files")
+  }
+
+  test("composite PREFIX declines: middle-position range, gapped tail, contradictory pins") {
+    // a genuine range on a NON-last constrained position declines
+    GraftScan.lastPlannedFiles = -1
+    val mid = spark.sql(
+      s"SELECT count(*) AS c FROM $pCat.crp WHERE g >= 1 AND g < 3 AND k >= 300")
+    assert(mid.head().getLong(0) ==
+      pRows.count(r => r._1 >= 1 && r._1 < 3 && r._2 >= 300))
+    // a tail-only constraint (k without g) declines
+    val tail = spark.sql(s"SELECT count(*) AS c FROM $pCat.crp WHERE k >= 300 AND k < 500")
+    assert(tail.head().getLong(0) == pRows.count(r => r._2 >= 300 && r._2 < 500))
+    // contradictory pins decline (stock plan answers 0)
+    val contra = spark.sql(s"SELECT count(*) AS c FROM $pCat.crp WHERE g = 1 AND g = 2")
+    assert(contra.head().getLong(0) == 0L)
+  }
 }

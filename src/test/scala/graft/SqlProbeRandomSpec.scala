@@ -179,4 +179,45 @@ class SqlProbeRandomSpec extends SparkSuite
       assert(planned >= 0 && planned <= 2, s"planned $planned boundary files")
     }
   }
+
+  test("random composite-prefix count ranges vs a driver reference") {
+    val rnd = new scala.util.Random(83)
+    val st = store(tmpDir("graft-cntprand"))
+    // (g, k) keyed, ~70 rows per g over 64-row files: pinned-g ranges
+    // regularly have interior files AND boundary cuts
+    val rows = (1L to 3500L).filter(_ % 5 != 0).map(i => (i / 70, i))
+    KVIndex.bootstrap(st, "cpr", rows.toDF("g", "k").repartition(1),
+      Seq("g", "k"), maxRowsPerFile = 64).toOption.get
+    spark.conf.set("spark.sql.catalog.cprc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cprc.root", st.root)
+    for (_ <- 1 to 12) {
+      val gPin = rnd.nextInt(55).toLong
+      val a = rnd.nextInt(3800).toLong; val b = a + rnd.nextInt(300)
+      val (loOp, loPred) = if (rnd.nextBoolean()) (">=", (k: Long) => k >= a)
+        else (">", (k: Long) => k > a)
+      val (hiOp, hiPred) = if (rnd.nextBoolean()) ("<=", (k: Long) => k <= b)
+        else ("<", (k: Long) => k < b)
+      // drop one side sometimes: eq-pinned prefix with a half-open tail
+      val sides = rnd.nextInt(3)
+      val where = sides match {
+        case 0 => s"g = $gPin AND k $loOp $a AND k $hiOp $b"
+        case 1 => s"g = $gPin AND k $loOp $a"
+        case _ => s"g = $gPin AND k $hiOp $b"
+      }
+      val want = rows.filter { case (g, k) =>
+        g == gPin && (sides == 2 || loPred(k)) && (sides == 1 || hiPred(k)) }
+      graft.sources.GraftScan.lastPlannedFiles = -1
+      val df = spark.sql(s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx, " +
+        s"min(g) AS gm FROM cprc.cpr WHERE $where")
+      df.queryExecution.executedPlan
+      val planned = graft.sources.GraftScan.lastPlannedFiles
+      val r = df.head()
+      assert(r.getLong(0) == want.size, s"count WHERE $where")
+      if (want.nonEmpty)
+        assert(r.getLong(1) == want.map(_._2).min && r.getLong(2) == want.map(_._2).max &&
+          r.getLong(3) == gPin, s"min/max WHERE $where")
+      else assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+      assert(planned >= 0 && planned <= 2, s"WHERE $where planned $planned files")
+    }
+  }
 }
