@@ -3313,6 +3313,23 @@ object SparkEntry {
         } finally s.conf.set("spark.graft.probe.sqlEagerBounds", "false")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
     }),
+    // EXCHANGE-FREE prefix GROUP BY (r17, GraftPrefixCluster): grouping on
+    // the snapshot's leading key re-plans the scan as prefix-grain legs
+    // claiming RangePartitioning(prefix) — the aggregate runs complete per
+    // leg and the ORDER BY above needs no exchange either. Zero shuffles
+    // end to end, pinned in the plan.
+    "kv_sql_prefix_agg" -> ((s, d) => {
+      val liIx = liLinesFineStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_spa", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_spa.root", liIx.store.root)
+      val q = s.sql("""
+        SELECT l_orderkey, count(*) AS n, CAST(sum(qty) AS BIGINT) AS q
+        FROM graft_spa.lilines GROUP BY l_orderkey ORDER BY l_orderkey""")
+      val plan = q.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"kv_sql_prefix_agg: expected a zero-exchange prefix aggregate, got:\n$plan")
+      q
+    }),
     // COMPOSITE-PREFIX count-range (r17, GraftCountRange): `WHERE k1 = a
     // AND k2 BETWEEN x AND y` — the temporal-KV stats shape — answers
     // count/min/max from manifest prefix-tuple coverage, scanning at most
@@ -4944,6 +4961,10 @@ object SparkEntry {
         "SELECT p.k, p.o_custkey, li.l_linenumber, CAST(li.qty AS BIGINT) AS qty " +
         "FROM p LEFT JOIN li ON li.l_orderkey = p.k " +
         "ORDER BY p.k, li.l_linenumber NULLS FIRST"),
+      "kv_sql_prefix_agg" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l_orderkey, count(*) AS n, CAST(sum(qty) AS BIGINT) AS q " +
+        "FROM li GROUP BY l_orderkey ORDER BY l_orderkey"),
       "kv_sql_count_prefix" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
         "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2) " +
         "SELECT count(*) AS n, min(l_linenumber) AS mn, max(l_linenumber) AS mx, " +

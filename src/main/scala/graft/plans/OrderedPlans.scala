@@ -49,6 +49,51 @@ final case class ManifestOrderedPartitioning(ordering: Seq[SortOrder],
   }
 }
 
+/** The CLUSTERED twin of [[DeclareOrdered]], for leg plans cut at
+  * PREFIX-GROUP boundaries ([[graft.core.KVIndex.probeLegPlans]] with
+  * `kl = prefix length`): no two rows sharing the prefix sit in different
+  * partitions, and partitions ascend — exactly Spark's own
+  * `RangePartitioning(prefix)`, claimed verbatim so that, with stock
+  * semantics and zero custom rules, a GROUP BY / Window PARTITION BY on
+  * (a superset of) the prefix elides its hash exchange and an ORDER BY
+  * on it elides its global sort. Joins above stay SAFE the same way the
+  * zip join's identical claim does ([[ZipPartitionsJoinExec]] doc):
+  * `RangeShuffleSpec` is compatible with nothing and cannot create a
+  * partitioning, so EnsureRequirements always replans a join's own
+  * exchanges rather than zipping two of these against each other.
+  * `rowOrdering` is claimed separately and ONLY when the caller
+  * genuinely guarantees intra-partition order — note a raw
+  * `readFiles`-based leg concatenates its files in the reader's
+  * size-packed order, NOT key order, so the prefix-cluster rewrite
+  * passes Nil and lets a Window plan its (local, exchange-free) sort.
+  * Rests on the engine's non-null key contract.
+  */
+final case class DeclareRangeLaid(child: LogicalPlan,
+                                  partitionOrdering: Seq[SortOrder],
+                                  rowOrdering: Seq[SortOrder]) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): DeclareRangeLaid =
+    copy(child = newChild)
+}
+
+final case class DeclareRangeLaidExec(child: SparkPlan,
+                                      partitionOrdering: Seq[SortOrder],
+                                      rowOrdering: Seq[SortOrder])
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputOrdering: Seq[SortOrder] = rowOrdering
+  override def outputPartitioning: Partitioning =
+    org.apache.spark.sql.catalyst.plans.physical.RangePartitioning(
+      partitionOrdering, child.outputPartitioning.numPartitions)
+  override protected def doExecute(): RDD[InternalRow] = child.execute()
+  override def supportsColumnar: Boolean = child.supportsColumnar
+  override protected def doExecuteColumnar(): RDD[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    child.executeColumnar()
+  override protected def withNewChildInternal(newChild: SparkPlan): DeclareRangeLaidExec =
+    copy(child = newChild)
+}
+
 final case class DeclareOrderedExec(child: SparkPlan, ordering: Seq[SortOrder])
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
@@ -101,6 +146,8 @@ object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrate
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case DeclareOrdered(child, ordering) =>
       DeclareOrderedExec(planLater(child), ordering) :: Nil
+    case DeclareRangeLaid(child, po, ro) =>
+      DeclareRangeLaidExec(planLater(child), po, ro) :: Nil
     case UnfuseUnion(child) =>
       UnfuseUnionExec(planLater(child)) :: Nil
     case SnapshotFilePrune(child, _, _) =>
@@ -133,6 +180,22 @@ object PushThroughDeclareOrdered
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Filter(cond, DeclareOrdered(child, ordering)) if cond.deterministic =>
       DeclareOrdered(Filter(cond, child), ordering)
+    // the clustered marker commutes identically: a filter changes neither
+    // the per-partition order nor which partition a surviving row sits in
+    case Filter(cond, DeclareRangeLaid(child, po, ro)) if cond.deterministic =>
+      DeclareRangeLaid(Filter(cond, child), po, ro)
+    // projections: the marker survives only while every PARTITION-ordering
+    // attribute is still projected (the claim would otherwise dangle); the
+    // row ordering trims to its longest surviving prefix
+    case Project(ps, DeclareRangeLaid(child, po, ro)) if ps.forall(_.deterministic) =>
+      val kept = ps.collect { case a: Attribute => a.exprId }.toSet
+      def survives(so: SortOrder): Boolean = so.child match {
+        case a: Attribute => kept.contains(a.exprId)
+        case _ => false
+      }
+      if (po.forall(survives))
+        DeclareRangeLaid(Project(ps, child), po, ro.takeWhile(survives))
+      else Project(ps, child)
     // a filter cannot change partitioning either, so it commutes with the
     // per-leg union-fusion breaker the same way — without this, a view
     // predicate pushed through the stitch Union would STOP at each leg's

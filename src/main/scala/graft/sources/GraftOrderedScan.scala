@@ -62,6 +62,12 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     if (!spark.experimental.extraOptimizations.contains(GraftCountRange))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GraftCountRange
+    // AFTER the count-range rule (group-less aggregates belong to it;
+    // this one requires a non-empty grouping, so the shapes are disjoint
+    // — the ordering makes that structural)
+    if (!spark.experimental.extraOptimizations.contains(GraftPrefixCluster))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftPrefixCluster
     // the filter/column-push companions are shared with the view path —
     // ONE registration source of truth, so the rule sets cannot drift
     graft.plans.OrderedPlans.register(spark)

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.core.KVIndex
+import graft.plans.DeclareRangeLaid
+
+/** Exchange-free GROUP BY / Window PARTITION BY on a snapshot's LEADING
+  * KEY PREFIX, from SQL text.
+  *
+  * A plain graft scan reports no partitioning, so `SELECT user_id, agg…
+  * FROM cat.t GROUP BY user_id` over a (user_id, ts)-keyed snapshot pays
+  * a full hash exchange of the aggregate input — the single largest
+  * avoidable shuffle in a per-key pipeline at 100 TB. But the manifest
+  * can hand Spark a layout where that shuffle is provably unnecessary:
+  * [[graft.core.KVIndex.probeLegPlans]] with `kl = prefix length` cuts
+  * leg boundaries at PREFIX-GROUP grain — no two rows sharing the prefix
+  * land in different legs, and legs ascend — which is exactly Spark's own
+  * `RangePartitioning(prefix)`. This rule re-plans the scan as that leg
+  * union, declares the partitioning verbatim ([[DeclareRangeLaid]]), and
+  * lets the STOCK `EnsureRequirements` elide the exchange: the aggregate
+  * runs complete per leg, the Window keeps only a LOCAL per-leg sort
+  * (leg scans pack files by size, so intra-partition key order is NOT
+  * claimed), and an ORDER BY on the prefix above either needs no
+  * exchange — partitions already ascend. Joins above remain safe — `RangeShuffleSpec` is
+  * compatible with nothing, so a join always replans its own exchanges
+  * (the [[graft.plans.ZipPartitionsJoinExec]] claim precedent).
+  *
+  * Matches `Aggregate` whose grouping expressions CONTAIN (as plain
+  * attributes) a non-empty leading prefix of the snapshot's key columns
+  * — extra grouping expressions only narrow the groups within a prefix
+  * partition, so the claim still satisfies the clustered distribution —
+  * and `Window` whose partitionSpec does, in both cases over a plain
+  * graft scan under deterministic Filters/Projects (replayed above the
+  * legs, exactly where the stock plan evaluated them; the scan's pushed
+  * leading-key bounds keep pruning the legs' files). The LONGEST covered
+  * prefix is claimed. Declines: no prefix attr in the clustering set, a
+  * non-plain scan, an overlapping layout, or a layout the snapshot's own
+  * WHERE prunes to nothing (the stock plan scans zero files anyway).
+  *
+  * Scale shape: leg count grows with snapshot size at ~maxRowsPerFile
+  * rows per task (floor-bounded by `spark.graft.maxPlanLegs`), per-task
+  * aggregate state is the leg's own group count — the same cardinality
+  * the stock plan's post-shuffle partition would hold — and the shuffle
+  * it deletes is the full pre-aggregation row stream.
+  */
+object GraftPrefixCluster extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(ge, _, child, _) if ge.nonEmpty =>
+      rewriteChild(child, clusterAttrs(ge))
+        .map(nc => agg.copy(child = nc)).getOrElse(agg)
+    case w: Window if w.partitionSpec.nonEmpty =>
+      rewriteChild(w.child, clusterAttrs(w.partitionSpec))
+        .map(nc => w.copy(child = nc)).getOrElse(w)
+  }
+
+  /** exprId -> the CONSUMER'S OWN attribute instance. The claim is built
+    * from these, not the relation's outputs: `RangePartitioning.satisfies0`
+    * answers `OrderedDistribution` by EXACT SortOrder equality (qualifier
+    * included — decompiled, Spark 4.1), and the consumer references the
+    * SubqueryAlias-QUALIFIED copies while the relation holds unqualified
+    * ones. Semantic paths (ClusteredDistribution) don't care; the exact
+    * path makes ORDER-BY-above-the-aggregate elide its exchange too.
+    */
+  private def clusterAttrs(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Map[org.apache.spark.sql.catalyst.expressions.ExprId, Attribute] =
+    es.collect { case a: AttributeReference => a.exprId -> (a: Attribute) }.toMap
+
+  private def rewriteChild(child: LogicalPlan,
+      cluster: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Attribute])
+      : Option[LogicalPlan] = {
+    if (cluster.isEmpty) return None
+    val (rel, g, rebuild) = GraftCoRangeJoin.side(child).getOrElse(return None)
+    val keyCols = g.manifestRef.keyCols
+    val relByName = rel.output.map(a => a.name -> a).toMap
+    // the longest leading prefix whose attrs survive column pruning AND
+    // sit in the clustering set (key columns beyond the prefix may have
+    // been pruned away entirely — `GROUP BY g` projects only g)
+    val prefixAttrs: Seq[Attribute] = keyCols.iterator
+      .map(relByName.get(_).flatMap(a => cluster.get(a.exprId)))
+      .takeWhile(_.isDefined)
+      .map(_.get).toSeq
+    val m = prefixAttrs.size
+    if (m == 0) return None
+
+    val ix = new KVIndex(g.storeRef, g.manifestRef)
+    if (!ix.zipLayoutOk) return None
+    val (bLo, bHi) = g.pushedKeyBounds
+    ix.probeLegPlans(m, GraftCoRangeJoin.rowsPerLegConf(),
+        bLo.filter(_.nonEmpty).map(_.head),
+        bHi.filter(_.nonEmpty).map(_.head)) match {
+      case graft.core.ProbeLegs.Legs(_, legPlan) =>
+        val aliased = GraftCoRangeJoin.aliasTo(rel.output, legPlan)
+        val po = prefixAttrs.map(SortOrder(_, Ascending))
+        // NO row-ordering claim: the raw leg scans concatenate their
+        // files in the reader's size-packed order, not key order — the
+        // co-location claim is structural (prefix-grain boundaries), the
+        // intra-partition order is not. A Window above therefore plans a
+        // LOCAL sort (no exchange), which is both correct and cheap.
+        Some(rebuild(DeclareRangeLaid(aliased, po, Nil)))
+      case _ => None // Unzippable, or the scan's own WHERE pruned all files
+    }
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** Exchange-free GROUP BY / Window PARTITION BY on a leading key prefix
+  * (`GraftPrefixCluster`): the snapshot re-plans as prefix-grain legs
+  * claiming `RangePartitioning(prefix)`, and the STOCK EnsureRequirements
+  * elides the aggregate/window hash exchange. Content parity against the
+  * raw parquet tables is the correctness contract; zero exchanges, the
+  * decline rules, and join safety above the claim are the scale contract.
+  */
+class SqlPrefixAggSpec extends SparkSuite with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    collect(df.queryExecution.executedPlan) { case e: ShuffleExchangeExec => e }.size
+
+  private def globalSorts(df: org.apache.spark.sql.DataFrame): Int =
+    """Sort \[[^\]]*\], true""".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  // (g, k) keyed snapshot, ~70 rows per g over 64-row files: prefix
+  // groups straddle file boundaries, so prefix-grain leg cutting is
+  // genuinely exercised (a file-grain cut would split groups)
+  private lazy val (rows, cat) = {
+    val st = new FsSnapshotStore(tmpDir("graft-pfxagg") + "/store", spark)
+    val rs = (1L to 3500L).filter(_ % 5 != 0).map(i => (i / 70, i, i % 13))
+    KVIndex.bootstrap(st, "pa", rs.toDF("g", "k", "v").repartition(1),
+      Seq("g", "k"), maxRowsPerFile = 64).toOption.get
+    spark.conf.set("spark.sql.catalog.pfxc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pfxc.root", st.root)
+    (rs, "pfxc")
+  }
+
+  test("GROUP BY the leading key runs exchange-free with exact content") {
+    val q = spark.sql(
+      s"SELECT g, count(*) AS n, sum(v) AS sv, max(k) AS mk FROM $cat.pa GROUP BY g")
+    assert(exchanges(q) == 0,
+      s"prefix GROUP BY must plan no exchange:\n${q.queryExecution.executedPlan}")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      (g, rs.size.toLong, rs.map(_._3).sum, rs.map(_._2).max) }.toSeq.sortBy(_._1)
+    assert(got == want, "prefix GROUP BY content mismatch")
+  }
+
+  test("ORDER BY above the prefix aggregate elides its exchange too") {
+    val q = spark.sql(
+      s"SELECT g, count(*) AS n FROM $cat.pa GROUP BY g ORDER BY g")
+    // the Sort NODE stays (aggregate output order is unclaimed) but runs
+    // per partition with zero exchanges: the claim satisfies the sort's
+    // OrderedDistribution — partitions already ascend by g — so the only
+    // remaining work is a local sort of each leg's group rows
+    assert(exchanges(q) == 0,
+      s"GROUP BY + ORDER BY on the prefix must plan no exchange:\n${q.queryExecution.executedPlan}")
+    assert(q.select("g").as[Long].collect().toSeq == rows.map(_._1).distinct.sorted)
+  }
+
+  test("full-key grouping and extra grouping columns stay exchange-free") {
+    val full = spark.sql(s"SELECT g, k, sum(v) AS sv FROM $cat.pa GROUP BY g, k")
+    assert(exchanges(full) == 0, "full-key grouping must plan no exchange")
+    assert(full.count() == rows.size)
+    // an extra NON-key grouping column only narrows groups within a
+    // prefix partition — still exchange-free
+    val extra = spark.sql(s"SELECT g, v, count(*) AS n FROM $cat.pa GROUP BY g, v")
+    assert(exchanges(extra) == 0, "prefix + value grouping must plan no exchange")
+    val gotE = extra.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val wantE = rows.groupBy(r => (r._1, r._3)).map { case (kk, rs) => kk -> rs.size.toLong }
+    assert(gotE == wantE)
+  }
+
+  test("a WHERE prunes files and the aggregate stays exchange-free") {
+    val q = spark.sql(
+      s"SELECT g, count(*) AS n FROM $cat.pa WHERE g >= 20 AND g < 30 GROUP BY g")
+    assert(exchanges(q) == 0)
+    assert(q.inputFiles.length < spark.sql(
+      s"SELECT g, count(*) AS n FROM $cat.pa GROUP BY g").inputFiles.length,
+      "the pushed bound must keep pruning the legs' files")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = rows.filter(r => r._1 >= 20 && r._1 < 30).groupBy(_._1)
+      .map { case (g, rs) => (g, rs.size.toLong) }.toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("window PARTITION BY prefix ORDER BY key: no exchange, local sort only") {
+    val q = spark.sql(
+      s"""SELECT g, k, row_number() OVER (PARTITION BY g ORDER BY k) AS rn
+          FROM $cat.pa""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(exchanges(q) == 0, s"prefix window must plan no exchange:\n$plan")
+    // intra-leg order is NOT claimed (file packing order), so the window
+    // keeps a LOCAL per-partition sort — but never a global one
+    assert(globalSorts(q) == 0,
+      s"the window's sort must stay partition-local:\n$plan")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(_._2).sorted.zipWithIndex.map { case (k, i) => (g, k, i + 1) } }.toSet
+    assert(got.toSet == want, "window content mismatch")
+  }
+
+  test("two-column prefix grouping on a three-column key, conf-sized legs") {
+    val st = new FsSnapshotStore(tmpDir("graft-pfxagg3") + "/store", spark)
+    val rs = (0L until 900L).map(i => (i / 300, (i / 100) % 3, i, i % 7))
+    KVIndex.bootstrap(st, "pa3", rs.toDF("g1", "g2", "k", "v").repartition(1),
+      Seq("g1", "g2", "k"), maxRowsPerFile = 32).toOption.get
+    spark.conf.set("spark.sql.catalog.pfxc3", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pfxc3.root", st.root)
+    spark.conf.set("spark.graft.corange.rowsPerLeg", "128")
+    try {
+      val q = spark.sql(
+        "SELECT g1, g2, count(*) AS n, sum(v) AS sv FROM pfxc3.pa3 GROUP BY g1, g2")
+      assert(exchanges(q) == 0,
+        s"two-column prefix grouping must plan no exchange:\n${q.queryExecution.executedPlan}")
+      assert(q.rdd.getNumPartitions > 1, "conf-sized legs must split the snapshot")
+      val got = q.collect().map(r =>
+        ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+      val want = rs.groupBy(r => (r._1, r._2)).map { case (kk, g) =>
+        kk -> (g.size.toLong, g.map(_._4).sum) }
+      assert(got == want, "two-column prefix content mismatch")
+    } finally spark.conf.set("spark.graft.corange.rowsPerLeg", "-1")
+  }
+
+  test("declines: non-key grouping shuffles; tail-key grouping shuffles") {
+    val nv = spark.sql(s"SELECT v, count(*) AS n FROM $cat.pa GROUP BY v")
+    assert(exchanges(nv) >= 1, "value-column grouping must keep its shuffle")
+    assert(nv.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      rows.groupBy(_._3).map { case (v, rs) => v -> rs.size.toLong })
+    // k alone is NOT a leading prefix (a k-group could split across legs
+    // only if keys repeated — they don't — but the claim is structural)
+    val tail = spark.sql(s"SELECT k, count(*) AS n FROM $cat.pa GROUP BY k")
+    assert(exchanges(tail) >= 1, "tail-key grouping must keep its shuffle")
+  }
+
+  test("join safety: two prefix aggregates joined still plan their exchanges") {
+    val q = spark.sql(
+      s"""SELECT a.g, a.n, b.sv FROM
+            (SELECT g, count(*) AS n FROM $cat.pa GROUP BY g) a
+          JOIN (SELECT g, sum(v) AS sv FROM $cat.pa GROUP BY g) b ON a.g = b.g""")
+    // RangeShuffleSpec is compatible with nothing: the join must replan
+    // its own exchanges (or broadcast) rather than zip the two claims
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      (g, rs.size.toLong, rs.map(_._3).sum) }.toSeq.sortBy(_._1)
+    assert(got == want, "joined aggregates content mismatch")
+  }
+}
