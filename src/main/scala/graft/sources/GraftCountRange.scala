@@ -152,32 +152,35 @@ object GraftCountRange extends Rule[LogicalPlan] {
         if (c < 0) hi(p) = Some((v, inc))
         else if (c == 0 && !inc) hi(p) = Some((v, false))
     }
-    def posKey(a: Expression): Option[Int] = a match {
-      case ar: AttributeReference => posOf.get(ar.exprId)
-      case _ => None
+    // position extractor: evaluates the attr -> key-position lookup ONCE
+    // per match (the 12-way fold below would otherwise repeat it in every
+    // guard + body, a copy-paste surface for lo/hi transpositions)
+    object KeyPos {
+      def unapply(e: Expression): Option[Int] = e match {
+        case ar: AttributeReference => posOf.get(ar.exprId)
+        case _ => None
+      }
+    }
+    object Lit {
+      def unapply(e: Expression): Option[Literal] = e match {
+        case l: Literal if l.value != null => Some(l)
+        case _ => None
+      }
     }
     GraftCoRangeJoin.conjuncts(cond).foreach {
-      case EqualTo(a, l: Literal) if posKey(a).isDefined && l.value != null =>
-        val p = posKey(a).get; tightenLo(p, ext(l), inc = true); tightenHi(p, ext(l), inc = true)
-      case EqualTo(l: Literal, a) if posKey(a).isDefined && l.value != null =>
-        val p = posKey(a).get; tightenLo(p, ext(l), inc = true); tightenHi(p, ext(l), inc = true)
-      case GreaterThanOrEqual(a, l: Literal) if posKey(a).isDefined && l.value != null =>
-        tightenLo(posKey(a).get, ext(l), inc = true)
-      case LessThanOrEqual(l: Literal, a) if posKey(a).isDefined && l.value != null =>
-        tightenLo(posKey(a).get, ext(l), inc = true)
-      case GreaterThan(a, l: Literal) if posKey(a).isDefined && l.value != null =>
-        tightenLo(posKey(a).get, ext(l), inc = false)
-      case LessThan(l: Literal, a) if posKey(a).isDefined && l.value != null =>
-        tightenLo(posKey(a).get, ext(l), inc = false)
-      case LessThanOrEqual(a, l: Literal) if posKey(a).isDefined && l.value != null =>
-        tightenHi(posKey(a).get, ext(l), inc = true)
-      case GreaterThanOrEqual(l: Literal, a) if posKey(a).isDefined && l.value != null =>
-        tightenHi(posKey(a).get, ext(l), inc = true)
-      case LessThan(a, l: Literal) if posKey(a).isDefined && l.value != null =>
-        tightenHi(posKey(a).get, ext(l), inc = false)
-      case GreaterThan(l: Literal, a) if posKey(a).isDefined && l.value != null =>
-        tightenHi(posKey(a).get, ext(l), inc = false)
-      case IsNotNull(a) if posKey(a).isDefined => notNull(posKey(a).get) = true
+      case EqualTo(KeyPos(p), Lit(l)) =>
+        tightenLo(p, ext(l), inc = true); tightenHi(p, ext(l), inc = true)
+      case EqualTo(Lit(l), KeyPos(p)) =>
+        tightenLo(p, ext(l), inc = true); tightenHi(p, ext(l), inc = true)
+      case GreaterThanOrEqual(KeyPos(p), Lit(l)) => tightenLo(p, ext(l), inc = true)
+      case LessThanOrEqual(Lit(l), KeyPos(p)) => tightenLo(p, ext(l), inc = true)
+      case GreaterThan(KeyPos(p), Lit(l)) => tightenLo(p, ext(l), inc = false)
+      case LessThan(Lit(l), KeyPos(p)) => tightenLo(p, ext(l), inc = false)
+      case LessThanOrEqual(KeyPos(p), Lit(l)) => tightenHi(p, ext(l), inc = true)
+      case GreaterThanOrEqual(Lit(l), KeyPos(p)) => tightenHi(p, ext(l), inc = true)
+      case LessThan(KeyPos(p), Lit(l)) => tightenHi(p, ext(l), inc = false)
+      case GreaterThan(Lit(l), KeyPos(p)) => tightenHi(p, ext(l), inc = false)
+      case IsNotNull(KeyPos(p)) => notNull(p) = true
       case _ => return None
     }
 
@@ -206,8 +209,8 @@ object GraftCountRange extends Rule[LogicalPlan] {
       case Some((v, inc)) => Some((points :+ v, inc))
       case None => if (m == 1) None else Some((points, true))
     }
-    val shapes = aggExprs.map(e =>
-      served(e, posOf.filter(_._2 < m)).getOrElse(return None))
+    val servedPosOf = posOf.filter(_._2 < m)
+    val shapes = aggExprs.map(e => served(e, servedPosOf).getOrElse(return None))
 
     val ix = new KVIndex(g.storeRef, g.manifestRef)
     val files = ix.manifestFiles
@@ -221,8 +224,12 @@ object GraftCountRange extends Rule[LogicalPlan] {
       val c = KeyOrd.compare(k.take(vs.length), vs); c < 0 || (inc && c == 0) }
     // predicate rows always lie INSIDE the interval, so a file whose
     // bounds miss it holds no match (null-keyed rows sort below every
-    // non-null bound literal and prune with it)
-    val overlap = files.filter(f => aboveLo(f.max) && belowHi(f.min))
+    // non-null bound literal and prune with it). A null MAX HEAD means
+    // every key in the file is null-headed — position 0 is always
+    // constrained (the prefix starts there), so such a file is provably
+    // matchless and prunes even when no lower bound exists to reject it.
+    val overlap = files.filter(f =>
+      f.max.head != null && aboveLo(f.max) && belowHi(f.min))
     // covered = the file's bounds sit inside the interval AND its
     // truncated min/max carry no null at a constrained position (null
     // sorts first: a non-null truncated min proves every row non-null

@@ -208,8 +208,23 @@ class SqlCountRangeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // a tail-only constraint (k without g) declines
     val tail = spark.sql(s"SELECT count(*) AS c FROM $pCat.crp WHERE k >= 300 AND k < 500")
     assert(tail.head().getLong(0) == pRows.count(r => r._2 >= 300 && r._2 < 500))
-    // contradictory pins decline (stock plan answers 0)
-    val contra = spark.sql(s"SELECT count(*) AS c FROM $pCat.crp WHERE g = 1 AND g = 2")
+    // contradictory pins on a NON-LAST position decline (the points
+    // extraction needs lo == hi); the stock plan answers 0
+    val contra = spark.sql(
+      s"SELECT count(*) AS c FROM $pCat.crp WHERE g = 1 AND g = 2 AND k >= 0")
     assert(contra.head().getLong(0) == 0L)
+    // a range contradiction on the LAST position does NOT decline (note
+    // `g = 1 AND g = 2` never reaches the rule — ConstantPropagation
+    // folds it to false upstream): it folds to an inverted interval — a
+    // file straddling both bounds can still pass the per-side overlap
+    // checks, but it lands in the boundary set whose exact-predicate
+    // scan drops everything, so the answer is 0 over at most the
+    // straddling files
+    GraftScan.lastPlannedFiles = -1
+    val inv = spark.sql(s"SELECT count(*) AS c FROM $pCat.crp WHERE g >= 2 AND g <= 1")
+    inv.queryExecution.executedPlan
+    assert(inv.head().getLong(0) == 0L)
+    assert(GraftScan.lastPlannedFiles >= 0 && GraftScan.lastPlannedFiles <= 2,
+      s"inverted interval planned ${GraftScan.lastPlannedFiles} files")
   }
 }
