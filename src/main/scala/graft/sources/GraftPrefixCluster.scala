@@ -48,11 +48,37 @@ import graft.plans.DeclareRangeLaid
   */
 object GraftPrefixCluster extends Rule[LogicalPlan] {
 
+  /** `spark.graft.sql.prefixCluster` (default true): kill-switch for the
+    * rewrite. When it wins and when it doesn't, measured at 5M rows
+    * (`ScaleProbeSpec`): a WINDOW on the prefix always wins — stock
+    * window plans have no partial aggregation, so they shuffle the FULL
+    * row stream; and a HIGH-cardinality GROUP BY (groups ≈ rows — the
+    * per-user/per-key pipeline shape) wins for the same reason, partial
+    * aggregation cannot collapse it. A LOW-cardinality GROUP BY is the
+    * trade-off case: stock partial aggregation already collapses the
+    * shuffle to one partial row per (group × task), so the deleted
+    * exchange is small while the rewrite's legs pay the non-codegen
+    * marker fence — locally that can LOSE wall time; on a cluster the
+    * fence is CPU-linear while the deleted term is network, the same
+    * economics as the zip join (NOTES: WSCG fence). Disable per session
+    * when a workload is dominated by low-cardinality rollups.
+    */
+  private def enabled: Boolean = {
+    val raw = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.sql.prefixCluster", "true")
+    raw.trim.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.sql.prefixCluster must be true or false, got '$other'")
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(ge, _, child, _) if ge.nonEmpty =>
+    case agg @ Aggregate(ge, _, child, _) if ge.nonEmpty && enabled =>
       rewriteChild(child, clusterAttrs(ge))
         .map(nc => agg.copy(child = nc)).getOrElse(agg)
-    case w: Window if w.partitionSpec.nonEmpty =>
+    case w: Window if w.partitionSpec.nonEmpty && enabled =>
       rewriteChild(w.child, clusterAttrs(w.partitionSpec))
         .map(nc => w.copy(child = nc)).getOrElse(w)
   }

@@ -608,6 +608,87 @@ class ScaleProbeSpec extends SparkSuite {
     info(f"probe MERGE of 100k batch into 5M rows: $mrgSec%.1f s, v${after.manifest.version}")
   }
 
+  test("5M-row prefix GROUP BY: exchange-free rewrite vs the stock shuffled aggregate") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_PROBE=1 to run")
+    val store = new FsSnapshotStore(tmpDir("graft-probe-pfxagg"), spark)
+    // 50k groups × 100 rows, (g, k) keyed
+    val rows = spark.range(0, 5000000).select(
+      expr("id div 100").as("g"), col("id").as("k"), (col("id") % 97).as("v"))
+    val ix = KVIndex.bootstrap(store, "pfx5", rows, Seq("g", "k"),
+      maxRowsPerFile = 1L << 17).fold(e => fail(e.message), identity)
+    spark.conf.set("spark.sql.catalog.pfx5c", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pfx5c.root", store.root)
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def settle(): Long = {
+      var last = -1L
+      while (last != shuffleBytes.get()) { last = shuffleBytes.get(); Thread.sleep(300) }
+      last
+    }
+
+    def measure[T](f: => T): (T, Double, Long) = {
+      settle(); shuffleBytes.set(0L)
+      val t = System.nanoTime()
+      val r = f
+      settle()
+      ((r, (System.nanoTime() - t) / 1e9, shuffleBytes.get()))
+    }
+    def noExchange(df: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, s"$what must plan no exchange at 5M")
+
+    // LOW cardinality (50k groups of 100): stock partial aggregation
+    // already collapses the shuffle — the rewrite deletes a SMALL
+    // exchange and pays the marker fence; the honest trade-off case
+    val qLo = spark.sql(
+      "SELECT g, count(*) AS n, sum(v) AS sv FROM pfx5c.pfx5 GROUP BY g")
+    noExchange(qLo, "low-cardinality prefix aggregate")
+    val (nLo, loSec, loSh) = measure(qLo.count())
+    assert(nLo == 50000L)
+    val (nLoSt, loStSec, loStSh) = measure(
+      ix.df.groupBy("g").agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).count())
+    assert(nLoSt == 50000L)
+    info(f"LOW-card GROUP BY — rewrite: $loSec%.1f s / $loSh B shuffle; " +
+      f"stock: $loStSec%.1f s / $loStSh B shuffle")
+
+    // HIGH cardinality (2.5M groups of 2, grouping by the FULL key's
+    // coarse half): partials cannot collapse — the per-key pipeline
+    // shape where the deleted shuffle is the dominant term
+    val qHi = spark.sql(
+      "SELECT g, k, count(*) AS n FROM pfx5c.pfx5 GROUP BY g, k")
+    noExchange(qHi, "high-cardinality prefix aggregate")
+    val (nHi, hiSec, hiSh) = measure(qHi.count())
+    assert(nHi == 5000000L)
+    val (nHiSt, hiStSec, hiStSh) = measure(
+      ix.df.groupBy("g", "k").agg(count(lit(1)).as("n")).count())
+    assert(nHiSt == 5000000L)
+    info(f"HIGH-card GROUP BY — rewrite: $hiSec%.1f s / $hiSh B shuffle; " +
+      f"stock: $hiStSec%.1f s / $hiStSh B shuffle")
+    assert(hiSh < hiStSh / 4,
+      s"high-cardinality rewrite must delete the aggregate shuffle ($hiSh vs $hiStSh)")
+
+    // WINDOW on the prefix: stock windows have NO partial aggregation —
+    // they shuffle the FULL row stream; the rewrite's clear-win shape
+    val qW = spark.sql(
+      """SELECT sum(rn) AS s FROM (SELECT row_number() OVER
+         (PARTITION BY g ORDER BY k) AS rn FROM pfx5c.pfx5)""")
+    val (wSum, wSec, wSh) = measure(qW.head().getLong(0))
+    import org.apache.spark.sql.expressions.{Window => W}
+    val (wSumSt, wStSec, wStSh) = measure(
+      ix.df.select(row_number().over(W.partitionBy("g").orderBy("k")).as("rn"))
+        .agg(sum(col("rn"))).head().getLong(0))
+    assert(wSum == wSumSt, "window content mismatch")
+    info(f"WINDOW — rewrite: $wSec%.1f s / $wSh B shuffle; " +
+      f"stock: $wStSec%.1f s / $wStSh B shuffle")
+    assert(wSh < wStSh / 4,
+      s"the window rewrite must delete the full-stream shuffle ($wSh vs $wStSh)")
+  }
+
   /** Materialized JOIN view at 5M rows: refresh after a narrow mutation
     * must cost a small fraction of the full recompute — in bytes (the
     * changed-key envelope bounds every read) and in wall time.

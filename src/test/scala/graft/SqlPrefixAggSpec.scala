@@ -135,6 +135,15 @@ class SqlPrefixAggSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(exchanges(tail) >= 1, "tail-key grouping must keep its shuffle")
   }
 
+  test("kill-switch: spark.graft.sql.prefixCluster=false restores the stock plan") {
+    spark.conf.set("spark.graft.sql.prefixCluster", "false")
+    try {
+      val q = spark.sql(s"SELECT g, count(*) AS n FROM $cat.pa GROUP BY g")
+      assert(exchanges(q) >= 1, "disabled rule must keep the stock shuffle")
+      assert(q.count() == rows.map(_._1).distinct.size)
+    } finally spark.conf.set("spark.graft.sql.prefixCluster", "true")
+  }
+
   test("join safety: two prefix aggregates joined still plan their exchanges") {
     val q = spark.sql(
       s"""SELECT a.g, a.n, b.sv FROM
