@@ -135,6 +135,56 @@ class SqlPrefixAggSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(exchanges(tail) >= 1, "tail-key grouping must keep its shuffle")
   }
 
+  test("SELECT DISTINCT on key-prefix supersets runs exchange-free") {
+    // DISTINCT lowers to Aggregate(all cols) — the full column set
+    // contains the (g) and (g, k) prefixes, so the claim satisfies it
+    val q = spark.sql(s"SELECT DISTINCT g, k, v FROM $cat.pa")
+    assert(exchanges(q) == 0,
+      s"DISTINCT over a prefix superset must plan no exchange:\n${q.queryExecution.executedPlan}")
+    assert(q.count() == rows.size) // (g, k) unique => all rows distinct
+    val qd = spark.sql(s"SELECT DISTINCT g FROM $cat.pa")
+    assert(exchanges(qd) == 0)
+    assert(qd.count() == rows.map(_._1).distinct.size)
+  }
+
+  test("randomized prefix-aggregate differential vs the disabled-rule twin — seed 67") {
+    val rnd = new scala.util.Random(67)
+    for (round <- 1 to 10) {
+      // random grouping set over {g, k, v} (nonempty), random aggregates
+      val groupCols = Seq("g", "k", "v").filter(_ => rnd.nextBoolean()) match {
+        case Seq() => Seq("g")
+        case gs => gs
+      }
+      val aggs = Seq(
+        "count(*) AS n",
+        "sum(v) AS sv",
+        "min(k) AS mn",
+        "max(k) AS mx").filter(_ => rnd.nextBoolean()) match {
+        case Seq() => Seq("count(*) AS n")
+        case as => as
+      }
+      val sqlText = s"SELECT ${groupCols.mkString(", ")}, ${aggs.mkString(", ")} " +
+        s"FROM $cat.pa GROUP BY ${groupCols.mkString(", ")}"
+      val rpl = 64 << rnd.nextInt(4)
+      spark.conf.set("spark.graft.corange.rowsPerLeg", rpl.toString)
+      try {
+        val got = spark.sql(sqlText)
+        // leading prefix present => exchange-free; else stock shape
+        if (groupCols.contains("g"))
+          assert(exchanges(got) == 0, s"round $round [$sqlText] must elide")
+        else assert(exchanges(got) >= 1, s"round $round [$sqlText] must shuffle")
+        val gotRows = got.collect().map(_.toSeq.map(String.valueOf))
+          .sortBy(_.mkString("|")).toSeq
+        spark.conf.set("spark.graft.sql.prefixCluster", "false")
+        val want = try spark.sql(sqlText).collect().map(_.toSeq.map(String.valueOf))
+          .sortBy(_.mkString("|")).toSeq
+        finally spark.conf.set("spark.graft.sql.prefixCluster", "true")
+        assert(gotRows == want, s"round $round [$sqlText] content mismatch " +
+          s"(${gotRows.length} vs ${want.length} rows, rowsPerLeg=$rpl)")
+      } finally spark.conf.set("spark.graft.corange.rowsPerLeg", "-1")
+    }
+  }
+
   test("kill-switch: spark.graft.sql.prefixCluster=false restores the stock plan") {
     spark.conf.set("spark.graft.sql.prefixCluster", "false")
     try {
