@@ -3330,6 +3330,30 @@ object SparkEntry {
         s"kv_sql_prefix_agg: expected a zero-exchange prefix aggregate, got:\n$plan")
       q
     }),
+    // EXCHANGE-FREE prefix WINDOW (r17, GraftPrefixCluster): PARTITION BY
+    // the leading key over the snapshot routes through the prefix legs —
+    // stock window plans shuffle the FULL row stream (no partial
+    // aggregation exists for windows), here zero exchanges and only a
+    // local per-leg sort. Plan pinned.
+    "kv_sql_window_prefix" -> ((s, d) => {
+      val liIx = liLinesFineStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_spw", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_spw.root", liIx.store.root)
+      val q = s.sql("""
+        SELECT l_orderkey, l_linenumber, rn, CAST(run_qty AS BIGINT) AS run_qty FROM (
+          SELECT l_orderkey, l_linenumber,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber) AS rn,
+                 sum(qty) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                                ROWS UNBOUNDED PRECEDING) AS run_qty
+          FROM graft_spw.lilines
+        ) WHERE l_orderkey <= 500
+        ORDER BY l_orderkey, l_linenumber""")
+      val plan = q.queryExecution.executedPlan.toString
+      require(!plan.contains("ShuffleExchange") && !plan.contains("Exchange range"),
+        s"kv_sql_window_prefix: expected a zero-exchange prefix window, got:\n$plan")
+      q
+    }),
     // COMPOSITE-PREFIX count-range (r17, GraftCountRange): `WHERE k1 = a
     // AND k2 BETWEEN x AND y` — the temporal-KV stats shape — answers
     // count/min/max from manifest prefix-tuple coverage, scanning at most
@@ -4965,6 +4989,14 @@ object SparkEntry {
         "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2) " +
         "SELECT l_orderkey, count(*) AS n, CAST(sum(qty) AS BIGINT) AS q " +
         "FROM li GROUP BY l_orderkey ORDER BY l_orderkey"),
+      "kv_sql_window_prefix" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l_orderkey, l_linenumber, rn, CAST(run_qty AS BIGINT) AS run_qty FROM (" +
+        "SELECT l_orderkey, l_linenumber, " +
+        "row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn, " +
+        "sum(qty) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber " +
+        "ROWS UNBOUNDED PRECEDING) AS run_qty FROM li) " +
+        "WHERE l_orderkey <= 500 ORDER BY l_orderkey, l_linenumber"),
       "kv_sql_count_prefix" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
         "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2) " +
         "SELECT count(*) AS n, min(l_linenumber) AS mn, max(l_linenumber) AS mx, " +

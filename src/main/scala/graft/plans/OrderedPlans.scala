@@ -52,40 +52,67 @@ final case class ManifestOrderedPartitioning(ordering: Seq[SortOrder],
 /** The CLUSTERED twin of [[DeclareOrdered]], for leg plans cut at
   * PREFIX-GROUP boundaries ([[graft.core.KVIndex.probeLegPlans]] with
   * `kl = prefix length`): no two rows sharing the prefix sit in different
-  * partitions, and partitions ascend — exactly Spark's own
-  * `RangePartitioning(prefix)`, claimed verbatim so that, with stock
-  * semantics and zero custom rules, a GROUP BY / Window PARTITION BY on
-  * (a superset of) the prefix elides its hash exchange and an ORDER BY
-  * on it elides its global sort. Joins above stay SAFE the same way the
-  * zip join's identical claim does ([[ZipPartitionsJoinExec]] doc):
-  * `RangeShuffleSpec` is compatible with nothing and cannot create a
-  * partitioning, so EnsureRequirements always replans a join's own
-  * exchanges rather than zipping two of these against each other.
-  * `rowOrdering` is claimed separately and ONLY when the caller
-  * genuinely guarantees intra-partition order — note a raw
-  * `readFiles`-based leg concatenates its files in the reader's
-  * size-packed order, NOT key order, so the prefix-cluster rewrite
-  * passes Nil and lets a Window plan its (local, exchange-free) sort.
-  * Rests on the engine's non-null key contract.
+  * partitions, and partitions ascend at FULL-KEY grain (a cut at the
+  * prefix is a degenerate full-key cut). The physical twin claims
+  * [[PrefixRangePartitioning]] so a GROUP BY / Window PARTITION BY on
+  * (a superset of) the `clusterOrdering` prefix elides its hash exchange
+  * and an ORDER BY on any prefix of `rangeOrdering` elides its global
+  * sort's exchange — both by SEMANTIC comparison (the stock
+  * `RangePartitioning.satisfies0` answers `OrderedDistribution` by EXACT
+  * SortOrder equality, qualifier included, which a rewrite claiming
+  * relation attributes against consumer-qualified references can never
+  * meet reliably). Intra-partition order is NOT claimed (a raw
+  * `readFiles` leg concatenates files in the reader's size-packed
+  * order), so sorts above run locally. Joins above stay SAFE the same
+  * way the zip join's claim does: the partitioning hands
+  * EnsureRequirements a `RangeShuffleSpec`, compatible with nothing, so
+  * a join always replans its own exchanges. Rests on the engine's
+  * non-null key contract.
   */
 final case class DeclareRangeLaid(child: LogicalPlan,
-                                  partitionOrdering: Seq[SortOrder],
-                                  rowOrdering: Seq[SortOrder]) extends UnaryNode {
+                                  clusterOrdering: Seq[SortOrder],
+                                  rangeOrdering: Seq[SortOrder]) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): DeclareRangeLaid =
     copy(child = newChild)
 }
 
+/** Partition layout of prefix-grain legs: equal `clusterOrdering`-prefix
+  * rows share a partition (boundaries are cut at that grain), and
+  * partitions ascend by the full `rangeOrdering` (cross-partition order
+  * is decided at the prefix already, so every longer prefix of the key
+  * list ranges too). Satisfies `ClusteredDistribution` whose clustering
+  * covers the prefix, and `OrderedDistribution` over any prefix of
+  * `rangeOrdering` — both semantically.
+  */
+final case class PrefixRangePartitioning(clusterOrdering: Seq[SortOrder],
+                                         rangeOrdering: Seq[SortOrder],
+                                         numPartitions: Int) extends Partitioning {
+  override def satisfies0(required: Distribution): Boolean = required match {
+    case OrderedDistribution(req) =>
+      SortOrder.orderingSatisfies(rangeOrdering, req)
+    case c: org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution =>
+      clusterOrdering.forall(so =>
+        c.clustering.exists(_.semanticEquals(so.child)))
+    case _ => super.satisfies0(required)
+  }
+  override def createShuffleSpec(
+      distribution: org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution)
+      : org.apache.spark.sql.catalyst.plans.physical.ShuffleSpec =
+    org.apache.spark.sql.catalyst.plans.physical.RangeShuffleSpec(
+      numPartitions, distribution)
+}
+
 final case class DeclareRangeLaidExec(child: SparkPlan,
-                                      partitionOrdering: Seq[SortOrder],
-                                      rowOrdering: Seq[SortOrder])
+                                      clusterOrdering: Seq[SortOrder],
+                                      rangeOrdering: Seq[SortOrder])
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
-  override def outputOrdering: Seq[SortOrder] = rowOrdering
+  override def outputOrdering: Seq[SortOrder] = Nil
   override def outputPartitioning: Partitioning =
-    org.apache.spark.sql.catalyst.plans.physical.RangePartitioning(
-      partitionOrdering, child.outputPartitioning.numPartitions)
+    PrefixRangePartitioning(clusterOrdering, rangeOrdering,
+      child.outputPartitioning.numPartitions)
   override protected def doExecute(): RDD[InternalRow] = child.execute()
   override def supportsColumnar: Boolean = child.supportsColumnar
   override protected def doExecuteColumnar(): RDD[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -182,19 +209,19 @@ object PushThroughDeclareOrdered
       DeclareOrdered(Filter(cond, child), ordering)
     // the clustered marker commutes identically: a filter changes neither
     // the per-partition order nor which partition a surviving row sits in
-    case Filter(cond, DeclareRangeLaid(child, po, ro)) if cond.deterministic =>
-      DeclareRangeLaid(Filter(cond, child), po, ro)
-    // projections: the marker survives only while every PARTITION-ordering
+    case Filter(cond, DeclareRangeLaid(child, co, ro)) if cond.deterministic =>
+      DeclareRangeLaid(Filter(cond, child), co, ro)
+    // projections: the marker survives only while every CLUSTER-ordering
     // attribute is still projected (the claim would otherwise dangle); the
-    // row ordering trims to its longest surviving prefix
-    case Project(ps, DeclareRangeLaid(child, po, ro)) if ps.forall(_.deterministic) =>
+    // range ordering trims to its longest surviving prefix
+    case Project(ps, DeclareRangeLaid(child, co, ro)) if ps.forall(_.deterministic) =>
       val kept = ps.collect { case a: Attribute => a.exprId }.toSet
       def survives(so: SortOrder): Boolean = so.child match {
         case a: Attribute => kept.contains(a.exprId)
         case _ => false
       }
-      if (po.forall(survives))
-        DeclareRangeLaid(Project(ps, child), po, ro.takeWhile(survives))
+      if (co.forall(survives))
+        DeclareRangeLaid(Project(ps, child), co, ro.takeWhile(survives))
       else Project(ps, child)
     // a filter cannot change partitioning either, so it commutes with the
     // per-leg union-fusion breaker the same way — without this, a view

@@ -83,20 +83,12 @@ object GraftPrefixCluster extends Rule[LogicalPlan] {
         .map(nc => w.copy(child = nc)).getOrElse(w)
   }
 
-  /** exprId -> the CONSUMER'S OWN attribute instance. The claim is built
-    * from these, not the relation's outputs: `RangePartitioning.satisfies0`
-    * answers `OrderedDistribution` by EXACT SortOrder equality (qualifier
-    * included — decompiled, Spark 4.1), and the consumer references the
-    * SubqueryAlias-QUALIFIED copies while the relation holds unqualified
-    * ones. Semantic paths (ClusteredDistribution) don't care; the exact
-    * path makes ORDER-BY-above-the-aggregate elide its exchange too.
-    */
   private def clusterAttrs(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Map[org.apache.spark.sql.catalyst.expressions.ExprId, Attribute] =
-    es.collect { case a: AttributeReference => a.exprId -> (a: Attribute) }.toMap
+      : Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+    es.collect { case a: AttributeReference => a.exprId }.toSet
 
   private def rewriteChild(child: LogicalPlan,
-      cluster: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Attribute])
+      cluster: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
       : Option[LogicalPlan] = {
     if (cluster.isEmpty) return None
     val (rel, g, rebuild) = GraftCoRangeJoin.side(child).getOrElse(return None)
@@ -104,13 +96,18 @@ object GraftPrefixCluster extends Rule[LogicalPlan] {
     val relByName = rel.output.map(a => a.name -> a).toMap
     // the longest leading prefix whose attrs survive column pruning AND
     // sit in the clustering set (key columns beyond the prefix may have
-    // been pruned away entirely — `GROUP BY g` projects only g)
+    // been pruned away entirely — `GROUP BY g` projects only g); the
+    // RANGE claim extends beyond it to every further surviving key
+    // column (a prefix-grain cut is a degenerate full-key cut, so
+    // deeper ORDER BYs elide their exchange too)
     val prefixAttrs: Seq[Attribute] = keyCols.iterator
-      .map(relByName.get(_).flatMap(a => cluster.get(a.exprId)))
-      .takeWhile(_.isDefined)
+      .map(relByName.get)
+      .takeWhile(o => o.exists(a => cluster.contains(a.exprId)))
       .map(_.get).toSeq
     val m = prefixAttrs.size
     if (m == 0) return None
+    val rangeAttrs: Seq[Attribute] = keyCols.iterator
+      .map(relByName.get).takeWhile(_.isDefined).map(_.get).toSeq
 
     val ix = new KVIndex(g.storeRef, g.manifestRef)
     if (!ix.zipLayoutOk) return None
@@ -120,13 +117,13 @@ object GraftPrefixCluster extends Rule[LogicalPlan] {
         bHi.filter(_.nonEmpty).map(_.head)) match {
       case graft.core.ProbeLegs.Legs(_, legPlan) =>
         val aliased = GraftCoRangeJoin.aliasTo(rel.output, legPlan)
-        val po = prefixAttrs.map(SortOrder(_, Ascending))
-        // NO row-ordering claim: the raw leg scans concatenate their
-        // files in the reader's size-packed order, not key order — the
-        // co-location claim is structural (prefix-grain boundaries), the
-        // intra-partition order is not. A Window above therefore plans a
-        // LOCAL sort (no exchange), which is both correct and cheap.
-        Some(rebuild(DeclareRangeLaid(aliased, po, Nil)))
+        val co = prefixAttrs.map(SortOrder(_, Ascending))
+        val ro = rangeAttrs.map(SortOrder(_, Ascending))
+        // the marker's exec claims NO intra-partition order (leg scans
+        // pack files by size, not key order — a Window above plans a
+        // LOCAL sort, no exchange); `ro` is the CROSS-partition range
+        // claim only
+        Some(rebuild(DeclareRangeLaid(aliased, co, ro)))
       case _ => None // Unzippable, or the scan's own WHERE pruned all files
     }
   }
