@@ -3349,9 +3349,15 @@ object SparkEntry {
           FROM graft_spw.lilines
         ) WHERE l_orderkey <= 500
         ORDER BY l_orderkey, l_linenumber""")
-      val plan = q.queryExecution.executedPlan.toString
-      require(!plan.contains("ShuffleExchange") && !plan.contains("Exchange range"),
-        s"kv_sql_window_prefix: expected a zero-exchange prefix window, got:\n$plan")
+      // collect the exec nodes, not plan-string substrings: in Spark 4.1
+      // ShuffleExchangeExec renders as "Exchange hashpartitioning(...)",
+      // so a substring pin on "ShuffleExchange" can never fire
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      require(shuffles.isEmpty,
+        "kv_sql_window_prefix: expected a zero-exchange prefix window, got:\n" +
+          q.queryExecution.executedPlan.toString)
       q
     }),
     // COMPOSITE-PREFIX count-range (r17, GraftCountRange): `WHERE k1 = a

@@ -483,6 +483,29 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       else Some(graft.plans.OrderedPlans.snapshotPrunable(base, key.cols.head, prunedPlanFor))
     }
 
+  /** File-prefix stitch for SQL top-k (`ORDER BY <key prefix> LIMIT n`,
+    * [[graft.sources.GraftOrderedScan]]): the manifest prefix of files
+    * covering the first `n` rows in (reverse?) key order. On a disjoint
+    * layout every row outside the prefix sorts strictly beyond every row
+    * inside it, so the global top-n lives entirely in ⌈n/rowsPerFile⌉
+    * files — `LIMIT 10` over a snapshot of any size reads ONE file where
+    * the stock plan pays a TakeOrderedAndProject over every covering
+    * file. Sound ONLY when no predicate can drop rows between the scan
+    * and the limit (the caller enforces: no Filter nodes, no pushed scan
+    * bounds) — a filtered prefix might not hold n surviving rows while
+    * later files do. Same un-declared contract as [[orderedStitchFrame]]:
+    * the caller wraps [[graft.plans.DeclareOrdered]] above its own
+    * projection.
+    */
+  private[graft] def topKStitchFrame(n: Long, reverse: Boolean): Option[DataFrame] =
+    if (manifest.isEmpty || files.isEmpty || !filesDisjoint || n <= 0) None
+    else {
+      val ordered = if (reverse) files.reverse else files
+      var cum = 0L
+      val prefix = ordered.takeWhile { f => val need = cum < n; cum += f.rows; need }
+      Some(orderedUnion(prefix, reverse))
+    }
+
   /** S3 head/tail over a snapshot: only the manifest-prefix of files
     * covering the first `n` rows is read — O(n) input regardless of
     * index size, no sort exchange on the covered files.
@@ -1608,6 +1631,65 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     ProbeLegs.Legs(legBounds, plan)
   }
 
+  /** Cheap manifest-only cardinality signal for a leading `m`-prefix
+    * grouping over the files a leading-key [lo, hi] prune keeps (the same
+    * prune [[probeLegPlans]] applies, so the signal describes exactly the
+    * rows the prefix-cluster rewrite would re-plan). Driver-side sweep
+    * over file bounds — zero data IO, O(covering files).
+    *
+    * `groupsLB` counts prefix-group transitions across the sorted file
+    * chain: a file whose truncated min == max lies wholly inside one
+    * group; adjacent files sharing a bound prefix share that group. Wide
+    * files (truncated min != max) contribute both bounds but hide interior
+    * groups, so the bound is only trustworthy when `wideFrac` is small —
+    * the decision [[graft.sources.GraftPrefixCluster]] makes, not this
+    * method. Returns None on an empty/overlapping layout or when the
+    * prune keeps no files (the rewrite declines there anyway).
+    */
+  private[graft] def prefixGroupSignal(m: Int, lo: Option[Any] = None,
+      hi: Option[Any] = None): Option[PrefixGroupSignal] = {
+    if (manifest.isEmpty || !filesDisjoint) return None
+    val fs = filesWhere(f =>
+      lo.forall(l => KeyOrd.compare(Seq(f.max.head), Seq(l)) >= 0) &&
+        hi.forall(h => KeyOrd.compare(Seq(f.min.head), Seq(h)) <= 0))
+    if (fs.isEmpty) return None
+    var rows = 0L; var wide = 0; var groups = 0L
+    var ub = 0L; var ubOk = m == 1
+    var last: Seq[Any] = null
+    fs.foreach { f =>
+      rows += f.rows
+      val pMin = f.min.take(m); val pMax = f.max.take(m)
+      val w = KeyOrd.compare(pMin, pMax) != 0
+      if (w) wide += 1
+      if (last == null || KeyOrd.compare(last, pMin) != 0) groups += 1
+      if (w) groups += 1
+      last = pMax
+      if (ubOk) (ordinalOf(f.min.head), ordinalOf(f.max.head)) match {
+        case (Some(a), Some(b)) =>
+          // span as BigInt: Long bounds can differ by more than Long.Max
+          val span = (BigInt(b) - BigInt(a) + 1).min(BigInt(f.rows)).toLong
+          ub = math.min(Long.MaxValue - span, ub) + span
+        case _ => ubOk = false
+      }
+    }
+    Some(PrefixGroupSignal(groups, rows, fs.size, wide.toDouble / fs.size,
+      if (ubOk) Some(ub) else None))
+  }
+
+  /** Integer ordinal of a manifest bound value for span arithmetic —
+    * integral and date types only (fractional/string/binary spans say
+    * nothing about distinct counts). Accepts the widened forms the
+    * manifest JSON round-trip produces.
+    */
+  private def ordinalOf(v: Any): Option[Long] = v match {
+    case null => None
+    case _: java.lang.Float | _: java.lang.Double => None
+    case n: java.lang.Number => Some(n.longValue())
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
   /** ts column in its native integral units — the tolerance contract,
     * which MUST agree with [[graft.plans.AsOfZipJoinExec]]'s raw-value
     * semantics (days for DATE, microseconds for TIMESTAMP, the value
@@ -2249,6 +2331,23 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     }
   }
 }
+
+/** Manifest-derived cardinality signal for a leading `m`-prefix grouping
+  * ([[KVIndex.prefixGroupSignal]]). `groupsLB` is a LOWER bound on the
+  * number of distinct prefix groups in the covering files; it is near-exact
+  * when `wideFrac` is small (most files span a single prefix group, so
+  * groups span whole files and every group shows up at a file bound) and
+  * uninformative when most files are "wide" (a file whose truncated
+  * min/max prefixes differ hides an unknown number of interior groups).
+  * `groupsUB` (m == 1, integral/date leading column only) is a true UPPER
+  * bound: Σ over files of min(rows, head-span + 1) — a file's distinct
+  * heads cannot exceed the integer span of its bounds, and double-counting
+  * straddled groups only raises the bound. Safe to act on in the direction
+  * "few groups": if even the maximal possible count is small, it is small.
+  */
+private[graft] final case class PrefixGroupSignal(
+    groupsLB: Long, rows: Long, nFiles: Int, wideFrac: Double,
+    groupsUB: Option[Long])
 
 /** Result of [[KVIndex.probeLegPlans]] — three-way so callers can tell a
   * layout that cannot zip (fall back to the stock shuffled join) from

@@ -93,6 +93,12 @@ final case class PrefixRangePartitioning(clusterOrdering: Seq[SortOrder],
     case OrderedDistribution(req) =>
       SortOrder.orderingSatisfies(rangeOrdering, req)
     case c: org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution =>
+      // honor spark.sql.requireAllClusterKeysForDistribution: the user is
+      // forcing exact-key distribution (skew mitigation) — a prefix-grain
+      // claim that covers only SOME cluster keys must stand aside even
+      // though its co-location is semantically valid
+      (!c.requireAllClusterKeys || c.clustering.forall(ck =>
+        clusterOrdering.exists(_.child.semanticEquals(ck)))) &&
       clusterOrdering.forall(so =>
         c.clustering.exists(_.semanticEquals(so.child)))
     case _ => super.satisfies0(required)

@@ -33,9 +33,15 @@ import graft.core.{KeyOrd, KVIndex}
   * inside the predicate — collapse driver-side to TWO rows (min/max/sum
   * are associative; the heads are real in-range key values), counted and
   * bounded with ZERO io; the boundary files the predicate cuts through —
-  * at most two on a disjoint layout — are the only files scanned. A
-  * range spanning terabytes of interior files answers by reading at most
-  * two; an edge-aligned or all-pruned range reads none.
+  * at most two on a disjoint NULL-FREE layout — are the only files
+  * scanned. A range spanning terabytes of interior files answers by
+  * reading at most two; an edge-aligned or all-pruned range reads none.
+  * On null-bearing data the bound loosens: every file whose truncated
+  * min/max carries a null at a constrained position is DEMOTED to a
+  * boundary scan too (such a file may mix null-headed non-matches with
+  * real matches, so it genuinely must be read — no driver-side fold can
+  * avoid that IO), so `GraftScan.lastPlannedFiles` is ≤ 2 + the
+  * null-demoted file count, not a flat 2.
   *
   * Reference analogue: subtree cardinalities served from node metadata
   * (reference `Meta.scala` counters, surfaced as A4 in SURVEY §2.3) —
@@ -250,7 +256,8 @@ object GraftCountRange extends Rule[LogicalPlan] {
     //    component of the tuple extremes IS the column extreme there),
     //    so the partials are exact and the LocalRelation stays O(1) no
     //    matter how many million files the range spans;
-    //  - the boundary files (≤2 on a disjoint layout) scanned with the
+    //  - the boundary files (≤2 on a disjoint null-free layout, plus any
+    //    null-demoted files on null-bearing data) scanned with the
     //    ORIGINAL predicate, each row as (cols..., 1).
     // count(*) = coalesce(sum(cnt), 0); min/max(k_p) = min/max over col p.
     val servedPos: Seq[Int] = shapes.collect {

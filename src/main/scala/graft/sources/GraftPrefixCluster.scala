@@ -60,8 +60,9 @@ object GraftPrefixCluster extends Rule[LogicalPlan] {
     * exchange is small while the rewrite's legs pay the non-codegen
     * marker fence — locally that can LOSE wall time; on a cluster the
     * fence is CPU-linear while the deleted term is network, the same
-    * economics as the zip join (NOTES: WSCG fence). Disable per session
-    * when a workload is dominated by low-cardinality rollups.
+    * economics as the zip join (NOTES: WSCG fence). Aggregates now
+    * DECLINE that case automatically from manifest stats (see
+    * [[stockAggWins]]); this switch remains the global off-ramp.
     */
   private def enabled: Boolean = {
     val raw = org.apache.spark.sql.internal.SQLConf.get
@@ -74,12 +75,65 @@ object GraftPrefixCluster extends Rule[LogicalPlan] {
     }
   }
 
+  /** `spark.graft.sql.prefixCluster.declineShare` (default 0.25): the
+    * AGGREGATE decline threshold. The rewrite's benefit is the deleted
+    * pre-aggregation exchange; under stock partial aggregation that
+    * exchange only carries ≈ groups × map-tasks partial rows, so when the
+    * manifest says the grouping is LOW-cardinality the deleted term is a
+    * sliver of the full stream and cannot repay the legs' codegen fence
+    * (measured 2–3× CPU at 5M rows, ScaleProbeSpec). Decline when the
+    * estimated stock-shuffle share `min(groupsLB × files, rows) / rows`
+    * falls below this value. `0` disables declining (always rewrite — the
+    * r17 behavior). Windows are NEVER declined: stock window plans have no
+    * partial aggregation, so their deleted exchange is always the full
+    * row stream.
+    */
+  private def declineShare: Double = {
+    val raw = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.sql.prefixCluster.declineShare", "0.25")
+    val v =
+      try raw.trim.toDouble
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.sql.prefixCluster.declineShare must be a number in [0, 1], got '$raw'") }
+    if (v < 0 || v > 1) throw new IllegalArgumentException(
+      s"spark.graft.sql.prefixCluster.declineShare must be in [0, 1], got '$raw'")
+    v
+  }
+
+  /** True when manifest stats say the stock partial-aggregation plan wins:
+    * a trustworthy group-count estimate implies a stock shuffle volume
+    * (groups × map tasks partial rows, capped at the stream) under
+    * `declineShare` of the stream the rewrite would unshuffle. Two
+    * estimators, either sufficient:
+    *  - the bound-transition LOWER bound, trusted only when wideFrac ≤ 0.5
+    *    (most files span a single prefix group, so groups span whole files
+    *    and surface at file bounds — near-exact there);
+    *  - the integral-span UPPER bound (m == 1, integral/date leading
+    *    column): if even the maximal possible group count keeps the stock
+    *    shuffle small, declining is safe regardless of file width.
+    * When neither speaks (wide files over a non-integral or composite
+    * prefix), cardinality is plausibly high — the shape the rewrite was
+    * measured to win — so it keeps the rewrite.
+    */
+  private def stockAggWins(ix: KVIndex, m: Int,
+      lo: Option[Any], hi: Option[Any]): Boolean = {
+    val share = declineShare
+    if (share <= 0) return false
+    ix.prefixGroupSignal(m, lo, hi) match {
+      case Some(s) if s.rows > 0 =>
+        def small(groups: Long): Boolean =
+          (BigInt(groups) * s.nFiles).min(BigInt(s.rows)).toDouble < s.rows * share
+        (s.wideFrac <= 0.5 && small(s.groupsLB)) || s.groupsUB.exists(small)
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(ge, _, child, _) if ge.nonEmpty && enabled =>
-      rewriteChild(child, clusterAttrs(ge))
+      rewriteChild(child, clusterAttrs(ge), forAggregate = true)
         .map(nc => agg.copy(child = nc)).getOrElse(agg)
     case w: Window if w.partitionSpec.nonEmpty && enabled =>
-      rewriteChild(w.child, clusterAttrs(w.partitionSpec))
+      rewriteChild(w.child, clusterAttrs(w.partitionSpec), forAggregate = false)
         .map(nc => w.copy(child = nc)).getOrElse(w)
   }
 
@@ -88,7 +142,8 @@ object GraftPrefixCluster extends Rule[LogicalPlan] {
     es.collect { case a: AttributeReference => a.exprId }.toSet
 
   private def rewriteChild(child: LogicalPlan,
-      cluster: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+      cluster: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
+      forAggregate: Boolean)
       : Option[LogicalPlan] = {
     if (cluster.isEmpty) return None
     val (rel, g, rebuild) = GraftCoRangeJoin.side(child).getOrElse(return None)
@@ -112,9 +167,10 @@ object GraftPrefixCluster extends Rule[LogicalPlan] {
     val ix = new KVIndex(g.storeRef, g.manifestRef)
     if (!ix.zipLayoutOk) return None
     val (bLo, bHi) = g.pushedKeyBounds
-    ix.probeLegPlans(m, GraftCoRangeJoin.rowsPerLegConf(),
-        bLo.filter(_.nonEmpty).map(_.head),
-        bHi.filter(_.nonEmpty).map(_.head)) match {
+    val leadLo = bLo.filter(_.nonEmpty).map(_.head)
+    val leadHi = bHi.filter(_.nonEmpty).map(_.head)
+    if (forAggregate && stockAggWins(ix, m, leadLo, leadHi)) return None
+    ix.probeLegPlans(m, GraftCoRangeJoin.rowsPerLegConf(), leadLo, leadHi) match {
       case graft.core.ProbeLegs.Legs(_, legPlan) =>
         val aliased = GraftCoRangeJoin.aliasTo(rel.output, legPlan)
         val co = prefixAttrs.map(SortOrder(_, Ascending))

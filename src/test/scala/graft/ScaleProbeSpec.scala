@@ -11,7 +11,8 @@ import graft.core._
   * into parquet scans) on the same snapshot: do both plan pruned scans,
   * and what does each actually open?
   */
-class ScaleProbeSpec extends SparkSuite {
+class ScaleProbeSpec extends SparkSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   private def enabled = sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("1")
@@ -642,19 +643,58 @@ class ScaleProbeSpec extends SparkSuite {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.isEmpty, s"$what must plan no exchange at 5M")
 
-    // LOW cardinality (50k groups of 100): stock partial aggregation
-    // already collapses the shuffle — the rewrite deletes a SMALL
-    // exchange and pays the marker fence; the honest trade-off case
+    // LOW cardinality (50k groups of 100 over 5M rows): stock partial
+    // aggregation already collapses this shuffle to ~groups × tasks
+    // partial rows — the r17 unconditional rewrite measured 2-3× CPU
+    // here (the marker fence, NOTES), so the r18 cardinality signal must
+    // DECLINE it: the integral-span upper bound (Σ min(rows, span+1) ≈
+    // 50k) says even the maximal group count keeps the stock shuffle a
+    // sliver of the stream
     val qLo = spark.sql(
       "SELECT g, count(*) AS n, sum(v) AS sv FROM pfx5c.pfx5 GROUP BY g")
-    noExchange(qLo, "low-cardinality prefix aggregate")
+    assert(collect(qLo.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.nonEmpty, "50k-group rollup must DECLINE to the stock partial-agg plan")
     val (nLo, loSec, loSh) = measure(qLo.count())
     assert(nLo == 50000L)
     val (nLoSt, loStSec, loStSh) = measure(
       ix.df.groupBy("g").agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).count())
     assert(nLoSt == 50000L)
-    info(f"LOW-card GROUP BY — rewrite: $loSec%.1f s / $loSh B shuffle; " +
+    info(f"LOW-card GROUP BY — rule enabled (declined): $loSec%.1f s / $loSh B shuffle; " +
       f"stock: $loStSec%.1f s / $loStSh B shuffle")
+    assert(loSec < loStSec * 1.5 + 2.0,
+      f"declined 50k-group rollup must track stock wall time ($loSec%.1f vs $loStSec%.1f s)")
+
+    // TRULY low cardinality (10 groups of 500k, groups spanning whole
+    // files): the r18 manifest cardinality signal DECLINES the rewrite —
+    // stock partial aggregation collapses this shuffle to a few hundred
+    // partial rows, so the legs' fence could never repay it (measured
+    // 2-3x CPU in r17 with the unconditional rewrite)
+    val store10 = new FsSnapshotStore(tmpDir("graft-probe-pfx10"), spark)
+    val rows10 = spark.range(0, 5000000).select(
+      expr("id div 500000").as("g"), col("id").as("k"), (col("id") % 97).as("v"))
+    val ix10 = KVIndex.bootstrap(store10, "pfx10", rows10, Seq("g", "k"),
+      maxRowsPerFile = 1L << 17).fold(e => fail(e.message), identity)
+    spark.conf.set("spark.sql.catalog.pfx10c", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pfx10c.root", store10.root)
+    val q10 = spark.sql(
+      "SELECT g, count(*) AS n, sum(v) AS sv FROM pfx10c.pfx10 GROUP BY g")
+    // AdaptiveSparkPlanHelper.collect: the declined plan HAS a shuffle,
+    // so AQE wraps it and a plain plan.collect would see nothing
+    assert(collect(q10.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.nonEmpty, "a ~10-group rollup must DECLINE to the stock partial-agg plan")
+    val (n10, sec10, _) = measure(q10.count())
+    assert(n10 == 10L)
+    val (n10St, sec10St, _) = measure(
+      ix10.df.groupBy("g").agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).count())
+    assert(n10St == 10L)
+    info(f"10-group GROUP BY — rule enabled (declined): $sec10%.1f s; " +
+      f"stock: $sec10St%.1f s")
+    // declined == the stock plan itself, so parity is structural; the
+    // wall-clock check is a generous envelope against environmental noise
+    assert(sec10 < sec10St * 1.5 + 2.0,
+      f"declined rollup must track stock wall time ($sec10%.1f vs $sec10St%.1f s)")
 
     // HIGH cardinality (2.5M groups of 2, grouping by the FULL key's
     // coarse half): partials cannot collapse — the per-key pipeline

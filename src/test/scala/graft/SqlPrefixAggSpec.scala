@@ -185,6 +185,100 @@ class SqlPrefixAggSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  // ~6-group rollup whose groups span WHOLE files (500 rows per g over
+  // 64-row files): the manifest signal is trustworthy (wideFrac small,
+  // groupsLB near-exact) and says stock partial aggregation wins — the
+  // r18 cardinality-aware decline (VERDICT r17 #1)
+  private lazy val (loRows, loCat) = {
+    val st = new FsSnapshotStore(tmpDir("graft-pfxlo") + "/store", spark)
+    val rs = (1L to 3000L).map(i => (i / 500, i, i % 11))
+    KVIndex.bootstrap(st, "lo", rs.toDF("g", "k", "v").repartition(1),
+      Seq("g", "k"), maxRowsPerFile = 64).toOption.get
+    spark.conf.set("spark.sql.catalog.pfxlo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pfxlo.root", st.root)
+    (rs, "pfxlo")
+  }
+
+  test("low-cardinality rollup DECLINES to the stock partial-agg plan") {
+    val q = spark.sql(s"SELECT g, count(*) AS n, sum(v) AS sv FROM $loCat.lo GROUP BY g")
+    // manifest says ~7 groups over ~47 files: the stock shuffle is a
+    // sliver of the stream, the rewrite's fence cannot repay it — the
+    // rule must stand aside and leave the stock shuffled aggregate
+    assert(exchanges(q) >= 1,
+      s"low-cardinality rollup must keep the stock plan:\n${q.queryExecution.executedPlan}")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val want = loRows.groupBy(_._1).map { case (g, rs) =>
+      (g, rs.size.toLong, rs.map(_._3).sum) }.toSeq.sortBy(_._1)
+    assert(got == want, "declined rollup content mismatch")
+  }
+
+  test("big-file low-cardinality declines via the integral span upper bound") {
+    // files BIGGER than groups (1024-row files over 500-row groups):
+    // every file straddles groups, so the bound-transition LOWER bound is
+    // untrusted (wideFrac 1) — but the leading column is integral, and
+    // Σ min(rows, span+1) proves the group count small from the manifest
+    // alone; the decline must still fire (the 50k-of-5M probe shape)
+    val st = new FsSnapshotStore(tmpDir("graft-pfxspan") + "/store", spark)
+    val rs = (1L to 3000L).map(i => (i / 500, i, i % 11))
+    KVIndex.bootstrap(st, "sp", rs.toDF("g", "k", "v").repartition(1),
+      Seq("g", "k"), maxRowsPerFile = 1024).toOption.get
+    spark.conf.set("spark.sql.catalog.pfxsp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pfxsp.root", st.root)
+    val q = spark.sql("SELECT g, count(*) AS n, sum(v) AS sv FROM pfxsp.sp GROUP BY g")
+    assert(exchanges(q) >= 1,
+      s"span bound must decline the big-file rollup:\n${q.queryExecution.executedPlan}")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val want = rs.groupBy(_._1).map { case (g, rows) =>
+      (g, rows.size.toLong, rows.map(_._3).sum) }.toSeq.sortBy(_._1)
+    assert(got == want, "span-declined rollup content mismatch")
+  }
+
+  test("declineShare=0 restores the unconditional r17 rewrite") {
+    spark.conf.set("spark.graft.sql.prefixCluster.declineShare", "0")
+    try {
+      val q = spark.sql(s"SELECT g, count(*) AS n FROM $loCat.lo GROUP BY g")
+      assert(exchanges(q) == 0,
+        s"declineShare=0 must always rewrite:\n${q.queryExecution.executedPlan}")
+      assert(q.count() == loRows.map(_._1).distinct.size)
+    } finally spark.conf.unset("spark.graft.sql.prefixCluster.declineShare")
+  }
+
+  test("windows are NEVER declined: low-cardinality prefix window still rewrites") {
+    // stock window plans have no partial aggregation — the deleted
+    // exchange is always the full row stream, so the decline is
+    // aggregate-only by design
+    val q = spark.sql(
+      s"""SELECT g, k, row_number() OVER (PARTITION BY g ORDER BY k) AS rn
+          FROM $loCat.lo""")
+    assert(exchanges(q) == 0,
+      s"low-cardinality prefix window must still rewrite:\n${q.queryExecution.executedPlan}")
+    assert(q.count() == loRows.size)
+  }
+
+  test("high-cardinality grouping is untouched by the decline (wide-file guard)") {
+    // the MAIN fixture's files nearly all straddle groups (56-row groups
+    // over 64-row files): the manifest bound is uninformative, cardinality
+    // is plausibly high, and the rewrite keeps its win
+    val q = spark.sql(s"SELECT g, count(*) AS n FROM $cat.pa GROUP BY g")
+    assert(exchanges(q) == 0,
+      "wide-file layouts must keep the exchange-free rewrite")
+  }
+
+  test("declineShare rejects junk and out-of-range values") {
+    for (bad <- Seq("nope", "-0.5", "1.5")) {
+      spark.conf.set("spark.graft.sql.prefixCluster.declineShare", bad)
+      try {
+        val e = intercept[Exception] {
+          spark.sql(s"SELECT g, count(*) AS n FROM $loCat.lo GROUP BY g")
+            .queryExecution.executedPlan
+        }
+        assert(e.getMessage.contains("declineShare"), s"value '$bad' must fail loudly")
+      } finally spark.conf.unset("spark.graft.sql.prefixCluster.declineShare")
+    }
+  }
+
   test("kill-switch: spark.graft.sql.prefixCluster=false restores the stock plan") {
     spark.conf.set("spark.graft.sql.prefixCluster", "false")
     try {
