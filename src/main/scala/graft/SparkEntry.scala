@@ -365,6 +365,39 @@ object SparkEntry {
         .fold(e => sys.error(e.message), identity)
     }._2
 
+  /** SQL-driven materialized-view fixture (kv_sql_mat_view): the
+    * kv_agg_view lifecycle driven ENTIRELY through the r18 MV SQL surface
+    * (`sources/GraftMatView.scala`) — CREATE MATERIALIZED VIEW compiles
+    * onto MaterializedAgg.create, the source mutates through the command
+    * API, REFRESH MATERIALIZED VIEW applies the COW diff (± pass for
+    * sums/count, touched-groups recompute for min/max).
+    */
+  private def sqlMvView(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-sqlmv", s, d) { store =>
+      val src0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = KVIndex.bootstrap(store, "mvsrc", src0, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      s.conf.set("spark.sql.catalog.graft_mv", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_mv.root", store.root)
+      s.sql("""CREATE MATERIALIZED VIEW graft_mv.mvagg AS
+        SELECT o_custkey, sum(cents) AS sum_cents, count(*) AS agg_cnt,
+               min(cents) AS min_cents, max(cents) AS max_cents
+        FROM graft_mv.mvsrc GROUP BY o_custkey""")
+      val res = v1.execute(Seq(
+        Command.Insert(src0.filter(col("o_orderkey") < 50)
+          .withColumn("cents", lit(0L)), upsert = true),
+        Command.Remove(src0.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+          .select("o_orderkey")),
+        Command.Insert(s.range(0, 10).select(
+          (col("id") + 2000000L).as("o_orderkey"),
+          (lit(999990L) + col("id") % 2).as("o_custkey"),
+          (lit(12345L) + col("id")).as("cents")))))
+      res.orThrow
+      s.sql("REFRESH MATERIALIZED VIEW graft_mv.mvagg")
+      KVIndex.open(store, "mvagg").fold(e => sys.error(e.message), identity)
+    }._2
+
   /** Materialized JOIN view fixture (`core/MaterializedJoin.scala`):
     * orders ⋈ per-order line aggregates as an incrementally-maintained
     * view. Create at v1 of BOTH sources (the create is the exchange-free
@@ -942,6 +975,18 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"),
           col("qty").cast("long").as("qty"), col("n_lines"))
         .orderBy("o_orderkey")),
+    // IVM from SQL TEXT (r18, GraftMatView + GraftSqlParser): CREATE
+    // MATERIALIZED VIEW compiles onto MaterializedAgg, the source mutates
+    // through the command API, and REFRESH MATERIALIZED VIEW applies the
+    // COW diff — the oracle is the from-scratch recompute of the mutated
+    // table (the kv_agg_view contract, reachable from SQL text)
+    "kv_sql_mat_view" -> ((s, d) => {
+      val ix = sqlMvView(s, d)
+      s.conf.set("spark.sql.catalog.graft_mv", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_mv.root", ix.store.root)
+      s.sql("""SELECT o_custkey, sum_cents, agg_cnt, min_cents, max_cents
+               FROM graft_mv.mvagg ORDER BY o_custkey""")
+    }),
     // multi-column + min/max view: two sums ride one ± pass, min/max of
     // cents recomputes from the source for TOUCHED groups only; the
     // oracle is again the from-scratch recompute of the mutated table
@@ -3360,6 +3405,30 @@ object SparkEntry {
           q.queryExecution.executedPlan.toString)
       q
     }),
+    // MANIFEST TOP-K from SQL (r18, GraftOrderedScan's limit rung):
+    // `ORDER BY <key prefix> LIMIT n` re-plans the scan as the file
+    // prefix covering the first n rows — ⌈n/rowsPerFile⌉ files read
+    // (pinned to ONE here per direction) instead of a
+    // TakeOrderedAndProject over every covering file. ASC head + DESC
+    // tail in one result, tagged.
+    "kv_sql_topk" -> ((s, d) => {
+      val liIx = liLinesFineStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_tk", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_tk.root", liIx.store.root)
+      val asc = s.sql("""
+        SELECT 'head' AS tag, l_orderkey, l_linenumber, CAST(qty AS BIGINT) AS qty
+        FROM graft_tk.lilines ORDER BY l_orderkey, l_linenumber LIMIT 50""")
+      require(asc.inputFiles.length == 1,
+        s"kv_sql_topk: ASC LIMIT 50 over 2048-row files must read ONE file, " +
+          s"got ${asc.inputFiles.length}")
+      val desc = s.sql("""
+        SELECT 'tail' AS tag, l_orderkey, l_linenumber, CAST(qty AS BIGINT) AS qty
+        FROM graft_tk.lilines ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 50""")
+      require(desc.inputFiles.length == 1,
+        s"kv_sql_topk: DESC LIMIT 50 must read the single tail file, " +
+          s"got ${desc.inputFiles.length}")
+      asc.unionAll(desc)
+    }),
     // COMPOSITE-PREFIX count-range (r17, GraftCountRange): `WHERE k1 = a
     // AND k2 BETWEEN x AND y` — the temporal-KV stats shape — answers
     // count/min/max from manifest prefix-tuple coverage, scanning at most
@@ -3740,6 +3809,17 @@ object SparkEntry {
         "UNION ALL SELECT 2000000 + i, 999990 + i % 2, 12345 + i FROM range(10) t(i)) " +
         "SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS agg_sum, " +
         "CAST(count(*) AS BIGINT) AS agg_cnt FROM mutated GROUP BY 1 ORDER BY 1"),
+      "kv_sql_mat_view" -> ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "mutated AS (SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderkey < 50 THEN 0 ELSE cents END AS cents " +
+        "FROM base WHERE NOT (o_orderkey >= 100 AND o_orderkey < 200) " +
+        "UNION ALL SELECT 2000000 + i, 999990 + i % 2, 12345 + i FROM range(10) t(i)) " +
+        "SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+        "CAST(count(*) AS BIGINT) AS agg_cnt, " +
+        "CAST(min(cents) AS BIGINT) AS min_cents, " +
+        "CAST(max(cents) AS BIGINT) AS max_cents " +
+        "FROM mutated GROUP BY 1 ORDER BY 1"),
       "kv_agg_view_mm" -> ("WITH base AS (SELECT o_orderkey, o_custkey, " +
         "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, " +
         "CAST(o_orderkey % 97 AS BIGINT) AS points FROM orders), " +
@@ -5003,6 +5083,13 @@ object SparkEntry {
         "sum(qty) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber " +
         "ROWS UNBOUNDED PRECEDING) AS run_qty FROM li) " +
         "WHERE l_orderkey <= 500 ORDER BY l_orderkey, l_linenumber"),
+      "kv_sql_topk" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem GROUP BY 1, 2) " +
+        "SELECT * FROM (SELECT 'head' AS tag, l_orderkey, l_linenumber, qty " +
+        "FROM li ORDER BY l_orderkey, l_linenumber LIMIT 50) " +
+        "UNION ALL " +
+        "SELECT * FROM (SELECT 'tail' AS tag, l_orderkey, l_linenumber, qty " +
+        "FROM li ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 50)"),
       "kv_sql_count_prefix" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
         "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2) " +
         "SELECT count(*) AS n, min(l_linenumber) AS mn, max(l_linenumber) AS mx, " +

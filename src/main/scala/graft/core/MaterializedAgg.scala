@@ -57,8 +57,8 @@ object MaterializedAgg {
     require(minMaxCols.distinct.size == minMaxCols.size,
       s"duplicate min/max columns: ${minMaxCols.mkString(",")}")
     /** single sum, no min/max — keeps the original agg_sum/agg_cnt names */
-    private[core] def legacy: Boolean = sumCols.sizeIs == 1 && minMaxCols.isEmpty
-    private[core] def sumName(c: String): String = if (legacy) "agg_sum" else s"sum_$c"
+    private[graft] def legacy: Boolean = sumCols.sizeIs == 1 && minMaxCols.isEmpty
+    private[graft] def sumName(c: String): String = if (legacy) "agg_sum" else s"sum_$c"
     private[core] def encode: String = sumCols.mkString(",") +
       (if (minMaxCols.nonEmpty) "|" + minMaxCols.mkString(",") else "")
     /** view value columns in schema order */

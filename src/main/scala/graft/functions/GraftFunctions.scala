@@ -64,5 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectPlannerStrategy(_ => graft.plans.DeclareOrderedStrategy)
     e.injectPlannerStrategy(_ => graft.sources.GraftDmlStrategy)
+    // the MATERIALIZED VIEW statement heads Spark's grammar lacks
+    // (CREATE/REFRESH MATERIALIZED VIEW → MaterializedAgg/MaterializedJoin);
+    // every other statement passes to the stock parser verbatim
+    e.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
   }
 }

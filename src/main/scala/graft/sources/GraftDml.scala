@@ -65,6 +65,16 @@ object GraftDmlStrategy extends SparkStrategy {
         GraftDmlExec(s"GraftMerge ${tbl.name()}",
           () => GraftDml.runMerge(tbl, out, m)) :: Nil
       }.getOrElse(Nil)
+    // the MV DDL twins (parsed by GraftSqlParser — reaching the planner
+    // at all implies the extensions wiring, which registers this
+    // strategy, so the commands can never plan without a handler)
+    case c: CreateMatViewCommand =>
+      GraftDmlExec(s"GraftCreateMatView ${c.cat}.${c.viewId}",
+        () => GraftMatView.runCreate(SparkSession.active, c.cat, c.viewId,
+          c.select)) :: Nil
+    case r: RefreshMatViewCommand =>
+      GraftDmlExec(s"GraftRefreshMatView ${r.cat}.${r.viewId}",
+        () => GraftMatView.runRefresh(SparkSession.active, r.cat, r.viewId)) :: Nil
     case _ => Nil
   }
 

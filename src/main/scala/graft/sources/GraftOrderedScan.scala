@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, IntegerLiteral, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
@@ -32,6 +32,14 @@ import graft.plans.{DeclareOrdered, DeclareOrderedStrategy}
   * ascending/descending leading-key prefix with default null ordering —
   * claiming an order the RDD does not guarantee would corrupt results,
   * so eligibility is strict.
+  *
+  * A second rung (r18) handles `ORDER BY <key prefix> LIMIT n`: the
+  * stitch is cut to the manifest FILE PREFIX covering the first n rows
+  * ([[graft.core.KVIndex.topKStitchFrame]]) — `LIMIT 10` reads one file
+  * instead of every covering file. Declines additionally on any Filter
+  * between limit and scan or any pushed scan bounds (either breaks the
+  * row-count guarantee), falling back to the bare-sort rung's
+  * zero-exchange full read.
   */
 object GraftOrderedScan extends Rule[LogicalPlan] {
 
@@ -74,6 +82,29 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // `ORDER BY <key prefix> LIMIT n` (r18): re-plan the scan under the
+    // sort as the MANIFEST TOP-K stitch — only the ⌈n/rowsPerFile⌉ files
+    // covering the first n rows in key order are read (disjoint layout:
+    // every later row sorts beyond all of them), where the stock plan's
+    // TakeOrderedAndProject scans every covering file. The Sort node
+    // stays and elides via the DeclareOrdered claim exactly like the
+    // bare-sort rung; the Limit above trims the prefix's surplus rows.
+    // STRICTER eligibility than the bare sort: any predicate between the
+    // limit and the scan (a Filter node, or bounds pushed INTO the scan)
+    // could drop prefix rows while later files still hold survivors, so
+    // the row-count accounting only trusts predicate-free scans. On
+    // decline the node is left intact and the bare-sort case below still
+    // rewrites the inner Sort on this same pass — full covering read,
+    // but zero-exchange.
+    case gl @ GlobalLimit(IntegerLiteral(n), ll @ LocalLimit(_, s: Sort))
+        if s.global && n > 0 =>
+      sortShape(s.order) match {
+        case Some((sortAttrs, reverse)) =>
+          topKThrough(s.child, sortAttrs, reverse, n)
+            .map(nc => gl.copy(child = ll.copy(child = s.copy(child = nc))))
+            .getOrElse(gl)
+        case None => gl
+      }
     case s: Sort if s.global =>
       sortShape(s.order) match {
         case Some((sortAttrs, reverse)) =>
@@ -113,8 +144,31 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     case rel: DataSourceV2ScanRelation => rel.scan match {
       // V2ScanRelationPushDown wraps every V1Scan before planning
       case org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(g: GraftScan, _, _)
-          if g.plainScan => rewriteRelation(rel, g, sortAttrs, reverse)
-      case g: GraftScan if g.plainScan => rewriteRelation(rel, g, sortAttrs, reverse)
+          if g.plainScan =>
+        rewriteRelation(rel, g, sortAttrs, reverse, _.orderedStitchFrame(reverse))
+      case g: GraftScan if g.plainScan =>
+        rewriteRelation(rel, g, sortAttrs, reverse, _.orderedStitchFrame(reverse))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The top-k walk: deterministic PROJECTS only — a Filter (even a
+    * deterministic one) breaks the manifest row-count accounting the
+    * file-prefix cut relies on, so any Filter declines to the bare-sort
+    * rung. The scan itself must also carry no pushed key bounds, for the
+    * same reason (a pushed WHERE drops rows the manifest still counts).
+    */
+  private def topKThrough(p: LogicalPlan, sortAttrs: Seq[AttributeReference],
+                          reverse: Boolean, n: Int): Option[LogicalPlan] = p match {
+    case pr @ Project(exprs, child) if exprs.forall(_.deterministic) =>
+      topKThrough(child, sortAttrs, reverse, n).map(nc => pr.copy(child = nc))
+    case rel: DataSourceV2ScanRelation => rel.scan match {
+      case org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(g: GraftScan, _, _)
+          if g.plainScan && g.pushedKeyBounds == ((None, None)) =>
+        rewriteRelation(rel, g, sortAttrs, reverse, _.topKStitchFrame(n, reverse))
+      case g: GraftScan if g.plainScan && g.pushedKeyBounds == ((None, None)) =>
+        rewriteRelation(rel, g, sortAttrs, reverse, _.topKStitchFrame(n, reverse))
       case _ => None
     }
     case _ => None
@@ -122,7 +176,9 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
 
   private def rewriteRelation(rel: DataSourceV2ScanRelation, g: GraftScan,
                               sortAttrs: Seq[AttributeReference],
-                              reverse: Boolean): Option[LogicalPlan] = {
+                              reverse: Boolean,
+                              frame: KVIndex => Option[org.apache.spark.sql.DataFrame])
+      : Option[LogicalPlan] = {
     val keyCols = g.manifestRef.keyCols
     val outByName = rel.output.map(a => a.name -> a).toMap
     // the declarable ordering: the longest keyCols prefix present in the
@@ -136,7 +192,7 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
       sortAttrs.forall(a => outByName.get(a.name).exists(_.exprId == a.exprId))
     if (!eligible) return None
     val ix = new KVIndex(g.storeRef, g.manifestRef)
-    ix.orderedStitchFrame(reverse).map { stitched =>
+    frame(ix).map { stitched =>
       val src = stitched.queryExecution.analyzed
       val srcByName = src.output.map(a => a.name -> a).toMap
       // project the full-schema stitch down to the relation's (possibly

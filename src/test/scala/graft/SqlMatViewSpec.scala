@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** `CREATE MATERIALIZED VIEW` / `REFRESH MATERIALIZED VIEW` SQL surface
+  * ([[graft.sources.GraftMatView]] + [[graft.sources.GraftSqlParser]]):
+  * the incremental-view economics (refresh ∝ COW diff) reachable from SQL
+  * text. Contract: after any source mutations, REFRESH makes the view
+  * hash-identical to a from-scratch recompute — and the statements are
+  * spec-restricted with typed errors, never a silently non-incremental
+  * view.
+  */
+class SqlMatViewSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshCat(tag: String): (String, FsSnapshotStore) = {
+    val st = new FsSnapshotStore(tmpDir(s"graft-sqlmv-$tag") + "/store", spark)
+    val cat = s"mv$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", st.root)
+    (cat, st)
+  }
+
+  test("aggregate view: create from SQL, mutate source, REFRESH == recompute") {
+    val (cat, st) = freshCat("agg")
+    val src0 = (1L to 2000L).map(i => (i, i % 37, i % 101)).toDF("k", "g", "v")
+    val v1 = KVIndex.bootstrap(st, "src", src0, Seq("k"))
+      .fold(e => sys.error(e.message), identity)
+
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.mv AS
+      SELECT g, sum(v) AS sum_v, count(*) AS agg_cnt,
+             min(v) AS min_v, max(v) AS max_v
+      FROM $cat.src GROUP BY g""")
+    val view1 = KVIndex.open(st, "mv").fold(e => sys.error(e.message), identity)
+    assert(view1.count == 37L)
+
+    // mutate: upsert some, remove a band, insert new keys (new groups too)
+    val res = v1.execute(Seq(
+      Command.Insert((1L to 80L).map(i => (i, i % 37, 500L + i)).toDF("k", "g", "v"),
+        upsert = true),
+      Command.Remove((300L to 500L).map(Tuple1(_)).toDF("k")),
+      Command.Insert((5001L to 5050L).map(i => (i, 37L + i % 3, i)).toDF("k", "g", "v"))))
+    assert(res.success, s"mutation failed: ${res.error}")
+
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.mv")
+    val got = spark.sql(s"SELECT g, sum_v, agg_cnt, min_v, max_v FROM $cat.mv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val want = spark.sql(
+      s"""SELECT g, sum(v) AS s, count(*) AS c, min(v) AS mn, max(v) AS mx
+          FROM $cat.src GROUP BY g""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == want, "refresh must equal the from-scratch recompute")
+
+    // idempotent: a second refresh with no source movement is a no-op
+    val vBefore = KVIndex.open(st, "mv").toOption.get.manifest.version
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.mv")
+    assert(KVIndex.open(st, "mv").toOption.get.manifest.version == vBefore,
+      "refresh without source movement must not commit a new version")
+  }
+
+  test("single-sum legacy naming is enforced with guidance") {
+    val (cat, st) = freshCat("leg")
+    KVIndex.bootstrap(st, "src",
+      (1L to 100L).map(i => (i, i % 5, i)).toDF("k", "g", "v"), Seq("k"))
+      .fold(e => sys.error(e.message), identity)
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE MATERIALIZED VIEW $cat.bad AS
+        SELECT g, sum(v) AS sum_v, count(*) AS agg_cnt FROM $cat.src GROUP BY g""")
+    }
+    assert(e.getMessage.contains("agg_sum"), s"guide to the legacy name: ${e.getMessage}")
+    // with the right alias it works and reads back
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.mv AS
+      SELECT g, sum(v) AS agg_sum, count(*) AS agg_cnt FROM $cat.src GROUP BY g""")
+    val got = spark.sql(s"SELECT g, agg_sum, agg_cnt FROM $cat.mv ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = (1L to 100L).groupBy(_ % 5).map { case (g, ks) =>
+      (g, ks.sum, ks.size.toLong) }.toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("join view: create from SQL USING shape, mutate both sides, REFRESH == recompute") {
+    val (cat, st) = freshCat("join")
+    val a0 = (1L to 1000L).map(i => (i, i * 3)).toDF("k", "av")
+    val b0 = (1L to 900L).map(i => (i, s"b$i")).toDF("k", "bv")
+    val a1 = KVIndex.bootstrap(st, "a", a0, Seq("k")).fold(e => sys.error(e.message), identity)
+    val b1 = KVIndex.bootstrap(st, "b", b0, Seq("k")).fold(e => sys.error(e.message), identity)
+
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.jv AS " +
+      s"SELECT * FROM $cat.a JOIN $cat.b USING (k)")
+    assert(KVIndex.open(st, "jv").toOption.get.count == 900L)
+
+    a1.execute(Seq(
+      Command.Update((1L to 50L).map(i => (i, i * 7)).toDF("k", "av")),
+      Command.Remove((100L to 150L).map(Tuple1(_)).toDF("k")))).orThrow
+    b1.execute(Seq(
+      Command.Insert((901L to 950L).map(i => (i, s"n$i")).toDF("k", "bv")))).orThrow
+
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.jv")
+    val got = spark.sql(s"SELECT k, av, bv FROM $cat.jv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val want = spark.sql(
+      s"SELECT a.k, a.av, b.bv FROM $cat.a a JOIN $cat.b b ON a.k = b.k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == want, "join refresh must equal the from-scratch join")
+  }
+
+  test("typed declines: bad shapes never create a silently-broken view") {
+    val (cat, st) = freshCat("err")
+    KVIndex.bootstrap(st, "src",
+      (1L to 100L).map(i => (i, i % 5, i, i / 2.0)).toDF("k", "g", "v", "f"),
+      Seq("k")).fold(e => sys.error(e.message), identity)
+
+    def bad(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}\nfor: $sql")
+      assert(!st.exists("bad"), s"failed create must not leave an index: $sql")
+    }
+    // missing count(*)
+    bad(s"CREATE MATERIALIZED VIEW $cat.bad AS SELECT g, sum(v) AS sum_v " +
+      s"FROM $cat.src GROUP BY g", "agg_cnt")
+    // unsupported aggregate
+    bad(s"CREATE MATERIALIZED VIEW $cat.bad AS SELECT g, avg(v) AS a, " +
+      s"count(*) AS agg_cnt FROM $cat.src GROUP BY g", "unsupported aggregate")
+    // min without max
+    bad(s"CREATE MATERIALIZED VIEW $cat.bad AS SELECT g, sum(v) AS sum_v, " +
+      s"count(*) AS agg_cnt, min(v) AS min_v FROM $cat.src GROUP BY g", "PAIRS")
+    // float sum breaks incremental==recompute (core rejects; surfaced)
+    val eF = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.bad AS SELECT g, " +
+        s"sum(f) AS sum_f, count(*) AS agg_cnt FROM $cat.src GROUP BY g")
+    }
+    assert(!st.exists("bad"))
+    // filtered source would silently maintain the wrong corpus
+    bad(s"CREATE MATERIALIZED VIEW $cat.bad AS SELECT g, sum(v) AS sum_v, " +
+      s"count(*) AS agg_cnt FROM (SELECT * FROM $cat.src WHERE v > 5) " +
+      s"GROUP BY g", "single graft catalog table")
+    // refresh of a non-view index
+    val eR = intercept[Exception](spark.sql(s"REFRESH MATERIALIZED VIEW $cat.src"))
+    assert(eR.getMessage.contains("not a materialized view"), eR.getMessage)
+    // non-graft catalog
+    val eC = intercept[Exception](spark.sql(
+      "CREATE MATERIALIZED VIEW nocat.bad AS SELECT 1 AS x"))
+    assert(eC.getMessage.contains("not a configured catalog"), eC.getMessage)
+    // stock statements still parse through the delegate untouched
+    assert(spark.sql("SELECT 1 AS one").collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("DROP TABLE removes a view; re-create sees the fresh source") {
+    val (cat, st) = freshCat("drop")
+    KVIndex.bootstrap(st, "src",
+      (1L to 50L).map(i => (i, i % 3, i)).toDF("k", "g", "v"), Seq("k"))
+      .fold(e => sys.error(e.message), identity)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv AS SELECT g, sum(v) AS agg_sum, " +
+      s"count(*) AS agg_cnt FROM $cat.src GROUP BY g")
+    spark.sql(s"DROP TABLE $cat.mv")
+    assert(!st.exists("mv"))
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv AS SELECT g, sum(v) AS agg_sum, " +
+      s"count(*) AS agg_cnt FROM $cat.src GROUP BY g")
+    assert(KVIndex.open(st, "mv").toOption.get.count == 3L)
+  }
+}

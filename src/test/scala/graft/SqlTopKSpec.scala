@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** SQL `ORDER BY <key prefix> LIMIT n` → manifest top-k
+  * ([[graft.sources.GraftOrderedScan]]'s limit rung): the scan re-plans as
+  * the file prefix covering the first n rows, so `LIMIT 10` reads ONE file
+  * where the stock plan pays a TakeOrderedAndProject over every covering
+  * file. Content parity with a full sort is the correctness contract; the
+  * inputFiles bound and the strict declines (filters, pushed bounds,
+  * non-key sorts) are the scale contract — at 100× snapshot size the file
+  * count read stays ⌈n/rowsPerFile⌉.
+  */
+class SqlTopKSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 4000 unique keys over a multi-file layout; every top-k set is
+  // deterministic. File row counts come from the manifest (bootstrap
+  // sizes files by byte estimate, not an exact row count).
+  private lazy val (store, ix) = {
+    val st = new FsSnapshotStore(tmpDir("graft-topk") + "/store", spark)
+    val rows = (1L to 4000L).map(i => (i, s"v$i", i * 3)).toDF("k", "s", "x")
+    val i = KVIndex.bootstrap(st, "tk", rows, Seq("k"), maxRowsPerFile = 512)
+      .fold(e => sys.error(e.message), identity)
+    assert(i.numFiles >= 4, "need a multi-file snapshot to observe the prefix cut")
+    (st, i)
+  }
+  private def load() = spark.read.format("graft").option("root", store.root).load("tk")
+
+  /** Files the manifest prefix needs to cover n rows in (reverse?) order. */
+  private def expectFiles(n: Int, desc: Boolean): Int = {
+    val sizes = ix.manifestFiles.map(_.rows)
+    val seq = if (desc) sizes.reverse else sizes
+    var cum = 0L; var c = 0
+    seq.foreach { r => if (cum < n) { c += 1; cum += r } }
+    c
+  }
+
+  test("ORDER BY key LIMIT n reads only the covering manifest prefix") {
+    val q = load().orderBy("k").limit(10)
+    assert(q.inputFiles.length == 1,
+      s"LIMIT 10 must read ONE file, got ${q.inputFiles.length} of ${ix.numFiles}")
+    assert(q.select("k").as[Long].collect().toSeq.sorted == (1L to 10L))
+
+    // a limit spanning files takes exactly the covering prefix
+    val n2 = (ix.manifestFiles.head.rows + 1).toInt
+    val q2 = load().orderBy("k").limit(n2)
+    assert(q2.inputFiles.length == expectFiles(n2, desc = false),
+      s"LIMIT $n2 must read the exact covering prefix, got ${q2.inputFiles.length}")
+    assert(q2.select("k").as[Long].collect().toSeq.sorted == (1L to n2))
+  }
+
+  test("DESC limit reads the TAIL file prefix (reverse stitch)") {
+    val q = load().orderBy($"k".desc).limit(10)
+    assert(q.inputFiles.length == 1,
+      s"DESC LIMIT 10 must read the single tail file, got ${q.inputFiles.length}")
+    assert(q.select("k").as[Long].collect().toSeq.sorted == (3991L to 4000L))
+  }
+
+  test("SQL text over the catalog surface gets the same file bound") {
+    spark.conf.set("spark.sql.catalog.tkc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tkc.root", store.root)
+    val q = spark.sql("SELECT k, x FROM tkc.tk ORDER BY k LIMIT 7")
+    assert(q.inputFiles.length == 1,
+      s"SQL LIMIT 7 must read one file, got ${q.inputFiles.length}")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      (1L to 7L).map(i => (i, i * 3)))
+  }
+
+  test("limit beyond the snapshot reads everything and returns everything") {
+    val q = load().orderBy("k").limit(5000)
+    assert(q.inputFiles.length == ix.numFiles)
+    assert(q.count() == 4000L)
+  }
+
+  test("declines: a filter between limit and scan keeps the full-read path") {
+    // a NON-key predicate can drop prefix rows while later files still
+    // hold survivors — the file-prefix cut would return the wrong set,
+    // so the rewrite must decline (bare-sort stitch or stock top-k both
+    // read every covering file and stay correct)
+    val q = load().filter($"x" % 6 === 0).orderBy("k").limit(10)
+    assert(q.inputFiles.length > 1,
+      "a filtered top-k must NOT trust the file-prefix row counts")
+    assert(q.select("k").as[Long].collect().toSeq.sorted ==
+      (1L to 20L).filter(k => (k * 3) % 6 == 0))
+
+    // a key-range predicate arrives as PUSHED BOUNDS (possibly no Filter
+    // node left) — the pushed-bounds check must decline just the same;
+    // the pruned covering read keeps the result exact
+    val q2 = load().filter($"k" >= 600L).orderBy("k").limit(5)
+    assert(q2.select("k").as[Long].collect().toSeq.sorted == (600L to 604L))
+  }
+
+  test("declines: non-key and mixed-direction sorts keep the stock plan") {
+    val q = load().orderBy("x").limit(5)
+    assert(q.select("x").as[Long].collect().toSeq.sorted ==
+      Seq(3L, 6L, 9L, 12L, 15L))
+    val q2 = load().orderBy($"k".asc, $"x".desc).limit(5)
+    assert(q2.select("k").as[Long].collect().toSeq.sorted == (1L to 5L))
+  }
+
+  test("randomized top-k differential vs the full sort — seed 41") {
+    val rnd = new scala.util.Random(41)
+    for (round <- 1 to 8) {
+      val n = 1 + rnd.nextInt(1500)
+      val desc = rnd.nextBoolean()
+      val ord = if (desc) $"k".desc else $"k".asc
+      val got = load().orderBy(ord).limit(n).select("k", "x")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val all = (1L to 4000L).map(i => (i, i * 3))
+      val want = (if (desc) all.reverse else all).take(n).sortBy(_._1)
+      assert(got == want, s"round $round: n=$n desc=$desc mismatch")
+      val files = load().orderBy(ord).limit(n).inputFiles.length
+      assert(files == expectFiles(n, desc),
+        s"round $round: n=$n desc=$desc must read the exact prefix, got $files")
+    }
+  }
+}
