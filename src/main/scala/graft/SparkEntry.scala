@@ -3405,6 +3405,24 @@ object SparkEntry {
           q.queryExecution.executedPlan.toString)
       q
     }),
+    // VIEW-path prefix GROUP BY (r18): the registered-view stitch carries
+    // its SnapshotSource, so GraftPrefixCluster re-cuts the VIEW's legs at
+    // prefix grain — the same zero-exchange aggregate catalog scans get
+    // (the r17 symmetry gap, closed). Plan pinned exchange-free.
+    "kv_sql_view_prefix" -> ((s, d) => {
+      val liIx = liLinesFineStore(s, d)
+      liIx.createOrReplaceView("graft_vpfx")
+      val q = s.sql("""
+        SELECT l_orderkey, count(*) AS n, CAST(sum(qty) AS BIGINT) AS q
+        FROM graft_vpfx GROUP BY l_orderkey ORDER BY l_orderkey""")
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      require(shuffles.isEmpty,
+        "kv_sql_view_prefix: expected a zero-exchange view-path prefix " +
+          "aggregate, got:\n" + q.queryExecution.executedPlan.toString)
+      q
+    }),
     // MANIFEST TOP-K from SQL (r18, GraftOrderedScan's limit rung):
     // `ORDER BY <key prefix> LIMIT n` re-plans the scan as the file
     // prefix covering the first n rows — ⌈n/rowsPerFile⌉ files read
@@ -5083,6 +5101,10 @@ object SparkEntry {
         "sum(qty) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber " +
         "ROWS UNBOUNDED PRECEDING) AS run_qty FROM li) " +
         "WHERE l_orderkey <= 500 ORDER BY l_orderkey, l_linenumber"),
+      "kv_sql_view_prefix" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l_orderkey, count(*) AS n, CAST(sum(qty) AS BIGINT) AS q " +
+        "FROM li GROUP BY l_orderkey ORDER BY l_orderkey"),
       "kv_sql_topk" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
         "CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem GROUP BY 1, 2) " +
         "SELECT * FROM (SELECT 'head' AS tag, l_orderkey, l_linenumber, qty " +

@@ -421,7 +421,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     else if (filesDisjoint)
       graft.plans.OrderedPlans.declareOrdered(
         orderedUnion(if (reverse) files.reverse else files, reverse),
-        key.cols, reverse)
+        key.cols, reverse,
+        Some(new graft.plans.SnapshotSource(store, manifest)))
     else if (reverse) table.reverseScan()
     else table.inOrder()
 
@@ -444,7 +445,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
         // the native tableForRange file prune, not just row-group skipping
         val prunable = graft.plans.OrderedPlans.snapshotPrunable(
           orderedUnion(files, reverse = false), key.cols.head, prunedPlanFor)
-        graft.plans.OrderedPlans.declareOrdered(prunable, key.cols, reverse = false)
+        graft.plans.OrderedPlans.declareOrdered(prunable, key.cols, reverse = false,
+          Some(new graft.plans.SnapshotSource(store, manifest)))
       }
     base.createOrReplaceTempView(name)
   }

@@ -29,12 +29,33 @@ import org.apache.spark.sql.graft.Shim
   * file boundaries are not co-partitioned, and claiming otherwise would
   * zip mismatched partitions and corrupt join results.
   */
-final case class DeclareOrdered(child: LogicalPlan, ordering: Seq[SortOrder])
+final case class DeclareOrdered(child: LogicalPlan, ordering: Seq[SortOrder],
+                                source: Option[SnapshotSource] = None)
     extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): DeclareOrdered =
     copy(child = newChild)
+}
+
+/** The snapshot a stitched plan was cut from, carried on [[DeclareOrdered]]
+  * so downstream rewrites can RE-CUT the stitch at a different grain —
+  * [[graft.sources.GraftPrefixCluster]] re-plans a GROUP BY/Window over a
+  * registered snapshot VIEW as prefix-grain legs, the same exchange
+  * elision catalog scans get. Compared by snapshot identity (id +
+  * version), not the file list, so plan equality stays cheap.
+  */
+final class SnapshotSource(val store: graft.core.SnapshotStore,
+                           val manifest: graft.core.SnapshotManifest) {
+  override def equals(o: Any): Boolean = o match {
+    case s: SnapshotSource =>
+      s.manifest.id == manifest.id && s.manifest.version == manifest.version &&
+        s.store.root == store.root
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (manifest.id, manifest.version, store.root).hashCode()
+  override def toString: String = s"graft.${manifest.id}@v${manifest.version}"
 }
 
 /** Partition-ordered range layout: partition i holds keys strictly below
@@ -177,8 +198,8 @@ final case class UnfuseUnionExec(child: SparkPlan) extends UnaryExecNode {
 
 object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case DeclareOrdered(child, ordering) =>
-      DeclareOrderedExec(planLater(child), ordering) :: Nil
+    case d: DeclareOrdered =>
+      DeclareOrderedExec(planLater(d.child), d.ordering) :: Nil
     case DeclareRangeLaid(child, po, ro) =>
       DeclareRangeLaidExec(planLater(child), po, ro) :: Nil
     case UnfuseUnion(child) =>
@@ -211,8 +232,8 @@ object PushThroughDeclareOrdered
   import org.apache.spark.sql.catalyst.expressions.Attribute
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case Filter(cond, DeclareOrdered(child, ordering)) if cond.deterministic =>
-      DeclareOrdered(Filter(cond, child), ordering)
+    case Filter(cond, d: DeclareOrdered) if cond.deterministic =>
+      d.copy(child = Filter(cond, d.child))
     // the clustered marker commutes identically: a filter changes neither
     // the per-partition order nor which partition a surviving row sits in
     case Filter(cond, DeclareRangeLaid(child, co, ro)) if cond.deterministic =>
@@ -257,14 +278,23 @@ object PushThroughDeclareOrdered
     case Project(ps, SnapshotFilePrune(child, k, pr))
         if ps.forall(_.isInstanceOf[Attribute]) =>
       SnapshotFilePrune(Project(ps, child), k, pr)
-    case Project(ps, DeclareOrdered(child, ordering)) if ps.forall(_.deterministic) =>
+    case Project(ps, d: DeclareOrdered) if ps.forall(_.deterministic) =>
       val kept = ps.collect { case a: Attribute => a.exprId }.toSet
-      val orderingSurvives = ordering.forall(_.child match {
+      def survives(so: SortOrder): Boolean = so.child match {
         case a: Attribute => kept.contains(a.exprId)
         case _ => false
-      })
-      if (orderingSurvives) DeclareOrdered(Project(ps, child), ordering)
-      else Project(ps, child)
+      }
+      val surviving = d.ordering.takeWhile(survives)
+      if (surviving.length == d.ordering.length)
+        d.copy(child = Project(ps, d.child))
+      // a SURVIVING PREFIX is still a valid cross-partition claim (an
+      // ORDER BY g above a (g, k) stitch elides), and a SOURCED marker
+      // must survive narrowing regardless — GraftPrefixCluster re-cuts
+      // the view stitch at prefix grain from the source tag, and a
+      // GROUP BY g plan prunes k away before that rule ever runs
+      else if (surviving.nonEmpty || d.source.isDefined)
+        d.copy(child = Project(ps, d.child), ordering = surviving)
+      else Project(ps, d.child)
     // through the co-range ZIP JOIN as well: the node is custom, so the
     // stock rules stop at it — `SELECT a.k, b.v FROM a JOIN b` would read
     // every column of BOTH snapshots' legs. A projection narrows each leg
@@ -493,6 +523,13 @@ object OrderedPlans {
           org.apache.spark.sql.catalyst.optimizer.ColumnPruning,
           org.apache.spark.sql.catalyst.optimizer.CollapseProject,
           PruneSnapshotFiles)
+    // the prefix-cluster rewrite serves the VIEW path too (r18, the
+    // DeclareOrdered source tag) — a pure-view session must get it even
+    // though no catalog table ever ran GraftOrderedScan.register
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.sources.GraftPrefixCluster))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.sources.GraftPrefixCluster
   }
 
   /** Wrap one stitched LEG in the union-fusion breaker (see
@@ -503,7 +540,8 @@ object OrderedPlans {
     Shim.ofRows(df.sparkSession, UnfuseUnion(df.queryExecution.analyzed))
   }
 
-  def declareOrdered(df: DataFrame, keyCols: Seq[String], reverse: Boolean): DataFrame = {
+  def declareOrdered(df: DataFrame, keyCols: Seq[String], reverse: Boolean,
+                     source: Option[SnapshotSource] = None): DataFrame = {
     val spark = df.sparkSession
     register(spark)
     val child = df.queryExecution.analyzed
@@ -513,6 +551,6 @@ object OrderedPlans {
         .getOrElse(sys.error(s"declareOrdered: missing key column $c"))
       SortOrder(attr, dir)
     }
-    Shim.ofRows(spark, DeclareOrdered(child, ordering))
+    Shim.ofRows(spark, DeclareOrdered(child, ordering, source))
   }
 }

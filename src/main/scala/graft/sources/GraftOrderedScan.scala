@@ -201,7 +201,8 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
       val aliases = rel.output.map(o => Alias(srcByName(o.name), o.name)(exprId = o.exprId))
       val dir = if (reverse) Descending else Ascending
       val ordering = declared.map(c => SortOrder(outByName(c), dir))
-      DeclareOrdered(Project(aliases, src), ordering)
+      DeclareOrdered(Project(aliases, src), ordering,
+        Some(new graft.plans.SnapshotSource(g.storeRef, g.manifestRef)))
     }
   }
 }

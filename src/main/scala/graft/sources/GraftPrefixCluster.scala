@@ -141,14 +141,79 @@ object GraftPrefixCluster extends Rule[LogicalPlan] {
       : Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
     es.collect { case a: AttributeReference => a.exprId }.toSet
 
+  /** A rewritable snapshot under `child`: a plain catalog/DSV2 scan
+    * (through deterministic Filters/Projects — [[GraftCoRangeJoin.side]]),
+    * or the registered-VIEW stitch (r18): a [[DeclareOrdered]] marker
+    * carrying its [[graft.plans.SnapshotSource]], reached through the
+    * same node walk. Returns the node whose output anchors the rewrite,
+    * the snapshot, its pushed leading bounds (catalog path only — the
+    * view path replays its Filters above the legs instead), and the
+    * replay stack.
+    */
+  private def snapshotUnder(child: LogicalPlan)
+      : Option[(Seq[Attribute], graft.core.SnapshotStore,
+                graft.core.SnapshotManifest, (Option[Any], Option[Any]),
+                LogicalPlan => LogicalPlan)] =
+    GraftCoRangeJoin.side(child) match {
+      case Some((rel, g, rebuild)) =>
+        val (bLo, bHi) = g.pushedKeyBounds
+        Some((rel.output, g.storeRef, g.manifestRef,
+          (bLo.filter(_.nonEmpty).map(_.head), bHi.filter(_.nonEmpty).map(_.head)),
+          rebuild))
+      case None => viewSide(child)
+    }
+
+  private def viewSide(p: LogicalPlan)
+      : Option[(Seq[Attribute], graft.core.SnapshotStore,
+                graft.core.SnapshotManifest, (Option[Any], Option[Any]),
+                LogicalPlan => LogicalPlan)] = p match {
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.deterministic =>
+      viewSide(f.child).map { case (o, s, m, b, rb) =>
+        (o, s, m, b, (nl: LogicalPlan) => f.copy(child = rb(nl)))
+      }
+    case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+        if pr.projectList.forall(_.deterministic) =>
+      viewSide(pr.child).map { case (o, s, m, b, rb) =>
+        (o, s, m, b, (nl: LogicalPlan) => pr.copy(child = rb(nl)))
+      }
+    case d: graft.plans.DeclareOrdered if d.source.isDefined =>
+      // the marker's INTERIOR may hold Filters/Projects our push-through
+      // rules moved below it (and the file-prune marker, or its consumed
+      // Project+pruned-stitch shape). Replay every interior node above
+      // the legs and anchor the swap at the interior LEAF — its exprIds
+      // are what the replayed stack resolves against. Row-dropping
+      // predicates always survive as Filter nodes (the prune only ever
+      // REMOVES files a filter already excluded), so replacing a pruned
+      // leaf with full-coverage legs stays exact.
+      def dig(q: LogicalPlan): (LogicalPlan, LogicalPlan => LogicalPlan) = q match {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.deterministic =>
+          val (leaf, rb) = dig(f.child)
+          (leaf, (nl: LogicalPlan) => f.copy(child = rb(nl)))
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+            if pr.projectList.forall(_.deterministic) =>
+          val (leaf, rb) = dig(pr.child)
+          (leaf, (nl: LogicalPlan) => pr.copy(child = rb(nl)))
+        case sp: graft.plans.SnapshotFilePrune =>
+          dig(sp.child) // marker dropped: the legs replace the stitch wholesale
+        case leaf => (leaf, identity[LogicalPlan] _)
+      }
+      val src = d.source.get
+      val (leaf, rbIn) = dig(d.child)
+      Some((leaf.output, src.store, src.manifest, (None, None), rbIn))
+    case _ => None
+  }
+
   private def rewriteChild(child: LogicalPlan,
       cluster: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
       forAggregate: Boolean)
       : Option[LogicalPlan] = {
     if (cluster.isEmpty) return None
-    val (rel, g, rebuild) = GraftCoRangeJoin.side(child).getOrElse(return None)
-    val keyCols = g.manifestRef.keyCols
-    val relByName = rel.output.map(a => a.name -> a).toMap
+    val (relOut, store, manifest, (leadLo, leadHi), rebuild) =
+      snapshotUnder(child).getOrElse(return None)
+    val keyCols = manifest.keyCols
+    val relByName = relOut.map(a => a.name -> a).toMap
     // the longest leading prefix whose attrs survive column pruning AND
     // sit in the clustering set (key columns beyond the prefix may have
     // been pruned away entirely — `GROUP BY g` projects only g); the
@@ -164,15 +229,12 @@ object GraftPrefixCluster extends Rule[LogicalPlan] {
     val rangeAttrs: Seq[Attribute] = keyCols.iterator
       .map(relByName.get).takeWhile(_.isDefined).map(_.get).toSeq
 
-    val ix = new KVIndex(g.storeRef, g.manifestRef)
+    val ix = new KVIndex(store, manifest)
     if (!ix.zipLayoutOk) return None
-    val (bLo, bHi) = g.pushedKeyBounds
-    val leadLo = bLo.filter(_.nonEmpty).map(_.head)
-    val leadHi = bHi.filter(_.nonEmpty).map(_.head)
     if (forAggregate && stockAggWins(ix, m, leadLo, leadHi)) return None
     ix.probeLegPlans(m, GraftCoRangeJoin.rowsPerLegConf(), leadLo, leadHi) match {
       case graft.core.ProbeLegs.Legs(_, legPlan) =>
-        val aliased = GraftCoRangeJoin.aliasTo(rel.output, legPlan)
+        val aliased = GraftCoRangeJoin.aliasTo(relOut, legPlan)
         val co = prefixAttrs.map(SortOrder(_, Ascending))
         val ro = rangeAttrs.map(SortOrder(_, Ascending))
         // the marker's exec claims NO intra-partition order (leg scans

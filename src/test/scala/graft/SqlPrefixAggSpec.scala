@@ -279,6 +279,60 @@ class SqlPrefixAggSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("VIEW path: GROUP BY the leading key over a registered view runs exchange-free") {
+    // the r18 symmetry fix: the DeclareOrdered stitch carries its
+    // SnapshotSource, so the prefix-cluster rule re-cuts the VIEW's legs
+    // at prefix grain exactly like a catalog scan's
+    val st = new FsSnapshotStore(tmpDir("graft-pfxview") + "/store", spark)
+    val rs = (1L to 3500L).filter(_ % 5 != 0).map(i => (i / 70, i, i % 13))
+    val ix = KVIndex.bootstrap(st, "pv", rs.toDF("g", "k", "v").repartition(1),
+      Seq("g", "k"), maxRowsPerFile = 64).toOption.get
+    ix.createOrReplaceView("pfx_view")
+    val q = spark.sql(
+      "SELECT g, count(*) AS n, sum(v) AS sv FROM pfx_view GROUP BY g")
+    assert(exchanges(q) == 0,
+      s"view-path prefix GROUP BY must plan no exchange:\n${q.queryExecution.executedPlan}")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val want = rs.groupBy(_._1).map { case (g, xs) =>
+      (g, xs.size.toLong, xs.map(_._3).sum) }.toSeq.sortBy(_._1)
+    assert(got == want, "view-path prefix GROUP BY content mismatch")
+
+    // a WHERE over the view replays above the legs — content stays exact
+    val qw = spark.sql(
+      "SELECT g, count(*) AS n FROM pfx_view WHERE v < 7 GROUP BY g")
+    assert(exchanges(qw) == 0,
+      s"filtered view-path aggregate must stay exchange-free:\n${qw.queryExecution.executedPlan}")
+    val gotW = qw.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val wantW = rs.filter(_._3 < 7).groupBy(_._1)
+      .map { case (g, xs) => (g, xs.size.toLong) }.toSeq.sortBy(_._1)
+    assert(gotW == wantW, "filtered view-path content mismatch")
+
+    // window over the view: the same elision, only a local sort remains
+    val qwin = spark.sql(
+      """SELECT g, k, row_number() OVER (PARTITION BY g ORDER BY k) AS rn
+         FROM pfx_view""")
+    assert(exchanges(qwin) == 0,
+      s"view-path prefix window must plan no exchange:\n${qwin.queryExecution.executedPlan}")
+    assert(globalSorts(qwin) == 0, "window sort must stay partition-local")
+    val gotWin = qwin.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wantWin = rs.groupBy(_._1).flatMap { case (g, xs) =>
+      xs.map(_._2).sorted.zipWithIndex.map { case (k, i) => (g, k, i + 1) } }.toSet
+    assert(gotWin == wantWin, "view-path window content mismatch")
+
+    // non-key grouping over the view keeps its shuffle (decline intact)
+    val nv = spark.sql("SELECT v, count(*) AS n FROM pfx_view GROUP BY v")
+    assert(exchanges(nv) >= 1, "view-path non-key grouping must shuffle")
+
+    // ORDER BY the key over the view still elides (the DeclareOrdered
+    // claim survives column narrowing with its trimmed prefix)
+    val qo = spark.sql("SELECT g, k FROM pfx_view ORDER BY g, k")
+    assert(exchanges(qo) == 0,
+      s"view ORDER BY key must stay exchange-free:\n${qo.queryExecution.executedPlan}")
+    assert(qo.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      rs.map(x => (x._1, x._2)))
+  }
+
   test("kill-switch: spark.graft.sql.prefixCluster=false restores the stock plan") {
     spark.conf.set("spark.graft.sql.prefixCluster", "false")
     try {
