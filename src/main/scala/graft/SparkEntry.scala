@@ -3355,7 +3355,7 @@ object SparkEntry {
           val out = java.nio.file.Files.createTempDirectory("graft-sqlprune").toString
           q.write.mode("overwrite").parquet(out)
           s.read.parquet(out).orderBy("k", "l_linenumber")
-        } finally s.conf.set("spark.graft.probe.sqlEagerBounds", "false")
+        } finally s.conf.unset("spark.graft.probe.sqlEagerBounds")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
     }),
     // EXCHANGE-FREE prefix GROUP BY (r17, GraftPrefixCluster): grouping on

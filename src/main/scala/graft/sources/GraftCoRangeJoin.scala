@@ -115,25 +115,48 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     Project(out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)), legs)
   }
 
-  /** `spark.graft.probe.sqlEagerBounds` (default false): allow the SQL
+  /** `spark.graft.probe.sqlEagerBounds` (default `auto`): allow the SQL
     * probe rewrites to run ONE eager probe-side job at optimization time —
     * a min/max/count aggregate of the leading equi key (plus, at ≥256
     * probes, a bloom-sketch build) — buying the API path's file prune,
-    * typed empty answers, and leg-scan prefilter for SQL text. Off by
-    * default: the job re-executes the probe subtree (the optimizer must
-    * not silently triple a subquery's cost), and it is only sound when
-    * the probe plan is DETERMINISTIC — both gated here. Enable it for the
-    * facts-vs-snapshot sessions where probe sides are cheap scans and the
-    * snapshot is big enough that leg pruning pays for the extra pass.
+    * typed empty answers, and leg-scan prefilter for SQL text.
+    *
+    *  - `auto` (default, r18): fire only when the probe plan is
+    *    rerun-stable AND its cost is provably trivial to re-execute —
+    *    every leaf a LocalRelation, or a CACHED relation whose column
+    *    buffers are already materialized (exact stats, zero scan cost) —
+    *    under the size ceiling. For anything whose re-execution cost the
+    *    optimizer cannot bound exactly (file scans, shuffles, inexact
+    *    stats), the r16 stance holds: no silent optimizer jobs.
+    *  - `true`: fire for any rerun-stable probe under the ceiling (the
+    *    facts-vs-snapshot sessions where probe sides are cheap scans and
+    *    leg pruning pays for the extra pass).
+    *  - `false`: never.
     */
-  private[sources] def eagerBoundsConf(): Boolean = {
+  private[sources] def eagerBoundsConf(): String = {
     val raw = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.probe.sqlEagerBounds", "false")
+      .getConfString("spark.graft.probe.sqlEagerBounds", "auto")
     raw.trim.toLowerCase match {
-      case "true" => true
-      case "false" => false
+      case v @ ("true" | "false" | "auto") => v
       case other => throw new IllegalArgumentException(
-        s"spark.graft.probe.sqlEagerBounds must be true or false, got '$other'")
+        s"spark.graft.probe.sqlEagerBounds must be true, false or auto, got '$other'")
+    }
+  }
+
+  /** Auto-mode eligibility: every leaf is a LocalRelation (driver-held
+    * rows, exact stats) or a cached relation whose buffers are already
+    * LOADED (re-execution = reading memory, and its stats are the exact
+    * materialized sizes). A cached-but-not-yet-materialized relation
+    * declines — the eager job would silently pay the first
+    * materialization.
+    */
+  private[sources] def autoEagerPlan(p: LogicalPlan): Boolean = {
+    val leaves = p.collectLeaves()
+    leaves.nonEmpty && leaves.forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        m.cacheBuilder.isCachedColumnBuffersLoaded
+      case _ => false
     }
   }
 
@@ -186,10 +209,16 @@ object GraftCoRangeJoin extends Rule[LogicalPlan] {
     * optimizer pass from paying the job on a plan that then declines.
     */
   private[sources] def eagerProbeBounds(ix: KVIndex, probe: LogicalPlan,
-      leadingKey: Attribute): Option[(Option[Any], Option[Any], Long)] =
-    if (!eagerBoundsConf() || !ix.zipLayoutOk || !eagerSafePlan(probe) ||
+      leadingKey: Attribute): Option[(Option[Any], Option[Any], Long)] = {
+    val allowed = eagerBoundsConf() match {
+      case "true" => true
+      case "false" => false
+      case _ => autoEagerPlan(probe) // "auto"
+    }
+    if (!allowed || !ix.zipLayoutOk || !eagerSafePlan(probe) ||
         probe.stats.sizeInBytes > BigInt(eagerMaxBytesConf())) None
     else Some(ix.probeBoundsPlan(probe, leadingKey))
+  }
 
   /** Intersect two optional single-component key bounds (takeMax = lower
     * bounds, !takeMax = upper bounds) under the engine's literal ordering.

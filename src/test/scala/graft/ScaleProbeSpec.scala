@@ -569,7 +569,7 @@ class ScaleProbeSpec extends SparkSuite
       // builds a separate plan tree, so qe.queryExecution is still
       // unoptimized here
       (c, sec, qe.inputFiles.length, qe.queryExecution.executedPlan.toString)
-    } finally spark.conf.set("spark.graft.probe.sqlEagerBounds", "false")
+    } finally spark.conf.unset("spark.graft.probe.sqlEagerBounds")
     assert(cntE == 200000L)
     assert(nEagerFiles * 4 <= nAllFiles,
       s"eager bounds must prune the legs: read $nEagerFiles of $nAllFiles files")

@@ -26,7 +26,7 @@ class SqlEagerBoundsSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     spark.conf.set("spark.graft.probe.sqlEagerBounds", "true")
     try f finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
-      spark.conf.set("spark.graft.probe.sqlEagerBounds", "false")
+      spark.conf.unset("spark.graft.probe.sqlEagerBounds") // back to `auto`
     }
   }
 
@@ -78,12 +78,16 @@ class SqlEagerBoundsSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // conf off: same plan shape, no probe-derived prune
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.probe.sqlEagerBounds", "false")
     try {
       val q0 = spark.sql(sql)
       assert(zipCount(q0) == 1)
       assert(q0.inputFiles.length == nAll,
-        "without the conf the rewrite must not run probe-side jobs")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        "with the conf OFF the rewrite must not run probe-side jobs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.graft.probe.sqlEagerBounds")
+    }
   }
 
   test("probe bounds intersect the snapshot's own pushed WHERE bounds") {
@@ -258,6 +262,63 @@ class SqlEagerBoundsSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("AUTO mode (default): a LocalRelation probe prunes with no conf set") {
+    // r18: the default is `auto` — fire the eager pass only when the
+    // probe's re-execution cost is provably trivial (every leaf a
+    // LocalRelation / loaded cache). A narrow in-memory probe set gets
+    // the file prune WITHOUT any session conf.
+    val nAll = nFilesAll
+    (200L to 230L).map(k => (k, s"a$k")).toDF("k", "fv")
+      .createOrReplaceTempView("egb_auto")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(spark.conf.getOption("spark.graft.probe.sqlEagerBounds").isEmpty ||
+        spark.conf.get("spark.graft.probe.sqlEagerBounds") == "auto")
+      val q = spark.sql(
+        "SELECT f.k, f.fv, d.dv FROM egb_auto f JOIN egb.dim d ON f.k = d.k")
+      assert(zipCount(q) == 1, s"must zip:\n${q.queryExecution.executedPlan}")
+      val pruned = q.inputFiles.length
+      assert(pruned <= 3,
+        s"auto mode must prune a LocalRelation probe ($pruned of $nAll files)")
+      assert(sorted(q) == (200L to 230L).map(k =>
+        Seq(s"$k", s"a$k", s"d$k")).sortBy(_.mkString("|")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+  }
+
+  test("AUTO mode: a file-scan probe DECLINES the silent job (r16 stance)") {
+    // the probe side re-executes under the eager pass; for a plan whose
+    // cost the optimizer cannot bound exactly (a parquet scan), auto must
+    // NOT run the job — explicit `true` remains the opt-in
+    val dir = tmpDir("graft-eager-auto")
+    val probePath = s"$dir/probes.parquet"
+    (400L to 420L).map(k => (k, s"p$k")).toDF("k", "fv")
+      .write.parquet(probePath)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.read.parquet(probePath).createOrReplaceTempView("egb_fileprobe")
+      val sql = "SELECT f.k, f.fv, d.dv FROM egb_fileprobe f JOIN egb.dim d ON f.k = d.k"
+      val q = spark.sql(sql)
+      assert(zipCount(q) == 1, "still zips (routing needs no eager pass)")
+      val snapFiles = q.inputFiles.count(!_.contains("probes.parquet"))
+      assert(snapFiles > 3,
+        s"auto must NOT prune from a file-scan probe (read $snapFiles snapshot files)")
+      // ... but a loaded CACHE of the same probe qualifies
+      val cached = spark.read.parquet(probePath).cache()
+      cached.count() // materialize the buffers — exact stats, free rescan
+      cached.createOrReplaceTempView("egb_cachedprobe")
+      val q2 = spark.sql(
+        "SELECT f.k, f.fv, d.dv FROM egb_cachedprobe f JOIN egb.dim d ON f.k = d.k")
+      val pruned = q2.inputFiles.count(!_.contains("probes.parquet"))
+      assert(pruned <= 3,
+        s"a materialized cached probe must auto-prune ($pruned snapshot files)")
+      assert(sorted(q2.select("k", "fv", "dv")) == (400L to 420L).map(k =>
+        Seq(s"$k", s"p$k", s"d$k")).sortBy(_.mkString("|")))
+      cached.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+  }
+
   test("as-of idiom's probe construction prunes under the conf too") {
     val dir = tmpDir("graft-eager-asof")
     val st = new FsSnapshotStore(s"$dir/store", spark)
@@ -276,14 +337,19 @@ class SqlEagerBoundsSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         FROM (SELECT uid, max(pseq) AS pseq FROM egba_ev GROUP BY uid) p
         LEFT JOIN egba.rd r ON p.uid = r.uid AND r.seq <= p.pseq
       ) WHERE rn = 1"""
-    // baseline: the conf-off idiom rewrite reads every file
-    val base = spark.sql(sql)
-    val basePlan = base.queryExecution.executedPlan.toString
-    assert(basePlan.contains("AsOfZipJoin") && !basePlan.contains("Window"),
-      s"idiom must plan the merge without the conf too:\n$basePlan")
-    val nAll = base.inputFiles.length
-    assert(nAll > 10, s"fixture should split into many files, got $nAll")
-    val want = sorted(base)
+    // baseline: the conf-OFF idiom rewrite reads every file (explicitly
+    // off — the default `auto` would already prune this LocalRelation-
+    // rooted probe side, which the last assertion below pins)
+    spark.conf.set("spark.graft.probe.sqlEagerBounds", "false")
+    val (nAll, want) = try {
+      val base = spark.sql(sql)
+      val basePlan = base.queryExecution.executedPlan.toString
+      assert(basePlan.contains("AsOfZipJoin") && !basePlan.contains("Window"),
+        s"idiom must plan the merge without the conf too:\n$basePlan")
+      val n = base.inputFiles.length
+      assert(n > 10, s"fixture should split into many files, got $n")
+      (n, sorted(base))
+    } finally spark.conf.unset("spark.graft.probe.sqlEagerBounds")
     withEager {
       val q = spark.sql(sql)
       val plan = q.queryExecution.executedPlan.toString
@@ -293,5 +359,12 @@ class SqlEagerBoundsSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         s"probe uids {5,7} must prune files: read ${q.inputFiles.length} of $nAll")
       assert(sorted(q) == want, "eager as-of content must match the unpruned run")
     }
+    // AUTO (default, conf unset): the GROUP BY probe side roots in a
+    // LocalRelation, so the idiom prunes with no conf at all
+    val qa = spark.sql(sql)
+    assert(qa.inputFiles.length < nAll,
+      s"auto mode must prune the LocalRelation-rooted as-of probe: " +
+        s"read ${qa.inputFiles.length} of $nAll")
+    assert(sorted(qa) == want, "auto as-of content must match")
   }
 }

@@ -87,7 +87,7 @@ class SqlProbeRandomSpec extends SparkSuite
           }.size
           (q.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq,
             zipCount(q), sj)
-        } finally spark.conf.set("spark.graft.probe.sqlEagerBounds", "false")
+        } finally spark.conf.unset("spark.graft.probe.sqlEagerBounds")
       }
       if (eager)
         // zipped == 0 is legitimate ONLY for the typed short-circuits
