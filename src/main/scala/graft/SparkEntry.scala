@@ -3291,6 +3291,33 @@ object SparkEntry {
         s"kv_sql_asof_probe: expected the probe-routed as-of merge, got:\n$plan")
       q
     }),
+    // AS-OF idiom with a SELECT DISTINCT probe side (r18): DISTINCT
+    // lowers to Aggregate(all cols), so partitioning by the FULL distinct
+    // tuple is provably unique — the idiom routes the probes onto the
+    // snapshot's legs (snapshot never moves, no Window). Plan pinned.
+    "kv_sql_asof_distinct" -> ((s, d) => {
+      val rdIx = evReadStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_sqad", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sqad.root", rdIx.store.root)
+      events(s, d).select(col("user_id"), col("ts"))
+        .createOrReplaceTempView("graft_sqad_events")
+      val q = s.sql("""
+        SELECT user_id, unix_millis(pts) AS pts_ms, unix_millis(asof_ts) AS asof_ms,
+               cnt, cents FROM (
+          SELECT p.user_id, p.pts, r.ts AS asof_ts, r.cnt, r.cents,
+                 row_number() OVER (PARTITION BY p.user_id, p.pts
+                                    ORDER BY r.ts DESC) AS rn
+          FROM (SELECT DISTINCT user_id, ts - INTERVAL 30 MINUTES AS pts
+                FROM graft_sqad_events) p
+          LEFT JOIN graft_sqad.evread r
+            ON p.user_id = r.user_id AND r.ts <= p.pts
+        ) WHERE rn = 1
+        ORDER BY user_id, pts_ms""")
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("AsOfZipJoin") && !plan.contains("Window"),
+        s"kv_sql_asof_distinct: expected the DISTINCT-probe as-of merge, got:\n$plan")
+      q
+    }),
     // SQL PROBE join: the same facts-vs-snapshot shape as kv_probe_join
     // expressed in PLAIN SQL TEXT — `facts LEFT JOIN cat.snap ON key` with
     // exactly one graft side plans the probe-routed zip join (snapshot =
@@ -5076,6 +5103,16 @@ object SparkEntry {
         "FROM pr p LEFT JOIN rd r ON r.user_id = p.user_id AND r.ts <= p.pts) " +
         "SELECT user_id, pts_ms, asof_ms, cnt, cents FROM j WHERE rn = 1 " +
         "ORDER BY user_id"),
+      "kv_sql_asof_distinct" -> ("WITH rd AS MATERIALIZED (SELECT user_id, ts, count(*) AS cnt, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "pr AS (SELECT DISTINCT user_id, ts - INTERVAL 30 MINUTE AS pts FROM events), " +
+        "j AS (SELECT p.user_id, epoch_ms(p.pts) AS pts_ms, epoch_ms(r.ts) AS asof_ms, " +
+        "r.cnt, r.cents, " +
+        "row_number() OVER (PARTITION BY p.user_id, p.pts ORDER BY r.ts DESC NULLS LAST) AS rn " +
+        "FROM pr p LEFT JOIN rd r ON r.user_id = p.user_id AND r.ts <= p.pts) " +
+        "SELECT user_id, pts_ms, asof_ms, cnt, cents FROM j WHERE rn = 1 " +
+        "ORDER BY user_id, pts_ms"),
       "kv_sql_probe_join" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
         "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2), " +
         "p AS (SELECT o_orderkey AS k, o_custkey FROM orders WHERE o_orderkey % 5 = 0) " +

@@ -157,6 +157,47 @@ class SqlAsOfIdiomSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("a SELECT DISTINCT probe side proves uniqueness on its full output") {
+    // DISTINCT lowers to Aggregate(all cols) — unique on the exposed
+    // tuple, so PARTITION BY the full DISTINCT set routes like the
+    // GROUP BY shape (r18, kv_sql_asof_distinct's contract)
+    leftRows.toDF("k", "ts", "lv").createOrReplaceTempView("asof_dist_src")
+    val q = spark.sql(
+      s"""SELECT k, pts, asof_ts, rv FROM (
+          SELECT p.k, p.pts, r.rts AS asof_ts, r.rv,
+                 row_number() OVER (PARTITION BY p.k, p.pts ORDER BY r.rts DESC) AS rn
+          FROM (SELECT DISTINCT k, ts AS pts FROM asof_dist_src) p
+          LEFT JOIN $cat.rd r ON p.k = r.k AND r.rts <= p.pts
+        ) WHERE rn = 1""")
+    assert(asofCount(q) == 1,
+      s"DISTINCT probe side must route:\n${q.queryExecution.executedPlan}")
+    assert(windowCount(q) == 0, "no window expected for the DISTINCT probe")
+    val probes = leftRows.map(l => (l._1, l._2)).distinct
+    val want = probes.sorted.map { case (k, pts) =>
+      val cands = rightRows.filter(c => c._1 == k && c._2 <= pts)
+      if (cands.nonEmpty) { val mx = cands.maxBy(c => (c._2, c._3)); (k, pts, Some(mx._2), Some(mx._3)) }
+      else (k, pts, None, None)
+    }
+    val got = q.collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).sorted
+    assert(got == want, "DISTINCT-probe content mismatch")
+
+    // decline twin: PARTITION BY only part of the DISTINCT tuple — rows
+    // within a k are NOT unique, the window pick is not the as-of pick,
+    // so the idiom must keep the stock join+window
+    val qBad = spark.sql(
+      s"""SELECT k, pts, asof_ts, rv FROM (
+          SELECT p.k, p.pts, r.rts AS asof_ts, r.rv,
+                 row_number() OVER (PARTITION BY p.k ORDER BY r.rts DESC) AS rn
+          FROM (SELECT DISTINCT k, ts AS pts FROM asof_dist_src) p
+          LEFT JOIN $cat.rd r ON p.k = r.k AND r.rts <= p.pts
+        ) WHERE rn = 1""")
+    assert(asofCount(qBad) == 0,
+      "a partial partition key over a DISTINCT pair must DECLINE")
+    assert(windowCount(qBad) == 1, "the stock window must survive the decline")
+  }
+
   test("a tolerance band (rts >= ts - K) maps to the merge's native-unit tolerance") {
     for ((join, outer) <- Seq(("JOIN", false), ("LEFT JOIN", true))) {
       val q = spark.sql(
