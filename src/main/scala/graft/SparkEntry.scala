@@ -3474,6 +3474,33 @@ object SparkEntry {
           s"got ${desc.inputFiles.length}")
       asc.unionAll(desc)
     }),
+    // KEYSET PAGINATION from SQL (r18, the top-k rung + leading-key range
+    // predicates): `WHERE k > last ORDER BY k LIMIT page` reads at most
+    // the boundary file plus the guarantee prefix — ~one file per page at
+    // any snapshot size (the API's s12_keyset_page, now from SQL text).
+    // Three consecutive pages, file bound pinned per page.
+    "kv_sql_keyset_page" -> ((s, d) => {
+      val liIx = liLinesFineStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_kp", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_kp.root", liIx.store.root)
+      var last = 0L
+      val pages = (1 to 3).map { i =>
+        val q = s.sql(s"""
+          SELECT l_orderkey, l_linenumber, CAST(qty AS BIGINT) AS qty
+          FROM graft_kp.lilines WHERE l_orderkey > $last
+          ORDER BY l_orderkey, l_linenumber LIMIT 40""")
+        require(q.inputFiles.length <= 2,
+          s"kv_sql_keyset_page: page $i after $last must read <= 2 files " +
+            s"(boundary + guarantee), got ${q.inputFiles.length}")
+        val rows = q.collect()
+        last = rows.map(_.getLong(0)).max
+        (i, rows)
+      }
+      import s.implicits._
+      pages.flatMap { case (i, rows) => rows.map(r =>
+        (i, r.getLong(0), r.getInt(1), r.getLong(2))) }
+        .toDF("page", "l_orderkey", "l_linenumber", "qty")
+    }),
     // COMPOSITE-PREFIX count-range (r17, GraftCountRange): `WHERE k1 = a
     // AND k2 BETWEEN x AND y` — the temporal-KV stats shape — answers
     // count/min/max from manifest prefix-tuple coverage, scanning at most
@@ -5149,6 +5176,17 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT * FROM (SELECT 'tail' AS tag, l_orderkey, l_linenumber, qty " +
         "FROM li ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 50)"),
+      "kv_sql_keyset_page" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem GROUP BY 1, 2), " +
+        "p1 AS (SELECT * FROM li WHERE l_orderkey > 0 " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 40), " +
+        "p2 AS (SELECT * FROM li WHERE l_orderkey > (SELECT max(l_orderkey) FROM p1) " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 40), " +
+        "p3 AS (SELECT * FROM li WHERE l_orderkey > (SELECT max(l_orderkey) FROM p2) " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 40) " +
+        "SELECT 1 AS page, l_orderkey, l_linenumber, qty FROM p1 " +
+        "UNION ALL SELECT 2 AS page, l_orderkey, l_linenumber, qty FROM p2 " +
+        "UNION ALL SELECT 3 AS page, l_orderkey, l_linenumber, qty FROM p3"),
       "kv_sql_count_prefix" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
         "sum(l_quantity) AS qty FROM lineitem GROUP BY 1, 2) " +
         "SELECT count(*) AS n, min(l_linenumber) AS mn, max(l_linenumber) AS mx, " +

@@ -499,12 +499,31 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * the caller wraps [[graft.plans.DeclareOrdered]] above its own
     * projection.
     */
-  private[graft] def topKStitchFrame(n: Long, reverse: Boolean): Option[DataFrame] =
+  private[graft] def topKStitchFrame(n: Long, reverse: Boolean,
+      lo: Option[Any] = None, hi: Option[Any] = None): Option[DataFrame] =
     if (manifest.isEmpty || files.isEmpty || !filesDisjoint || n <= 0) None
     else {
-      val ordered = if (reverse) files.reverse else files
-      var cum = 0L
-      val prefix = ordered.takeWhile { f => val need = cum < n; cum += f.rows; need }
+      // keyset pagination (`WHERE k > last ORDER BY k LIMIT page`): the
+      // covering set prunes on INCLUSIVE leading bounds (over-approx —
+      // the caller replays the exact predicate above), and only files
+      // STRICTLY inside the bounds count toward the n-row guarantee
+      // (boundary files may lose rows to the predicate, so they are
+      // read but never counted; strict-compare is conservative for
+      // either inclusivity)
+      val covering = files.filter(f =>
+        lo.forall(l => KeyOrd.compare(Seq(f.max.head), Seq(l)) >= 0) &&
+          hi.forall(h => KeyOrd.compare(Seq(f.min.head), Seq(h)) <= 0))
+      if (covering.isEmpty) return Some(emptyScan())
+      val ordered = if (reverse) covering.reverse else covering
+      var sure = 0L
+      val prefix = ordered.takeWhile { f =>
+        val need = sure < n
+        val inside =
+          lo.forall(l => KeyOrd.compare(Seq(f.min.head), Seq(l)) > 0) &&
+            hi.forall(h => KeyOrd.compare(Seq(f.max.head), Seq(h)) < 0)
+        if (inside) sure += f.rows
+        need
+      }
       Some(orderedUnion(prefix, reverse))
     }
 

@@ -36,9 +36,12 @@ import graft.plans.{DeclareOrdered, DeclareOrderedStrategy}
   * A second rung (r18) handles `ORDER BY <key prefix> LIMIT n`: the
   * stitch is cut to the manifest FILE PREFIX covering the first n rows
   * ([[graft.core.KVIndex.topKStitchFrame]]) — `LIMIT 10` reads one file
-  * instead of every covering file. Declines additionally on any Filter
-  * between limit and scan or any pushed scan bounds (either breaks the
-  * row-count guarantee), falling back to the bare-sort rung's
+  * instead of every covering file. Pure LEADING-KEY range predicates
+  * ride along (keyset pagination: `WHERE k > last ORDER BY k LIMIT
+  * page` reads ~one file per page at any snapshot size) — boundary
+  * files never count toward the n-row guarantee and the predicate
+  * replays above the stitch. Any other Filter between limit and scan
+  * has unknown selectivity and declines to the bare-sort rung's
   * zero-exchange full read.
   */
 object GraftOrderedScan extends Rule[LogicalPlan] {
@@ -153,25 +156,90 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The top-k walk: deterministic PROJECTS only — a Filter (even a
-    * deterministic one) breaks the manifest row-count accounting the
-    * file-prefix cut relies on, so any Filter declines to the bare-sort
-    * rung. The scan itself must also carry no pushed key bounds, for the
-    * same reason (a pushed WHERE drops rows the manifest still counts).
+  /** The top-k walk: deterministic Projects, plus Filters whose every
+    * conjunct is a LEADING-KEY comparison against a literal — the keyset
+    * pagination shape (`WHERE k > last ORDER BY k LIMIT page`). Such a
+    * predicate drops rows only at the range's edges, so the file-prefix
+    * cut stays computable: files strictly inside the range contribute
+    * their full manifest row counts, boundary files are read but never
+    * counted (GraftScanBuilder keeps EVERY filter residual, so the exact
+    * predicate is guaranteed to replay above the swapped-in stitch). Any
+    * other Filter — non-key columns, ORs, expressions — has unknown
+    * selectivity and declines to the bare-sort rung.
     */
   private def topKThrough(p: LogicalPlan, sortAttrs: Seq[AttributeReference],
-                          reverse: Boolean, n: Int): Option[LogicalPlan] = p match {
+                          reverse: Boolean, n: Int,
+                          conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+      : Option[LogicalPlan] = p match {
     case pr @ Project(exprs, child) if exprs.forall(_.deterministic) =>
-      topKThrough(child, sortAttrs, reverse, n).map(nc => pr.copy(child = nc))
+      topKThrough(child, sortAttrs, reverse, n, conds).map(nc => pr.copy(child = nc))
+    case f @ Filter(cond, child) if cond.deterministic =>
+      topKThrough(child, sortAttrs, reverse, n, conds :+ cond)
+        .map(nc => f.copy(child = nc))
     case rel: DataSourceV2ScanRelation => rel.scan match {
       case org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(g: GraftScan, _, _)
-          if g.plainScan && g.pushedKeyBounds == ((None, None)) =>
-        rewriteRelation(rel, g, sortAttrs, reverse, _.topKStitchFrame(n, reverse))
-      case g: GraftScan if g.plainScan && g.pushedKeyBounds == ((None, None)) =>
-        rewriteRelation(rel, g, sortAttrs, reverse, _.topKStitchFrame(n, reverse))
+          if g.plainScan =>
+        topKRelation(rel, g, sortAttrs, reverse, n, conds)
+      case g: GraftScan if g.plainScan =>
+        topKRelation(rel, g, sortAttrs, reverse, n, conds)
       case _ => None
     }
     case _ => None
+  }
+
+  /** Validate the collected Filter conditions as pure leading-key ranges
+    * and extract the (inclusive over-approximate) bounds; decline on any
+    * other conjunct shape.
+    */
+  private def topKRelation(rel: DataSourceV2ScanRelation, g: GraftScan,
+                           sortAttrs: Seq[AttributeReference], reverse: Boolean,
+                           n: Int,
+                           conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val leadName = g.manifestRef.keyCols.head
+    val lead = rel.output.find(_.name == leadName).getOrElse(return None)
+    def isLead(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == lead.exprId
+      case _ => false
+    }
+    def lv(l: Literal): Any =
+      graft.core.KeyOrd.normLiteral(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))
+    var lo: Option[Any] = None
+    var hi: Option[Any] = None
+    def tighten(v: Any, lower: Boolean): Unit =
+      if (lower) lo = GraftCoRangeJoin.tighterBound(lo, Some(v), takeMax = true)
+      else hi = GraftCoRangeJoin.tighterBound(hi, Some(v), takeMax = false)
+    val conjuncts = conds.flatMap(GraftCoRangeJoin.conjuncts)
+    val allKeyRanges = conjuncts.forall {
+      case EqualTo(a, l: Literal) if isLead(a) && l.value != null =>
+        tighten(lv(l), lower = true); tighten(lv(l), lower = false); true
+      case EqualTo(l: Literal, a) if isLead(a) && l.value != null =>
+        tighten(lv(l), lower = true); tighten(lv(l), lower = false); true
+      case GreaterThan(a, l: Literal) if isLead(a) && l.value != null =>
+        tighten(lv(l), lower = true); true
+      case GreaterThanOrEqual(a, l: Literal) if isLead(a) && l.value != null =>
+        tighten(lv(l), lower = true); true
+      case LessThan(a, l: Literal) if isLead(a) && l.value != null =>
+        tighten(lv(l), lower = false); true
+      case LessThanOrEqual(a, l: Literal) if isLead(a) && l.value != null =>
+        tighten(lv(l), lower = false); true
+      case GreaterThan(l: Literal, a) if isLead(a) && l.value != null =>
+        tighten(lv(l), lower = false); true
+      case GreaterThanOrEqual(l: Literal, a) if isLead(a) && l.value != null =>
+        tighten(lv(l), lower = false); true
+      case LessThan(l: Literal, a) if isLead(a) && l.value != null =>
+        tighten(lv(l), lower = true); true
+      case LessThanOrEqual(l: Literal, a) if isLead(a) && l.value != null =>
+        tighten(lv(l), lower = true); true
+      case IsNotNull(a) if isLead(a) => true // keys are non-null by contract
+      case _ => false
+    }
+    if (!allKeyRanges) return None
+    rewriteRelation(rel, g, sortAttrs, reverse,
+      _.topKStitchFrame(n, reverse, lo, hi))
   }
 
   private def rewriteRelation(rel: DataSourceV2ScanRelation, g: GraftScan,

@@ -75,7 +75,7 @@ class SqlTopKSpec extends SparkSuite {
     assert(q.count() == 4000L)
   }
 
-  test("declines: a filter between limit and scan keeps the full-read path") {
+  test("declines: a non-key filter between limit and scan keeps the full-read path") {
     // a NON-key predicate can drop prefix rows while later files still
     // hold survivors — the file-prefix cut would return the wrong set,
     // so the rewrite must decline (bare-sort stitch or stock top-k both
@@ -85,12 +85,37 @@ class SqlTopKSpec extends SparkSuite {
       "a filtered top-k must NOT trust the file-prefix row counts")
     assert(q.select("k").as[Long].collect().toSeq.sorted ==
       (1L to 20L).filter(k => (k * 3) % 6 == 0))
+  }
 
-    // a key-range predicate arrives as PUSHED BOUNDS (possibly no Filter
-    // node left) — the pushed-bounds check must decline just the same;
-    // the pruned covering read keeps the result exact
-    val q2 = load().filter($"k" >= 600L).orderBy("k").limit(5)
-    assert(q2.select("k").as[Long].collect().toSeq.sorted == (600L to 604L))
+  test("keyset pagination: WHERE k > last ORDER BY k LIMIT page reads ~one file") {
+    // the 100 TB pagination shape: a LEADING-KEY range predicate rides
+    // the prefix cut — boundary files are read but never counted toward
+    // the page guarantee, and the exact predicate replays above
+    var last = 0L
+    var pages = 0
+    while (last < 4000L) {
+      val page = load().filter($"k" > last).orderBy("k").limit(100)
+      val rows = page.select("k").as[Long].collect().sorted.toSeq
+      assert(rows == (last + 1 to math.min(last + 100, 4000L)),
+        s"page after $last mismatch")
+      assert(page.inputFiles.length <= 2,
+        s"a 100-row page must read at most 2 files (boundary + guarantee), " +
+          s"got ${page.inputFiles.length} after k=$last")
+      last = rows.last
+      pages += 1
+    }
+    assert(pages == 40)
+
+    // bounded range + DESC page
+    val q2 = load().filter($"k" >= 600L && $"k" < 700L).orderBy($"k".desc).limit(10)
+    assert(q2.select("k").as[Long].collect().toSeq.sorted == (690L to 699L))
+    assert(q2.inputFiles.length <= 2,
+      s"bounded DESC page must stay file-bounded, got ${q2.inputFiles.length}")
+
+    // equality on the key: reads only the covering file(s)
+    val q3 = load().filter($"k" === 2000L).orderBy("k").limit(5)
+    assert(q3.select("k").as[Long].collect().toSeq == Seq(2000L))
+    assert(q3.inputFiles.length <= 2)
   }
 
   test("declines: non-key and mixed-direction sorts keep the stock plan") {
