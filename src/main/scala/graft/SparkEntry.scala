@@ -717,8 +717,14 @@ object SparkEntry {
     cachedIndex("kv-lilines-fine", s, d) { store =>
       val li = t(s, d, "lineitem").groupBy("l_orderkey", "l_linenumber")
         .agg(sum(col("l_quantity")).as("qty"))
-      KVIndex.bootstrap(store, "lilines", li, Seq("l_orderkey", "l_linenumber"),
-        maxRowsPerFile = 2048).fold(e => sys.error(e.message), identity)
+      val ix = KVIndex.bootstrap(store, "lilines", li,
+        Seq("l_orderkey", "l_linenumber"), maxRowsPerFile = 2048)
+        .fold(e => sys.error(e.message), identity)
+      // registered ONCE per (jvm, sf): analyzing the multi-hundred-leg
+      // stitch costs real driver time, and re-registering per query call
+      // was kv_sql_view_prefix's whole bench cost
+      ix.createOrReplaceView("graft_vpfx")
+      ix
     }._2
 
   /** Orders at (o_custkey, order DATE) grain — the DATE-keyed right side
@@ -3437,8 +3443,7 @@ object SparkEntry {
     // prefix grain — the same zero-exchange aggregate catalog scans get
     // (the r17 symmetry gap, closed). Plan pinned exchange-free.
     "kv_sql_view_prefix" -> ((s, d) => {
-      val liIx = liLinesFineStore(s, d)
-      liIx.createOrReplaceView("graft_vpfx")
+      liLinesFineStore(s, d) // registers graft_vpfx once per (jvm, sf)
       val q = s.sql("""
         SELECT l_orderkey, count(*) AS n, CAST(sum(qty) AS BIGINT) AS q
         FROM graft_vpfx GROUP BY l_orderkey ORDER BY l_orderkey""")

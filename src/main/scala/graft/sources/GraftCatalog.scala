@@ -32,17 +32,39 @@ import graft.core.{FsSnapshotStore, GraftException}
 final class GraftCatalog extends TableCatalog {
 
   private var catName: String = _
-  private var store: FsSnapshotStore = _
+  private var initRoot: Option[String] = None
+  @volatile private var cachedStore: FsSnapshotStore = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
-    val root = Option(options.get("root")).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft catalog '$name': set spark.sql.catalog.$name.root"))
-    store = new FsSnapshotStore(root, SparkSession.active)
+    initRoot = Option(options.get("root"))
     // catalog resolution precedes planning, so this is always in time for
     // an UPDATE / MERGE INTO statement on a catalog table
     GraftDmlStrategy.ensureRegistered(SparkSession.active)
+  }
+
+  /** The backing store, RE-RESOLVED from the live session conf on every
+    * access: Spark freezes a catalog plugin instance at first use, so an
+    * initialize-time store would silently pin whatever root the conf
+    * held then — one JVM that re-points `spark.sql.catalog.<name>.root`
+    * at a new store (the bench's warmup-at-sf0.001-then-time-at-sf0.1
+    * flow, or any session juggling several stores under one name) would
+    * keep reading the OLD store with every query green. The root conf is
+    * the source of truth; the store object is cached per root (manifest
+    * loads stay memoized until the root actually changes).
+    */
+  private def store: FsSnapshotStore = {
+    val root = SparkSession.active.conf
+      .getOption(s"spark.sql.catalog.$catName.root").orElse(initRoot)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog '$catName': set spark.sql.catalog.$catName.root"))
+    val c = cachedStore
+    if (c != null && c.root == root) c
+    else {
+      val ns = new FsSnapshotStore(root, SparkSession.active)
+      cachedStore = ns
+      ns
+    }
   }
 
   override def name(): String = catName

@@ -228,6 +228,29 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(!store.exists("cat2"))
   }
 
+  test("re-pointing a catalog's root conf takes effect (no frozen store)") {
+    import graft.core._
+    // Spark caches catalog plugin instances at first use; the graft
+    // catalog must re-resolve its root from the LIVE conf or a JVM that
+    // re-points one name at a new store (the bench's warmup flow) keeps
+    // silently reading the old one — caught in r18 by the MV entry's
+    // store-identity check
+    val stA = new FsSnapshotStore(tmpDir("graft-repoint-a"), spark)
+    val stB = new FsSnapshotStore(tmpDir("graft-repoint-b"), spark)
+    KVIndex.bootstrap(stA, "t", (1L to 10L).map(i => (i, "A")).toDF("k", "tag"),
+      Seq("k")).toOption.get
+    KVIndex.bootstrap(stB, "t", (1L to 20L).map(i => (i, "B")).toDF("k", "tag"),
+      Seq("k")).toOption.get
+    spark.conf.set("spark.sql.catalog.repoint", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.repoint.root", stA.root)
+    assert(spark.sql("SELECT count(*) AS c, max(tag) AS t FROM repoint.t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((10L, "A")))
+    spark.conf.set("spark.sql.catalog.repoint.root", stB.root)
+    assert(spark.sql("SELECT count(*) AS c, max(tag) AS t FROM repoint.t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((20L, "B")),
+      "a re-pointed catalog root must read the NEW store")
+  }
+
   test("snapshot registered as a view: pure SQL reads it with scan-side pushdown") {
     import graft.core._
     import org.apache.spark.sql.functions._
