@@ -184,7 +184,64 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
         topKRelation(rel, g, sortAttrs, reverse, n, conds)
       case _ => None
     }
+    // the VIEW path (r18 symmetry, the DeclareOrdered source tag): a
+    // registered snapshot's ordered stitch gets the same file-prefix
+    // cut. Interior pushed-below Filters join the key-range validation
+    // (they replay above the new prefix stitch), interior Projects
+    // replay, the prune marker drops — the GraftPrefixCluster pattern.
+    case d: graft.plans.DeclareOrdered if d.source.isDefined =>
+      topKView(d, sortAttrs, reverse, n, conds)
     case _ => None
+  }
+
+  private def topKView(d: graft.plans.DeclareOrdered,
+                       sortAttrs: Seq[AttributeReference], reverse: Boolean,
+                       n: Int,
+                       conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[LogicalPlan] = {
+    val src = d.source.get
+    var inner = conds
+    def dig(q: LogicalPlan): (LogicalPlan, LogicalPlan => LogicalPlan) = q match {
+      case f: Filter if f.condition.deterministic =>
+        inner :+= f.condition
+        val (leaf, rb) = dig(f.child)
+        (leaf, (nl: LogicalPlan) => f.copy(child = rb(nl)))
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        val (leaf, rb) = dig(pr.child)
+        (leaf, (nl: LogicalPlan) => pr.copy(child = rb(nl)))
+      case sp: graft.plans.SnapshotFilePrune => dig(sp.child)
+      case leaf => (leaf, identity[LogicalPlan] _)
+    }
+    val (leaf, rbIn) = dig(d.child)
+    // the push-through rules may have carried predicates INTO the stitch
+    // (per-leg Filters inside the union) by a later fixed-point
+    // iteration — those rows are already dropped where this walk cannot
+    // account for them, so replacing such a leaf with a fresh prefix
+    // stitch would resurrect them. A raw stitch contains no Filter
+    // nodes; decline any leaf that does.
+    if (leaf.exists(_.isInstanceOf[Filter])) return None
+    val keyCols = src.manifest.keyCols
+    val outByName = d.output.map(a => a.name -> a).toMap
+    val declared = keyCols.takeWhile(outByName.contains)
+    val sortNames = sortAttrs.map(_.name)
+    val eligible = sortNames == declared.take(sortNames.size) &&
+      sortAttrs.forall(a => outByName.get(a.name).exists(_.exprId == a.exprId))
+    if (!eligible) return None
+    val leadName = keyCols.head
+    val lead = leaf.output.find(_.name == leadName).getOrElse(return None)
+    val (lo, hi) = keyRangeBounds(inner, lead).getOrElse(return None)
+    val ix = new KVIndex(src.store, src.manifest)
+    ix.topKStitchFrame(n, reverse, lo, hi).map { stitched =>
+      val newLeaf = GraftCoRangeJoin.aliasTo(
+        leaf.output, stitched.queryExecution.analyzed)
+      val dir = if (reverse) Descending else Ascending
+      val ordering = declared.map(c => SortOrder(outByName(c), dir))
+      // source = None on the REPLACEMENT: the cut is done — a sourced
+      // marker under the same Limit(Sort) would re-fire this rule every
+      // fixed-point iteration (fresh exprIds each time, so the batch
+      // never converges — observed as a wedged optimizer)
+      DeclareOrdered(rbIn(newLeaf), ordering, source = None)
+    }
   }
 
   /** Validate the collected Filter conditions as pure leading-key ranges
@@ -196,9 +253,22 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
                            n: Int,
                            conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions._
     val leadName = g.manifestRef.keyCols.head
     val lead = rel.output.find(_.name == leadName).getOrElse(return None)
+    val (lo, hi) = keyRangeBounds(conds, lead).getOrElse(return None)
+    rewriteRelation(rel, g, sortAttrs, reverse,
+      _.topKStitchFrame(n, reverse, lo, hi))
+  }
+
+  /** Validate `conds` as pure leading-key ranges against `lead` and
+    * intersect to one inclusive over-approximate [lo, hi]; None on any
+    * other conjunct shape (unknown selectivity — the caller declines).
+    */
+  private def keyRangeBounds(
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      lead: org.apache.spark.sql.catalyst.expressions.Attribute)
+      : Option[(Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.expressions._
     def isLead(e: Expression): Boolean = e match {
       case a: AttributeReference => a.exprId == lead.exprId
       case _ => false
@@ -237,9 +307,7 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
       case IsNotNull(a) if isLead(a) => true // keys are non-null by contract
       case _ => false
     }
-    if (!allKeyRanges) return None
-    rewriteRelation(rel, g, sortAttrs, reverse,
-      _.topKStitchFrame(n, reverse, lo, hi))
+    if (allKeyRanges) Some((lo, hi)) else None
   }
 
   private def rewriteRelation(rel: DataSourceV2ScanRelation, g: GraftScan,

@@ -118,12 +118,75 @@ class SqlTopKSpec extends SparkSuite {
     assert(q3.inputFiles.length <= 2)
   }
 
+  test("VIEW path: ORDER BY key LIMIT n over a registered view reads the file prefix") {
+    // r18 symmetry: the DeclareOrdered source tag gives the view stitch
+    // the same manifest top-k cut catalog scans get
+    ix.createOrReplaceView("topk_view")
+    val q = spark.sql("SELECT k, x FROM topk_view ORDER BY k LIMIT 10")
+    assert(q.inputFiles.length == 1,
+      s"view LIMIT 10 must read ONE file, got ${q.inputFiles.length} of ${ix.numFiles}")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      (1L to 10L).map(i => (i, i * 3)))
+
+    // DESC tail page over the view
+    val qd = spark.sql("SELECT k FROM topk_view ORDER BY k DESC LIMIT 10")
+    assert(qd.inputFiles.length == 1,
+      s"view DESC LIMIT 10 must read the tail file, got ${qd.inputFiles.length}")
+    assert(qd.collect().map(_.getLong(0)).sorted.toSeq == (3991L to 4000L))
+
+    // keyset page through the view (the WHERE replays above the stitch)
+    val qp = spark.sql(
+      "SELECT k FROM topk_view WHERE k > 1500 ORDER BY k LIMIT 100")
+    assert(qp.inputFiles.length <= 2,
+      s"view keyset page must stay file-bounded, got ${qp.inputFiles.length}")
+    assert(qp.collect().map(_.getLong(0)).sorted.toSeq == (1501L to 1600L))
+
+    // a non-key filter over the view declines the prefix cut but stays
+    // correct (full covering read)
+    val qf = spark.sql(
+      "SELECT k FROM topk_view WHERE x % 6 = 0 ORDER BY k LIMIT 10")
+    assert(qf.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 20L).filter(k => (k * 3) % 6 == 0))
+  }
+
   test("declines: non-key and mixed-direction sorts keep the stock plan") {
     val q = load().orderBy("x").limit(5)
     assert(q.select("x").as[Long].collect().toSeq.sorted ==
       Seq(3L, 6L, 9L, 12L, 15L))
     val q2 = load().orderBy($"k".asc, $"x".desc).limit(5)
     assert(q2.select("k").as[Long].collect().toSeq.sorted == (1L to 5L))
+  }
+
+  test("randomized FILTERED top-k differential, catalog and view paths — seed 43") {
+    // the r18 near-miss class: a predicate the prefix cut cannot account
+    // for must never be dropped by the rewrite (whether it declines or
+    // rides along). Random key ranges, non-key filters, directions and
+    // paths vs a driver model.
+    val rnd = new scala.util.Random(43)
+    ix.createOrReplaceView("topk_fuzz")
+    val all = (1L to 4000L).map(i => (i, i * 3))
+    for (round <- 1 to 12) {
+      val n = 1 + rnd.nextInt(800)
+      val desc = rnd.nextBoolean()
+      val loB = if (rnd.nextBoolean()) Some(1L + rnd.nextInt(4000)) else None
+      val hiB = if (rnd.nextBoolean()) Some(1L + rnd.nextInt(4000)) else None
+      val nonKey = rnd.nextInt(3) == 0
+      val viaView = rnd.nextBoolean()
+      var df = if (viaView) spark.table("topk_fuzz").select("k", "x") else load().select("k", "x")
+      loB.foreach(l => df = df.filter($"k" >= l))
+      hiB.foreach(h => df = df.filter($"k" < h))
+      if (nonKey) df = df.filter($"x" % 9 === 0)
+      val q = df.orderBy(if (desc) $"k".desc else $"k".asc).limit(n)
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      var model = all
+      loB.foreach(l => model = model.filter(_._1 >= l))
+      hiB.foreach(h => model = model.filter(_._1 < h))
+      if (nonKey) model = model.filter(t => (t._2 % 9) == 0)
+      val want = (if (desc) model.reverse else model).take(n).sortBy(_._1)
+      assert(got == want,
+        s"round $round: n=$n desc=$desc lo=$loB hi=$hiB nonKey=$nonKey view=$viaView " +
+          s"(${got.length} vs ${want.length} rows)")
+    }
   }
 
   test("randomized top-k differential vs the full sort — seed 41") {
