@@ -75,6 +75,10 @@ object GraftDmlStrategy extends SparkStrategy {
     case r: RefreshMatViewCommand =>
       GraftDmlExec(s"GraftRefreshMatView ${r.cat}.${r.viewId}",
         () => GraftMatView.runRefresh(SparkSession.active, r.cat, r.viewId)) :: Nil
+    case dr: DropMatViewCommand =>
+      GraftDmlExec(s"GraftDropMatView ${dr.cat}.${dr.viewId}",
+        () => GraftMatView.runDrop(SparkSession.active, dr.cat, dr.viewId,
+          dr.ifExists)) :: Nil
     case _ => Nil
   }
 

@@ -241,6 +241,24 @@ object GraftMatView {
       .fold(e => throw GraftException(e), _ => ())
   }
 
+  /** DROP MATERIALIZED VIEW: refuses a non-view index (DROP TABLE is the
+    * honest spelling for those), `IF EXISTS` tolerates absence. The drop
+    * itself is the catalog's index drop — views are ordinary indexes.
+    */
+  def runDrop(spark: SparkSession, cat: String, viewId: String,
+              ifExists: Boolean): Unit = {
+    val store = storeFor(spark, cat)
+    if (!store.exists(viewId)) {
+      if (ifExists) return
+      fail(s"$cat.$viewId does not exist (DROP MATERIALIZED VIEW IF EXISTS tolerates that)")
+    }
+    val view = KVIndex.open(store, viewId).fold(e => throw GraftException(e), identity)
+    val tx = view.manifest.lastChangeVersion
+    if (!tx.startsWith("magg:") && !tx.startsWith("mjoin:"))
+      fail(s"$cat.$viewId is not a materialized view — use DROP TABLE")
+    store.dropIndex(viewId)
+  }
+
   def runRefresh(spark: SparkSession, cat: String, viewId: String): Unit = {
     val store = storeFor(spark, cat)
     if (!store.exists(viewId))
@@ -272,6 +290,11 @@ final case class RefreshMatViewCommand(cat: String, viewId: String)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
+final case class DropMatViewCommand(cat: String, viewId: String,
+                                    ifExists: Boolean)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
 
 /** Statement-head interceptor for the two MV statements Spark's grammar
   * lacks; everything else goes to the stock parser verbatim (same
@@ -284,6 +307,7 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CreateRe(cat, id, select) => CreateMatViewCommand(cat, id, select.trim)
     case RefreshRe(cat, id) => RefreshMatViewCommand(cat, id)
+    case DropRe(ifex, cat, id) => DropMatViewCommand(cat, id, ifex != null)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -307,5 +331,7 @@ object GraftSqlParser {
   val CreateRe = ("(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
     id + "\\s*\\.\\s*" + id + "\\s+AS\\s+(.+?)\\s*;?\\s*").r
   val RefreshRe = ("(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+" +
+    id + "\\s*\\.\\s*" + id + "\\s*;?\\s*").r
+  val DropRe = ("(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?" +
     id + "\\s*\\.\\s*" + id + "\\s*;?\\s*").r
 }

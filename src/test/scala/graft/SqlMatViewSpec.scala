@@ -163,4 +163,23 @@ class SqlMatViewSpec extends SparkSuite {
       s"count(*) AS agg_cnt FROM $cat.src GROUP BY g")
     assert(KVIndex.open(st, "mv").toOption.get.count == 3L)
   }
+
+  test("DROP MATERIALIZED VIEW: drops views, refuses tables, IF EXISTS tolerates") {
+    val (cat, st) = freshCat("dmv")
+    KVIndex.bootstrap(st, "src",
+      (1L to 50L).map(i => (i, i % 3, i)).toDF("k", "g", "v"), Seq("k"))
+      .fold(e => sys.error(e.message), identity)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv AS SELECT g, sum(v) AS agg_sum, " +
+      s"count(*) AS agg_cnt FROM $cat.src GROUP BY g")
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.mv")
+    assert(!st.exists("mv"))
+    // a plain index is NOT a materialized view — typed refusal
+    val e = intercept[Exception](spark.sql(s"DROP MATERIALIZED VIEW $cat.src"))
+    assert(e.getMessage.contains("use DROP TABLE"), e.getMessage)
+    assert(st.exists("src"), "the refusal must not drop the table")
+    // absent: plain fails, IF EXISTS no-ops
+    val e2 = intercept[Exception](spark.sql(s"DROP MATERIALIZED VIEW $cat.mv"))
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.mv") // no throw
+  }
 }
