@@ -213,13 +213,6 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
       case leaf => (leaf, identity[LogicalPlan] _)
     }
     val (leaf, rbIn) = dig(d.child)
-    // the push-through rules may have carried predicates INTO the stitch
-    // (per-leg Filters inside the union) by a later fixed-point
-    // iteration — those rows are already dropped where this walk cannot
-    // account for them, so replacing such a leaf with a fresh prefix
-    // stitch would resurrect them. A raw stitch contains no Filter
-    // nodes; decline any leaf that does.
-    if (leaf.exists(_.isInstanceOf[Filter])) return None
     val keyCols = src.manifest.keyCols
     val outByName = d.output.map(a => a.name -> a).toMap
     val declared = keyCols.takeWhile(outByName.contains)
@@ -229,11 +222,59 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     if (!eligible) return None
     val leadName = keyCols.head
     val lead = leaf.output.find(_.name == leadName).getOrElse(return None)
-    val (lo, hi) = keyRangeBounds(inner, lead).getOrElse(return None)
+    val (loP, hiP) = keyRangeBounds(inner, byId(lead)).getOrElse(return None)
+    // the push-through rules may have carried predicates INTO the stitch
+    // (per-leg Filters inside the union) by a later fixed-point
+    // iteration — rows they drop would RESURRECT if the leaf were
+    // swapped for a fresh stitch. Accept them only when every one is
+    // itself a leading-key range (matched by NAME — inside the stitch
+    // only our own scans live, no renames), and SYNTHESIZE an equivalent
+    // range predicate above the new leaf so the drop is reproduced
+    // exactly (their per-leg exprIds cannot replay across the swap).
+    // Anything else declines.
+    val leafConds = leaf.collect {
+      case f: Filter => f.condition
+    }
+    val (loL, hiL) = keyRangeBounds(leafConds, {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name == leadName
+      case _ => false
+    }).getOrElse(return None)
+    def merge(a: Option[(Any, Boolean)], b: Option[(Any, Boolean)],
+              lower: Boolean): Option[(Any, Boolean)] = (a, b) match {
+      case (Some((av, ai)), Some((bv, bi))) =>
+        val c = graft.core.KeyOrd.compare(Seq(av), Seq(bv))
+        if (c == 0) Some((av, ai && bi))
+        else if ((c > 0) == lower) Some((av, ai)) else Some((bv, bi))
+      case _ => a.orElse(b)
+    }
+    val lo = merge(loP, loL, lower = true)
+    val hi = merge(hiP, hiL, lower = false)
     val ix = new KVIndex(src.store, src.manifest)
-    ix.topKStitchFrame(n, reverse, lo, hi).map { stitched =>
-      val newLeaf = GraftCoRangeJoin.aliasTo(
+    ix.topKStitchFrame(n, reverse, lo.map(_._1), hi.map(_._1)).map { stitched =>
+      val aliased = GraftCoRangeJoin.aliasTo(
         leaf.output, stitched.queryExecution.analyzed)
+      // reproduce the leaf-internal drops on the new leaf (loL/hiL only
+      // — plan-level filters replay through rbIn and the exterior stack)
+      val leadNew = aliased.output.find(_.name == leadName).get
+      val synth: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        loL.map { case (v, inc) =>
+          val l = org.apache.spark.sql.catalyst.expressions.Literal
+            .create(v, lead.dataType)
+          if (inc) org.apache.spark.sql.catalyst.expressions
+            .GreaterThanOrEqual(leadNew, l)
+          else org.apache.spark.sql.catalyst.expressions.GreaterThan(leadNew, l)
+        }.toSeq ++ hiL.map { case (v, inc) =>
+          val l = org.apache.spark.sql.catalyst.expressions.Literal
+            .create(v, lead.dataType)
+          if (inc) org.apache.spark.sql.catalyst.expressions
+            .LessThanOrEqual(leadNew, l)
+          else org.apache.spark.sql.catalyst.expressions.LessThan(leadNew, l)
+        }.toSeq
+      val newLeaf =
+        if (synth.isEmpty) aliased
+        else Filter(synth.reduce(
+          org.apache.spark.sql.catalyst.expressions.And(_, _)), aliased)
       val dir = if (reverse) Descending else Ascending
       val ordering = declared.map(c => SortOrder(outByName(c), dir))
       // source = None on the REPLACEMENT: the cut is done — a sourced
@@ -255,59 +296,74 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
       : Option[LogicalPlan] = {
     val leadName = g.manifestRef.keyCols.head
     val lead = rel.output.find(_.name == leadName).getOrElse(return None)
-    val (lo, hi) = keyRangeBounds(conds, lead).getOrElse(return None)
+    val (lo, hi) = keyRangeBounds(conds, byId(lead)).getOrElse(return None)
     rewriteRelation(rel, g, sortAttrs, reverse,
-      _.topKStitchFrame(n, reverse, lo, hi))
+      _.topKStitchFrame(n, reverse, lo.map(_._1), hi.map(_._1)))
   }
 
-  /** Validate `conds` as pure leading-key ranges against `lead` and
-    * intersect to one inclusive over-approximate [lo, hi]; None on any
-    * other conjunct shape (unknown selectivity — the caller declines).
+  /** Validate `conds` as pure leading-key ranges (the `isLead` matcher
+    * decides what counts as the leading key — exprId for plan-level
+    * filters, name for stitch-internal ones) and intersect to one
+    * [lo, hi] with INCLUSIVITY per bound; None on any other conjunct
+    * shape (unknown selectivity — the caller declines).
     */
   private def keyRangeBounds(
       conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-      lead: org.apache.spark.sql.catalyst.expressions.Attribute)
-      : Option[(Option[Any], Option[Any])] = {
+      isLead: org.apache.spark.sql.catalyst.expressions.Expression => Boolean)
+      : Option[(Option[(Any, Boolean)], Option[(Any, Boolean)])] = {
     import org.apache.spark.sql.catalyst.expressions._
-    def isLead(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.exprId == lead.exprId
-      case _ => false
-    }
     def lv(l: Literal): Any =
       graft.core.KeyOrd.normLiteral(
         org.apache.spark.sql.catalyst.CatalystTypeConverters
           .convertToScala(l.value, l.dataType))
-    var lo: Option[Any] = None
-    var hi: Option[Any] = None
-    def tighten(v: Any, lower: Boolean): Unit =
-      if (lower) lo = GraftCoRangeJoin.tighterBound(lo, Some(v), takeMax = true)
-      else hi = GraftCoRangeJoin.tighterBound(hi, Some(v), takeMax = false)
+    var lo: Option[(Any, Boolean)] = None
+    var hi: Option[(Any, Boolean)] = None
+    def tighten(v: Any, inc: Boolean, lower: Boolean): Unit = {
+      val cur = if (lower) lo else hi
+      val next = cur match {
+        case None => Some((v, inc))
+        case Some((cv, cinc)) =>
+          val c = graft.core.KeyOrd.compare(Seq(v), Seq(cv))
+          if (c == 0) Some((cv, cinc && inc)) // tie: strict is tighter
+          else if ((c > 0) == lower) Some((v, inc)) // tighter value wins
+          else Some((cv, cinc))
+      }
+      if (lower) lo = next else hi = next
+    }
     val conjuncts = conds.flatMap(GraftCoRangeJoin.conjuncts)
     val allKeyRanges = conjuncts.forall {
       case EqualTo(a, l: Literal) if isLead(a) && l.value != null =>
-        tighten(lv(l), lower = true); tighten(lv(l), lower = false); true
+        tighten(lv(l), inc = true, lower = true)
+        tighten(lv(l), inc = true, lower = false); true
       case EqualTo(l: Literal, a) if isLead(a) && l.value != null =>
-        tighten(lv(l), lower = true); tighten(lv(l), lower = false); true
+        tighten(lv(l), inc = true, lower = true)
+        tighten(lv(l), inc = true, lower = false); true
       case GreaterThan(a, l: Literal) if isLead(a) && l.value != null =>
-        tighten(lv(l), lower = true); true
+        tighten(lv(l), inc = false, lower = true); true
       case GreaterThanOrEqual(a, l: Literal) if isLead(a) && l.value != null =>
-        tighten(lv(l), lower = true); true
+        tighten(lv(l), inc = true, lower = true); true
       case LessThan(a, l: Literal) if isLead(a) && l.value != null =>
-        tighten(lv(l), lower = false); true
+        tighten(lv(l), inc = false, lower = false); true
       case LessThanOrEqual(a, l: Literal) if isLead(a) && l.value != null =>
-        tighten(lv(l), lower = false); true
+        tighten(lv(l), inc = true, lower = false); true
       case GreaterThan(l: Literal, a) if isLead(a) && l.value != null =>
-        tighten(lv(l), lower = false); true
+        tighten(lv(l), inc = false, lower = false); true
       case GreaterThanOrEqual(l: Literal, a) if isLead(a) && l.value != null =>
-        tighten(lv(l), lower = false); true
+        tighten(lv(l), inc = true, lower = false); true
       case LessThan(l: Literal, a) if isLead(a) && l.value != null =>
-        tighten(lv(l), lower = true); true
+        tighten(lv(l), inc = false, lower = true); true
       case LessThanOrEqual(l: Literal, a) if isLead(a) && l.value != null =>
-        tighten(lv(l), lower = true); true
+        tighten(lv(l), inc = true, lower = true); true
       case IsNotNull(a) if isLead(a) => true // keys are non-null by contract
       case _ => false
     }
     if (allKeyRanges) Some((lo, hi)) else None
+  }
+
+  private def byId(lead: org.apache.spark.sql.catalyst.expressions.Attribute)
+      : org.apache.spark.sql.catalyst.expressions.Expression => Boolean = {
+    case a: AttributeReference => a.exprId == lead.exprId
+    case _ => false
   }
 
   private def rewriteRelation(rel: DataSourceV2ScanRelation, g: GraftScan,
