@@ -3498,6 +3498,9 @@ object SparkEntry {
           s"kv_sql_keyset_page: page $i after $last must read <= 2 files " +
             s"(boundary + guarantee), got ${q.inputFiles.length}")
         val rows = q.collect()
+        require(rows.nonEmpty,
+          s"kv_sql_keyset_page: page $i after l_orderkey=$last came back " +
+            "empty — the fixture holds fewer than 3 pages at this scale")
         last = rows.map(_.getLong(0)).max
         (i, rows)
       }

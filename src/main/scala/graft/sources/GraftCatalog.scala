@@ -33,35 +33,46 @@ final class GraftCatalog extends TableCatalog {
 
   private var catName: String = _
   private var initRoot: Option[String] = None
+  private var owner: SparkSession = _
   @volatile private var cachedStore: FsSnapshotStore = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     initRoot = Option(options.get("root"))
+    // the plugin instance belongs to the session whose CatalogManager
+    // instantiated it — capture it so [[store]] re-resolves against THIS
+    // session's conf, never the thread-local active one (a table resolved
+    // on a thread where a different session is active must not read that
+    // session's root and silently cross stores)
+    owner = SparkSession.active
     // catalog resolution precedes planning, so this is always in time for
     // an UPDATE / MERGE INTO statement on a catalog table
-    GraftDmlStrategy.ensureRegistered(SparkSession.active)
+    GraftDmlStrategy.ensureRegistered(owner)
   }
 
-  /** The backing store, RE-RESOLVED from the live session conf on every
-    * access: Spark freezes a catalog plugin instance at first use, so an
-    * initialize-time store would silently pin whatever root the conf
-    * held then — one JVM that re-points `spark.sql.catalog.<name>.root`
-    * at a new store (the bench's warmup-at-sf0.001-then-time-at-sf0.1
-    * flow, or any session juggling several stores under one name) would
-    * keep reading the OLD store with every query green. The root conf is
-    * the source of truth; the store object is cached per root (manifest
-    * loads stay memoized until the root actually changes).
+  /** The backing store, RE-RESOLVED from the OWNING session's conf on
+    * every access: Spark freezes a catalog plugin instance at first use,
+    * so an initialize-time store would silently pin whatever root the
+    * conf held then — one JVM that re-points
+    * `spark.sql.catalog.<name>.root` at a new store (the bench's
+    * warmup-at-sf0.001-then-time-at-sf0.1 flow, or any session juggling
+    * several stores under one name) would keep reading the OLD store with
+    * every query green. The owner's root conf is the source of truth
+    * (NOT `SparkSession.active`: a lookup on a thread where a different
+    * session is active must not read that session's root); the store
+    * object is cached per root (manifest loads stay memoized until the
+    * root actually changes).
     */
   private def store: FsSnapshotStore = {
-    val root = SparkSession.active.conf
+    val session = if (owner != null) owner else SparkSession.active
+    val root = session.conf
       .getOption(s"spark.sql.catalog.$catName.root").orElse(initRoot)
       .getOrElse(throw new IllegalArgumentException(
         s"graft catalog '$catName': set spark.sql.catalog.$catName.root"))
     val c = cachedStore
     if (c != null && c.root == root) c
     else {
-      val ns = new FsSnapshotStore(root, SparkSession.active)
+      val ns = new FsSnapshotStore(root, session)
       cachedStore = ns
       ns
     }

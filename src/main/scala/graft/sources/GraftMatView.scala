@@ -130,14 +130,27 @@ object GraftMatView {
       case a: AttributeReference => a.name
       case other => fail(s"GROUP BY must be plain source columns, got '$other'")
     }
+    // the SELECT list must START with exactly the grouping columns in
+    // GROUP BY order: the view's stored schema is (group cols, then the
+    // maintained aggregates), and "the SQL text reads back exactly what
+    // the view stores" requires the SELECT to spell that schema — a
+    // SELECT that omits or reorders group columns would still validate
+    // yet read back a different column order than it declared
+    val leading = agg.aggregateExpressions.take(groupCols.size).collect {
+      case a: AttributeReference => a.name
+    }
+    if (leading != groupCols) fail(
+      s"the SELECT list must start with exactly the GROUP BY columns in " +
+        s"GROUP BY order (${groupCols.mkString(", ")}) — the view stores " +
+        "them first and the SQL text must read back exactly what it stores")
     var sums = Vector.empty[(String, String)] // (alias, column)
     var minCols = Vector.empty[String]
     var maxCols = Vector.empty[String]
     var counted = false
-    agg.aggregateExpressions.foreach {
+    agg.aggregateExpressions.drop(groupCols.size).foreach {
       case a: AttributeReference =>
-        if (!groupCols.contains(a.name))
-          fail(s"non-aggregate column '${a.name}' is not in GROUP BY")
+        fail(s"plain column '${a.name}' after the aggregates — group " +
+          "columns appear exactly once, leading the SELECT list")
       case Alias(AggregateExpression(f, Complete, false, None, _), name) =>
         f match {
           case Sum(c: AttributeReference, _) => sums :+= ((name, c.name))

@@ -99,8 +99,13 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     // decline the node is left intact and the bare-sort case below still
     // rewrites the inner Sort on this same pass — full covering read,
     // but zero-exchange.
-    case gl @ GlobalLimit(IntegerLiteral(n), ll @ LocalLimit(_, s: Sort))
-        if s.global && n > 0 =>
+    // the LocalLimit literal is BOUND and required equal to the global
+    // limit: the file-prefix guarantee covers exactly n rows, so a future
+    // planner shape with localN != n (today Spark always emits equal
+    // limits, and OFFSET shapes interpose nodes that decline the pattern)
+    // must not silently under-read — it declines to the bare-sort rung
+    case gl @ GlobalLimit(IntegerLiteral(n), ll @ LocalLimit(IntegerLiteral(localN), s: Sort))
+        if s.global && n > 0 && localN == n =>
       sortShape(s.order) match {
         case Some((sortAttrs, reverse)) =>
           topKThrough(s.child, sortAttrs, reverse, n)
@@ -307,7 +312,7 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     * [lo, hi] with INCLUSIVITY per bound; None on any other conjunct
     * shape (unknown selectivity — the caller declines).
     */
-  private def keyRangeBounds(
+  private[sources] def keyRangeBounds(
       conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       isLead: org.apache.spark.sql.catalyst.expressions.Expression => Boolean)
       : Option[(Option[(Any, Boolean)], Option[(Any, Boolean)])] = {

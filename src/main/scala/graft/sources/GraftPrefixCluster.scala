@@ -201,7 +201,45 @@ object GraftPrefixCluster extends Rule[LogicalPlan] {
       }
       val src = d.source.get
       val (leaf, rbIn) = dig(d.child)
-      Some((leaf.output, src.store, src.manifest, (None, None), rbIn))
+      // the push-through rules may have carried predicates INTO the leaf
+      // (per-leg Filters inside the stitch union) by a later fixed-point
+      // iteration — rows they drop would RESURRECT if the leaf were
+      // swapped for full-coverage legs. Accept them only when every one
+      // is itself a leading-key range (matched by NAME — inside the
+      // stitch only our own scans live, no renames), and SYNTHESIZE an
+      // equivalent range predicate above the legs so the drop is
+      // reproduced exactly (their per-leg exprIds cannot replay across
+      // the swap) — the topKView pattern in [[GraftOrderedScan]].
+      // Anything else declines.
+      val leafConds = leaf.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+      val leadName = src.manifest.keyCols.head
+      if (leafConds.isEmpty)
+        Some((leaf.output, src.store, src.manifest, (None, None), rbIn))
+      else {
+        import org.apache.spark.sql.catalyst.expressions._
+        val lead = leaf.output.find(_.name == leadName).getOrElse(return None)
+        GraftOrderedScan.keyRangeBounds(leafConds, {
+          case a: AttributeReference => a.name == leadName
+          case _ => false
+        }).map { case (lo, hi) =>
+          val synth: Seq[Expression] =
+            lo.map { case (v, inc) =>
+              val l = Literal.create(v, lead.dataType)
+              if (inc) GreaterThanOrEqual(lead, l) else GreaterThan(lead, l)
+            }.toSeq ++ hi.map { case (v, inc) =>
+              val l = Literal.create(v, lead.dataType)
+              if (inc) LessThanOrEqual(lead, l) else LessThan(lead, l)
+            }.toSeq
+          val rb2 = (nl: LogicalPlan) => rbIn(
+            if (synth.isEmpty) nl
+            else org.apache.spark.sql.catalyst.plans.logical.Filter(
+              synth.reduce(And(_, _)), nl))
+          (leaf.output, src.store, src.manifest,
+            (lo.map(_._1), hi.map(_._1)), rb2)
+        }
+      }
     case _ => None
   }
 
