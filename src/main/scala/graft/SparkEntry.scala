@@ -535,6 +535,31 @@ object SparkEntry {
       KVIndex.open(store, "vord").fold(e => sys.error(e.message), identity)
     }
 
+  /** SQL wall-clock time-travel fixture (kv_timestamp_asof): three
+    * committed versions dual-stamped at KNOWN wall-clock instants (60 s /
+    * 120 s / 180 s after the epoch — recordSnapshot's `wallMs`), so
+    * `TIMESTAMP AS OF` can floor between them deterministically. Version
+    * states: v1 = full cents table, v2 = zeroed cents under orderkey 50,
+    * v3 = v2 minus orderkeys [100, 200).
+    */
+  private def tsAsOfStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-tsasof", s, d) { store =>
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = KVIndex.bootstrap(store, "tsord", ord, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      store.recordSnapshot("tsord", v1.manifest.version, ts = 1000L, wallMs = 60L * 1000)
+      val m2 = v1.execute(Seq(Command.Insert(
+        ord.filter(col("o_orderkey") < 50).withColumn("cents", lit(0L)),
+        upsert = true)), "tx-tsasof-v2").orThrow
+      store.recordSnapshot("tsord", m2.version, ts = 2000L, wallMs = 120L * 1000)
+      val m3 = new KVIndex(store, m2).execute(Seq(Command.Remove(
+        ord.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+          .select("o_orderkey"))), "tx-tsasof-v3").orThrow
+      store.recordSnapshot("tsord", m3.version, ts = 3000L, wallMs = 180L * 1000)
+      new KVIndex(store, m3)
+    }
+
   /** removeRange() removed-row count per (kind|sfDir), captured at build
     * time (not re-derivable once the files are gone).
     */
@@ -1042,6 +1067,22 @@ object SparkEntry {
       val (store, _) = liStore(s, d)
       val v1 = KVIndex.openAt(store, "ord", 1500L).fold(e => sys.error(e.message), identity)
       v1.df.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("price_sum"))
+    }),
+    // SQL TIME TRAVEL on the WALL CLOCK (r19): `TIMESTAMP AS OF` floors
+    // onto the dual-stamped history (the T3 findAt semantics, incl. the
+    // earliest-entry clamp) — three instants straddling three commits
+    // read three different versions, and the oracle replays each state
+    // from the base table. VERSION AS OF has been SQL-reachable since
+    // r14; this closes the wall-clock half.
+    "kv_timestamp_asof" -> ((s, d) => {
+      val (store, _) = tsAsOfStore(s, d)
+      val cat = regCatalog(s, "tsasof", d, store.root)
+      def at(tag: String, instant: String) =
+        s.sql(s"SELECT '$tag' AS tag, count(*) AS n, sum(cents) AS cents_sum " +
+          s"FROM $cat.tsord TIMESTAMP AS OF '$instant'")
+      at("v1", "1970-01-01 00:00:30") // before the first stamp: clamps to v1
+        .unionAll(at("v2", "1970-01-01 00:02:30")) // between stamps: floors to v2
+        .unionAll(at("v3", "1970-01-01 00:03:30")) // after the last: v3
     }),
     // W6 structural maintenance as a driver row: fragmented 4-file index
     // compacted to 1 file, contents invariant (checksum columns), the
@@ -3921,6 +3962,15 @@ object SparkEntry {
         "(SELECT min(o_orderkey) FROM ranked WHERE rn <= total // 2) AS left_min, " +
         "(SELECT max(o_orderkey) FROM ranked WHERE rn <= total // 2) AS left_max"),
       "kv_temporal" -> "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum FROM orders",
+      // each tag replays the fixture state the wall-clock floor lands on:
+      // v1 = full cents table, v2 = zeroed under 50, v3 = v2 minus [100,200)
+      "kv_timestamp_asof" -> ("WITH base AS (SELECT o_orderkey, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey < 50 THEN 0 ELSE cents END AS cents FROM base), " +
+        "v3 AS (SELECT * FROM v2 WHERE NOT (o_orderkey >= 100 AND o_orderkey < 200)) " +
+        "SELECT 'v1' AS tag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum FROM base " +
+        "UNION ALL SELECT 'v2' AS tag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum FROM v2 " +
+        "UNION ALL SELECT 'v3' AS tag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum FROM v3"),
       // compaction must not change the data (count + price checksum over the
       // full orders table); file counts are deterministic at these data
       // sizes: bootstrap + 3 out-of-range appends = 4 files, compacted to 1

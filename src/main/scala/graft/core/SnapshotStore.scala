@@ -489,7 +489,8 @@ trait SnapshotStore {
     */
   final def commit(m: SnapshotManifest, expectedParent: Long,
                    recordHistory: Boolean = false,
-                   historyTs: Long = System.nanoTime()): SnapshotManifest = {
+                   historyTs: Long = System.nanoTime(),
+                   historyWallMs: Long = System.currentTimeMillis()): SnapshotManifest = {
     require(expectedParent < 0 || m.version == expectedParent + 1,
       s"commit: manifest version ${m.version} is not expectedParent ${expectedParent} + 1")
     try writeTextCreateNew(s"${m.id}/v${m.version}.manifest.json",
@@ -502,16 +503,14 @@ trait SnapshotStore {
       // complete the interrupted commit (this path is rare, so the O(log)
       // dup check stays off the steady-state commit path)
       if (!historyLog(m.id).exists(_._2 == m.version)) {
-        appendText(historyRel(m.id),
-          s"""{"ts":$historyTs,"version":${m.version}}""" + "\n")
+        appendText(historyRel(m.id), historyLine(historyTs, m.version, historyWallMs))
         invalidateTemporal(m.id)
       }
       writeTextAtomic(s"${m.id}/LATEST", s"v${m.version}")
       return existing
     }
     if (recordHistory) {
-      appendText(historyRel(m.id),
-        s"""{"ts":$historyTs,"version":${m.version}}""" + "\n")
+      appendText(historyRel(m.id), historyLine(historyTs, m.version, historyWallMs))
       invalidateTemporal(m.id)
     }
     writeTextAtomic(s"${m.id}/LATEST", s"v${m.version}")
@@ -593,8 +592,8 @@ trait SnapshotStore {
     * wholesale — entries are cheap to refill (one history + one manifest
     * read) and an LRU would buy little here.
     */
-  private val temporalCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), (Long, SnapshotManifest)]
+  private val temporalCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Boolean), (Long, SnapshotManifest)] // (id, t, isWallClock)
   private val temporalCacheMax = 4096
 
   /** Best-effort same-process eviction (memory release); correctness never
@@ -603,21 +602,42 @@ trait SnapshotStore {
   private def invalidateTemporal(id: String): Unit =
     temporalCache.keys.filter(_._1 == id).foreach(temporalCache.remove)
 
+  /** One history line. `wallMs` (epoch millis) rides ALONGSIDE the
+    * monotonic stamp: the reference timeline is `System.nanoTime`
+    * (`TemporalIndex.scala:22`) — opaque, not wall-clock — but SQL
+    * `TIMESTAMP AS OF` needs a wall-clock floor lookup, so every new
+    * entry is dual-stamped. Pre-upgrade lines without `ms` still parse
+    * (wall-clock lookups refuse them with a typed error).
+    */
+  private def historyLine(ts: Long, version: Long, wallMs: Long): String =
+    s"""{"ts":$ts,"version":$version,"ms":$wallMs}""" + "\n"
+
   /** T2: record (ts -> version) — reference `TemporalIndex.scala:21-27`
     * inserts `(System.nanoTime -> ctx.snapshot())` into the history index.
     */
   final def recordSnapshot(id: String, version: Long,
-                           ts: Long = System.nanoTime()): Long = {
-    appendText(historyRel(id), s"""{"ts":$ts,"version":$version}""" + "\n")
+                           ts: Long = System.nanoTime(),
+                           wallMs: Long = System.currentTimeMillis()): Long = {
+    appendText(historyRel(id), historyLine(ts, version, wallMs))
     invalidateTemporal(id)
     ts
   }
 
   final def historyLog(id: String): Seq[(Long, Long)] =
+    historyLogWall(id).map { case (ts, v, _) => (ts, v) }
+
+  /** The full temporal log: (monotonic ts, version, wall-clock epoch ms).
+    * `ms` is None for entries recorded before the dual-stamp upgrade.
+    */
+  final def historyLogWall(id: String): Seq[(Long, Long, Option[Long])] =
     readText(historyRel(id)).toSeq.flatMap(_.split("\n")).filter(_.nonEmpty).map { line =>
       val j = JsonMethods.parse(line)
       ((j \ "ts").asInstanceOf[JInt].num.toLong,
-       (j \ "version").asInstanceOf[JInt].num.toLong)
+       (j \ "version").asInstanceOf[JInt].num.toLong,
+       j \ "ms" match {
+         case JInt(n) => Some(n.toLong)
+         case _ => None
+       })
     }
 
   /** T3: floor lookup — snapshot current AT time t = greatest ts <= t,
@@ -638,15 +658,43 @@ trait SnapshotStore {
     * writer was racing is stored under the pre-write fingerprint and simply
     * re-validated away at the next lookup — never served stale.
     */
-  final def findIndexAt(id: String, t: Long): Option[SnapshotManifest] = {
+  final def findIndexAt(id: String, t: Long): Option[SnapshotManifest] =
+    memoizedFind(id, t, wall = false, () => findAt(id, t))
+
+  /** Wall-clock floor lookup (SQL `TIMESTAMP AS OF`): greatest entry whose
+    * epoch-millis stamp is <= `ms`, clamped to the earliest entry — the
+    * exact T3 [[findAt]] semantics on the wall-clock timeline. Typed
+    * refusal when any entry predates the dual-stamp upgrade: a PARTIAL
+    * wall-clock timeline would silently floor past undated history.
+    */
+  final def findAtWallClock(id: String, ms: Long): Option[Long] = {
+    val log = historyLogWall(id)
+    if (log.isEmpty) return None
+    val undated = log.count(_._3.isEmpty)
+    if (undated > 0) throw new UnsupportedOperationException(
+      s"graft: wall-clock time travel needs a complete epoch-millis " +
+        s"timeline, but $undated of ${log.size} history entries of '$id' " +
+        "were recorded without one (pre-upgrade history — the monotonic " +
+        "ts timeline is System.nanoTime, not wall-clock); use VERSION AS " +
+        "OF / KVIndex.openAt, or re-record the history")
+    val dated = log.map { case (_, v, m) => (m.get, v) }
+    dated.filter(_._1 <= ms).lastOption.map(_._2).orElse(Some(dated.head._2))
+  }
+
+  /** Wall-clock twin of [[findIndexAt]], same fingerprint-validated memo. */
+  final def findIndexAtWall(id: String, ms: Long): Option[SnapshotManifest] =
+    memoizedFind(id, ms, wall = true, () => findAtWallClock(id, ms))
+
+  private def memoizedFind(id: String, t: Long, wall: Boolean,
+                           lookup: () => Option[Long]): Option[SnapshotManifest] = {
     val fp = historyFingerprint(id)
-    temporalCache.get((id, t)) match {
+    temporalCache.get((id, t, wall)) match {
       case Some((f, m)) if f == fp => Some(m)
       case _ =>
-        val r = findAt(id, t).map(v => loadVersion(id, v))
+        val r = lookup().map(v => loadVersion(id, v))
         r.foreach { m =>
           if (temporalCache.size >= temporalCacheMax) temporalCache.clear()
-          temporalCache.update((id, t), (fp, m))
+          temporalCache.update((id, t, wall), (fp, m))
         }
         r
     }
@@ -719,11 +767,15 @@ trait SnapshotStore {
     }
     dropM.foreach(n => deleteControl(s"$id/$n"))
     invalidateTemporal(id)
-    // prune history entries pointing at dropped versions
+    // prune history entries pointing at dropped versions (preserving
+    // each kept entry's wall-clock stamp — or its absence — verbatim)
     if (readText(historyRel(id)).isDefined) {
-      val kept = historyLog(id).filter(_._2 >= cutoff)
+      val kept = historyLogWall(id).filter(_._2 >= cutoff)
       writeTextAtomic(historyRel(id),
-        kept.map { case (ts, v) => s"""{"ts":$ts,"version":$v}""" }.mkString("", "\n", "\n"))
+        kept.map { case (ts, v, ms) =>
+          ms.fold(s"""{"ts":$ts,"version":$v}""")(m =>
+            s"""{"ts":$ts,"version":$v,"ms":$m}""")
+        }.mkString("", "\n", "\n"))
     }
     // mark: files referenced by ANY surviving manifest of ANY index —
     // resolving filelist checkpoints, else a big manifest's data files

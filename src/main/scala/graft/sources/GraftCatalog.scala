@@ -99,11 +99,29 @@ final class GraftCatalog extends TableCatalog {
       pinned = true)
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft: TIMESTAMP AS OF is not supported — history timestamps are an " +
-        "opaque monotonic timeline (reference System.nanoTime), not " +
-        "wall-clock; use KVIndex.openAt / SnapshotStore.findIndexAt")
+  /** `FOR TIMESTAMP AS OF t` — Spark hands the instant in MICROSECONDS
+    * since the epoch; the floor lookup runs on the wall-clock stamps the
+    * commit protocol records alongside the monotonic timeline
+    * ([[graft.core.SnapshotStore.findAtWallClock]], T3 semantics: greatest
+    * entry <= t, clamped to the earliest). Pre-upgrade histories without
+    * wall-clock stamps keep a typed refusal (the monotonic ts timeline is
+    * reference `System.nanoTime`, not wall-clock); indexes with no
+    * recorded history at all get one too — time travel only sees what T2
+    * recorded.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!store.exists(ident.name)) throw new NoSuchTableException(ident)
+    val ms = Math.floorDiv(timestamp, 1000L)
+    store.findIndexAtWall(ident.name, ms) match {
+      case Some(m) =>
+        new GraftTable(store, store.loadVersionLazy(ident.name, m.version),
+          pinned = true)
+      case None => throw new UnsupportedOperationException(
+        s"graft: TIMESTAMP AS OF found no recorded history for " +
+          s"'${ident.name}' — record snapshots (execute(recordHistory = " +
+          "true) / recordSnapshot), or use VERSION AS OF")
+    }
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
