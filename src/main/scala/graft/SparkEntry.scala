@@ -535,6 +535,39 @@ object SparkEntry {
       KVIndex.open(store, "vord").fold(e => sys.error(e.message), identity)
     }
 
+  /** SQL maintenance fixture (kv_sql_vacuum): the [[vacuumStore]]
+    * fragmented-then-compacted lifecycle driven through the r19
+    * maintenance STATEMENT HEADS — `COMPACT cat.t` merges the four
+    * under-filled files into one (result row pinned), then `VACUUM cat.t
+    * RETAIN 1 VERSIONS` (grace 0 via conf — the deterministic
+    * maintenance-window sweep) drops manifests v0..v4 and sweeps the four
+    * unreferenced pre-compact files. Counts are captured at build time
+    * (not re-derivable once the files are gone), checksum invariance is
+    * the driver row.
+    */
+  private def sqlVacStore(s: SparkSession, d: String): (SnapshotStore, KVIndex) =
+    cachedIndex("kv-sqlvac", s, d) { store =>
+      val ord = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      def slice(lo: Long, hi: Long) =
+        ord.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      var ix = KVIndex.bootstrap(store, "svord", slice(0L, 100L), Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      for ((lo, hi) <- Seq((100L, 300L), (300L, 1000L), (1000L, Long.MaxValue)))
+        ix = new KVIndex(store, ix.execute(Seq(Command.Insert(slice(lo, hi)))).orThrow)
+      val cat = regCatalog(s, "sqlvac", d, store.root)
+      val c = s.sql(s"COMPACT $cat.svord").collect()
+      require(c.length == 1 && c.head.getBoolean(0) &&
+        c.head.getLong(2) == 4 && c.head.getLong(3) == 1,
+        s"kv_sql_vacuum: COMPACT must merge 4 files into 1, got ${c.mkString}")
+      s.conf.set("spark.graft.sql.vacuum.graceMs", "0")
+      try {
+        val v = s.sql(s"VACUUM $cat.svord RETAIN 1 VERSIONS").collect()
+        require(v.length == 1, s"kv_sql_vacuum: one result row, got ${v.length}")
+        vacResults(s"kv-sqlvac|$d") = (v.head.getLong(0).toInt, v.head.getLong(1).toInt)
+      } finally s.conf.unset("spark.graft.sql.vacuum.graceMs")
+      KVIndex.open(store, "svord").fold(e => sys.error(e.message), identity)
+    }
+
   /** SQL wall-clock time-travel fixture (kv_timestamp_asof): three
     * committed versions dual-stamped at KNOWN wall-clock instants (60 s /
     * 120 s / 180 s after the epoch — recordSnapshot's `wallMs`), so
@@ -1141,6 +1174,21 @@ object SparkEntry {
       import s.implicits._
       val (_, ix) = vacuumStore(s, d)
       val (mRemoved, fDeleted) = vacResults(s"kv-vacuum|$d")
+      val r = ix.df.agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("price_sum")).head()
+      Seq((r.getLong(0), r.getDouble(1), mRemoved.toLong, fDeleted.toLong))
+        .toDF("n", "price_sum", "m_removed", "f_deleted")
+    }),
+    // MAINTENANCE FROM SQL TEXT (r19, GraftMaintenance + GraftSqlParser):
+    // the same compact-then-GC lifecycle as kv_vacuum driven through
+    // `COMPACT cat.t` (4 files → 1, result row pinned in the fixture) and
+    // `VACUUM cat.t RETAIN 1 VERSIONS` — deterministic removal counts
+    // come back as the statements' OWN result rows, checksum invariance
+    // of the surviving snapshot is this driver row
+    "kv_sql_vacuum" -> ((s, d) => {
+      import s.implicits._
+      val (_, ix) = sqlVacStore(s, d)
+      val (mRemoved, fDeleted) = vacResults(s"kv-sqlvac|$d")
       val r = ix.df.agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("price_sum")).head()
       Seq((r.getLong(0), r.getDouble(1), mRemoved.toLong, fDeleted.toLong))
@@ -3988,6 +4036,10 @@ object SparkEntry {
         "FROM orders WHERE o_custkey < 3 OR (o_custkey = 3 AND o_orderkey <= 50) " +
         "ORDER BY o_custkey, o_orderkey"),
       "kv_vacuum" -> ("SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum, " +
+        "CAST(5 AS BIGINT) AS m_removed, CAST(4 AS BIGINT) AS f_deleted FROM orders"),
+      // same lifecycle through the SQL statement heads — same deterministic
+      // counts (manifests v0..v4 dropped, 4 pre-compact files swept)
+      "kv_sql_vacuum" -> ("SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum, " +
         "CAST(5 AS BIGINT) AS m_removed, CAST(4 AS BIGINT) AS f_deleted FROM orders"),
       "kv_clone" -> ("SELECT count(*) AS n_clone, CAST(1 AS BIGINT) AS files_shared, " +
         "count(*) AS n_orig FROM orders"),

@@ -79,6 +79,19 @@ object GraftDmlStrategy extends SparkStrategy {
       GraftDmlExec(s"GraftDropMatView ${dr.cat}.${dr.viewId}",
         () => GraftMatView.runDrop(SparkSession.active, dr.cat, dr.viewId,
           dr.ifExists)) :: Nil
+    // the maintenance statement heads (r19) — row-returning like Spark's
+    // own utility statements
+    case v: VacuumTableCommand =>
+      GraftRowsExec(s"GraftVacuum ${v.cat}.${v.id}", v.output,
+        () => GraftMaintenance.runVacuum(SparkSession.active, v.cat, v.id,
+          v.retain)) :: Nil
+    case c: CompactTableCommand =>
+      GraftRowsExec(s"GraftCompact ${c.cat}.${c.id}", c.output,
+        () => GraftMaintenance.runCompact(SparkSession.active, c.cat, c.id)) :: Nil
+    case h: ShowHistoryCommand =>
+      GraftRowsExec(s"GraftShowHistory ${h.cat}.${h.id}", h.output,
+        () => GraftMaintenance.runShowHistory(SparkSession.active, h.cat,
+          h.id)) :: Nil
     case _ => Nil
   }
 
@@ -114,6 +127,19 @@ final case class GraftDmlExec(label: String, run: () => Unit)
     done
     sparkContext.parallelize(Seq.empty[InternalRow], 1)
   }
+  override def simpleString(maxFields: Int): String = label
+}
+
+/** Eagerly-executed ROW-RETURNING maintenance node (the SHOW TABLES
+  * pattern): runs once, result rows surface through `executeCollect`.
+  */
+final case class GraftRowsExec(label: String, output: Seq[Attribute],
+                               run: () => Seq[InternalRow])
+    extends LeafExecNode {
+  private lazy val rows: Array[InternalRow] = run().toArray
+  override def executeCollect(): Array[InternalRow] = rows
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(rows.toSeq, 1)
   override def simpleString(maxFields: Int): String = label
 }
 

@@ -61,18 +61,21 @@ object GraftMatView {
 
   /** The store behind a graft catalog name — fail loudly when the name
     * is not a configured graft catalog (a stock-catalog MV would
-    * silently lose the refresh-∝-diff contract).
+    * silently lose the refresh-∝-diff contract; a stock-catalog VACUUM /
+    * COMPACT / SHOW HISTORY has no snapshot store to maintain). Shared
+    * with [[GraftMaintenance]]; `what` names the statement in errors.
     */
-  private def storeFor(spark: SparkSession, cat: String): FsSnapshotStore = {
+  private[sources] def storeFor(spark: SparkSession, cat: String,
+                                what: String = "MATERIALIZED VIEW"): FsSnapshotStore = {
     val impl = spark.conf.getOption(s"spark.sql.catalog.$cat").getOrElse(
       throw new IllegalArgumentException(
-        s"graft MATERIALIZED VIEW: '$cat' is not a configured catalog " +
+        s"graft $what: '$cat' is not a configured catalog " +
           s"(set spark.sql.catalog.$cat=${classOf[GraftCatalog].getName})"))
     require(impl == classOf[GraftCatalog].getName,
-      s"graft MATERIALIZED VIEW: catalog '$cat' is $impl, not a graft catalog")
+      s"graft $what: catalog '$cat' is $impl, not a graft catalog")
     val root = spark.conf.getOption(s"spark.sql.catalog.$cat.root").getOrElse(
       throw new IllegalArgumentException(
-        s"graft MATERIALIZED VIEW: set spark.sql.catalog.$cat.root"))
+        s"graft $what: set spark.sql.catalog.$cat.root"))
     new FsSnapshotStore(root, spark)
   }
 
@@ -321,6 +324,13 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CreateRe(cat, id, select) => CreateMatViewCommand(cat, id, select.trim)
     case RefreshRe(cat, id) => RefreshMatViewCommand(cat, id)
     case DropRe(ifex, cat, id) => DropMatViewCommand(cat, id, ifex != null)
+    // the maintenance statement heads (r19): VACUUM / COMPACT / SHOW
+    // HISTORY over graft catalog tables — Spark's grammar has none of
+    // the three (VACUUM is Delta's extension precedent)
+    case VacuumRe(cat, id, retain) =>
+      VacuumTableCommand(cat, id, Option(retain).map(_.trim.toInt).getOrElse(2))
+    case CompactRe(cat, id) => CompactTableCommand(cat, id)
+    case HistoryRe(cat, id) => ShowHistoryCommand(cat, id)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -347,4 +357,9 @@ object GraftSqlParser {
     id + "\\s*\\.\\s*" + id + "\\s*;?\\s*").r
   val DropRe = ("(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?" +
     id + "\\s*\\.\\s*" + id + "\\s*;?\\s*").r
+  val VacuumRe = ("(?is)\\s*VACUUM\\s+" + id + "\\s*\\.\\s*" + id +
+    "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*").r
+  val CompactRe = ("(?is)\\s*COMPACT\\s+" + id + "\\s*\\.\\s*" + id + "\\s*;?\\s*").r
+  val HistoryRe = ("(?is)\\s*SHOW\\s+HISTORY\\s+" + id + "\\s*\\.\\s*" + id +
+    "\\s*;?\\s*").r
 }
