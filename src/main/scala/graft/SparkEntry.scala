@@ -398,6 +398,38 @@ object SparkEntry {
       KVIndex.open(store, "mvagg").fold(e => sys.error(e.message), identity)
     }._2
 
+  /** FILTERED materialized-view fixture (kv_sql_mat_view_where, r19): the
+    * sqlMvView lifecycle with a WHERE over the source — the predicate is
+    * recorded in the view spec and applied to create AND to each refresh
+    * diff side, so rows entering/leaving the filtered set through the
+    * mutation batch maintain exactly. Inserted rows straddle the
+    * predicate boundary on purpose.
+    */
+  private def sqlMvWhereView(s: SparkSession, d: String): KVIndex =
+    cachedIndex("kv-sqlmvw", s, d) { store =>
+      val src0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = KVIndex.bootstrap(store, "mvwsrc", src0, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      val cat = regCatalog(s, "sqlmvw", d, store.root)
+      s.sql(s"""CREATE MATERIALIZED VIEW $cat.mvwagg AS
+        SELECT o_custkey, sum(cents) AS sum_cents, count(*) AS agg_cnt,
+               min(cents) AS min_cents, max(cents) AS max_cents
+        FROM $cat.mvwsrc WHERE cents >= 100000 GROUP BY o_custkey""")
+      val res = v1.execute(Seq(
+        Command.Insert(src0.filter(col("o_orderkey") < 50)
+          .withColumn("cents", lit(0L)), upsert = true),
+        Command.Remove(src0.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+          .select("o_orderkey")),
+        Command.Insert(s.range(0, 10).select(
+          (col("id") + 2000000L).as("o_orderkey"),
+          (lit(999990L) + col("id") % 2).as("o_custkey"),
+          (lit(90000L) + col("id") * 30000L).as("cents")))))
+      res.orThrow
+      s.sql(s"REFRESH MATERIALIZED VIEW $cat.mvwagg")
+      KVIndex.open(store, "mvwagg").fold(e => sys.error(e.message), identity)
+    }._2
+
   /** Materialized JOIN view fixture (`core/MaterializedJoin.scala`):
     * orders ⋈ per-order line aggregates as an incrementally-maintained
     * view. Create at v1 of BOTH sources (the create is the exchange-free
@@ -1050,6 +1082,17 @@ object SparkEntry {
       s.conf.set("spark.sql.catalog.graft_mv.root", ix.store.root)
       s.sql("""SELECT o_custkey, sum_cents, agg_cnt, min_cents, max_cents
                FROM graft_mv.mvagg ORDER BY o_custkey""")
+    }),
+    // FILTERED materialized view (r19): `CREATE MATERIALIZED VIEW ... FROM
+    // cat.src WHERE cents >= 100000 GROUP BY g` — the WHERE rides the view
+    // spec and filters create AND every refresh diff side, so mutations
+    // moving rows across the predicate boundary maintain exactly; the
+    // oracle is the filtered from-scratch recompute of the mutated table
+    "kv_sql_mat_view_where" -> ((s, d) => {
+      val ix = sqlMvWhereView(s, d)
+      val cat = regCatalog(s, "sqlmvw", d, ix.store.root)
+      s.sql(s"""SELECT o_custkey, sum_cents, agg_cnt, min_cents, max_cents
+               FROM $cat.mvwagg ORDER BY o_custkey""")
     }),
     // multi-column + min/max view: two sums ride one ± pass, min/max of
     // cents recomputes from the source for TOUCHED groups only; the
@@ -3989,6 +4032,17 @@ object SparkEntry {
         "CAST(min(cents) AS BIGINT) AS min_cents, " +
         "CAST(max(cents) AS BIGINT) AS max_cents " +
         "FROM mutated GROUP BY 1 ORDER BY 1"),
+      "kv_sql_mat_view_where" -> ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "mutated AS (SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderkey < 50 THEN 0 ELSE cents END AS cents " +
+        "FROM base WHERE NOT (o_orderkey >= 100 AND o_orderkey < 200) " +
+        "UNION ALL SELECT 2000000 + i, 999990 + i % 2, 90000 + i * 30000 FROM range(10) t(i)) " +
+        "SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+        "CAST(count(*) AS BIGINT) AS agg_cnt, " +
+        "CAST(min(cents) AS BIGINT) AS min_cents, " +
+        "CAST(max(cents) AS BIGINT) AS max_cents " +
+        "FROM mutated WHERE cents >= 100000 GROUP BY 1 ORDER BY 1"),
       "kv_agg_view_mm" -> ("WITH base AS (SELECT o_orderkey, o_custkey, " +
         "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, " +
         "CAST(o_orderkey % 97 AS BIGINT) AS points FROM orders), " +

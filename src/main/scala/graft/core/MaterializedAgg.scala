@@ -43,8 +43,21 @@ object MaterializedAgg {
 
   /** The aggregates a view maintains. Column names must not contain the
     * manifest-encoding separators.
+    *
+    * `where` (r19) is an optional DETERMINISTIC row predicate in SQL text
+    * applied to the SOURCE before aggregation — the view maintains
+    * `SELECT g, aggs FROM src WHERE p GROUP BY g`. The SAME text filters
+    * the full aggregate at create time and each diff side at refresh (an
+    * old row that passed p contributes its removal, a new row that passes
+    * p its addition; rows p drops contribute nothing on either side), so
+    * incremental == recompute holds verbatim. Time-dependent or
+    * nondeterministic predicates are the caller's to reject — they would
+    * filter a refresh's diff differently than create filtered the corpus.
+    * The text is persisted base64-encoded in the spec segment of the view
+    * manifest's tx string (SQL may contain any separator character).
     */
-  final case class ViewSpec(sumCols: Seq[String], minMaxCols: Seq[String] = Nil) {
+  final case class ViewSpec(sumCols: Seq[String], minMaxCols: Seq[String] = Nil,
+                            where: Option[String] = None) {
     require(sumCols.nonEmpty, "at least one sum column")
     require((sumCols ++ minMaxCols).forall(c => !Seq(",", "|", ":").exists(c.contains)),
       "view columns must not contain ',', '|' or ':'")
@@ -56,21 +69,37 @@ object MaterializedAgg {
       s"duplicate sum columns: ${sumCols.mkString(",")}")
     require(minMaxCols.distinct.size == minMaxCols.size,
       s"duplicate min/max columns: ${minMaxCols.mkString(",")}")
-    /** single sum, no min/max — keeps the original agg_sum/agg_cnt names */
+    require(where.forall(_.trim.nonEmpty), "empty WHERE predicate")
+    /** single sum, no min/max — keeps the original agg_sum/agg_cnt names
+      * (a filtered single-sum view keeps them too: the filter changes
+      * which rows aggregate, not what the view stores)
+      */
     private[graft] def legacy: Boolean = sumCols.sizeIs == 1 && minMaxCols.isEmpty
     private[graft] def sumName(c: String): String = if (legacy) "agg_sum" else s"sum_$c"
-    private[core] def encode: String = sumCols.mkString(",") +
-      (if (minMaxCols.nonEmpty) "|" + minMaxCols.mkString(",") else "")
+    private[core] def encode: String = where match {
+      case None => sumCols.mkString(",") +
+        (if (minMaxCols.nonEmpty) "|" + minMaxCols.mkString(",") else "")
+      case Some(w) => sumCols.mkString(",") + "|" + minMaxCols.mkString(",") + "|" +
+        java.util.Base64.getEncoder.encodeToString(w.getBytes("UTF-8"))
+    }
     /** view value columns in schema order */
     private[core] def valueNames: Seq[String] =
       sumCols.map(sumName) ++ Seq("agg_cnt") ++
         minMaxCols.flatMap(m => Seq(s"min_$m", s"max_$m"))
+    /** `where` applied (or not) to a source-shaped frame */
+    private[core] def filtered(df: DataFrame): DataFrame =
+      where.fold(df)(w => df.filter(expr(w)))
   }
 
-  private[core] def decodeSpec(s: String): ViewSpec = s.split("\\|") match {
-    case Array(sums) => ViewSpec(sums.split(",").toSeq)
-    case Array(sums, mm) => ViewSpec(sums.split(",").toSeq, mm.split(",").toSeq)
-    case _ => throw new IllegalStateException(s"bad MaterializedAgg spec '$s'")
+  private[core] def decodeSpec(s: String): ViewSpec = {
+    def cols(part: String): Seq[String] = part.split(",").toSeq.filter(_.nonEmpty)
+    s.split("\\|", -1) match {
+      case Array(sums) => ViewSpec(cols(sums))
+      case Array(sums, mm) => ViewSpec(cols(sums), cols(mm))
+      case Array(sums, mm, w) => ViewSpec(cols(sums), cols(mm),
+        Some(new String(java.util.Base64.getDecoder.decode(w), "UTF-8")))
+      case _ => throw new IllegalStateException(s"bad MaterializedAgg spec '$s'")
+    }
   }
 
   private def txOf(srcId: String, spec: ViewSpec, srcVersion: Long): String =
@@ -121,7 +150,7 @@ object MaterializedAgg {
     require(clash.isEmpty,
       s"view value column(s) ${clash.mkString(",")} collide with group columns")
     val e = aggExprs(spec)
-    val agg = df.groupBy(groupCols.map(col): _*).agg(e.head, e.tail: _*)
+    val agg = spec.filtered(df).groupBy(groupCols.map(col): _*).agg(e.head, e.tail: _*)
     KVIndex.bootstrap(store, viewId, agg, groupCols,
       txVersion = txOf(src.manifest.id, spec, src.manifest.version))
   }
@@ -154,7 +183,8 @@ object MaterializedAgg {
     val srcId = src.manifest.id
     val old = new KVIndex(store, store.loadVersion(srcId, v0))
     val gcols = view.manifest.keyCols
-    val delta = groupDeltas(old.diff(src), gcols, spec, src.manifest.keyCols.toSet)
+    val delta = groupDeltas(old.diff(src), gcols, spec, src.manifest.keyCols,
+        src.manifest.valueCols.filterNot(_ == "version"))
       // groups whose events cancel exactly are dropped — their files
       // must not churn (only sound without min/max: a swap that
       // preserves sum and count can still move a group's extremes)
@@ -189,22 +219,30 @@ object MaterializedAgg {
     val srcId = src.manifest.id
     val old = new KVIndex(store, store.loadVersion(srcId, v0))
     val gcols = view.manifest.keyCols
-    val srcKeys = src.manifest.keyCols.toSet
+    val srcKeyCols = src.manifest.keyCols
+    val srcValueCols = src.manifest.valueCols.filterNot(_ == "version")
+    val srcKeys = srcKeyCols.toSet
     val diff = old.diff(src)
     def side(c: String, s: String): Column =
       if (srcKeys.contains(c)) col(c) else col(s"${s}_$c")
     // touched = every group named by ANY diff event, BEFORE cancellation
     // (a swap preserving sum and count can still move a group's extremes,
-    // so min/max views may not use the canceled-delta shortcut)
-    val touched = diff.filter(col("change").isin("removed", "changed"))
-      .select(gcols.map(c => side(c, "old").as(c)): _*)
-      .unionByName(diff.filter(col("change").isin("added", "changed"))
-        .select(gcols.map(c => side(c, "new").as(c)): _*))
+    // so min/max views may not use the canceled-delta shortcut). Each
+    // side reshapes to source names first so the spec's WHERE (if any)
+    // evaluates on that side's row values — a row the predicate drops on
+    // both sides touches nothing.
+    def sideView(changes: Seq[String], s: String): DataFrame =
+      spec.filtered(diff.filter(col("change").isin(changes: _*))
+        .select((srcKeyCols ++ srcValueCols).map(c => side(c, s).as(c)): _*))
+    val touched = sideView(Seq("removed", "changed"), "old")
+      .select(gcols.map(col): _*)
+      .unionByName(sideView(Seq("added", "changed"), "new")
+        .select(gcols.map(col): _*))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val e = aggExprs(spec)
-      val fresh = src.df.join(touched, gcols, "left_semi")
+      val fresh = spec.filtered(src.df).join(touched, gcols, "left_semi")
         .groupBy(gcols.map(col): _*).agg(e.head, e.tail: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -239,15 +277,25 @@ object MaterializedAgg {
     * the same two-event union and single aggregate.
     */
   private def groupDeltas(diff: DataFrame, groupCols: Seq[String],
-                          spec: ViewSpec, srcKeys: Set[String]): DataFrame = {
+                          spec: ViewSpec, srcKeyCols: Seq[String],
+                          srcValueCols: Seq[String]): DataFrame = {
+    val srcKeys = srcKeyCols.toSet
     def sideCol(c: String, side: String): Column =
       if (srcKeys.contains(c)) col(c) else col(s"${side}_$c")
-    def events(side: String, changes: Seq[String], sign: Int) = diff
-      .filter(col("change").isin(changes: _*))
-      .select(groupCols.map(c => sideCol(c, side).as(c)) ++
-        spec.sumCols.map(c =>
-          (lit(sign) * coalesce(sideCol(c, side), lit(0))).as(s"d_${spec.sumName(c)}")) ++ Seq(
-        lit(sign.toLong).as("d_cnt")): _*)
+    // each side is first reshaped to SOURCE column names so the spec's
+    // WHERE (if any) evaluates on that side's row values — an old row
+    // that passed it contributes its removal, a new row that passes it
+    // its addition, rows it drops contribute nothing; Catalyst's column
+    // pruning drops the unreferenced side columns again
+    def events(side: String, changes: Seq[String], sign: Int) = {
+      val sideView = diff.filter(col("change").isin(changes: _*))
+        .select((srcKeyCols ++ srcValueCols).map(c => sideCol(c, side).as(c)): _*)
+      spec.filtered(sideView)
+        .select(groupCols.map(col) ++
+          spec.sumCols.map(c =>
+            (lit(sign) * coalesce(col(c), lit(0))).as(s"d_${spec.sumName(c)}")) ++ Seq(
+          lit(sign.toLong).as("d_cnt")): _*)
+    }
     events("old", Seq("removed", "changed"), -1)
       .unionByName(events("new", Seq("added", "changed"), 1))
       .groupBy(groupCols.map(col): _*)

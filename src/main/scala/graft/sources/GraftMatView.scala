@@ -122,10 +122,24 @@ object GraftMatView {
   /** ---- aggregate shape ---- */
   private def createAgg(store: FsSnapshotStore, viewId: String,
                         agg: Aggregate): Unit = {
-    val (srcStore, srcManifest) = graftLeaf(agg.child).getOrElse(fail(
-      "the aggregate's FROM must be a single graft catalog table " +
-        "(no filters, joins or subqueries — the view maintains the WHOLE " +
-        "source, so bake predicates into the source index instead)"))
+    def leafOrFail(p: LogicalPlan) = graftLeaf(p).getOrElse(fail(
+      "the aggregate's FROM must be a single graft catalog table, " +
+        "optionally with ONE deterministic WHERE (no joins or subqueries " +
+        "— the view maintains one filtered source)"))
+    // a WHERE over the source (r19): recorded in the view spec and
+    // applied to create AND to each refresh diff side, preserving the
+    // incremental == recompute contract (deltas filter the same way the
+    // corpus did). Restricted to predicates that evaluate identically at
+    // create and at every future refresh: deterministic, no subqueries,
+    // no time-dependent expressions, source columns only.
+    val (srcStore, srcManifest, whereSql) = agg.child match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        val (st, mf) = leafOrFail(child)
+        (st, mf, Some(validateWhere(cond, mf)))
+      case other =>
+        val (st, mf) = leafOrFail(other)
+        (st, mf, None)
+    }
     require(srcStore.root == store.root,
       s"graft MATERIALIZED VIEW: view and source must share a catalog " +
         s"(view store ${store.root}, source store ${srcStore.root})")
@@ -180,7 +194,7 @@ object GraftMatView {
       "min/max must come in PAIRS per column (refresh recomputes both " +
         s"together): min of ${minCols.mkString(",")} vs max of ${maxCols.mkString(",")}")
     if (sums.isEmpty) fail("at least one sum(c) AS sum_c is required")
-    val spec = MaterializedAgg.ViewSpec(sums.map(_._2), minCols)
+    val spec = MaterializedAgg.ViewSpec(sums.map(_._2), minCols, whereSql)
     // aliases must equal the view's OWN column names so the SQL text
     // reads back exactly what the view stores (single-sum no-min/max
     // views keep the legacy agg_sum name — sumName knows)
@@ -191,6 +205,40 @@ object GraftMatView {
     val src = new KVIndex(srcStore, srcManifest)
     MaterializedAgg.create(store, viewId, src, groupCols, spec)
       .fold(e => throw GraftException(e), _ => ())
+  }
+
+  /** A view WHERE must evaluate IDENTICALLY at create and at every future
+    * refresh — a predicate whose result can drift between them (random,
+    * time-dependent, subquery-dependent) would filter a refresh's diff
+    * differently than create filtered the corpus and silently break
+    * incremental == recompute. Returns the predicate's SQL text (the SAME
+    * spelling both paths re-parse, so their arithmetic agrees verbatim).
+    */
+  private def validateWhere(cond: Expression, mf: SnapshotManifest): String = {
+    if (!cond.deterministic)
+      fail(s"nondeterministic WHERE '${cond.sql}' — a refresh would filter " +
+        "its diff differently than create filtered the corpus")
+    if (cond.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      fail(s"WHERE with a subquery — its result can change between create " +
+        "and refresh; materialize it into the predicate instead")
+    import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, CurrentTimeZone, Now}
+    if (cond.exists {
+      case _: CurrentDate | _: CurrentTimestamp | _: CurrentTimeZone | _: Now => true
+      case _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp => true
+      case _ => false
+    }) fail(s"time-dependent WHERE '${cond.sql}' — it would filter each " +
+      "refresh at a different instant than create")
+    val allowed = (mf.keyCols ++ mf.valueCols).filterNot(_ == "version").toSet
+    val bad = cond.references.toSeq.map(_.name).filterNot(allowed.contains)
+    if (bad.nonEmpty) fail(s"WHERE references non-source column(s) " +
+      s"${bad.mkString(", ")} (the engine-maintained 'version' included) — " +
+      "only source data columns are diff-replayable")
+    // strip catalog/table qualifiers before rendering: the recorded text
+    // re-parses against bare source-shaped frames (src.df, diff sides),
+    // where `cat.src.v` would not resolve
+    cond.transform {
+      case a: AttributeReference => a.withQualifier(Nil)
+    }.sql
   }
 
   /** ---- join shape: Project(star) over Join(a, b, Inner, keys) ----

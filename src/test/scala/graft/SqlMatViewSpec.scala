@@ -182,4 +182,74 @@ class SqlMatViewSpec extends SparkSuite {
     assert(e2.getMessage.contains("does not exist"), e2.getMessage)
     spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.mv") // no throw
   }
+
+  test("filtered view (r19): WHERE recorded in the spec, refresh == recompute") {
+    val (cat, st) = freshCat("whr")
+    val src0 = (1L to 2000L).map(i => (i, i % 37, i % 101)).toDF("k", "g", "v")
+    val v1 = KVIndex.bootstrap(st, "src", src0, Seq("k"))
+      .fold(e => sys.error(e.message), identity)
+
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.mv AS
+      SELECT g, sum(v) AS sum_v, count(*) AS agg_cnt,
+             min(v) AS min_v, max(v) AS max_v
+      FROM $cat.src WHERE v >= 20 AND g < 30 GROUP BY g""")
+
+    // mutate across the predicate boundary in every direction: rows
+    // entering the filtered set (v bumped over 20), leaving it (zeroed),
+    // removed outright, fresh inserts on both sides of the predicate
+    val res = v1.execute(Seq(
+      Command.Insert((1L to 80L).map(i => (i, i % 37, 500L + i)).toDF("k", "g", "v"),
+        upsert = true),
+      Command.Insert((81L to 160L).map(i => (i, i % 37, 0L)).toDF("k", "g", "v"),
+        upsert = true),
+      Command.Remove((300L to 500L).map(Tuple1(_)).toDF("k")),
+      Command.Insert((5001L to 5050L).map(i => (i, i % 31, i % 19)).toDF("k", "g", "v"))))
+    assert(res.success, s"mutation failed: ${res.error}")
+
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.mv")
+    val got = spark.sql(s"SELECT g, sum_v, agg_cnt, min_v, max_v FROM $cat.mv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val want = spark.sql(
+      s"""SELECT g, sum(v) AS s, count(*) AS c, min(v) AS mn, max(v) AS mx
+          FROM $cat.src WHERE v >= 20 AND g < 30 GROUP BY g""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == want, "filtered refresh must equal the filtered recompute")
+
+    // the pure-± (no min/max) path under a WHERE too
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.mv2 AS
+      SELECT g, sum(v) AS agg_sum, count(*) AS agg_cnt
+      FROM $cat.src WHERE v % 2 = 0 GROUP BY g""")
+    val v2 = KVIndex.open(st, "src").toOption.get
+    v2.execute(Seq(
+      Command.Insert((1L to 40L).map(i => (i, i % 37, i)).toDF("k", "g", "v"),
+        upsert = true))).orThrow
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.mv2")
+    val got2 = spark.sql(s"SELECT g, agg_sum, agg_cnt FROM $cat.mv2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want2 = spark.sql(s"SELECT g, sum(v) AS s, count(*) AS c " +
+      s"FROM $cat.src WHERE v % 2 = 0 GROUP BY g")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got2 == want2)
+  }
+
+  test("filtered view declines: drifting predicates never create") {
+    val (cat, st) = freshCat("whrerr")
+    KVIndex.bootstrap(st, "src",
+      (1L to 100L).map(i => (i, i % 5, i)).toDF("k", "g", "v"), Seq("k"))
+      .fold(e => sys.error(e.message), identity)
+    def bad(where: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW $cat.bad AS SELECT g, sum(v) AS agg_sum, " +
+          s"count(*) AS agg_cnt FROM $cat.src WHERE $where GROUP BY g"))
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}\nfor WHERE $where")
+      assert(!st.exists("bad"), s"failed create must not leave an index: $where")
+    }
+    bad("rand() > 0.5", "nondeterministic")
+    bad("v > (SELECT min(v) FROM VALUES (1) AS t(v))", "subquery")
+    bad("k > unix_millis(current_timestamp()) - 1000", "time-dependent")
+    bad("version = 'x'", "non-source column")
+  }
 }
