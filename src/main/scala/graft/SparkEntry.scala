@@ -3611,6 +3611,33 @@ object SparkEntry {
           s"got ${desc.inputFiles.length}")
       asc.unionAll(desc)
     }),
+    // FILTERED SQL top-k (r19, GrowPrefixTopK): `WHERE <non-key residual>
+    // ORDER BY <key prefix> LIMIT n` — the optimizer cannot bound a
+    // filtered prefix statically, so execution pulls the key-ordered
+    // covering legs in DOUBLING batches until n survivors exist. A
+    // ~1-in-7 predicate fills LIMIT 50 inside the FIRST leg at any
+    // snapshot size (telemetry pinned both directions); zero survivors
+    // would read every leg exactly once — never more.
+    "kv_sql_topk_where" -> ((s, d) => {
+      val liIx = liLinesFineStore(s, d)
+      s.conf.set("spark.sql.catalog.graft_tkw", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_tkw.root", liIx.store.root)
+      def page(tag: String, dir: String) = {
+        graft.plans.GrowPrefixTopKExec.resetTelemetry()
+        val q = s.sql(s"""
+          SELECT '$tag' AS tag, l_orderkey, l_linenumber, CAST(qty AS BIGINT) AS qty
+          FROM graft_tkw.lilines WHERE CAST(floor(qty) AS BIGINT) % 7 = 0
+          ORDER BY l_orderkey $dir, l_linenumber $dir LIMIT 50""")
+        q.collect()
+        val scanned = graft.plans.GrowPrefixTopKExec.lastScannedPartitions
+        val total = graft.plans.GrowPrefixTopKExec.lastTotalPartitions
+        require(scanned >= 1 && scanned <= 2,
+          s"kv_sql_topk_where $tag: ~1-in-7 survivors over 2048-row legs " +
+            s"must fill LIMIT 50 in the first leg(s), scanned $scanned of $total")
+        q
+      }
+      page("head", "ASC").unionAll(page("tail", "DESC"))
+    }),
     // KEYSET PAGINATION from SQL (r18, the top-k rung + leading-key range
     // predicates): `WHERE k > last ORDER BY k LIMIT page` reads at most
     // the boundary file plus the guarantee prefix — ~one file per page at
@@ -5340,6 +5367,13 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT * FROM (SELECT 'tail' AS tag, l_orderkey, l_linenumber, qty " +
         "FROM li ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 50)"),
+      "kv_sql_topk_where" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem GROUP BY 1, 2) " +
+        "SELECT * FROM (SELECT 'head' AS tag, l_orderkey, l_linenumber, qty " +
+        "FROM li WHERE qty % 7 = 0 ORDER BY l_orderkey, l_linenumber LIMIT 50) " +
+        "UNION ALL " +
+        "SELECT * FROM (SELECT 'tail' AS tag, l_orderkey, l_linenumber, qty " +
+        "FROM li WHERE qty % 7 = 0 ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 50)"),
       "kv_sql_keyset_page" -> ("WITH li AS MATERIALIZED (SELECT l_orderkey, l_linenumber, " +
         "CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem GROUP BY 1, 2), " +
         "p1 AS (SELECT * FROM li WHERE l_orderkey > 0 " +

@@ -376,11 +376,14 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * early-stop) over materializing any whole-snapshot plan.
     */
   private def orderedUnion(filesInScanOrder: Seq[FileEntry],
-                           reverse: Boolean): DataFrame = {
-    // leg target: the maxRowsPerFile batching convention, floor-bounded so
-    // the union never exceeds maxPlanLegs children (legs grow instead —
-    // the per-leg sort spills, the plan does not)
-    val legRows = math.max(maxRowsPerFile,
+                           reverse: Boolean,
+                           legTarget: Long = 0L): DataFrame = {
+    // leg target: the maxRowsPerFile batching convention (or the caller's
+    // override — grow-the-prefix wants ~file-grain legs so its early exit
+    // is file-granular), floor-bounded so the union never exceeds
+    // maxPlanLegs children (legs grow instead — the per-leg sort spills,
+    // the plan does not)
+    val legRows = math.max(if (legTarget > 0) legTarget else maxRowsPerFile,
       ceilDiv(filesInScanOrder.iterator.map(_.rows).sum, maxPlanLegs.toLong))
     val legs = {
       val out = Seq.newBuilder[Seq[FileEntry]]
@@ -525,6 +528,30 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
         need
       }
       Some(orderedUnion(prefix, reverse))
+    }
+
+  /** FULL covering stitch for grow-the-prefix filtered top-k
+    * ([[graft.sources.GraftOrderedScan]] + [[graft.plans.GrowPrefixTopK]]):
+    * every file intersecting the (inclusive, over-approximate) leading
+    * bounds, stitched in (reverse?) key order with one leg per partition —
+    * NO n-row guarantee is computed here, because a residual predicate's
+    * selectivity is unknowable statically; the exec node pulls partitions
+    * incrementally until n survivors exist. Same un-declared contract as
+    * [[orderedStitchFrame]].
+    */
+  private[graft] def growCoveringStitch(reverse: Boolean,
+      lo: Option[Any] = None, hi: Option[Any] = None): Option[DataFrame] =
+    if (manifest.isEmpty || files.isEmpty || !filesDisjoint) None
+    else {
+      val covering = files.filter(f =>
+        lo.forall(l => KeyOrd.compare(Seq(f.max.head), Seq(l)) >= 0) &&
+          hi.forall(h => KeyOrd.compare(Seq(f.min.head), Seq(h)) <= 0))
+      if (covering.isEmpty) Some(emptyScan())
+      // legTarget 1 = ONE FILE PER LEG (a leg never splits a file), so the
+      // exec's early exit is file-granular; maxPlanLegs still floor-bounds
+      // the union width on huge covering sets (legs grow instead)
+      else Some(orderedUnion(if (reverse) covering.reverse else covering,
+        reverse, legTarget = 1L))
     }
 
   /** S3 head/tail over a snapshot: only the manifest-prefix of files

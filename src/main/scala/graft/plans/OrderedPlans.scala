@@ -204,6 +204,8 @@ object DeclareOrderedStrategy extends org.apache.spark.sql.execution.SparkStrate
       DeclareRangeLaidExec(planLater(child), po, ro) :: Nil
     case UnfuseUnion(child) =>
       UnfuseUnionExec(planLater(child)) :: Nil
+    case g: GrowPrefixTopK =>
+      GrowPrefixTopKExec(g.limit, planLater(g.child)) :: Nil
     case SnapshotFilePrune(child, _, _) =>
       // unconsumed marker (no filter ever landed on it): plan the child
       planLater(child) :: Nil

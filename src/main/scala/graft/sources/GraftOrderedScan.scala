@@ -291,8 +291,9 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
   }
 
   /** Validate the collected Filter conditions as pure leading-key ranges
-    * and extract the (inclusive over-approximate) bounds; decline on any
-    * other conjunct shape.
+    * and extract the (inclusive over-approximate) bounds; conditions with
+    * any OTHER conjunct shape fall to the r19 grow-the-prefix EXEC rung
+    * ([[growPrefixRelation]]) instead of declining outright.
     */
   private def topKRelation(rel: DataSourceV2ScanRelation, g: GraftScan,
                            sortAttrs: Seq[AttributeReference], reverse: Boolean,
@@ -301,9 +302,88 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
       : Option[LogicalPlan] = {
     val leadName = g.manifestRef.keyCols.head
     val lead = rel.output.find(_.name == leadName).getOrElse(return None)
-    val (lo, hi) = keyRangeBounds(conds, byId(lead)).getOrElse(return None)
-    rewriteRelation(rel, g, sortAttrs, reverse,
-      _.topKStitchFrame(n, reverse, lo.map(_._1), hi.map(_._1)))
+    keyRangeBounds(conds, byId(lead)) match {
+      case Some((lo, hi)) =>
+        rewriteRelation(rel, g, sortAttrs, reverse,
+          _.topKStitchFrame(n, reverse, lo.map(_._1), hi.map(_._1)))
+      case None => growPrefixRelation(rel, g, sortAttrs, reverse, n, conds, lead)
+    }
+  }
+
+  /** `spark.graft.sql.topk.growPrefix` (default true) gates the exec-time
+    * rung; `spark.graft.sql.topk.growMaxRows` (default 100000) caps the
+    * LIMIT it accepts — the collected prefix lives on the driver (the
+    * TakeOrderedAndProject collect bound), so a huge LIMIT keeps the
+    * stock distributed plan.
+    */
+  private def growPrefixEnabled: Boolean = {
+    val raw = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.sql.topk.growPrefix", "true")
+    raw.trim.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.sql.topk.growPrefix must be true or false, got '$other'")
+    }
+  }
+  private def growMaxRows: Long = org.apache.spark.sql.internal.SQLConf.get
+    .getConfString("spark.graft.sql.topk.growMaxRows", "100000").trim.toLong
+
+  /** The r19 FILTERED top-k rung: `WHERE <residual> ORDER BY <key prefix>
+    * LIMIT n` — the residual's selectivity is unknowable statically, so
+    * instead of an optimizer-time file cut the scan is re-planned as the
+    * residual-filtered full covering stitch under a
+    * [[graft.plans.GrowPrefixTopK]] exec node that pulls key-ordered leg
+    * partitions in doubling batches until n survivors exist. Leading-key
+    * range conjuncts still prune the covering set; ALL conjuncts replay
+    * inside the node's child (and again above it, harmlessly — they are
+    * required deterministic). Declines: rewrite disabled, n over the
+    * driver-residency cap, any conjunct referencing a non-scan attribute
+    * (a computed column from an interior Project could not re-resolve
+    * over the stitch), subquery predicates (they would execute inside
+    * AND above the node), or no residual at all (the exact rung already
+    * handled it).
+    */
+  private def growPrefixRelation(rel: DataSourceV2ScanRelation, g: GraftScan,
+                                 sortAttrs: Seq[AttributeReference],
+                                 reverse: Boolean, n: Int,
+                                 conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                                 lead: org.apache.spark.sql.catalyst.expressions.Attribute)
+      : Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, PlanExpression}
+    if (!growPrefixEnabled || n > growMaxRows) return None
+    if (conds.isEmpty) return None
+    val relIds = rel.output.map(_.exprId).toSet
+    if (!conds.forall(c => c.deterministic &&
+        c.references.forall(r => relIds.contains(r.exprId)) &&
+        !c.exists(_.isInstanceOf[PlanExpression[_]]))) return None
+    // leading-key range conjuncts prune the covering set; the rest are
+    // the residual whose survivors the exec counts
+    val conjs = conds.flatMap(GraftCoRangeJoin.conjuncts)
+    val (kr, residual) = conjs.partition(c =>
+      keyRangeBounds(Seq(c), byId(lead)).isDefined)
+    if (residual.isEmpty) return None // pure key ranges — the exact rung's case
+    val (lo, hi) = keyRangeBounds(kr, byId(lead)).getOrElse((None, None))
+    val keyCols = g.manifestRef.keyCols
+    val outByName = rel.output.map(a => a.name -> a).toMap
+    val declared = keyCols.takeWhile(outByName.contains)
+    val sortNames = sortAttrs.map(_.name)
+    val eligible = sortNames == declared.take(sortNames.size) &&
+      sortAttrs.forall(a => outByName.get(a.name).exists(_.exprId == a.exprId))
+    if (!eligible) return None
+    val ix = new KVIndex(g.storeRef, g.manifestRef)
+    ix.growCoveringStitch(reverse, lo.map(_._1), hi.map(_._1)).map { stitched =>
+      val src = stitched.queryExecution.analyzed
+      val srcByName = src.output.map(a => a.name -> a).toMap
+      val aliases = rel.output.map(o =>
+        Alias(srcByName(o.name), o.name)(exprId = o.exprId))
+      val filtered = Filter(conds.reduce(And(_, _)), Project(aliases, src))
+      val dir = if (reverse) Descending else Ascending
+      val ordering = declared.map(c => SortOrder(outByName(c), dir))
+      // source = None: the cut is done (the topKView convergence rule)
+      DeclareOrdered(graft.plans.GrowPrefixTopK(n, filtered), ordering,
+        source = None)
+    }
   }
 
   /** Validate `conds` as pure leading-key ranges (the `isLead` matcher

@@ -75,16 +75,109 @@ class SqlTopKSpec extends SparkSuite {
     assert(q.count() == 4000L)
   }
 
-  test("declines: a non-key filter between limit and scan keeps the full-read path") {
+  test("a non-key filter never trusts the file-prefix row counts") {
     // a NON-key predicate can drop prefix rows while later files still
-    // hold survivors — the file-prefix cut would return the wrong set,
-    // so the rewrite must decline (bare-sort stitch or stock top-k both
-    // read every covering file and stay correct)
+    // hold survivors — the optimizer-time file-prefix cut would return
+    // the wrong set. Since r19 this shape takes the grow-the-prefix EXEC
+    // rung instead (plan-level inputFiles still lists every covering
+    // file; execution pulls only what the survivor count needs)
     val q = load().filter($"x" % 6 === 0).orderBy("k").limit(10)
     assert(q.inputFiles.length > 1,
       "a filtered top-k must NOT trust the file-prefix row counts")
     assert(q.select("k").as[Long].collect().toSeq.sorted ==
       (1L to 20L).filter(k => (k * 3) % 6 == 0))
+  }
+
+  test("grow-the-prefix exec (r19): a selective filter reads far fewer partitions") {
+    import graft.plans.GrowPrefixTopKExec
+    // dense survivors: the first doubling batch (1 partition) already
+    // holds 10 — at ANY snapshot size this reads one leg
+    GrowPrefixTopKExec.resetTelemetry()
+    val q = load().filter($"x" % 6 === 0).orderBy("k").limit(10)
+    assert(q.select("k").as[Long].collect().toSeq.sorted ==
+      (1L to 20L).filter(k => (k * 3) % 6 == 0))
+    assert(GrowPrefixTopKExec.lastTotalPartitions == ix.numFiles,
+      s"covering stitch = one leg per file, got ${GrowPrefixTopKExec.lastTotalPartitions}")
+    assert(GrowPrefixTopKExec.lastScannedPartitions == 1,
+      s"10 dense survivors live in leg 1, scanned ${GrowPrefixTopKExec.lastScannedPartitions}")
+
+    // sparse survivors (only keys past 3500 pass, a NON-key column
+    // predicate): the loop grows through the legs but still stops as
+    // soon as the page fills
+    GrowPrefixTopKExec.resetTelemetry()
+    val q2 = load().filter($"x" > 10500L).filter($"x" % 2 === 0)
+      .orderBy("k").limit(5)
+    val got2 = q2.select("k").as[Long].collect().toSeq.sorted
+    val want2 = (1L to 4000L).filter(k => k * 3 > 10500 && (k * 3) % 2 == 0).take(5)
+    assert(got2 == want2)
+    assert(GrowPrefixTopKExec.lastScannedPartitions > 1 &&
+      GrowPrefixTopKExec.lastScannedPartitions <= GrowPrefixTopKExec.lastTotalPartitions,
+      s"sparse survivors must grow: ${GrowPrefixTopKExec.lastScannedPartitions}")
+
+    // SQL text over the catalog gets the same exec
+    GrowPrefixTopKExec.resetTelemetry()
+    spark.conf.set("spark.sql.catalog.tkg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tkg.root", store.root)
+    val q3 = spark.sql("SELECT k FROM tkg.tk WHERE x % 6 = 0 ORDER BY k LIMIT 10")
+    assert(q3.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 20L).filter(k => (k * 3) % 6 == 0))
+    assert(GrowPrefixTopKExec.lastScannedPartitions == 1,
+      s"SQL text grow-prefix: scanned ${GrowPrefixTopKExec.lastScannedPartitions}")
+  }
+
+  test("grow-the-prefix worst case: zero survivors reads all legs exactly once") {
+    import graft.plans.GrowPrefixTopKExec
+    GrowPrefixTopKExec.resetTelemetry()
+    // collect, not count: an aggregate above would EliminateSorts away
+    // the ORDER BY and bypass the top-k shape entirely
+    val q = load().filter($"x" < 0L).orderBy("k").limit(10)
+    assert(q.collect().isEmpty)
+    val total = GrowPrefixTopKExec.lastTotalPartitions
+    assert(total == ix.numFiles)
+    assert(GrowPrefixTopKExec.lastScannedPartitions == total,
+      "zero survivors must exhaust the covering stitch")
+    // doubling batches: ceil(log2(total)) + 1 launches, never a rescan
+    val maxLaunches = 32 - Integer.numberOfLeadingZeros(math.max(1, total)) + 1
+    assert(GrowPrefixTopKExec.lastLaunches <= maxLaunches,
+      s"${GrowPrefixTopKExec.lastLaunches} launches over $total legs")
+
+    // key-range conjuncts still prune the covering set before the loop
+    GrowPrefixTopKExec.resetTelemetry()
+    val q2 = load().filter($"k" >= 600L && $"k" < 700L && $"x" < 0L)
+      .orderBy("k").limit(10)
+    assert(q2.collect().isEmpty)
+    assert(GrowPrefixTopKExec.lastTotalPartitions < ix.numFiles,
+      s"bounds must prune the covering legs, got ${GrowPrefixTopKExec.lastTotalPartitions}")
+  }
+
+  test("grow-the-prefix declines: kill-switch, LIMIT cap, computed-column predicates") {
+    import graft.plans.GrowPrefixTopKExec
+    def viaGrow(f: => Unit): Boolean = {
+      GrowPrefixTopKExec.resetTelemetry(); f
+      GrowPrefixTopKExec.lastScannedPartitions >= 0
+    }
+    val expected = (1L to 20L).filter(k => (k * 3) % 6 == 0)
+    // kill-switch off: stock full read, same rows
+    spark.conf.set("spark.graft.sql.topk.growPrefix", "false")
+    try assert(!viaGrow {
+      assert(load().filter($"x" % 6 === 0).orderBy("k").limit(10)
+        .select("k").as[Long].collect().toSeq.sorted == expected)
+    }) finally spark.conf.unset("spark.graft.sql.topk.growPrefix")
+    // a LIMIT over the driver-residency cap keeps the distributed plan
+    spark.conf.set("spark.graft.sql.topk.growMaxRows", "5")
+    try assert(!viaGrow {
+      assert(load().filter($"x" % 6 === 0).orderBy("k").limit(10)
+        .select("k").as[Long].collect().toSeq.sorted == expected)
+    }) finally spark.conf.unset("spark.graft.sql.topk.growMaxRows")
+    // a predicate on a COMPUTED column: CollapseProject normally inlines
+    // the alias back onto scan attributes (so the rewrite fires and stays
+    // correct — content is the contract); the reference guard in
+    // growPrefixRelation is the safety net for any shape the optimizer
+    // leaves un-inlined, where firing would build an unresolvable Filter
+    val got = load().select($"k", ($"x" * 2).as("y"))
+      .filter($"y" % 12 === 0).orderBy("k").limit(10)
+      .select("k").as[Long].collect().toSeq.sorted
+    assert(got == (1L to 20L).filter(k => (k * 6) % 12 == 0), got)
   }
 
   test("keyset pagination: WHERE k > last ORDER BY k LIMIT page reads ~one file") {
