@@ -97,6 +97,12 @@ object Bench {
     try java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"bench_full.json not written: $e") }
+    // the driver keeps only a ~2000-char stdout TAIL, which truncates the
+    // full per-query line above mid-JSON — so the LAST line printed is a
+    // compact, always-complete summary carrying the totals and the path
+    // of the committed full-sample artifact (self-containment: a
+    // truncated capture still parses and still points at the evidence)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"nqueries":${results.size},"nerrors":${errors.size},"artifact":"${out.toAbsolutePath}"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"bench: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} failed: " +
