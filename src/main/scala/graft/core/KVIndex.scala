@@ -376,14 +376,11 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * early-stop) over materializing any whole-snapshot plan.
     */
   private def orderedUnion(filesInScanOrder: Seq[FileEntry],
-                           reverse: Boolean,
-                           legTarget: Long = 0L): DataFrame = {
-    // leg target: the maxRowsPerFile batching convention (or the caller's
-    // override — grow-the-prefix wants ~file-grain legs so its early exit
-    // is file-granular), floor-bounded so the union never exceeds
-    // maxPlanLegs children (legs grow instead — the per-leg sort spills,
-    // the plan does not)
-    val legRows = math.max(if (legTarget > 0) legTarget else maxRowsPerFile,
+                           reverse: Boolean): DataFrame = {
+    // leg target: the maxRowsPerFile batching convention, floor-bounded so
+    // the union never exceeds maxPlanLegs children (legs grow instead —
+    // the per-leg sort spills, the plan does not)
+    val legRows = math.max(maxRowsPerFile,
       ceilDiv(filesInScanOrder.iterator.map(_.rows).sum, maxPlanLegs.toLong))
     val legs = {
       val out = Seq.newBuilder[Seq[FileEntry]]
@@ -533,11 +530,20 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
   /** FULL covering stitch for grow-the-prefix filtered top-k
     * ([[graft.sources.GraftOrderedScan]] + [[graft.plans.GrowPrefixTopK]]):
     * every file intersecting the (inclusive, over-approximate) leading
-    * bounds, stitched in (reverse?) key order with one leg per partition —
-    * NO n-row guarantee is computed here, because a residual predicate's
-    * selectivity is unknowable statically; the exec node pulls partitions
-    * incrementally until n survivors exist. Same un-declared contract as
-    * [[orderedStitchFrame]].
+    * bounds, stitched in (reverse?) key order into GEOMETRICALLY growing
+    * legs — the first leg is ONE file, and each later leg holds roughly
+    * everything before it — so the union has O(log files) children: the
+    * exec's early exit stays file-granular where top-k queries actually
+    * finish (the front), while the PLAN stays narrow at any covering-set
+    * size (a uniform file-grain cut at 100k covering files would wedge
+    * the optimizer on plan width alone — measured at sf0.1 as ~3.5 s of
+    * pure planning for a 293-leg stitch). Leg size is capped at
+    * 32 × maxRowsPerFile rows (a deep-miss tail leg is still one
+    * spillable-sort task, never half the snapshot), and floor-bounded by
+    * maxPlanLegs like every other stitch. NO n-row guarantee is computed
+    * here — a residual predicate's selectivity is unknowable statically;
+    * the exec node pulls partitions incrementally until n survivors
+    * exist. Same un-declared contract as [[orderedStitchFrame]].
     */
   private[graft] def growCoveringStitch(reverse: Boolean,
       lo: Option[Any] = None, hi: Option[Any] = None): Option[DataFrame] =
@@ -546,12 +552,33 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       val covering = files.filter(f =>
         lo.forall(l => KeyOrd.compare(Seq(f.max.head), Seq(l)) >= 0) &&
           hi.forall(h => KeyOrd.compare(Seq(f.min.head), Seq(h)) <= 0))
-      if (covering.isEmpty) Some(emptyScan())
-      // legTarget 1 = ONE FILE PER LEG (a leg never splits a file), so the
-      // exec's early exit is file-granular; maxPlanLegs still floor-bounds
-      // the union width on huge covering sets (legs grow instead)
-      else Some(orderedUnion(if (reverse) covering.reverse else covering,
-        reverse, legTarget = 1L))
+      if (covering.isEmpty) return Some(emptyScan())
+      val ordered = if (reverse) covering.reverse else covering
+      val totalRows = ordered.iterator.map(_.rows).sum
+      val floorRows = ceilDiv(totalRows, maxPlanLegs.toLong)
+      val capRows = math.max(32L * maxRowsPerFile, floorRows)
+      val legs = {
+        val out = Seq.newBuilder[Seq[FileEntry]]
+        var done = 0L
+        var cur = Vector.empty[FileEntry]; var curRows = 0L
+        ordered.foreach { f =>
+          // close the current leg once it reached its target: everything
+          // scanned so far (geometric), bounded to [floorRows, capRows]
+          val target = math.max(1L, math.max(floorRows, math.min(done, capRows)))
+          if (cur.nonEmpty && curRows >= target) {
+            out += cur; done += curRows; cur = Vector.empty; curRows = 0L
+          }
+          cur :+= f; curRows += f.rows
+        }
+        if (cur.nonEmpty) out += cur
+        out.result()
+      }
+      Some(legs.map { leg =>
+        graft.plans.OrderedPlans.unfused(
+          store.readFiles(leg.map(_.path), manifest)
+            .coalesce(1)
+            .sortWithinPartitions(key.sortCols(reverse): _*))
+      }.reduce(_ unionByName _))
     }
 
   /** S3 head/tail over a snapshot: only the manifest-prefix of files
