@@ -50,7 +50,11 @@ object GraftMaintenance {
     if (retain < 1) fail(s"RETAIN $retain VERSIONS — at least 1 version must survive")
     val (store, _) = storeAndIndex(spark, cat, id)
     val graceMs = spark.conf.getOption("spark.graft.sql.vacuum.graceMs")
-      .map(_.trim.toLong).getOrElse(SnapshotStore.DefaultVacuumGraceMs)
+      .map { raw =>
+        try raw.trim.toLong
+        catch { case _: NumberFormatException => fail(
+          s"spark.graft.sql.vacuum.graceMs must be a millisecond count, got '$raw'") }
+      }.getOrElse(SnapshotStore.DefaultVacuumGraceMs)
     val (m, f) = store.vacuum(id, retainVersions = retain, graceMs = graceMs)
     Seq(InternalRow(m.toLong, f.toLong))
   }
