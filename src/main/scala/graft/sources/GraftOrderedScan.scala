@@ -204,11 +204,12 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
                        n: Int,
                        conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
     val src = d.source.get
-    var inner = conds
+    var interior = Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression]
     def dig(q: LogicalPlan): (LogicalPlan, LogicalPlan => LogicalPlan) = q match {
       case f: Filter if f.condition.deterministic =>
-        inner :+= f.condition
+        interior :+= f.condition
         val (leaf, rb) = dig(f.child)
         (leaf, (nl: LogicalPlan) => f.copy(child = rb(nl)))
       case pr: Project if pr.projectList.forall(_.deterministic) =>
@@ -227,7 +228,30 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     if (!eligible) return None
     val leadName = keyCols.head
     val lead = leaf.output.find(_.name == leadName).getOrElse(return None)
-    val (loP, hiP) = keyRangeBounds(inner, byId(lead)).getOrElse(return None)
+    // split plan-level conjuncts (exterior = between the Limit and `d`,
+    // interior = inside d's replayed stack) into leading-key ranges
+    // (bounds: they prune the covering set) and RESIDUALS. No residual →
+    // the exact n-row file-prefix cut; residuals → the grow-the-prefix
+    // exec rung (r19), same as the catalog path.
+    val extConjs = conds.flatMap(GraftCoRangeJoin.conjuncts)
+    val intConjs = interior.flatMap(GraftCoRangeJoin.conjuncts)
+    def isKr(c: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      keyRangeBounds(Seq(c), byId(lead)).isDefined
+    val residual = (extConjs ++ intConjs).filterNot(isKr)
+    val grow = residual.nonEmpty
+    if (grow) {
+      // exterior conjuncts must RE-EVALUATE inside the node (survivor
+      // counting) — they need d-output-resolvable references; subquery
+      // predicates decline (they would execute inside AND above)
+      val dIds = d.output.map(_.exprId).toSet
+      if (!growPrefixEnabled || n > growMaxRows ||
+          (extConjs ++ intConjs).exists(_.exists(_.isInstanceOf[PlanExpression[_]])) ||
+          !extConjs.forall(_.references.forall(r => dIds.contains(r.exprId))))
+        return None
+    }
+    val (loP, hiP) =
+      keyRangeBounds((extConjs ++ intConjs).filter(isKr), byId(lead))
+        .getOrElse((None, None))
     // the push-through rules may have carried predicates INTO the stitch
     // (per-leg Filters inside the union) by a later fixed-point
     // iteration — rows they drop would RESURRECT if the leaf were
@@ -256,7 +280,10 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     val lo = merge(loP, loL, lower = true)
     val hi = merge(hiP, hiL, lower = false)
     val ix = new KVIndex(src.store, src.manifest)
-    ix.topKStitchFrame(n, reverse, lo.map(_._1), hi.map(_._1)).map { stitched =>
+    val frame =
+      if (grow) ix.growCoveringStitch(reverse, lo.map(_._1), hi.map(_._1))
+      else ix.topKStitchFrame(n, reverse, lo.map(_._1), hi.map(_._1))
+    frame.map { stitched =>
       val aliased = GraftCoRangeJoin.aliasTo(
         leaf.output, stitched.queryExecution.analyzed)
       // reproduce the leaf-internal drops on the new leaf (loL/hiL only
@@ -286,7 +313,22 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
       // marker under the same Limit(Sort) would re-fire this rule every
       // fixed-point iteration (fresh exprIds each time, so the batch
       // never converges — observed as a wedged optimizer)
-      DeclareOrdered(rbIn(newLeaf), ordering, source = None)
+      if (!grow) DeclareOrdered(rbIn(newLeaf), ordering, source = None)
+      else {
+        // grow-the-prefix: interior conjuncts replay at their original
+        // positions via rbIn; EXTERIOR ones (key ranges included — the
+        // covering prune is over-approximate at the boundary files) are
+        // re-evaluated on top so the node counts exactly the rows the
+        // whole filtered subtree emits. They replay again above the
+        // node, harmlessly (deterministic).
+        val inNode = rbIn(newLeaf)
+        val counted =
+          if (extConjs.isEmpty) inNode
+          else Filter(extConjs.reduce(
+            org.apache.spark.sql.catalyst.expressions.And(_, _)), inNode)
+        DeclareOrdered(graft.plans.GrowPrefixTopK(n, counted), ordering,
+          source = None)
+      }
     }
   }
 

@@ -239,12 +239,38 @@ class SqlTopKSpec extends SparkSuite {
       s"view keyset page must stay file-bounded, got ${qp.inputFiles.length}")
     assert(qp.collect().map(_.getLong(0)).sorted.toSeq == (1501L to 1600L))
 
-    // a non-key filter over the view declines the prefix cut but stays
-    // correct (full covering read)
+    // a non-key filter over the view takes the grow-the-prefix exec
+    // (r19, the catalog path's rung): dense survivors finish in leg 1
+    graft.plans.GrowPrefixTopKExec.resetTelemetry()
     val qf = spark.sql(
       "SELECT k FROM topk_view WHERE x % 6 = 0 ORDER BY k LIMIT 10")
     assert(qf.collect().map(_.getLong(0)).sorted.toSeq ==
       (1L to 20L).filter(k => (k * 3) % 6 == 0))
+    assert(graft.plans.GrowPrefixTopKExec.lastScannedPartitions == 1,
+      s"view grow-prefix: scanned ${graft.plans.GrowPrefixTopKExec.lastScannedPartitions}")
+
+    // mixed keyset + non-key residual over the view: bounds prune the
+    // covering legs, the residual counts inside the node
+    graft.plans.GrowPrefixTopKExec.resetTelemetry()
+    val qm = spark.sql(
+      "SELECT k FROM topk_view WHERE k > 1500 AND x % 6 = 0 ORDER BY k LIMIT 10")
+    assert(qm.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1501L to 1520L).filter(k => (k * 3) % 6 == 0))
+    assert(graft.plans.GrowPrefixTopKExec.lastScannedPartitions >= 1 &&
+      graft.plans.GrowPrefixTopKExec.lastTotalPartitions > 0 &&
+      graft.plans.GrowPrefixTopKExec.lastScannedPartitions <= 2,
+      s"view keyset+residual grow: scanned " +
+        s"${graft.plans.GrowPrefixTopKExec.lastScannedPartitions} of " +
+        s"${graft.plans.GrowPrefixTopKExec.lastTotalPartitions}")
+
+    // zero survivors over the view: exhausts the (bounds-pruned)
+    // covering legs exactly once and returns empty
+    graft.plans.GrowPrefixTopKExec.resetTelemetry()
+    val qz = spark.sql(
+      "SELECT k FROM topk_view WHERE x < 0 ORDER BY k LIMIT 10")
+    assert(qz.collect().isEmpty)
+    assert(graft.plans.GrowPrefixTopKExec.lastScannedPartitions ==
+      graft.plans.GrowPrefixTopKExec.lastTotalPartitions)
   }
 
   test("declines: non-key and mixed-direction sorts keep the stock plan") {
