@@ -232,43 +232,64 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     // interior = inside d's replayed stack) into leading-key ranges
     // (bounds: they prune the covering set) and RESIDUALS. No residual →
     // the exact n-row file-prefix cut; residuals → the grow-the-prefix
-    // exec rung (r19), same as the catalog path.
+    // exec rung (r19), same as the catalog path. A leading-key conjunct
+    // matches by the LEAF's exprId OR d's own output exprId for the key
+    // name: exterior predicates reference d.output while the stitch's
+    // alias Project carries a different leaf id for the same column —
+    // both are the key by construction (the stitch never renames), and
+    // which one a predicate holds depends only on rule-registration
+    // order (how far PushDownPredicates sank it before this rule ran),
+    // which must never change the chosen plan.
+    val dLead = outByName(leadName)
+    def isLeadEither(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e match {
+        case a: AttributeReference =>
+          a.exprId == lead.exprId || a.exprId == dLead.exprId
+        case _ => false
+      }
     val extConjs = conds.flatMap(GraftCoRangeJoin.conjuncts)
     val intConjs = interior.flatMap(GraftCoRangeJoin.conjuncts)
     def isKr(c: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-      keyRangeBounds(Seq(c), byId(lead)).isDefined
-    val residual = (extConjs ++ intConjs).filterNot(isKr)
-    val grow = residual.nonEmpty
-    if (grow) {
-      // exterior conjuncts must RE-EVALUATE inside the node (survivor
-      // counting) — they need d-output-resolvable references; subquery
-      // predicates decline (they would execute inside AND above)
-      val dIds = d.output.map(_.exprId).toSet
-      if (!growPrefixEnabled || n > growMaxRows ||
-          (extConjs ++ intConjs).exists(_.exists(_.isInstanceOf[PlanExpression[_]])) ||
-          !extConjs.forall(_.references.forall(r => dIds.contains(r.exprId))))
-        return None
-    }
+      keyRangeBounds(Seq(c), isLeadEither).isDefined
+    val planResidual = (extConjs ++ intConjs).filterNot(isKr)
     val (loP, hiP) =
-      keyRangeBounds((extConjs ++ intConjs).filter(isKr), byId(lead))
+      keyRangeBounds((extConjs ++ intConjs).filter(isKr), isLeadEither)
         .getOrElse((None, None))
     // the push-through rules may have carried predicates INTO the stitch
     // (per-leg Filters inside the union) by a later fixed-point
     // iteration — rows they drop would RESURRECT if the leaf were
-    // swapped for a fresh stitch. Accept them only when every one is
-    // itself a leading-key range (matched by NAME — inside the stitch
-    // only our own scans live, no renames), and SYNTHESIZE an equivalent
-    // range predicate above the new leaf so the drop is reproduced
-    // exactly (their per-leg exprIds cannot replay across the swap).
-    // Anything else declines.
-    val leafConds = leaf.collect {
-      case f: Filter => f.condition
-    }
-    val (loL, hiL) = keyRangeBounds(leafConds, {
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        a.name == leadName
+    // swapped for a fresh stitch. Leading-key ranges (matched by NAME —
+    // inside the stitch only our own scans live, no renames) are
+    // SYNTHESIZED as an equivalent range above the new leaf; any OTHER
+    // leaf-internal conjunct joins the residual set and forces the grow
+    // rung, reproduced on the new leaf by the same by-name remap (their
+    // per-leg exprIds cannot replay across the swap).
+    val isLeafName: org.apache.spark.sql.catalyst.expressions.Expression => Boolean = {
+      case a: AttributeReference => a.name == leadName
       case _ => false
-    }).getOrElse(return None)
+    }
+    val leafConjs = leaf.collect { case f: Filter => f.condition }
+      .flatMap(GraftCoRangeJoin.conjuncts)
+    val (leafRanges, leafResidual) =
+      leafConjs.partition(c => keyRangeBounds(Seq(c), isLeafName).isDefined)
+    val (loL, hiL) = keyRangeBounds(leafRanges, isLeafName).getOrElse((None, None))
+    val grow = planResidual.nonEmpty || leafResidual.nonEmpty
+    if (grow) {
+      // exterior conjuncts re-evaluate inside the node (survivor
+      // counting) and need d-output-resolvable references; leaf-internal
+      // residuals remap by name onto the fresh stitch; subquery
+      // predicates decline (they would execute inside AND above);
+      // leaf-internal predicates never passed dig's determinism check,
+      // so require it here
+      val dIds = d.output.map(_.exprId).toSet
+      val leafNames = leaf.output.map(_.name).toSet
+      if (!growPrefixEnabled || n > growMaxRows ||
+          (extConjs ++ intConjs ++ leafConjs).exists(c => !c.deterministic ||
+            c.exists(_.isInstanceOf[PlanExpression[_]])) ||
+          !extConjs.forall(_.references.forall(r => dIds.contains(r.exprId))) ||
+          !leafResidual.forall(_.references.forall(r => leafNames.contains(r.name))))
+        return None
+    }
     def merge(a: Option[(Any, Boolean)], b: Option[(Any, Boolean)],
               lower: Boolean): Option[(Any, Boolean)] = (a, b) match {
       case (Some((av, ai)), Some((bv, bi))) =>
@@ -284,29 +305,36 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
       if (grow) ix.growCoveringStitch(reverse, lo.map(_._1), hi.map(_._1))
       else ix.topKStitchFrame(n, reverse, lo.map(_._1), hi.map(_._1))
     frame.map { stitched =>
+      import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal}
       val aliased = GraftCoRangeJoin.aliasTo(
         leaf.output, stitched.queryExecution.analyzed)
-      // reproduce the leaf-internal drops on the new leaf (loL/hiL only
-      // — plan-level filters replay through rbIn and the exterior stack)
-      val leadNew = aliased.output.find(_.name == leadName).get
-      val synth: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      // reproduce the leaf-internal drops on the new leaf: ranges from
+      // loL/hiL, residuals (grow only) by by-name remap, deduped across
+      // the per-leg copies (plan-level filters replay through rbIn and
+      // the exterior stack instead)
+      val aliasByName = aliased.output.map(a => a.name -> a).toMap
+      val leadNew = aliasByName(leadName)
+      val synth: Seq[Expression] =
         loL.map { case (v, inc) =>
-          val l = org.apache.spark.sql.catalyst.expressions.Literal
-            .create(v, lead.dataType)
+          val l = Literal.create(v, lead.dataType)
           if (inc) org.apache.spark.sql.catalyst.expressions
             .GreaterThanOrEqual(leadNew, l)
           else org.apache.spark.sql.catalyst.expressions.GreaterThan(leadNew, l)
         }.toSeq ++ hiL.map { case (v, inc) =>
-          val l = org.apache.spark.sql.catalyst.expressions.Literal
-            .create(v, lead.dataType)
+          val l = Literal.create(v, lead.dataType)
           if (inc) org.apache.spark.sql.catalyst.expressions
             .LessThanOrEqual(leadNew, l)
           else org.apache.spark.sql.catalyst.expressions.LessThan(leadNew, l)
         }.toSeq
+      val remapped: Seq[Expression] =
+        if (!grow) Nil
+        else leafResidual.map(_.transform {
+          case a: AttributeReference => aliasByName(a.name)
+        }).distinctBy(_.canonicalized)
+      val drops = synth ++ remapped
       val newLeaf =
-        if (synth.isEmpty) aliased
-        else Filter(synth.reduce(
-          org.apache.spark.sql.catalyst.expressions.And(_, _)), aliased)
+        if (drops.isEmpty) aliased
+        else Filter(drops.reduce(And(_, _)), aliased)
       val dir = if (reverse) Descending else Ascending
       val ordering = declared.map(c => SortOrder(outByName(c), dir))
       // source = None on the REPLACEMENT: the cut is done — a sourced
@@ -324,8 +352,7 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
         val inNode = rbIn(newLeaf)
         val counted =
           if (extConjs.isEmpty) inNode
-          else Filter(extConjs.reduce(
-            org.apache.spark.sql.catalyst.expressions.And(_, _)), inNode)
+          else Filter(extConjs.reduce(And(_, _)), inNode)
         DeclareOrdered(graft.plans.GrowPrefixTopK(n, counted), ordering,
           source = None)
       }

@@ -256,9 +256,14 @@ class SqlTopKSpec extends SparkSuite {
       "SELECT k FROM topk_view WHERE k > 1500 AND x % 6 = 0 ORDER BY k LIMIT 10")
     assert(qm.collect().map(_.getLong(0)).sorted.toSeq ==
       (1501L to 1520L).filter(k => (k * 3) % 6 == 0))
+    // bounds prune the covering set to ~5-6 files; the doubling loop may
+    // pull the zero-survivor BOUNDARY leg (keys <= 1500) plus the first
+    // survivor wave — but never the tail legs
     assert(graft.plans.GrowPrefixTopKExec.lastScannedPartitions >= 1 &&
       graft.plans.GrowPrefixTopKExec.lastTotalPartitions > 0 &&
-      graft.plans.GrowPrefixTopKExec.lastScannedPartitions <= 2,
+      graft.plans.GrowPrefixTopKExec.lastScannedPartitions <= 3 &&
+      graft.plans.GrowPrefixTopKExec.lastScannedPartitions <
+        graft.plans.GrowPrefixTopKExec.lastTotalPartitions,
       s"view keyset+residual grow: scanned " +
         s"${graft.plans.GrowPrefixTopKExec.lastScannedPartitions} of " +
         s"${graft.plans.GrowPrefixTopKExec.lastTotalPartitions}")
