@@ -593,8 +593,17 @@ object SparkEntry {
         s"kv_sql_vacuum: COMPACT must merge 4 files into 1, got ${c.mkString}")
       s.conf.set("spark.graft.sql.vacuum.graceMs", "0")
       try {
+        // DRY RUN first (r20): reports the would-be counts without
+        // touching the store — pinned equal to what the destructive
+        // sweep then actually removes
+        val dry = s.sql(s"VACUUM $cat.svord RETAIN 1 VERSIONS DRY RUN").collect()
+        require(dry.length == 1, s"kv_sql_vacuum: one dry-run row, got ${dry.length}")
         val v = s.sql(s"VACUUM $cat.svord RETAIN 1 VERSIONS").collect()
         require(v.length == 1, s"kv_sql_vacuum: one result row, got ${v.length}")
+        require(v.head.getLong(0) == dry.head.getLong(0) &&
+          v.head.getLong(1) == dry.head.getLong(1),
+          s"kv_sql_vacuum: DRY RUN (${dry.head}) must report the " +
+            s"destructive run's counts (${v.head})")
         vacResults(s"kv-sqlvac|$d") = (v.head.getLong(0).toInt, v.head.getLong(1).toInt)
       } finally s.conf.unset("spark.graft.sql.vacuum.graceMs")
       KVIndex.open(store, "svord").fold(e => sys.error(e.message), identity)
@@ -3623,14 +3632,17 @@ object SparkEntry {
       s.conf.set("spark.sql.catalog.graft_tkw", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft_tkw.root", liIx.store.root)
       def page(tag: String, dir: String) = {
-        graft.plans.GrowPrefixTopKExec.resetTelemetry()
         val q = s.sql(s"""
           SELECT '$tag' AS tag, l_orderkey, l_linenumber, CAST(qty AS BIGINT) AS qty
           FROM graft_tkw.lilines WHERE CAST(floor(qty) AS BIGINT) % 7 = 0
           ORDER BY l_orderkey $dir, l_linenumber $dir LIMIT 50""")
         q.collect()
-        val scanned = graft.plans.GrowPrefixTopKExec.lastScannedPartitions
-        val total = graft.plans.GrowPrefixTopKExec.lastTotalPartitions
+        // per-query SQL metrics on the exec node (no process-global state
+        // a concurrent query could clobber between run and assertion)
+        val tel = graft.plans.GrowPrefixTopKExec.telemetryOf(q)
+        require(tel.size == 1,
+          s"kv_sql_topk_where $tag: expected the grow-prefix exec, got ${tel.size} nodes")
+        val (scanned, total, _) = tel.head
         require(scanned >= 1 && scanned <= 2,
           s"kv_sql_topk_where $tag: ~1-in-7 survivors over 2048-row legs " +
             s"must fill LIMIT 50 in the first leg(s), scanned $scanned of $total")

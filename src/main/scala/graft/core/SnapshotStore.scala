@@ -752,10 +752,20 @@ trait SnapshotStore {
     * cannot date are treated as old). `graceMs = 0` restores the exact
     * deterministic sweep (single-writer maintenance windows, tests).
     *
-    * Returns (#manifests removed, #files deleted).
+    * `dryRun = true` (SQL: `VACUUM … DRY RUN`, the Delta idiom) runs the
+    * SAME planning — cutoff, mark over the surviving manifests, grace
+    * filter — but touches NOTHING: no manifest drop, no history rewrite,
+    * no deletes, no cache invalidation. The returned counts are exactly
+    * what an immediately-following destructive run would remove (given no
+    * intervening writes; the mark excludes the would-be-dropped manifests
+    * the destructive path deletes before marking).
+    *
+    * Returns (#manifests removed, #files deleted) — would-be counts under
+    * `dryRun`.
     */
   final def vacuum(id: String, retainVersions: Int = 2,
-                   graceMs: Long = SnapshotStore.DefaultVacuumGraceMs): (Int, Int) = {
+                   graceMs: Long = SnapshotStore.DefaultVacuumGraceMs,
+                   dryRun: Boolean = false): (Int, Int) = {
     require(retainVersions >= 1)
     val sweepStartMs = sweepNowMs()
     def aged(modified: Option[Long]): Boolean =
@@ -765,43 +775,48 @@ trait SnapshotStore {
     val dropM = listNames(id).collect {
       case n @ ManifestRe(v) if v.toLong < cutoff => n
     }
-    dropM.foreach(n => deleteControl(s"$id/$n"))
-    invalidateTemporal(id)
-    // prune history entries pointing at dropped versions (preserving
-    // each kept entry's wall-clock stamp — or its absence — verbatim)
-    if (readText(historyRel(id)).isDefined) {
-      val kept = historyLogWall(id).filter(_._2 >= cutoff)
-      writeTextAtomic(historyRel(id),
-        kept.map { case (ts, v, ms) =>
-          ms.fold(s"""{"ts":$ts,"version":$v}""")(m =>
-            s"""{"ts":$ts,"version":$v,"ms":$m}""")
-        }.mkString("", "\n", "\n"))
-    }
+    val dropSet = dropM.toSet
     // mark: files referenced by ANY surviving manifest of ANY index —
     // resolving filelist checkpoints, else a big manifest's data files
-    // would all look unreferenced and be swept
+    // would all look unreferenced and be swept. The would-be-dropped
+    // manifests of `id` are excluded here (rather than deleted first),
+    // so the dry-run plan and the destructive sweep count identically.
     val kept = for {
       otherId <- listIndexes()
       mn <- listNames(otherId).collect { case n @ ManifestRe(_) => n }
+      if otherId != id || !dropSet.contains(mn)
     } yield SnapshotManifest.fromJson(readText(s"$otherId/$mn").get)
     val referenced: Set[String] = (for {
       km <- kept
       f <- km.filesRef.fold(km.files)(readFileList)
     } yield normalizePath(f.path)).toSet
-    // sweep this index's filelist checkpoints no kept manifest points at
+    // this index's filelist checkpoints no kept manifest points at
     // (dropped versions' checkpoints, plus AGED orphans of crashed commits
     // — young ones may be an in-flight commit's, written pre-CAS)
     val keptRefs = kept.flatMap(_.filesRef).toSet
-    listFileLists(id)
+    val dropLists = listFileLists(id)
       .map(sid => s"$id/filelist/$sid")
       .filterNot(keptRefs.contains)
       .filter(rel => aged(fileListModifiedMs(rel)))
-      .foreach(deleteFileList)
-    // sweep this index's unreferenced, out-of-grace data files
-    var deleted = 0
-    listDataFiles(id).filterNot(referenced.contains)
+    // this index's unreferenced, out-of-grace data files
+    val dropData = listDataFiles(id).filterNot(referenced.contains)
       .filter(p => aged(dataFileModifiedMs(p)))
-      .foreach { p => deleteDataFile(p); deleted += 1 }
+    if (dryRun) return (dropM.size, dropData.size)
+    dropM.foreach(n => deleteControl(s"$id/$n"))
+    invalidateTemporal(id)
+    // prune history entries pointing at dropped versions (preserving
+    // each kept entry's wall-clock stamp — or its absence — verbatim)
+    if (readText(historyRel(id)).isDefined) {
+      val keptH = historyLogWall(id).filter(_._2 >= cutoff)
+      writeTextAtomic(historyRel(id),
+        keptH.map { case (ts, v, ms) =>
+          ms.fold(s"""{"ts":$ts,"version":$v}""")(m =>
+            s"""{"ts":$ts,"version":$v,"ms":$m}""")
+        }.mkString("", "\n", "\n"))
+    }
+    dropLists.foreach(deleteFileList)
+    var deleted = 0
+    dropData.foreach { p => deleteDataFile(p); deleted += 1 }
     (dropM.size, deleted)
   }
 }

@@ -67,6 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the MATERIALIZED VIEW statement heads Spark's grammar lacks
     // (CREATE/REFRESH MATERIALIZED VIEW → MaterializedAgg/MaterializedJoin);
     // every other statement passes to the stock parser verbatim
-    e.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
+    e.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
   }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, SinglePartition}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SQLExecution, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Exec-time GROW-THE-PREFIX scan for FILTERED SQL top-k
   * (`WHERE <residual> ORDER BY <key prefix> LIMIT n`,
@@ -29,13 +30,18 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * survivor counting done by the REAL filter running inside the child
   * plan — no optimizer-time selectivity guess anywhere.
   *
-  * Scale shape: per-job driver traffic is bounded by the still-missing
-  * row count (each partition task emits at most `n - have` rows), total
-  * driver residency ≤ n rows — the same bound TakeOrderedAndProject's
-  * collect path carries — and the rewrite is capped at
-  * `spark.graft.sql.topk.growMaxRows` (default 100k) so a huge LIMIT
-  * keeps the stock distributed plan. Never-launched partitions never
-  * read their files.
+  * Scale shape: each partition task emits at most `n − have` rows, so
+  * ONE JOB can transiently deliver up to `batchSize × (n − have)` rows
+  * to the driver before the buffer truncates — the same exposure
+  * Spark's own `executeTake` carries (its batches quadruple unbounded);
+  * here the batch size is additionally CAPPED so the per-job transient
+  * stays ≤ max(2^20, 16 n) rows (the cap only bites when the missing
+  * count is large — exactly when the driver needs the protection; a
+  * nearly-full page keeps pure doubling and its ~log2(P) launch bound).
+  * The retained result is always ≤ n rows, and the whole rewrite is
+  * gated at `spark.graft.sql.topk.growMaxRows` (default 100k) so a huge
+  * LIMIT keeps the stock distributed plan. Never-launched partitions
+  * never read their files.
   */
 final case class GrowPrefixTopK(limit: Int, child: LogicalPlan) extends UnaryNode {
   require(limit > 0, s"GrowPrefixTopK limit must be positive, got $limit")
@@ -55,6 +61,16 @@ final case class GrowPrefixTopKExec(limit: Int, child: SparkPlan)
   override def outputOrdering: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
     child.outputOrdering
 
+  /** Telemetry is PER-NODE SQL metrics (read via
+    * [[GrowPrefixTopKExec.telemetryOf]]), not process-global state — a
+    * concurrent query through this exec in the same JVM cannot clobber
+    * another query's reading between its run and its assertion.
+    */
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "scannedLegs" -> SQLMetrics.createMetric(sparkContext, "key-ordered legs scanned"),
+    "totalLegs" -> SQLMetrics.createMetric(sparkContext, "key-ordered legs in stitch"),
+    "jobLaunches" -> SQLMetrics.createMetric(sparkContext, "incremental job launches"))
+
   /** Runs ONCE (lazy): the incremental scan loop. Partition indexes only
     * ever advance — no partition is computed twice.
     */
@@ -65,10 +81,15 @@ final case class GrowPrefixTopKExec(limit: Int, child: SparkPlan)
     var scanned = 0
     var batch = 1
     var launches = 0
+    // per-job transient bound (see class doc): a batch of B partitions can
+    // return up to B × need rows before truncation, so B is capped by the
+    // still-missing count — pure doubling while the transient stays small
+    val maxTransientRows = math.max(1L << 20, 16L * limit)
     while (buf.length < limit && scanned < total) {
-      val upTo = math.min(scanned + batch, total)
-      val parts = (scanned until upTo).toArray
       val need = limit - buf.length
+      val thisBatch = math.max(1L, math.min(batch.toLong, maxTransientRows / need)).toInt
+      val upTo = math.min(scanned + thisBatch, total)
+      val parts = (scanned until upTo).toArray
       // rows must be COPIED before leaving the iterator (unsafe row reuse)
       val res = sparkContext.runJob(rdd,
         (it: Iterator[InternalRow]) => it.take(need).map(_.copy()).toArray,
@@ -80,10 +101,17 @@ final case class GrowPrefixTopKExec(limit: Int, child: SparkPlan)
         while (i < keep) { buf += arr(i); i += 1 }
       }
       scanned = upTo
-      batch *= 2
+      batch = thisBatch * 2
       launches += 1
     }
-    GrowPrefixTopKExec.record(scanned, total, launches)
+    longMetric("scannedLegs").set(scanned.toLong)
+    longMetric("totalLegs").set(total.toLong)
+    longMetric("jobLaunches").set(launches.toLong)
+    // the loop runs on the driver, so push the updates to the UI the way
+    // Spark's own driver-side metrics do (BroadcastExchangeExec pattern)
+    SQLMetrics.postDriverMetricUpdates(sparkContext,
+      sparkContext.getLocalProperty(SQLExecution.EXECUTION_ID_KEY),
+      metrics.values.toSeq)
     buf.toArray
   }
 
@@ -97,16 +125,18 @@ final case class GrowPrefixTopKExec(limit: Int, child: SparkPlan)
 }
 
 object GrowPrefixTopKExec {
-  /** Telemetry for plan pins: how much of the covering stitch the last
-    * grow-prefix execution actually pulled.
+  /** Per-query telemetry for plan pins: every grow-prefix node in `df`'s
+    * executed plan with its (scannedLegs, totalLegs, jobLaunches) metric
+    * values — read AFTER an action ran the frame. Empty when the query
+    * never planned the rung (the decline probes test exactly that).
     */
-  @volatile var lastScannedPartitions: Int = -1
-  @volatile var lastTotalPartitions: Int = -1
-  @volatile var lastLaunches: Int = -1
-  private[plans] def record(scanned: Int, total: Int, launches: Int): Unit = {
-    lastScannedPartitions = scanned
-    lastTotalPartitions = total
-    lastLaunches = launches
+  def telemetryOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] = {
+    val helper =
+      new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    helper.collectWithSubqueries(df.queryExecution.executedPlan) {
+      case g: GrowPrefixTopKExec =>
+        (g.longMetric("scannedLegs").value, g.longMetric("totalLegs").value,
+          g.longMetric("jobLaunches").value)
+    }
   }
-  def resetTelemetry(): Unit = record(-1, -1, -1)
 }

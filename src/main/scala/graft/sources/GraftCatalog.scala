@@ -36,6 +36,13 @@ final class GraftCatalog extends TableCatalog {
   private var owner: SparkSession = _
   @volatile private var cachedStore: FsSnapshotStore = _
 
+  /** Does `s` actually configure THIS catalog? The ownership test: a
+    * session that never set `spark.sql.catalog.<name>` cannot be the one
+    * whose CatalogManager instantiated this plugin.
+    */
+  private def defines(s: SparkSession): Boolean =
+    s != null && s.conf.getOption(s"spark.sql.catalog.$catName").isDefined
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     initRoot = Option(options.get("root"))
@@ -43,11 +50,17 @@ final class GraftCatalog extends TableCatalog {
     // instantiated it — capture it so [[store]] re-resolves against THIS
     // session's conf, never the thread-local active one (a table resolved
     // on a thread where a different session is active must not read that
-    // session's root and silently cross stores)
-    owner = SparkSession.active
+    // session's root and silently cross stores). VALIDATED before
+    // pinning: if first resolution happens on a thread where a DIFFERENT
+    // session is momentarily active (the exact hazard this defends
+    // against) and that session does not define this catalog, pinning it
+    // permanently would be worse than the transient misread — leave the
+    // owner unset and let [[store]] re-derive on a later, defining access.
+    val active = SparkSession.active
+    if (defines(active)) owner = active
     // catalog resolution precedes planning, so this is always in time for
     // an UPDATE / MERGE INTO statement on a catalog table
-    GraftDmlStrategy.ensureRegistered(owner)
+    GraftDmlStrategy.ensureRegistered(active)
   }
 
   /** The backing store, RE-RESOLVED from the OWNING session's conf on
@@ -64,7 +77,20 @@ final class GraftCatalog extends TableCatalog {
     * root actually changes).
     */
   private def store: FsSnapshotStore = {
-    val session = if (owner != null) owner else SparkSession.active
+    // re-derive the owner when the pinned session no longer (or never)
+    // defines this catalog — covers initialize() racing on a thread with
+    // a foreign active session, and a session that later dropped the
+    // catalog conf; an owner that still defines it stays pinned
+    val session = {
+      val o = owner
+      if (defines(o)) o
+      else {
+        val a = SparkSession.active
+        if (defines(a)) { owner = a; a }
+        else if (o != null) o
+        else a
+      }
+    }
     val root = session.conf
       .getOption(s"spark.sql.catalog.$catName.root").orElse(initRoot)
       .getOrElse(throw new IllegalArgumentException(

@@ -84,7 +84,7 @@ object GraftDmlStrategy extends SparkStrategy {
     case v: VacuumTableCommand =>
       GraftRowsExec(s"GraftVacuum ${v.cat}.${v.id}", v.output,
         () => GraftMaintenance.runVacuum(SparkSession.active, v.cat, v.id,
-          v.retain)) :: Nil
+          v.retain, v.dryRun)) :: Nil
     case c: CompactTableCommand =>
       GraftRowsExec(s"GraftCompact ${c.cat}.${c.id}", c.output,
         () => GraftMaintenance.runCompact(SparkSession.active, c.cat, c.id)) :: Nil

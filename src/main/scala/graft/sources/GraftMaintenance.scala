@@ -46,7 +46,7 @@ object GraftMaintenance {
   }
 
   def runVacuum(spark: SparkSession, cat: String, id: String,
-                retain: Int): Seq[InternalRow] = {
+                retain: Int, dryRun: Boolean): Seq[InternalRow] = {
     if (retain < 1) fail(s"RETAIN $retain VERSIONS — at least 1 version must survive")
     val (store, _) = storeAndIndex(spark, cat, id)
     val graceMs = spark.conf.getOption("spark.graft.sql.vacuum.graceMs")
@@ -55,7 +55,10 @@ object GraftMaintenance {
         catch { case _: NumberFormatException => fail(
           s"spark.graft.sql.vacuum.graceMs must be a millisecond count, got '$raw'") }
       }.getOrElse(SnapshotStore.DefaultVacuumGraceMs)
-    val (m, f) = store.vacuum(id, retainVersions = retain, graceMs = graceMs)
+    // DRY RUN: the same plan, counted but never swept — the Delta idiom
+    // for inspecting a destructive sweep before committing to it
+    val (m, f) = store.vacuum(id, retainVersions = retain, graceMs = graceMs,
+      dryRun = dryRun)
     Seq(InternalRow(m.toLong, f.toLong))
   }
 
@@ -81,7 +84,8 @@ object GraftMaintenance {
 /** Logical maintenance commands — eagerly executed, row-returning (the
   * SHOW TABLES pattern).
   */
-final case class VacuumTableCommand(cat: String, id: String, retain: Int)
+final case class VacuumTableCommand(cat: String, id: String, retain: Int,
+                                    dryRun: Boolean = false)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("manifests_removed", LongType, nullable = false)(),

@@ -228,6 +228,34 @@ object GraftMatView {
       case _ => false
     }) fail(s"time-dependent WHERE '${cond.sql}' — it would filter each " +
       "refresh at a different instant than create")
+    // SESSION-CONFIG-SENSITIVE constructs (r20): the predicate is persisted
+    // as SQL TEXT and re-parsed at every refresh, so anything whose
+    // rendering or evaluation depends on the CURRENT session's
+    // timeZone/ansi settings could filter a refresh's diff differently
+    // than create filtered the corpus. A TimestampType literal renders in
+    // the create-time session timezone and re-parses under the
+    // refresh-time one; a lossy cast (string→number, narrowing) changes
+    // semantics with spark.sql.ansi.enabled; any cast touching
+    // TimestampType (date→timestamp, string→timestamp) evaluates in the
+    // session timezone. Lossless up-casts (the widenings type coercion
+    // inserts for plain `col <op> literal` comparisons) are mode- and
+    // zone-independent and stay allowed. DATE and TIMESTAMP_NTZ literals
+    // render/re-parse timezone-free and stay allowed.
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.TimestampType
+    val sensitive = cond.exists {
+      case l: Literal => l.dataType == TimestampType
+      case c: Cast =>
+        !Cast.canUpCast(c.child.dataType, c.dataType) ||
+          c.child.dataType == TimestampType || c.dataType == TimestampType
+      case _ => false
+    }
+    if (sensitive) fail(s"session-config-sensitive WHERE '${cond.sql}' — " +
+      "TIMESTAMP literals and lossy or timezone-dependent casts " +
+      "render/evaluate under each session's timeZone/ansi settings, so a " +
+      "refresh could filter its diff differently than create filtered " +
+      "the corpus; compare timezone-free values instead (epoch numbers, " +
+      "DATE/TIMESTAMP_NTZ literals, lossless casts)")
     val allowed = (mf.keyCols ++ mf.valueCols).filterNot(_ == "version").toSet
     val bad = cond.references.toSeq.map(_.name).filterNot(allowed.contains)
     if (bad.nonEmpty) fail(s"WHERE references non-source column(s) " +
@@ -364,9 +392,27 @@ final case class DropMatViewCommand(cat: String, viewId: String,
   * lacks; everything else goes to the stock parser verbatim (same
   * delegate-parser pattern as Delta's DeltaSqlParser — public prior art
   * for SQL surfaces Spark does not parse).
+  *
+  * The MAINTENANCE heads (VACUUM / COMPACT / SHOW HISTORY) only intercept
+  * when the named catalog is actually configured as a graft catalog in
+  * `session` — another extension may own the same statement head for its
+  * own tables (Delta's VACUUM is the precedent), and hijacking its
+  * statement with a typed "not a graft catalog" error would break that
+  * session. The MV heads stay unconditional: no stock or mainstream
+  * extension grammar parses `CREATE/REFRESH/DROP MATERIALIZED VIEW`, and
+  * a typed error beats the delegate's generic syntax error there.
+  * `session` may be null (non-extension construction in tests): the
+  * maintenance heads then intercept unconditionally, as before.
   */
-final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
   import GraftSqlParser._
+
+  def this(delegate: ParserInterface) = this(null, delegate)
+
+  private def graftCat(cat: String): Boolean =
+    session == null || session.conf.getOption(s"spark.sql.catalog.$cat")
+      .contains(classOf[GraftCatalog].getName)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CreateRe(cat, id, select) => CreateMatViewCommand(cat, id, select.trim)
@@ -375,10 +421,11 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // the maintenance statement heads (r19): VACUUM / COMPACT / SHOW
     // HISTORY over graft catalog tables — Spark's grammar has none of
     // the three (VACUUM is Delta's extension precedent)
-    case VacuumRe(cat, id, retain) =>
-      VacuumTableCommand(cat, id, Option(retain).map(_.trim.toInt).getOrElse(2))
-    case CompactRe(cat, id) => CompactTableCommand(cat, id)
-    case HistoryRe(cat, id) => ShowHistoryCommand(cat, id)
+    case VacuumRe(cat, id, retain, dry) if graftCat(cat) =>
+      VacuumTableCommand(cat, id, Option(retain).map(_.trim.toInt).getOrElse(2),
+        dryRun = dry != null)
+    case CompactRe(cat, id) if graftCat(cat) => CompactTableCommand(cat, id)
+    case HistoryRe(cat, id) if graftCat(cat) => ShowHistoryCommand(cat, id)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -406,7 +453,7 @@ object GraftSqlParser {
   val DropRe = ("(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?" +
     id + "\\s*\\.\\s*" + id + "\\s*;?\\s*").r
   val VacuumRe = ("(?is)\\s*VACUUM\\s+" + id + "\\s*\\.\\s*" + id +
-    "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*").r
+    "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*").r
   val CompactRe = ("(?is)\\s*COMPACT\\s+" + id + "\\s*\\.\\s*" + id + "\\s*;?\\s*").r
   val HistoryRe = ("(?is)\\s*SHOW\\s+HISTORY\\s+" + id + "\\s*\\.\\s*" + id +
     "\\s*;?\\s*").r

@@ -21,6 +21,20 @@ class SqlMaintenanceSpec extends SparkSuite {
     (cat, st)
   }
 
+  /** Every file under `root` with its byte content hashed — equality means
+    * the store is byte-identical (the DRY RUN contract).
+    */
+  private def storeFingerprint(root: String): Map[String, String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(root)
+    Files.walk(base).iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      base.relativize(p).toString ->
+        md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+    }.toMap
+  }
+
   test("COMPACT then VACUUM through SQL: result rows, data invariance") {
     val (cat, st) = freshCat("vac")
     def slice(lo: Long, hi: Long) =
@@ -38,10 +52,28 @@ class SqlMaintenanceSpec extends SparkSuite {
 
     spark.conf.set("spark.graft.sql.vacuum.graceMs", "0")
     try {
+      // DRY RUN first (r20): the same plan, counted, NOTHING touched —
+      // the store is byte-identical afterwards and the counts equal what
+      // the destructive run then actually removes
+      val snap0 = storeFingerprint(st.root)
+      val dry = spark.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS DRY RUN").collect()
+      assert(dry.length == 1)
+      assert(dry.head.getLong(0) == 5 && dry.head.getLong(1) == 4,
+        s"dry run must report the would-be counts: ${dry.mkString}")
+      assert(storeFingerprint(st.root) == snap0,
+        "DRY RUN must leave the store byte-identical")
+      // idempotent: a second dry run reports the same counts
+      val dry2 = spark.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS DRY RUN").collect()
+      assert(dry2.head.getLong(0) == 5 && dry2.head.getLong(1) == 4, dry2.mkString)
+      assert(storeFingerprint(st.root) == snap0)
+
       val v = spark.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS").collect()
       assert(v.length == 1)
       assert(v.head.getLong(0) == 5, s"manifests v0..v4 dropped: ${v.mkString}")
       assert(v.head.getLong(1) == 4, s"4 pre-compact files swept: ${v.mkString}")
+      assert(v.head.getLong(0) == dry.head.getLong(0) &&
+        v.head.getLong(1) == dry.head.getLong(1),
+        "destructive counts must equal the dry run's report")
     } finally spark.conf.unset("spark.graft.sql.vacuum.graceMs")
 
     val after = KVIndex.open(st, "t").fold(e => sys.error(e.message), identity)
@@ -71,14 +103,26 @@ class SqlMaintenanceSpec extends SparkSuite {
     assert(spark.sql(s"SHOW HISTORY $cat.h2").collect().isEmpty)
   }
 
-  test("typed errors: absent table, unconfigured catalog, RETAIN 0") {
+  test("typed errors: absent table, RETAIN 0; non-graft catalogs fall through") {
     val (cat, _) = freshCat("err")
     val e1 = intercept[Exception](spark.sql(s"VACUUM $cat.nope").collect())
     assert(e1.getMessage.contains("does not exist"), e1.getMessage)
-    val e2 = intercept[Exception](spark.sql("COMPACT nocat.t").collect())
-    assert(e2.getMessage.contains("not a configured catalog"), e2.getMessage)
     val e3 = intercept[Exception](
       spark.sql(s"VACUUM $cat.nope RETAIN 0 VERSIONS").collect())
     assert(e3.getMessage.contains("at least 1"), e3.getMessage)
+    // r20 (ADVICE): the maintenance heads intercept ONLY graft catalogs —
+    // a catalog owned by another extension (or none at all) falls through
+    // to the delegate parser instead of being hijacked with a typed
+    // "not a graft catalog" error, so e.g. Delta's own VACUUM keeps
+    // working in a session that also loads the graft extensions
+    spark.conf.set("spark.sql.catalog.foreigncat", "some.other.CatalogImpl")
+    try {
+      for (stmt <- Seq("VACUUM foreigncat.t", "COMPACT foreigncat.t",
+          "SHOW HISTORY foreigncat.t", "VACUUM nocat.t")) {
+        val e = intercept[Exception](spark.sql(stmt).collect())
+        assert(!e.getMessage.contains("graft"),
+          s"'$stmt' must fall through to the delegate parser, got: ${e.getMessage}")
+      }
+    } finally spark.conf.unset("spark.sql.catalog.foreigncat")
   }
 }

@@ -251,5 +251,13 @@ class SqlMatViewSpec extends SparkSuite {
     bad("v > (SELECT min(v) FROM VALUES (1) AS t(v))", "subquery")
     bad("k > unix_millis(current_timestamp()) - 1000", "time-dependent")
     bad("version = 'x'", "non-source column")
+    // r20 (ADVICE): session-config-sensitive constructs — the predicate
+    // is persisted as SQL text and re-parsed at refresh, so TIMESTAMP
+    // literals (render in the create-time session timezone, re-parse in
+    // the refresh-time one), timezone-dependent casts, and lossy casts
+    // (ANSI-mode-dependent) must never ride a view spec
+    bad("CAST(k AS TIMESTAMP) < TIMESTAMP '2020-01-01 00:00:00'",
+      "session-config-sensitive")
+    bad("CAST(v AS INT) > 5", "session-config-sensitive")
   }
 }

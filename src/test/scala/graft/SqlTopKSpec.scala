@@ -88,91 +88,93 @@ class SqlTopKSpec extends SparkSuite {
       (1L to 20L).filter(k => (k * 3) % 6 == 0))
   }
 
+  /** The grow-prefix node's per-query SQL metrics after an action ran
+    * `df`; fails when the rung never planned (use [[planWithGrow]] for
+    * decline probes).
+    */
+  private def growTelemetry(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    val t = graft.plans.GrowPrefixTopKExec.telemetryOf(df)
+    assert(t.size == 1, s"expected one grow-prefix node, got ${t.size}")
+    t.head
+  }
+  private def planWithGrow(df: org.apache.spark.sql.DataFrame): Boolean =
+    graft.plans.GrowPrefixTopKExec.telemetryOf(df).nonEmpty
+
   test("grow-the-prefix exec (r19): a selective filter reads far fewer partitions") {
-    import graft.plans.GrowPrefixTopKExec
     // dense survivors: the first doubling batch (1 partition — the
     // geometric cut's SINGLE-FILE first leg) already holds 10 — at ANY
     // snapshot size this reads one file
-    GrowPrefixTopKExec.resetTelemetry()
-    val q = load().filter($"x" % 6 === 0).orderBy("k").limit(10)
-    assert(q.select("k").as[Long].collect().toSeq.sorted ==
+    // telemetry must be read from the FRAME THAT RAN (metrics are
+    // per-execution node state now, not process globals)
+    val q = load().filter($"x" % 6 === 0).orderBy("k").limit(10).select("k")
+    assert(q.collect().map(_.getLong(0)).toSeq.sorted ==
       (1L to 20L).filter(k => (k * 3) % 6 == 0))
+    val (scanned, total, _) = growTelemetry(q)
     // geometric legs: O(log files) children, strictly fewer than files
     // once the snapshot has a few — the PLAN stays narrow at any scale
-    assert(GrowPrefixTopKExec.lastTotalPartitions >= 3 &&
-      GrowPrefixTopKExec.lastTotalPartitions < ix.numFiles,
-      s"geometric cut of ${ix.numFiles} files, got ${GrowPrefixTopKExec.lastTotalPartitions} legs")
-    assert(GrowPrefixTopKExec.lastScannedPartitions == 1,
-      s"10 dense survivors live in leg 1, scanned ${GrowPrefixTopKExec.lastScannedPartitions}")
+    assert(total >= 3 && total < ix.numFiles,
+      s"geometric cut of ${ix.numFiles} files, got $total legs")
+    assert(scanned == 1, s"10 dense survivors live in leg 1, scanned $scanned")
 
     // sparse survivors (only keys past 3500 pass, a NON-key column
     // predicate): the loop grows through the legs but still stops as
     // soon as the page fills
-    GrowPrefixTopKExec.resetTelemetry()
     val q2 = load().filter($"x" > 10500L).filter($"x" % 2 === 0)
-      .orderBy("k").limit(5)
-    val got2 = q2.select("k").as[Long].collect().toSeq.sorted
+      .orderBy("k").limit(5).select("k")
+    val got2 = q2.collect().map(_.getLong(0)).toSeq.sorted
     val want2 = (1L to 4000L).filter(k => k * 3 > 10500 && (k * 3) % 2 == 0).take(5)
     assert(got2 == want2)
-    assert(GrowPrefixTopKExec.lastScannedPartitions > 1 &&
-      GrowPrefixTopKExec.lastScannedPartitions <= GrowPrefixTopKExec.lastTotalPartitions,
-      s"sparse survivors must grow: ${GrowPrefixTopKExec.lastScannedPartitions}")
+    val (scanned2, total2, _) = growTelemetry(q2)
+    assert(scanned2 > 1 && scanned2 <= total2,
+      s"sparse survivors must grow: $scanned2")
 
     // SQL text over the catalog gets the same exec
-    GrowPrefixTopKExec.resetTelemetry()
     spark.conf.set("spark.sql.catalog.tkg", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.tkg.root", store.root)
     val q3 = spark.sql("SELECT k FROM tkg.tk WHERE x % 6 = 0 ORDER BY k LIMIT 10")
     assert(q3.collect().map(_.getLong(0)).sorted.toSeq ==
       (1L to 20L).filter(k => (k * 3) % 6 == 0))
-    assert(GrowPrefixTopKExec.lastScannedPartitions == 1,
-      s"SQL text grow-prefix: scanned ${GrowPrefixTopKExec.lastScannedPartitions}")
+    val (scanned3, _, _) = growTelemetry(q3)
+    assert(scanned3 == 1, s"SQL text grow-prefix: scanned $scanned3")
   }
 
   test("grow-the-prefix worst case: zero survivors reads all legs exactly once") {
-    import graft.plans.GrowPrefixTopKExec
-    GrowPrefixTopKExec.resetTelemetry()
     // collect, not count: an aggregate above would EliminateSorts away
     // the ORDER BY and bypass the top-k shape entirely
     val q = load().filter($"x" < 0L).orderBy("k").limit(10)
     assert(q.collect().isEmpty)
-    val total = GrowPrefixTopKExec.lastTotalPartitions
+    val (scanned, total, launches) = growTelemetry(q)
     assert(total >= 3 && total < ix.numFiles,
       s"geometric cut of ${ix.numFiles} files, got $total legs")
-    assert(GrowPrefixTopKExec.lastScannedPartitions == total,
-      "zero survivors must exhaust the covering stitch")
+    assert(scanned == total, "zero survivors must exhaust the covering stitch")
     // doubling batches: ceil(log2(total)) + 1 launches, never a rescan
-    val maxLaunches = 32 - Integer.numberOfLeadingZeros(math.max(1, total)) + 1
-    assert(GrowPrefixTopKExec.lastLaunches <= maxLaunches,
-      s"${GrowPrefixTopKExec.lastLaunches} launches over $total legs")
+    // (the per-job transient cap never bites at this limit/leg count)
+    val maxLaunches = 32 - Integer.numberOfLeadingZeros(math.max(1, total.toInt)) + 1
+    assert(launches <= maxLaunches, s"$launches launches over $total legs")
 
     // key-range conjuncts still prune the covering set before the loop
-    GrowPrefixTopKExec.resetTelemetry()
     val q2 = load().filter($"k" >= 600L && $"k" < 700L && $"x" < 0L)
       .orderBy("k").limit(10)
     assert(q2.collect().isEmpty)
-    assert(GrowPrefixTopKExec.lastTotalPartitions < ix.numFiles,
-      s"bounds must prune the covering legs, got ${GrowPrefixTopKExec.lastTotalPartitions}")
+    val (_, total2, _) = growTelemetry(q2)
+    assert(total2 < ix.numFiles,
+      s"bounds must prune the covering legs, got $total2")
   }
 
   test("grow-the-prefix declines: kill-switch, LIMIT cap, computed-column predicates") {
-    import graft.plans.GrowPrefixTopKExec
-    def viaGrow(f: => Unit): Boolean = {
-      GrowPrefixTopKExec.resetTelemetry(); f
-      GrowPrefixTopKExec.lastScannedPartitions >= 0
+    def viaGrow(df: => org.apache.spark.sql.DataFrame)(check: org.apache.spark.sql.DataFrame => Unit): Boolean = {
+      val q = df; check(q); planWithGrow(q)
     }
     val expected = (1L to 20L).filter(k => (k * 3) % 6 == 0)
     // kill-switch off: stock full read, same rows
     spark.conf.set("spark.graft.sql.topk.growPrefix", "false")
-    try assert(!viaGrow {
-      assert(load().filter($"x" % 6 === 0).orderBy("k").limit(10)
-        .select("k").as[Long].collect().toSeq.sorted == expected)
+    try assert(!viaGrow(load().filter($"x" % 6 === 0).orderBy("k").limit(10)) { q =>
+      assert(q.select("k").as[Long].collect().toSeq.sorted == expected)
     }) finally spark.conf.unset("spark.graft.sql.topk.growPrefix")
     // a LIMIT over the driver-residency cap keeps the distributed plan
     spark.conf.set("spark.graft.sql.topk.growMaxRows", "5")
-    try assert(!viaGrow {
-      assert(load().filter($"x" % 6 === 0).orderBy("k").limit(10)
-        .select("k").as[Long].collect().toSeq.sorted == expected)
+    try assert(!viaGrow(load().filter($"x" % 6 === 0).orderBy("k").limit(10)) { q =>
+      assert(q.select("k").as[Long].collect().toSeq.sorted == expected)
     }) finally spark.conf.unset("spark.graft.sql.topk.growMaxRows")
     // a predicate on a COMPUTED column: CollapseProject normally inlines
     // the alias back onto scan attributes (so the rewrite fires and stays
@@ -241,17 +243,15 @@ class SqlTopKSpec extends SparkSuite {
 
     // a non-key filter over the view takes the grow-the-prefix exec
     // (r19, the catalog path's rung): dense survivors finish in leg 1
-    graft.plans.GrowPrefixTopKExec.resetTelemetry()
     val qf = spark.sql(
       "SELECT k FROM topk_view WHERE x % 6 = 0 ORDER BY k LIMIT 10")
     assert(qf.collect().map(_.getLong(0)).sorted.toSeq ==
       (1L to 20L).filter(k => (k * 3) % 6 == 0))
-    assert(graft.plans.GrowPrefixTopKExec.lastScannedPartitions == 1,
-      s"view grow-prefix: scanned ${graft.plans.GrowPrefixTopKExec.lastScannedPartitions}")
+    val (fScanned, _, _) = growTelemetry(qf)
+    assert(fScanned == 1, s"view grow-prefix: scanned $fScanned")
 
     // mixed keyset + non-key residual over the view: bounds prune the
     // covering legs, the residual counts inside the node
-    graft.plans.GrowPrefixTopKExec.resetTelemetry()
     val qm = spark.sql(
       "SELECT k FROM topk_view WHERE k > 1500 AND x % 6 = 0 ORDER BY k LIMIT 10")
     assert(qm.collect().map(_.getLong(0)).sorted.toSeq ==
@@ -261,21 +261,17 @@ class SqlTopKSpec extends SparkSuite {
     // the shared session's rule order); the doubling loop may pull the
     // zero-survivor BOUNDARY leg (keys <= 1500) plus the first survivor
     // wave — never more than 3 legs either way
-    assert(graft.plans.GrowPrefixTopKExec.lastScannedPartitions >= 1 &&
-      graft.plans.GrowPrefixTopKExec.lastTotalPartitions > 0 &&
-      graft.plans.GrowPrefixTopKExec.lastScannedPartitions <= 3,
-      s"view keyset+residual grow: scanned " +
-        s"${graft.plans.GrowPrefixTopKExec.lastScannedPartitions} of " +
-        s"${graft.plans.GrowPrefixTopKExec.lastTotalPartitions}")
+    val (mScanned, mTotal, _) = growTelemetry(qm)
+    assert(mScanned >= 1 && mTotal > 0 && mScanned <= 3,
+      s"view keyset+residual grow: scanned $mScanned of $mTotal")
 
     // zero survivors over the view: exhausts the (bounds-pruned)
     // covering legs exactly once and returns empty
-    graft.plans.GrowPrefixTopKExec.resetTelemetry()
     val qz = spark.sql(
       "SELECT k FROM topk_view WHERE x < 0 ORDER BY k LIMIT 10")
     assert(qz.collect().isEmpty)
-    assert(graft.plans.GrowPrefixTopKExec.lastScannedPartitions ==
-      graft.plans.GrowPrefixTopKExec.lastTotalPartitions)
+    val (zScanned, zTotal, _) = growTelemetry(qz)
+    assert(zScanned == zTotal)
   }
 
   test("declines: non-key and mixed-direction sorts keep the stock plan") {
