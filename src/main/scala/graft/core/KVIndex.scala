@@ -529,8 +529,8 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
 
   /** FULL covering stitch for grow-the-prefix filtered top-k
     * ([[graft.sources.GraftOrderedScan]] + [[graft.plans.GrowPrefixTopK]]):
-    * every file intersecting the (inclusive, over-approximate) leading
-    * bounds, stitched in (reverse?) key order into GEOMETRICALLY growing
+    * every file intersecting the (inclusive, over-approximate) bounds,
+    * stitched in (reverse?) key order into GEOMETRICALLY growing
     * legs — the first leg is ONE file, and each later leg holds roughly
     * everything before it — so the union has O(log files) children: the
     * exec's early exit stays file-granular where top-k queries actually
@@ -544,14 +544,23 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * here — a residual predicate's selectivity is unknowable statically;
     * the exec node pulls partitions incrementally until n survivors
     * exist. Same un-declared contract as [[orderedStitchFrame]].
+    *
+    * `lo`/`hi` are COMPOSITE bound tuples over a key-prefix (r20): a
+    * per-column conjunction `k1 ≥ a AND k2 ≥ b` implies the lexicographic
+    * bound `(k1,k2) ≥ (a,b)` (if k1 > a the lex bound holds on the first
+    * component; if k1 = a then k2 ≥ b decides it — and dually for upper
+    * bounds), so boundary files a lead-only prune must keep are dropped
+    * by a full-tuple `KeyOrd.compare` against the per-file min/max. The
+    * compare is INCLUSIVE (strict per-column bounds over-approximate to
+    * inclusive tuples) — the caller always replays the exact predicate.
     */
   private[graft] def growCoveringStitch(reverse: Boolean,
-      lo: Option[Any] = None, hi: Option[Any] = None): Option[DataFrame] =
+      lo: Option[Seq[Any]] = None, hi: Option[Seq[Any]] = None): Option[DataFrame] =
     if (manifest.isEmpty || files.isEmpty || !filesDisjoint) None
     else {
       val covering = files.filter(f =>
-        lo.forall(l => KeyOrd.compare(Seq(f.max.head), Seq(l)) >= 0) &&
-          hi.forall(h => KeyOrd.compare(Seq(f.min.head), Seq(h)) <= 0))
+        lo.forall(l => KeyOrd.compare(f.max.take(l.size), l) >= 0) &&
+          hi.forall(h => KeyOrd.compare(f.min.take(h.size), h) <= 0))
       if (covering.isEmpty) return Some(emptyScan())
       val ordered = if (reverse) covering.reverse else covering
       val totalRows = ordered.iterator.map(_.rows).sum

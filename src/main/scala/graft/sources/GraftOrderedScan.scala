@@ -302,7 +302,8 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     val hi = merge(hiP, hiL, lower = false)
     val ix = new KVIndex(src.store, src.manifest)
     val frame =
-      if (grow) ix.growCoveringStitch(reverse, lo.map(_._1), hi.map(_._1))
+      if (grow) ix.growCoveringStitch(reverse,
+        lo.map(v => Seq(v._1)), hi.map(v => Seq(v._1)))
       else ix.topKStitchFrame(n, reverse, lo.map(_._1), hi.map(_._1))
     frame.map { stitched =>
       import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal}
@@ -432,7 +433,25 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
     val (kr, residual) = conjs.partition(c =>
       keyRangeBounds(Seq(c), byId(lead)).isDefined)
     if (residual.isEmpty) return None // pure key ranges — the exact rung's case
-    val (lo, hi) = keyRangeBounds(kr, byId(lead)).getOrElse((None, None))
+    // COMPOSITE prune bounds (r20): per-column ranges over the key-PREFIX
+    // columns tighten the covering prune with full-tuple compares — a
+    // `lead = x AND second >= y` predicate drops boundary files a
+    // lead-only cut must keep (growCoveringStitch documents why the
+    // conjunctive bounds imply the lexicographic ones). The tuple extends
+    // only over CONSECUTIVE bounded columns from the lead (a bound on k2
+    // without one on k1 prunes nothing); the bound conjuncts stay in the
+    // residual replay regardless (the prune is an inclusive over-approx).
+    val keyAttrs = g.manifestRef.keyCols
+      .map(c => rel.output.find(_.name == c))
+      .takeWhile(_.isDefined).map(_.get)
+    val perCol = keyAttrs.map { a =>
+      val mine = conjs.filter(c => keyRangeBounds(Seq(c), byId(a)).isDefined)
+      keyRangeBounds(mine, byId(a)).getOrElse((None, None))
+    }
+    val loVals = perCol.map(_._1).takeWhile(_.isDefined).map(_.get._1)
+    val hiVals = perCol.map(_._2).takeWhile(_.isDefined).map(_.get._1)
+    val lo = if (loVals.isEmpty) None else Some(loVals)
+    val hi = if (hiVals.isEmpty) None else Some(hiVals)
     val keyCols = g.manifestRef.keyCols
     val outByName = rel.output.map(a => a.name -> a).toMap
     val declared = keyCols.takeWhile(outByName.contains)
@@ -441,7 +460,7 @@ object GraftOrderedScan extends Rule[LogicalPlan] {
       sortAttrs.forall(a => outByName.get(a.name).exists(_.exprId == a.exprId))
     if (!eligible) return None
     val ix = new KVIndex(g.storeRef, g.manifestRef)
-    ix.growCoveringStitch(reverse, lo.map(_._1), hi.map(_._1)).map { stitched =>
+    ix.growCoveringStitch(reverse, lo, hi).map { stitched =>
       val src = stitched.queryExecution.analyzed
       val srcByName = src.output.map(a => a.name -> a).toMap
       val aliases = rel.output.map(o =>

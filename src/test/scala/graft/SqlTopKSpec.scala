@@ -274,6 +274,46 @@ class SqlTopKSpec extends SparkSuite {
     assert(zScanned == zTotal)
   }
 
+  test("composite bounds prune the grow covering set beyond the lead-only cut (r20)") {
+    // composite key (g, k): g splits the snapshot in two, so a lead-only
+    // prune for g = 1 keeps ~half the files — a second-key bound near the
+    // END of g=1's range must drop boundary files the lead-only cut keeps
+    // (growCoveringStitch compares full tuples against per-file min/max)
+    val st2 = new FsSnapshotStore(tmpDir("graft-topk-comp") + "/store", spark)
+    val rows = (1L to 4000L).map(i => (if (i <= 2000L) 1L else 2L, i, i * 3))
+      .toDF("g", "k", "x")
+    val cix = KVIndex.bootstrap(st2, "ck", rows, Seq("g", "k"), maxRowsPerFile = 512)
+      .fold(e => sys.error(e.message), identity)
+    assert(cix.numFiles >= 6, "need a multi-file snapshot per group")
+    def loadC() = spark.read.format("graft").option("root", st2.root).load("ck")
+    def q(withSecond: Boolean) = {
+      var df = loadC().filter($"g" === 1L)
+      if (withSecond) df = df.filter($"k" >= 1900L)
+      df.filter($"x" % 6 === 0).orderBy("g", "k").limit(5)
+    }
+    val lead = q(withSecond = false)
+    val comp = q(withSecond = true)
+    // contents first: the composite query's rows vs the model
+    assert(comp.collect().map(r => r.getLong(1)).sorted.toSeq ==
+      (1900L to 2000L).filter(k => (k * 3) % 6 == 0).take(5))
+    assert(lead.collect().map(r => r.getLong(1)).sorted.toSeq ==
+      (1L to 2000L).filter(k => (k * 3) % 6 == 0).take(5))
+    val (_, leadTotal, _) = growTelemetry(lead)
+    val (_, compTotal, _) = growTelemetry(comp)
+    assert(compTotal < leadTotal,
+      s"composite bound must prune below the lead-only covering cut: " +
+        s"$compTotal vs $leadTotal legs")
+    // DESC twin: the upper tuple (g=1) with a lower second-key bound still
+    // prunes the front files of g=1
+    val qd = loadC().filter($"g" === 1L && $"k" >= 1900L && $"x" % 6 === 0)
+      .orderBy($"g".desc, $"k".desc).limit(5)
+    assert(qd.collect().map(_.getLong(1)).sorted.toSeq ==
+      (1900L to 2000L).filter(k => (k * 3) % 6 == 0).takeRight(5))
+    val (_, descTotal, _) = growTelemetry(qd)
+    assert(descTotal < leadTotal,
+      s"DESC composite bound must prune too: $descTotal vs $leadTotal")
+  }
+
   test("declines: non-key and mixed-direction sorts keep the stock plan") {
     val q = load().orderBy("x").limit(5)
     assert(q.select("x").as[Long].collect().toSeq.sorted ==
