@@ -1169,6 +1169,22 @@ object SparkEntry {
         .unionAll(at("v2", "1970-01-01 00:02:30")) // between stamps: floors to v2
         .unionAll(at("v3", "1970-01-01 00:03:30")) // after the last: v3
     }),
+    // VIEW-path TIME TRAVEL (r20, plans/ViewTimeTravel + GraftSqlParser):
+    // the same three wall-clock instants through a REGISTERED SNAPSHOT
+    // VIEW — Spark's analyzer refuses time travel on temp views, so the
+    // clause is spliced at parse time into a fresh ordered stitch over
+    // the floored snapshot (findIndexAtWall, a manifest-log lookup that
+    // reads no data files). Same oracle replay as the catalog row.
+    "kv_view_asof" -> ((s, d) => {
+      val (store, ix) = tsAsOfStore(s, d)
+      ix.createOrReplaceView("graft_vasof")
+      def at(tag: String, instant: String) =
+        s.sql(s"SELECT '$tag' AS tag, count(*) AS n, sum(cents) AS cents_sum " +
+          s"FROM graft_vasof FOR TIMESTAMP AS OF '$instant'")
+      at("v1", "1970-01-01 00:00:30")
+        .unionAll(at("v2", "1970-01-01 00:02:30"))
+        .unionAll(at("v3", "1970-01-01 00:03:30"))
+    }),
     // W6 structural maintenance as a driver row: fragmented 4-file index
     // compacted to 1 file, contents invariant (checksum columns), the
     // pre-compact file count read back from the immutable version history
@@ -4106,6 +4122,14 @@ object SparkEntry {
       // each tag replays the fixture state the wall-clock floor lands on:
       // v1 = full cents table, v2 = zeroed under 50, v3 = v2 minus [100,200)
       "kv_timestamp_asof" -> ("WITH base AS (SELECT o_orderkey, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey < 50 THEN 0 ELSE cents END AS cents FROM base), " +
+        "v3 AS (SELECT * FROM v2 WHERE NOT (o_orderkey >= 100 AND o_orderkey < 200)) " +
+        "SELECT 'v1' AS tag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum FROM base " +
+        "UNION ALL SELECT 'v2' AS tag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum FROM v2 " +
+        "UNION ALL SELECT 'v3' AS tag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum FROM v3"),
+      // same three states through the registered-view time-travel splice
+      "kv_view_asof" -> ("WITH base AS (SELECT o_orderkey, " +
         "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey < 50 THEN 0 ELSE cents END AS cents FROM base), " +
         "v3 AS (SELECT * FROM v2 WHERE NOT (o_orderkey >= 100 AND o_orderkey < 200)) " +

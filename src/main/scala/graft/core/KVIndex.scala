@@ -436,20 +436,32 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     * (`QueryableIndex.scala:18-40`) exposed to a query language.
     */
   def createOrReplaceView(name: String): Unit = {
-    val base =
-      if (files.isEmpty || !filesDisjoint) inOrdered()
-      else {
-        // the stitch is wrapped in the manifest-prune marker, so a SQL
-        // point/range predicate on the leading key re-plans over ONLY the
-        // covering files (graft.plans.PruneSnapshotFiles) — the view gets
-        // the native tableForRange file prune, not just row-group skipping
-        val prunable = graft.plans.OrderedPlans.snapshotPrunable(
-          orderedUnion(files, reverse = false), key.cols.head, prunedPlanFor)
-        graft.plans.OrderedPlans.declareOrdered(prunable, key.cols, reverse = false,
-          Some(new graft.plans.SnapshotSource(store, manifest)))
-      }
+    val base = viewFrame()
     base.createOrReplaceTempView(name)
+    // SQL time travel on the view name (r20): FOR VERSION/TIMESTAMP AS OF
+    // re-resolves this index at the floored snapshot through the same
+    // stitch shape (graft.plans.ViewTimeTravel — a parse-time splice,
+    // since Spark's analyzer refuses time travel on temp views)
+    graft.plans.ViewTimeTravel.register(base.sparkSession, name, store,
+      manifest.id)
   }
+
+  /** The plan [[createOrReplaceView]] registers, for THIS snapshot —
+    * also cut fresh by [[graft.plans.ViewTimeTravel]] at a time-traveled
+    * version of the same index.
+    */
+  private[graft] def viewFrame(): DataFrame =
+    if (files.isEmpty || !filesDisjoint) inOrdered()
+    else {
+      // the stitch is wrapped in the manifest-prune marker, so a SQL
+      // point/range predicate on the leading key re-plans over ONLY the
+      // covering files (graft.plans.PruneSnapshotFiles) — the view gets
+      // the native tableForRange file prune, not just row-group skipping
+      val prunable = graft.plans.OrderedPlans.snapshotPrunable(
+        orderedUnion(files, reverse = false), key.cols.head, prunedPlanFor)
+      graft.plans.OrderedPlans.declareOrdered(prunable, key.cols, reverse = false,
+        Some(new graft.plans.SnapshotSource(store, manifest)))
+    }
 
   /** Re-stitch over the files whose leading-key [min,max] intersects the
     * (inclusive, over-approximate) bounds; None when nothing prunes.

@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.types.TimestampType
+
+import graft.core.{KVIndex, SnapshotManifest, SnapshotStore}
+
+/** SQL time travel for REGISTERED SNAPSHOT VIEWS (r20) — the
+  * [[graft.core.KVIndex.createOrReplaceView]] surface gets the same
+  * `FOR VERSION AS OF n` / `FOR TIMESTAMP AS OF t` the catalog tables
+  * have ([[graft.sources.GraftCatalog.loadTable]]).
+  *
+  * Spark's analyzer refuses time travel on temp views outright, so the
+  * clause can never reach an optimizer rule — instead the statement is
+  * intercepted at PARSE time ([[graft.sources.GraftSqlParser]] hands every
+  * delegate-parsed plan through [[rewrite]]): a `RelationTimeTravel` whose
+  * single-part name is a graft-registered view still present in the
+  * session's temp-view catalog is replaced by a FRESH ordered-stitch plan
+  * over the floored snapshot — the same plan shape `createOrReplaceView`
+  * registers, cut from the manifest `findIndexAtWall` (T3 wall-clock
+  * floor, `core/SnapshotStore.scala`) or `loadVersionLazy` resolves. The
+  * rewrite is registration-order independent by construction (no
+  * optimizer rule involved; the stitch it splices is the proven view
+  * plan), and a manifest-log floor lookup reads NO data files.
+  *
+  * Caveat (documented contract): the registry tracks names registered via
+  * `createOrReplaceView`; a caller who later rebinds the same temp-view
+  * name to an UNRELATED frame keeps the plain name resolving to their
+  * frame (Spark's own resolution), but a time-travel clause on that name
+  * still answers from the graft snapshot history — re-register or drop
+  * the view to detach it.
+  */
+object ViewTimeTravel {
+
+  /** name (lowercased) -> (store, indexId); sessions are WEAK keys so a
+    * closed session's registry entries do not outlive it.
+    */
+  private val reg = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (SnapshotStore, String)]]()
+
+  private def norm(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
+
+  private[graft] def register(spark: SparkSession, name: String,
+                               store: SnapshotStore, indexId: String): Unit =
+    reg.synchronized {
+      var m = reg.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        reg.put(spark, m)
+      }
+      m.update(norm(name), (store, indexId))
+    }
+
+  private def lookup(spark: SparkSession, name: String)
+      : Option[(SnapshotStore, String)] =
+    reg.synchronized(Option(reg.get(spark))).flatMap(_.get(norm(name)))
+
+  private def isEmpty(spark: SparkSession): Boolean =
+    reg.synchronized(Option(reg.get(spark))).forall(_.isEmpty)
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"graft view time travel: $msg")
+
+  /** Splice time-traveled view scans into a freshly parsed plan; identity
+    * when the session registered no views or the plan carries no
+    * time-travel clause on one of them.
+    */
+  def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    if (spark == null || isEmpty(spark)) return plan
+    plan.transform {
+      case RelationTimeTravel(u: UnresolvedRelation, tsOpt, verOpt)
+          if u.multipartIdentifier.size == 1 &&
+            lookup(spark, u.multipartIdentifier.head).isDefined &&
+            spark.sessionState.catalog
+              .getTempView(u.multipartIdentifier.head).isDefined =>
+        val name = u.multipartIdentifier.head
+        val (store, id) = lookup(spark, name).get
+        val m = resolve(spark, store, id, name, tsOpt, verOpt)
+        SubqueryAlias(name,
+          new KVIndex(store, m).viewFrame().queryExecution.analyzed)
+    }
+  }
+
+  private def resolve(spark: SparkSession, store: SnapshotStore, id: String,
+                      name: String,
+                      tsOpt: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+                      verOpt: Option[String]): SnapshotManifest = verOpt match {
+    case Some(v) =>
+      val ver = try v.toLong catch {
+        case _: NumberFormatException =>
+          fail(s"VERSION AS OF '$v' on view '$name' — snapshot versions are integers")
+      }
+      store.loadVersionLazy(id, ver)
+    case None =>
+      val e = tsOpt.getOrElse(fail(s"no timestamp or version on view '$name'"))
+      // the same evaluation contract as Spark's own TimeTravelSpec: a
+      // foldable expression cast to TIMESTAMP in the session timezone.
+      // Non-foldable / unresolved expressions (current_timestamp() - …)
+      // would need full analysis inside the parser — refuse with the
+      // literal-spelling hint instead of mis-evaluating.
+      if (!e.resolved || !e.foldable) fail(
+        s"TIMESTAMP AS OF on view '$name' needs a literal timestamp " +
+          s"expression, got '${e.sql}' — spell the instant out")
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      val micros = Cast(e, TimestampType, Some(tz)).eval(null)
+      if (micros == null) fail(
+        s"TIMESTAMP AS OF on view '$name': '${e.sql}' does not parse as a timestamp")
+      val ms = Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+      store.findIndexAtWall(id, ms).getOrElse(fail(
+        s"TIMESTAMP AS OF found no recorded history for view '$name' " +
+          s"(index '$id') — record snapshots (execute(recordHistory = true) " +
+          "/ recordSnapshot), or use VERSION AS OF"))
+  }
+}

@@ -426,7 +426,11 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         dryRun = dry != null)
     case CompactRe(cat, id) if graftCat(cat) => CompactTableCommand(cat, id)
     case HistoryRe(cat, id) if graftCat(cat) => ShowHistoryCommand(cat, id)
-    case _ => delegate.parsePlan(sqlText)
+    // every other statement parses with the stock grammar; time-travel
+    // clauses over graft-REGISTERED VIEWS (Spark's analyzer refuses them
+    // on temp views) are then spliced at the parse tree (r20) — identity
+    // when the session registered no views
+    case _ => graft.plans.ViewTimeTravel.rewrite(session, delegate.parsePlan(sqlText))
   }
 
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
