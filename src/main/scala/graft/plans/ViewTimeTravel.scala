@@ -70,7 +70,9 @@ object ViewTimeTravel {
     */
   def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
     if (spark == null || isEmpty(spark)) return plan
-    plan.transform {
+    // WithSubqueries: a time-traveled view inside IN (SELECT …) / EXISTS
+    // lives in a subquery expression a plain transform never visits
+    plan.transformUpWithSubqueries {
       case RelationTimeTravel(u: UnresolvedRelation, tsOpt, verOpt)
           if u.multipartIdentifier.size == 1 &&
             lookup(spark, u.multipartIdentifier.head).isDefined &&
