@@ -398,6 +398,44 @@ object SparkEntry {
       KVIndex.open(store, "mvagg").fold(e => sys.error(e.message), identity)
     }._2
 
+  /** MV TIME-TRAVEL fixture (kv_mv_asof, r20): materialized-view
+    * lifecycle commits are DUAL-STAMPED (create bootstrap + every refresh
+    * record a wall-clock history line), so catalog `TIMESTAMP AS OF`
+    * re-opens the view's pre-refresh state like any history-recording
+    * table. The fixture creates the view, reads its create stamp from
+    * SHOW HISTORY, waits for the wall clock to tick past it (two commits
+    * in one millisecond would floor to the later), mutates the source and
+    * refreshes — the query reads both states via `timestamp_millis(stamp)`
+    * instants (timezone-free). Returns (catalog, w1, w2).
+    */
+  private val mvAsOfStamps = scala.collection.concurrent.TrieMap[String, (String, Long, Long)]()
+  private def mvAsOfView(s: SparkSession, d: String): (String, Long, Long) =
+    mvAsOfStamps.getOrElseUpdate(d, {
+      val store = new FsSnapshotStore(
+        java.nio.file.Files.createTempDirectory("graft-kv-mvasof").toString, s)
+      val src0 = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = KVIndex.bootstrap(store, "masrc", src0, Seq("o_orderkey"))
+        .fold(e => sys.error(e.message), identity)
+      val cat = regCatalog(s, "mvasof", d, store.root)
+      s.sql(s"""CREATE MATERIALIZED VIEW $cat.mvasof AS
+        SELECT o_custkey, sum(cents) AS agg_sum, count(*) AS agg_cnt
+        FROM $cat.masrc GROUP BY o_custkey""")
+      val h1 = s.sql(s"SHOW HISTORY $cat.mvasof").collect()
+      require(h1.length == 1 && !h1.head.isNullAt(2),
+        s"kv_mv_asof: create must record one dual-stamped history line, got ${h1.mkString}")
+      val w1 = h1.head.getLong(2)
+      while (System.currentTimeMillis() <= w1) Thread.sleep(1)
+      v1.execute(Seq(Command.Insert(
+        src0.filter(col("o_orderkey") < 50).withColumn("cents", lit(0L)),
+        upsert = true)), "tx-mvasof-v2").orThrow
+      s.sql(s"REFRESH MATERIALIZED VIEW $cat.mvasof")
+      val h2 = s.sql(s"SHOW HISTORY $cat.mvasof").collect()
+      require(h2.length == 2 && h2.last.getLong(2) > w1,
+        s"kv_mv_asof: refresh must append a later-stamped line, got ${h2.mkString(",")}")
+      (cat, w1, h2.last.getLong(2))
+    })
+
   /** FILTERED materialized-view fixture (kv_sql_mat_view_where, r19): the
     * sqlMvView lifecycle with a WHERE over the source — the predicate is
     * recorded in the view spec and applied to create AND to each refresh
@@ -1172,6 +1210,19 @@ object SparkEntry {
       at("v1", "1970-01-01 00:00:30") // before the first stamp: clamps to v1
         .unionAll(at("v2", "1970-01-01 00:02:30")) // between stamps: floors to v2
         .unionAll(at("v3", "1970-01-01 00:03:30")) // after the last: v3
+    }),
+    // MATERIALIZED-VIEW TIME TRAVEL (r20): MV lifecycle commits are
+    // dual-stamped, so catalog `TIMESTAMP AS OF` re-opens the view's
+    // pre-refresh aggregate — the oracle replays both states from the
+    // base table. Instants come from SHOW HISTORY via timestamp_millis
+    // (timezone-free), with the fixture enforcing distinct stamps.
+    "kv_mv_asof" -> ((s, d) => {
+      val (cat, w1, w2) = mvAsOfView(s, d)
+      def at(tag: String, ms: Long) =
+        s.sql(s"SELECT '$tag' AS tag, count(*) AS n, " +
+          s"CAST(sum(agg_sum) AS BIGINT) AS total " +
+          s"FROM $cat.mvasof FOR TIMESTAMP AS OF timestamp_millis($ms)")
+      at("pre", w1).unionAll(at("post", w2))
     }),
     // VIEW-path TIME TRAVEL (r20, plans/ViewTimeTravel + GraftSqlParser):
     // the same three wall-clock instants through a REGISTERED SNAPSHOT
@@ -4139,6 +4190,16 @@ object SparkEntry {
         "SELECT 'v1' AS tag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum FROM base " +
         "UNION ALL SELECT 'v2' AS tag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum FROM v2 " +
         "UNION ALL SELECT 'v3' AS tag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum FROM v3"),
+      // MV time travel: pre = the full aggregate, post = the aggregate
+      // after the fixture zeroed cents under orderkey 50 (group count is
+      // unchanged — zeroing removes no rows)
+      "kv_mv_asof" -> ("WITH base AS (SELECT o_custkey, o_orderkey, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "pre AS (SELECT o_custkey, sum(cents) AS s FROM base GROUP BY 1), " +
+        "post AS (SELECT o_custkey, sum(CASE WHEN o_orderkey < 50 THEN 0 ELSE cents END) AS s " +
+        "FROM base GROUP BY 1) " +
+        "SELECT 'pre' AS tag, count(*) AS n, CAST(sum(s) AS BIGINT) AS total FROM pre " +
+        "UNION ALL SELECT 'post' AS tag, count(*) AS n, CAST(sum(s) AS BIGINT) AS total FROM post"),
       // same three states through the registered-view time-travel splice
       "kv_view_asof" -> ("WITH base AS (SELECT o_orderkey, " +
         "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +

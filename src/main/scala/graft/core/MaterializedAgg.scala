@@ -151,8 +151,13 @@ object MaterializedAgg {
       s"view value column(s) ${clash.mkString(",")} collide with group columns")
     val e = aggExprs(spec)
     val agg = spec.filtered(df).groupBy(groupCols.map(col): _*).agg(e.head, e.tail: _*)
+    // recordHistory: every view lifecycle commit is dual-stamped (r20),
+    // so catalog `TIMESTAMP AS OF` time travel works on the VIEW like on
+    // any history-recording table — a refresh's pre-state stays one
+    // wall-clock floor lookup away (one appended history line per commit)
     KVIndex.bootstrap(store, viewId, agg, groupCols,
-      txVersion = txOf(src.manifest.id, spec, src.manifest.version))
+      txVersion = txOf(src.manifest.id, spec, src.manifest.version),
+      recordHistory = true)
   }
 
   /** Single-sum convenience (the original surface). */
@@ -267,7 +272,8 @@ object MaterializedAgg {
       if (upserts.isEmpty) None else Some(Command.Insert(upserts, upsert = true)),
       if (removes.isEmpty) None else Some(Command.Remove(removes))).flatten
     if (cmds.isEmpty) view
-    else new KVIndex(store, view.execute(cmds, tx).orThrow)
+    // recordHistory: see create — refresh commits are dual-stamped too
+    else new KVIndex(store, view.execute(cmds, tx, recordHistory = true).orThrow)
   }
 
   /** Per-group net deltas from a [[KVIndex.diff]] frame: each diff row

@@ -69,11 +69,14 @@ object MaterializedJoin {
              a: KVIndex, b: KVIndex,
              maxRowsPerFile: Long = 1L << 19): Either[GraftError, KVIndex] = {
     val joined = a.coRangeJoin(b).drop("version")
+    // recordHistory: every view lifecycle commit is dual-stamped (r20) so
+    // catalog `TIMESTAMP AS OF` works on the view — see MaterializedAgg
     KVIndex.bootstrap(store, viewId, joined, a.key.cols,
       txVersion = txOf(a.manifest.id, b.manifest.id,
         a.manifest.version, b.manifest.version),
       maxRowsPerFile = maxRowsPerFile,
-      validateKeys = false)
+      validateKeys = false,
+      recordHistory = true)
   }
 
   /** Bring the view up to `a`/`b`'s current versions by the changed-key
@@ -138,7 +141,9 @@ object MaterializedJoin {
                   else Some(Command.Insert(upserts, upsert = true)),
                   if (removes.isEmpty) None else Some(Command.Remove(removes))).flatten
                 if (cmds.isEmpty) view
-                else new KVIndex(store, view.execute(cmds, tx).orThrow)
+                // dual-stamped like create — TIMESTAMP AS OF sees refreshes
+                else new KVIndex(store,
+                  view.execute(cmds, tx, recordHistory = true).orThrow)
               } finally state.unpersist()
             } finally fresh.unpersist()
           }

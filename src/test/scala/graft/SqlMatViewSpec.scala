@@ -234,6 +234,49 @@ class SqlMatViewSpec extends SparkSuite {
     assert(got2 == want2)
   }
 
+  test("MV time travel (r20): lifecycle commits are dual-stamped, TIMESTAMP AS OF re-opens pre-refresh state") {
+    val (cat, st) = freshCat("asof")
+    val src0 = (1L to 300L).map(i => (i, i % 7, i)).toDF("k", "g", "v")
+    val v1 = KVIndex.bootstrap(st, "src", src0, Seq("k"))
+      .fold(e => sys.error(e.message), identity)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.mv AS
+      SELECT g, sum(v) AS agg_sum, count(*) AS agg_cnt
+      FROM $cat.src GROUP BY g""")
+    val h1 = spark.sql(s"SHOW HISTORY $cat.mv").collect()
+    assert(h1.length == 1 && !h1.head.isNullAt(2),
+      s"create must record one dual-stamped line: ${h1.mkString}")
+    val w1 = h1.head.getLong(2)
+    while (System.currentTimeMillis() <= w1) Thread.sleep(1)
+    // mutate + refresh: the pre-refresh aggregate must stay reachable
+    v1.execute(Seq(Command.Remove((1L to 100L).map(Tuple1(_)).toDF("k"))),
+      "tx-mvasof").orThrow
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.mv")
+    val h2 = spark.sql(s"SHOW HISTORY $cat.mv").collect()
+    assert(h2.length == 2 && h2.last.getLong(2) > w1, h2.mkString(","))
+    val w2 = h2.last.getLong(2)
+    def totals(ms: Long): (Long, Long) = {
+      val r = spark.sql(s"SELECT CAST(sum(agg_sum) AS BIGINT), " +
+        s"CAST(sum(agg_cnt) AS BIGINT) FROM $cat.mv " +
+        s"FOR TIMESTAMP AS OF timestamp_millis($ms)").head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(totals(w1) == ((1L to 300L).sum, 300L), "pre-refresh state at the create stamp")
+    assert(totals(w2) == ((101L to 300L).sum, 200L), "post-refresh state at the refresh stamp")
+    // VERSION AS OF works on the same lineage
+    val vNow = KVIndex.open(st, "mv").toOption.get.manifest.version
+    val pre = spark.sql(s"SELECT CAST(sum(agg_cnt) AS BIGINT) FROM $cat.mv " +
+      s"VERSION AS OF ${vNow - 1}").head.getLong(0)
+    assert(pre == 300L)
+    // the JOIN view records history too
+    KVIndex.bootstrap(st, "jb", (1L to 50L).map(i => (i, i * 2)).toDF("k", "w"), Seq("k"))
+      .fold(e => sys.error(e.message), identity)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.jv AS
+      SELECT * FROM $cat.src JOIN $cat.jb USING (k)""")
+    val hj = spark.sql(s"SHOW HISTORY $cat.jv").collect()
+    assert(hj.length == 1 && !hj.head.isNullAt(2),
+      s"join-view create must dual-stamp: ${hj.mkString}")
+  }
+
   test("filtered view declines: drifting predicates never create") {
     val (cat, st) = freshCat("whrerr")
     KVIndex.bootstrap(st, "src",
