@@ -65,6 +65,13 @@ object ProbeViewAgg {
               (F.col("cents") + 1).as("cents"))
             .as[(Long, Long, Long)].collect().toSeq)
       }
+      def deleteRec(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s2 = java.nio.file.Files.list(p)
+          try s2.forEach(deleteRec(_)) finally s2.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
       val root = java.nio.file.Files.createTempDirectory("graft-probe-va")
       val cp = java.nio.file.Files.createTempDirectory("graft-probe-va-cp")
       val store = new FsSnapshotStore(root.toString, spark)
@@ -98,14 +105,7 @@ object ProbeViewAgg {
         }
       } finally stage("teardown") {
         sink.stop()
-        def rec(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p)) {
-            val s2 = java.nio.file.Files.list(p)
-            try s2.forEach(rec(_)) finally s2.close()
-          }
-          java.nio.file.Files.deleteIfExists(p)
-        }
-        rec(root); rec(cp)
+        deleteRec(root); deleteRec(cp)
       }
       // NON-STREAMING twin: the same three commits + create/refreshes
       // through the direct command API — the delta vs the sink_batch*
@@ -144,16 +144,7 @@ object ProbeViewAgg {
           MaterializedAgg.refresh(store2, "svview", src2())
             .fold(e => sys.error(e.message), identity)
         }
-      } finally {
-        def rec(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p)) {
-            val s2 = java.nio.file.Files.list(p)
-            try s2.forEach(rec(_)) finally s2.close()
-          }
-          java.nio.file.Files.deleteIfExists(p)
-        }
-        rec(root2)
-      }
+      } finally deleteRec(root2)
       val repTotal = acc.values.map(_.last).sum
       println(f"[probe] rep $rep total ${repTotal}%.2f s :: " +
         acc.map { case (k, v) => f"$k=${v.last}%.2f" }.mkString(" "))

@@ -35,11 +35,23 @@ import graft.core.{KVIndex, SnapshotManifest, SnapshotStore}
   */
 object ViewTimeTravel {
 
-  /** name (lowercased) -> (store, indexId); sessions are WEAK keys so a
-    * closed session's registry entries do not outlive it.
+  /** name (lowercased) -> (weak store ref, indexId); sessions are WEAK
+    * keys. The store is held WEAKLY on purpose: a strong value would
+    * reach back to the session (`FsSnapshotStore.spark`) and pin the
+    * weak key forever — the WeakHashMap anti-pattern. The registered
+    * temp view's own plan (SnapshotSource, the prune callback) holds the
+    * store strongly THROUGH the session catalog, so the weak ref stays
+    * live exactly as long as the view it serves; once the view (or
+    * session) is gone, the entry reads as dead and is dropped. (Sole
+    * narrow exception: a view registered over an EMPTY snapshot whose
+    * plan is a bare typed scan — if the caller also drops every store
+    * reference, time travel on that name degrades to Spark's own
+    * temp-view refusal after a GC. Correctly-registered non-empty views
+    * are unaffected.)
     */
   private val reg = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, (SnapshotStore, String)]]()
+    scala.collection.concurrent.TrieMap[String,
+      (java.lang.ref.WeakReference[SnapshotStore], String)]]()
 
   private def norm(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
 
@@ -51,12 +63,20 @@ object ViewTimeTravel {
         m = scala.collection.concurrent.TrieMap.empty
         reg.put(spark, m)
       }
-      m.update(norm(name), (store, indexId))
+      m.update(norm(name), (new java.lang.ref.WeakReference(store), indexId))
     }
 
   private def lookup(spark: SparkSession, name: String)
-      : Option[(SnapshotStore, String)] =
-    reg.synchronized(Option(reg.get(spark))).flatMap(_.get(norm(name)))
+      : Option[(SnapshotStore, String)] = {
+    val m = reg.synchronized(Option(reg.get(spark)))
+    m.flatMap { tm =>
+      tm.get(norm(name)).flatMap { case (ref, id) =>
+        val store = ref.get()
+        if (store == null) { tm.remove(norm(name)); None }
+        else Some((store, id))
+      }
+    }
+  }
 
   private def isEmpty(spark: SparkSession): Boolean =
     reg.synchronized(Option(reg.get(spark))).forall(_.isEmpty)

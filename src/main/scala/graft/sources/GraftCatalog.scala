@@ -33,7 +33,9 @@ final class GraftCatalog extends TableCatalog {
 
   private var catName: String = _
   private var initRoot: Option[String] = None
-  private var owner: SparkSession = _
+  // volatile: pinned/re-derived from whatever thread resolves a table
+  // first; readers need the happens-before edge
+  @volatile private var owner: SparkSession = _
   @volatile private var cachedStore: FsSnapshotStore = _
 
   /** Does `s` actually configure THIS catalog? The ownership test: a
@@ -42,6 +44,19 @@ final class GraftCatalog extends TableCatalog {
     */
   private def defines(s: SparkSession): Boolean =
     s != null && s.conf.getOption(s"spark.sql.catalog.$catName").isDefined
+
+  /** The stronger PINNING test: `s` defines the name AND (when initialize
+    * recorded a root) its root conf matches the options the owning
+    * session's CatalogManager passed to initialize. Two sessions defining
+    * the SAME catalog name with DIFFERENT roots are disambiguated by the
+    * root; with equal roots either pin resolves identically. Used only
+    * for establishing ownership — a pinned owner that later RE-POINTS its
+    * root stays the owner (the name check in [[store]]), which is the
+    * supported re-point flow.
+    */
+  private def ownsByRoot(s: SparkSession): Boolean =
+    defines(s) && initRoot.forall(r =>
+      s.conf.getOption(s"spark.sql.catalog.$catName.root").contains(r))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
@@ -57,7 +72,7 @@ final class GraftCatalog extends TableCatalog {
     // permanently would be worse than the transient misread — leave the
     // owner unset and let [[store]] re-derive on a later, defining access.
     val active = SparkSession.active
-    if (defines(active)) owner = active
+    if (ownsByRoot(active)) owner = active
     // catalog resolution precedes planning, so this is always in time for
     // an UPDATE / MERGE INTO statement on a catalog table
     GraftDmlStrategy.ensureRegistered(active)
@@ -80,13 +95,17 @@ final class GraftCatalog extends TableCatalog {
     // re-derive the owner when the pinned session no longer (or never)
     // defines this catalog — covers initialize() racing on a thread with
     // a foreign active session, and a session that later dropped the
-    // catalog conf; an owner that still defines it stays pinned
+    // catalog conf; an owner that still defines the NAME stays pinned
+    // (root re-pointing by the owner is the supported flow). A candidate
+    // is only PINNED when it passes the root-matching ownership test —
+    // a foreign session defining the same name with a different root is
+    // used at most transiently, never adopted.
     val session = {
       val o = owner
       if (defines(o)) o
       else {
         val a = SparkSession.active
-        if (defines(a)) { owner = a; a }
+        if (ownsByRoot(a)) { owner = a; a }
         else if (o != null) o
         else a
       }

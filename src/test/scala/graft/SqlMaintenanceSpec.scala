@@ -28,11 +28,13 @@ class SqlMaintenanceSpec extends SparkSuite {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val base = Paths.get(root)
-    Files.walk(base).iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+    val walk = Files.walk(base)
+    try walk.iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
       val md = java.security.MessageDigest.getInstance("MD5")
       base.relativize(p).toString ->
         md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
     }.toMap
+    finally walk.close()
   }
 
   test("COMPACT then VACUUM through SQL: result rows, data invariance") {
