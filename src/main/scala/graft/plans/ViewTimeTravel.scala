@@ -120,14 +120,40 @@ object ViewTimeTravel {
       val e = tsOpt.getOrElse(fail(s"no timestamp or version on view '$name'"))
       // the same evaluation contract as Spark's own TimeTravelSpec: a
       // foldable expression cast to TIMESTAMP in the session timezone.
-      // Non-foldable / unresolved expressions (current_timestamp() - …)
-      // would need full analysis inside the parser — refuse with the
-      // literal-spelling hint instead of mis-evaluating.
-      if (!e.resolved || !e.foldable) fail(
+      // An unresolved FUNCTION call (timestamp_millis(...), make_date(...))
+      // resolves through a nested one-row analysis so the view path
+      // accepts the same instants the catalog path does; anything that
+      // still cannot fold-and-evaluate at parse time (current_timestamp()
+      // and friends) gets the literal-spelling refusal instead of
+      // mis-evaluating.
+      val resolved =
+        if (e.resolved) e
+        else try {
+          import org.apache.spark.sql.catalyst.expressions.Alias
+          import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project}
+          spark.sessionState.analyzer.execute(
+            Project(Seq(Alias(e, "__graft_ts")()), OneRowRelation())) match {
+            case Project(Seq(a: Alias), _) => a.child
+            case other => fail(
+              s"TIMESTAMP AS OF on view '$name': '${e.sql}' resolved to an " +
+                s"unexpected shape ($other)")
+          }
+        } catch {
+          case ae: org.apache.spark.sql.AnalysisException => fail(
+            s"TIMESTAMP AS OF on view '$name': '${e.sql}' does not resolve " +
+              s"— ${ae.getMessage}")
+        }
+      if (!resolved.foldable) fail(
         s"TIMESTAMP AS OF on view '$name' needs a literal timestamp " +
           s"expression, got '${e.sql}' — spell the instant out")
       val tz = spark.sessionState.conf.sessionLocalTimeZone
-      val micros = Cast(e, TimestampType, Some(tz)).eval(null)
+      val micros =
+        try Cast(resolved, TimestampType, Some(tz)).eval(null)
+        catch {
+          case _: UnsupportedOperationException => fail(
+            s"TIMESTAMP AS OF on view '$name' needs a literal timestamp " +
+              s"expression, got '${e.sql}' — it cannot evaluate at parse time")
+        }
       if (micros == null) fail(
         s"TIMESTAMP AS OF on view '$name': '${e.sql}' does not parse as a timestamp")
       val ms = Math.floorDiv(micros.asInstanceOf[Long], 1000L)

@@ -82,6 +82,47 @@ class SqlViewAsOfSpec extends SparkSuite {
     assert(stateAt("1970-01-01 00:03:30") == (80L, sumV3))
   }
 
+  test("randomized differential: floor semantics vs a driver model over many commits — seed 47") {
+    // N commits at explicit, strictly increasing wall stamps; random
+    // instants (before, between, on, after the stamps) must return
+    // exactly the model's floor version — clamped to the earliest
+    val rnd = new scala.util.Random(47)
+    val st = new FsSnapshotStore(tmpDir("graft-viewasof-fuzz") + "/store", spark)
+    var ix = KVIndex.bootstrap(st, "f", Seq((0L, 0L)).toDF("k", "v"), Seq("k"))
+      .fold(e => sys.error(e.message), identity)
+    // version -> expected count, stamp list (strictly increasing, explicit)
+    var states = Vector((ix.manifest.version, 1L, 1000L))
+    st.recordSnapshot("f", ix.manifest.version, ts = 1L, wallMs = 1000L)
+    var nextKey = 1L
+    for (i <- 1 to 6) {
+      val add = 1 + rnd.nextInt(5)
+      val rows = (nextKey until nextKey + add).map(k => (k, k)).toDF("k", "v")
+      nextKey += add
+      val m = ix.execute(Seq(Command.Insert(rows)), s"tx-f$i").orThrow
+      ix = new KVIndex(st, m)
+      val stamp = states.last._3 + 500L + rnd.nextInt(1000)
+      st.recordSnapshot("f", m.version, ts = i + 1L, wallMs = stamp)
+      states :+= ((m.version, states.last._2 + add, stamp))
+    }
+    ix.createOrReplaceView("vasof_fuzz")
+    def modelCount(ms: Long): Long =
+      states.filter(_._3 <= ms).lastOption.getOrElse(states.head)._2
+    val probes = states.flatMap(s => Seq(s._3 - 1, s._3, s._3 + 1)) ++
+      Seq(1L, states.last._3 + 100000L) ++
+      (1 to 10).map(_ => 500L + rnd.nextInt(10000).toLong)
+    probes.foreach { ms =>
+      val got = spark.sql("SELECT count(*) AS n FROM vasof_fuzz " +
+        s"FOR TIMESTAMP AS OF timestamp_millis($ms)").head.getLong(0)
+      assert(got == modelCount(ms), s"floor at ${ms}ms: got $got want ${modelCount(ms)}")
+    }
+    // VERSION AS OF agrees with the same model per recorded version
+    states.foreach { case (v, n, _) =>
+      val got = spark.sql(
+        s"SELECT count(*) AS n FROM vasof_fuzz FOR VERSION AS OF $v").head.getLong(0)
+      assert(got == n, s"version $v: got $got want $n")
+    }
+  }
+
   test("typed refusals: undated history, non-literal timestamp, unknown version") {
     store
     import spark.implicits._
@@ -93,9 +134,21 @@ class SqlViewAsOfSpec extends SparkSuite {
     val e1 = intercept[Exception](spark.sql(
       "SELECT * FROM vasof_nh FOR TIMESTAMP AS OF '1970-01-02'").collect())
     assert(e1.getMessage.contains("no recorded history"), e1.getMessage)
+    // catalog-path parity: function instants resolve through a nested
+    // one-row analysis — current_timestamp() floors to the LATEST state
+    // (like Spark's own TimeTravelSpec), timestamp_millis to its instant
+    val nowRows = spark.sql("SELECT count(*) AS n FROM vasof " +
+      "FOR TIMESTAMP AS OF current_timestamp()").head.getLong(0)
+    assert(nowRows == 80L, s"current_timestamp() must floor to the latest state, got $nowRows")
+    // a column reference is rejected by Spark's own grammar check before
+    // the splice runs; an unknown FUNCTION reaches the splice's nested
+    // analysis and gets the graft typed refusal
     val e2 = intercept[Exception](spark.sql(
-      "SELECT * FROM vasof FOR TIMESTAMP AS OF current_timestamp()").collect())
-    assert(e2.getMessage.contains("literal"), e2.getMessage)
+      "SELECT * FROM vasof FOR TIMESTAMP AS OF some_column").collect())
+    assert(e2.getMessage.contains("cannot refer to any columns"), e2.getMessage)
+    val e2b = intercept[Exception](spark.sql(
+      "SELECT * FROM vasof FOR TIMESTAMP AS OF no_such_fn(1)").collect())
+    assert(e2b.getMessage.contains("does not resolve"), e2b.getMessage)
     // under ANSI (Spark 4 default) the cast itself raises the typed
     // CAST_INVALID_INPUT; under legacy mode the splice raises its own
     val e3 = intercept[Exception](spark.sql(
