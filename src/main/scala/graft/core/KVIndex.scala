@@ -2,7 +2,7 @@ package graft.core
 
 import java.util.UUID
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot-backed ordered KV index — the `QueryableIndex[K, V]` equivalent
@@ -722,16 +722,30 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
       else store.readFiles(touched.map(_.path), manifest)
 
     // ---- sequential fold with stop-at-first-error ----
+    // each command costs ONE Spark job: the validation probe and the
+    // next-state row count ride the same collect (the probe rows and a
+    // tagged count row union into one small frame), halving the per-step
+    // driver round trips vs the former probe-then-count pair of jobs —
+    // on a commit-protocol-bound workload (streaming micro-batches, IVM
+    // refresh) the per-job plan/schedule latency is the dominant cost
+    val stepCountTag = " n"
     var cur = curStart.cache()
     var err: Option[GraftError] = None
     val stepCounts = Seq.newBuilder[Long]
     val it = cmds.iterator
     while (err.isEmpty && it.hasNext) {
-      step(cur, it.next(), txVersion) match {
-        case Left(e) => err = Some(e)
-        case Right(next) =>
-          val nextCached = next.cache()
-          stepCounts += nextCached.count() // force so the parent can unpersist
+      val plan = step(cur, it.next(), txVersion)
+      val nextCached = plan.next.cache()
+      val countRow = nextCached
+        .agg(org.apache.spark.sql.functions.count(lit(1)).cast("string").as("key"))
+        .select(lit(stepCountTag).as("kind"), col("key"))
+      val sample = plan.probe.unionByName(countRow).collect()
+      plan.interpret(sample.filter(_.getString(0) != stepCountTag)) match {
+        case Some(e) => err = Some(e); nextCached.unpersist()
+        case None =>
+          // the count row is always present: agg over zero rows yields 0
+          stepCounts += sample.find(_.getString(0) == stepCountTag)
+            .get.getString(1).toLong
           cur.unpersist()
           cur = nextCached
       }
@@ -763,17 +777,25 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
     }
   }
 
-  /** One command against the current (touched-range) state. Validation joins
-    * are forced (actions) BEFORE the transform is kept — SURVEY §7 hard-part
-    * 1: exists -> version -> apply, in the reference's order.
+  /** A command's execution plan: the validation `probe` frame (collected
+    * TOGETHER with the next-state count in the fold's single per-step
+    * job), the `interpret` function turning collected probe rows into the
+    * reference-ordered error (exists -> version -> apply, SURVEY §7
+    * hard-part 1 — probe row ORDER in the frame is irrelevant, the
+    * interpreter re-imposes the reference's reporting order), and the
+    * `next` state to keep when validation passes.
     */
-  private def step(cur: DataFrame, cmd: Command, tx: String): Either[GraftError, DataFrame] = {
+  private final case class StepPlan(probe: DataFrame, next: DataFrame,
+                                    interpret: Array[Row] => Option[GraftError])
+
+  /** One command against the current (touched-range) state. */
+  private def step(cur: DataFrame, cmd: Command, tx: String): StepPlan = {
     val kcols = key.cols
     def keyStr = concat_ws("/", kcols.map(c => col(c).cast("string")): _*)
     cmd match {
       case Command.Insert(rows, upsert) =>
         val batch = rows
-        // both validations ride in ONE job (a union of two per-branch
+        // both validations ride in ONE probe (a union of two per-branch
         // limits), reported in the reference's order: intra-batch
         // duplicate keys -> DUPLICATED_KEYS (Index.scala:285-288), then
         // existing key without upsert -> LEAF_DUPLICATE_KEY (Leaf.scala:41-43)
@@ -785,60 +807,60 @@ final class KVIndex(val store: SnapshotStore, val manifest: SnapshotManifest,
           else dupProbe.unionByName(
             batch.join(cur, kcols, "left_semi")
               .select(lit("clash").as("kind"), keyStr.as("key")).limit(5))
-        val sample = probe.collect()
-        val dupS = sample.filter(_.getString(0) == "dup").map(_.getString(1))
-        if (dupS.nonEmpty)
-          return Left(GraftError.DuplicatedKeys(dupS.toSeq))
-        val clashS = sample.filter(_.getString(0) == "clash").map(_.getString(1))
-        if (clashS.nonEmpty)
-          return Left(GraftError.KeyAlreadyExists(clashS.toSeq))
         val stamped = batch.select((kcols ++ manifest.valueCols).map(col): _*)
           .withColumn("version", lit(tx))
-        Right(cur.join(batch, kcols, "left_anti").unionByName(stamped))
+        StepPlan(probe, cur.join(batch, kcols, "left_anti").unionByName(stamped),
+          sample => {
+            val dupS = sample.filter(_.getString(0) == "dup").map(_.getString(1))
+            val clashS = sample.filter(_.getString(0) == "clash").map(_.getString(1))
+            if (dupS.nonEmpty) Some(GraftError.DuplicatedKeys(dupS.toSeq))
+            else if (clashS.nonEmpty) Some(GraftError.KeyAlreadyExists(clashS.toSeq))
+            else None
+          })
 
       case Command.Update(rows) =>
-        validateExistsAndVersion(cur, rows, keyStr).map { _ =>
-          val stamped = rows.select((kcols ++ manifest.valueCols).map(col): _*)
-            .withColumn("version", lit(tx))
-          cur.join(rows, kcols, "left_anti").unionByName(stamped)
-        }
+        val stamped = rows.select((kcols ++ manifest.valueCols).map(col): _*)
+          .withColumn("version", lit(tx))
+        StepPlan(existsAndVersionProbe(cur, rows, keyStr),
+          cur.join(rows, kcols, "left_anti").unionByName(stamped),
+          interpretExistsAndVersion)
 
       case Command.Remove(rows) =>
-        validateExistsAndVersion(cur, rows, keyStr).map { _ =>
-          cur.join(rows, kcols, "left_anti")
-        }
+        StepPlan(existsAndVersionProbe(cur, rows, keyStr),
+          cur.join(rows, kcols, "left_anti"),
+          interpretExistsAndVersion)
     }
   }
 
-  /** exists-check then CAS version check, in reference order
+  /** exists-check then CAS version check probe, in reference order
     * (`Leaf.scala:58-60` then `:62-72`). `expectedVersion` column optional;
     * null means unconditional.
     */
-  private def validateExistsAndVersion(cur: DataFrame, rows: DataFrame,
-                                       keyStr: Column): Either[GraftError, Unit] = {
+  private def existsAndVersionProbe(cur: DataFrame, rows: DataFrame,
+                                    keyStr: Column): DataFrame = {
     val kcols = key.cols
-    // one job for both probes (union of per-branch limits); a missing key
-    // cannot also appear stale (the stale probe is an inner join), and
+    // both probes ride one frame (union of per-branch limits); a missing
+    // key cannot also appear stale (the stale probe is an inner join), and
     // missing is reported first — the reference's order (Leaf.scala:58-72)
     val missProbe = rows.join(cur, kcols, "left_anti")
       .select(lit("missing").as("kind"), keyStr.as("key")).limit(5)
-    val probe =
-      if (!rows.columns.contains("expectedVersion")) missProbe
-      else missProbe.unionByName(
-        rows.select((kcols :+ "expectedVersion").map(col): _*)
-          .join(cur.select((kcols :+ "version").map(col): _*), kcols)
-          .filter(col("expectedVersion").isNotNull &&
-                  col("expectedVersion") =!= col("version"))
-          .select(lit("stale").as("kind"), keyStr.as("key")).limit(5))
-    val sample = probe.collect()
-    val missing = sample.filter(_.getString(0) == "missing").map(_.getString(1))
-    if (missing.nonEmpty)
-      return Left(GraftError.KeyNotFound(missing.toSeq))
-    val stale = sample.filter(_.getString(0) == "stale").map(_.getString(1))
-    if (stale.nonEmpty)
-      return Left(GraftError.VersionChanged(stale.toSeq))
-    Right(())
+    if (!rows.columns.contains("expectedVersion")) missProbe
+    else missProbe.unionByName(
+      rows.select((kcols :+ "expectedVersion").map(col): _*)
+        .join(cur.select((kcols :+ "version").map(col): _*), kcols)
+        .filter(col("expectedVersion").isNotNull &&
+                col("expectedVersion") =!= col("version"))
+        .select(lit("stale").as("kind"), keyStr.as("key")).limit(5))
   }
+
+  private val interpretExistsAndVersion: Array[Row] => Option[GraftError] =
+    sample => {
+      val missing = sample.filter(_.getString(0) == "missing").map(_.getString(1))
+      val stale = sample.filter(_.getString(0) == "stale").map(_.getString(1))
+      if (missing.nonEmpty) Some(GraftError.KeyNotFound(missing.toSeq))
+      else if (stale.nonEmpty) Some(GraftError.VersionChanged(stale.toSeq))
+      else None
+    }
 
   /** Manifest-pruned file set: a file is touched iff some batch key falls in
     * its [min,max] — the findPath descent (reference `Index.scala:85-99`)

@@ -268,9 +268,15 @@ object MaterializedAgg {
 
   private def commit(store: SnapshotStore, view: KVIndex,
                      upserts: DataFrame, removes: DataFrame, tx: String): KVIndex = {
+    // one job decides BOTH emptiness probes (a union of the two limit-1
+    // scans over the caller-persisted deltas) — the former isEmpty pair
+    // cost two driver round trips per refresh
+    val present = upserts.limit(1).select(lit("u").as("side"))
+      .unionByName(removes.limit(1).select(lit("r").as("side")))
+      .collect().map(_.getString(0)).toSet
     val cmds = Seq(
-      if (upserts.isEmpty) None else Some(Command.Insert(upserts, upsert = true)),
-      if (removes.isEmpty) None else Some(Command.Remove(removes))).flatten
+      if (present("u")) Some(Command.Insert(upserts, upsert = true)) else None,
+      if (present("r")) Some(Command.Remove(removes)) else None).flatten
     if (cmds.isEmpty) view
     // recordHistory: see create — refresh commits are dual-stamped too
     else new KVIndex(store, view.execute(cmds, tx, recordHistory = true).orThrow)

@@ -101,13 +101,16 @@ object MaterializedJoin {
         val keys = ka.unionByName(kb).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if (keys.isEmpty) view // version bump with no data change (compact)
+          // ONE job answers both "any changed keys?" and the envelope:
+          // the diff's key columns are non-null by contract, so a null
+          // min means zero rows (version bump with no data change)
+          val Array(bRow) = keys
+            .agg(min(col(kcols.head)).as("lo"), max(col(kcols.head)).as("hi"))
+            .collect()
+          if (bRow.isNullAt(0)) view
           else {
             // leading-key envelope of K → manifest-pruned slices; the
             // semi-join restores exactness inside the envelope
-            val Array(bRow) = keys
-              .agg(min(col(kcols.head)).as("lo"), max(col(kcols.head)).as("hi"))
-              .collect()
             val lo = bRow.get(0); val hi = bRow.get(1)
             val aSlice = a.tableForHeadRange(lo, hi).df
               .join(keys, kcols, "left_semi").drop("version")
@@ -136,10 +139,15 @@ object MaterializedJoin {
                 val removes = state.select(kcols.map(col): _*)
                   .join(fresh.select(kcols.map(col): _*), kcols, "left_anti")
                 val tx = txOf(aId, bId, a.manifest.version, b.manifest.version)
+                // one job decides both emptiness probes (union of the two
+                // limit-1 scans) instead of two isEmpty round trips
+                val present = upserts.limit(1).select(lit("u").as("side"))
+                  .unionByName(removes.limit(1).select(lit("r").as("side")))
+                  .collect().map(_.getString(0)).toSet
                 val cmds = Seq(
-                  if (upserts.isEmpty) None
-                  else Some(Command.Insert(upserts, upsert = true)),
-                  if (removes.isEmpty) None else Some(Command.Remove(removes))).flatten
+                  if (present("u")) Some(Command.Insert(upserts, upsert = true))
+                  else None,
+                  if (present("r")) Some(Command.Remove(removes)) else None).flatten
                 if (cmds.isEmpty) view
                 // dual-stamped like create — TIMESTAMP AS OF sees refreshes
                 else new KVIndex(store,

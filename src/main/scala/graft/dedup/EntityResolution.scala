@@ -109,13 +109,30 @@ object EntityResolution {
   def resolve(df: DataFrame, idCol: String, blockKeys: Seq[Column],
               isMatch: (Column, Column) => Column,
               maxBlockSize: Int = DefaultMaxBlockSize): DataFrame = {
-    val cand = candidates(df, idCol, blockKeys, maxBlockSize)
-    val packed = df.select(col(idCol).as("__pid"), struct(col("*")).as("__rec"))
-    val links = cand
-      .join(packed.select(col("__pid").as("idA"), col("__rec").as("__ra")), Seq("idA"))
-      .join(packed.select(col("__pid").as("idB"), col("__rec").as("__rb")), Seq("idB"))
+    // the full record struct rides the blocking rows, so the block
+    // self-join emits (record, record) pairs directly and `isMatch`
+    // filters INSIDE the join — the former id-only blocking needed two
+    // extra shuffle joins (and a third scan of `df`) to re-attach the
+    // records before matching. A pair sharing several keys is matched
+    // once per shared key and deduped after; `isMatch` is a deterministic
+    // function of the two records, so the link set is identical.
+    // Block-size capping is unchanged from [[candidatesWithReport]]: the
+    // window count shares the (ki, kv) hash partitioning the self-join
+    // needs, so blocking costs ONE exchange.
+    val keyed = df.select(col(idCol).as("__id"), struct(col("*")).as("__rec"),
+        posexplode(array(blockKeys.map(_.cast("string")): _*)).as(Seq("__ki", "__kv")))
+      .filter(col("__kv").isNotNull && length(col("__kv")) > 0)
+    val sized = keyed.withColumn("__bs",
+      count(lit(1)).over(Window.partitionBy("__ki", "__kv")))
+    val kept = sized.filter(col("__bs") <= maxBlockSize).drop("__bs")
+    val a = kept.select(col("__ki"), col("__kv"),
+      col("__id").as("idA"), col("__rec").as("__ra"))
+    val b = kept.select(col("__ki"), col("__kv"),
+      col("__id").as("idB"), col("__rec").as("__rb"))
+    val links = a.join(b, Seq("__ki", "__kv"))
+      .filter(col("idA") < col("idB"))
       .filter(isMatch(col("__ra"), col("__rb")))
-      .select("idA", "idB")
+      .select("idA", "idB").distinct()
     entities(df, idCol, links)
   }
 

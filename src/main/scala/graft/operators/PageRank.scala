@@ -41,9 +41,15 @@ object PageRank {
                srcCol: String = "src", dstCol: String = "dst",
                dampMilli: Int = 850): DataFrame = {
     require(iters >= 0 && dampMilli >= 0 && dampMilli <= 1000)
+    // pre-partition BOTH persisted tables by their join key: the cached
+    // layout (hashpartitioning(src) / hashpartitioning(node)) is what the
+    // per-iteration join and the rank rebuild require, so no iteration
+    // re-shuffles either side — the only exchange left per round is the
+    // unavoidable contribution aggregation by destination
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
@@ -51,18 +57,28 @@ object PageRank {
         .union(e.select(col("dst").as("node"))).distinct()
         .join(deg, Seq("node"), "left")
         .na.fill(0L, Seq("deg"))
+        .repartition(col("node"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = nodes.count()
         require(n > 0, "pagerank: empty graph")
         val base = 1000000000L / n
         val teleport = ((1000L - dampMilli) * base) / 1000L
+        // the per-iteration dangling mass stays IN the plan as a 1-row
+        // aggregate cross-joined (broadcast) onto the rank rebuild — the
+        // former per-iteration head() collect cost one extra driver
+        // action and a full pass over the rank table per round. Integer
+        // arithmetic is unchanged: coalesce(sum, 0) div n is the same
+        // truncating long division the driver did (ranks are >= 0).
+        // Checkpoints are LAZY: each iteration's plan is truncated to a
+        // leaf immediately, but materialization happens inside the first
+        // consuming job — the whole fixed-point runs as ONE job chain
+        // instead of paying 2 scheduled actions per round.
         var ranks = nodes.select(col("node"), col("deg"), lit(base).as("r"))
-          .localCheckpoint(true)
-        for (_ <- 1 to iters) {
-          val dangling = ranks.filter(col("deg") === 0L)
-            .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
-          val perNodeDangling = dangling / n
+          .localCheckpoint(iters == 0)
+        for (i <- 1 to iters) {
+          val dang = ranks.filter(col("deg") === 0L)
+            .agg(expr(s"(coalesce(sum(r), 0L) div ${n}L)").as("__dang"))
           val contribs = ranks.filter(col("deg") > 0L)
             .join(e, col("node") === col("src"))
             .select(col("dst").as("node"), expr("r div deg").as("c"))
@@ -70,11 +86,16 @@ object PageRank {
           ranks = nodes
             .join(contribs, Seq("node"), "left")
             .na.fill(0L, Seq("contrib"))
+            .crossJoin(dang)
             .select(col("node"), col("deg"),
               (lit(teleport) +
-                expr(s"($dampMilli * (contrib + ${perNodeDangling}L)) div 1000"))
+                expr(s"($dampMilli * (contrib + __dang)) div 1000"))
                 .cast("long").as("r"))
-            .localCheckpoint(true)
+            // the LAST round checkpoints eagerly: the whole lazy chain
+            // materializes in this one job while e/nodes are still
+            // persisted — the finally-unpersist below would otherwise
+            // strip their caches before the caller's first action
+            .localCheckpoint(i == iters)
         }
         ranks.select(col("node"), col("r").as("rank_nano"))
       } finally nodes.unpersist()

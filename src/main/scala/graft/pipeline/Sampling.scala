@@ -395,12 +395,18 @@ object Sampling {
     try {
       val nDocs = df.select(col(idCol)).distinct().count()
       val dfreq = docTerm.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+      // materialize the per-doc difficulty table (one small row per doc)
+      // BEFORE the quantile probe: the caller's action and the probe both
+      // need it, and without truncation the caller would re-run the whole
+      // tokenize + df-join pipeline — with docTerm unpersisted by then,
+      // TWICE (docTerm appears on both sides of the rarity join)
       val difficulty = docTerm
         .join(dfreq, Seq("term"))
         .select(col(idCol),
           col("tf"), expr(s"(1000 * ${nDocs}L) div dft").as("rar_milli"))
         .groupBy(col(idCol))
         .agg(expr("sum(tf * rar_milli) div sum(tf)").as("difficulty_milli"))
+        .localCheckpoint(true)
       val boundAggs = (1 until stages).map(i =>
         expr(s"percentile_disc(${i.toDouble / stages}) " +
           "WITHIN GROUP (ORDER BY difficulty_milli)").as(s"b$i"))

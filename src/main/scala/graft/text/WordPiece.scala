@@ -114,24 +114,18 @@ object WordPiece {
         // lesson — 60 stacked fold expressions would blow the plan up),
         // but materializes as a side effect of the NEXT round's
         // aggregate instead of paying a dedicated job per round
-        cur = cur.withColumn("sym", fusePairColumn(col("sym"), a, b, fused))
+        cur = cur.withColumn("sym",
+            Shim.col(FusePair(Shim.expr(col("sym")), a, b, fused)))
           .localCheckpoint(false)
       }
     }
     vocab.result()
   }
 
-  /** One merge as a left-to-right fold: append each symbol, but when the
-    * accumulator ends in `a` and the next symbol is `b`, replace that
-    * tail with `fused` (which, unlike BPE, is NOT `a + b` — the `##` of
-    * `b` is absorbed). Column-API only; corpus symbols never get spliced
-    * into SQL text.
-    */
-  private def fusePairColumn(sym: Column, a: String, b: String, fused: String): Column =
-    aggregate(sym, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
-        .otherwise(concat(acc, array(x))))
+  // the per-round merge itself is [[FusePair]] — a reference-carrying
+  // kernel (the [[WordPieceEncode]] stance): the former `aggregate` HOF
+  // fold rebuilt the accumulator array per element (O(|word|²) allocation
+  // per word) AND evaluated interpreted; the kernel is one linear pass
 
   /** Encode `textCol` with a trained vocabulary: per whitespace word,
     * greedy longest-match-first segmentation (`##` continuations,
@@ -229,5 +223,55 @@ case class WordPieceEncode(child: Expression, vocab: Seq[String])
   }
 
   override protected def withNewChildInternal(c: Expression): WordPieceEncode =
+    copy(child = c)
+}
+
+/** One WordPiece training merge over a symbol array (`child` =
+  * `array<string>`): left-to-right scan appending each symbol, except
+  * that when the output so far ends in `a` and the next symbol is `b`,
+  * that tail becomes `fused` (which, unlike BPE, is NOT `a + b` — the
+  * `##` of `b` is absorbed). Exactly the left-fold the former
+  * Column-API `aggregate` computed, as ONE linear pass instead of a
+  * per-element accumulator-array rebuild — train runs one of these per
+  * round over the distinct-word table, so its constant factor is the
+  * round's entire per-row cost. Interpreted eval inside a codegen'd
+  * stage, the [[WordPieceEncode]] stance.
+  */
+case class FusePair(child: Expression, a: String, b: String, fused: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val aU = UTF8String.fromString(a)
+  @transient private lazy val bU = UTF8String.fromString(b)
+  @transient private lazy val fusedU = UTF8String.fromString(fused)
+
+  override def nullSafeEval(syms: Any): Any = {
+    val arr = syms.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[AnyRef](n)
+    var len = 0
+    var i = 0
+    while (i < n) {
+      val x = arr.getUTF8String(i)
+      if (len > 0 && aU == out(len - 1) && bU == x) out(len - 1) = fusedU
+      else { out(len) = x; len += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (len == n) out else java.util.Arrays.copyOf(out, len))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fusePairExpr", this)
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        ((org.apache.spark.sql.catalyst.expressions.UnaryExpression) $ref).nullSafeEval($s);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): FusePair =
     copy(child = c)
 }
