@@ -1889,10 +1889,12 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => {
       val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      // no .distinct() here: PageRank.pagerank dedupes its edge input
+      // anyway, so a fixture-side distinct was one redundant exchange +
+      // aggregation over the join output
       val eb = ord.join(li, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
       val e = eb.union(eb.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.PageRank.pagerank(e, iters = 5)
         .orderBy(col("rank_nano").desc, col("node"))

@@ -378,16 +378,13 @@ class JdbcSnapshotStore(val url: String, val spark: SparkSession,
     val tmpRoot = Files.createTempDirectory("graft-jdbc-write")
     val dir = tmpRoot.resolve("d")
     try {
-      val keyCols = keySpec.cols.map(col)
       val nParts =
         if (targetPartitions > 0) targetPartitions
         else math.max(1, df.sparkSession.sparkContext.defaultParallelism / 4)
-      df.repartitionByRange(nParts, keyCols: _*)
-        .sortWithinPartitions(keyCols: _*)
-        .write.mode("errorifexists").parquet(dir.toString)
-      // stats over the local staging dir, then each part becomes one blob
-      // row under an immutable logical path
-      val staged = fileStats(dir.toString, keySpec)
+      // single-file writes collect stats during the write job (see
+      // writeParquetWithStats); each staged part becomes one blob row
+      // under an immutable logical path
+      val staged = writeParquetWithStats(dir.toString, df, keySpec, nParts)
       val entries = staged.zipWithIndex.map { case (f, i) =>
         val localPath = Paths.get(new java.net.URI(f.path).getPath)
         val logical = s"${logicalPrefix(id)}$snapshotId/part-$i"

@@ -327,6 +327,59 @@ trait SnapshotStore {
   /** Read a subset of a snapshot's files (the touched set during COW). */
   def readFiles(paths: Seq[String], m: SnapshotManifest): DataFrame
 
+  /** Range-partition + sort `df` by key, write it as parquet under
+    * `dir`, and return the per-file stats — shared by every
+    * parquet-writing backend. SINGLE-file writes (the common incremental
+    * commit: one small COW delta) collect count/min/max DURING the write
+    * job via `observe`, eliminating the parquet read-back job
+    * [[fileStats]] costs; multi-file writes keep the exact per-file
+    * stats aggregate. The observed min/max pass through the same
+    * [[KeyOrd.normKey]] canonicalization as the read-back path, and the
+    * values are identical: parquet round-trips Spark's logical values
+    * losslessly, so pre-write and post-read extrema agree.
+    */
+  protected def writeParquetWithStats(dir: String, df: DataFrame,
+                                      keySpec: KeySpec, nParts: Int): Seq[FileEntry] = {
+    val keyCols = keySpec.cols.map(col)
+    val part = df.repartitionByRange(nParts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    if (nParts != 1) {
+      part.write.mode("errorifexists").parquet(dir)
+      return fileStats(dir, keySpec)
+    }
+    val obs = org.apache.spark.sql.Observation()
+    val kstruct = struct(keyCols: _*)
+    part.observe(obs, count(lit(1)).as("rows"),
+        min(kstruct).as("mn"), max(kstruct).as("mx"))
+      .write.mode("errorifexists").parquet(dir)
+    // the observation listener fires asynchronously after the write
+    // action; bounded wait, with the read-back path as a safe fallback
+    val m: Map[String, Any] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        scala.concurrent.Await.result(
+          scala.concurrent.Future(obs.get),
+          scala.concurrent.duration.Duration(10, "s"))
+      } catch { case _: java.util.concurrent.TimeoutException => Map.empty }
+    if (m.isEmpty) return fileStats(dir, keySpec)
+    val rows = m("rows").asInstanceOf[Long]
+    if (rows == 0L) return Nil
+    val p = java.nio.file.Paths.get(dir)
+    val partFile = java.nio.file.Files.list(p).iterator().asScala
+      .filter(f => f.getFileName.toString.startsWith("part-") &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .toSeq match {
+        case Seq(one) => one
+        case _ => // unexpected layout — trust the read-back path
+          return fileStats(dir, keySpec)
+      }
+    val mn = m("mn").asInstanceOf[org.apache.spark.sql.Row]
+    val mx = m("mx").asInstanceOf[org.apache.spark.sql.Row]
+    Seq(FileEntry(partFile.toUri.toString, rows,
+      KeyOrd.normKey(mn.toSeq), KeyOrd.normKey(mx.toSeq)))
+  }
+
   /** Per-file stats via one small aggregate over freshly written parquet
     * (struct min/max = lexicographic composite-key min/max in Spark) —
     * shared by every parquet-writing backend.
@@ -973,14 +1026,10 @@ class FsSnapshotStore(val root: String, val spark: SparkSession)
                          targetPartitions: Int = 0): (String, Seq[FileEntry]) = {
     val snapshotId = UUID.randomUUID().toString
     val dir = p(id).resolve("data").resolve(snapshotId)
-    val keyCols = keySpec.cols.map(col)
     val nParts =
       if (targetPartitions > 0) targetPartitions
       else math.max(1, df.sparkSession.sparkContext.defaultParallelism / 4)
-    df.repartitionByRange(nParts, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
-      .write.mode("errorifexists").parquet(dir.toString)
-    (snapshotId, fileStats(dir.toString, keySpec))
+    (snapshotId, writeParquetWithStats(dir.toString, df, keySpec, nParts))
   }
 
   override def readFiles(paths: Seq[String], m: SnapshotManifest): DataFrame = {

@@ -336,12 +336,15 @@ object Sampling {
     val cnt = tfd.groupBy("gram")
       .agg(sum(col("tf")).cast("long").as("cr"),
         sum(col("tgt") * col("tf")).cast("long").as("ct"))
-    val tot = cnt.agg(sum(col("cr")).cast("long").as("nr"),
-      sum(col("ct")).cast("long").as("nt"),
-      count(lit(1)).cast("long").as("b")).head()
-    val (nr, nt, b) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
-    val ratio = cnt.select(col("gram"),
-      expr(s"(10000 * (ct + 1) * (${nr}L + ${b}L)) div ((cr + 1) * (${nt}L + ${b}L))")
+    // the corpus totals ride the plan as a broadcast 1-row aggregate
+    // instead of a head() probe — the probe was its own action that
+    // materialized the persisted tf table; now the final collect is the
+    // only action and materializes it once. Same exact-integer ratio.
+    val tot = cnt.agg(sum(col("cr")).cast("long").as("__nr"),
+      sum(col("ct")).cast("long").as("__nt"),
+      count(lit(1)).cast("long").as("__b"))
+    val ratio = cnt.crossJoin(broadcast(tot)).select(col("gram"),
+      expr("(10000 * (ct + 1) * (__nr + __b)) div ((cr + 1) * (__nt + __b))")
         .as("ratio_e4"))
     try {
       // rank <= k over a global order executes as WindowGroupLimit:

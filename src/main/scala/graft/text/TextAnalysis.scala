@@ -150,12 +150,16 @@ object TextAnalysis {
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val big = toks.select(col("id"), explode(gf.shingles(col("tk"), 2)).as("bg"))
     val cb = big.groupBy("bg").agg(count(lit(1)).as("c12"))
-    val vocab = uni.count() // one tiny scalar: |V| for the smoothing term
+    // |V| rides the plan as a broadcast 1-row aggregate — the former
+    // count() action re-ran the tokenize pass that the final plan then
+    // computed again. k·|V| is the same IEEE double product either way.
+    val vstats = uni.agg(count(lit(1)).as("__v"))
     big.join(cb, Seq("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vstats))
       .withColumn("micro",
-        floor(lit(1e6) * (col("c12") + lit(k)) / (col("c1") + lit(k * vocab)))
+        floor(lit(1e6) * (col("c12") + lit(k)) / (col("c1") + lit(k) * col("__v")))
           .cast("long"))
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -210,11 +214,11 @@ object TextAnalysis {
       .groupBy("g2").agg(count(lit(1)).as("c2"))
     val tri = tr.select(explode(gf.shingles(col("__tk"), 3)).as("g3"))
       .groupBy("g3").agg(count(lit(1)).as("c3"))
-    // two tiny driver scalars parameterize the unigram floor
-    val Array(nTokens, vocab) = {
-      val r = uni.agg(sum(col("c1")), count(lit(1))).head()
-      Array(r.getLong(0), r.getLong(1))
-    }
+    // the unigram-floor scalars ride the plan as a broadcast 1-row
+    // aggregate instead of a head() probe: the probe was its own action
+    // (a full train tokenize pass) and the final plan recomputed the
+    // unigram table anyway — fully lazy now, one pass, same arithmetic
+    val floorStats = uni.agg(sum(col("c1")).as("__nt"), count(lit(1)).as("__v"))
     val pos = toks(score)
       .select(col(idCol), explode(gf.shingles(col("__tk"), 3)).as("g3"))
       .withColumn("__p", split(col("g3"), " "))
@@ -230,11 +234,12 @@ object TextAnalysis {
       .join(big.toDF("ctx2", "c2ctx"), Seq("ctx2"), "left")
       .join(uni, Seq("w"), "left")
       .join(uni.toDF("w1", "c1ctx"), Seq("w1"), "left")
+      .crossJoin(broadcast(floorStats))
       .withColumn("__s",
         when(col("c3").isNotNull, col("c3") / col("c2ctx"))
           .when(col("c2").isNotNull, lit(0.4) * (col("c2") / col("c1ctx")))
           .otherwise(lit(0.16) *
-            ((coalesce(col("c1"), lit(0L)) + 1L) / lit(nTokens + vocab))))
+            ((coalesce(col("c1"), lit(0L)) + 1L) / (col("__nt") + col("__v")))))
       .withColumn("__nano", floor(lit(1e9) * col("__s")).cast("long"))
     s.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trigrams"),
@@ -513,17 +518,21 @@ object TextAnalysis {
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
     val tf = toks.groupBy("id", "dl", "term")
       .agg(count(lit(1)).cast("long").as("tf"))
-    // two corpus scalars (one tiny job); exact integers
-    val st = df.agg(count(lit(1)).cast("long").as("nd"),
-      sum(size(gf.ws_tokens(col(textCol)))).cast("long").as("na")).head()
-    val nd = st.getLong(0); val na = st.getLong(1)
+    // the two corpus scalars ride the plan as a broadcast 1-row
+    // aggregate (the [[keywords]] stance) instead of a dedicated
+    // head() action — bm25TopK is now fully lazy, so a caller's single
+    // action runs everything and the former scalar-probe pass stops
+    // being scheduled separately; arithmetic is unchanged exact-integer
+    val st = df.agg(count(lit(1)).cast("long").as("__nd"),
+      sum(size(gf.ws_tokens(col(textCol)))).cast("long").as("__na"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("long").as("dft"))
     val scored = tf
       .join(broadcast(dfreq), Seq("term"))
       .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(st))
       .withColumn("idf_milli",
-        expr(s"(1000 * (2 * ${nd}L - 2 * dft + 1)) div (2 * dft + 1)"))
-      .withColumn("dl_norm_milli", expr(s"(1000 * dl * ${nd}L) div ${na}L"))
+        expr("(1000 * (2 * __nd - 2 * dft + 1)) div (2 * dft + 1)"))
+      .withColumn("dl_norm_milli", expr("(1000 * dl * __nd) div __na"))
       .withColumn("contrib_milli",
         expr("(idf_milli * 2200 * tf) div (1000 * tf + 300 + (900 * dl_norm_milli) div 1000)"))
       .groupBy("q_id", "id")

@@ -193,4 +193,35 @@ class WordPieceSpec extends SparkSuite {
     assert(expr.encodeWord("ba") == Seq("[UNK]")) // no word-initial 'b' piece
     assert(expr.encodeWord("") == Seq.empty)
   }
+
+  // the r20 optimization replaced train's Column-API `aggregate` fold
+  // with the FusePair kernel — differential-pin the kernel against the
+  // exact left-fold the HOF computed, on the cases where they could
+  // diverge (chained merges, fused-tail adjacency, no-match, empty)
+  test("FusePair kernel == the left-fold merge it replaced") {
+    import org.apache.spark.sql.functions.{aggregate => hofAggregate, _}
+    def hofFold(sym: org.apache.spark.sql.Column, a: String, b: String,
+                fused: String): org.apache.spark.sql.Column =
+      hofAggregate(sym, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+          .otherwise(concat(acc, array(x))))
+    val cases = Seq(
+      Seq("a", "##b", "##c"),            // single merge mid-array
+      Seq("a", "##b", "a", "##b"),       // merge fires twice
+      Seq("##x", "##x", "##x"),          // fused tail must NOT re-match a
+      Seq("a"), Seq[String](),           // short / empty
+      Seq("##b", "a", "##b", "##b"))     // b-first no-match, then chain
+    val merges = Seq(("a", "##b", "ab"), ("##x", "##x", "##x##x"))
+    for ((a, b, fused) <- merges; c <- cases) {
+      val df = Seq(Tuple1(c)).toDF("sym")
+      val viaKernel = df.select(
+        org.apache.spark.sql.graft.Shim.col(graft.text.FusePair(
+          org.apache.spark.sql.graft.Shim.expr(col("sym")), a, b, fused)).as("r"))
+        .as[Seq[String]].head()
+      val viaHof = df.select(hofFold(col("sym"), a, b, fused).as("r"))
+        .as[Seq[String]].head()
+      assert(viaKernel == viaHof, s"merge ($a,$b)->$fused on $c")
+    }
+  }
 }
