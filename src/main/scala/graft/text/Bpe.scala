@@ -164,18 +164,14 @@ object Bpe {
     * symbol is its `b`, replace that tail with the fused symbol. The
     * selected pairs are symbol-disjoint, so at most one can match any
     * position and the single scan equals applying them one pass at a
-    * time. Built from Column functions — corpus symbols never get spliced
-    * into SQL text.
+    * time. A reference-carrying kernel ([[MergePairs]], the r20 FusePair
+    * stance): the former Column-API `aggregate` fold was interpreted
+    * (HOFs are CodegenFallback) and rebuilt the accumulator array per
+    * element — O(|word|²) allocation per word, times the pair-chain of
+    * `when` branches; the kernel is one linear pass with a map lookup.
     */
   private def mergePairsColumn(sym: Column, pairs: Seq[(String, String)]): Column =
-    aggregate(sym, array().cast("array<string>"), (acc, x) => {
-      val tail = element_at(acc, -1)
-      pairs.foldRight(concat(acc, array(x))) { case ((a, b), els) =>
-        when(size(acc) > 0 && tail === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(els)
-      }
-    })
+    Shim.col(MergePairs(Shim.expr(sym), pairs))
 
   /** Encode `textCol` with a trained merge list: per document, whitespace
     * words are each segmented by the standard BPE loop (repeatedly fuse
@@ -274,5 +270,62 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   }
 
   override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+}
+
+/** One batched BPE merge round over a symbol array (`child` =
+  * `array<string>`): the left-to-right fold [[Bpe.train]] describes —
+  * append each symbol, except that when the output so far ends in a
+  * selected pair's `a` and the next symbol is its `b`, that tail
+  * becomes `a + b`. The pairs are symbol-disjoint by construction, so
+  * at most one can match any position and the map lookup is exact.
+  * Identical semantics to the Column-API `aggregate` fold it replaced
+  * (BpeSpec's sequential-reference differential still pins train
+  * end-to-end); one linear pass instead of a per-element accumulator
+  * rebuild. Interpreted eval inside a codegen'd stage, the
+  * [[BpeEncode]] stance.
+  */
+case class MergePairs(child: Expression, pairs: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val fusedOf: Map[(UTF8String, UTF8String), UTF8String] =
+    pairs.map { case (a, b) =>
+      (UTF8String.fromString(a), UTF8String.fromString(b)) ->
+        UTF8String.fromString(a + b)
+    }.toMap
+
+  override def nullSafeEval(syms: Any): Any = {
+    val arr = syms.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[AnyRef](n)
+    var len = 0
+    var i = 0
+    while (i < n) {
+      val x = arr.getUTF8String(i)
+      val fused =
+        if (len == 0 || x == null) null
+        else fusedOf.getOrElse(
+          (out(len - 1).asInstanceOf[UTF8String], x), null)
+      if (fused != null) out(len - 1) = fused
+      else { out(len) = x; len += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (len == n) out else java.util.Arrays.copyOf(out, len))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mergePairsExpr", this)
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        ((org.apache.spark.sql.catalyst.expressions.UnaryExpression) $ref).nullSafeEval($s);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MergePairs =
     copy(child = c)
 }
